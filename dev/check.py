@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Dev-side oracle cross-check, mirroring the driver: run Verify output
+parquet vs oracle_sql.json in DuckDB over the same sf tables."""
+import sys, json, glob, os
+import duckdb
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = os.path.join(outdir, name)
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        print(f"FAIL {name}: cols {gc} vs {ec}"); fails += 1; continue
+    g, e = got[gc], exp[ec]
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+    import pandas as pd
+    mismatch = None
+    for c in gc:
+        a, b = g[c], e[c]
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            import numpy as np
+            bad = ~(np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True))
+        else:
+            bad = ~((a == b) | (a.isna() & b.isna()))
+        if bad.any():
+            i = bad.idxmax()
+            mismatch = f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r} ({int(bad.sum())} diffs)"
+            break
+    if mismatch:
+        print(f"FAIL {name}: {mismatch}"); fails += 1
+    else:
+        print(f"OK   {name}: {len(g)} rows")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)

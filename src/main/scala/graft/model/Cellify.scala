@@ -1,0 +1,200 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Relational table → canonical CellSet transposition.
+  *
+  * The reference's data model is a sorted multi-version cell map; a
+  * relational row becomes one cell per column, all sharing the row key
+  * (SURVEY.md §1). This module builds the deterministic cellified
+  * fixtures of FIXTURES.md §2 as *lazy* DataFrames — pure column
+  * transformations over the driver parquet, so Catalyst can pipeline
+  * them into downstream plans (no materialization step is required,
+  * and at scale the explode is map-side only: no shuffle).
+  */
+object Cellify {
+
+  /** Canonical value rendering: doubles as fixed-point strings,
+    * timestamps as UTC seconds — deterministic across engines. */
+  def money(c: Column): Column = format_string("%.2f", c)
+  def dbl4(c: Column): Column  = format_string("%.4f", c)
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Transpose one DataFrame row into `quals.size` Put cells.
+    * Map-side only (explode of a literal-built array — no shuffle). */
+  def cellify(
+      df: DataFrame,
+      rowKey: Column,
+      family: String,
+      quals: Seq[(String, Column)],
+      ts: Column = lit(1L)
+  ): DataFrame = {
+    val cellArr = array(quals.map { case (q, v) =>
+      struct(lit(q).as("qualifier"), v.cast(StringType).as("value"))
+    }: _*)
+    df.select(
+        rowKey.as("row"),
+        lit(family).as("family"),
+        explode(cellArr).as("cell"),
+        ts.as("ts")
+      )
+      .select(
+        col("row"),
+        col("family"),
+        col("cell.qualifier").as("qualifier"),
+        col("ts"),
+        lit(CellType.Put).as("type"),
+        col("cell.value").as("value")
+      )
+  }
+
+  /** Zero-padded ASCII row key: string order == reference byte order. */
+  def padKey(c: Column, len: Int = 10): Column =
+    lpad(c.cast(StringType), len, "0")
+}
+
+/** The deterministic cellified fixtures of FIXTURES.md §2, derived from
+  * the driver parquet tables at `sfDir`. Each has an equivalent DuckDB
+  * CTE in [[graft.oracle.Cte]] — both sides must stay in lockstep.
+  */
+object Fixtures {
+  import Cellify._
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects as TimestampType; read it as epoch-nanos LongType
+    * via an explicit schema (works on any session, no legacy conf).
+    * `tsUtc` derives a micros TimestampType column when event-time
+    * semantics are needed (truncation matches DuckDB's ns→µs read). */
+  val eventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // epoch nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)
+    ))
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+
+  /** Event-time as micros TimestampType from the nanos long. */
+  def tsUtc(c: Column): Column =
+    timestamp_micros(floor(c / 1000).cast("long"))
+
+  /** cells_orders — single-version cell view of `orders`. */
+  def cellsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    cellify(
+      o,
+      rowKey = padKey(col("o_orderkey")),
+      family = "d",
+      quals = Seq(
+        "o_custkey"       -> col("o_custkey"),
+        "o_orderstatus"   -> col("o_orderstatus"),
+        "o_totalprice"    -> money(col("o_totalprice")),
+        "o_orderdate"     -> tsStr(col("o_orderdate")),
+        "o_orderpriority" -> col("o_orderpriority")
+      )
+    )
+  }
+
+  /** cells_events_v — multi-version + tombstone fixture from `events`.
+    *
+    * Per user: first 5 events by (ts, event_id) become versions ts=1..5
+    * of qualifiers event_type/value/props. Deterministic tombstones:
+    * user_id%7==0 → DeleteColumn(d,value,ts=3); %13==0 →
+    * DeleteFamily(ts=2); %17==0 → Delete(d,props,ts=4).
+    */
+  def cellsEventsV(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val versioned = e
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+    val puts = cellify(
+      versioned,
+      rowKey = padKey(col("user_id")),
+      family = "d",
+      quals = Seq(
+        "event_type" -> col("event_type"),
+        "value"      -> dbl4(col("value")),
+        "props"      -> col("props")
+      ),
+      ts = col("r").cast("long")
+    )
+    val users = e.select(padKey(col("user_id")).as("row"),
+                         col("user_id")).distinct()
+    def tomb(pred: Column, qual: String, ts: Long, typ: String): DataFrame =
+      users
+        .filter(pred)
+        .select(
+          col("row"),
+          lit("d").as("family"),
+          lit(qual).as("qualifier"),
+          lit(ts).as("ts"),
+          lit(typ).as("type"),
+          lit(null).cast(StringType).as("value")
+        )
+    puts
+      .unionByName(tomb(col("user_id") % 7 === 0, "value", 3L, CellType.DeleteColumn))
+      .unionByName(tomb(col("user_id") % 13 === 0, "", 2L, CellType.DeleteFamily))
+      .unionByName(tomb(col("user_id") % 17 === 0, "props", 4L, CellType.Delete))
+  }
+
+  /** cells_orders_mut — deterministically mutated copy of cells_orders
+    * for the SyncTable/VerifyReplication diff jobs (Q29–Q30):
+    * every 19th row dropped, every 11th row's o_totalprice perturbed,
+    * 500 re-keyed copies (key+1e9 of keys < 500) added.
+    */
+  def cellsOrdersMut(spark: SparkSession, sfDir: String): DataFrame = {
+    val o    = orders(spark, sfDir)
+    val base = cellsOrders(spark, sfDir)
+      .withColumn("k", col("row").cast("long"))
+      .filter(col("k") % 19 =!= 0)
+      .withColumn(
+        "value",
+        when(col("k") % 11 === 0 && col("qualifier") === "o_totalprice",
+             concat(col("value"), lit("_mut"))).otherwise(col("value"))
+      )
+      .drop("k")
+    val extra = cellify(
+      o.filter(col("o_orderkey") < 500),
+      rowKey = padKey(col("o_orderkey") + 1000000000L),
+      family = "d",
+      quals = Seq(
+        "o_custkey"       -> col("o_custkey"),
+        "o_orderstatus"   -> col("o_orderstatus"),
+        "o_totalprice"    -> money(col("o_totalprice")),
+        "o_orderdate"     -> tsStr(col("o_orderdate")),
+        "o_orderpriority" -> col("o_orderpriority")
+      )
+    )
+    base.unionByName(extra)
+  }
+
+  /** chain — ITBLL-style linked list with deterministic broken links
+    * (reference: IntegrationTestBigLinkedList.java:215,273). Nodes
+    * 0..9999 chained prev=id-1; every node with id%997==0 is missing,
+    * so its successor's prev dangles.
+    */
+  def chain(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark
+      .range(10000)
+      .select(
+        col("id"),
+        when(col("id") === 0, lit(null).cast("long")).otherwise(col("id") - 1).as("prev"),
+        Cellify.padKey(col("id"), 16).as("rowkey")
+      )
+      .filter(col("id") % 997 =!= 0)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.model.Fixtures
+import graft.oracle.Cte
+import graft.read.{GScan, GTable, Resolve}
+
+/** Q01–Q07: point gets, range/prefix/reversed scans, projection, and
+  * the §2.4 version/tombstone resolve (SURVEY.md §2.9).
+  */
+object ScanQueries {
+
+  private val outCols = Seq("row", "family", "qualifier", "ts", "value")
+
+  private def co(spark: SparkSession, dir: String) = Fixtures.cellsOrders(spark, dir)
+
+  private def ordered(df: DataFrame, reversed: Boolean = false): DataFrame =
+    df.select(outCols.map(col): _*)
+      .orderBy(GTable.cellOrder(reversed): _*)
+
+  private def oracleScan(where: String, order: String = "row, family, qualifier, ts DESC"): String =
+    Cte.withCtes(Cte.cellsOrders)(
+      s"SELECT row, family, qualifier, ts, value FROM cells_orders $where ORDER BY $order")
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q01_get",
+      (s, dir) => ordered(GTable.get(co(s, dir), "0000000007", GScan(raw = true))),
+      Some(oracleScan("WHERE row = '0000000007'"))
+    ),
+    QDef(
+      "q02_scan_range",
+      (s, dir) =>
+        ordered(GTable.scan(co(s, dir),
+          GScan(raw = true).withRange("0000000100", "0000000200"))),
+      Some(oracleScan("WHERE row >= '0000000100' AND row < '0000000200'"))
+    ),
+    QDef(
+      "q03_prefix_scan",
+      (s, dir) =>
+        ordered(GTable.scan(co(s, dir), GScan(raw = true, rowPrefix = Some("00000003")))),
+      Some(oracleScan("WHERE row LIKE '00000003%'"))
+    ),
+    QDef(
+      "q04_reverse_scan",
+      (s, dir) =>
+        ordered(
+          GTable.scan(co(s, dir),
+            GScan(raw = true, reversed = true).withRange("0000000100", "0000000200")),
+          reversed = true),
+      Some(oracleScan("WHERE row >= '0000000100' AND row < '0000000200'",
+                      "row DESC, family, qualifier, ts DESC"))
+    ),
+    QDef(
+      "q05_projection",
+      (s, dir) =>
+        ordered(GTable.scan(co(s, dir),
+          GScan(raw = true, columns = Seq("d" -> "o_totalprice"))
+            .withRange("0000000100", "0000000200"))),
+      Some(oracleScan(
+        "WHERE row >= '0000000100' AND row < '0000000200' AND family = 'd' AND qualifier = 'o_totalprice'"))
+    ),
+    QDef(
+      "q06_latest_view",
+      (s, dir) =>
+        ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 1)),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q07_timerange",
+      (s, dir) =>
+        ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 1,
+          timeRange = Some(Resolve.TimeRange(2L, 4L)))),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events WHERE ts BETWEEN 2 AND 3
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    )
+  )
+}

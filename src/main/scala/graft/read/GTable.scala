@@ -1,0 +1,86 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.read.Resolve.TimeRange
+
+/** Declarative Scan specification — the graft twin of the reference's
+  * client read API (hbase-client/.../client/Scan.java:84, Get.java:65).
+  * Every knob compiles to a `Column` predicate / plan fragment, so the
+  * whole read plans as ONE Catalyst pipeline: range + projection
+  * predicates push down to the parquet scan (≙ region pruning +
+  * store-file pruning, SURVEY §4 O1/O2), version resolution is the §2.4
+  * rewrite, and ordering is the total cell order (CellComparatorImpl).
+  */
+final case class GScan(
+    startRow: Option[String] = None,      // inclusive (withStartRow, Scan.java:349)
+    stopRow: Option[String] = None,       // exclusive (withStopRow, Scan.java:391)
+    startInclusive: Boolean = true,
+    stopInclusive: Boolean = false,
+    rowPrefix: Option[String] = None,     // setRowPrefixFilter (Scan.java:442)
+    reversed: Boolean = false,            // setReversed (Scan.java:692)
+    raw: Boolean = false,                 // setRaw (Scan.java:848): skip resolve
+    families: Seq[String] = Nil,          // addFamily (Scan.java:269)
+    columns: Seq[(String, String)] = Nil, // addColumn (Scan.java:282)
+    maxVersions: Int = 1,                 // readVersions
+    timeRange: Option[TimeRange] = None,  // setTimeRange
+    filter: Option[Column] = None,        // compiled graft.filter predicate
+    limit: Option[Int] = None             // setLimit (Scan.java:958) — global rows
+) {
+  def withRange(start: String, stop: String): GScan =
+    copy(startRow = Some(start), stopRow = Some(stop))
+}
+
+object GTable {
+
+  /** Total cell order of the reference (CellComparatorImpl.java:46,57):
+    * row, family, qualifier ASC; ts DESC (newest first). */
+  def cellOrder(reversed: Boolean = false): Seq[Column] = {
+    val row = if (reversed) col("row").desc else col("row").asc
+    Seq(row, col("family").asc, col("qualifier").asc, col("ts").desc)
+  }
+
+  /** Plan a scan over a canonical CellSet DataFrame. Returns cells in
+    * total cell order. All predicates are plain `Column`s → Catalyst
+    * pushes them into the source scan before the (optional) resolve.
+    */
+  def scan(cells: DataFrame, s: GScan): DataFrame = {
+    val rangePreds: Seq[Column] = Seq(
+      s.startRow.map(v => if (s.startInclusive) col("row") >= v else col("row") > v),
+      s.stopRow.map(v => if (s.stopInclusive) col("row") <= v else col("row") < v),
+      s.rowPrefix.map(p => col("row").startsWith(p))
+    ).flatten
+    val projPreds: Seq[Column] = Seq(
+      if (s.families.nonEmpty) Some(col("family").isin(s.families: _*)) else None,
+      if (s.columns.nonEmpty)
+        Some(s.columns.map { case (f, q) =>
+          col("family") === f && col("qualifier") === q
+        }.reduce(_ || _))
+      else None
+    ).flatten
+
+    // Row-range + projection predicates apply to raw cells (they prune
+    // the scan); resolve (tombstones/versions/timerange) runs after, as
+    // on the server (UserScanQueryMatcher.java:184,195).
+    val pruned = (rangePreds ++ projPreds).foldLeft(cells)((df, p) => df.filter(p))
+    val resolved =
+      if (s.raw) pruned
+      else Resolve.latest(pruned, s.maxVersions, s.timeRange)
+    val filtered = s.filter.fold(resolved)(resolved.filter)
+    val ordered  = filtered.orderBy(cellOrder(s.reversed): _*)
+    s.limit.fold(ordered)(ordered.limit)
+  }
+
+  /** Point Get = single-row scan (the server does the same:
+    * HRegion.get → Scan(Get), HRegion.java:8179, Scan.java:229). */
+  def get(cells: DataFrame, rowKey: String, s: GScan = GScan()): DataFrame =
+    scan(cells, s.copy(startRow = Some(rowKey), stopRow = Some(rowKey),
+                       startInclusive = true, stopInclusive = true))
+
+  /** Multi-get: semi-join against the key list (broadcast on the small
+    * key side — Table.get(List[Get]), Table.java:176). */
+  def multiGet(cells: DataFrame, keys: DataFrame): DataFrame =
+    cells.join(broadcast(keys.select(col(keys.columns.head).as("row"))),
+               Seq("row"), "left_semi")
+}

@@ -1,0 +1,94 @@
+package graft.read
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.CellType
+
+/** Read-time reconciliation of the multi-version cell set: tombstone
+  * masking × version gate × time range × TTL — the Spark rewrite of the
+  * reference's server-side querymatcher
+  * (hbase-server/.../querymatcher/ScanQueryMatcher.java:252,
+  * ScanDeleteTracker.java:46,70,102; tombstone kinds Cell.java:146-155).
+  *
+  * Semantics (matching ScanDeleteTracker):
+  *   - Delete               masks the put with the exact same (row,family,qualifier,ts)
+  *   - DeleteColumn         masks puts of (row,family,qualifier) with ts <= marker
+  *   - DeleteFamily         masks puts of (row,family)          with ts <= marker
+  *   - DeleteFamilyVersion  masks puts of (row,family)          with ts == marker
+  * then the scan time range filters surviving cells, then the per-column
+  * version gate keeps the newest `maxVersions` (timestamp DESC).
+  *
+  * Scale notes: tombstones are a tiny fraction of cells, so every mask
+  * join builds a small (broadcastable) aggregate on the delete side;
+  * Catalyst/AQE picks broadcast-hash for them. The only wide exchange is
+  * the final rank window, which co-partitions with any downstream
+  * per-(row,family,qualifier) operator.
+  */
+object Resolve {
+
+  /** Time range [min, max) on cell ts; reference TimeRange semantics. */
+  final case class TimeRange(min: Long, max: Long)
+
+  /** Latest-view resolve. `cells` is a canonical CellSet DataFrame.
+    *
+    * @param maxVersions keep newest n versions per (row,family,qualifier)
+    * @param timeRange   optional [min,max) pre-version-gate ts filter
+    * @param ttlCutoff   optional absolute ts floor (now - ttl); cells
+    *                    strictly older are invisible (ScanInfo.getTtl)
+    */
+  def latest(
+      cells: DataFrame,
+      maxVersions: Int = 1,
+      timeRange: Option[TimeRange] = None,
+      ttlCutoff: Option[Long] = None
+  ): DataFrame = {
+    val masked = maskTombstones(cells)
+    val ranged = Seq(
+      timeRange.map(tr => col("ts") >= tr.min && col("ts") < tr.max),
+      ttlCutoff.map(cut => col("ts") >= cut)
+    ).flatten.foldLeft(masked)((df, p) => df.filter(p))
+    val w = Window
+      .partitionBy(col("row"), col("family"), col("qualifier"))
+      .orderBy(col("ts").desc)
+    ranged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxVersions)
+      .drop("__rn")
+  }
+
+  /** Apply the 4 tombstone kinds to the Put cells; returns live puts.
+    * `raw` scans (Scan.setRaw, Scan.java:848) skip this entirely.
+    */
+  def maskTombstones(cells: DataFrame): DataFrame = {
+    val puts = cells.filter(col("type") === CellType.Put)
+
+    val dFam = cells
+      .filter(col("type") === CellType.DeleteFamily)
+      .groupBy("row", "family")
+      .agg(max("ts").as("__dfam_ts"))
+    val dCol = cells
+      .filter(col("type") === CellType.DeleteColumn)
+      .groupBy("row", "family", "qualifier")
+      .agg(max("ts").as("__dcol_ts"))
+    val dVer = cells
+      .filter(col("type") === CellType.Delete)
+      .select("row", "family", "qualifier", "ts")
+      .distinct()
+    val dFamVer = cells
+      .filter(col("type") === CellType.DeleteFamilyVersion)
+      .select("row", "family", "ts")
+      .distinct()
+
+    puts
+      .join(dVer, Seq("row", "family", "qualifier", "ts"), "left_anti")
+      .join(dFamVer, Seq("row", "family", "ts"), "left_anti")
+      .join(dCol, Seq("row", "family", "qualifier"), "left")
+      .filter(col("__dcol_ts").isNull || col("ts") > col("__dcol_ts"))
+      .drop("__dcol_ts")
+      .join(dFam, Seq("row", "family"), "left")
+      .filter(col("__dfam_ts").isNull || col("ts") > col("__dfam_ts"))
+      .drop("__dfam_ts")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.model.{CellType, GCell}
+import graft.read.Resolve
+import graft.read.Resolve.TimeRange
+
+/** Tombstone × version × timerange matrix for the §2.4 resolve —
+  * mirrors ScanDeleteTracker rules (ScanDeleteTracker.java:46,70,102).
+  */
+class ResolveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def put(r: String, q: String, ts: Long, v: String) =
+    GCell(r, "d", q, ts, CellType.Put, v)
+
+  private def cells(cs: GCell*) = cs.toDF()
+
+  private def liveSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+    df.collect().map(r => (r.getAs[String]("row"), r.getAs[String]("qualifier"), r.getAs[Long]("ts"))).toSet
+
+  test("exact Delete masks only the same-ts put") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 2, "v2"),
+      GCell("r1", "d", "a", 2, CellType.Delete, null))
+    assert(liveSet(Resolve.maskTombstones(df)) === Set(("r1", "a", 1L)))
+  }
+
+  test("DeleteColumn masks puts at or below marker ts") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 3, "v3"), put("r1", "a", 5, "v5"),
+      put("r1", "b", 1, "w1"),
+      GCell("r1", "d", "a", 3, CellType.DeleteColumn, null))
+    assert(liveSet(Resolve.maskTombstones(df)) === Set(("r1", "a", 5L), ("r1", "b", 1L)))
+  }
+
+  test("DeleteFamily masks the whole family at or below marker ts") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "b", 2, "v2"), put("r1", "b", 3, "v3"),
+      put("r2", "a", 1, "x1"),
+      GCell("r1", "d", "", 2, CellType.DeleteFamily, null))
+    assert(liveSet(Resolve.maskTombstones(df)) === Set(("r1", "b", 3L), ("r2", "a", 1L)))
+  }
+
+  test("DeleteFamilyVersion masks exactly one ts across the family") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 2, "v2"), put("r1", "b", 2, "w2"),
+      GCell("r1", "d", "", 2, CellType.DeleteFamilyVersion, null))
+    assert(liveSet(Resolve.maskTombstones(df)) === Set(("r1", "a", 1L)))
+  }
+
+  test("version gate keeps newest n per column after masking") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 2, "v2"),
+      put("r1", "a", 3, "v3"), put("r1", "a", 4, "v4"))
+    assert(liveSet(Resolve.latest(df, maxVersions = 2)) ===
+      Set(("r1", "a", 4L), ("r1", "a", 3L)))
+  }
+
+  test("time range applies before the version gate") {
+    // newest (ts=4) is outside range; gate then picks newest IN range
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 2, "v2"),
+      put("r1", "a", 3, "v3"), put("r1", "a", 4, "v4"))
+    assert(liveSet(Resolve.latest(df, 1, Some(TimeRange(1, 4)))) ===
+      Set(("r1", "a", 3L)))
+  }
+
+  test("ttl cutoff hides old cells") {
+    val df = cells(put("r1", "a", 1, "v1"), put("r1", "a", 9, "v9"))
+    assert(liveSet(Resolve.latest(df, 2, None, ttlCutoff = Some(5L))) ===
+      Set(("r1", "a", 9L)))
+  }
+
+  test("tombstones do not resurrect: masked newest exposes older put") {
+    val df = cells(
+      put("r1", "a", 1, "v1"), put("r1", "a", 5, "v5"),
+      GCell("r1", "d", "a", 5, CellType.Delete, null))
+    assert(liveSet(Resolve.latest(df, 1)) === Set(("r1", "a", 1L)))
+  }
+}
