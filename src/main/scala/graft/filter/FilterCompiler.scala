@@ -1,0 +1,168 @@
+package graft.filter
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiles the [[GFilter]] AST against a canonical CellSet DataFrame.
+  *
+  * Cell-level filters become one fused `Column` predicate (→ Catalyst
+  * pushdown, whole-stage codegen — the analogue of the reference's
+  * server-side `filterCell` fast path plus its seek-hint skipping,
+  * SURVEY §4 O3). Row-level filters become semi/anti-join or window
+  * rewrites, chosen so the build side is the small one (broadcastable).
+  */
+object FilterCompiler {
+
+  /** Pure cell predicate, when the filter has one (None ⇒ needs a
+    * DataFrame rewrite). */
+  def cellPredicate(f: GFilter): Option[Column] = f match {
+    case RowFilter(op, c)       => Some(c.test(col("row"), op))
+    case FamilyFilter(op, c)    => Some(c.test(col("family"), op))
+    case QualifierFilter(op, c) => Some(c.test(col("qualifier"), op))
+    case ValueFilter(op, c)     => Some(c.test(col("value"), op))
+    case ColumnValueFilter(fam, q, op, c) =>
+      // cells of other columns pass untested (ColumnValueFilter.java:48)
+      Some(!(col("family") === fam && col("qualifier") === q) ||
+        c.test(col("value"), op))
+    case PrefixFilter(p)        => Some(col("row").startsWith(p))
+    case InclusiveStopFilter(s) => Some(col("row") <= s)
+    case MultiRowRangeFilter(ranges) =>
+      Some(ranges.map { r =>
+        val lo = if (r.loInclusive) col("row") >= r.lo else col("row") > r.lo
+        val hi = if (r.hiInclusive) col("row") <= r.hi else col("row") < r.hi
+        lo && hi
+      }.reduce(_ || _))
+    case FuzzyRowFilter(fixed) =>
+      Some(fixed.map { case (pos, lit0) =>
+        substring(col("row"), pos + 1, lit0.length) === lit0
+      }.reduce(_ && _))
+    case ColumnPrefixFilter(p) => Some(col("qualifier").startsWith(p))
+    case MultipleColumnPrefixFilter(ps) =>
+      Some(ps.map(p => col("qualifier").startsWith(p)).reduce(_ || _))
+    case ColumnRangeFilter(min, minInc, max, maxInc) =>
+      val lo = if (minInc) col("qualifier") >= min else col("qualifier") > min
+      val hi = if (maxInc) col("qualifier") <= max else col("qualifier") < max
+      Some(lo && hi)
+    case TimestampsFilter(tss) => Some(col("ts").isin(tss: _*))
+    case RandomRowFilter(chance, seed) =>
+      Some(pmod(hash(col("row"), lit(seed)), lit(10000)) < (chance * 10000).toInt)
+    case FilterList(op, fs) =>
+      val children = fs.map(cellPredicate)
+      if (children.forall(_.isDefined)) {
+        val preds = children.flatten
+        Some(op match {
+          case FilterList.MustPassAll => preds.reduce(_ && _)
+          case FilterList.MustPassOne => preds.reduce(_ || _)
+        })
+      } else None
+    case _ => None
+  }
+
+  /** Apply a filter to a CellSet DataFrame. */
+  def apply(cells: DataFrame, f: GFilter): DataFrame = cellPredicate(f) match {
+    case Some(p) => cells.filter(p)
+    case None    => rewrite(cells, f)
+  }
+
+  private val colOrder = Seq(col("family").asc, col("qualifier").asc, col("ts").desc)
+
+  private def rewrite(cells: DataFrame, f: GFilter): DataFrame = f match {
+
+    case SingleColumnValueFilter(fam, q, op, c, ifMissing, latestOnly) =>
+      scvf(cells, fam, q, op, c, ifMissing, latestOnly)
+
+    case SingleColumnValueExcludeFilter(fam, q, op, c, ifMissing, latestOnly) =>
+      scvf(cells, fam, q, op, c, ifMissing, latestOnly)
+        .filter(!(col("family") === fam && col("qualifier") === q))
+
+    case DependentColumnFilter(fam, q, drop, valueCmp) =>
+      // intra-row ts-join against the reference column's ts set
+      // (DependentColumnFilter.java:46) — the reference's only join.
+      val ref0 = cells.filter(col("family") === fam && col("qualifier") === q)
+      val ref = valueCmp.fold(ref0) { case (op, c) => ref0.filter(c.test(col("value"), op)) }
+      val joined = cells.join(ref.select("row", "ts").distinct(), Seq("row", "ts"), "left_semi")
+      if (drop) joined.filter(!(col("family") === fam && col("qualifier") === q)) else joined
+
+    case PageFilter(n) =>
+      // exact global limit: first n rows in row order, all their cells
+      val firstRows = cells.select("row").distinct().orderBy("row").limit(n)
+      cells.join(broadcast(firstRows), Seq("row"), "left_semi")
+
+    case ColumnCountGetFilter(n) =>
+      withColRank(cells).filter(col("__crank") <= n).drop("__crank")
+
+    case ColumnPaginationFilter(limit, offset) =>
+      withColRank(cells)
+        .filter(col("__crank") > offset && col("__crank") <= offset + limit)
+        .drop("__crank")
+
+    case SkipFilter(inner) =>
+      val p = cellPredicate(inner).getOrElse(
+        throw new IllegalArgumentException("SkipFilter requires a cell-level inner filter"))
+      // any failing cell vetoes the whole row (SkipFilter.java:49)
+      val vetoed = cells.filter(!p).select("row").distinct()
+      cells.join(vetoed, Seq("row"), "left_anti")
+
+    case WhileMatchFilter(inner) =>
+      val p = cellPredicate(inner).getOrElse(
+        throw new IllegalArgumentException("WhileMatchFilter requires a cell-level inner filter"))
+      // keep the prefix of the stream before the first rejected row
+      // (WhileMatchFilter.java:39): scalar min(row) over rejects, then
+      // row < firstReject. One tiny agg (broadcast) + one filter.
+      val firstReject = cells.filter(!p)
+        .agg(min("row").as("__stop"))
+      cells.join(broadcast(firstReject))
+        .filter(col("__stop").isNull || col("row") < col("__stop"))
+        .drop("__stop")
+
+    case KeyOnlyFilter(lenAsVal) =>
+      if (lenAsVal) cells.withColumn("value", length(col("value")).cast("string"))
+      else cells.withColumn("value", lit(null).cast("string"))
+
+    case FirstKeyOnlyFilter() =>
+      val w = Window.partitionBy(col("row")).orderBy(colOrder: _*)
+      cells.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+
+    case FilterList(FilterList.MustPassAll, fs) =>
+      // AND of mixed cell/row-level: sequential application (intersection)
+      fs.foldLeft(cells)((df, g) => apply(df, g))
+
+    case FilterList(FilterList.MustPassOne, _) =>
+      throw new IllegalArgumentException(
+        "MUST_PASS_ONE with row-level children is not supported; " +
+          "compose with cell-level filters or union scans explicitly")
+
+    case other =>
+      throw new IllegalArgumentException(s"unsupported filter $other")
+  }
+
+  /** Row-level semantics of SCVF (SingleColumnValueFilter.java:65-74). */
+  private def scvf(cells: DataFrame, fam: String, q: String, op: CompareOp,
+      c: GComparator, filterIfMissing: Boolean, latestVersionOnly: Boolean): DataFrame = {
+    val colCells0 = cells.filter(col("family") === fam && col("qualifier") === q)
+    val colCells =
+      if (latestVersionOnly) {
+        val w = Window.partitionBy(col("row")).orderBy(col("ts").desc)
+        colCells0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else colCells0
+    val matching = colCells.filter(c.test(col("value"), op)).select("row").distinct()
+    if (filterIfMissing) {
+      cells.join(matching, Seq("row"), "left_semi")
+    } else {
+      // rows lacking the column pass; rows having it must match
+      val having = colCells.select("row").distinct()
+      val failing = having.join(matching, Seq("row"), "left_anti")
+      cells.join(failing, Seq("row"), "left_anti")
+    }
+  }
+
+  /** Per-row column rank by (family,qualifier); versions of the same
+    * column share a rank (dense_rank over the column coordinates). */
+  private def withColRank(cells: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("row")).orderBy(col("family").asc, col("qualifier").asc)
+    cells.withColumn("__crank", dense_rank().over(w))
+  }
+}

@@ -1,5 +1,156 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.QDef
+import graft.filter._
+import graft.model.{CellType, Fixtures}
+import graft.oracle.Cte
+import graft.read.GTable
+
+/** Q08–Q22: the filter algebra (SURVEY §2.3, §2.9) over the cellified
+  * fixtures. Every query = GFilter AST → FilterCompiler, with the
+  * equivalent expanded SQL as the DuckDB oracle.
+  */
 object FilterQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private val outCols = Seq("row", "family", "qualifier", "ts", "value")
+
+  private def co(s: SparkSession, dir: String) = Fixtures.cellsOrders(s, dir)
+  private def evPuts(s: SparkSession, dir: String) =
+    Fixtures.cellsEventsV(s, dir).filter(col("type") === CellType.Put)
+
+  private def run(cells: DataFrame, f: GFilter): DataFrame =
+    FilterCompiler(cells, f)
+      .select(outCols.map(col): _*)
+      .orderBy(GTable.cellOrder(): _*)
+
+  private def oracleOrders(where: String): String =
+    Cte.withCtes(Cte.cellsOrders)(
+      s"SELECT row, family, qualifier, ts, value FROM cells_orders $where " +
+        "ORDER BY row, family, qualifier, ts DESC")
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q08_row_regex",
+      (s, dir) => run(co(s, dir),
+        RowFilter(CompareOp.Equal, RegexStringComparator("^00000001.[02468]$"))),
+      Some(oracleOrders("WHERE regexp_matches(row, '^00000001.[02468]$')"))
+    ),
+    QDef(
+      "q09_value_substring",
+      (s, dir) => run(co(s, dir),
+        ValueFilter(CompareOp.Equal, SubstringComparator("ent"))),
+      Some(oracleOrders("WHERE contains(lower(value), 'ent')"))
+    ),
+    QDef(
+      "q10_scvf",
+      (s, dir) => run(co(s, dir),
+        SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+          BinaryComparator("F"), filterIfMissing = true)),
+      Some(oracleOrders(
+        "WHERE row IN (SELECT row FROM cells_orders WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'F')"))
+    ),
+    QDef(
+      "q11_scvf_missing_pass",
+      (s, dir) => {
+        // gapped fixture: rows with key%3==0 lack the tested column
+        val gapped = co(s, dir).filter(
+          !(col("qualifier") === "o_orderstatus" && col("row").cast("long") % 3 === 0))
+        run(gapped, SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+          BinaryComparator("F"), filterIfMissing = false))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders,
+        "cells_gap AS (SELECT * FROM cells_orders WHERE NOT (qualifier = 'o_orderstatus' AND CAST(row AS BIGINT) % 3 = 0))")(
+        """SELECT row, family, qualifier, ts, value FROM cells_gap
+          |WHERE row NOT IN (SELECT row FROM cells_gap WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value <> 'F')
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q12_dependent_column",
+      (s, dir) => run(evPuts(s, dir), DependentColumnFilter("d", "value")),
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        "p AS (SELECT * FROM cells_events_v WHERE type = 'Put')")(
+        """SELECT row, family, qualifier, ts, value FROM p p0
+          |WHERE EXISTS (SELECT 1 FROM p r WHERE r.row = p0.row AND r.ts = p0.ts AND r.family = 'd' AND r.qualifier = 'value')
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q13_multi_row_range",
+      (s, dir) => run(co(s, dir), MultiRowRangeFilter(Seq(
+        RowRange("0000000050", true, "0000000060", false),
+        RowRange("0000000300", true, "0000000310", false),
+        RowRange("0000000500", true, "0000000505", false)))),
+      Some(oracleOrders(
+        """WHERE (row >= '0000000050' AND row < '0000000060')
+          |   OR (row >= '0000000300' AND row < '0000000310')
+          |   OR (row >= '0000000500' AND row < '0000000505')""".stripMargin))
+    ),
+    QDef(
+      "q14_fuzzy_row",
+      (s, dir) => run(co(s, dir), FuzzyRowFilter(Seq(8 -> "42"))),
+      Some(oracleOrders("WHERE substr(row, 9, 2) = '42'"))
+    ),
+    QDef(
+      "q15_page_filter",
+      (s, dir) => run(co(s, dir), PageFilter(25)),
+      Some(oracleOrders(
+        "WHERE row IN (SELECT row FROM (SELECT DISTINCT row FROM cells_orders ORDER BY row LIMIT 25))"))
+    ),
+    QDef(
+      "q16_column_pagination",
+      (s, dir) => run(co(s, dir), ColumnPaginationFilter(limit = 3, offset = 2)),
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, dense_rank() OVER (PARTITION BY row ORDER BY family, qualifier) AS rk
+          |  FROM cells_orders
+          |) WHERE rk > 2 AND rk <= 5 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q17_column_range",
+      (s, dir) => run(co(s, dir),
+        ColumnRangeFilter("o_orderdate", minInclusive = true,
+                          "o_totalprice", maxInclusive = false)),
+      Some(oracleOrders("WHERE qualifier >= 'o_orderdate' AND qualifier < 'o_totalprice'"))
+    ),
+    QDef(
+      "q18_timestamps",
+      (s, dir) => run(evPuts(s, dir), TimestampsFilter(Seq(1L, 3L))),
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM cells_events_v
+          |WHERE type = 'Put' AND ts IN (1, 3)
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q19_skip_filter",
+      (s, dir) => run(co(s, dir),
+        SkipFilter(ValueFilter(CompareOp.NotEqual, BinaryComparator("0")))),
+      Some(oracleOrders("WHERE row NOT IN (SELECT row FROM cells_orders WHERE value = '0')"))
+    ),
+    QDef(
+      "q20_while_match",
+      (s, dir) => run(co(s, dir),
+        WhileMatchFilter(ColumnValueFilter("d", "o_custkey",
+          CompareOp.NotEqual, BinaryComparator("42")))),
+      Some(oracleOrders(
+        "WHERE row < COALESCE((SELECT min(row) FROM cells_orders WHERE family = 'd' AND qualifier = 'o_custkey' AND value = '42'), '~')"))
+    ),
+    QDef(
+      "q21_filter_list",
+      (s, dir) => run(co(s, dir), FilterList.and(
+        FilterList.or(
+          PrefixFilter("000001"),
+          MultiRowRangeFilter(Seq(RowRange("0000000300", true, "0000000400", false)))),
+        QualifierFilter(CompareOp.Equal, BinaryComparator("o_totalprice")))),
+      Some(oracleOrders(
+        "WHERE (row LIKE '000001%' OR (row >= '0000000300' AND row < '0000000400')) AND qualifier = 'o_totalprice'"))
+    ),
+    QDef(
+      "q22_parse_filter",
+      (s, dir) => run(co(s, dir),
+        ParseFilter.parse("PrefixFilter('000001') AND ValueFilter(=, 'substring:low')")),
+      Some(oracleOrders("WHERE row LIKE '000001%' AND contains(lower(value), 'low')"))
+    )
+  )
 }

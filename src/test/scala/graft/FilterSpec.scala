@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filter._
+import graft.model.Fixtures
+
+class FilterSpec extends SparkSpec {
+
+  lazy val co = Fixtures.cellsOrders(spark, sf0001).cache()
+
+  private def rows(f: GFilter): Set[String] =
+    FilterCompiler(co, f).select("row").distinct()
+      .collect().map(_.getString(0)).toSet
+
+  test("RowFilter regex") {
+    val r = rows(RowFilter(CompareOp.Equal, RegexStringComparator("^000000001[0-3]$")))
+    assert(r === Set("0000000010", "0000000011", "0000000012", "0000000013"))
+  }
+
+  test("ColumnValueFilter passes other columns untested") {
+    val out = FilterCompiler(co,
+      ColumnValueFilter("d", "o_orderstatus", CompareOp.Equal, BinaryComparator("F")))
+    // non-status cells all pass; status cells only when F
+    val statuses = out.filter(col("qualifier") === "o_orderstatus")
+      .select("value").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses === Set("F"))
+    assert(out.filter(col("qualifier") === "o_custkey").count() === co.filter(col("qualifier") === "o_custkey").count())
+  }
+
+  test("SCVF filterIfMissing=false lets rows lacking the column pass") {
+    val gapped = co.filter(!(col("qualifier") === "o_orderstatus" && col("row").cast("long") % 3 === 0))
+    val out = FilterCompiler(gapped,
+      SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+        BinaryComparator("F"), filterIfMissing = false))
+    val kept = out.select("row").distinct().collect().map(_.getString(0)).toSet
+    // every %3 row passes (missing col); others only if F
+    assert(kept.contains("0000000000"))
+    val statusRows = gapped.filter(col("qualifier") === "o_orderstatus" && col("value") =!= "F")
+      .select("row").collect().map(_.getString(0)).toSet
+    assert(kept.intersect(statusRows).isEmpty)
+  }
+
+  test("PageFilter returns first n rows with all cells") {
+    val out = FilterCompiler(co, PageFilter(10))
+    assert(out.select("row").distinct().count() === 10)
+    assert(out.count() === 50) // 5 cells per row
+    assert(out.agg(max("row")).head().getString(0) === "0000000009")
+  }
+
+  test("SkipFilter vetoes whole rows") {
+    val out = FilterCompiler(co, SkipFilter(ValueFilter(CompareOp.NotEqual, BinaryComparator("0"))))
+    // rows with o_custkey = 0 are gone entirely
+    val zeroRows = co.filter(col("value") === "0").select("row").distinct().count()
+    assert(zeroRows > 0)
+    assert(out.filter(col("value") === "0").count() === 0)
+    assert(out.select("row").distinct().count() === co.select("row").distinct().count() - zeroRows)
+  }
+
+  test("WhileMatch keeps strict prefix before first reject") {
+    val out = FilterCompiler(co,
+      WhileMatchFilter(ColumnValueFilter("d", "o_orderstatus", CompareOp.NotEqual, BinaryComparator("P"))))
+    val firstP = co.filter(col("qualifier") === "o_orderstatus" && col("value") === "P")
+      .agg(min("row")).head().getString(0)
+    assert(out.agg(max("row")).head().getString(0) < firstP)
+  }
+
+  test("ParseFilter grammar: precedence and nesting") {
+    val f = ParseFilter.parse(
+      "PrefixFilter('a') AND ValueFilter(=, 'substring:x') OR SKIP QualifierFilter(!=, 'binary:q')")
+    f match {
+      case FilterList(FilterList.MustPassOne, Seq(
+        FilterList(FilterList.MustPassAll, Seq(PrefixFilter("a"), ValueFilter(CompareOp.Equal, SubstringComparator("x")))),
+        SkipFilter(QualifierFilter(CompareOp.NotEqual, BinaryComparator("q"))))) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
+  test("ParseFilter: SingleColumnValueFilter with bools and quoted escape") {
+    val f = ParseFilter.parse("SingleColumnValueFilter('d', 'o''x', >=, 'long:5', true, false)")
+    assert(f === SingleColumnValueFilter("d", "o'x", CompareOp.GreaterOrEqual,
+      LongComparator(5), filterIfMissing = true, latestVersionOnly = false))
+  }
+
+  test("ParseFilter rejects garbage") {
+    intercept[IllegalArgumentException](ParseFilter.parse("NoSuchFilter('x')"))
+    intercept[IllegalArgumentException](ParseFilter.parse("PrefixFilter('a'"))
+    intercept[IllegalArgumentException](ParseFilter.parse("PrefixFilter('a') AND"))
+  }
+
+  test("FuzzyRowFilter fixed-position match") {
+    val r = rows(FuzzyRowFilter(Seq(8 -> "42")))
+    assert(r.nonEmpty && r.forall(_.substring(8, 10) == "42"))
+  }
+}
