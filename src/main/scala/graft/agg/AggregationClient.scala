@@ -1,0 +1,107 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The aggregation façade — graft twin of the reference's coprocessor
+  * aggregation service (hbase-endpoint/.../client/coprocessor/
+  * AggregationClient.java:228,295,350,437,488,603,675,778 and server
+  * AggregateImplementation.java:84,143,201,260,325,401,483).
+  *
+  * The reference hand-rolls partial-per-region + final-at-client
+  * execution; Catalyst plans the identical shape natively (partial
+  * HashAggregate on executors → exchange → final HashAggregate), so
+  * every method here is a thin declarative wrapper. `scanPred` plays
+  * the role of the reference's Scan argument: it is pushed below the
+  * aggregate into the source scan.
+  */
+object AggregationClient {
+
+  private def base(df: DataFrame, scanPred: Option[Column]): DataFrame =
+    scanPred.fold(df)(df.filter)
+
+  def max(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(functions.max(value).as("max"))
+  def min(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(functions.min(value).as("min"))
+  def sum(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(functions.sum(value).as("sum"))
+  def avg(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(functions.avg(value).as("avg"))
+  def std(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(functions.stddev_pop(value).as("std"))
+
+  /** Exact median — the reference needs a two-phase protocol
+    * (AggregationClient.java:778); Spark's exact `percentile` is one
+    * declarative aggregate. */
+  def median(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred).agg(percentile(value, lit(0.5)).as("median"))
+
+  /** Row count over a CellSet — the reference pairs rowCount with
+    * FirstKeyOnlyFilter to touch one cell per row
+    * (AggregationClient.java:350); count-distinct-rows is the
+    * declarative equivalent. */
+  def rowCount(cells: DataFrame, scanPred: Option[Column] = None): DataFrame =
+    base(cells, scanPred).agg(count_distinct(col("row")).as("rowcount"))
+
+  /** Grouped aggregation (GroupingTableMapper.java:37 composite-key
+    * grouping — free on Spark). */
+  def grouped(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  // avoid shadowing between our methods and sql.functions
+  private object functions {
+    def max(c: Column): Column = org.apache.spark.sql.functions.max(c)
+    def min(c: Column): Column = org.apache.spark.sql.functions.min(c)
+    def sum(c: Column): Column = org.apache.spark.sql.functions.sum(c)
+    def avg(c: Column): Column = org.apache.spark.sql.functions.avg(c)
+    def stddev_pop(c: Column): Column = org.apache.spark.sql.functions.stddev_pop(c)
+  }
+}
+
+/** The reference's pluggable value-decoder/semiring for aggregation —
+  * `ColumnInterpreter` (hbase-client/.../coprocessor/
+  * ColumnInterpreter.java:52: getValue/add/compare/divideForAvg) —
+  * re-expressed as the graft extension point for custom aggregates:
+  * implement the semiring and get a typed Spark `Aggregator` (partial/
+  * final merge handled by Tungsten).
+  */
+trait GColumnInterpreter[T] extends Serializable {
+  def decode(raw: String): T           // ColumnInterpreter.getValue:56
+  def add(a: T, b: T): T               // :59
+  def zero: T
+  def divideForAvg(sum: T, count: Long): Double // :92
+}
+
+object GColumnInterpreter {
+  /** LongColumnInterpreter analogue (client/coprocessor/LongColumnInterpreter.java). */
+  object Longs extends GColumnInterpreter[Long] {
+    def decode(raw: String): Long = raw.toLong
+    def add(a: Long, b: Long): Long = a + b
+    def zero: Long = 0L
+    def divideForAvg(sum: Long, count: Long): Double = sum.toDouble / count
+  }
+  /** BigDecimalColumnInterpreter analogue — exact money sums. */
+  object Decimals extends GColumnInterpreter[BigDecimal] {
+    def decode(raw: String): BigDecimal = BigDecimal(raw)
+    def add(a: BigDecimal, b: BigDecimal): BigDecimal = a + b
+    def zero: BigDecimal = BigDecimal(0)
+    def divideForAvg(sum: BigDecimal, count: Long): Double =
+      (sum / count).toDouble
+  }
+
+  /** Lift an interpreter into a typed Spark Aggregator summing the
+    * interpreted values of a string column (the CellSet `value`). */
+  def sumAggregator[T: Encoder](ci: GColumnInterpreter[T]): Aggregator[String, T, T] =
+    new Aggregator[String, T, T] {
+      def zero: T = ci.zero
+      def reduce(b: T, a: String): T = if (a == null) b else ci.add(b, ci.decode(a))
+      def merge(b1: T, b2: T): T = ci.add(b1, b2)
+      def finish(r: T): T = r
+      def bufferEncoder: Encoder[T] = implicitly[Encoder[T]]
+      def outputEncoder: Encoder[T] = implicitly[Encoder[T]]
+    }
+
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+}

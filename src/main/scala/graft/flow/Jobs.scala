@@ -1,0 +1,135 @@
+package graft.flow
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The hbase-mapreduce batch dataflow jobs (SURVEY §2.7) as DataFrame
+  * jobs. Each is a declarative plan: Catalyst handles pushdown, AQE
+  * sizes the shuffles, and the cell-coordinate joins shuffle once on
+  * their natural key.
+  */
+object Jobs {
+
+  private val cellKey = Seq("row", "family", "qualifier", "ts")
+
+  /** D1 RowCounter (RowCounter.java:60): COUNT(rows) after filters. */
+  def rowCounter(cells: DataFrame, pred: Option[Column] = None): DataFrame =
+    pred.fold(cells)(cells.filter)
+      .agg(count_distinct(col("row")).as("rows"))
+
+  /** D2 CellCounter (CellCounter.java:73): per-(family,qualifier)
+    * cardinalities — cell count, distinct versions, value bytes. */
+  def cellCounter(cells: DataFrame): DataFrame =
+    cells
+      .groupBy("family", "qualifier")
+      .agg(
+        count(lit(1)).as("cells"),
+        count_distinct(col("ts")).as("versions"),
+        coalesce(sum(length(col("value"))), lit(0L)).as("value_bytes")
+      )
+
+  /** D5 CopyTable (CopyTable.java:55): filtered copy with optional
+    * family rename — a scan→(rename)→write pipeline. */
+  def copyTable(cells: DataFrame, pred: Option[Column],
+      familyRename: Map[String, String], outPath: String): Unit = {
+    val filtered = pred.fold(cells)(cells.filter)
+    val renamed = if (familyRename.isEmpty) filtered
+      else filtered.withColumn("family",
+        familyRename.foldLeft(col("family")) { case (c, (from, to)) =>
+          when(col("family") === from, lit(to)).otherwise(c)
+        })
+    renamed.write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** D6 HashTable/SyncTable (HashTable.java:64, SyncTable.java:64):
+    * divergence detection. Full-outer join on the cell coordinates,
+    * classify each coordinate. The reference hashes key-space batches
+    * first to avoid moving identical data; Spark's exchange already
+    * co-partitions both sides on the same key, so the comparison is a
+    * single co-partitioned join at scale.
+    */
+  def syncDiff(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(cellKey.map(col) :+ col("value").as("src_value"): _*)
+    val d = dst.select(cellKey.map(col) :+ col("value").as("dst_value"): _*)
+    s.withColumn("__s", lit(1))
+      .join(d.withColumn("__d", lit(1)), cellKey, "full_outer")
+      .withColumn("class",
+        when(col("__s").isNull, lit("dst_only"))
+          .when(col("__d").isNull, lit("src_only"))
+          .when(col("src_value") === col("dst_value"), lit("matched"))
+          .otherwise(lit("mismatch")))
+  }
+
+  /** D6 summary: per-class counts (SyncTable counters). */
+  def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame =
+    syncDiff(src, dst)
+      .groupBy("class").agg(count(lit(1)).as("n"))
+      .orderBy("class")
+
+  /** D8 VerifyReplication (replication/VerifyReplication.java): per-row
+    * good/bad/only-in-one classification between two tables. */
+  def verifyReplication(src: DataFrame, dst: DataFrame): DataFrame =
+    syncDiff(src, dst)
+      .groupBy("row")
+      .agg(
+        sum(when(col("class") === "src_only", 1).otherwise(0)).as("__srconly"),
+        sum(when(col("class") === "dst_only", 1).otherwise(0)).as("__dstonly"),
+        sum(when(col("class") === "mismatch", 1).otherwise(0)).as("__bad"),
+        sum(when(col("class") === "matched", 1).otherwise(0)).as("__ok")
+      )
+      .withColumn("row_class",
+        when(col("__ok") === 0 && col("__srconly") > 0 && col("__dstonly") === 0 && col("__bad") === 0, lit("only_in_source"))
+          .when(col("__ok") === 0 && col("__dstonly") > 0 && col("__srconly") === 0 && col("__bad") === 0, lit("only_in_target"))
+          .when(col("__bad") > 0 || col("__srconly") > 0 || col("__dstonly") > 0, lit("bad"))
+          .otherwise(lit("good")))
+      .groupBy("row_class").agg(count(lit(1)).as("rows"))
+      .orderBy("row_class")
+
+  /** D3 Export (mapreduce/Export.java:43): dump a scan to files. */
+  def export(cells: DataFrame, pred: Option[Column], outPath: String): Unit =
+    pred.fold(cells)(cells.filter).write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** D3 Import (Import.java:88): re-ingest with optional filter +
+    * family rename. */
+  def importCells(spark: org.apache.spark.sql.SparkSession, path: String,
+      pred: Option[Column] = None, familyRename: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.read.parquet(path)
+    val filtered = pred.fold(df)(df.filter)
+    if (familyRename.isEmpty) filtered
+    else filtered.withColumn("family",
+      familyRename.foldLeft(col("family")) { case (c, (from, to)) =>
+        when(col("family") === from, lit(to)).otherwise(c)
+      })
+  }
+
+  /** D4 ImportTsv (ImportTsv.java:75): parse TSV into Put cells given a
+    * column spec like HBASE_ROW_KEY, d:q1, d:q2 (typed column spec). */
+  def importTsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      columnSpec: Seq[String], ts: Long = 1L): DataFrame = {
+    import graft.model.CellType
+    val raw = spark.read.option("sep", "\t").csv(path)
+    val keyIdx = columnSpec.indexOf("HBASE_ROW_KEY")
+    require(keyIdx >= 0, "columnSpec must contain HBASE_ROW_KEY")
+    val cellCols = columnSpec.zipWithIndex.filter(_._1 != "HBASE_ROW_KEY")
+    val cellArr = array(cellCols.map { case (spec, i) =>
+      val Array(fam, qual) = spec.split(":", 2)
+      struct(lit(fam).as("family"), lit(qual).as("qualifier"),
+        col(s"_c$i").as("value"))
+    }: _*)
+    raw.select(col(s"_c$keyIdx").as("row"), explode(cellArr).as("cell"))
+      .select(col("row"), col("cell.family").as("family"),
+        col("cell.qualifier").as("qualifier"), lit(ts).as("ts"),
+        lit(CellType.Put).as("type"), col("cell.value").as("value"))
+  }
+
+  /** M10 bulk load layout (HFileOutputFormat2.java:109 +
+    * SimpleTotalOrderPartitioner.java:42): total-order partitioned,
+    * sorted-within-partition write — Spark's native range-shuffle
+    * write path. `numRegions` plays the role of the region count.
+    */
+  def bulkLoadLayout(cells: DataFrame, numRegions: Int, outPath: String): Unit =
+    cells
+      .repartitionByRange(numRegions, col("row"))
+      .sortWithinPartitions(col("row"), col("family"), col("qualifier"), col("ts").desc)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+}

@@ -1,5 +1,128 @@
 package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 import graft.QDef
+import graft.agg.AggregationClient
+import graft.flow.Jobs
+import graft.model.Fixtures
+import graft.oracle.Cte
+
+/** Q23–Q30: the coprocessor aggregation surface (A1–A8) and the
+  * counting/diff dataflow jobs (D1/D2/D6/D8) — SURVEY §2.6, §2.7.
+  *
+  * Money sums go through DECIMAL(18,2) so Spark and DuckDB agree
+  * exactly (double summation is order-dependent); the final value is
+  * cast back to DOUBLE, which is deterministic for both engines.
+  */
 object AggQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private def lineitem(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) =
+    Fixtures.orders(s, dir)
+
+  private val sumPriceExact =
+    sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q23_min_max_sum",
+      (s, dir) =>
+        lineitem(s, dir)
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .agg(
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")),
+      Some("""SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)
+    ),
+    QDef(
+      "q24_row_count",
+      (s, dir) =>
+        AggregationClient.rowCount(Fixtures.cellsOrders(s, dir),
+          Some(col("row") >= "0000000500")),
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        "SELECT COUNT(DISTINCT row) AS rowcount FROM cells_orders WHERE row >= '0000000500'"))
+    ),
+    QDef(
+      "q25_avg_std",
+      (s, dir) =>
+        orders(s, dir).agg(
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(stddev_pop(col("o_totalprice")), 4).as("std_price")),
+      Some("""SELECT ROUND(AVG(o_totalprice), 4) AS avg_price,
+             |       ROUND(STDDEV_POP(o_totalprice), 4) AS std_price FROM orders""".stripMargin)
+    ),
+    QDef(
+      "q26_median",
+      (s, dir) =>
+        AggregationClient.median(orders(s, dir), col("o_totalprice"))
+          .select(round(col("median"), 4).as("median_price")),
+      Some("SELECT ROUND(MEDIAN(o_totalprice), 4) AS median_price FROM orders")
+    ),
+    QDef(
+      "q27_grouped_agg",
+      (s, dir) =>
+        AggregationClient.grouped(orders(s, dir),
+          keys = Seq(col("o_orderstatus")),
+          aggs = Seq(count(lit(1)).as("n"), sumPriceExact.as("sum_price")))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    QDef(
+      "q28_cell_counter",
+      (s, dir) =>
+        Jobs.cellCounter(Fixtures.cellsEventsV(s, dir))
+          .orderBy("family", "qualifier"),
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT family, qualifier, COUNT(*) AS cells, COUNT(DISTINCT ts) AS versions,
+          |       COALESCE(SUM(length(value)), 0) AS value_bytes
+          |FROM cells_events_v GROUP BY family, qualifier ORDER BY family, qualifier""".stripMargin))
+    ),
+    QDef(
+      "q29_sync_diff",
+      (s, dir) =>
+        Jobs.syncDiffCounts(Fixtures.cellsOrders(s, dir),
+                            Fixtures.cellsOrdersMut(s, dir)),
+      Some(Cte.withCtes(Cte.cellsOrders, Cte.cellsOrdersMut)(
+        """SELECT CASE WHEN s.row IS NULL THEN 'dst_only'
+          |            WHEN d.row IS NULL THEN 'src_only'
+          |            WHEN s.value = d.value THEN 'matched'
+          |            ELSE 'mismatch' END AS class, COUNT(*) AS n
+          |FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
+          |  ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
+    ),
+    QDef(
+      "q30_verify_replication",
+      (s, dir) =>
+        Jobs.verifyReplication(Fixtures.cellsOrders(s, dir),
+                               Fixtures.cellsOrdersMut(s, dir))
+          .withColumnRenamed("rows", "n_rows"),
+      Some(Cte.withCtes(Cte.cellsOrders, Cte.cellsOrdersMut)(
+        """SELECT row_class, COUNT(*) AS n_rows FROM (
+          |  SELECT row,
+          |         CASE WHEN ok = 0 AND srconly > 0 AND dstonly = 0 AND bad = 0 THEN 'only_in_source'
+          |              WHEN ok = 0 AND dstonly > 0 AND srconly = 0 AND bad = 0 THEN 'only_in_target'
+          |              WHEN bad > 0 OR srconly > 0 OR dstonly > 0 THEN 'bad'
+          |              ELSE 'good' END AS row_class
+          |  FROM (
+          |    SELECT COALESCE(s.row, d.row) AS row,
+          |           SUM(CASE WHEN s.row IS NULL THEN 1 ELSE 0 END) AS dstonly,
+          |           SUM(CASE WHEN d.row IS NULL THEN 1 ELSE 0 END) AS srconly,
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value <> d.value THEN 1 ELSE 0 END) AS bad,
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value = d.value THEN 1 ELSE 0 END) AS ok
+          |    FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
+          |      ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
+          |    GROUP BY 1
+          |  )
+          |) GROUP BY 1 ORDER BY 1""".stripMargin))
+    )
+  )
 }

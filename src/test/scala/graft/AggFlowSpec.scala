@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.agg.{AggregationClient, GColumnInterpreter}
+import graft.flow.Jobs
+import graft.model.Fixtures
+
+class AggFlowSpec extends SparkSpec {
+
+  lazy val orders = Fixtures.orders(spark, sf0001).cache()
+
+  test("aggregation client matches direct SQL") {
+    val mx = AggregationClient.max(orders, col("o_totalprice")).head().getDouble(0)
+    val direct = orders.agg(max("o_totalprice")).head().getDouble(0)
+    assert(mx === direct)
+    val cnt = AggregationClient.rowCount(Fixtures.cellsOrders(spark, sf0001))
+      .head().getLong(0)
+    assert(cnt === orders.count())
+  }
+
+  test("exact median equals manual computation") {
+    val med = AggregationClient.median(orders, col("o_totalprice")).head().getDouble(0)
+    val sorted = orders.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    val expected = if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    assert(math.abs(med - expected) < 1e-9)
+  }
+
+  test("column interpreter aggregator sums interpreted values") {
+    import spark.implicits._
+    val vals = Seq("1", "2", "39").toDF("value")
+    val agg = GColumnInterpreter.sumAggregator(GColumnInterpreter.Longs)
+    val total = vals.as[String].select(agg.toColumn).head()
+    assert(total === 42L)
+  }
+
+  test("syncDiff classifies all four cases") {
+    import spark.implicits._
+    val src = Seq(
+      ("r1", "d", "q", 1L, "Put", "a"),   // matched
+      ("r2", "d", "q", 1L, "Put", "b"),   // mismatch
+      ("r3", "d", "q", 1L, "Put", "c")    // src_only
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    val dst = Seq(
+      ("r1", "d", "q", 1L, "Put", "a"),
+      ("r2", "d", "q", 1L, "Put", "X"),
+      ("r4", "d", "q", 1L, "Put", "d")    // dst_only
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    val m = Jobs.syncDiffCounts(src, dst).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("matched" -> 1L, "mismatch" -> 1L, "src_only" -> 1L, "dst_only" -> 1L))
+  }
+
+  test("verifyReplication row classes on the mut fixture") {
+    val m = Jobs.verifyReplication(
+        Fixtures.cellsOrders(spark, sf0001),
+        Fixtures.cellsOrdersMut(spark, sf0001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every 19th row dropped -> only_in_source; every 11th perturbed -> bad
+    // (keys divisible by both 11*19 are dropped); 500 added -> only_in_target
+    assert(m("only_in_target") === 500L)
+    assert(m("only_in_source") > 0 && m("bad") > 0 && m("good") > 0)
+  }
+
+  test("importTsv parses column spec") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tsv").toString
+    Files.writeString(Paths.get(s"$dir/t.tsv"), "r1\tv1\tv2\nr2\tv3\tv4\n")
+    val cells = Jobs.importTsv(spark, s"$dir/t.tsv", Seq("HBASE_ROW_KEY", "d:a", "d:b"))
+    assert(cells.count() === 4)
+    assert(cells.filter(col("row") === "r2" && col("qualifier") === "b")
+      .head().getAs[String]("value") === "v4")
+  }
+
+  test("bulkLoadLayout writes range-partitioned sorted parquet") {
+    val out = java.nio.file.Files.createTempDirectory("bulk").toString + "/cells"
+    Jobs.bulkLoadLayout(Fixtures.cellsOrders(spark, sf0001), 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === Fixtures.cellsOrders(spark, sf0001).count())
+  }
+}
