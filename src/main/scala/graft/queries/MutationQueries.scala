@@ -1,5 +1,71 @@
 package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 import graft.QDef
+import graft.model.Fixtures
+import graft.oracle.Cte
+import graft.write.Mutations
+
+/** Q31–Q33: mutation semantics as batch folds; Q36: ITBLL-style chain
+  * integrity verify (SURVEY §2.9, §5).
+  */
 object MutationQueries {
-  val defs: Seq[QDef] = Seq()
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q31_increment_fold",
+      (s, dir) =>
+        Mutations.incrementFold(Fixtures.events(s, dir),
+            keys = Seq(col("user_id")), delta = col("value"))
+          .select(col("user_id"), round(col("value"), 4).as("total"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, ROUND(SUM(value), 4) AS total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    QDef(
+      "q32_append_fold",
+      (s, dir) =>
+        Mutations.appendFold(Fixtures.events(s, dir),
+            keys = Seq(col("user_id")), value = col("event_type"),
+            orderBy = Seq(col("ts"), col("event_id")), sep = ",")
+          .select(col("user_id"), col("value").as("seq"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    QDef(
+      "q33_check_and_mutate",
+      (s, dir) => {
+        val cells = Fixtures.cellsOrders(s, dir)
+        val mutated = Mutations.checkAndMutate(
+          cells,
+          Mutations.Guard("d", "o_orderstatus", col("value") === "F"),
+          hit => hit.withColumn("value",
+            when(col("qualifier") === "o_orderpriority", lit("X"))
+              .otherwise(col("value"))))
+        mutated
+          .filter(col("qualifier") === "o_orderpriority" && col("value") === "X")
+          .agg(count_distinct(col("row")).as("changed_rows"))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT COUNT(DISTINCT row) AS changed_rows FROM cells_orders
+          |WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'F'""".stripMargin))
+    ),
+    QDef(
+      "q36_chain_verify",
+      (s, _) => {
+        val c = Fixtures.chain(s)
+        val p = c.select(col("id").as("pid"))
+        c.filter(col("prev").isNotNull)
+          .join(p, col("prev") === col("pid"), "left_anti")
+          .agg(count(lit(1)).as("broken"))
+      },
+      Some(Cte.withCtes(Cte.chain)(
+        """SELECT COUNT(*) AS broken FROM chain c
+          |LEFT JOIN chain p ON c.prev = p.id
+          |WHERE c.prev IS NOT NULL AND p.id IS NULL""".stripMargin))
+    )
+  )
 }

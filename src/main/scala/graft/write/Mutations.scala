@@ -1,0 +1,84 @@
+package graft.write
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.CellType
+
+/** Mutation semantics (SURVEY §2.5) as batch dataflow.
+  *
+  * The reference's write path is OLTP read-modify-write under row locks
+  * (HRegion.batchMutate, HRegion.java:4830 → doMiniBatchMutate:4937);
+  * graft re-expresses each mutation kind as its batch-equivalent fold
+  * or merge over the CellSet, with read-time resolve (graft.read.Resolve)
+  * supplying the LSM semantics: writes are pure appends, exactly like
+  * the reference's memstore/HFile model.
+  */
+object Mutations {
+
+  /** M1 Put / M2 Delete: appending mutation rows to the cell log IS the
+    * write (tombstones mask at read). `muts` must be canonical CellSet
+    * rows with the appropriate `type`. */
+  def applyMutations(cells: DataFrame, muts: DataFrame): DataFrame =
+    cells.unionByName(muts)
+
+  /** M4 Increment (client/Increment.java:53, HRegion.increment:8343):
+    * counters are commutative, so the batch equivalent of N atomic
+    * increments is one partial+final SUM per key — the exact dataflow
+    * the server serializes per row lock. */
+  def incrementFold(deltas: DataFrame, keys: Seq[Column], delta: Column): DataFrame =
+    deltas.groupBy(keys: _*).agg(sum(delta).as("value"))
+
+  /** M3 Append (client/Append.java:51, HRegion.append:8324): ordered
+    * byte-concat onto the current value. Batch equivalent: fold all
+    * appends per key in commit order. `orderBy` columns define the
+    * commit order (the reference uses mvcc/ts order).
+    * Implemented as collect_list → array_sort → join: a single
+    * partial/final aggregate, no window shuffle. */
+  def appendFold(appends: DataFrame, keys: Seq[Column], value: Column,
+      orderBy: Seq[Column], sep: String = ""): DataFrame = {
+    val packed = struct(orderBy :+ value.as("__v"): _*)
+    appends
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(packed)).as("__arr"))
+      .withColumn("value", array_join(expr("transform(__arr, x -> x.__v)"), sep))
+      .drop("__arr")
+  }
+
+  /** Guard specification for CheckAndMutate: compare one (family,
+    * qualifier) cell per row (client/CheckAndMutate.java;
+    * Table.checkAndMutate Table.java:297). */
+  final case class Guard(family: String, qualifier: String, valuePred: Column)
+
+  /** M5 CheckAndMutate (HRegion.checkAndMutate:5130): batch CAS.
+    * Rows whose guard cell matches get `mutation` applied; all other
+    * cells pass through unchanged. The guard evaluation is one
+    * aggregate on the (small) guard column + a broadcast semi-join —
+    * the batch analogue of the server's read-check-apply under lock.
+    *
+    * `mutation` maps the cells of a matching row to their new state
+    * (e.g. set one qualifier's value). */
+  def checkAndMutate(cells: DataFrame, guard: Guard,
+      mutation: DataFrame => DataFrame): DataFrame = {
+    val matching = cells
+      .filter(col("family") === guard.family &&
+        col("qualifier") === guard.qualifier && guard.valuePred)
+      .select("row").distinct()
+    val hit  = cells.join(broadcast(matching), Seq("row"), "left_semi")
+    val miss = cells.join(broadcast(matching), Seq("row"), "left_anti")
+    mutation(hit).unionByName(miss)
+  }
+
+  /** M6 RowMutations / latest-view MERGE: collapse the mutation log
+    * into the latest visible state per column — upserts win by ts,
+    * tombstones delete (MERGE ... WHEN MATCHED semantics over paths
+    * without a transactional table format). */
+  def mergeLatest(cells: DataFrame, muts: DataFrame, maxVersions: Int = 1): DataFrame =
+    graft.read.Resolve.latest(applyMutations(cells, muts), maxVersions)
+
+  /** Helper: build a Put cell row for a wide-table mutation. */
+  def putCell(row: Column, family: String, qualifier: String, ts: Column,
+      value: Column): Seq[Column] =
+    Seq(row.as("row"), lit(family).as("family"), lit(qualifier).as("qualifier"),
+      ts.as("ts"), lit(CellType.Put).as("type"), value.as("value"))
+}
