@@ -22,6 +22,11 @@ object Cellify {
   def dbl4(c: Column): Column  = format_string("%.4f", c)
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Event-time as micros TimestampType from an epoch-nanos long
+    * (truncation matches DuckDB's ns→µs parquet read). */
+  def tsUtc(c: Column): Column =
+    timestamp_micros(floor(c / 1000).cast("long"))
+
   /** Transpose one DataFrame row into `quals.size` Put cells.
     * Map-side only (explode of a literal-built array — no shuffle). */
   def cellify(
@@ -84,10 +89,6 @@ object Fixtures {
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
-
-  /** Event-time as micros TimestampType from the nanos long. */
-  def tsUtc(c: Column): Column =
-    timestamp_micros(floor(c / 1000).cast("long"))
 
   /** cells_orders — single-version cell view of `orders`. */
   def cellsOrders(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,5 +1,66 @@
 package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.QDef
+import graft.model.Fixtures
+import graft.stream.WalStream
+
+/** Q34–Q35: the streaming surface (SURVEY §2.8). Q34 runs a REAL
+  * Structured Streaming query (AvailableNow trigger, memory sink) whose
+  * result must equal the batch/DuckDB oracle — the batch-equivalence
+  * guarantee of the Dataflow model. Q35 is the batch (gaps-and-islands)
+  * realization of session windows; the streaming `session_window` twin
+  * is exercised in StreamSpec.
+  */
 object StreamQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private val sinkId = new AtomicInteger(0)
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q34_stream_window",
+      (s, dir) => {
+        val stream = WalStream.source(s, s"$dir/events.parquet", Fixtures.eventsSchema)
+        val agg    = WalStream.tumblingCounts(stream, "1 hour")
+        val out    = WalStream.runAvailableNow(agg, s"q34_sink_${sinkId.incrementAndGet()}")
+        out.select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"),
+            col("n"),
+            round(col("sum_value"), 4).as("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    QDef(
+      "q35_session_window",
+      (s, dir) => {
+        // gaps-and-islands on µs-truncated event time (exactly the
+        // resolution DuckDB sees, so boundary gaps agree)
+        val gapUs = 30L * 60 * 1000 * 1000
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        Fixtures.events(s, dir)
+          .withColumn("tus", floor(col("ts") / 1000).cast("long"))
+          .withColumn("prev", lag(col("tus"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, SUM(ns) AS n_sessions FROM (
+             |  SELECT user_id,
+             |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |) GROUP BY user_id ORDER BY user_id""".stripMargin)
+    )
+  )
 }

@@ -1,0 +1,97 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Cellify
+
+/** The reference's only continuous dataflow is WAL-based replication
+  * (CDC): ReplicationSource tails the WAL per peer
+  * (hbase-server/.../replication/regionserver/ReplicationSource.java:87),
+  * filters by table/family scope, and ReplicationSink re-applies
+  * batches. graft maps this onto Structured Streaming (SURVEY §2.8):
+  * readStream over an append-only log dir → declarative transforms →
+  * foreachBatch idempotent merge sink, plus event-time windowed
+  * analytics the reference cannot express.
+  */
+object WalStream {
+
+  /** CDC source: tail an append-only parquet log (the graft WAL).
+    * Micro-batches play the role of ReplicationSourceWALReader's entry
+    * batches (ReplicationSourceWALReader.java:56). */
+  def source(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(asDir(path))
+
+  /** The file-stream source lists a *directory*; when handed a single
+    * parquet file (the driver fixtures), expose it through a stable
+    * symlinked dir. */
+  private def asDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.isRegularFile(p)) path
+    else {
+      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
+        Integer.toHexString(path.hashCode))
+      val link = dir.resolve(p.getFileName)
+      if (!Files.exists(link)) {
+        Files.createDirectories(dir)
+        Files.createSymbolicLink(link, p)
+      }
+      dir.toString
+    }
+  }
+
+  /** Per-peer scope filtering (ChainWALEntryFilter /
+    * NamespaceTableCfWALEntryFilter): keep only the replicated
+    * families/tables. */
+  def scoped(stream: DataFrame, families: Seq[String]): DataFrame =
+    if (families.isEmpty) stream else stream.filter(col("family").isin(families: _*))
+
+  /** Tumbling-window analytics over the event stream (extension beyond
+    * the reference — watermarked event-time aggregation). `tsNanos` is
+    * the epoch-nanos event time. */
+  def tumblingCounts(stream: DataFrame, window: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("ets", Cellify.tsUtc(col("ts")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ets"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run a streaming aggregation to completion over the current log
+    * contents (Trigger.AvailableNow + in-memory sink) and return the
+    * materialized result — the batch-equivalence harness for Q34. */
+  def runAvailableNow(agg: DataFrame, queryName: String): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Exactly-once apply: the ReplicationSink analogue
+    * (replication/regionserver/ReplicationSink.java). Each micro-batch
+    * is appended idempotently — dedup on the full cell coordinate +
+    * seq, so retried batches cannot double-apply (the reference uses
+    * per-region sequenceId ordering + ZK-acked offsets). */
+  def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    cellStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates("row", "family", "qualifier", "ts")
+          .write.mode("append").parquet(outDir)
+      }
+
+  /** Session windows per key (30-min-gap style), streaming form.
+    * Batch twin: gaps-and-islands (see StreamQueries.q35). */
+  def sessionCounts(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
+    stream
+      .withColumn("ets", Cellify.tsUtc(col("ts")))
+      .groupBy(session_window(col("ets"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+}
