@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard. All are shuffle-minimal: exact dedup is one hash aggregate;
+  * MinHash is map-side signature computation + one bucket-join on band
+  * signatures (candidates only — never the n² pair space); SimHash
+  * fingerprints are one aggregate with 32 vote columns.
+  */
+object Dedup {
+
+  /** Exact dedup summary over a text column: one hash-aggregate on the
+    * md5 of normalized text. At 100 TB this is the canonical first
+    * pass — a single shuffle on the 128-bit fingerprint. */
+  def exactDedupSummary(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs
+      .select(md5(normText(text)).as("fp"))
+      .agg(
+        count(lit(1)).as("docs"),
+        count_distinct(col("fp")).as("uniq"))
+      .withColumn("dups", col("docs") - col("uniq"))
+
+  /** Exact-dedup keep-list: min doc_id per fingerprint group. */
+  def exactDedupKeep(docs: DataFrame, idCol: String = "doc_id",
+      text: Column = col("text")): DataFrame =
+    docs
+      .withColumn("fp", md5(normText(text)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Distinct word-`n`-gram shingles per doc: (doc_id, sh). */
+  def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles("toks", n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: k salted 48-bit min-hashes per doc.
+    * Map-side explode + one partial/final min-aggregate. */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh
+      .select(col("doc_id"), col("sh"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(hash48(col("sh"), col("i").cast("string"))).as("minh"))
+
+  /** LSH band signatures: group k rows into `bands` bands of k/bands
+    * rows; the band signature joins candidates in one equi-join (the
+    * scale path — candidate generation without the n² pair space). */
+  def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sigs
+      .withColumn("band", (col("i") / r).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(i, minh))), x -> cast(x.minh as string))"),
+        "-").as("sig"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (i < j). */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("i"))
+    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("j"))
+    a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets — joins only the candidates, not all pairs. */
+  def jaccardVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh2")), Seq("j"))
+      .filter(col("sh") === col("sh2"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("jaccard", col("m").cast("double") /
+        (col("ni") + col("nj") - col("m")))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * bucket-join → exact-verify ≥ threshold. */
+  def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sh    = shingleSet(docs)
+    val sigs  = minHashSignatures(sh, k)
+    val cands = lshCandidates(lshBuckets(sigs, k, bands))
+    jaccardVerify(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate
+    * with 32 ±1 vote columns (no per-bit explode — the vote matrix is
+    * 32 scalar aggregations fused into one pass). */
+  def simHashFingerprints(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", hash48(col("tok"), "sim"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fp = (0 until bits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce((a, b) => a + b)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming`. The
+    * pair-compare here is brute for the declared query; at scale the
+    * standard rotation/banding trick applies the same bucket-join
+    * pattern as LSH. */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fps = simHashFingerprints(docs)
+    val a = fps.select(col("doc_id").as("i"), col("simhash").as("fi"))
+    val b = fps.select(col("doc_id").as("j"), col("simhash").as("fj"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("hamming", bit_count(col("fi").bitwiseXOR(col("fj"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over a bounded id range (the exact-answer
+    * small-scope tool; LSH is the scale path). */
+  def ngramJaccardPairs(docs: DataFrame, maxId: Long, n: Int = 3,
+      threshold: Double = 0.85): DataFrame = {
+    val sh = shingleSet(docs.filter(col("doc_id") < maxId), n)
+    val ids = sh.select("doc_id").distinct()
+    val cands = ids.select(col("doc_id").as("i"))
+      .crossJoin(ids.select(col("doc_id").as("j")))
+      .filter(col("i") < col("j"))
+    jaccardVerify(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text-analysis operators: language-ID (stopword-profile heuristic),
+  * quality scoring, token counting, and document fingerprinting. All
+  * are single-pass map-side expressions — no shuffle at any scale —
+  * with exact DuckDB twins.
+  */
+object TextAnalysis {
+
+  /** Language profiles: characteristic function words per language.
+    * (The heuristic is the deterministic n-gram/stopword scorer; on
+    * this synthetic corpus it measures the operators, not linguistics.) */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " los ")
+  )
+
+  /** Occurrences of `term` in ` norm ` via length-difference (portable:
+    * identical REPLACE semantics in Spark and DuckDB). */
+  private def cnt(padded: Column, term: String): Column =
+    ((length(padded) - length(replace(padded, lit(term), lit("")))) / term.length).cast("long")
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), normText(text), lit(" "))
+
+  /** Per-doc language scores + argmax prediction (ties break in
+    * profile order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val p = padded(col("text"))
+    val scored = profiles.foldLeft(docs.select(col("doc_id"), p.as("__p"))) {
+      case (df, (lang, terms)) =>
+        df.withColumn(s"s_$lang", terms.map(t => cnt(col("__p"), t)).reduce(_ + _))
+    }
+    // argmax with first-profile-wins tie-break: a when-chain where each
+    // language claims the prediction if >= all later ones (exact twin
+    // of the oracle's CASE chain)
+    val langs = profiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, idx), rest) =>
+        val laterGe = langs.drop(idx + 1)
+          .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(laterGe, lit(lang)).otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .drop("__p")
+  }
+
+  /** Quality scoring: length, token stats, stopword ratio, alpha ratio,
+    * and a composite score (all arithmetic, portable). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val p = padded(col("text"))
+    val nTok = size(tokens(col("text"))).cast("long")
+    val stopHits = profiles.flatMap(_._2).map(t => cnt(p, t)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      round(length(regexp_replace(normText(col("text")), "[^a-z0-9]", ""))
+        .cast("double") / length(normText(col("text"))), 4).as("alpha_ratio"),
+      round(stopHits.cast("double") / nTok, 4).as("stop_ratio"),
+      round(least(lit(1.0), nTok.cast("double") / 100.0) *
+        (lit(1.0) - stopHits.cast("double") / nTok), 4).as("quality")
+    )
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens (BPE-ish
+    * pre-tokenizer pattern), distinct tokens. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("distinct_tokens")
+    )
+
+  /** Document fingerprinting: exact md5 of normalized text + a
+    * winnowing-style signature (min 48-bit shingle hash — the rolling
+    * hash's minimum, the standard winnow anchor). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        md5(normText(col("text"))).as("md5_fp"),
+        array_min(transform(shingles("toks"),
+          sh => hash48(sh, "w"))).as("winnow_min"))
+}

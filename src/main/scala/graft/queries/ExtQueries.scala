@@ -1,5 +1,216 @@
 package graft.queries
+
+import org.apache.spark.sql.functions._
+
 import graft.QDef
+import graft.ext._
+import graft.ext.TextHash.Sql
+
+/** E01–E12: the LLM-pipeline extension operators over `documents` and
+  * `embeddings` — dedup (exact / MinHash+LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute top-k + LSH
+  * ANN), text analysis (lang-id, quality, tokens, fingerprints), and
+  * multimodal plumbing. Oracles are generated from the same portable
+  * primitives (md5-derived 48-bit hashes, sequential double folds) so
+  * Spark and DuckDB agree bit-for-bit; the LSH ANN entry is
+  * rows-only-checked (its quality gate is the recall spec).
+  */
 object ExtQueries {
-  val defs: Seq[QDef] = Seq()
+
+  // ---- shared oracle fragments ---------------------------------------------
+
+  private val norm = Sql.normText("text")
+  private val toks = Sql.tokens("text")
+
+  /** Distinct (doc_id, sh) shingle CTE. */
+  private val shCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${Sql.shingles("toks")}) AS sh
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |)""".stripMargin
+
+  /** Sequential-double-fold cosine between embedding columns a and b. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(len($x)), k -> CAST($x[k+1] AS DOUBLE) * CAST($y[k+1] AS DOUBLE)), (p, q) -> p + q)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private def langScore(terms: Seq[String]): String =
+    terms.map { t =>
+      s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
+    }.mkString(" + ")
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "e01_exact_dedup",
+      (s, dir) => Dedup.exactDedupSummary(s.read.parquet(s"$dir/documents.parquet")),
+      Some(s"""SELECT COUNT(*) AS docs, COUNT(DISTINCT md5($norm)) AS uniq,
+              |       COUNT(*) - COUNT(DISTINCT md5($norm)) AS dups FROM documents""".stripMargin)
+    ),
+    QDef(
+      "e02_minhash_lsh",
+      (s, dir) =>
+        Dedup.minHashNearDups(s.read.parquet(s"$dir/documents.parquet"),
+            k = 16, bands = 4, threshold = 0.8)
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |hs AS (SELECT doc_id, g.i AS i, min(${Sql.hash48("sh", "CAST(g.i AS VARCHAR)")}) AS minh
+              |       FROM sh, generate_series(0, 15) g(i) GROUP BY doc_id, g.i),
+              |bk AS (SELECT doc_id, (i // 4) AS band,
+              |       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY i) AS sig FROM hs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bk a
+              |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT c.i, c.j, COUNT(*) AS m FROM cand c
+              |          JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.sh = b.sh
+              |          GROUP BY 1, 2)
+              |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
+              |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
+      "e03_simhash",
+      (s, dir) =>
+        Dedup.simHashNearDups(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
+          .orderBy("i", "j"),
+      Some {
+        val votes = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val fp = (0 until 32)
+          .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tk AS (SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents),
+           |h AS (SELECT doc_id, ${Sql.hash48("tok", "'sim'")} AS h FROM tk),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |f AS (SELECT doc_id, $fp AS simhash FROM v)
+           |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY i, j""".stripMargin
+      }
+    ),
+    QDef(
+      "e04_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+            maxId = 100, threshold = 0.85)
+          .orderBy("i", "j"),
+      Some(s"""WITH $shCte,
+              |shx AS (SELECT * FROM sh WHERE doc_id < 100),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS m FROM shx a
+              |          JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
+              |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.85 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
+      "e05_embed_near_dup",
+      (s, dir) =>
+        Similarity.embeddingNearDups(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)
+          .orderBy("i", "j"),
+      Some(s"""SELECT i, j, sim FROM (
+              |  SELECT a.vec_id AS i, b.vec_id AS j,
+              |         ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |) WHERE sim >= 0.45 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
+      "e06_ann_brute_topk",
+      (s, dir) =>
+        Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      Some(s"""SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT query_id, neighbor_id, sim,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |           ROUND(${cosSql("q.embedding", "e.embedding")}, 6) AS sim
+              |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 10
+              |  )
+              |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    QDef(
+      "e07_ann_lsh",
+      // rows-only check: quality gate is the recall test in ExtSpec
+      (s, dir) =>
+        Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      None
+    ),
+    QDef(
+      "e08_lang_id",
+      (s, dir) =>
+        TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some {
+        val scores = TextAnalysis.profiles
+          .map { case (l, ts) => s"${langScore(ts)} AS s_$l" }.mkString(", ")
+        s"""WITH p AS (SELECT doc_id, ' ' || $norm || ' ' AS p FROM documents),
+           |s AS (SELECT doc_id, $scores FROM p)
+           |SELECT doc_id, s_en, s_de, s_fr, s_es,
+           |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |            WHEN s_fr >= s_es THEN 'fr'
+           |            ELSE 'es' END AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+    QDef(
+      "e09_quality_score",
+      (s, dir) =>
+        TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some {
+        val stop = langScore(TextAnalysis.profiles.flatMap(_._2))
+        s"""SELECT doc_id, n_chars, n_tokens,
+           |       ROUND(length(regexp_replace(n, '[^a-z0-9]', '', 'g')) * 1.0 / length(n), 4) AS alpha_ratio,
+           |       ROUND(stop_hits * 1.0 / n_tokens, 4) AS stop_ratio,
+           |       ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 4) AS quality
+           |FROM (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |         CAST(len($toks) AS BIGINT) AS n_tokens,
+           |         $norm AS n, $stop AS stop_hits
+           |  FROM (SELECT doc_id, text, ' ' || $norm || ' ' AS p FROM documents)
+           |) ORDER BY doc_id""".stripMargin
+      }
+    ),
+    QDef(
+      "e10_token_stats",
+      (s, dir) =>
+        TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS ws_tokens,
+              |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+              |       CAST(len(list_distinct($toks)) AS BIGINT) AS distinct_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e11_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($norm) AS md5_fp,
+              |       list_min(list_transform(${Sql.shingles("toks")}, sh -> ${Sql.hash48("sh", "'w'")})) AS winnow_min
+              |FROM (SELECT doc_id, text, $toks AS toks FROM documents) ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e12_multimodal",
+      (s, dir) =>
+        Multimodal.extractFeatures(
+            Multimodal.ingest(s.read.parquet(s"$dir/documents.parquet")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS blob_len,
+             |       CAST(CEIL(length(text) / 256.0) AS BIGINT) AS n_frames,
+             |       CAST(16 + doc_id % 64 AS INT) AS width,
+             |       CAST(16 + doc_id % 48 AS INT) AS height,
+             |       ascii(substr(text, 1, 1)) AS first_byte
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+class ExtSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+  lazy val emb  = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("hash48 matches the documented DuckDB twin value") {
+    // DuckDB: md5('abc') = 900150983cd24fb0... -> first 12 hex = 0x900150983cd2
+    import spark.implicits._
+    val v = Seq("c").toDF("x")
+      .select(TextHash.hash48(lit("abc"), lit("s")).as("h")).head().getLong(0)
+    val expected = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("s:abc").substring(0, 12), 16)
+    assert(v === expected)
+  }
+
+  test("exact dedup finds injected duplicates") {
+    val dup = docs.limit(10).withColumn("doc_id", col("doc_id") + 100000)
+    val summary = Dedup.exactDedupSummary(docs.unionByName(dup))
+    val r = summary.head()
+    assert(r.getAs[Long]("docs") === docs.count() + 10)
+    assert(r.getAs[Long]("dups") === 10L)
+  }
+
+  test("minhash LSH finds an injected near-duplicate pair") {
+    // doc 100001 = copy of doc 1 with a few tokens changed -> high jaccard
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+      .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
+    val pairs = Dedup.minHashNearDups(docs.unionByName(near), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 100001L)))
+  }
+
+  test("simhash of identical docs is identical; near dup is close") {
+    val fps = Dedup.simHashFingerprints(docs.limit(20)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size === 20)
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+    val fps2 = Dedup.simHashFingerprints(
+      docs.filter(col("doc_id") === 1).unionByName(near)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps2(1L) === fps2(100001L))
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+
+  test("cosine of identical vectors is 1") {
+    val sim = emb.limit(5)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sim.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("langId predicts en on the-heavy text") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat and the dog of the house"),
+                (2L, "der und die der und die der")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) === "en" && out(2L) === "de")
+  }
+
+  test("multimodal pipeline: ingest -> extract -> frames") {
+    val media = Multimodal.ingest(docs.limit(10))
+    assert(media.schema("blob").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 10)
+    feats.foreach { f =>
+      assert(f.n_frames === (f.blob_len + 255) / 256)
+    }
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+  }
+}
