@@ -41,14 +41,18 @@ object Dedup {
       .select(col("doc_id"), explode(shingles("toks", n)).as("sh"))
       .distinct()
 
-  /** MinHash signatures: k salted 48-bit min-hashes per doc.
-    * Map-side explode + one partial/final min-aggregate. */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame =
+  /** MinHash signatures: k salted 48-bit min-hashes per doc, computed
+    * as ONE wide aggregate (k min columns fused in a single hash-agg
+    * pass — no k× row blowup, k× less shuffle) then unpivoted to the
+    * long (doc_id, i, minh) form the banding step wants. */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(hash48(col("sh"), i.toString)).as(s"m$i"))
     sh
-      .select(col("doc_id"), col("sh"),
-        explode(expr(s"sequence(0, ${k - 1})")).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(hash48(col("sh"), col("i").cast("string"))).as("minh"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until k).map(i => col(s"m$i")): _*)).as(Seq("i", "minh")))
+  }
 
   /** LSH band signatures: group k rows into `bands` bands of k/bands
     * rows; the band signature joins candidates in one equi-join (the
@@ -72,13 +76,14 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets — joins only the candidates, not all pairs. */
+    * sets — joins only the candidates, not all pairs. The second join
+    * is an equi-join on (doc, shingle) so the intersection never
+    * materializes the |sh_i|×|sh_j| cross space per candidate. */
   def jaccardVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh2")), Seq("j"))
-      .filter(col("sh") === col("sh2"))
+      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("m"))
     inter

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import TextHash.hash48
+import graft.functions.VectorFunctions.{dot_fold, l2_norm}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -14,31 +14,36 @@ import TextHash.hash48
   * is the scale path: bucket-join candidates, then exact re-rank —
   * the same candidates-only shape as MinHash.
   *
-  * All arithmetic is a left-to-right double fold (zip_with + aggregate)
-  * so results are bit-identical to the DuckDB oracle's list_reduce.
+  * All arithmetic is a left-to-right double fold — the native
+  * [[graft.functions.DotFold]] codegen expression — so results are
+  * bit-identical to the DuckDB oracle's `list_reduce`. Norms are
+  * factored out per vector (same fold, same bits) so the pair space
+  * costs one fused dot-product loop per pair, not three interpreted
+  * higher-order-function evaluations.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns, computed as
+  /** Cosine similarity of two array<float/double> columns as
     * sequential double folds (deterministic across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(arr: Column): Column =
-      aggregate(arr, lit(0.0), (acc, v) => acc + v)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na  = fold(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double")))
-    val nb  = fold(zip_with(b, b, (x, y) => x.cast("double") * y.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
+
+  /** Corpus projected with its per-vector L2 norm (computed once,
+    * map-side; at scale this is the materialize-with-the-table column). */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), l2_norm(col("embedding")).as("nrm"))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding self). Query side is broadcast; rank
     * ties break on (rounded sim DESC, vec_id ASC) for determinism. */
   def bruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb
+    val e = withNorm(emb)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("sim",
+        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored
@@ -48,55 +53,63 @@ object Similarity {
   }
 
   /** All near-duplicate vector pairs with cosine ≥ threshold (brute
-    * pair scan — bounded corpora; LSH path below for scale). */
+    * pair scan — bounded corpora; LSH path below for scale). One fused
+    * dot per pair; norms precomputed per vector. */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val e = withNorm(emb)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("i", "j", "sim")
   }
 
-  /** Random-hyperplane LSH bucket id per vector: `nbits` sign bits of
-    * dot products with deterministic ±1 hyperplanes (component signs
-    * derived from hash48 of (table, bit, dim) — reproducible with no
-    * stored model). One map-side pass. */
-  def lshBucket(emb: Column, dim: Int, table: Int, nbits: Int): Column = {
-    val bits = (0 until nbits).map { b =>
-      // dot(v, plane_{table,b}) where plane components are ±1
-      val terms = (0 until dim).map { d =>
-        val sign = if (((scala.util.hashing.MurmurHash3
-          .stringHash(s"$table:$b:$d", 42)) & 1) == 1) 1.0 else -1.0
-        element_at(emb, d + 1).cast("double") * lit(sign)
-      }
-      val dot = terms.reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(0L)
+  /** Deterministic ±1 hyperplane for (table, bit): component signs from
+    * MurmurHash3 of "table:bit:dim" — reproducible with no stored model. */
+  private def plane(table: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      if ((scala.util.hashing.MurmurHash3.stringHash(s"$table:$bit:$d", 42) & 1) == 1) 1.0
+      else -1.0
     }
-    bits.reduce((a, b) => a + b)
-  }
+
+  /** Random-hyperplane LSH bucket id per vector for one table: `nbits`
+    * sign bits of dot products with the deterministic planes. Each dot
+    * is one fused [[graft.functions.DotFold]] loop against a literal
+    * plane array — map-side only, whole-stage codegen. */
+  def lshBucket(emb: Column, dim: Int, table: Int, nbits: Int): Column =
+    (0 until nbits).map { b =>
+      when(dot_fold(emb, typedlit(plane(table, b, dim))) >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** All `tables` bucket ids in one projection: array<long>, one pass
+    * over the corpus (vs. one union branch per table). */
+  def lshBucketsAll(emb: Column, dim: Int, tables: Int, nbits: Int): Column =
+    array((0 until tables).map(t => lshBucket(emb, dim, t, nbits)): _*)
 
   /** ANN top-k via LSH candidate buckets + exact re-rank. `tables`
-    * independent hash tables unioned map-side; candidates = vectors
-    * sharing any bucket with the query; exact cosine re-ranks. */
+    * independent hash tables computed in ONE map-side pass (posexplode
+    * of the bucket array); candidates = vectors sharing any (table,
+    * bucket) with a query; exact cosine re-ranks. */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int,
       dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
-      emb.select(col("vec_id"), col("embedding"),
-        lit(t).as("tbl"), lshBucket(col("embedding"), dim, t, nbits).as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketed = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(lshBucketsAll(col("embedding"), dim, tables, nbits)).as(Seq("tbl", "bucket")))
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("tbl"), col("bucket"))
+        col("nrm").as("qnrm"), col("tbl"), col("bucket"))
     val cands = bucketed
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
-      .distinct()
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     cands
-      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("sim",
+        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))

@@ -132,23 +132,29 @@ object Fixtures {
       ),
       ts = col("r").cast("long")
     )
-    val users = e.select(padKey(col("user_id")).as("row"),
-                         col("user_id")).distinct()
-    def tomb(pred: Column, qual: String, ts: Long, typ: String): DataFrame =
-      users
-        .filter(pred)
-        .select(
-          col("row"),
-          lit("d").as("family"),
-          lit(qual).as("qualifier"),
-          lit(ts).as("ts"),
-          lit(typ).as("type"),
-          lit(null).cast(StringType).as("value")
-        )
-    puts
-      .unionByName(tomb(col("user_id") % 7 === 0, "value", 3L, CellType.DeleteColumn))
-      .unionByName(tomb(col("user_id") % 13 === 0, "", 2L, CellType.DeleteFamily))
-      .unionByName(tomb(col("user_id") % 17 === 0, "props", 4L, CellType.Delete))
+    // All three deterministic tombstone kinds in ONE pass over the
+    // distinct user set (one shuffle; the per-kind branches would each
+    // re-scan and re-distinct the events table).
+    def t(pred: Column, qual: String, ts: Long, typ: String): Column =
+      when(pred, struct(lit(qual).as("qualifier"), lit(ts).as("ts"), lit(typ).as("type")))
+    val tombs = e
+      .select(col("user_id"))
+      .distinct()
+      .select(padKey(col("user_id")).as("row"),
+        explode(filter(array(
+          t(col("user_id") % 7 === 0, "value", 3L, CellType.DeleteColumn),
+          t(col("user_id") % 13 === 0, "", 2L, CellType.DeleteFamily),
+          t(col("user_id") % 17 === 0, "props", 4L, CellType.Delete)
+        ), x => x.isNotNull)).as("t"))
+      .select(
+        col("row"),
+        lit("d").as("family"),
+        col("t.qualifier").as("qualifier"),
+        col("t.ts").as("ts"),
+        col("t.type").as("type"),
+        lit(null).cast(StringType).as("value")
+      )
+    puts.unionByName(tombs)
   }
 
   /** cells_orders_mut — deterministically mutated copy of cells_orders

@@ -94,7 +94,7 @@ object ExtQueries {
       "e04_ngram_jaccard",
       (s, dir) =>
         Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
-            maxId = 100, threshold = 0.85)
+            maxId = 100, threshold = 0.02)
           .orderBy("i", "j"),
       Some(s"""WITH $shCte,
               |shx AS (SELECT * FROM sh WHERE doc_id < 100),
@@ -103,7 +103,7 @@ object ExtQueries {
               |          JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
               |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
               |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
-              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.85 ORDER BY i, j""".stripMargin)
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.02 ORDER BY i, j""".stripMargin)
     ),
     QDef(
       "e05_embed_near_dup",
