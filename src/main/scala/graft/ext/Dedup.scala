@@ -34,75 +34,55 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Distinct word-`n`-gram shingles per doc: (doc_id, sh). */
-  def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
+  /** Distinct shingle SET per doc as an array column: (doc_id, shs).
+    * Entirely map-side (`array_distinct` instead of a shuffle-distinct
+    * over exploded rows) — the parse/normalize/shingle work happens
+    * exactly once per document. */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles("toks", n)).as("sh"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(shingles("toks", n)).as("shs"))
 
-  /** MinHash signatures: k salted 48-bit min-hashes per doc, computed
-    * as ONE wide aggregate (k min columns fused in a single hash-agg
-    * pass — no k× row blowup, k× less shuffle) then unpivoted to the
-    * long (doc_id, i, minh) form the banding step wants. */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(hash48(col("sh"), i.toString)).as(s"m$i"))
-    sh
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until k).map(i => col(s"m$i")): _*)).as(Seq("i", "minh")))
-  }
-
-  /** LSH band signatures: group k rows into `bands` bands of k/bands
-    * rows; the band signature joins candidates in one equi-join (the
-    * scale path — candidate generation without the n² pair space). */
-  def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val r = k / bands
-    sigs
-      .withColumn("band", (col("i") / r).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(i, minh))), x -> cast(x.minh as string))"),
-        "-").as("sig"))
-  }
-
-  /** Candidate pairs from shared LSH buckets (i < j). */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("i"))
-    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("j"))
-    a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-  }
-
-  /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets — joins only the candidates, not all pairs. The second join
-    * is an equi-join on (doc, shingle) so the intersection never
-    * materializes the |sh_i|×|sh_j| cross space per candidate. */
-  def jaccardVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("m"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
-      .withColumn("jaccard", col("m").cast("double") /
-        (col("ni") + col("nj") - col("m")))
+  /** Exact Jaccard of two shingle-array columns — set semantics via
+    * array_intersect; identical integer arithmetic to the row-form
+    * equi-join count (both count the distinct shared shingles). */
+  private def arrayJaccard(shi: Column, shj: Column): (Column, Column) = {
+    val m = size(array_intersect(shi, shj))
+    (m, m.cast("double") / (size(shi) + size(shj) - m))
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * bucket-join → exact-verify ≥ threshold. */
+    * bucket-join → exact-verify ≥ threshold.
+    *
+    * Single-scan layout: each document is parsed once into its shingle
+    * SET (array column); the k min-hashes are map-side
+    * `array_min(transform(...))` folds (no k× explode, no signature
+    * shuffle); band signatures posexplode to (band, sig) rows whose
+    * self-equi-join yields candidates; exact Jaccard re-verifies via
+    * array_intersect on the candidate pairs only. The only shuffle in
+    * the whole pipeline is the candidate band-join — the shape that
+    * survives 100 TB (candidates ≪ n², corpus never pairs with itself).
+    */
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sh    = shingleSet(docs)
-    val sigs  = minHashSignatures(sh, k)
-    val cands = lshCandidates(lshBuckets(sigs, k, bands))
-    jaccardVerify(cands, sh)
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+    val r = k / bands
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("shs"), x => hash48(x, i.toString))).as(s"m$i"))
+    val bandSig = array((0 until bands).map { b =>
+      concat_ws("-", (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string")): _*)
+    }: _*)
+    val bandRows = shingleArrays(docs)
+      .select(col("doc_id") +: col("shs") +: sigCols: _*)
+      .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
+    val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
+    val b = bandRows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+    val (m, jac) = arrayJaccard(col("shi"), col("shj"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("i") < col("j"))
+      .dropDuplicates("i", "j")
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate
@@ -138,16 +118,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over a bounded id range (the exact-answer
-    * small-scope tool; LSH is the scale path). */
+    * small-scope tool; LSH is the scale path). All pairs of the bounded
+    * set, intersected map-side on the per-doc shingle arrays. */
   def ngramJaccardPairs(docs: DataFrame, maxId: Long, n: Int = 3,
       threshold: Double = 0.85): DataFrame = {
-    val sh = shingleSet(docs.filter(col("doc_id") < maxId), n)
-    val ids = sh.select("doc_id").distinct()
-    val cands = ids.select(col("doc_id").as("i"))
-      .crossJoin(ids.select(col("doc_id").as("j")))
-      .filter(col("i") < col("j"))
-    jaccardVerify(cands, sh)
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+    val base = shingleArrays(docs.filter(col("doc_id") < maxId), n)
+    val a = base.select(col("doc_id").as("i"), col("shs").as("shi"))
+    val b = base.select(col("doc_id").as("j"), col("shs").as("shj"))
+    val (m, jac) = arrayJaccard(col("shi"), col("shj"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("m", m)
+      .filter(col("m") > 0)
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
   }
 }

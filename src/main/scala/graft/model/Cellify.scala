@@ -60,6 +60,33 @@ object Cellify {
     lpad(c.cast(StringType), len, "0")
 }
 
+/** Parquet table loading with scan-parallelism repair.
+  *
+  * The driver fixture files are single-row-group parquet, so Spark's
+  * byte-range file splitting yields ONE scan partition per table and
+  * all map-side work (cellify explode, hashing, regex) runs on one
+  * core. At production scale inputs have many row groups / files and
+  * Spark splits them naturally (≅ one split per HBase region,
+  * TableInputFormatBase.java:229); `load` repairs only the
+  * pathologically under-split case with a round-robin rebalance.
+  * Filters still reach the parquet scan — Catalyst pushes predicates
+  * below the exchange — so the shuffle carries only surviving rows.
+  */
+object Tables {
+  def load(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val df = reader.parquet(path)
+    val target = spark.sparkContext.defaultParallelism
+    // Hash-repartition on the leading (id) column: a plain exchange.
+    // Round-robin repartition() would local-sort every row first for
+    // retry determinism (SPARK-23207) — pure overhead here.
+    if (df.rdd.getNumPartitions < target / 2)
+      df.repartition(target, col(df.columns.head))
+    else df
+  }
+}
+
 /** The deterministic cellified fixtures of FIXTURES.md §2, derived from
   * the driver parquet tables at `sfDir`. Each has an equivalent DuckDB
   * CTE in [[graft.oracle.Cte]] — both sides must stay in lockstep.
@@ -68,7 +95,10 @@ object Fixtures {
   import Cellify._
 
   def orders(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    Tables.load(spark, s"$sfDir/orders.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, s"$sfDir/lineitem.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects as TimestampType; read it as epoch-nanos LongType
@@ -88,7 +118,7 @@ object Fixtures {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema))
 
   /** cells_orders — single-version cell view of `orders`. */
   def cellsOrders(spark: SparkSession, sfDir: String): DataFrame = {

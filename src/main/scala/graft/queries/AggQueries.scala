@@ -19,7 +19,7 @@ import graft.oracle.Cte
 object AggQueries {
 
   private def lineitem(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    Fixtures.lineitem(s, dir)
   private def orders(s: SparkSession, dir: String) =
     Fixtures.orders(s, dir)
 

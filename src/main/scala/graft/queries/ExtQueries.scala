@@ -44,14 +44,14 @@ object ExtQueries {
   val defs: Seq[QDef] = Seq(
     QDef(
       "e01_exact_dedup",
-      (s, dir) => Dedup.exactDedupSummary(s.read.parquet(s"$dir/documents.parquet")),
+      (s, dir) => Dedup.exactDedupSummary(graft.model.Tables.load(s, s"$dir/documents.parquet")),
       Some(s"""SELECT COUNT(*) AS docs, COUNT(DISTINCT md5($norm)) AS uniq,
               |       COUNT(*) - COUNT(DISTINCT md5($norm)) AS dups FROM documents""".stripMargin)
     ),
     QDef(
       "e02_minhash_lsh",
       (s, dir) =>
-        Dedup.minHashNearDups(s.read.parquet(s"$dir/documents.parquet"),
+        Dedup.minHashNearDups(graft.model.Tables.load(s, s"$dir/documents.parquet"),
             k = 16, bands = 4, threshold = 0.8)
           .orderBy("i", "j"),
       Some(s"""WITH $shCte,
@@ -72,7 +72,7 @@ object ExtQueries {
     QDef(
       "e03_simhash",
       (s, dir) =>
-        Dedup.simHashNearDups(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
+        Dedup.simHashNearDups(graft.model.Tables.load(s, s"$dir/documents.parquet"), maxHamming = 6)
           .orderBy("i", "j"),
       Some {
         val votes = (0 until 32)
@@ -93,7 +93,7 @@ object ExtQueries {
     QDef(
       "e04_ngram_jaccard",
       (s, dir) =>
-        Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        Dedup.ngramJaccardPairs(graft.model.Tables.load(s, s"$dir/documents.parquet"),
             maxId = 100, threshold = 0.02)
           .orderBy("i", "j"),
       Some(s"""WITH $shCte,
@@ -108,7 +108,7 @@ object ExtQueries {
     QDef(
       "e05_embed_near_dup",
       (s, dir) =>
-        Similarity.embeddingNearDups(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)
+        Similarity.embeddingNearDups(graft.model.Tables.load(s, s"$dir/embeddings.parquet"), 0.45)
           .orderBy("i", "j"),
       Some(s"""SELECT i, j, sim FROM (
               |  SELECT a.vec_id AS i, b.vec_id AS j,
@@ -119,7 +119,7 @@ object ExtQueries {
     QDef(
       "e06_ann_brute_topk",
       (s, dir) =>
-        Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        Similarity.bruteTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
       Some(s"""SELECT query_id, rank, neighbor_id, sim FROM (
@@ -137,7 +137,7 @@ object ExtQueries {
       "e07_ann_lsh",
       // rows-only check: quality gate is the recall test in ExtSpec
       (s, dir) =>
-        Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        Similarity.annTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
       None
@@ -145,7 +145,7 @@ object ExtQueries {
     QDef(
       "e08_lang_id",
       (s, dir) =>
-        TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
+        TextAnalysis.langId(graft.model.Tables.load(s, s"$dir/documents.parquet"))
           .orderBy("doc_id"),
       Some {
         val scores = TextAnalysis.profiles
@@ -163,7 +163,7 @@ object ExtQueries {
     QDef(
       "e09_quality_score",
       (s, dir) =>
-        TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"))
+        TextAnalysis.qualityScore(graft.model.Tables.load(s, s"$dir/documents.parquet"))
           .orderBy("doc_id"),
       Some {
         val stop = langScore(TextAnalysis.profiles.flatMap(_._2))
@@ -182,7 +182,7 @@ object ExtQueries {
     QDef(
       "e10_token_stats",
       (s, dir) =>
-        TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))
+        TextAnalysis.tokenStats(graft.model.Tables.load(s, s"$dir/documents.parquet"))
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS ws_tokens,
               |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
@@ -192,7 +192,7 @@ object ExtQueries {
     QDef(
       "e11_fingerprint",
       (s, dir) =>
-        TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))
+        TextAnalysis.fingerprints(graft.model.Tables.load(s, s"$dir/documents.parquet"))
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id, md5($norm) AS md5_fp,
               |       list_min(list_transform(${Sql.shingles("toks")}, sh -> ${Sql.hash48("sh", "'w'")})) AS winnow_min
@@ -202,7 +202,7 @@ object ExtQueries {
       "e12_multimodal",
       (s, dir) =>
         Multimodal.extractFeatures(
-            Multimodal.ingest(s.read.parquet(s"$dir/documents.parquet")))
+            Multimodal.ingest(graft.model.Tables.load(s, s"$dir/documents.parquet")))
           .toDF()
           .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS blob_len,
