@@ -20,5 +20,6 @@ object Queries {
       queries.AggQueries.defs ++
       queries.MutationQueries.defs ++
       queries.StreamQueries.defs ++
-      queries.ExtQueries.defs
+      queries.ExtQueries.defs ++
+      queries.CodecQueries.defs
 }
