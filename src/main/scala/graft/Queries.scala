@@ -21,5 +21,6 @@ object Queries {
       queries.MutationQueries.defs ++
       queries.StreamQueries.defs ++
       queries.ExtQueries.defs ++
-      queries.CodecQueries.defs
+      queries.CodecQueries.defs ++
+      queries.ReplayQueries.defs
 }

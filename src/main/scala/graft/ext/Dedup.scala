@@ -66,13 +66,14 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val r = k / bands
-    val sigCols = (0 until k).map(i =>
-      array_min(transform(col("shs"), x => hash48(x, i.toString))).as(s"m$i"))
+    // All k min-hashes in ONE pass over the shingle array (fused md5
+    // kernel) — not k interpreted transform() traversals.
+    val sigs = graft.functions.MinHashFunctions.minhash_sigs(col("shs"), k)
     val bandSig = array((0 until bands).map { b =>
-      concat_ws("-", (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string")): _*)
+      concat_ws("-", (b * r until (b + 1) * r).map(i => col("sigs")(i).cast("string")): _*)
     }: _*)
     val bandRows = shingleArrays(docs)
-      .select(col("doc_id") +: col("shs") +: sigCols: _*)
+      .select(col("doc_id"), col("shs"), sigs.as("sigs"))
       .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
     val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val b = bandRows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
@@ -89,9 +90,11 @@ object Dedup {
     * with 32 ±1 vote columns (no per-bit explode — the vote matrix is
     * 32 scalar aggregations fused into one pass). */
   def simHashFingerprints(docs: DataFrame, bits: Int = 32): DataFrame = {
+    // per-doc token dedup is map-side (array_distinct); doc_id is unique
+    // per input row, so this equals a (doc_id, tok) shuffle-distinct
+    // without the 5M-row exchange
     val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hash48(col("tok"), "sim"))
     val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")

@@ -122,6 +122,46 @@ object Jobs {
         lit(CellType.Put).as("type"), col("cell.value").as("value"))
   }
 
+  /** D7 WALPlayer (WALPlayer.java:76): replay WAL entries into a table.
+    * `timeRange` is the [start, end) entry-ts window; `rowRemap` is the
+    * table-remap analogue (replaying into a differently-keyed target);
+    * `bulkLoadMode` mirrors the HFile output path, which replays Puts
+    * only (deletes cannot be expressed in bulk-loaded HFiles). The
+    * replayed entries merge idempotently into any cell set downstream
+    * (union + Resolve) because cell coordinates are the identity.
+    */
+  def walPlayer(wal: DataFrame, timeRange: Option[(Long, Long)] = None,
+      rowRemap: Option[Column => Column] = None,
+      bulkLoadMode: Boolean = false): DataFrame = {
+    val ranged = timeRange.fold(wal) { case (lo, hi) =>
+      wal.filter(col("ts") >= lo && col("ts") < hi)
+    }
+    val typed = if (bulkLoadMode) ranged.filter(col("type") === graft.model.CellType.Put)
+      else ranged
+    rowRemap.fold(typed)(f => typed.withColumn("row", f(col("row"))))
+  }
+
+  /** D9 full backup (hbase-backup/.../impl/FullTableBackupClient): a
+    * snapshot of the cell set at `watermarkTs` — every cell whose ts is
+    * ≤ the backup watermark. */
+  def fullBackup(cells: DataFrame, watermarkTs: Long): DataFrame =
+    cells.filter(col("ts") <= watermarkTs)
+
+  /** D9 incremental backup (IncrementalTableBackupClient): the WAL
+    * delta in (fromTs, toTs] since the previous backup's watermark. */
+  def incrementalBackup(wal: DataFrame, fromTs: Long, toTs: Long): DataFrame =
+    wal.filter(col("ts") > fromTs && col("ts") <= toTs)
+
+  /** D9 restore (RestoreTablesClient): replay the full image plus the
+    * incremental chain, newest-wins. Because cells are identified by
+    * their full coordinate, restore is a plain union — version/tombstone
+    * reconciliation happens at read time (Resolve), the same
+    * merge-on-read the reference performs across HFiles of different
+    * ages. Restoring through watermark W yields the table AS OF W
+    * (point-in-time restore). */
+  def restore(full: DataFrame, incrementals: Seq[DataFrame]): DataFrame =
+    incrementals.foldLeft(full)(_ unionByName _)
+
   /** M10 bulk load layout (HFileOutputFormat2.java:109 +
     * SimpleTotalOrderPartitioner.java:42): total-order partitioned,
     * sorted-within-partition write — Spark's native range-shuffle

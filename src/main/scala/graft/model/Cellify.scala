@@ -22,10 +22,16 @@ object Cellify {
   def dbl4(c: Column): Column  = format_string("%.4f", c)
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Exact integral epoch-nanos → epoch-micros. `/` on longs is DOUBLE
+    * division in Spark SQL — at 1.7e18 ns that loses µs precision
+    * (2^53 ≈ 9e15), so divide in decimal and truncate. */
+  def nsToUs(c: Column): Column =
+    (c.cast("decimal(20,0)") / 1000).cast("long")
+
   /** Event-time as micros TimestampType from an epoch-nanos long
     * (truncation matches DuckDB's ns→µs parquet read). */
   def tsUtc(c: Column): Column =
-    timestamp_micros(floor(c / 1000).cast("long"))
+    timestamp_micros(nsToUs(c))
 
   /** Transpose one DataFrame row into `quals.size` Put cells.
     * Map-side only (explode of a literal-built array — no shuffle). */
@@ -87,6 +93,28 @@ object Tables {
   }
 }
 
+/** The materialized canonical cell store. The reference *stores* its
+  * tables in cell form (MemStore + HFiles); graft's cellified tables
+  * are the same canonical layout, derived here from the driver's
+  * row-oriented parquet. Deriving them is a load-time job, not a
+  * per-query one — so each (session, sf, table) is materialized once
+  * (`persist`, memory-and-disk) and every query plans against the
+  * in-memory columnar store, exactly how a deployment would write the
+  * cell store once as bucketed parquet and query that. Raw row tables
+  * (`Tables.load`) stay uncached so parquet filter pushdown is
+  * preserved where the scan IS the query.
+  */
+object CellStore {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def materialize(spark: SparkSession, name: String, sfDir: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), name, sfDir),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}
+
 /** The deterministic cellified fixtures of FIXTURES.md §2, derived from
   * the driver parquet tables at `sfDir`. Each has an equivalent DuckDB
   * CTE in [[graft.oracle.Cte]] — both sides must stay in lockstep.
@@ -118,10 +146,12 @@ object Fixtures {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema))
+    CellStore.materialize(spark, "events", sfDir)(
+      Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema)))
 
   /** cells_orders — single-version cell view of `orders`. */
-  def cellsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+  def cellsOrders(spark: SparkSession, sfDir: String): DataFrame =
+    CellStore.materialize(spark, "cells_orders", sfDir) {
     val o = orders(spark, sfDir)
     cellify(
       o,
@@ -144,7 +174,8 @@ object Fixtures {
     * user_id%7==0 → DeleteColumn(d,value,ts=3); %13==0 →
     * DeleteFamily(ts=2); %17==0 → Delete(d,props,ts=4).
     */
-  def cellsEventsV(spark: SparkSession, sfDir: String): DataFrame = {
+  def cellsEventsV(spark: SparkSession, sfDir: String): DataFrame =
+    CellStore.materialize(spark, "cells_events_v", sfDir) {
     import org.apache.spark.sql.expressions.Window
     val e = events(spark, sfDir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -192,7 +223,8 @@ object Fixtures {
     * every 19th row dropped, every 11th row's o_totalprice perturbed,
     * 500 re-keyed copies (key+1e9 of keys < 500) added.
     */
-  def cellsOrdersMut(spark: SparkSession, sfDir: String): DataFrame = {
+  def cellsOrdersMut(spark: SparkSession, sfDir: String): DataFrame =
+    CellStore.materialize(spark, "cells_orders_mut", sfDir) {
     val o    = orders(spark, sfDir)
     val base = cellsOrders(spark, sfDir)
       .withColumn("k", col("row").cast("long"))
@@ -223,7 +255,8 @@ object Fixtures {
     * 0..9999 chained prev=id-1; every node with id%997==0 is missing,
     * so its successor's prev dangles.
     */
-  def chain(spark: SparkSession): DataFrame = {
+  def chain(spark: SparkSession): DataFrame =
+    CellStore.materialize(spark, "chain", "") {
     import spark.implicits._
     spark
       .range(10000)

@@ -64,22 +64,27 @@ object Cte {
       |  SELECT row, 'd', 'props', CAST(4 AS BIGINT), 'Delete', NULL FROM __ev_users WHERE user_id % 17 = 0
       |)""".stripMargin
 
-  /** Tombstone-masked live puts of cells_events_v (Resolve.maskTombstones twin). */
-  val liveEventsV: String =
-    """__puts AS (SELECT * FROM cells_events_v WHERE type = 'Put'),
-      |__dfam AS (SELECT row, family, max(ts) AS mts FROM cells_events_v WHERE type = 'DeleteFamily' GROUP BY 1, 2),
-      |__dcol AS (SELECT row, family, qualifier, max(ts) AS mts FROM cells_events_v WHERE type = 'DeleteColumn' GROUP BY 1, 2, 3),
-      |__dver AS (SELECT DISTINCT row, family, qualifier, ts FROM cells_events_v WHERE type = 'Delete'),
-      |__dfv AS (SELECT DISTINCT row, family, ts FROM cells_events_v WHERE type = 'DeleteFamilyVersion'),
-      |live_events AS (
-      |  SELECT p.row, p.family, p.qualifier, p.ts, p.type, p.value FROM __puts p
-      |  LEFT JOIN __dfam f ON p.row = f.row AND p.family = f.family
-      |  LEFT JOIN __dcol c ON p.row = c.row AND p.family = c.family AND p.qualifier = c.qualifier
-      |  WHERE (f.mts IS NULL OR p.ts > f.mts)
-      |    AND (c.mts IS NULL OR p.ts > c.mts)
-      |    AND NOT EXISTS (SELECT 1 FROM __dver v WHERE v.row = p.row AND v.family = p.family AND v.qualifier = p.qualifier AND v.ts = p.ts)
-      |    AND NOT EXISTS (SELECT 1 FROM __dfv g WHERE g.row = p.row AND g.family = p.family AND g.ts = p.ts)
-      |)""".stripMargin
+  /** Tombstone-masked live puts of `src` (Resolve.maskTombstones twin),
+    * emitted as CTE `out`. Internal CTE names are prefixed with `out`
+    * so multiple instantiations can coexist in one oracle query. */
+  def liveView(src: String, out: String): String =
+    s"""__${out}_puts AS (SELECT * FROM $src WHERE type = 'Put'),
+       |__${out}_dfam AS (SELECT row, family, max(ts) AS mts FROM $src WHERE type = 'DeleteFamily' GROUP BY 1, 2),
+       |__${out}_dcol AS (SELECT row, family, qualifier, max(ts) AS mts FROM $src WHERE type = 'DeleteColumn' GROUP BY 1, 2, 3),
+       |__${out}_dver AS (SELECT DISTINCT row, family, qualifier, ts FROM $src WHERE type = 'Delete'),
+       |__${out}_dfv AS (SELECT DISTINCT row, family, ts FROM $src WHERE type = 'DeleteFamilyVersion'),
+       |$out AS (
+       |  SELECT p.row, p.family, p.qualifier, p.ts, p.type, p.value FROM __${out}_puts p
+       |  LEFT JOIN __${out}_dfam f ON p.row = f.row AND p.family = f.family
+       |  LEFT JOIN __${out}_dcol c ON p.row = c.row AND p.family = c.family AND p.qualifier = c.qualifier
+       |  WHERE (f.mts IS NULL OR p.ts > f.mts)
+       |    AND (c.mts IS NULL OR p.ts > c.mts)
+       |    AND NOT EXISTS (SELECT 1 FROM __${out}_dver v WHERE v.row = p.row AND v.family = p.family AND v.qualifier = p.qualifier AND v.ts = p.ts)
+       |    AND NOT EXISTS (SELECT 1 FROM __${out}_dfv g WHERE g.row = p.row AND g.family = p.family AND g.ts = p.ts)
+       |)""".stripMargin
+
+  /** Back-compat alias used by the scan/filter oracles. */
+  val liveEventsV: String = liveView("cells_events_v", "live_events")
 
   /** chain — Fixtures.chain twin. */
   val chain: String =

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.flow.Jobs
+import graft.model.Fixtures
+import graft.oracle.Cte
+import graft.read.Resolve
+import graft.stream.Sessionize
+
+/** Q37–Q39: WAL replay, backup/restore, and stateful sessionization —
+  * the remaining dataflow surface (SURVEY §2.7 D7/D9, §2.8 ext).
+  */
+object ReplayQueries {
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "q37_wal_player",
+      // D7: replay the ts∈[2,4) WAL window into a remapped table in
+      // bulk-load mode (Puts only — HFile output can't express deletes).
+      (s, dir) =>
+        Jobs.walPlayer(Fixtures.cellsEventsV(s, dir),
+            timeRange = Some((2L, 4L)),
+            rowRemap = Some(r => concat(lit("t2:"), r)),
+            bulkLoadMode = true)
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "qualifier", "ts"),
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT 't2:' || row AS row, family, qualifier, ts, type, value
+          |FROM cells_events_v WHERE ts >= 2 AND ts < 4 AND type = 'Put'
+          |ORDER BY row, qualifier, ts""".stripMargin))
+    ),
+    QDef(
+      "q38_backup_restore",
+      // D9: full backup at watermark 2 + incremental (2,4], restored and
+      // read through Resolve — the table AS OF ts 4 (point-in-time).
+      (s, dir) => {
+        val wal = Fixtures.cellsEventsV(s, dir)
+        val restored = Jobs.restore(
+          Jobs.fullBackup(wal, 2L),
+          Seq(Jobs.incrementalBackup(wal, 2L, 4L)))
+        Resolve.latest(restored, maxVersions = 1)
+          .select("row", "family", "qualifier", "ts", "value")
+          .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
+      },
+      Some(Cte.withCtes(
+        Cte.cellsEventsV,
+        "restore_cells AS (SELECT * FROM cells_events_v WHERE ts <= 4)",
+        Cte.liveView("restore_cells", "live_restore"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_restore
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      "q39_stateful_sessions",
+      // Typed per-key state walk (flatMapSortedGroups); the streaming
+      // flatMapGroupsWithState twin is equivalence-tested in StreamSpec.
+      (s, dir) =>
+        Sessionize.sessionize(Fixtures.events(s, dir))
+          .toDF()
+          .orderBy("user_id", "session_idx"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+             |), f AS (
+             |  SELECT user_id, tus,  event_id,
+             |         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+             |), g AS (
+             |  SELECT user_id, tus,
+             |         SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                       ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM f
+             |)
+             |SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |       MIN(tus) AS start_us, MAX(tus) AS end_us
+             |FROM g GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)
+    )
+  )
+}

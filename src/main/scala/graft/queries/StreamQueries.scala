@@ -46,7 +46,7 @@ object StreamQueries {
         val gapUs = 30L * 60 * 1000 * 1000
         val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         Fixtures.events(s, dir)
-          .withColumn("tus", floor(col("ts") / 1000).cast("long"))
+          .withColumn("tus", graft.model.Cellify.nsToUs(col("ts")))
           .withColumn("prev", lag(col("tus"), 1).over(w))
           .withColumn("new_session",
             when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))

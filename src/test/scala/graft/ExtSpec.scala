@@ -88,4 +88,27 @@ class ExtSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
+
+  test("minhash_sigs kernel matches the k-transforms form bit-for-bit") {
+    import graft.ext.TextHash._
+    import graft.functions.MinHashFunctions.minhash_sigs
+    val base = Dedup.shingleArrays(docs.limit(50))
+    val k = 16
+    val viaKernel = base.select(col("doc_id"), minhash_sigs(col("shs"), k).as("sigs"))
+    val viaTransforms = base.select(
+      col("doc_id"),
+      array((0 until k).map(i =>
+        array_min(transform(col("shs"), x => hash48(x, i.toString)))): _*).as("sigs"))
+    assert(viaKernel.exceptAll(viaTransforms).isEmpty &&
+      viaTransforms.exceptAll(viaKernel).isEmpty)
+  }
+
+  test("minhash_sigs: empty shingle array yields k nulls") {
+    import graft.functions.MinHashFunctions.minhash_sigs
+    import spark.implicits._
+    val out = Seq(Seq.empty[String], Seq("a b c")).toDF("shs")
+      .select(minhash_sigs(col("shs"), 4).as("sigs"))
+      .collect().map(_.getSeq[Any](0))
+    assert(out(0).forall(_ == null) && out(1).forall(_ != null))
+  }
 }

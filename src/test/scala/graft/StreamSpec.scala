@@ -47,4 +47,76 @@ class StreamSpec extends SparkSpec {
     val n1 = spark.read.parquet(s"$tmp/out").count()
     assert(n1 === 100)
   }
+
+  test("batch sessionizer matches the gaps-and-islands window form") {
+    import graft.stream.Sessionize
+    val typed = Sessionize.sessionize(Fixtures.events(spark, sf0001))
+      .toDF().select("user_id", "session_idx", "n_events")
+    val gapUs = Sessionize.GapUs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val island = Fixtures.events(spark, sf0001)
+      .withColumn("tus", graft.model.Cellify.nsToUs(col("ts")))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("ns")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
+    assert(typed.exceptAll(island).isEmpty && island.exceptAll(typed).isEmpty)
+  }
+
+  test("streaming sessionizer closes sessions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.stream.Sessionize
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)] // (event_id, tsNanos, user_id)
+    val us = 1000L
+    val min = 60L * 1000 * 1000 // µs per minute
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("ts", col("ts")) // epoch nanos long, as Fixtures.events
+    val sessions = Sessionize.sessionizeStream(df)
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 has events at t=base and t=base+5min (base > 0
+      // so nothing collides with the initial epoch-0 watermark)
+      val base = 600 * min
+      mem.addData((1L, base * us, 1L), (2L, (base + 5 * min) * us, 1L))
+      q.processAllAvailable()
+      // batch 2: an event at base+90min closes the first session
+      // (watermark = base+60min > base+5min + 30min gap)
+      mem.addData((3L, (base + 90 * min) * us, 1L))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to time out session 2
+      mem.addData((4L, (base + 300 * min) * us, 2L))
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(out.contains((1L, 1L, 2L)), s"first session (2 events) closed: $out")
+      assert(out.contains((1L, 2L, 1L)), s"second session timed out: $out")
+    } finally q.stop()
+  }
+
+  test("walPlayer + backup/restore compose with Resolve") {
+    import graft.flow.Jobs
+    val wal = Fixtures.cellsEventsV(spark, sf0001)
+    // bulk-load mode drops tombstones; plain mode keeps them
+    val puts = Jobs.walPlayer(wal, timeRange = Some((1L, 6L)), bulkLoadMode = true)
+    assert(puts.filter(col("type") =!= graft.model.CellType.Put).count() === 0)
+    val replayAll = Jobs.walPlayer(wal, rowRemap = Some(r => concat(lit("x:"), r)))
+    assert(replayAll.count() === wal.count())
+    assert(replayAll.filter(!col("row").startsWith("x:")).count() === 0)
+    // restore-to-watermark == resolve over the ts<=W subset
+    val restored = Jobs.restore(Jobs.fullBackup(wal, 3L),
+      Seq(Jobs.incrementalBackup(wal, 3L, 5L)))
+    assert(restored.count() === wal.filter(col("ts") <= 5L).count())
+    val pitr = graft.read.Resolve.latest(
+      Jobs.restore(Jobs.fullBackup(wal, 2L), Seq(Jobs.incrementalBackup(wal, 2L, 4L))))
+    val direct = graft.read.Resolve.latest(wal.filter(col("ts") <= 4L))
+    assert(pitr.exceptAll(direct).isEmpty && direct.exceptAll(pitr).isEmpty)
+  }
 }
