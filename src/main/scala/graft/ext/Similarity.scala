@@ -87,6 +87,79 @@ object Similarity {
   def lshBucketsAll(emb: Column, dim: Int, tables: Int, nbits: Int): Column =
     array((0 until tables).map(t => lshBucket(emb, dim, t, nbits)): _*)
 
+  /** Deterministic mini k-means for the IVF index: seeds = the `nlist`
+    * lowest vec_ids, then `iters` Lloyd rounds. Assignment is map-side
+    * (broadcast literal centroids, fused dot_fold scores); the update
+    * step is one groupBy per round with a driver collect of nlist×dim
+    * doubles — the standard k-means shape (centroids are tiny; the
+    * corpus never moves). */
+  private[ext] def trainCentroids(emb: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    var cents = emb.orderBy("vec_id").limit(nlist)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = emb.withColumn("cluster", assignCluster(col("embedding"), cents))
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+        .groupBy("cluster", "d").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getAs[Int]("cluster"))(r.getAs[Int]("d")) = r.getAs[Double]("m"))
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid id: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), as an
+    * array_max over (score, id) structs — wholly map-side, one fused
+    * dot per centroid. */
+  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2
+      struct((dot_fold(v, typedlit(c)) - lit(half)).as("s"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** `nprobe` nearest centroid ids for a query vector, best first. */
+  private def probeClusters(v: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val scored = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2
+      struct((lit(half) - dot_fold(v, typedlit(c))).as("s"), lit(i).as("i"))
+    }: _*))
+    slice(transform(scored, s => s.getField("i")), 1, nprobe)
+  }
+
+  /** IVF ANN top-k: coarse-quantize the corpus into `nlist` inverted
+    * lists, probe the `nprobe` closest lists per query, exact-cosine
+    * re-rank inside them. At scale this is THE partition-pruning ANN:
+    * the corpus is written partitioned by cluster id, a probe reads
+    * nprobe/nlist of the data, and the only join is corpus⋈broadcast
+    * (query, probed-cluster) pairs. Recall gate in ExtSpec. */
+  def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(emb, nlist, iters)
+    val indexed = withNorm(emb)
+      .withColumn("cluster", assignCluster(col("embedding"), cents))
+    val q = indexed
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(probeClusters(col("embedding"), cents, nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    indexed
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim",
+        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** ANN top-k via LSH candidate buckets + exact re-rank. `tables`
     * independent hash tables computed in ONE map-side pass (posexplode
     * of the bucket array); candidates = vectors sharing any (table,

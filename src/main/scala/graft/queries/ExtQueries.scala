@@ -143,6 +143,15 @@ object ExtQueries {
       None
     ),
     QDef(
+      "e13_ann_ivf",
+      // rows-only check: quality gate is the recall test in ExtSpec
+      (s, dir) =>
+        Similarity.annIvfTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      None
+    ),
+    QDef(
       "e08_lang_id",
       (s, dir) =>
         TextAnalysis.langId(graft.model.Tables.load(s, s"$dir/documents.parquet"))

@@ -111,4 +111,19 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getSeq[Any](0))
     assert(out(0).forall(_ == null) && out(1).forall(_ != null))
   }
+
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val emb = graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.annIvfTopK(emb, col("vec_id") < 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.intersect(brute).count().toDouble
+    val total = brute.count().toDouble
+    assert(hits / total >= 0.5, s"IVF recall ${hits / total} < 0.5")
+    // every query returns exactly k ranked neighbors
+    val counts = Similarity.annIvfTopK(emb, col("vec_id") < 20, k = 5)
+      .groupBy("query_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).forall(_ == 5))
+  }
 }
