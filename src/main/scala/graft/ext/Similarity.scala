@@ -137,9 +137,18 @@ object Similarity {
     * the corpus is written partitioned by cluster id, a probe reads
     * nprobe/nlist of the data, and the only join is corpus⋈broadcast
     * (query, probed-cluster) pairs. Recall gate in ExtSpec. */
+  /** Trained-index cache: the IVF index (like the cell store layout) is
+    * built once per (session, corpus plan, params) — a query must not
+    * pay the train cost. Keyed on the corpus' semantic plan hash. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int), Array[Array[Double]]]
+
   def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = trainCentroids(emb, nlist, iters)
+    val cents = centroidCache.getOrElseUpdate(
+      (System.identityHashCode(emb.sparkSession),
+        emb.queryExecution.logical.semanticHash(), nlist, iters),
+      trainCentroids(emb, nlist, iters))
     val indexed = withNorm(emb)
       .withColumn("cluster", assignCluster(col("embedding"), cents))
     val q = indexed

@@ -122,6 +122,17 @@ object CellStore {
 object Fixtures {
   import Cellify._
 
+  /** Region-style storage layout for a materialized cell table:
+    * hash-partitioned on the row key and sorted within partitions on
+    * the cell coordinate — the HBase region/HFile layout. Downstream
+    * row-keyed joins, windows, and groupBys then satisfy their
+    * ClusteredDistribution from the cache (partitioning on a SUBSET of
+    * the keys clusters the superset), so q06-style resolves and the
+    * sync/verify diffs plan with zero extra exchanges. */
+  private def regionLayout(df: DataFrame, key: Column, sort: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+      .sortWithinPartitions(sort: _*)
+
   def orders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, s"$sfDir/orders.parquet")
 
@@ -147,13 +158,15 @@ object Fixtures {
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     CellStore.materialize(spark, "events", sfDir)(
-      Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema)))
+      regionLayout(
+        Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema)),
+        col("user_id"), col("user_id"), col("ts"), col("event_id")))
 
   /** cells_orders — single-version cell view of `orders`. */
   def cellsOrders(spark: SparkSession, sfDir: String): DataFrame =
     CellStore.materialize(spark, "cells_orders", sfDir) {
     val o = orders(spark, sfDir)
-    cellify(
+    regionLayout(cellify(
       o,
       rowKey = padKey(col("o_orderkey")),
       family = "d",
@@ -164,7 +177,7 @@ object Fixtures {
         "o_orderdate"     -> tsStr(col("o_orderdate")),
         "o_orderpriority" -> col("o_orderpriority")
       )
-    )
+    ), col("row"), col("row"), col("family"), col("qualifier"))
   }
 
   /** cells_events_v — multi-version + tombstone fixture from `events`.
@@ -215,7 +228,8 @@ object Fixtures {
         col("t.type").as("type"),
         lit(null).cast(StringType).as("value")
       )
-    puts.unionByName(tombs)
+    regionLayout(puts.unionByName(tombs),
+      col("row"), col("row"), col("family"), col("qualifier"), col("ts").desc)
   }
 
   /** cells_orders_mut — deterministically mutated copy of cells_orders
@@ -247,7 +261,8 @@ object Fixtures {
         "o_orderpriority" -> col("o_orderpriority")
       )
     )
-    base.unionByName(extra)
+    regionLayout(base.unionByName(extra),
+      col("row"), col("row"), col("family"), col("qualifier"))
   }
 
   /** chain — ITBLL-style linked list with deterministic broken links
