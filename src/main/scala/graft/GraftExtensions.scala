@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.codec.OrderedEncode
+import graft.functions.{DotFold, MinHashSigs}
+
+/** Session-extension entry point: registers graft's native codegen
+  * expressions on any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) — the sanctioned
+  * deployment path for a library of custom Catalyst surfaces, so SQL
+  * users get `dot_fold` / `ordered_encode` / `minhash_sigs` without
+  * programmatic registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, cls: Class[_]) =
+    new ExpressionInfo(cls.getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_fold"),
+      info("dot_fold", classOf[DotFold]),
+      (children: Seq[Expression]) => DotFold(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ordered_encode"),
+      info("ordered_encode", classOf[OrderedEncode]),
+      (children: Seq[Expression]) => OrderedEncode(children.head, desc = false)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", classOf[MinHashSigs]),
+      (children: Seq[Expression]) => MinHashSigs(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native SQL functions on a fresh
+  * session (the `spark.sql.extensions` deployment path). Extensions
+  * bind at session construction, so temporarily clear the shared
+  * default/active session and build a new one over the same
+  * SparkContext (never stopped — it is shared).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("all native functions are SQL-callable via withExtensions") {
+    val shared = TestSession.spark // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val dot = s.sql("SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(dot === 11.0)
+      val enc = s.sql("SELECT ordered_encode(CAST(42 AS BIGINT)) AS k")
+        .head().getAs[Array[Byte]](0)
+      assert(enc.length === 8)
+      val sigs = s.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 4) AS m")
+        .head().getSeq[Long](0)
+      assert(sigs.length === 4)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
