@@ -83,6 +83,20 @@ object ScanQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_events WHERE ts BETWEEN 2 AND 3
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // §2.4 TTL (ScanInfo.getTtl) + multi-version gate: cells older
+      // than the TTL floor are invisible BEFORE the version gate, and
+      // the newest 2 surviving versions are returned per column.
+      "q40_ttl_versions",
+      (s, dir) =>
+        ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 2,
+          ttlCutoff = Some(3L))),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events WHERE ts >= 3
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     )
   )
 }
