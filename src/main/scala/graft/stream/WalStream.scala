@@ -64,9 +64,16 @@ object WalStream {
     * materialized result — the batch-equivalence harness for Q34. */
   def runAvailableNow(agg: DataFrame, queryName: String): DataFrame = {
     val spark = agg.sparkSession
+    // offset/commit logs on tmpfs when available: the bounded
+    // availableNow run needs durability only for the run itself, and
+    // checkpoint fsyncs are a fifth of its wall-clock on disk
+    val ckBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir")
     val q = agg.writeStream
       .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation",
+        s"$ckBase/graft-ck/$queryName-${java.util.UUID.randomUUID().toString.take(8)}")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
