@@ -120,6 +120,46 @@ object Dedup {
       .select("i", "j", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * gets the minimum doc_id reachable through near-dup edges as its
+    * `group_id` (deterministic; singleton-free — only paired docs
+    * appear). This is the clustering step that turns pairwise near-dup
+    * hits into keep-lists (keep `group_id`, drop the rest).
+    *
+    * Min-label propagation to fixpoint: each round joins labels across
+    * edges and keeps the per-node min. Rounds = graph diameter — for
+    * near-dup clusters a small constant — and each round is one
+    * shuffle on doc_id, the scalable CC shape (driver sees only a
+    * convergence counter, never the data). */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** Exact n-gram Jaccard over a bounded id range (the exact-answer
     * small-scope tool; LSH is the scale path). All pairs of the bounded
     * set, intersected map-side on the per-doc shingle arrays. */

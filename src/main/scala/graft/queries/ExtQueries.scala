@@ -36,6 +36,22 @@ object ExtQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Shared MinHash+LSH candidate pipeline (shingle → 16 min-hashes →
+    * 4 band signatures → bucket-join candidates → intersection sizes),
+    * spliced into the e02 pair query and the e14 grouping query. */
+  private val minhashCtes =
+    s"""$shCte,
+       |hs AS (SELECT doc_id, g.i AS i, min(${Sql.hash48("sh", "CAST(g.i AS VARCHAR)")}) AS minh
+       |       FROM sh, generate_series(0, 15) g(i) GROUP BY doc_id, g.i),
+       |bk AS (SELECT doc_id, (i // 4) AS band,
+       |       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY i) AS sig FROM hs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bk a
+       |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.i, c.j, COUNT(*) AS m FROM cand c
+       |          JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.sh = b.sh
+       |          GROUP BY 1, 2)""".stripMargin
+
   private def langScore(terms: Seq[String]): String =
     terms.map { t =>
       s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
@@ -54,20 +70,28 @@ object ExtQueries {
         Dedup.minHashNearDups(graft.model.Tables.load(s, s"$dir/documents.parquet"),
             k = 16, bands = 4, threshold = 0.8)
           .orderBy("i", "j"),
-      Some(s"""WITH $shCte,
-              |hs AS (SELECT doc_id, g.i AS i, min(${Sql.hash48("sh", "CAST(g.i AS VARCHAR)")}) AS minh
-              |       FROM sh, generate_series(0, 15) g(i) GROUP BY doc_id, g.i),
-              |bk AS (SELECT doc_id, (i // 4) AS band,
-              |       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY i) AS sig FROM hs GROUP BY 1, 2),
-              |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bk a
-              |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-              |inter AS (SELECT c.i, c.j, COUNT(*) AS m FROM cand c
-              |          JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.sh = b.sh
-              |          GROUP BY 1, 2)
+      Some(s"""WITH $minhashCtes
               |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
               |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
               |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
+      "e14_dedup_groups",
+      // near-dup clustering: connected components over the e02 pair
+      // graph; group_id = min reachable doc_id (keep-list key)
+      (s, dir) =>
+        Dedup.nearDupGroups(
+            Dedup.minHashNearDups(graft.model.Tables.load(s, s"$dir/documents.parquet"),
+              k = 16, bands = 4, threshold = 0.8))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS (SELECT i, j FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |          WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8),
+              |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM edges
+              |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
+              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
     ),
     QDef(
       "e03_simhash",

@@ -126,4 +126,13 @@ class ExtSpec extends SparkSpec {
       .groupBy("query_id").count().select("count").distinct().collect()
     assert(counts.map(_.getLong(0)).forall(_ == 5))
   }
+
+  test("nearDupGroups assigns min-reachable id across chained pairs") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair (7,9): groups {1,2,3}->1, {7,9}->7
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val out = Dedup.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
 }
