@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: ~6% faster and lower run-to-run variance than
+  // G1 on the batch bench (single-JVM, allocation-heavy, no latency SLO)
+  "-XX:+UseParallelGC",
 )
