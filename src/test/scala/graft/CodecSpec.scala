@@ -80,6 +80,25 @@ class CodecSpec extends AnyFunSuite {
       assert(OBytes.decodeNumeric(OBytes.encodeNumeric(v, d), d).compareTo(v) == 0)
   }
 
+  test("numeric: randomized order/roundtrip across magnitudes and scales") {
+    // seeded sweep: 300 BigDecimals spanning 1e-30..1e+30, mixed signs
+    // and scales, pairwise order preserved and roundtrip exact
+    val r = new scala.util.Random(7)
+    val vs = Seq.fill(300) {
+      val unscaled = BigInt(r.nextLong()).abs + 1
+      val scale = r.nextInt(60) - 30
+      val sign = if (r.nextBoolean()) 1 else -1
+      new JBigDecimal(new java.math.BigInteger((unscaled * sign).toString), scale)
+    }.distinct
+    val sortedByBytes = vs.sortWith((a, b) =>
+      OBytes.compare(OBytes.encodeNumeric(a, false), OBytes.encodeNumeric(b, false)) < 0)
+    val sortedByValue = vs.sortWith(_.compareTo(_) < 0)
+    assert(sortedByBytes.map(_.stripTrailingZeros) ==
+      sortedByValue.map(_.stripTrailingZeros))
+    vs.foreach(v =>
+      assert(OBytes.decodeNumeric(OBytes.encodeNumeric(v, false), false).compareTo(v) == 0))
+  }
+
   test("composite keys: concat orders like the tuple (prefix-free)") {
     val tuples = for {
       s <- Seq("a", "ab", "b", "")
