@@ -79,4 +79,22 @@ class AggFlowSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() === Fixtures.cellsOrders(spark, sf0001).count())
   }
+
+  test("export -> import round-trips with filter and family rename (D3/D5)") {
+    import graft.flow.Jobs
+    val tmp = java.nio.file.Files.createTempDirectory("d3").toString
+    val cells = graft.model.Fixtures.cellsOrders(spark, sf0001)
+    val pred = col("qualifier") === "o_totalprice"
+    Jobs.export(cells, Some(pred), s"$tmp/exp")
+    val back = Jobs.importCells(spark, s"$tmp/exp",
+      familyRename = Map("d" -> "d2"))
+    assert(back.count() === cells.filter(pred).count())
+    assert(back.filter(col("family") =!= "d2").count() === 0)
+    // D5 copyTable: filtered copy, renamed family, re-read equals source rows
+    Jobs.copyTable(cells, Some(col("row") < "0000000100"),
+      Map("d" -> "x"), s"$tmp/copy")
+    val copied = spark.read.parquet(s"$tmp/copy")
+    assert(copied.count() === cells.filter(col("row") < "0000000100").count())
+    assert(copied.select("family").distinct().collect().map(_.getString(0)).toSeq === Seq("x"))
+  }
 }
