@@ -37,6 +37,13 @@ sealed trait GComparator {
 
 /** Helper: standard ordered comparison against a literal Column. */
 private[filter] object Cmp {
+  /** ANSI-safe numeric interpretation: non-numeric values become null
+    * (→ predicate null → row filtered), the reference's no-match
+    * behavior for unparseable bytes — instead of a runtime cast error. */
+  def tryLong(c: Column): Column =
+    when(c.rlike("^-?\\d+$"), c.cast("long"))
+  def tryDecimal(c: Column): Column =
+    when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("decimal(38,18)"))
   def ordered(subject: Column, op: CompareOp, v: Column): Column = op match {
     case CompareOp.Less           => subject < v
     case CompareOp.LessOrEqual    => subject <= v
@@ -72,7 +79,7 @@ final case class BinaryComponentComparator(value: String, offset: Int)
 final case class BitComparator(mask: Long, bitOp: BitComparator.BitwiseOp)
     extends GComparator {
   def test(subject: Column, op: CompareOp): Column = {
-    val l = subject.cast("long")
+    val l = Cmp.tryLong(subject)
     val combined = bitOp match {
       case BitComparator.And => l.bitwiseAND(lit(mask))
       case BitComparator.Or  => l.bitwiseOR(lit(mask))
@@ -96,13 +103,13 @@ object BitComparator {
 /** Numeric compare of the long interpretation of the value. */
 final case class LongComparator(value: Long) extends GComparator {
   def test(subject: Column, op: CompareOp): Column =
-    Cmp.ordered(subject.cast("long"), op, lit(value))
+    Cmp.ordered(Cmp.tryLong(subject), op, lit(value))
 }
 
 /** Numeric compare via DecimalType (exact, order-stable). */
 final case class BigDecimalComparator(value: BigDecimal) extends GComparator {
   def test(subject: Column, op: CompareOp): Column =
-    Cmp.ordered(subject.cast("decimal(38,18)"),
+    Cmp.ordered(Cmp.tryDecimal(subject),
                 op, lit(value.bigDecimal).cast("decimal(38,18)"))
 }
 

@@ -92,4 +92,20 @@ class FilterSpec extends SparkSpec {
     val r = rows(FuzzyRowFilter(Seq(8 -> "42")))
     assert(r.nonEmpty && r.forall(_.substring(8, 10) == "42"))
   }
+
+  test("comparator matrix: component/bit/null/bigdecimal") {
+    import spark.implicits._
+    val df = Seq(("abcdef", "7"), ("abXdef", ""), ("zzzzzz", "12")).toDF("v", "n")
+    // BinaryComponentComparator: slice [2,4) == "cd"
+    val comp = BinaryComponentComparator("cd", 2)
+    assert(df.filter(comp.test(col("v"), CompareOp.Equal)).count() === 1)
+    // BitComparator: n & 4 != 0 -> matches 7 and 12
+    val bit = BitComparator(4L, BitComparator.And)
+    assert(df.filter(bit.test(col("n"), CompareOp.Equal)).count() === 2)
+    // NullComparator: empty value matches Equal
+    assert(df.filter(NullComparator().test(col("n"), CompareOp.Equal)).count() === 1)
+    // BigDecimalComparator: n >= 7 (exact decimal compare)
+    val bd = BigDecimalComparator(BigDecimal(7))
+    assert(df.filter(bd.test(col("n"), CompareOp.GreaterOrEqual)).count() === 2)
+  }
 }
