@@ -28,7 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("ordered_encode"),
       info("ordered_encode", classOf[OrderedEncode]),
-      (children: Seq[Expression]) => OrderedEncode(children.head, desc = false)))
+      (children: Seq[Expression]) => children match {
+        case Seq(c)    => OrderedEncode(c, desc = false)
+        case Seq(c, d) => OrderedEncode(c, d.eval() == true)
+        case _ => throw new IllegalArgumentException(
+          "ordered_encode expects (col) or (col, desc)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", classOf[MinHashSigs]),

@@ -159,10 +159,15 @@ object CodecFunctions {
   def ordered_key(cols: Column*): Column =
     concat(cols.map(ordered_encode): _*)
 
-  /** SQL surface: `ordered_encode(x)` (ascending form). */
+  /** SQL surface: `ordered_encode(x[, desc])`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ordered_encode"),
       new ExpressionInfo(classOf[OrderedEncode].getName, null, "ordered_encode"),
-      (children: Seq[Expression]) => OrderedEncode(children.head, desc = false))
+      (children: Seq[Expression]) => children match {
+        case Seq(c)    => OrderedEncode(c, desc = false)
+        case Seq(c, d) => OrderedEncode(c, d.eval() == true)
+        case _ => throw new IllegalArgumentException(
+          "ordered_encode expects (col) or (col, desc)")
+      })
 }

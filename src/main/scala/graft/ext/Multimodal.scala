@@ -63,6 +63,7 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(length(col("blob")) / lit(frameBytes.toDouble)).cast("long"))
+      .filter(col("n_frames") > 0) // sequence(0, -1) would DESCEND
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)

@@ -24,7 +24,12 @@ object TextHash {
     * DuckDB twin: list_transform(range(len(toks)-(n-1)), i -> toks[i+1] || ' ' || ...) */
   def shingles(toksCol: String, n: Int = 3): Column = {
     val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ' ', ")
-    expr(s"transform(sequence(0, size($toksCol) - $n), i -> concat($parts))")
+    // guard: sequence(0, negative) DESCENDS in Spark, so a doc with
+    // fewer than n tokens must short-circuit to the empty set (the
+    // DuckDB twin's range(len-(n-1)) is empty there)
+    expr(s"CASE WHEN size($toksCol) >= $n THEN " +
+      s"transform(sequence(0, size($toksCol) - $n), i -> concat($parts)) " +
+      "ELSE array() END")
   }
 
   /** 48-bit salted hash: first 12 hex chars of md5(salt:text) as a long.

@@ -37,13 +37,11 @@ sealed trait GComparator {
 
 /** Helper: standard ordered comparison against a literal Column. */
 private[filter] object Cmp {
-  /** ANSI-safe numeric interpretation: non-numeric values become null
-    * (→ predicate null → row filtered), the reference's no-match
-    * behavior for unparseable bytes — instead of a runtime cast error. */
-  def tryLong(c: Column): Column =
-    when(c.rlike("^-?\\d+$"), c.cast("long"))
-  def tryDecimal(c: Column): Column =
-    when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("decimal(38,18)"))
+  /** ANSI-safe numeric interpretation: unparseable OR overflowing
+    * values become null (→ predicate null → no match), the reference's
+    * behavior for bytes that don't decode — never a runtime error. */
+  def tryLong(c: Column): Column = c.try_cast("long")
+  def tryDecimal(c: Column): Column = c.try_cast("decimal(38,18)")
   def ordered(subject: Column, op: CompareOp, v: Column): Column = op match {
     case CompareOp.Less           => subject < v
     case CompareOp.LessOrEqual    => subject <= v

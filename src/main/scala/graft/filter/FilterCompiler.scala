@@ -100,8 +100,10 @@ object FilterCompiler {
     case SkipFilter(inner) =>
       val p = cellPredicate(inner).getOrElse(
         throw new IllegalArgumentException("SkipFilter requires a cell-level inner filter"))
-      // any failing cell vetoes the whole row (SkipFilter.java:49)
-      val vetoed = cells.filter(!p).select("row").distinct()
+      // any failing cell vetoes the whole row (SkipFilter.java:49);
+      // a null predicate (e.g. unparseable numeric value) is a reject,
+      // so compare null-safely against true
+      val vetoed = cells.filter(!(p <=> lit(true))).select("row").distinct()
       cells.join(vetoed, Seq("row"), "left_anti")
 
     case WhileMatchFilter(inner) =>
@@ -110,7 +112,7 @@ object FilterCompiler {
       // keep the prefix of the stream before the first rejected row
       // (WhileMatchFilter.java:39): scalar min(row) over rejects, then
       // row < firstReject. One tiny agg (broadcast) + one filter.
-      val firstReject = cells.filter(!p)
+      val firstReject = cells.filter(!(p <=> lit(true)))
         .agg(min("row").as("__stop"))
       cells.join(broadcast(firstReject))
         .filter(col("__stop").isNull || col("row") < col("__stop"))

@@ -56,7 +56,7 @@ object Jobs {
       .withColumn("class",
         when(col("__s").isNull, lit("dst_only"))
           .when(col("__d").isNull, lit("src_only"))
-          .when(col("src_value") === col("dst_value"), lit("matched"))
+          .when(col("src_value") <=> col("dst_value"), lit("matched"))
           .otherwise(lit("mismatch")))
   }
 

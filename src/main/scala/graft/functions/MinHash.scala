@@ -71,17 +71,22 @@ object MinHashKernel {
     if (n == 0) return new GenericArrayData(new Array[Any](k))
     val md = digest.get()
     val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
+    var i   = 0
+    var seen = false
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var j = 0
-      while (j < k) {
-        val h = hash48(md, salts(j), s)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = hash48(md, salts(j), s)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
+    if (!seen) return new GenericArrayData(new Array[Any](k))
     new GenericArrayData(mins)
   }
 }

@@ -88,20 +88,32 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[EvT], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
+            // close the session but keep a closed-marker (n == 0) so
+            // the per-user session counter survives: the next session
+            // gets idx+1, matching the batch twin. Marker state is
+            // O(users) — the same bound as the open-session state.
             val st = state.get
-            state.remove()
+            state.update(SessState(st.idx + 1, 0L, 0L, 0L))
             Iterator.single(Session(uid, st.idx, st.n, st.start, st.last))
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var st = state.getOption.orNull
             for (e <- it.toSeq.sortBy(e => (e.tus, e.event_id))) {
-              if (st == null) st = SessState(1L, 1L, e.tus, e.tus)
-              else if (e.tus - st.last > gapUs) {
+              if (st == null || st.n == 0L) {
+                st = SessState(if (st == null) 1L else st.idx, 1L, e.tus, e.tus)
+              } else if (e.tus > st.last && e.tus - st.last > gapUs) {
                 out += Session(uid, st.idx, st.n, st.start, st.last)
                 st = SessState(st.idx + 1, 1L, e.tus, e.tus)
-              } else st = st.copy(n = st.n + 1, last = e.tus)
+              } else {
+                // in-order extension, or a late-but-unsealed event:
+                // merge with monotone bounds (last never regresses, so
+                // lateness cannot split an open session)
+                st = st.copy(n = st.n + 1,
+                  start = math.min(st.start, e.tus),
+                  last = math.max(st.last, e.tus))
+              }
             }
-            if (st != null) {
+            if (st != null && st.n > 0L) {
               state.update(st)
               state.setTimeoutTimestamp(st.last / 1000 + gapUs / 1000)
             }

@@ -89,9 +89,14 @@ object WalStream {
   def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
     cellStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent under retries: each micro-batch owns a batch_id
+        // partition and OVERWRITES it, so a replayed batch (crash
+        // between sink write and checkpoint commit) cannot double-apply.
+        // batch_id surfaces on read as the sequence-id analogue of the
+        // reference's per-region WAL ordering.
         batch.dropDuplicates("row", "family", "qualifier", "ts")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
   /** Session windows per key (30-min-gap style), streaming form.

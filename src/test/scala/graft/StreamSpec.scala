@@ -93,11 +93,21 @@ class StreamSpec extends SparkSpec {
       // batch 3: advance watermark far enough to time out session 2
       mem.addData((4L, (base + 300 * min) * us, 2L))
       q.processAllAvailable()
-      val out = spark.table("sess_test")
+      var out = spark.table("sess_test")
         .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)]
         .collect().toSet
       assert(out.contains((1L, 1L, 2L)), s"first session (2 events) closed: $out")
       assert(out.contains((1L, 2L, 1L)), s"second session timed out: $out")
+      // batch 4: user 1 reappears AFTER a timeout closed session 2 —
+      // the session counter must continue at 3, not reset to 1
+      mem.addData((5L, (base + 600 * min) * us, 1L), (6L, (base + 900 * min) * us, 2L))
+      q.processAllAvailable()
+      mem.addData((7L, (base + 2000 * min) * us, 3L))
+      q.processAllAvailable()
+      out = spark.table("sess_test")
+        .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(out.contains((1L, 3L, 1L)), s"post-timeout session continues idx: $out")
     } finally q.stop()
   }
 
