@@ -34,9 +34,13 @@ object Multimodal {
   /** STUB decoder — deterministic fake of an image/audio decode.
     * A real implementation would parse `blob` with a codec; the
     * batch-shape (whole-partition iterator, zero-copy per row) is what
-    * a vectorized decode needs. */
+    * a vectorized decode needs. Returns (payload bytes, first symbol
+    * code point) — code point, not raw byte, so the value is
+    * charset-stable for non-ASCII payload-as-text stand-ins. */
   def decodeStub(blob: Array[Byte]): (Long, Int) =
-    (blob.length.toLong, if (blob.isEmpty) 0 else blob(0) & 0xff)
+    (blob.length.toLong,
+      if (blob.isEmpty) 0
+      else new String(blob, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0))
 
   /** Feature extraction over media rows — mapPartitions so a real
     * decoder amortizes per-partition init (model load, codec context),

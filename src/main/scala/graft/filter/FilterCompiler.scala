@@ -28,18 +28,21 @@ object FilterCompiler {
     case PrefixFilter(p)        => Some(col("row").startsWith(p))
     case InclusiveStopFilter(s) => Some(col("row") <= s)
     case MultiRowRangeFilter(ranges) =>
+      // empty range list matches nothing (no range can contain a row)
       Some(ranges.map { r =>
         val lo = if (r.loInclusive) col("row") >= r.lo else col("row") > r.lo
         val hi = if (r.hiInclusive) col("row") <= r.hi else col("row") < r.hi
         lo && hi
-      }.reduce(_ || _))
+      }.reduceOption(_ || _).getOrElse(lit(false)))
     case FuzzyRowFilter(fixed) =>
+      // no fixed positions constrains nothing — every row fuzzy-matches
       Some(fixed.map { case (pos, lit0) =>
         substring(col("row"), pos + 1, lit0.length) === lit0
-      }.reduce(_ && _))
+      }.reduceOption(_ && _).getOrElse(lit(true)))
     case ColumnPrefixFilter(p) => Some(col("qualifier").startsWith(p))
     case MultipleColumnPrefixFilter(ps) =>
-      Some(ps.map(p => col("qualifier").startsWith(p)).reduce(_ || _))
+      Some(ps.map(p => col("qualifier").startsWith(p))
+        .reduceOption(_ || _).getOrElse(lit(false)))
     case ColumnRangeFilter(min, minInc, max, maxInc) =>
       val lo = if (minInc) col("qualifier") >= min else col("qualifier") > min
       val hi = if (maxInc) col("qualifier") <= max else col("qualifier") < max
@@ -51,9 +54,11 @@ object FilterCompiler {
       val children = fs.map(cellPredicate)
       if (children.forall(_.isDefined)) {
         val preds = children.flatten
+        // empty FilterList passes everything (FilterList.java: INCLUDE
+        // when no filters are present), for both operators
         Some(op match {
-          case FilterList.MustPassAll => preds.reduce(_ && _)
-          case FilterList.MustPassOne => preds.reduce(_ || _)
+          case FilterList.MustPassAll => preds.reduceOption(_ && _).getOrElse(lit(true))
+          case FilterList.MustPassOne => preds.reduceOption(_ || _).getOrElse(lit(true))
         })
       } else None
     case _ => None

@@ -93,7 +93,7 @@ object AggQueries {
       Some(Cte.withCtes(Cte.cellsOrders, Cte.cellsOrdersMut)(
         """SELECT CASE WHEN s.row IS NULL THEN 'dst_only'
           |            WHEN d.row IS NULL THEN 'src_only'
-          |            WHEN s.value = d.value THEN 'matched'
+          |            WHEN s.value IS NOT DISTINCT FROM d.value THEN 'matched'
           |            ELSE 'mismatch' END AS class, COUNT(*) AS n
           |FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
           |  ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
@@ -116,8 +116,8 @@ object AggQueries {
           |    SELECT COALESCE(s.row, d.row) AS row,
           |           SUM(CASE WHEN s.row IS NULL THEN 1 ELSE 0 END) AS dstonly,
           |           SUM(CASE WHEN d.row IS NULL THEN 1 ELSE 0 END) AS srconly,
-          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value <> d.value THEN 1 ELSE 0 END) AS bad,
-          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value = d.value THEN 1 ELSE 0 END) AS ok
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS DISTINCT FROM d.value THEN 1 ELSE 0 END) AS bad,
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS NOT DISTINCT FROM d.value THEN 1 ELSE 0 END) AS ok
           |    FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
           |      ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
           |    GROUP BY 1

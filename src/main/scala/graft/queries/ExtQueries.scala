@@ -238,8 +238,11 @@ object ExtQueries {
             Multimodal.ingest(graft.model.Tables.load(s, s"$dir/documents.parquet")))
           .toDF()
           .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS blob_len,
-             |       CAST(CEIL(length(text) / 256.0) AS BIGINT) AS n_frames,
+      // blob_len counts BYTES of the UTF-8 payload (octet_length of the
+      // encoded blob), first_byte is the first character's code point —
+      // both agree with the Spark stub for non-ASCII text too
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+             |       CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
              |       CAST(16 + doc_id % 64 AS INT) AS width,
              |       CAST(16 + doc_id % 48 AS INT) AS height,
              |       ascii(substr(text, 1, 1)) AS first_byte

@@ -51,32 +51,50 @@ object GTable {
       s.stopRow.map(v => if (s.stopInclusive) col("row") <= v else col("row") < v),
       s.rowPrefix.map(p => col("row").startsWith(p))
     ).flatten
-    val projPreds: Seq[Column] = Seq(
-      if (s.families.nonEmpty) Some(col("family").isin(s.families: _*)) else None,
-      if (s.columns.nonEmpty)
-        Some(s.columns.map { case (f, q) =>
-          col("family") === f && col("qualifier") === q
-        }.reduce(_ || _))
-      else None
-    ).flatten
+    // Projection UNIONS family and column selections (addFamily +
+    // addColumn build one family→qualifiers map, Scan.java:269,282):
+    // a selected family contributes ALL its qualifiers.
+    val projParts: Seq[Column] =
+      (if (s.families.nonEmpty) Seq(col("family").isin(s.families: _*)) else Nil) ++
+        s.columns.map { case (f, q) => col("family") === f && col("qualifier") === q }
+    val projPreds: Seq[Column] =
+      if (projParts.isEmpty) Nil else Seq(projParts.reduce(_ || _))
 
     // Row-range + projection predicates apply to raw cells (they prune
-    // the scan); resolve (tombstones/versions/timerange) runs after, as
-    // on the server (UserScanQueryMatcher.java:184,195).
+    // the scan); resolve runs after, as on the server
+    // (UserScanQueryMatcher.java:184,195). `raw` (Scan.setRaw) skips
+    // tombstone masking AND the version gate — the storage-level view —
+    // but the time range still prunes (TimeRange applies in the
+    // StoreScanner below raw-ness). The filter runs BEFORE the version
+    // gate (filterCell precedes version counting in the matcher), so a
+    // rejected newest version does not consume a version slot.
     val pruned = (rangePreds ++ projPreds).foldLeft(cells)((df, p) => df.filter(p))
     val resolved =
-      if (s.raw) pruned
-      else Resolve.latest(pruned, s.maxVersions, s.timeRange)
-    val filtered = s.filter.fold(resolved)(resolved.filter)
-    val ordered  = filtered.orderBy(cellOrder(s.reversed): _*)
-    s.limit.fold(ordered)(ordered.limit)
+      if (s.raw) {
+        val ranged = s.timeRange.fold(pruned)(tr =>
+          pruned.filter(col("ts") >= tr.min && col("ts") < tr.max))
+        s.filter.fold(ranged)(ranged.filter)
+      } else
+        Resolve.latest(pruned, s.maxVersions, s.timeRange, cellFilter = s.filter)
+    val ordered = resolved.orderBy(cellOrder(s.reversed): _*)
+    // limit counts table ROWS (Scan.setLimit, Scan.java:958), not cells
+    s.limit.fold(ordered) { n =>
+      val keep = ordered.select("row").distinct()
+        .orderBy(if (s.reversed) col("row").desc else col("row").asc).limit(n)
+      ordered.join(broadcast(keep), Seq("row"), "left_semi")
+        .orderBy(cellOrder(s.reversed): _*)
+    }
   }
+
+  /** Single-row spec: shared by the plain and observed get paths. */
+  def pointSpec(rowKey: String, s: GScan = GScan()): GScan =
+    s.copy(startRow = Some(rowKey), stopRow = Some(rowKey),
+      startInclusive = true, stopInclusive = true)
 
   /** Point Get = single-row scan (the server does the same:
     * HRegion.get → Scan(Get), HRegion.java:8179, Scan.java:229). */
   def get(cells: DataFrame, rowKey: String, s: GScan = GScan()): DataFrame =
-    scan(cells, s.copy(startRow = Some(rowKey), stopRow = Some(rowKey),
-                       startInclusive = true, stopInclusive = true))
+    scan(cells, pointSpec(rowKey, s))
 
   /** Multi-get: semi-join against the key list (broadcast on the small
     * key side — Table.get(List[Get]), Table.java:176). */

@@ -48,8 +48,7 @@ object ObservedTable {
 
   def get(cells: DataFrame, rowKey: String, observers: Seq[ReadObserver],
       s: GScan = GScan()): DataFrame =
-    scan(cells, s.copy(startRow = Some(rowKey), stopRow = Some(rowKey),
-      startInclusive = true, stopInclusive = true), observers)
+    scan(cells, GTable.pointSpec(rowKey, s), observers)
 
   def applyMutations(cells: DataFrame, muts: DataFrame,
       observers: Seq[WriteObserver]): DataFrame = {

@@ -42,12 +42,17 @@ object Resolve {
       cells: DataFrame,
       maxVersions: Int = 1,
       timeRange: Option[TimeRange] = None,
-      ttlCutoff: Option[Long] = None
+      ttlCutoff: Option[Long] = None,
+      cellFilter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     val masked = maskTombstones(cells)
     val ranged = Seq(
       timeRange.map(tr => col("ts") >= tr.min && col("ts") < tr.max),
-      ttlCutoff.map(cut => col("ts") >= cut)
+      ttlCutoff.map(cut => col("ts") >= cut),
+      // filterCell runs BEFORE version counting in the matcher
+      // (UserScanQueryMatcher.java:195) — rejected cells must not
+      // consume version slots
+      cellFilter
     ).flatten.foldLeft(masked)((df, p) => df.filter(p))
     val w = Window
       .partitionBy(col("row"), col("family"), col("qualifier"))
