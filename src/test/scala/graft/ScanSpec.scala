@@ -50,4 +50,49 @@ class ScanSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("families + columns projection UNIONS selections (addFamily grants all quals)") {
+    import graft.model.{CellType, CellSchema}
+    import org.apache.spark.sql.Row
+    val mixed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("r1", "a", "q1", 1L, CellType.Put, "v1"),
+        Row("r1", "a", "q2", 1L, CellType.Put, "v2"),
+        Row("r1", "b", "q1", 1L, CellType.Put, "v3"),
+        Row("r1", "b", "q2", 1L, CellType.Put, "v4"),
+        Row("r1", "c", "q1", 1L, CellType.Put, "v5"))), CellSchema.schema)
+    val out = GTable.scan(mixed,
+      GScan(raw = true, families = Seq("a"), columns = Seq("b" -> "q1")))
+      .select("family", "qualifier").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a", "q1"), ("a", "q2"), ("b", "q1")))
+  }
+
+  test("limit counts table rows, not cells") {
+    val out = GTable.scan(co, GScan(raw = true, limit = Some(3)))
+    assert(out.select("row").distinct().count() === 3)
+    assert(out.count() === 15) // 3 rows x 5 cells each, no mid-row cut
+  }
+
+  test("raw scan honors the time range but skips masking and versions") {
+    val ev = Fixtures.cellsEventsV(spark, sf0001)
+    val out = GTable.scan(ev, GScan(raw = true,
+      timeRange = Some(graft.read.Resolve.TimeRange(2L, 4L))))
+    assert(out.filter(col("ts") < 2 || col("ts") >= 4).count() === 0)
+    // tombstone markers inside the window are visible in raw mode
+    assert(out.filter(col("type") =!= graft.model.CellType.Put).count() > 0)
+  }
+
+  test("scan filter runs before the version gate") {
+    val ev = Fixtures.cellsEventsV(spark, sf0001)
+    // keep only ts <= 3 cells via filter with maxVersions = 1: the
+    // surviving newest version per column must be the newest AMONG
+    // ts <= 3 — a post-gate filter would return nothing for columns
+    // whose ts=4/5 newest got the only slot
+    val out = GTable.scan(ev, GScan(filter = Some(col("ts") <= 3), maxVersions = 1))
+    val perCol = out.groupBy("row", "family", "qualifier")
+      .agg(max("ts").as("m"), count(lit(1)).as("n"))
+    assert(perCol.filter(col("n") > 1).count() === 0)
+    assert(out.filter(col("ts") > 3).count() === 0)
+    assert(out.count() > 0)
+  }
 }
