@@ -117,6 +117,10 @@ object FilterCompiler {
       // keep the prefix of the stream before the first rejected row
       // (WhileMatchFilter.java:39): scalar min(row) over rejects, then
       // row < firstReject. One tiny agg (broadcast) + one filter.
+      // Declared capability boundary (SURVEY §7 watch list): the
+      // rewrite is ROW-granular on ASCENDING row order — the
+      // reference's cell-granular mid-row stop (and reversed-scan
+      // prefixes) are not reproduced.
       val firstReject = cells.filter(!(p <=> lit(true)))
         .agg(min("row").as("__stop"))
       cells.join(broadcast(firstReject))

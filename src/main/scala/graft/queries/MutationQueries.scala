@@ -15,6 +15,10 @@ object MutationQueries {
 
   val defs: Seq[QDef] = Seq(
     QDef(
+      // Known boundary: SUM over doubles is FP-order-dependent on both
+      // engines; ROUND(.,4) absorbs partition-order noise and has held
+      // at every tested SF/parallelism, but a sum landing exactly on a
+      // .00005 boundary could flip the last digit between engines.
       "q31_increment_fold",
       (s, dir) =>
         Mutations.incrementFold(Fixtures.events(s, dir),
