@@ -125,6 +125,12 @@ case class OrderedDecodeNumeric(child: Expression, desc: Boolean)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ordered_decode_numeric"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ordered_decode_numeric: needs binary input, got $t")
+  }
+
   override protected def nullSafeEval(v: Any): Any =
     OBytes.decodeNumericDouble(v.asInstanceOf[Array[Byte]], desc)
 

@@ -72,7 +72,11 @@ object Dedup {
     val bandSig = array((0 until bands).map { b =>
       concat_ws("-", (b * r until (b + 1) * r).map(i => col("sigs")(i).cast("string")): _*)
     }: _*)
+    // docs with no shingles have no signature: without this guard all
+    // short docs share the "" band signature and self-join O(m^2) (the
+    // oracle's sh CTE likewise has no rows for them)
     val bandRows = shingleArrays(docs)
+      .filter(size(col("shs")) > 0)
       .select(col("doc_id"), col("shs"), sigs.as("sigs"))
       .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
     val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
@@ -143,6 +147,7 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // (guard below throws if maxIter rounds did not converge)
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
@@ -157,6 +162,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupGroups: not converged after $maxIter rounds (component " +
+          "diameter exceeds maxIter) — raise maxIter; returning partial " +
+          "labels would silently split groups")
+    // returned frame reads the final persisted labels; callers that are
+    // done with it may unpersist via .unpersist() on this result's cache
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

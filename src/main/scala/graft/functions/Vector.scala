@@ -56,15 +56,24 @@ case class DotFold(left: Expression, right: Expression)
     case _           => sys.error(s"unsupported element type $t")
   }
 
+  // zip_with/aggregate (and the oracle's list_reduce) return NULL on a
+  // null element or a length mismatch — so must the fused form
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x  = a.asInstanceOf[ArrayData]
     val y  = b.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n  = math.min(x.numElements(), y.numElements())
+    val n  = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i   = 0
-    while (i < n) { acc += getD(x, i, lt) * getD(y, i, rt); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += getD(x, i, lt) * getD(y, i, rt)
+      i += 1
+    }
     acc
   }
 
@@ -84,10 +93,15 @@ case class DotFold(left: Expression, right: Expression)
       val n   = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -61,9 +61,15 @@ object Cellify {
       )
   }
 
-  /** Zero-padded ASCII row key: string order == reference byte order. */
-  def padKey(c: Column, len: Int = 10): Column =
-    lpad(c.cast(StringType), len, "0")
+  /** Zero-padded ASCII row key: string order == reference byte order.
+    * Keys longer than `len` raise instead of silently TRUNCATING (lpad
+    * truncates!) — a truncated key would collide and corrupt ordering. */
+  def padKey(c: Column, len: Int = 10): Column = {
+    val s = c.cast(StringType)
+    when(length(s) > len,
+      raise_error(concat(lit(s"padKey: key longer than $len chars: "), s)))
+      .otherwise(lpad(s, len, "0"))
+  }
 }
 
 /** Parquet table loading with scan-parallelism repair.

@@ -22,9 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    records, not just per-row flags).
   *  - [[sessionizeStream]] — streaming: `flatMapGroupsWithState` with
   *    event-time timeout; sessions close when the watermark passes
-  *    last-event + gap, so output is identical to batch on any prefix
-  *    the watermark has sealed (StreamSpec drives this across
-  *    micro-batches).
+  *    last-event + gap. Output equals the batch twin whenever each
+  *    key's events arrive in event-time order across micro-batches
+  *    (StreamSpec drives this). Late-but-unsealed stragglers MERGE
+  *    into the key's open session with monotone bounds (a widening) —
+  *    they never split or reorder it; a batch run over the same data
+  *    may instead report them as separate sessions. This is the
+  *    documented late-data policy, not an equivalence bug.
   */
 object Sessionize {
 

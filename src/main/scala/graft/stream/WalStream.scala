@@ -69,15 +69,24 @@ object WalStream {
     // checkpoint fsyncs are a fifth of its wall-clock on disk
     val ckBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
       else sys.props("java.io.tmpdir")
+    val ckDir = s"$ckBase/graft-ck/$queryName-${java.util.UUID.randomUUID().toString.take(8)}"
     val q = agg.writeStream
       .format("memory")
       .queryName(queryName)
-      .option("checkpointLocation",
-        s"$ckBase/graft-ck/$queryName-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", ckDir)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // bounded run is over — reclaim the tmpfs-backed offset/commit log
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(ckDir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
     spark.table(queryName)
   }
 
@@ -95,7 +104,9 @@ object WalStream {
         // between sink write and checkpoint commit) cannot double-apply.
         // batch_id surfaces on read as the sequence-id analogue of the
         // reference's per-region WAL ordering.
-        batch.dropDuplicates("row", "family", "qualifier", "ts")
+        // type is part of the identity: a Put and a tombstone may share
+        // (row,family,qualifier,ts) — both must replicate
+        batch.dropDuplicates("row", "family", "qualifier", "ts", "type")
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
