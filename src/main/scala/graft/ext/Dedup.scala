@@ -72,13 +72,16 @@ object Dedup {
     val bandSig = array((0 until bands).map { b =>
       concat_ws("-", (b * r until (b + 1) * r).map(i => col("sigs")(i).cast("string")): _*)
     }: _*)
-    // docs with no shingles have no signature: without this guard all
-    // short docs share the "" band signature and self-join O(m^2) (the
-    // oracle's sh CTE likewise has no rows for them)
+    // Shingle-less docs must not band-join: their min-hashes are all
+    // null, so concat_ws yields the EMPTY band signature — filtering
+    // sig != "" AFTER the signature materializes removes them (the
+    // oracle's sh CTE likewise has no rows for them) without a filter
+    // BELOW the projection, which would break subexpression reuse and
+    // recompute the whole shingle pipeline per reference (~6x).
     val bandRows = shingleArrays(docs)
-      .filter(size(col("shs")) > 0)
       .select(col("doc_id"), col("shs"), sigs.as("sigs"))
       .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
+      .filter(col("sig") =!= "")
     val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val b = bandRows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
     val (m, jac) = arrayJaccard(col("shi"), col("shj"))
