@@ -129,4 +129,35 @@ class StreamSpec extends SparkSpec {
     val direct = graft.read.Resolve.latest(wal.filter(col("ts") <= 4L))
     assert(pitr.exceptAll(direct).isEmpty && direct.exceptAll(pitr).isEmpty)
   }
+
+  test("late-but-unsealed events widen the open session (documented policy)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.stream.Sessionize
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val us = 1000L; val min = 60L * 1000 * 1000; val base = 600 * min
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = Sessionize.sessionizeStream(df).writeStream.format("memory")
+      .queryName("late_test").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // open a session at base+40min (watermark stays at base+10min)
+      mem.addData((1L, (base + 40 * min) * us, 9L))
+      q.processAllAvailable()
+      // a late event at base+12min (>= watermark, 28min gap below the
+      // open session) merges: one widened session, n=2
+      mem.addData((2L, (base + 12 * min) * us, 9L))
+      q.processAllAvailable()
+      // advance watermark far enough to close it
+      mem.addData((3L, (base + 500 * min) * us, 8L))
+      q.processAllAvailable()
+      val out = spark.table("late_test")
+        .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().filter(_._1 == 9L)
+      assert(out.toSeq === Seq((9L, 1L, 2L, base + 12 * min, base + 40 * min)),
+        s"widened single session expected: ${out.toSeq}")
+    } finally q.stop()
+  }
 }
