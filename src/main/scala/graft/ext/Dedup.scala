@@ -147,6 +147,13 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence probe: labels only ever DECREASE toward the per-
+    // component min, so sum(label) is strictly decreasing until the
+    // fixpoint — one aggregate per round instead of a labels⋈labels
+    // diff join.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -158,8 +165,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = if (nextSum < prevSum) 1L else 0L
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
