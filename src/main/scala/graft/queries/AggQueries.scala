@@ -82,7 +82,7 @@ object AggQueries {
           .orderBy("family", "qualifier"),
       Some(Cte.withCtes(Cte.cellsEventsV)(
         """SELECT family, qualifier, COUNT(*) AS cells, COUNT(DISTINCT ts) AS versions,
-          |       COALESCE(SUM(length(value)), 0) AS value_bytes
+          |       CAST(COALESCE(SUM(length(value)), 0) AS BIGINT) AS value_bytes
           |FROM cells_events_v GROUP BY family, qualifier ORDER BY family, qualifier""".stripMargin))
     ),
     QDef(

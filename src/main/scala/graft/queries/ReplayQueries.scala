@@ -70,8 +70,8 @@ object ReplayQueries {
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
              |), g AS (
              |  SELECT user_id, tus,
-             |         SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
-             |                       ROWS UNBOUNDED PRECEDING) AS session_idx
+             |         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
              |  FROM f
              |)
              |SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -54,7 +54,9 @@ object StreamQueries {
           .agg(sum(col("new_session")).as("n_sessions"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, SUM(ns) AS n_sessions FROM (
+      // CAST: DuckDB's integer SUM yields HUGEINT (decimal128) — the
+      // driver's value hash then sees Decimal vs Spark's int64.
+      Some("""SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
              |  SELECT user_id,
              |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
