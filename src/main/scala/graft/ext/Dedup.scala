@@ -113,15 +113,44 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: fingerprints within `maxHamming`. The
-    * pair-compare here is brute for the declared query; at scale the
-    * standard rotation/banding trick applies the same bucket-join
-    * pattern as LSH. */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fps = simHashFingerprints(docs)
-    val a = fps.select(col("doc_id").as("i"), col("simhash").as("fi"))
-    val b = fps.select(col("doc_id").as("j"), col("simhash").as("fj"))
-    a.join(b, col("i") < col("j"))
+  /** SimHash near-dup pairs: fingerprints within `maxHamming`, found by
+    * pigeonhole banding — the same candidates-only bucket-join shape as
+    * MinHash LSH, never the n² pair space.
+    *
+    * Pigeonhole: split the `bits`-bit fingerprint into `maxHamming + 1`
+    * contiguous segments; any pair within hamming `maxHamming` differs
+    * in at most `maxHamming` segments, so it agrees EXACTLY on at least
+    * one. An equi-join on (segment index, segment value) therefore
+    * yields a candidate superset, and the exact `bit_count` verify runs
+    * on candidates only. One shuffle, SortMergeJoin/ShuffledHashJoin on
+    * the segment key — no nested-loop.
+    *
+    * Scale note: segment entropy is `bits / (maxHamming+1)` bits — with
+    * 32-bit fingerprints and hamming 6 that is ~4.6 bits (≤32 distinct
+    * bucket values per segment), so candidate counts shrink only ~B×
+    * versus brute. For 100 TB corpora use `bits = 64` (wider segments,
+    * 2^9 buckets) or a smaller hamming radius, exactly the Manku et al.
+    * WWW'07 parameterization; the declared e03 query keeps 32 bits for
+    * oracle parity. */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 6,
+      bits: Int = 32): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(bits <= 63 && nSeg <= bits, s"need 1..63 bits and <= $bits segments")
+    val fps = simHashFingerprints(docs, bits)
+    // Segment s covers bit range [bounds(s), bounds(s+1)) — widths differ
+    // by at most one bit when nSeg does not divide bits.
+    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    val segs = array((0 until nSeg).map { s =>
+      val lo = bounds(s); val w = bounds(s + 1) - bounds(s)
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    val segRows = fps.select(col("doc_id"), col("simhash"),
+      posexplode(segs).as(Seq("seg", "sv")))
+    val a = segRows.select(col("seg"), col("sv"), col("doc_id").as("i"), col("simhash").as("fi"))
+    val b = segRows.select(col("seg"), col("sv"), col("doc_id").as("j"), col("simhash").as("fj"))
+    a.join(b, Seq("seg", "sv"))
+      .filter(col("i") < col("j"))
+      .dropDuplicates("i", "j")
       .withColumn("hamming", bit_count(col("fi").bitwiseXOR(col("fj"))))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
@@ -151,8 +180,11 @@ object Dedup {
     // component min, so sum(label) is strictly decreasing until the
     // fixpoint — one aggregate per round instead of a labels⋈labels
     // diff join.
+    // coalesce: sum over an EMPTY label set is NULL — zero near-dup
+    // pairs (clean corpus / high threshold) must yield an empty result,
+    // not an NPE.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var changed = 1L
     var iter = 0
@@ -161,10 +193,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val step = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Truncate lineage every few rounds: without it the plan tree
+      // doubles per iteration and driver-side planning dominates long
+      // convergence runs at scale. localCheckpoint materializes the
+      // current labels and drops the upstream lineage.
+      val next =
+        if (iter % 3 == 2) step.localCheckpoint()
+        else step.persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       changed = if (nextSum < prevSum) 1L else 0L
       prevSum = nextSum

@@ -49,6 +49,28 @@ class ExtSpec extends SparkSpec {
     assert(fps2(1L) === fps2(100001L))
   }
 
+  test("simhash banding equals brute pairs and plans no nested-loop join") {
+    val banded = Dedup.simHashNearDups(docs, maxHamming = 6)
+    // brute twin, computed inline (the pre-banding all-pairs form)
+    val fps = Dedup.simHashFingerprints(docs)
+    val a = fps.select(col("doc_id").as("i"), col("simhash").as("fi"))
+    val b = fps.select(col("doc_id").as("j"), col("simhash").as("fj"))
+    val brute = a.join(b, col("i") < col("j"))
+      .withColumn("hamming", bit_count(col("fi").bitwiseXOR(col("fj"))))
+      .filter(col("hamming") <= 6)
+      .select("i", "j", "hamming")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded simhash must equi-join on segments, got:\n$plan")
+  }
+
+  test("nearDupGroups returns empty on zero pairs (no NPE)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.nearDupGroups(none).count() === 0L)
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
       .select("query_id", "neighbor_id").collect()
