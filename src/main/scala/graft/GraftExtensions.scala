@@ -37,7 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", classOf[MinHashSigs]),
-      (children: Seq[Expression]) => MinHashSigs(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        // mirror the programmatic API's k∈1..64 contract here: the SQL
+        // path must fail at plan time, not with an executor-side
+        // ArrayIndexOutOfBounds (MinHashKernel has exactly 64 salts)
+        require(children.length == 2, "minhash_sigs expects (array<string>, k)")
+        require(children(1).foldable, "minhash_sigs: k must be a literal integer")
+        val k = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs: k must be an integer literal, got $other")
+        }
+        require(k >= 1 && k <= 64, s"minhash_sigs: k must be in 1..64, got $k")
+        MinHashSigs(children.head, k)
+      }))
   }
 }

@@ -17,7 +17,14 @@ import graft.write.BucketedStore
   */
 object GAdmin {
 
-  private def qualified(name: String) = s"graft_$name"
+  /** Table names are interpolated into SQL — restrict to identifier
+    * characters (the reference enforces its own name charset,
+    * TableName.isLegalTableQualifierName). */
+  private def qualified(name: String) = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"illegal table name '$name': only [A-Za-z0-9_] allowed")
+    s"graft_$name"
+  }
 
   /** Create an empty cell table (bucketed region layout). Families are
     * schema metadata in graft (the cell schema is universal); they are
@@ -56,12 +63,18 @@ object GAdmin {
   }
 
   /** Append a mutation batch (Put/Delete cells) to the table store —
-    * merge-on-read semantics, reconciliation at scan time (Resolve). */
-  def put(spark: SparkSession, name: String, cells: DataFrame): Unit =
+    * merge-on-read semantics, reconciliation at scan time (Resolve).
+    * Rejected on a disabled table, like the reference's
+    * TableNotEnabledException on mutate. */
+  def put(spark: SparkSession, name: String, cells: DataFrame): Unit = {
+    require(isEnabled(spark, name), s"table $name is disabled")
     cells.select(CellSchema.columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).insertInto(qualified(name))
+  }
 
-  /** Point-in-time snapshot: immutable copy of the current store. */
+  /** Point-in-time snapshot: immutable copy of the current store.
+    * Deliberately allowed on DISABLED tables too — the reference
+    * supports offline snapshots (SnapshotType of a disabled table). */
   def snapshot(spark: SparkSession, name: String, snapName: String,
       path: String): Unit =
     spark.table(qualified(name)).write.mode(SaveMode.ErrorIfExists)

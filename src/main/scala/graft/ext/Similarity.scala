@@ -138,16 +138,33 @@ object Similarity {
     * nprobe/nlist of the data, and the only join is corpus⋈broadcast
     * (query, probed-cluster) pairs. Recall gate in ExtSpec. */
   /** Trained-index cache: the IVF index (like the cell store layout) is
-    * built once per (session, corpus plan, params) — a query must not
-    * pay the train cost. Keyed on the corpus' semantic plan hash. */
+    * built once per (session, corpus plan, corpus files, params) — a
+    * query must not pay the train cost. The key includes the input-file
+    * listing so a rewritten corpus under the same path retrains instead
+    * of silently serving stale centroids; the cache is bounded (cleared
+    * past [[CentroidCacheMax]] distinct corpora) and invalidatable. */
+  private[ext] val CentroidCacheMax = 64
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int), Array[Array[Double]]]
+
+  /** Drop all cached IVF indexes (e.g. after overwriting a corpus). */
+  def invalidateIvfCache(): Unit = centroidCache.clear()
+
+  /** Data fingerprint: hash of the file listing backing the plan (part
+    * files carry unique names, so a rewrite changes the listing); plans
+    * with no files (in-memory test data) fall back to plan identity. */
+  private def corpusFingerprint(emb: DataFrame): Int = {
+    val files = emb.inputFiles
+    if (files.isEmpty) 0 else java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
+  }
 
   def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    if (centroidCache.size >= CentroidCacheMax) centroidCache.clear()
     val cents = centroidCache.getOrElseUpdate(
       (System.identityHashCode(emb.sparkSession),
-        emb.queryExecution.logical.semanticHash(), nlist, iters),
+        emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
+        nlist, iters),
       trainCentroids(emb, nlist, iters))
     val indexed = withNorm(emb)
       .withColumn("cluster", assignCluster(col("embedding"), cents))

@@ -149,25 +149,32 @@ object FilterCompiler {
       throw new IllegalArgumentException(s"unsupported filter $other")
   }
 
-  /** Row-level semantics of SCVF (SingleColumnValueFilter.java:65-74). */
+  /** Row-level semantics of SCVF (SingleColumnValueFilter.java:65-74).
+    *
+    * ONE partial+final aggregate over the tested column decides every
+    * row's verdict — no window, no distinct/anti-join cascade. For
+    * `latestVersionOnly` the tested value is the newest version's
+    * (max by ts; ties break on value, deterministically); otherwise any
+    * version matching passes. A null predicate result (unparseable
+    * value under a numeric comparator) is a no-match, so the verdict is
+    * compared null-safely.
+    */
   private def scvf(cells: DataFrame, fam: String, q: String, op: CompareOp,
       c: GComparator, filterIfMissing: Boolean, latestVersionOnly: Boolean): DataFrame = {
-    val colCells0 = cells.filter(col("family") === fam && col("qualifier") === q)
-    val colCells =
-      if (latestVersionOnly) {
-        val w = Window.partitionBy(col("row")).orderBy(col("ts").desc)
-        colCells0.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      } else colCells0
-    val matching = colCells.filter(c.test(col("value"), op)).select("row").distinct()
-    if (filterIfMissing) {
-      cells.join(matching, Seq("row"), "left_semi")
-    } else {
+    val colCells = cells.filter(col("family") === fam && col("qualifier") === q)
+    val tested =
+      if (latestVersionOnly)
+        c.test(max(struct(col("ts"), col("value"))).getField("value"), op)
+      else
+        max(when(c.test(col("value"), op), 1).otherwise(0)) === 1
+    val verdict = colCells.groupBy("row").agg(tested.as("__m"))
+    if (filterIfMissing)
+      cells.join(verdict.filter(col("__m") <=> lit(true)).select("row"),
+        Seq("row"), "left_semi")
+    else
       // rows lacking the column pass; rows having it must match
-      val having = colCells.select("row").distinct()
-      val failing = having.join(matching, Seq("row"), "left_anti")
-      cells.join(failing, Seq("row"), "left_anti")
-    }
+      cells.join(verdict.filter(!(col("__m") <=> lit(true))).select("row"),
+        Seq("row"), "left_anti")
   }
 
   /** Per-row column rank by (family,qualifier); versions of the same

@@ -42,11 +42,12 @@ object Jobs {
   }
 
   /** D6 HashTable/SyncTable (HashTable.java:64, SyncTable.java:64):
-    * divergence detection. Full-outer join on the cell coordinates,
-    * classify each coordinate. The reference hashes key-space batches
-    * first to avoid moving identical data; Spark's exchange already
-    * co-partitions both sides on the same key, so the comparison is a
-    * single co-partitioned join at scale.
+    * per-cell divergence detail — full-outer join on the cell
+    * coordinates, classify each coordinate. This is the DETAIL tool;
+    * the scale-safe counting entry points ([[syncDiffCounts]],
+    * [[verifyReplication]]) run it only on rows whose content digests
+    * already disagree, mirroring the reference's two-phase design
+    * (hash batches first, sync only unequal ranges).
     */
   def syncDiff(src: DataFrame, dst: DataFrame): DataFrame = {
     val s = src.select(cellKey.map(col) :+ col("value").as("src_value"): _*)
@@ -60,16 +61,63 @@ object Jobs {
           .otherwise(lit("mismatch")))
   }
 
-  /** D6 summary: per-class counts (SyncTable counters). */
-  def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame =
-    syncDiff(src, dst)
+  /** Phase 1 of the two-phase diff: one order-independent content
+    * digest per row (cell count + XOR of per-cell xxhash64; XOR never
+    * overflows under ANSI and cells are coordinate-unique, so nothing
+    * self-cancels) — a single partial+final aggregate that moves
+    * row-count rows, never cells. The digest is the analogue of
+    * HashTable's batch hashes; as there, a collision (different
+    * content, equal digest) is theoretically possible and accepted
+    * (2^-64 per row). */
+  private def rowSummary(df: DataFrame, pfx: String): DataFrame =
+    df.withColumn("__ch", xxhash64(col("family"), col("qualifier"), col("ts"),
+        col("value").isNull, coalesce(col("value"), lit(""))))
+      .groupBy("row").agg(
+        count(lit(1)).as(s"${pfx}n"),
+        expr("bit_xor(__ch)").as(s"${pfx}h"))
+
+  /** Summaries full-outer joined; `__eq` = both sides present with the
+    * same count and digest. */
+  private def summaryJoin(src: DataFrame, dst: DataFrame): DataFrame =
+    rowSummary(src, "s").join(rowSummary(dst, "d"), Seq("row"), "full_outer")
+      .withColumn("__eq",
+        col("sn").isNotNull && col("dn").isNotNull &&
+          col("sn") === col("dn") && col("sh") === col("dh"))
+
+  /** D6 summary: per-class counts (SyncTable counters), hash-first.
+    * Digest-equal rows contribute their cell count as `matched`
+    * without being joined; only digest-unequal rows (a tiny fraction
+    * of a healthy replica pair) reach the per-cell full-outer diff. */
+  def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = summaryJoin(src, dst)
+    val matchedEqual = j.filter(col("__eq"))
+      .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
+      .select(lit("matched").as("class"), col("n"))
+    val diffRows = j.filter(!col("__eq")).select("row")
+    val detail = syncDiff(
+        src.join(diffRows, Seq("row"), "left_semi"),
+        dst.join(diffRows, Seq("row"), "left_semi"))
       .groupBy("class").agg(count(lit(1)).as("n"))
+    detail.unionByName(matchedEqual)
+      .groupBy("class").agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
       .orderBy("class")
+  }
 
   /** D8 VerifyReplication (replication/VerifyReplication.java): per-row
-    * good/bad/only-in-one classification between two tables. */
-  def verifyReplication(src: DataFrame, dst: DataFrame): DataFrame =
-    syncDiff(src, dst)
+    * good/bad/only-in-one classification, hash-first: digest-equal rows
+    * are `good` by construction; the per-cell classification runs only
+    * on the divergent remainder. At scale this moves one digest per
+    * row where the old plan shuffled every cell of both tables. */
+  def verifyReplication(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = summaryJoin(src, dst)
+    val goodEqual = j.filter(col("__eq"))
+      .agg(count(lit(1)).as("rows"))
+      .select(lit("good").as("row_class"), col("rows"))
+    val diffRows = j.filter(!col("__eq")).select("row")
+    val detail = syncDiff(
+        src.join(diffRows, Seq("row"), "left_semi"),
+        dst.join(diffRows, Seq("row"), "left_semi"))
       .groupBy("row")
       .agg(
         sum(when(col("class") === "src_only", 1).otherwise(0)).as("__srconly"),
@@ -83,7 +131,11 @@ object Jobs {
           .when(col("__bad") > 0 || col("__srconly") > 0 || col("__dstonly") > 0, lit("bad"))
           .otherwise(lit("good")))
       .groupBy("row_class").agg(count(lit(1)).as("rows"))
+    detail.unionByName(goodEqual)
+      .groupBy("row_class").agg(sum(col("rows")).as("rows"))
+      .filter(col("rows") > 0)
       .orderBy("row_class")
+  }
 
   /** D3 Export (mapreduce/Export.java:43): dump a scan to files. */
   def export(cells: DataFrame, pred: Option[Column], outPath: String): Unit =

@@ -93,7 +93,10 @@ object Tables {
     // Hash-repartition on the leading (id) column: a plain exchange.
     // Round-robin repartition() would local-sort every row first for
     // retry determinism (SPARK-23207) — pure overhead here.
-    if (df.rdd.getNumPartitions < target / 2)
+    // File count proxies the split count without materializing an RDD
+    // lineage per load (df.rdd would); single-row-group fixture files
+    // are exactly the under-split case this repairs.
+    if (df.inputFiles.length < target / 2)
       df.repartition(target, col(df.columns.head))
     else df
   }

@@ -78,7 +78,8 @@ object Sessionize {
     * open session (bounded, no event buffering) — the at-scale shape:
     * state size is O(active users), not O(events). */
   def sessionizeStream(events: DataFrame, gapUs: Long = GapUs,
-      watermark: String = "30 minutes"): Dataset[Session] = {
+      watermark: String = "30 minutes",
+      markerTtlUs: Long = 7L * 24 * 3600 * 1000 * 1000): Dataset[Session] = {
     import events.sparkSession.implicits._
     val evs = events
       .withColumn("ets", graft.model.Cellify.tsUtc(col("ts")))
@@ -92,13 +93,24 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[EvT], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // close the session but keep a closed-marker (n == 0) so
-            // the per-user session counter survives: the next session
-            // gets idx+1, matching the batch twin. Marker state is
-            // O(users) — the same bound as the open-session state.
             val st = state.get
-            state.update(SessState(st.idx + 1, 0L, 0L, 0L))
-            Iterator.single(Session(uid, st.idx, st.n, st.start, st.last))
+            if (st.n == 0L) {
+              // a closed-session MARKER expired (no activity for
+              // markerTtlUs): drop it so state stays O(ACTIVE users),
+              // not O(users ever seen). A user returning after the TTL
+              // restarts their session counter at 1 — the documented
+              // trade for bounded state on churning key spaces.
+              state.remove()
+              Iterator.empty
+            } else {
+              // close the session but keep a closed-marker (n == 0) so
+              // the per-user session counter survives: the next session
+              // gets idx+1, matching the batch twin. The marker carries
+              // its own expiry (last close + markerTtlUs).
+              state.update(SessState(st.idx + 1, 0L, 0L, st.last))
+              state.setTimeoutTimestamp(st.last / 1000 + markerTtlUs / 1000)
+              Iterator.single(Session(uid, st.idx, st.n, st.start, st.last))
+            }
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var st = state.getOption.orNull
