@@ -140,10 +140,21 @@ object FilterCompiler {
       // AND of mixed cell/row-level: sequential application (intersection)
       fs.foldLeft(cells)((df, g) => apply(df, g))
 
-    case FilterList(FilterList.MustPassOne, _) =>
-      throw new IllegalArgumentException(
-        "MUST_PASS_ONE with row-level children is not supported; " +
-          "compose with cell-level filters or union scans explicitly")
+    case FilterList(FilterList.MustPassOne, fs) =>
+      // OR of mixed cell/row-level children (FilterListWithOR.java:34):
+      // a cell passes if ANY child admits it. Cell-level children fuse
+      // into one predicate branch; each row-level child contributes its
+      // admitted cell set; union + dedup on the full cell identity
+      // (cell sets are coordinate-unique, so dedup only collapses the
+      // same cell admitted by several children). Value-transforming
+      // children (KeyOnly) contribute their transformed cells, the
+      // analogue of the reference's per-child transformCell.
+      val (cellKids, rowKids) = fs.partition(cellPredicate(_).isDefined)
+      val cellPart =
+        if (cellKids.isEmpty) Nil
+        else Seq(cells.filter(cellKids.flatMap(cellPredicate).reduce(_ || _)))
+      val parts = cellPart ++ rowKids.map(rewrite(cells, _))
+      parts.reduce(_ unionByName _).dropDuplicates(cells.columns.toIndexedSeq)
 
     case other =>
       throw new IllegalArgumentException(s"unsupported filter $other")

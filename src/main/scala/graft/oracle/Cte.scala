@@ -66,13 +66,17 @@ object Cte {
 
   /** Tombstone-masked live puts of `src` (Resolve.maskTombstones twin),
     * emitted as CTE `out`. Internal CTE names are prefixed with `out`
-    * so multiple instantiations can coexist in one oracle query. */
-  def liveView(src: String, out: String): String =
+    * so multiple instantiations can coexist in one oracle query.
+    * `tombVisibleBelow` mirrors the KEEP_DELETED_CELLS ceiling: only
+    * tombstones with ts strictly below it mask. */
+  def liveView(src: String, out: String,
+      tombVisibleBelow: Option[Long] = None): String = {
+    val ceil = tombVisibleBelow.fold("")(m => s" AND ts < $m")
     s"""__${out}_puts AS (SELECT * FROM $src WHERE type = 'Put'),
-       |__${out}_dfam AS (SELECT row, family, max(ts) AS mts FROM $src WHERE type = 'DeleteFamily' GROUP BY 1, 2),
-       |__${out}_dcol AS (SELECT row, family, qualifier, max(ts) AS mts FROM $src WHERE type = 'DeleteColumn' GROUP BY 1, 2, 3),
-       |__${out}_dver AS (SELECT DISTINCT row, family, qualifier, ts FROM $src WHERE type = 'Delete'),
-       |__${out}_dfv AS (SELECT DISTINCT row, family, ts FROM $src WHERE type = 'DeleteFamilyVersion'),
+       |__${out}_dfam AS (SELECT row, family, max(ts) AS mts FROM $src WHERE type = 'DeleteFamily'$ceil GROUP BY 1, 2),
+       |__${out}_dcol AS (SELECT row, family, qualifier, max(ts) AS mts FROM $src WHERE type = 'DeleteColumn'$ceil GROUP BY 1, 2, 3),
+       |__${out}_dver AS (SELECT DISTINCT row, family, qualifier, ts FROM $src WHERE type = 'Delete'$ceil),
+       |__${out}_dfv AS (SELECT DISTINCT row, family, ts FROM $src WHERE type = 'DeleteFamilyVersion'$ceil),
        |$out AS (
        |  SELECT p.row, p.family, p.qualifier, p.ts, p.type, p.value FROM __${out}_puts p
        |  LEFT JOIN __${out}_dfam f ON p.row = f.row AND p.family = f.family
@@ -82,6 +86,7 @@ object Cte {
        |    AND NOT EXISTS (SELECT 1 FROM __${out}_dver v WHERE v.row = p.row AND v.family = p.family AND v.qualifier = p.qualifier AND v.ts = p.ts)
        |    AND NOT EXISTS (SELECT 1 FROM __${out}_dfv g WHERE g.row = p.row AND g.family = p.family AND g.ts = p.ts)
        |)""".stripMargin
+  }
 
   /** Back-compat alias used by the scan/filter oracles. */
   val liveEventsV: String = liveView("cells_events_v", "live_events")

@@ -147,6 +147,24 @@ object FilterQueries {
         "WHERE (row LIKE '000001%' OR (row >= '0000000300' AND row < '0000000400')) AND qualifier = 'o_totalprice'"))
     ),
     QDef(
+      // F25 MUST_PASS_ONE over ROW-level children (FilterListWithOR
+      // .java:34, the TestFilterList shape): OR of an SCVF row guard
+      // and a PageFilter — each child admits a cell set, union+dedup.
+      "q41_filter_list_or",
+      (s, dir) => run(evPuts(s, dir), FilterList.or(
+        SingleColumnValueFilter("d", "event_type", CompareOp.Equal,
+          BinaryComparator("click"), filterIfMissing = true),
+        PageFilter(10))),
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        "p AS (SELECT * FROM cells_events_v WHERE type = 'Put')")(
+        """SELECT row, family, qualifier, ts, value FROM p WHERE row IN (
+          |  SELECT row FROM p WHERE family = 'd' AND qualifier = 'event_type'
+          |  GROUP BY row HAVING arg_max(value, ts) = 'click'
+          |  UNION
+          |  SELECT row FROM (SELECT DISTINCT row FROM p ORDER BY row LIMIT 10)
+          |) ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       "q22_parse_filter",
       (s, dir) => run(co(s, dir),
         ParseFilter.parse("PrefixFilter('000001') AND ValueFilter(=, 'substring:low')")),

@@ -58,6 +58,35 @@ object MutationQueries {
           |WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'F'""".stripMargin))
     ),
     QDef(
+      // M5 CheckAndMutate with an ARBITRARY Filter guard (CheckAndMutate
+      // .java ifMatches(Filter), Table.java:380): the guard is a full
+      // FilterList OR of two SCVFs, compiled by FilterCompiler.
+      "q42_cas_filter_guard",
+      (s, dir) => {
+        import graft.filter._
+        val cells = Fixtures.cellsOrders(s, dir)
+        val mutated = Mutations.checkAndMutate(
+          cells,
+          FilterList.or(
+            SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+              BinaryComparator("P"), filterIfMissing = true),
+            SingleColumnValueFilter("d", "o_orderpriority", CompareOp.Equal,
+              BinaryComparator("1-URGENT"), filterIfMissing = true)),
+          hit => hit.withColumn("value",
+            when(col("qualifier") === "o_custkey", lit("CAS"))
+              .otherwise(col("value"))))
+        mutated
+          .filter(col("qualifier") === "o_custkey" && col("value") === "CAS")
+          .agg(count_distinct(col("row")).as("changed_rows"))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT COUNT(DISTINCT row) AS changed_rows FROM cells_orders WHERE row IN (
+          |  SELECT row FROM cells_orders WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'P'
+          |  UNION
+          |  SELECT row FROM cells_orders WHERE family = 'd' AND qualifier = 'o_orderpriority' AND value = '1-URGENT'
+          |)""".stripMargin))
+    ),
+    QDef(
       "q36_chain_verify",
       (s, _) => {
         val c = Fixtures.chain(s)

@@ -85,6 +85,64 @@ object ScanQueries {
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // P5 per-CF time range (Scan.setColumnFamilyTimeRange, Scan.java
+      // :330 / Query.java:236): family 'm' (the props qualifiers,
+      // remapped) reads [2,4) while the scan-global range [1,5) governs
+      // family 'd'. Tombstones mask before the range applies, as on the
+      // server.
+      "q43_cf_timerange",
+      (s, dir) => {
+        val remapped = Fixtures.cellsEventsV(s, dir).withColumn("family",
+          when(col("qualifier") === "props", lit("m")).otherwise(col("family")))
+        ordered(Resolve.latest(remapped, maxVersions = 1,
+          timeRange = Some(Resolve.TimeRange(1L, 5L)),
+          cfTimeRanges = Map("m" -> Resolve.TimeRange(2L, 4L))))
+      },
+      Some(Cte.withCtes(
+        Cte.cellsEventsV,
+        """remap AS (SELECT row, CASE WHEN qualifier = 'props' THEN 'm' ELSE family END AS family,
+          |                 qualifier, ts, type, value FROM cells_events_v)""".stripMargin,
+        Cte.liveView("remap", "live_remap"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_remap
+          |  WHERE CASE WHEN family = 'm' THEN ts >= 2 AND ts < 4 ELSE ts >= 1 AND ts < 5 END
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // §2.4 KEEP_DELETED_CELLS=TRUE time-travel read
+      // (ColumnFamilyDescriptorBuilder.java:147 ff): with the as-of
+      // range [1,3), tombstones at ts >= 3 have not happened yet — the
+      // DeleteColumn(value, ts=3) markers do not mask, so pre-delete
+      // values resurrect exactly as the reference serves them.
+      "q44_keep_deleted",
+      (s, dir) =>
+        ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 1,
+          timeRange = Some(Resolve.TimeRange(1L, 3L)), keepDeleted = true)),
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        Cte.liveView("cells_events_v", "live_kdc", tombVisibleBelow = Some(3L)))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_kdc WHERE ts >= 1 AND ts < 3
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // §2.4 MIN_VERSIONS (ColumnFamilyDescriptorBuilder MIN_VERSIONS):
+      // TTL expires cells below ts 4, but the newest 2 versions per
+      // column are retained regardless — columns whose every version is
+      // expired still answer with their freshest two.
+      "q45_min_versions",
+      (s, dir) =>
+        ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 3,
+          ttlCutoff = Some(4L), minVersions = 2)),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events
+          |) WHERE rn <= 3 AND (ts >= 4 OR rn <= 2)
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // §2.4 TTL (ScanInfo.getTtl) + multi-version gate: cells older
       // than the TTL floor are invisible BEFORE the version gate, and
       // the newest 2 surviving versions are returned per column.

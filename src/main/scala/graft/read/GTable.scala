@@ -25,6 +25,10 @@ final case class GScan(
     columns: Seq[(String, String)] = Nil, // addColumn (Scan.java:282)
     maxVersions: Int = 1,                 // readVersions
     timeRange: Option[TimeRange] = None,  // setTimeRange
+    cfTimeRanges: Map[String, TimeRange] = Map.empty, // setColumnFamilyTimeRange (Scan.java:330)
+    ttlCutoff: Option[Long] = None,       // CF TTL floor (ScanInfo.getTtl)
+    minVersions: Int = 0,                 // CF MIN_VERSIONS (keep n beyond TTL)
+    keepDeleted: Boolean = false,         // CF KEEP_DELETED_CELLS time-travel
     filter: Option[Column] = None,        // compiled graft.filter predicate
     limit: Option[Int] = None             // setLimit (Scan.java:958) — global rows
 ) {
@@ -71,11 +75,14 @@ object GTable {
     val pruned = (rangePreds ++ projPreds).foldLeft(cells)((df, p) => df.filter(p))
     val resolved =
       if (s.raw) {
-        val ranged = s.timeRange.fold(pruned)(tr =>
-          pruned.filter(col("ts") >= tr.min && col("ts") < tr.max))
+        val ranged = Resolve.timeRangePred(s.timeRange, s.cfTimeRanges)
+          .fold(pruned)(pruned.filter)
         s.filter.fold(ranged)(ranged.filter)
       } else
-        Resolve.latest(pruned, s.maxVersions, s.timeRange, cellFilter = s.filter)
+        Resolve.latest(pruned, s.maxVersions, s.timeRange,
+          ttlCutoff = s.ttlCutoff, cellFilter = s.filter,
+          cfTimeRanges = s.cfTimeRanges, minVersions = s.minVersions,
+          keepDeleted = s.keepDeleted)
     val ordered = resolved.orderBy(cellOrder(s.reversed): _*)
     // limit counts table ROWS (Scan.setLimit, Scan.java:958), not cells
     s.limit.fold(ordered) { n =>

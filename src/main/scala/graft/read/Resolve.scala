@@ -31,24 +31,60 @@ object Resolve {
   /** Time range [min, max) on cell ts; reference TimeRange semantics. */
   final case class TimeRange(min: Long, max: Long)
 
+  /** The combined [min,max) time-range predicate: per-CF ranges
+    * (Scan.setColumnFamilyTimeRange, Scan.java:330 / Query.java:236)
+    * OVERRIDE the scan-global range for their family; other families
+    * fall back to the global range (or pass, if none). */
+  def timeRangePred(global: Option[TimeRange],
+      perCf: Map[String, TimeRange]): Option[org.apache.spark.sql.Column] = {
+    if (global.isEmpty && perCf.isEmpty) None
+    else {
+      def in(tr: TimeRange) = col("ts") >= tr.min && col("ts") < tr.max
+      Some(perCf.foldLeft(global.map(in).getOrElse(lit(true))) {
+        case (acc, (f, tr)) => when(col("family") === f, in(tr)).otherwise(acc)
+      })
+    }
+  }
+
   /** Latest-view resolve. `cells` is a canonical CellSet DataFrame.
     *
-    * @param maxVersions keep newest n versions per (row,family,qualifier)
-    * @param timeRange   optional [min,max) pre-version-gate ts filter
-    * @param ttlCutoff   optional absolute ts floor (now - ttl); cells
-    *                    strictly older are invisible (ScanInfo.getTtl)
+    * @param maxVersions  keep newest n versions per (row,family,qualifier)
+    * @param timeRange    optional [min,max) pre-version-gate ts filter
+    * @param ttlCutoff    optional absolute ts floor (now - ttl); cells
+    *                     strictly older are invisible (ScanInfo.getTtl)
+    * @param cfTimeRanges per-family [min,max) overrides of `timeRange`
+    *                     (Scan.setColumnFamilyTimeRange, Scan.java:330)
+    * @param minVersions  keep the newest n versions per column even when
+    *                     TTL-expired (ColumnFamilyDescriptorBuilder
+    *                     MIN_VERSIONS, default 0 = TTL wins)
+    * @param keepDeleted  KEEP_DELETED_CELLS=TRUE time-travel reads
+    *                     (ColumnFamilyDescriptorBuilder.java:147 ff):
+    *                     with a time range, tombstones at/after the
+    *                     range max have not "happened yet" in the as-of
+    *                     view, so they do not mask. (The mvcc-ordered
+    *                     NEW_VERSION_BEHAVIOR tracker is out of scope —
+    *                     graft has no mvcc dimension; documented
+    *                     boundary.)
     */
   def latest(
       cells: DataFrame,
       maxVersions: Int = 1,
       timeRange: Option[TimeRange] = None,
       ttlCutoff: Option[Long] = None,
-      cellFilter: Option[org.apache.spark.sql.Column] = None
+      cellFilter: Option[org.apache.spark.sql.Column] = None,
+      cfTimeRanges: Map[String, TimeRange] = Map.empty,
+      minVersions: Int = 0,
+      keepDeleted: Boolean = false
   ): DataFrame = {
-    val masked = maskTombstones(cells)
+    val masked =
+      if (keepDeleted && timeRange.isDefined)
+        maskTombstones(cells, tombVisibleBelow = Some(timeRange.get.max))
+      else maskTombstones(cells)
     val ranged = Seq(
-      timeRange.map(tr => col("ts") >= tr.min && col("ts") < tr.max),
-      ttlCutoff.map(cut => col("ts") >= cut),
+      timeRangePred(timeRange, cfTimeRanges),
+      // TTL is a pre-gate filter unless MIN_VERSIONS needs expired
+      // cells to keep ranking (they may still be retained below)
+      if (minVersions == 0) ttlCutoff.map(cut => col("ts") >= cut) else None,
       // filterCell runs BEFORE version counting in the matcher
       // (UserScanQueryMatcher.java:195) — rejected cells must not
       // consume version slots
@@ -57,31 +93,42 @@ object Resolve {
     val w = Window
       .partitionBy(col("row"), col("family"), col("qualifier"))
       .orderBy(col("ts").desc)
-    ranged
+    val gated = ranged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxVersions)
-      .drop("__rn")
+    val retained = (ttlCutoff, minVersions) match {
+      case (Some(cut), mv) if mv > 0 =>
+        gated.filter(col("ts") >= cut || col("__rn") <= mv)
+      case _ => gated
+    }
+    retained.drop("__rn")
   }
 
   /** Apply the 4 tombstone kinds to the Put cells; returns live puts.
     * `raw` scans (Scan.setRaw, Scan.java:848) skip this entirely.
+    *
+    * @param tombVisibleBelow KEEP_DELETED_CELLS time-travel ceiling:
+    *        only tombstones with ts strictly below it mask (a marker
+    *        at/after the as-of point has not happened yet).
     */
-  def maskTombstones(cells: DataFrame): DataFrame = {
+  def maskTombstones(cells: DataFrame,
+      tombVisibleBelow: Option[Long] = None): DataFrame = {
     val puts = cells.filter(col("type") === CellType.Put)
+    val tombSrc = tombVisibleBelow.fold(cells)(m => cells.filter(col("ts") < m))
 
-    val dFam = cells
+    val dFam = tombSrc
       .filter(col("type") === CellType.DeleteFamily)
       .groupBy("row", "family")
       .agg(max("ts").as("__dfam_ts"))
-    val dCol = cells
+    val dCol = tombSrc
       .filter(col("type") === CellType.DeleteColumn)
       .groupBy("row", "family", "qualifier")
       .agg(max("ts").as("__dcol_ts"))
-    val dVer = cells
+    val dVer = tombSrc
       .filter(col("type") === CellType.Delete)
       .select("row", "family", "qualifier", "ts")
       .distinct()
-    val dFamVer = cells
+    val dFamVer = tombSrc
       .filter(col("type") === CellType.DeleteFamilyVersion)
       .select("row", "family", "ts")
       .distinct()

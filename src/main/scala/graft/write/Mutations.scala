@@ -69,6 +69,22 @@ object Mutations {
     mutation(hit).unionByName(miss)
   }
 
+  /** M5 CheckAndMutate with an ARBITRARY Filter guard
+    * (CheckAndMutate.java builder `ifMatches(Filter)`, Table.java:380):
+    * a row passes the check iff the filter admits ANY of its cells —
+    * the batch analogue of the server evaluating the guard filter over
+    * the row before applying the mutation. Reuses the full
+    * [[graft.filter.FilterCompiler]] algebra, so OR-lists, SCVF, and
+    * row-level guards all compose. */
+  def checkAndMutate(cells: DataFrame, guard: graft.filter.GFilter,
+      mutation: DataFrame => DataFrame): DataFrame = {
+    val matching = graft.filter.FilterCompiler(cells, guard)
+      .select("row").distinct()
+    val hit  = cells.join(broadcast(matching), Seq("row"), "left_semi")
+    val miss = cells.join(broadcast(matching), Seq("row"), "left_anti")
+    mutation(hit).unionByName(miss)
+  }
+
   /** M6 RowMutations / latest-view MERGE: collapse the mutation log
     * into the latest visible state per column — upserts win by ts,
     * tombstones delete (MERGE ... WHEN MATCHED semantics over paths

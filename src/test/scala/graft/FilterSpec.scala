@@ -65,6 +65,39 @@ class FilterSpec extends SparkSpec {
     assert(out.agg(max("row")).head().getString(0) < firstP)
   }
 
+  test("MUST_PASS_ONE with row-level children unions admitted cell sets") {
+    val scvf = SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+      BinaryComparator("F"), filterIfMissing = true)
+    val page = PageFilter(5)
+    val orOut = rows(FilterList.or(scvf, page))
+    assert(orOut === rows(scvf) ++ rows(page))
+    // cell counts also match (no dup or loss through the union+dedup)
+    val n = FilterCompiler(co, FilterList.or(scvf, page)).count()
+    val expect = co.filter(col("row").isin(orOut.toSeq: _*)).count()
+    assert(n === expect)
+  }
+
+  test("MUST_PASS_ONE mixing cell-level and row-level children") {
+    val pfx  = PrefixFilter("000000000") // rows 0..9
+    val page = PageFilter(3)             // rows 0..2 — subset of pfx
+    assert(rows(FilterList.or(pfx, page)) === rows(pfx))
+  }
+
+  test("checkAndMutate with an arbitrary Filter guard") {
+    import graft.write.Mutations
+    val guard = FilterList.or(
+      SingleColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+        BinaryComparator("P"), filterIfMissing = true),
+      RowFilter(CompareOp.Equal, RegexStringComparator("^000000000[0-4]$")))
+    val out = Mutations.checkAndMutate(co, guard,
+      hit => hit.withColumn("value", lit("HIT")))
+    val hitRows = out.filter(col("value") === "HIT")
+      .select("row").distinct().collect().map(_.getString(0)).toSet
+    assert(hitRows === rows(guard))
+    // unmatched rows flow through untouched
+    assert(out.count() === co.count())
+  }
+
   test("ParseFilter grammar: precedence and nesting") {
     val f = ParseFilter.parse(
       "PrefixFilter('a') AND ValueFilter(=, 'substring:x') OR SKIP QualifierFilter(!=, 'binary:q')")
