@@ -66,8 +66,11 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane for (table, bit): component signs from
-    * MurmurHash3 of "table:bit:dim" — reproducible with no stored model. */
-  private def plane(table: Int, bit: Int, dim: Int): Array[Double] =
+    * MurmurHash3 of "table:bit:dim" — reproducible with no stored model.
+    * `private[graft]` so the oracle generator can embed the same
+    * constants as SQL literals (the DuckDB twin computes the identical
+    * buckets from the identical planes). */
+  private[graft] def plane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
       if ((scala.util.hashing.MurmurHash3.stringHash(s"$table:$bit:$d", 42) & 1) == 1) 1.0
       else -1.0
@@ -91,11 +94,17 @@ object Similarity {
     * lowest vec_ids, then `iters` Lloyd rounds. Assignment is map-side
     * (broadcast literal centroids, fused dot_fold scores); the update
     * step is one groupBy per round with a driver collect of nlist×dim
-    * doubles — the standard k-means shape (centroids are tiny; the
-    * corpus never moves). */
+    * values — the standard k-means shape (centroids are tiny; the
+    * corpus never moves).
+    *
+    * The update sums FLOOR(x·1e6) longs instead of doubles: integer
+    * sums are order-independent, so the trained centroids are
+    * bit-identical across engines and partitionings (a double mean
+    * depends on FP summation order). The 1e-6 quantization is far
+    * below any clustering signal; the SQL oracle twin reproduces the
+    * same centroids exactly. */
   private[ext] def trainCentroids(emb: DataFrame, nlist: Int,
       iters: Int): Array[Array[Double]] = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     var cents = emb.orderBy("vec_id").limit(nlist)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -103,10 +112,12 @@ object Similarity {
       val assigned = emb.withColumn("cluster", assignCluster(col("embedding"), cents))
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
-        .groupBy("cluster", "d").agg(avg("x").as("m"))
+        .groupBy("cluster", "d")
+        .agg(sum(floor(col("x") * 1000000).cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
-      upd.foreach(r => next(r.getAs[Int]("cluster"))(r.getAs[Int]("d")) = r.getAs[Double]("m"))
+      upd.foreach(r => next(r.getAs[Int]("cluster"))(r.getAs[Int]("d")) =
+        r.getAs[Long]("s").toDouble / (r.getAs[Long]("n") * 1e6))
       cents = next
     }
     cents

@@ -36,6 +36,105 @@ object ExtQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Fold dot for pre-cast DOUBLE[] columns (same grouping as dot_fold:
+    * left-to-right products-then-sum — bit-identical across engines). */
+  private def dotl(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), k -> $a[k+1] * $b[k+1]), (p, q) -> p + q)"
+
+  private def cosl(a: String, b: String): String =
+    s"${dotl(a, b)} / (sqrt(${dotl(a, a)}) * sqrt(${dotl(b, b)}))"
+
+  /** ‖c‖²/2 with the same fold grouping as the Scala driver-side
+    * `c.map(x*x).sum / 2`. */
+  private def halfSql(c: String): String =
+    s"(list_reduce(list_transform($c, x -> x * x), (p, q) -> p + q) / 2)"
+
+  /** e07 oracle: the FULL LSH ANN pipeline in SQL. The ±1 hyperplanes
+    * are deterministic constants (Similarity.plane), embedded here as
+    * literals, so DuckDB computes the identical buckets, candidates,
+    * and re-rank — a complete independent twin, not a rows-only check. */
+  private def annLshOracle(dim: Int, tables: Int, nbits: Int, k: Int): String = {
+    val planeRows = (for (t <- 0 until tables; b <- 0 until nbits) yield {
+      val pl = Similarity.plane(t, b, dim)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+      s"($t, $b, [$pl])"
+    }).mkString(", ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(tbl, bit, pl) AS (VALUES $planeRows),
+       |b AS (
+       |  SELECT e.vec_id, p.tbl,
+       |         SUM(CASE WHEN ${dotl("e.v", "p.pl")} >= 0
+       |                  THEN CAST(1 << p.bit AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl),
+       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id FROM b
+       |  JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
+       |  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** One Lloyd round in SQL: assign each vector to its best centroid
+    * (argmax of v·c − ‖c‖²/2; ties → larger cluster id, mirroring the
+    * Scala array_max-over-struct), then rebuild centroids from the
+    * order-independent FLOOR(x·1e6) integer sums. Empty clusters keep
+    * their previous centroid (COALESCE), as the Scala trainer does. */
+  private def kmeansIterSql(prev: String, aOut: String, cOut: String, dim: Int): String =
+    s"""$aOut AS (SELECT vec_id, v, cl FROM (
+       |  SELECT e.vec_id, e.v, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+       |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+       |__${cOut}_u AS (
+       |  SELECT cl, g.d AS d, SUM(CAST(FLOOR(v[g.d + 1] * 1000000) AS BIGINT)) AS s, COUNT(*) AS n
+       |  FROM $aOut, generate_series(0, ${dim - 1}) g(d) GROUP BY cl, g.d),
+       |__${cOut}_l AS (
+       |  SELECT cl, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS c
+       |  FROM __${cOut}_u GROUP BY cl),
+       |$cOut AS (SELECT p.cl, COALESCE(u.c, p.c) AS c
+       |          FROM $prev p LEFT JOIN __${cOut}_l u ON u.cl = p.cl)""".stripMargin
+
+  /** e13 oracle: the FULL IVF pipeline in SQL — deterministic k-means
+    * (seeds = lowest vec_ids, `iters` quantized Lloyd rounds), final
+    * cluster assignment, nprobe probes per query (argmin ties → smaller
+    * cluster id), candidate join, exact cosine re-rank. */
+  private def annIvfOracle(dim: Int, nlist: Int, nprobe: Int, iters: Int,
+      k: Int): String = {
+    require(iters == 2, "oracle is written for the declared iters=2")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
+       |${kmeansIterSql("c0", "a1", "c1", dim)},
+       |${kmeansIterSql("c1", "a2", "c2", dim)},
+       |idx AS (SELECT vec_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+       |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${halfSql("c.c")} - ${dotl("e.v", "c.c")}) ASC, c.cl ASC) AS rn
+       |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, i.vec_id FROM idx i
+       |  JOIN probe p ON i.cl = p.cl AND i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
+       |  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared MinHash+LSH candidate pipeline (shingle → 16 min-hashes →
     * 4 band signatures → bucket-join candidates → intersection sizes),
     * spliced into the e02 pair query and the e14 grouping query. */
@@ -159,21 +258,25 @@ object ExtQueries {
     ),
     QDef(
       "e07_ann_lsh",
-      // rows-only check: quality gate is the recall test in ExtSpec
+      // full oracle: the identical deterministic planes are embedded in
+      // the SQL, so DuckDB re-derives buckets → candidates → re-rank
+      // independently (recall-vs-brute is additionally gated in ExtSpec)
       (s, dir) =>
         Similarity.annTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
-      None
+      Some(annLshOracle(dim = 64, tables = 12, nbits = 6, k = 5))
     ),
     QDef(
       "e13_ann_ivf",
-      // rows-only check: quality gate is the recall test in ExtSpec
+      // full oracle: DuckDB re-trains the same deterministic k-means
+      // (integer-quantized updates make the centroids bit-identical)
+      // and re-derives probes → candidates → re-rank
       (s, dir) =>
         Similarity.annIvfTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
-      None
+      Some(annIvfOracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
     ),
     QDef(
       "e08_lang_id",
