@@ -36,7 +36,8 @@ for name, sql in sorted(oracle.items()):
         else:
             bad = ~((a == b) | (a.isna() & b.isna()))
         if bad.any():
-            i = bad.idxmax()
+            import numpy as np
+            i = int(np.asarray(bad).argmax())
             mismatch = f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r} ({int(bad.sum())} diffs)"
             break
     if mismatch:

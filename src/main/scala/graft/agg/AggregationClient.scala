@@ -90,6 +90,15 @@ object GColumnInterpreter {
     def divideForAvg(sum: BigDecimal, count: Long): Double =
       (sum / count).toDouble
   }
+  /** DoubleColumnInterpreter analogue (client/coprocessor/
+    * DoubleColumnInterpreter.java) — FP sums, order-dependent like the
+    * reference's own double semiring. */
+  object Doubles extends GColumnInterpreter[Double] {
+    def decode(raw: String): Double = raw.toDouble
+    def add(a: Double, b: Double): Double = a + b
+    def zero: Double = 0.0
+    def divideForAvg(sum: Double, count: Long): Double = sum / count
+  }
 
   /** Lift an interpreter into a typed Spark Aggregator summing the
     * interpreted values of a string column (the CellSet `value`). */
@@ -104,4 +113,5 @@ object GColumnInterpreter {
     }
 
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  implicit val doubleEnc: Encoder[Double] = Encoders.scalaDouble
 }

@@ -141,6 +141,97 @@ case class OrderedDecodeNumeric(child: Expression, desc: Boolean)
     copy(child = newChild)
 }
 
+/** Native-width encodings — the `OrderedInt32/16/8`, `OrderedFloat32`,
+  * `OrderedBlobVar`, `OrderedBlob` analogues (types/DataType.java:49
+  * family). Unlike [[OrderedEncode]] (which widens integral keys to the
+  * 8-byte OrderedInt64 layout), these preserve the declared width —
+  * the reference exposes them as distinct `DataType`s for key-size
+  * control, and so does graft. */
+case class OrderedEncodeNarrow(child: Expression, kind: String, desc: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"ordered_encode_$kind"
+
+  private def expected: DataType = kind match {
+    case "int32"   => IntegerType
+    case "int16"   => ShortType
+    case "int8"    => ByteType
+    case "float32" => FloatType
+    case "blobvar" | "blobcopy" => BinaryType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: needs $expected input, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any = kind match {
+    case "int32"    => OBytes.encodeInt(v.asInstanceOf[Int], desc)
+    case "int16"    => OBytes.encodeShort(v.asInstanceOf[Short], desc)
+    case "int8"     => OBytes.encodeByte(v.asInstanceOf[Byte], desc)
+    case "float32"  => OBytes.encodeFloat(v.asInstanceOf[Float], desc)
+    case "blobvar"  => OBytes.encodeBlobVar(v.asInstanceOf[Array[Byte]], desc)
+    case "blobcopy" => OBytes.encodeBlobCopy(v.asInstanceOf[Array[Byte]], desc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => kind match {
+      case "int32"    => s"graft.codec.OBytes.encodeInt($c, $desc)"
+      case "int16"    => s"graft.codec.OBytes.encodeShort($c, $desc)"
+      case "int8"     => s"graft.codec.OBytes.encodeByte($c, $desc)"
+      case "float32"  => s"graft.codec.OBytes.encodeFloat($c, $desc)"
+      case "blobvar"  => s"graft.codec.OBytes.encodeBlobVar($c, $desc)"
+      case "blobcopy" => s"graft.codec.OBytes.encodeBlobCopy($c, $desc)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedEncodeNarrow =
+    copy(child = newChild)
+}
+
+case class OrderedDecodeNarrow(child: Expression, kind: String, desc: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = kind match {
+    case "int32"   => IntegerType
+    case "int16"   => ShortType
+    case "int8"    => ByteType
+    case "float32" => FloatType
+    case "blobvar" | "blobcopy" => BinaryType
+  }
+  override def prettyName: String = s"ordered_decode_$kind"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName: needs binary input, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    kind match {
+      case "int32"    => OBytes.decodeInt(b, desc)
+      case "int16"    => OBytes.decodeShort(b, desc)
+      case "int8"     => OBytes.decodeByte(b, desc)
+      case "float32"  => OBytes.decodeFloat(b, desc)
+      case "blobvar"  => OBytes.decodeBlobVar(b, desc)
+      case "blobcopy" => OBytes.decodeBlobCopy(b, desc)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => kind match {
+      case "int32"    => s"graft.codec.OBytes.decodeInt($c, $desc)"
+      case "int16"    => s"graft.codec.OBytes.decodeShort($c, $desc)"
+      case "int8"     => s"graft.codec.OBytes.decodeByte($c, $desc)"
+      case "float32"  => s"graft.codec.OBytes.decodeFloat($c, $desc)"
+      case "blobvar"  => s"graft.codec.OBytes.decodeBlobVar($c, $desc)"
+      case "blobcopy" => s"graft.codec.OBytes.decodeBlobCopy($c, $desc)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedDecodeNarrow =
+    copy(child = newChild)
+}
+
 /** Column API + SQL registration for the ordered-bytes codec. */
 object CodecFunctions {
 
@@ -159,11 +250,53 @@ object CodecFunctions {
   def ordered_decode_numeric(c: Column, desc: Boolean = false): Column =
     colshim.column(OrderedDecodeNumeric(colshim.expression(c), desc))
 
+  // narrow fixed-width + blob variants (types/OrderedInt32 etc.)
+  private def encN(c: Column, kind: String, desc: Boolean): Column =
+    colshim.column(OrderedEncodeNarrow(colshim.expression(c), kind, desc))
+  private def decN(c: Column, kind: String, desc: Boolean): Column =
+    colshim.column(OrderedDecodeNarrow(colshim.expression(c), kind, desc))
+
+  def ordered_encode_int32(c: Column, desc: Boolean = false): Column   = encN(c, "int32", desc)
+  def ordered_encode_int16(c: Column, desc: Boolean = false): Column   = encN(c, "int16", desc)
+  def ordered_encode_int8(c: Column, desc: Boolean = false): Column    = encN(c, "int8", desc)
+  def ordered_encode_float32(c: Column, desc: Boolean = false): Column = encN(c, "float32", desc)
+  def ordered_encode_blob_var(c: Column, desc: Boolean = false): Column  = encN(c, "blobvar", desc)
+  /** NOT self-terminating — last composite field only (OrderedBlob). */
+  def ordered_encode_blob_copy(c: Column, desc: Boolean = false): Column = encN(c, "blobcopy", desc)
+
+  def ordered_decode_int32(c: Column, desc: Boolean = false): Column   = decN(c, "int32", desc)
+  def ordered_decode_int16(c: Column, desc: Boolean = false): Column   = decN(c, "int16", desc)
+  def ordered_decode_int8(c: Column, desc: Boolean = false): Column    = decN(c, "int8", desc)
+  def ordered_decode_float32(c: Column, desc: Boolean = false): Column = decN(c, "float32", desc)
+  def ordered_decode_blob_var(c: Column, desc: Boolean = false): Column  = decN(c, "blobvar", desc)
+  def ordered_decode_blob_copy(c: Column, desc: Boolean = false): Column = decN(c, "blobcopy", desc)
+
   /** Composite ascending row key: concatenation of the per-column
     * encodings (self-terminating ⇒ prefix-free ⇒ lex order of the
     * concat = tuple order), the reference's `Struct` composition. */
   def ordered_key(cols: Column*): Column =
     concat(cols.map(ordered_encode): _*)
+
+  /** Explicit Struct builder (types/Struct.java + StructBuilder): a
+    * field list with per-field sort order; encodings concatenate into
+    * one composite key whose lex order is the tuple order with the
+    * declared ASC/DESC per field. */
+  final case class OField(col: Column, desc: Boolean = false)
+  def ordered_struct(fields: OField*): Column =
+    concat(fields.map(f => ordered_encode(f.col, f.desc)): _*)
+
+  /** Union builder (types/Union2..Union4): a 1-byte alternative tag +
+    * the active member's encoding. Exactly one alternative must be
+    * non-null per row; members of different alternatives order by tag
+    * first, as in the reference. */
+  def ordered_union(alternatives: Column*): Column = {
+    require(alternatives.size >= 2 && alternatives.size <= 255,
+      "ordered_union: needs 2..255 alternatives")
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    coalesce(alternatives.zipWithIndex.map { case (c, i) =>
+      when(c.isNotNull, concat(lit(Array(i.toByte)), ordered_encode(c)))
+    }: _*)
+  }
 
   /** SQL surface: `ordered_encode(x[, desc])`. */
   def register(spark: SparkSession): Unit =

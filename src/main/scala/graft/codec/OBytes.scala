@@ -159,6 +159,119 @@ object OBytes {
     }
   }
 
+  // ---- narrow fixed-width types (OrderedInt32/16/8, OrderedFloat32
+  //      analogues — types/DataType.java:49 family) ----
+
+  def encodeInt(v: Int, desc: Boolean): Array[Byte] = {
+    val x   = v ^ Int.MinValue
+    val out = Array((x >>> 24).toByte, (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+    if (desc) cpl(out) else out
+  }
+
+  def decodeInt(b: Array[Byte], desc: Boolean): Int = {
+    var x = 0
+    var i = 0
+    while (i < 4) {
+      val raw = if (desc) (~b(i)).toByte else b(i)
+      x = (x << 8) | (raw & 0xff)
+      i += 1
+    }
+    x ^ Int.MinValue
+  }
+
+  def encodeShort(v: Short, desc: Boolean): Array[Byte] = {
+    val x   = v ^ Short.MinValue
+    val out = Array((x >>> 8).toByte, x.toByte)
+    if (desc) cpl(out) else out
+  }
+
+  def decodeShort(b: Array[Byte], desc: Boolean): Short = {
+    val b0 = if (desc) (~b(0)).toByte else b(0)
+    val b1 = if (desc) (~b(1)).toByte else b(1)
+    ((((b0 & 0xff) << 8) | (b1 & 0xff)) ^ 0x8000).toShort
+  }
+
+  def encodeByte(v: Byte, desc: Boolean): Array[Byte] = {
+    val out = Array((v ^ 0x80).toByte)
+    if (desc) cpl(out) else out
+  }
+
+  def decodeByte(b: Array[Byte], desc: Boolean): Byte = {
+    val raw = if (desc) (~b(0)).toByte else b(0)
+    (raw ^ 0x80).toByte
+  }
+
+  /** Float32: same sign-fold as double, on the 4-byte IEEE bits
+    * (total order, -0.0f < 0.0f, NaN above +Inf). */
+  def encodeFloat(v: Float, desc: Boolean): Array[Byte] = {
+    val bits    = java.lang.Float.floatToIntBits(v)
+    val ordered = if (bits < 0) ~bits else bits ^ Int.MinValue
+    val out = Array((ordered >>> 24).toByte, (ordered >>> 16).toByte,
+      (ordered >>> 8).toByte, ordered.toByte)
+    if (desc) cpl(out) else out
+  }
+
+  def decodeFloat(b: Array[Byte], desc: Boolean): Float = {
+    var x = 0
+    var i = 0
+    while (i < 4) {
+      val raw = if (desc) (~b(i)).toByte else b(i)
+      x = (x << 8) | (raw & 0xff)
+      i += 1
+    }
+    val bits = if (x < 0) x ^ Int.MinValue else ~x
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  // ---- blobs (OrderedBlobVar / OrderedBlob analogues) ----
+
+  /** Self-terminating order-preserving blob: content 0x00 escapes to
+    * (0x00, 0xFF), terminator is (0x00, 0x00). Lex order of encodings
+    * equals lex order of the raw bytes, and the encoding is prefix-free
+    * — safe anywhere in a composite key (`OrderedBlobVar`). */
+  def encodeBlobVar(v: Array[Byte], desc: Boolean): Array[Byte] = {
+    var zeros = 0
+    var i     = 0
+    while (i < v.length) { if (v(i) == 0x00) zeros += 1; i += 1 }
+    val out = new Array[Byte](v.length + zeros + 2)
+    var o   = 0
+    i = 0
+    while (i < v.length) {
+      if (v(i) == 0x00) { out(o) = 0x00; out(o + 1) = 0xff.toByte; o += 2 }
+      else { out(o) = v(i); o += 1 }
+      i += 1
+    }
+    out(o) = 0x00; out(o + 1) = 0x00
+    if (desc) cpl(out) else out
+  }
+
+  def decodeBlobVar(b: Array[Byte], desc: Boolean): Array[Byte] = {
+    val raw = if (desc) cpl(b.clone()) else b
+    val buf = new java.io.ByteArrayOutputStream(raw.length)
+    var i   = 0
+    var done = false
+    while (i < raw.length && !done) {
+      if (raw(i) == 0x00) {
+        if (i + 1 < raw.length && raw(i + 1) == 0xff.toByte) { buf.write(0x00); i += 2 }
+        else done = true
+      } else { buf.write(raw(i) & 0xff); i += 1 }
+    }
+    buf.toByteArray
+  }
+
+  /** Raw-copy blob (`OrderedBlob`): NOT self-terminating — legal only
+    * as the LAST field of a composite key, same constraint as the
+    * reference documents for OrderedBlob. */
+  def encodeBlobCopy(v: Array[Byte], desc: Boolean): Array[Byte] = {
+    val out = v.clone()
+    if (desc) cpl(out) else out
+  }
+
+  def decodeBlobCopy(b: Array[Byte], desc: Boolean): Array[Byte] = {
+    val out = b.clone()
+    if (desc) cpl(out) else out
+  }
+
   /** Convenience: numeric encoding of a double through BigDecimal
     * (exact binary→decimal conversion, reference `OrderedNumeric`
     * accepts doubles the same way). */

@@ -39,6 +39,26 @@ object FilterCompiler {
       Some(fixed.map { case (pos, lit0) =>
         substring(col("row"), pos + 1, lit0.length) === lit0
       }.reduceOption(_ && _).getOrElse(lit(true)))
+    case FuzzyRowMaskFilter(patterns) =>
+      // general wildcard-mask form: OR over patterns; each pattern's
+      // maximal fixed runs compile to substring equalities (one per
+      // run, not per byte — fewer comparisons, same semantics)
+      Some(patterns.map { case (pat, mask) =>
+        require(pat.length == mask.length,
+          s"fuzzy mask length ${mask.length} != pattern length ${pat.length}")
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var i = 0
+        while (i < mask.length) {
+          if (mask(i) == 0) {
+            val st = i
+            while (i < mask.length && mask(i) == 0) i += 1
+            runs += ((st, i - st))
+          } else i += 1
+        }
+        runs.map { case (st, len) =>
+          substring(col("row"), st + 1, len) === pat.substring(st, st + len)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      }.reduceOption(_ || _).getOrElse(lit(false)))
     case ColumnPrefixFilter(p) => Some(col("qualifier").startsWith(p))
     case MultipleColumnPrefixFilter(ps) =>
       Some(ps.map(p => col("qualifier").startsWith(p))
@@ -49,7 +69,10 @@ object FilterCompiler {
       Some(lo && hi)
     case TimestampsFilter(tss) => Some(col("ts").isin(tss: _*))
     case RandomRowFilter(chance, seed) =>
-      Some(pmod(hash(col("row"), lit(seed)), lit(10000)) < (chance * 10000).toInt)
+      // portable md5-derived coin (TextHash.hash48 has an exact DuckDB
+      // twin), so the sampled row set is engine-independent
+      Some(graft.ext.TextHash.hash48(col("row"), lit(s"rrf$seed")) % 10000
+        < (chance * 10000).toInt)
     case FilterList(op, fs) =>
       val children = fs.map(cellPredicate)
       if (children.forall(_.isDefined)) {

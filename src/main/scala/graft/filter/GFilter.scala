@@ -39,6 +39,11 @@ final case class RowRange(lo: String, loInclusive: Boolean,
 /** F11 FuzzyRowFilter.java:67 — fixed-position wildcard match: a list of
   * (position, literal) constraints on the row key (0-based). */
 final case class FuzzyRowFilter(fixed: Seq[(Int, String)]) extends GFilter
+/** F11 general form (FuzzyRowFilter.java:64 doc): OR over (pattern,
+  * mask) pairs; mask(i) == 0 ⇒ row(i) must equal pattern(i), mask(i)
+  * == 1 ⇒ position i is a wildcard. Fixed positions must lie within
+  * the row (shorter rows fail their fixed runs, as on the server). */
+final case class FuzzyRowMaskFilter(patterns: Seq[(String, Seq[Int])]) extends GFilter
 /** F16 ColumnPrefixFilter.java:42 — qualifier starts-with. */
 final case class ColumnPrefixFilter(prefix: String) extends GFilter
 /** F17 MultipleColumnPrefixFilter.java:46 */

@@ -64,6 +64,49 @@ object CodecQueries {
              |       l_returnflag AS dec_str,
              |       ROUND(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 4) AS dec_num
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    QDef(
+      // C03: the NARROW DataType family (types/OrderedInt32/16/8,
+      // OrderedFloat32, OrderedBlobVar — types/DataType.java:49):
+      // roundtrip per type AND total-order parity of a composite key
+      // mixing a DESC int16, an int32, an escaped blob, and an int64.
+      "c03_narrow_types",
+      (s, dir) => {
+        val l = Tables.load(s, s"$dir/lineitem.parquet")
+        // (orderkey, linenumber) is NOT unique in the synthetic data, so
+        // the float32 discount joins the key to totalize the order over
+        // every compared column
+        val key = concat(
+          ordered_encode_int16(col("l_quantity").cast("smallint"), desc = true),
+          ordered_encode_int32(col("l_linenumber").cast("int")),
+          ordered_encode_blob_var(encode(col("l_returnflag"), "UTF-8")),
+          ordered_encode(col("l_orderkey")),
+          ordered_encode_float32(col("l_discount").cast("float")))
+        l.select(
+            col("l_orderkey"), col("l_linenumber"),
+            ordered_decode_int32(
+              ordered_encode_int32(col("l_linenumber").cast("int"))).as("dec_i32"),
+            ordered_decode_int16(
+              ordered_encode_int16(col("l_quantity").cast("smallint"))).cast("int").as("dec_i16"),
+            ordered_decode_int8(
+              ordered_encode_int8(col("l_linenumber").cast("tinyint"))).cast("int").as("dec_i8"),
+            ordered_decode_float32(
+              ordered_encode_float32(col("l_discount").cast("float"), desc = true),
+              desc = true).as("dec_f32"),
+            decode(ordered_decode_blob_var(
+              ordered_encode_blob_var(encode(col("l_returnflag"), "UTF-8"))), "UTF-8")
+              .as("dec_blob"),
+            row_number().over(Window.orderBy(key)).as("rank"))
+          .orderBy("rank")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_linenumber AS dec_i32,
+             |       CAST(CAST(l_quantity AS SMALLINT) AS INT) AS dec_i16,
+             |       CAST(CAST(l_linenumber AS TINYINT) AS INT) AS dec_i8,
+             |       CAST(l_discount AS REAL) AS dec_f32,
+             |       l_returnflag AS dec_blob,
+             |       row_number() OVER (ORDER BY l_quantity DESC, l_linenumber, l_returnflag, l_orderkey, CAST(l_discount AS REAL)) AS rank
+             |FROM lineitem ORDER BY rank""".stripMargin)
     )
   )
 }

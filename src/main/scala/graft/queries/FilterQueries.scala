@@ -169,6 +169,85 @@ object FilterQueries {
       (s, dir) => run(co(s, dir),
         ParseFilter.parse("PrefixFilter('000001') AND ValueFilter(=, 'substring:low')")),
       Some(oracleOrders("WHERE row LIKE '000001%' AND contains(lower(value), 'low')"))
+    ),
+    QDef(
+      // F11 general wildcard-mask form (FuzzyRowFilter.java:64,67): OR
+      // of two (pattern, mask) pairs with wildcards at different byte
+      // positions.
+      "q47_fuzzy_mask",
+      (s, dir) => run(co(s, dir), FuzzyRowMaskFilter(Seq(
+        ("0000000100", Seq(0, 0, 0, 0, 0, 0, 0, 0, 1, 0)),
+        ("0000000250", Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 1))))),
+      Some(oracleOrders(
+        """WHERE (substr(row, 1, 8) = '00000001' AND substr(row, 10, 1) = '0')
+          |   OR substr(row, 1, 9) = '000000025'""".stripMargin))
+    ),
+    QDef(
+      // P3/F20 KeyOnlyFilter with LEN_AS_VAL (KeyOnlyFilter.java:53):
+      // values replaced by their byte length.
+      "q51_key_only",
+      (s, dir) => run(co(s, dir), KeyOnlyFilter(lenAsVal = true)),
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, CAST(length(value) AS VARCHAR) AS value
+          |FROM cells_orders ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // P4/F21 FirstKeyOnlyFilter (FirstKeyOnlyFilter.java:37): only
+      // the first cell of each row in total cell order.
+      "q52_first_key_only",
+      (s, dir) => run(evPuts(s, dir), FirstKeyOnlyFilter()),
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        "p AS (SELECT * FROM cells_events_v WHERE type = 'Put')")(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row ORDER BY family, qualifier, ts DESC) AS rn
+          |  FROM p
+          |) WHERE rn = 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // F7 SingleColumnValueExcludeFilter (SingleColumnValueExclude
+      // Filter.java:41): SCVF row gate + the tested column dropped.
+      "q53_scv_exclude",
+      (s, dir) => run(co(s, dir),
+        SingleColumnValueExcludeFilter("d", "o_orderstatus", CompareOp.Equal,
+          BinaryComparator("F"), filterIfMissing = true)),
+      Some(oracleOrders(
+        """WHERE row IN (SELECT row FROM cells_orders WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'F')
+          |  AND NOT (family = 'd' AND qualifier = 'o_orderstatus')""".stripMargin))
+    ),
+    QDef(
+      // F12 InclusiveStopFilter (InclusiveStopFilter.java:38).
+      "q54_inclusive_stop",
+      (s, dir) => run(co(s, dir), InclusiveStopFilter("0000000100")),
+      Some(oracleOrders("WHERE row <= '0000000100'"))
+    ),
+    QDef(
+      // F14 ColumnCountGetFilter (ColumnCountGetFilter.java:38): at
+      // most n columns per row in column order.
+      "q55_column_count",
+      (s, dir) => run(co(s, dir), ColumnCountGetFilter(3)),
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, dense_rank() OVER (PARTITION BY row ORDER BY family, qualifier) AS rk
+          |  FROM cells_orders
+          |) WHERE rk <= 3 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // F16/F17 column-prefix filters (MultipleColumnPrefixFilter
+      // .java:46): qualifiers under either prefix.
+      "q56_multi_col_prefix",
+      (s, dir) => run(co(s, dir),
+        MultipleColumnPrefixFilter(Seq("o_order", "o_c"))),
+      Some(oracleOrders(
+        "WHERE qualifier LIKE 'o\\_order%' ESCAPE '\\' OR qualifier LIKE 'o\\_c%' ESCAPE '\\'"))
+    ),
+    QDef(
+      // F22 RandomRowFilter (RandomRowFilter.java:34), seeded variant:
+      // the md5-derived coin has an exact DuckDB twin, so the sampled
+      // row set is engine-independent and hash-checkable.
+      "q57_random_row",
+      (s, dir) => run(co(s, dir), RandomRowFilter(0.25, seed = 42)),
+      Some(oracleOrders(
+        s"WHERE (${graft.ext.TextHash.Sql.hash48("row", "'rrf42'")}) % 10000 < 2500"))
     )
   )
 }

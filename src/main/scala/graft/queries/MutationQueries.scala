@@ -29,6 +29,20 @@ object MutationQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     QDef(
+      // M4 per-op TimeRange (Increment.setTimeRange, Increment.java
+      // :148): only deltas inside [Jan 8, Jan 15) participate.
+      "q46_increment_timerange",
+      (s, dir) =>
+        Mutations.incrementFold(Fixtures.events(s, dir),
+            keys = Seq(col("user_id")), delta = col("value"),
+            timeRange = Some((1704672000000000000L, 1705276800000000000L)))
+          .select(col("user_id"), round(col("value"), 4).as("total"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, ROUND(SUM(value), 4) AS total FROM events
+             |WHERE epoch_ns(ts) >= 1704672000000000000 AND epoch_ns(ts) < 1705276800000000000
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    QDef(
       "q32_append_fold",
       (s, dir) =>
         Mutations.appendFold(Fixtures.events(s, dir),

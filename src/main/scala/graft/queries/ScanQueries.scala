@@ -85,6 +85,53 @@ object ScanQueries {
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // S6 raw scan (Scan.setRaw, Scan.java:848): storage-level view —
+      // tombstone markers surface as rows, no masking, no version gate;
+      // the time range still prunes. `type` is projected to prove it.
+      "q49_raw_scan",
+      (s, dir) =>
+        GTable.scan(Fixtures.cellsEventsV(s, dir),
+            GScan(raw = true, timeRange = Some(Resolve.TimeRange(2L, 4L))))
+          .select(col("row"), col("family"), col("qualifier"), col("ts"),
+            col("type"), col("value"))
+          .orderBy(col("row"), col("family"), col("qualifier"),
+            col("ts").desc, col("type")),
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT row, family, qualifier, ts, type, value FROM cells_events_v
+          |WHERE ts >= 2 AND ts < 4
+          |ORDER BY row, family, qualifier, ts DESC, type""".stripMargin))
+    ),
+    QDef(
+      // S2 multi-get (Table.get(List[Get]), Table.java:176): broadcast
+      // semi-join against the key list.
+      "q50_multi_get",
+      (s, dir) => {
+        import s.implicits._
+        val keys = Seq("0000000007", "0000000123", "0000000456").toDF("row")
+        ordered(GTable.multiGet(co(s, dir), keys))
+      },
+      Some(oracleScan("WHERE row IN ('0000000007', '0000000123', '0000000456')"))
+    ),
+    QDef(
+      // S8 multi-table scan (MultiTableInputFormatBase.java:229): one
+      // scan spec over the union of two tables' cell sets. `value`
+      // joins the sort key because the same coordinate can carry
+      // different values across tables.
+      "q48_multi_table_scan",
+      (s, dir) =>
+        GTable.multiTableScan(
+            Seq(Fixtures.cellsOrders(s, dir), Fixtures.cellsOrdersMut(s, dir)),
+            GScan(raw = true).withRange("0000000100", "0000000140"))
+          .select(outCols.map(col): _*)
+          .orderBy(col("row"), col("family"), col("qualifier"),
+            col("ts").desc, col("value")),
+      Some(Cte.withCtes(Cte.cellsOrders, Cte.cellsOrdersMut)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT * FROM cells_orders UNION ALL SELECT * FROM cells_orders_mut
+          |) WHERE row >= '0000000100' AND row < '0000000140'
+          |ORDER BY row, family, qualifier, ts DESC, value""".stripMargin))
+    ),
+    QDef(
       // P5 per-CF time range (Scan.setColumnFamilyTimeRange, Scan.java
       // :330 / Query.java:236): family 'm' (the props qualifiers,
       // remapped) reads [2,4) while the scan-global range [1,5) governs

@@ -108,4 +108,12 @@ object GTable {
   def multiGet(cells: DataFrame, keys: DataFrame): DataFrame =
     cells.join(broadcast(keys.select(col(keys.columns.head).as("row"))),
                Seq("row"), "left_semi")
+
+  /** S8 multi-table scan (MultiTableInputFormatBase.java:229: one job
+    * over several tables' scans): union the cell sets, then ONE scan
+    * plan — predicates still push into every branch's source scan. */
+  def multiTableScan(tables: Seq[DataFrame], s: GScan): DataFrame = {
+    require(tables.nonEmpty, "multiTableScan: need at least one table")
+    scan(tables.reduce(_ unionByName _), s)
+  }
 }

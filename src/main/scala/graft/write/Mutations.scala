@@ -25,9 +25,18 @@ object Mutations {
   /** M4 Increment (client/Increment.java:53, HRegion.increment:8343):
     * counters are commutative, so the batch equivalent of N atomic
     * increments is one partial+final SUM per key — the exact dataflow
-    * the server serializes per row lock. */
-  def incrementFold(deltas: DataFrame, keys: Seq[Column], delta: Column): DataFrame =
-    deltas.groupBy(keys: _*).agg(sum(delta).as("value"))
+    * the server serializes per row lock. `timeRange` is the per-op
+    * [min,max) window (Increment.setTimeRange, Increment.java:148):
+    * only deltas whose `tsCol` falls inside it participate in the
+    * fold, mirroring the server consulting only in-range current
+    * cells. */
+  def incrementFold(deltas: DataFrame, keys: Seq[Column], delta: Column,
+      timeRange: Option[(Long, Long)] = None,
+      tsCol: Column = col("ts")): DataFrame =
+    timeRange.fold(deltas) { case (lo, hi) =>
+        deltas.filter(tsCol >= lo && tsCol < hi)
+      }
+      .groupBy(keys: _*).agg(sum(delta).as("value"))
 
   /** M3 Append (client/Append.java:51, HRegion.append:8324): ordered
     * byte-concat onto the current value. Batch equivalent: fold all

@@ -99,6 +99,61 @@ class CodecSpec extends AnyFunSuite {
       assert(OBytes.decodeNumeric(OBytes.encodeNumeric(v, false), false).compareTo(v) == 0))
   }
 
+  test("narrow ints + float32: order + roundtrip, asc and desc") {
+    val ints = Seq(Int.MinValue, -1000, -1, 0, 1, 42, Int.MaxValue) ++
+      Seq.fill(20)(rnd.nextInt())
+    checkOrder[Int](ints, OBytes.encodeInt, Ordering[Int].compare)
+    ints.foreach { v =>
+      assert(OBytes.decodeInt(OBytes.encodeInt(v, false), false) == v)
+      assert(OBytes.decodeInt(OBytes.encodeInt(v, true), true) == v)
+    }
+    val shorts = Seq(Short.MinValue, -1, 0, 1, Short.MaxValue).map(_.toShort) ++
+      Seq.fill(20)(rnd.nextInt().toShort)
+    checkOrder[Short](shorts, OBytes.encodeShort, Ordering[Short].compare)
+    shorts.foreach(v => assert(OBytes.decodeShort(OBytes.encodeShort(v, true), true) == v))
+    val bytes = (Byte.MinValue to Byte.MaxValue).map(_.toByte)
+    checkOrder[Byte](bytes.take(16) ++ bytes.takeRight(16), OBytes.encodeByte,
+      Ordering[Byte].compare)
+    bytes.foreach(v => assert(OBytes.decodeByte(OBytes.encodeByte(v, false), false) == v))
+    val floats = Seq(Float.NegativeInfinity, -1.5f, -0.0f, 0.0f, 1.5f,
+      Float.PositiveInfinity) ++ Seq.fill(20)(rnd.nextFloat() * 1e6f - 5e5f)
+    checkOrder[Float](floats, OBytes.encodeFloat,
+      (a, b) => java.lang.Float.compare(a, b))
+    floats.foreach { v =>
+      assert(java.lang.Float.floatToIntBits(
+        OBytes.decodeFloat(OBytes.encodeFloat(v, true), true)) ==
+        java.lang.Float.floatToIntBits(v))
+    }
+  }
+
+  test("blobvar: lex order + roundtrip incl. embedded NULs and prefixes") {
+    val blobs: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray, Array[Byte](0), Array[Byte](0, 0),
+      Array[Byte](0, 1), Array[Byte](0, -1), Array[Byte](1),
+      Array[Byte](1, 0), Array[Byte](-1), Array[Byte](-1, -1),
+      "abc".getBytes, "abcd".getBytes) ++
+      Seq.fill(20)(Array.fill(rnd.nextInt(8))(rnd.nextInt(256).toByte))
+    def lexCmp(a: Array[Byte], b: Array[Byte]): Int = OBytes.compare(a, b)
+    checkOrder[Array[Byte]](blobs, OBytes.encodeBlobVar, lexCmp)
+    blobs.foreach { v =>
+      assert(java.util.Arrays.equals(
+        OBytes.decodeBlobVar(OBytes.encodeBlobVar(v, false), false), v))
+      assert(java.util.Arrays.equals(
+        OBytes.decodeBlobVar(OBytes.encodeBlobVar(v, true), true), v))
+      assert(java.util.Arrays.equals(
+        OBytes.decodeBlobCopy(OBytes.encodeBlobCopy(v, true), true), v))
+    }
+    // self-terminating in composite position: (blob, long) tuple order
+    val tuples = for (b <- blobs.take(11); l <- Seq(-1L, 0L, 7L)) yield (b, l)
+    val enc = tuples.map { case (b, l) =>
+      ((b, l), OBytes.encodeBlobVar(b, false) ++ OBytes.encodeLong(l, false))
+    }
+    for ((ta, ea) <- enc; (tb, eb) <- enc) {
+      val ref = { val c = lexCmp(ta._1, tb._1); if (c != 0) c else java.lang.Long.compare(ta._2, tb._2) }
+      assert(math.signum(OBytes.compare(ea, eb)) == math.signum(ref), s"tuple $ta vs $tb")
+    }
+  }
+
   test("composite keys: concat orders like the tuple (prefix-free)") {
     val tuples = for {
       s <- Seq("a", "ab", "b", "")
