@@ -93,6 +93,20 @@ object FilterCompiler {
     case None    => rewrite(cells, f)
   }
 
+  /** Rows with at least one admitted cell — the row-membership view of
+    * [[apply]] (what a CAS guard needs). OR-lists union row sets
+    * directly instead of materializing + deduping admitted cells, and
+    * the SCVF pass-case reads its verdict aggregate without the
+    * cells-side semi-join at all. */
+  def admittedRows(cells: DataFrame, f: GFilter): DataFrame = f match {
+    case FilterList(FilterList.MustPassOne, fs) if fs.nonEmpty =>
+      fs.map(admittedRows(cells, _)).reduce(_ unionByName _).distinct()
+    case SingleColumnValueFilter(fam, q, op, c, true, latestOnly) =>
+      scvfVerdict(cells, fam, q, op, c, latestOnly)
+        .filter(col("__m") <=> lit(true)).select("row")
+    case _ => apply(cells, f).select("row").distinct()
+  }
+
   private val colOrder = Seq(col("family").asc, col("qualifier").asc, col("ts").desc)
 
   private def rewrite(cells: DataFrame, f: GFilter): DataFrame = f match {
@@ -193,15 +207,22 @@ object FilterCompiler {
     * value under a numeric comparator) is a no-match, so the verdict is
     * compared null-safely.
     */
-  private def scvf(cells: DataFrame, fam: String, q: String, op: CompareOp,
-      c: GComparator, filterIfMissing: Boolean, latestVersionOnly: Boolean): DataFrame = {
+  /** The per-row verdict aggregate shared by [[scvf]] and
+    * [[admittedRows]]: (row, __m) for every row HAVING the column. */
+  private def scvfVerdict(cells: DataFrame, fam: String, q: String,
+      op: CompareOp, c: GComparator, latestVersionOnly: Boolean): DataFrame = {
     val colCells = cells.filter(col("family") === fam && col("qualifier") === q)
     val tested =
       if (latestVersionOnly)
         c.test(max(struct(col("ts"), col("value"))).getField("value"), op)
       else
         max(when(c.test(col("value"), op), 1).otherwise(0)) === 1
-    val verdict = colCells.groupBy("row").agg(tested.as("__m"))
+    colCells.groupBy("row").agg(tested.as("__m"))
+  }
+
+  private def scvf(cells: DataFrame, fam: String, q: String, op: CompareOp,
+      c: GComparator, filterIfMissing: Boolean, latestVersionOnly: Boolean): DataFrame = {
+    val verdict = scvfVerdict(cells, fam, q, op, c, latestVersionOnly)
     if (filterIfMissing)
       cells.join(verdict.filter(col("__m") <=> lit(true)).select("row"),
         Seq("row"), "left_semi")

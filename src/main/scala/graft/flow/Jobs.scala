@@ -87,13 +87,16 @@ object Jobs {
   /** D6 summary: per-class counts (SyncTable counters), hash-first.
     * Digest-equal rows contribute their cell count as `matched`
     * without being joined; only digest-unequal rows (a tiny fraction
-    * of a healthy replica pair) reach the per-cell full-outer diff. */
+    * of a healthy replica pair) reach the per-cell full-outer diff.
+    * The divergent-row list is broadcast (small by the same assumption
+    * the reference's SyncTable makes), which also lets ReuseExchange
+    * share one computation of it across both semi-joins. */
   def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
     val j = summaryJoin(src, dst)
     val matchedEqual = j.filter(col("__eq"))
       .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
       .select(lit("matched").as("class"), col("n"))
-    val diffRows = j.filter(!col("__eq")).select("row")
+    val diffRows = broadcast(j.filter(!col("__eq")).select("row"))
     val detail = syncDiff(
         src.join(diffRows, Seq("row"), "left_semi"),
         dst.join(diffRows, Seq("row"), "left_semi"))
@@ -105,37 +108,20 @@ object Jobs {
   }
 
   /** D8 VerifyReplication (replication/VerifyReplication.java): per-row
-    * good/bad/only-in-one classification, hash-first: digest-equal rows
-    * are `good` by construction; the per-cell classification runs only
-    * on the divergent remainder. At scale this moves one digest per
-    * row where the old plan shuffled every cell of both tables. */
-  def verifyReplication(src: DataFrame, dst: DataFrame): DataFrame = {
-    val j = summaryJoin(src, dst)
-    val goodEqual = j.filter(col("__eq"))
-      .agg(count(lit(1)).as("rows"))
-      .select(lit("good").as("row_class"), col("rows"))
-    val diffRows = j.filter(!col("__eq")).select("row")
-    val detail = syncDiff(
-        src.join(diffRows, Seq("row"), "left_semi"),
-        dst.join(diffRows, Seq("row"), "left_semi"))
-      .groupBy("row")
-      .agg(
-        sum(when(col("class") === "src_only", 1).otherwise(0)).as("__srconly"),
-        sum(when(col("class") === "dst_only", 1).otherwise(0)).as("__dstonly"),
-        sum(when(col("class") === "mismatch", 1).otherwise(0)).as("__bad"),
-        sum(when(col("class") === "matched", 1).otherwise(0)).as("__ok")
-      )
+    * good/bad/only-in-one classification, computed ENTIRELY from the
+    * row digests — a row present on both sides is `good` iff its cell
+    * multisets agree (digest-equal) and `bad` otherwise, so no cell
+    * ever moves: one digest aggregate per side plus one co-partitioned
+    * row join, the reference's own HashTable classification. */
+  def verifyReplication(src: DataFrame, dst: DataFrame): DataFrame =
+    summaryJoin(src, dst)
       .withColumn("row_class",
-        when(col("__ok") === 0 && col("__srconly") > 0 && col("__dstonly") === 0 && col("__bad") === 0, lit("only_in_source"))
-          .when(col("__ok") === 0 && col("__dstonly") > 0 && col("__srconly") === 0 && col("__bad") === 0, lit("only_in_target"))
-          .when(col("__bad") > 0 || col("__srconly") > 0 || col("__dstonly") > 0, lit("bad"))
-          .otherwise(lit("good")))
+        when(col("sn").isNull, lit("only_in_target"))
+          .when(col("dn").isNull, lit("only_in_source"))
+          .when(col("__eq"), lit("good"))
+          .otherwise(lit("bad")))
       .groupBy("row_class").agg(count(lit(1)).as("rows"))
-    detail.unionByName(goodEqual)
-      .groupBy("row_class").agg(sum(col("rows")).as("rows"))
-      .filter(col("rows") > 0)
       .orderBy("row_class")
-  }
 
   /** D3 Export (mapreduce/Export.java:43): dump a scan to files. */
   def export(cells: DataFrame, pred: Option[Column], outPath: String): Unit =

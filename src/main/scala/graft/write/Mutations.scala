@@ -87,8 +87,7 @@ object Mutations {
     * row-level guards all compose. */
   def checkAndMutate(cells: DataFrame, guard: graft.filter.GFilter,
       mutation: DataFrame => DataFrame): DataFrame = {
-    val matching = graft.filter.FilterCompiler(cells, guard)
-      .select("row").distinct()
+    val matching = graft.filter.FilterCompiler.admittedRows(cells, guard)
     val hit  = cells.join(broadcast(matching), Seq("row"), "left_semi")
     val miss = cells.join(broadcast(matching), Seq("row"), "left_anti")
     mutation(hit).unionByName(miss)
