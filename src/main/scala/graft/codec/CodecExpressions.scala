@@ -286,16 +286,20 @@ object CodecFunctions {
     concat(fields.map(f => ordered_encode(f.col, f.desc)): _*)
 
   /** Union builder (types/Union2..Union4): a 1-byte alternative tag +
-    * the active member's encoding. Exactly one alternative must be
-    * non-null per row; members of different alternatives order by tag
-    * first, as in the reference. */
+    * the active member's encoding. The FIRST non-null alternative wins
+    * (defined precedence when several are set); a row with every
+    * alternative NULL raises, like the reference's Union types which
+    * require a concrete member — it must not silently sort to one end. */
   def ordered_union(alternatives: Column*): Column = {
     require(alternatives.size >= 2 && alternatives.size <= 255,
       "ordered_union: needs 2..255 alternatives")
-    import org.apache.spark.sql.functions.{coalesce, lit, when}
-    coalesce(alternatives.zipWithIndex.map { case (c, i) =>
-      when(c.isNotNull, concat(lit(Array(i.toByte)), ordered_encode(c)))
-    }: _*)
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    def branch(c: Column, i: Int) = concat(lit(Array(i.toByte)), ordered_encode(c))
+    alternatives.tail.zipWithIndex
+      .foldLeft(when(alternatives.head.isNotNull, branch(alternatives.head, 0))) {
+        case (acc, (c, i)) => acc.when(c.isNotNull, branch(c, i + 1))
+      }
+      .otherwise(raise_error(lit("ordered_union: all alternatives NULL")))
   }
 
   /** SQL surface: `ordered_encode(x[, desc])`. */

@@ -161,17 +161,21 @@ object Similarity {
   /** Drop all cached IVF indexes (e.g. after overwriting a corpus). */
   def invalidateIvfCache(): Unit = centroidCache.clear()
 
-  /** Data fingerprint: hash of the file listing backing the plan (part
-    * files carry unique names, so a rewrite changes the listing); plans
-    * with no files (in-memory test data) fall back to plan identity. */
+  /** Data fingerprint: hash of the SORTED file listing backing the plan
+    * (part files carry unique names, so a rewrite changes the listing;
+    * sorting removes listing-order instability); plans with no files
+    * (in-memory test data) fall back to plan identity. */
   private def corpusFingerprint(emb: DataFrame): Int = {
-    val files = emb.inputFiles
+    val files = emb.inputFiles.sorted
     if (files.isEmpty) 0 else java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
   }
 
   def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    if (centroidCache.size >= CentroidCacheMax) centroidCache.clear()
+    // bounded: evict one (arbitrary) entry past the cap — never the
+    // whole map, so the hot corpus is not retrained on every call
+    while (centroidCache.size >= CentroidCacheMax)
+      centroidCache.headOption.foreach { case (k0, _) => centroidCache.remove(k0) }
     val cents = centroidCache.getOrElseUpdate(
       (System.identityHashCode(emb.sparkSession),
         emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),

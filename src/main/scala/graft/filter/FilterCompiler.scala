@@ -148,24 +148,27 @@ object FilterCompiler {
       val vetoed = cells.filter(!(p <=> lit(true))).select("row").distinct()
       cells.join(vetoed, Seq("row"), "left_anti")
 
-    case WhileMatchFilter(inner) =>
+    case WhileMatchFilter(inner, reversed) =>
       val p = cellPredicate(inner).getOrElse(
         throw new IllegalArgumentException("WhileMatchFilter requires a cell-level inner filter"))
       // keep the prefix of the stream before the first rejected row
-      // (WhileMatchFilter.java:39): scalar min(row) over rejects, then
-      // row < firstReject. One tiny agg (broadcast) + one filter.
-      // Declared capability boundary (SURVEY §7 watch list): the
-      // rewrite is ROW-granular on ASCENDING row order — the
-      // reference's cell-granular mid-row stop (and reversed-scan
-      // prefixes) are not reproduced.
+      // (WhileMatchFilter.java:39): scalar min(row) (max for reversed
+      // scans) over rejects, then the strict prefix before it. One tiny
+      // agg (broadcast) + one filter. Declared capability boundary
+      // (SURVEY §7 watch list): the rewrite is ROW-granular — the
+      // reference's cell-granular mid-row stop is not reproduced.
       val firstReject = cells.filter(!(p <=> lit(true)))
-        .agg(min("row").as("__stop"))
+        .agg((if (reversed) max(col("row")) else min(col("row"))).as("__stop"))
       cells.join(broadcast(firstReject))
-        .filter(col("__stop").isNull || col("row") < col("__stop"))
+        .filter(col("__stop").isNull ||
+          (if (reversed) col("row") > col("__stop") else col("row") < col("__stop")))
         .drop("__stop")
 
     case KeyOnlyFilter(lenAsVal) =>
-      if (lenAsVal) cells.withColumn("value", length(col("value")).cast("string"))
+      // LEN_AS_VAL is the value's BYTE length (KeyOnlyFilter.java:53
+      // stores Bytes.toBytes(value.length) of the serialized value),
+      // so octet_length, not character length
+      if (lenAsVal) cells.withColumn("value", octet_length(col("value")).cast("string"))
       else cells.withColumn("value", lit(null).cast("string"))
 
     case FirstKeyOnlyFilter() =>
@@ -179,19 +182,31 @@ object FilterCompiler {
 
     case FilterList(FilterList.MustPassOne, fs) =>
       // OR of mixed cell/row-level children (FilterListWithOR.java:34):
-      // a cell passes if ANY child admits it. Cell-level children fuse
-      // into one predicate branch; each row-level child contributes its
-      // admitted cell set; union + dedup on the full cell identity
-      // (cell sets are coordinate-unique, so dedup only collapses the
-      // same cell admitted by several children). Value-transforming
-      // children (KeyOnly) contribute their transformed cells, the
-      // analogue of the reference's per-child transformCell.
-      val (cellKids, rowKids) = fs.partition(cellPredicate(_).isDefined)
-      val cellPart =
-        if (cellKids.isEmpty) Nil
-        else Seq(cells.filter(cellKids.flatMap(cellPredicate).reduce(_ || _)))
-      val parts = cellPart ++ rowKids.map(rewrite(cells, _))
-      parts.reduce(_ unionByName _).dropDuplicates(cells.columns.toIndexedSeq)
+      // a cell passes if ANY child admits it. Transform-only children
+      // (KeyOnly — filterCell always INCLUDEs, transformCell rewrites)
+      // follow the reference exactly: they admit EVERY cell, and their
+      // transform applies to the whole list's output (FilterList
+      // .transformCell delegates to every child), so the union is
+      // computed over untransformed gates first — no duplicate
+      // coordinates with diverging values can arise — and transforms
+      // run once at the end.
+      val (transformers, gates) = fs.partition {
+        case KeyOnlyFilter(_) => true
+        case _                => false
+      }
+      val admitted =
+        if (transformers.nonEmpty || gates.isEmpty) cells
+        else {
+          val (cellKids, rowKids) = gates.partition(cellPredicate(_).isDefined)
+          val cellPart =
+            if (cellKids.isEmpty) Nil
+            else Seq(cells.filter(cellKids.flatMap(cellPredicate).reduce(_ || _)))
+          val parts = cellPart ++ rowKids.map(rewrite(cells, _))
+          // cell sets are coordinate-unique and untransformed, so the
+          // dedup only collapses the same cell admitted by >1 child
+          parts.reduce(_ unionByName _).dropDuplicates(cells.columns.toIndexedSeq)
+        }
+      transformers.foldLeft(admitted)((df, t) => rewrite(df, t))
 
     case other =>
       throw new IllegalArgumentException(s"unsupported filter $other")

@@ -94,8 +94,10 @@ final case class ColumnPaginationFilter(limit: Int, offset: Int) extends GFilter
   * excludes ANY of its cells. */
 final case class SkipFilter(inner: GFilter) extends GFilter
 /** F24 WhileMatchFilter.java:39 — prefix-of-stream: stop at the first
-  * row/cell the wrapped filter rejects. */
-final case class WhileMatchFilter(inner: GFilter) extends GFilter
+  * row/cell the wrapped filter rejects. `reversed` matches the scan
+  * direction (a reversed scan's prefix is the row-DESC prefix). */
+final case class WhileMatchFilter(inner: GFilter,
+    reversed: Boolean = false) extends GFilter
 /** F25 FilterList.java:46 — boolean composition, nestable. */
 final case class FilterList(op: FilterList.Op, filters: Seq[GFilter]) extends GFilter
 object FilterList {

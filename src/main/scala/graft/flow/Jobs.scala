@@ -88,15 +88,16 @@ object Jobs {
     * Digest-equal rows contribute their cell count as `matched`
     * without being joined; only digest-unequal rows (a tiny fraction
     * of a healthy replica pair) reach the per-cell full-outer diff.
-    * The divergent-row list is broadcast (small by the same assumption
-    * the reference's SyncTable makes), which also lets ReuseExchange
-    * share one computation of it across both semi-joins. */
+    * No broadcast hint on the divergent-row list: AQE broadcasts it
+    * when it is actually small, and a fully-diverged pair (first sync
+    * against an empty replica) degrades to a shuffle join instead of
+    * an over-limit broadcast. */
   def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
     val j = summaryJoin(src, dst)
     val matchedEqual = j.filter(col("__eq"))
       .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
       .select(lit("matched").as("class"), col("n"))
-    val diffRows = broadcast(j.filter(!col("__eq")).select("row"))
+    val diffRows = j.filter(!col("__eq")).select("row")
     val detail = syncDiff(
         src.join(diffRows, Seq("row"), "left_semi"),
         dst.join(diffRows, Seq("row"), "left_semi"))

@@ -93,10 +93,15 @@ object Tables {
     // Hash-repartition on the leading (id) column: a plain exchange.
     // Round-robin repartition() would local-sort every row first for
     // retry determinism (SPARK-23207) — pure overhead here.
-    // File count proxies the split count without materializing an RDD
-    // lineage per load (df.rdd would); single-row-group fixture files
-    // are exactly the under-split case this repairs.
-    if (df.inputFiles.length < target / 2)
+    // Estimated split count = relation bytes / maxPartitionBytes (the
+    // same arithmetic FilePartition packing uses), clamped below by
+    // the file count — no RDD lineage materialized per load (df.rdd
+    // would), and a big many-row-group single file is not punished
+    // with a pointless shuffle the way a file-count proxy would.
+    val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes.max(1L))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(0))
+    val estSplits = ((bytes + maxSplit - 1) / maxSplit).max(1).min(1 << 20).toInt
+    if (math.max(estSplits, df.inputFiles.length) < target / 2)
       df.repartition(target, col(df.columns.head))
     else df
   }

@@ -188,7 +188,7 @@ object FilterQueries {
       "q51_key_only",
       (s, dir) => run(co(s, dir), KeyOnlyFilter(lenAsVal = true)),
       Some(Cte.withCtes(Cte.cellsOrders)(
-        """SELECT row, family, qualifier, ts, CAST(length(value) AS VARCHAR) AS value
+        """SELECT row, family, qualifier, ts, CAST(octet_length(encode(value)) AS VARCHAR) AS value
           |FROM cells_orders ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(

@@ -76,10 +76,17 @@ object Resolve {
       minVersions: Int = 0,
       keepDeleted: Boolean = false
   ): DataFrame = {
+    // KEEP_DELETED_CELLS ceiling is PER FAMILY: a family's as-of point
+    // is its own range max (override) or the scan-global max; families
+    // with no range at all keep full masking.
     val masked =
-      if (keepDeleted && timeRange.isDefined)
-        maskTombstones(cells, tombVisibleBelow = Some(timeRange.get.max))
-      else maskTombstones(cells)
+      if (keepDeleted && (timeRange.isDefined || cfTimeRanges.nonEmpty)) {
+        val base = timeRange.map(tr => lit(tr.max)).getOrElse(lit(Long.MaxValue))
+        val ceil = cfTimeRanges.foldLeft(base) {
+          case (acc, (f, tr)) => when(col("family") === f, lit(tr.max)).otherwise(acc)
+        }
+        maskTombstones(cells, tombVisible = Some(col("ts") < ceil))
+      } else maskTombstones(cells)
     val ranged = Seq(
       timeRangePred(timeRange, cfTimeRanges),
       // TTL is a pre-gate filter unless MIN_VERSIONS needs expired
@@ -107,14 +114,15 @@ object Resolve {
   /** Apply the 4 tombstone kinds to the Put cells; returns live puts.
     * `raw` scans (Scan.setRaw, Scan.java:848) skip this entirely.
     *
-    * @param tombVisibleBelow KEEP_DELETED_CELLS time-travel ceiling:
-    *        only tombstones with ts strictly below it mask (a marker
-    *        at/after the as-of point has not happened yet).
+    * @param tombVisible KEEP_DELETED_CELLS time-travel visibility
+    *        predicate on the tombstone cells: only markers satisfying
+    *        it mask (a marker at/after the as-of point has not
+    *        happened yet). A `Column` so per-family ceilings compose.
     */
   def maskTombstones(cells: DataFrame,
-      tombVisibleBelow: Option[Long] = None): DataFrame = {
+      tombVisible: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val puts = cells.filter(col("type") === CellType.Put)
-    val tombSrc = tombVisibleBelow.fold(cells)(m => cells.filter(col("ts") < m))
+    val tombSrc = tombVisible.fold(cells)(cells.filter)
 
     val dFam = tombSrc
       .filter(col("type") === CellType.DeleteFamily)

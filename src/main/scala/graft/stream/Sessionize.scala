@@ -106,9 +106,14 @@ object Sessionize {
               // close the session but keep a closed-marker (n == 0) so
               // the per-user session counter survives: the next session
               // gets idx+1, matching the batch twin. The marker carries
-              // its own expiry (last close + markerTtlUs).
+              // its own expiry (last close + markerTtlUs), clamped
+              // above the current watermark — Spark rejects timeout
+              // timestamps at/below it (restart after long downtime,
+              // backfills, or a TTL <= gap would otherwise crash).
               state.update(SessState(st.idx + 1, 0L, 0L, st.last))
-              state.setTimeoutTimestamp(st.last / 1000 + markerTtlUs / 1000)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                st.last / 1000 + markerTtlUs / 1000))
               Iterator.single(Session(uid, st.idx, st.n, st.start, st.last))
             }
           } else {
@@ -131,7 +136,11 @@ object Sessionize {
             }
             if (st != null && st.n > 0L) {
               state.update(st)
-              state.setTimeoutTimestamp(st.last / 1000 + gapUs / 1000)
+              // same watermark clamp: a straggler batch can carry events
+              // whose session expiry already lies below the watermark
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                st.last / 1000 + gapUs / 1000))
             }
             out.iterator
           }

@@ -192,6 +192,22 @@ class CodecExprSpec extends SparkSpec {
     assert(byKey == byTuple)
   }
 
+  test("ordered_struct and ordered_union order like their contracts") {
+    import spark.implicits._
+    // struct: (s ASC, l DESC) per-field order
+    val df = Seq(("b", 1L), ("a", 9L), ("a", -3L), ("ab", 0L)).toDF("s", "l")
+    val byKey = df.orderBy(ordered_struct(OField($"s"), OField($"l", desc = true)))
+      .as[(String, Long)].collect().toSeq
+    val byTuple = df.orderBy($"s", $"l".desc).as[(String, Long)].collect().toSeq
+    assert(byKey == byTuple)
+    // union: tag orders first, then the active member
+    val u = Seq((Some(5L), None), (Some(-1L), None), (None, Some("a")), (None, Some("A")))
+      .toDF("n", "t")
+    val got = u.orderBy(ordered_union($"n", $"t"))
+      .select(concat_ws("/", $"n", $"t")).as[String].collect().toSeq
+    assert(got == Seq("-1", "5", "A", "a"))
+  }
+
   test("SQL registration: ordered_encode usable from spark.sql") {
     graft.codec.CodecFunctions.register(spark)
     val n = spark.sql(

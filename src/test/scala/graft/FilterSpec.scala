@@ -57,6 +57,19 @@ class FilterSpec extends SparkSpec {
     assert(out.select("row").distinct().count() === co.select("row").distinct().count() - zeroRows)
   }
 
+  test("WhileMatch reversed keeps the row-DESC prefix") {
+    val inner = ColumnValueFilter("d", "o_custkey",
+      CompareOp.NotEqual, BinaryComparator("42"))
+    val fwd = rows(WhileMatchFilter(inner))
+    val rev = rows(WhileMatchFilter(inner, reversed = true))
+    val rejects = co.filter(col("qualifier") === "o_custkey" && col("value") === "42")
+      .select("row").collect().map(_.getString(0))
+    if (rejects.nonEmpty) {
+      assert(fwd.forall(_ < rejects.min))
+      assert(rev.forall(_ > rejects.max))
+    } else assert(fwd === rev)
+  }
+
   test("WhileMatch keeps strict prefix before first reject") {
     val out = FilterCompiler(co,
       WhileMatchFilter(ColumnValueFilter("d", "o_orderstatus", CompareOp.NotEqual, BinaryComparator("P"))))

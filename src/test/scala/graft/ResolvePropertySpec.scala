@@ -82,9 +82,11 @@ class ResolvePropertySpec extends SparkSpec {
       tr: Option[(Long, Long)], cfTr: Map[String, (Long, Long)],
       ttl: Option[Long], minV: Int,
       keepDeleted: Boolean): Set[(String, String, String, Long)] = {
-    val markerCeil: Option[Long] = if (keepDeleted) tr.map(_._2) else None
+    val anyRange = tr.nonEmpty || cfTr.nonEmpty
+    def markerCeil(f: String): Long =
+      cfTr.get(f).map(_._2).orElse(tr.map(_._2)).getOrElse(Long.MaxValue)
     def isMasked(p: GCell): Boolean = cells.exists { d =>
-      markerCeil.forall(d.ts < _) && (d.`type` match {
+      (!keepDeleted || !anyRange || d.ts < markerCeil(d.family)) && (d.`type` match {
         case CellType.Delete =>
           d.row == p.row && d.family == p.family && d.qualifier == p.qualifier && d.ts == p.ts
         case CellType.DeleteColumn =>
