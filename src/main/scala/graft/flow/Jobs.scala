@@ -93,7 +93,11 @@ object Jobs {
     * against an empty replica) degrades to a shuffle join instead of
     * an over-limit broadcast. */
   def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
-    val j = summaryJoin(src, dst)
+    // materialize the summary join once (localCheckpoint, distributed,
+    // ContextCleaner-reclaimed) — it feeds three consumers (matched
+    // branch + both semi-joins), and this IS the reference's design:
+    // the HashTable job writes its hashes for SyncTable to read.
+    val j = summaryJoin(src, dst).localCheckpoint()
     val matchedEqual = j.filter(col("__eq"))
       .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
       .select(lit("matched").as("class"), col("n"))
