@@ -93,11 +93,15 @@ object Jobs {
     * against an empty replica) degrades to a shuffle join instead of
     * an over-limit broadcast. */
   def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
-    // materialize the summary join once (localCheckpoint, distributed,
-    // ContextCleaner-reclaimed) — it feeds three consumers (matched
-    // branch + both semi-joins), and this IS the reference's design:
-    // the HashTable job writes its hashes for SyncTable to read.
-    val j = summaryJoin(src, dst).localCheckpoint()
+    // The summary join feeds three consumers (matched branch + both
+    // semi-joins) and is deliberately NOT checkpointed/persisted:
+    // recomputing two map-side digest aggregates is cheap and fully
+    // fault-tolerant, while localCheckpoint's unreplicated executor
+    // blocks would make a 100 TB sync die on any executor loss and
+    // its LogicalRDD leaf would hide the digest phase from plan
+    // audits. (When the inputs are not pre-partitioned, ReuseExchange
+    // dedups the shared shuffle anyway.)
+    val j = summaryJoin(src, dst)
     val matchedEqual = j.filter(col("__eq"))
       .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
       .select(lit("matched").as("class"), col("n"))
