@@ -24,7 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_fold"),
       info("dot_fold", classOf[DotFold]),
-      (children: Seq[Expression]) => DotFold(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_fold expects (array, array)")
+        DotFold(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("ordered_encode"),
       info("ordered_encode", classOf[OrderedEncode]),

@@ -31,6 +31,10 @@ object GAdmin {
     * recorded as a table property for describe-parity. */
   def createTable(spark: SparkSession, name: String, path: String,
       families: Seq[String] = Seq("d"), buckets: Int = 16): Unit = {
+    // families are interpolated into SET TBLPROPERTIES — same identifier
+    // charset guard as table names
+    families.foreach(f => require(f.matches("[A-Za-z0-9_]+"),
+      s"illegal family name '$f': only [A-Za-z0-9_] allowed"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CellSchema.schema)
     BucketedStore.write(empty, qualified(name), s"$path/$name", buckets)

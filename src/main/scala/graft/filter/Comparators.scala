@@ -137,7 +137,9 @@ final case class RegexStringComparator(pattern: String) extends GComparator {
 /** Case-insensitive contains. */
 final case class SubstringComparator(substr: String) extends GComparator {
   def test(subject: Column, op: CompareOp): Column = {
-    val c = lower(subject).contains(lit(substr.toLowerCase))
+    // Locale.ROOT: Spark's lower() is locale-independent; the default
+    // locale would diverge (e.g. Turkish dotless-ı for "I")
+    val c = lower(subject).contains(lit(substr.toLowerCase(java.util.Locale.ROOT)))
     op match {
       case CompareOp.Equal    => c
       case CompareOp.NotEqual => !c

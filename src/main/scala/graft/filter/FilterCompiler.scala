@@ -26,7 +26,8 @@ object FilterCompiler {
       Some(!(col("family") === fam && col("qualifier") === q) ||
         c.test(col("value"), op))
     case PrefixFilter(p)        => Some(col("row").startsWith(p))
-    case InclusiveStopFilter(s) => Some(col("row") <= s)
+    case InclusiveStopFilter(s, reversed) =>
+      Some(if (reversed) col("row") >= s else col("row") <= s)
     case MultiRowRangeFilter(ranges) =>
       // empty range list matches nothing (no range can contain a row)
       Some(ranges.map { r =>

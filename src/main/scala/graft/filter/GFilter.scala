@@ -30,8 +30,11 @@ final case class ColumnValueFilter(family: String, qualifier: String,
     op: CompareOp, cmp: GComparator) extends GFilter
 /** F9 PrefixFilter.java:39 — row key starts-with. */
 final case class PrefixFilter(prefix: String) extends GFilter
-/** F12 InclusiveStopFilter.java:38 — stop after including given row. */
-final case class InclusiveStopFilter(stopRow: String) extends GFilter
+/** F12 InclusiveStopFilter.java:38 — stop after including given row;
+  * `reversed` matches the scan direction (a reversed scan keeps rows
+  * >= stopRow, as the reference honors via filterRowKey + reversal). */
+final case class InclusiveStopFilter(stopRow: String,
+    reversed: Boolean = false) extends GFilter
 /** F10 MultiRowRangeFilter.java:53 — union of [lo, hi) row ranges. */
 final case class MultiRowRangeFilter(ranges: Seq[RowRange]) extends GFilter
 final case class RowRange(lo: String, loInclusive: Boolean,

@@ -157,7 +157,7 @@ object ParseFilter {
   def comparator(spec: String): GComparator = {
     val idx = spec.indexOf(':')
     val (kind, arg) = if (idx < 0) (spec, "") else (spec.substring(0, idx), spec.substring(idx + 1))
-    kind.toLowerCase match {
+    kind.toLowerCase(java.util.Locale.ROOT) match {
       case "binary"       => BinaryComparator(arg)
       case "binaryprefix" => BinaryPrefixComparator(arg)
       case "regexstring"  => RegexStringComparator(arg)

@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Jobs {
 
-  private val cellKey = Seq("row", "family", "qualifier", "ts")
+  // `type` is part of cell identity (a Put and a DeleteColumn can share
+  // (row,family,qualifier,ts) — WalStream.applySink documents the same
+  // contract), so it joins the diff key and the digests below.
+  private val cellKey = Seq("row", "family", "qualifier", "ts", "type")
+
+  /** Shared family-rename column: chained when/otherwise over the map. */
+  private def renameFamily(renames: Map[String, String]): Column =
+    renames.foldLeft(col("family")) { case (c, (from, to)) =>
+      when(col("family") === from, lit(to)).otherwise(c)
+    }
 
   /** D1 RowCounter (RowCounter.java:60): COUNT(rows) after filters. */
   def rowCounter(cells: DataFrame, pred: Option[Column] = None): DataFrame =
@@ -34,10 +43,7 @@ object Jobs {
       familyRename: Map[String, String], outPath: String): Unit = {
     val filtered = pred.fold(cells)(cells.filter)
     val renamed = if (familyRename.isEmpty) filtered
-      else filtered.withColumn("family",
-        familyRename.foldLeft(col("family")) { case (c, (from, to)) =>
-          when(col("family") === from, lit(to)).otherwise(c)
-        })
+      else filtered.withColumn("family", renameFamily(familyRename))
     renamed.write.mode(SaveMode.Overwrite).parquet(outPath)
   }
 
@@ -71,7 +77,7 @@ object Jobs {
     * (2^-64 per row). */
   private def rowSummary(df: DataFrame, pfx: String): DataFrame =
     df.withColumn("__ch", xxhash64(col("family"), col("qualifier"), col("ts"),
-        col("value").isNull, coalesce(col("value"), lit(""))))
+        col("type"), col("value").isNull, coalesce(col("value"), lit(""))))
       .groupBy("row").agg(
         count(lit(1)).as(s"${pfx}n"),
         expr("bit_xor(__ch)").as(s"${pfx}h"))
@@ -143,10 +149,7 @@ object Jobs {
     val df = spark.read.parquet(path)
     val filtered = pred.fold(df)(df.filter)
     if (familyRename.isEmpty) filtered
-    else filtered.withColumn("family",
-      familyRename.foldLeft(col("family")) { case (c, (from, to)) =>
-        when(col("family") === from, lit(to)).otherwise(c)
-      })
+    else filtered.withColumn("family", renameFamily(familyRename))
   }
 
   /** D4 ImportTsv (ImportTsv.java:75): parse TSV into Put cells given a

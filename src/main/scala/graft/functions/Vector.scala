@@ -130,5 +130,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_fold"),
       new ExpressionInfo(classOf[DotFold].getName, null, "dot_fold"),
-      (children: Seq[Expression]) => DotFold(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_fold expects (array, array)")
+        DotFold(children.head, children(1))
+      })
 }

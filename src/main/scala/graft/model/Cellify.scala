@@ -119,14 +119,25 @@ object Tables {
   * preserved where the scan IS the query.
   */
 object CellStore {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), (SparkSession, DataFrame)]
 
   def materialize(spark: SparkSession, name: String, sfDir: String)(
-      build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), name, sfDir),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      build: => DataFrame): DataFrame = {
+    // drop entries of stopped sessions (their persisted blocks are gone
+    // with the session; keeping them would leak map entries forever and
+    // an identityHashCode reused by a new session could serve a frame
+    // bound to the dead one)
+    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark), name, sfDir)
+    cache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, (spark, df))
+        df
+    }
+  }
 }
 
 /** The deterministic cellified fixtures of FIXTURES.md §2, derived from

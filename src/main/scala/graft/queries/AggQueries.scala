@@ -96,7 +96,7 @@ object AggQueries {
           |            WHEN s.value IS NOT DISTINCT FROM d.value THEN 'matched'
           |            ELSE 'mismatch' END AS class, COUNT(*) AS n
           |FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
-          |  ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
+          |  ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts AND s.type = d.type
           |GROUP BY 1 ORDER BY 1""".stripMargin))
     ),
     QDef(
@@ -119,7 +119,7 @@ object AggQueries {
           |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS DISTINCT FROM d.value THEN 1 ELSE 0 END) AS bad,
           |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS NOT DISTINCT FROM d.value THEN 1 ELSE 0 END) AS ok
           |    FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
-          |      ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts
+          |      ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts AND s.type = d.type
           |    GROUP BY 1
           |  )
           |) GROUP BY 1 ORDER BY 1""".stripMargin))

@@ -85,6 +85,22 @@ object ScanQueries {
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // P2 × §2.4: qualifier projection on a NON-raw scan keeps
+      // family-scoped tombstones (qualifier "") visible to masking —
+      // the server reads the selected family's whole store, so a
+      // DeleteFamily marker still masks the selected column's older
+      // versions even though only one qualifier is projected.
+      "q58_projected_resolve",
+      (s, dir) =>
+        ordered(GTable.scan(Fixtures.cellsEventsV(s, dir),
+          GScan(columns = Seq("d" -> "value"), maxVersions = 2))),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events WHERE family = 'd' AND qualifier = 'value'
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // S6 raw scan (Scan.setRaw, Scan.java:848): storage-level view —
       // tombstone markers surface as rows, no masking, no version gate;
       // the time range still prunes. `type` is projected to prove it.

@@ -61,8 +61,21 @@ object GTable {
     val projParts: Seq[Column] =
       (if (s.families.nonEmpty) Seq(col("family").isin(s.families: _*)) else Nil) ++
         s.columns.map { case (f, q) => col("family") === f && col("qualifier") === q }
+    // Non-raw qualifier projections must NOT drop family-scoped
+    // tombstones (DeleteFamily/DeleteFamilyVersion carry qualifier ""):
+    // the server reads the selected family's whole store, so its
+    // markers are visible to delete tracking even when only one
+    // qualifier is selected (ScanQueryMatcher columns-tracking runs
+    // AFTER the delete tracker). Markers never surface in the resolve
+    // output (only Puts do), so no post-filter is needed.
+    val projFams = (s.families ++ s.columns.map(_._1)).distinct
+    val keepFamilyMarkers: Column =
+      col("type") =!= graft.model.CellType.Put &&
+        col("qualifier") === "" && col("family").isin(projFams: _*)
     val projPreds: Seq[Column] =
-      if (projParts.isEmpty) Nil else Seq(projParts.reduce(_ || _))
+      if (projParts.isEmpty) Nil
+      else if (s.raw) Seq(projParts.reduce(_ || _))
+      else Seq(projParts.reduce(_ || _) || keepFamilyMarkers)
 
     // Row-range + projection predicates apply to raw cells (they prune
     // the scan); resolve runs after, as on the server

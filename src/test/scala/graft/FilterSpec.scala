@@ -57,6 +57,14 @@ class FilterSpec extends SparkSpec {
     assert(out.select("row").distinct().count() === co.select("row").distinct().count() - zeroRows)
   }
 
+  test("InclusiveStopFilter honors scan direction") {
+    val fwd = rows(InclusiveStopFilter("0000000100"))
+    val rev = rows(InclusiveStopFilter("0000000100", reversed = true))
+    assert(fwd.forall(_ <= "0000000100") && rev.forall(_ >= "0000000100"))
+    assert((fwd ++ rev).size == co.select("row").distinct().count())
+    assert(fwd.intersect(rev) === Set("0000000100")) // stop row in both
+  }
+
   test("WhileMatch reversed keeps the row-DESC prefix") {
     val inner = ColumnValueFilter("d", "o_custkey",
       CompareOp.NotEqual, BinaryComparator("42"))

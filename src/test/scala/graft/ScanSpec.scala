@@ -73,6 +73,20 @@ class ScanSpec extends SparkSpec {
     assert(out.count() === 15) // 3 rows x 5 cells each, no mid-row cut
   }
 
+  test("column projection keeps family tombstones visible to resolve") {
+    val ev = Fixtures.cellsEventsV(spark, sf0001)
+    val proj = GTable.scan(ev, GScan(columns = Seq("d" -> "value"), maxVersions = 2))
+      .select("row", "family", "qualifier", "ts", "value")
+      .collect().map(_.toSeq).toSet
+    val full = graft.read.Resolve.latest(ev, maxVersions = 2)
+      .filter(col("family") === "d" && col("qualifier") === "value")
+      .select("row", "family", "qualifier", "ts", "value")
+      .collect().map(_.toSeq).toSet
+    assert(proj === full)
+    // and no tombstone markers leak into the output
+    assert(!proj.exists(_(2) == ""))
+  }
+
   test("raw scan honors the time range but skips masking and versions") {
     val ev = Fixtures.cellsEventsV(spark, sf0001)
     val out = GTable.scan(ev, GScan(raw = true,
