@@ -34,6 +34,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Streaming exact dedup — the continuous-ingest twin of
+    * [[exactDedupKeep]]: first arrival of each fingerprint within the
+    * watermark window survives, later duplicates are dropped. State is
+    * one entry per distinct fingerprint still inside the watermark
+    * (`dropDuplicatesWithinWatermark` evicts expired keys), so a
+    * perpetual ingest pipeline runs with bounded state — the shape a
+    * 100 TB training-data firehose needs. Batch/stream policy
+    * difference (keep-FIRST-ARRIVAL vs keep-min-id) is inherent to
+    * streaming and documented here. */
+  def streamDedup(docs: DataFrame, eventTime: Column,
+      text: Column = col("text"), watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", md5(normText(text)))
+      .withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "__et")
+
   /** Distinct shingle SET per doc as an array column: (doc_id, shs).
     * Entirely map-side (`array_distinct` instead of a shuffle-distinct
     * over exploded rows) — the parse/normalize/shingle work happens

@@ -65,6 +65,30 @@ object Similarity {
       .select("i", "j", "sim")
   }
 
+  /** Embedding near-dup PAIRS via hyperplane-LSH banding — the 100 TB
+    * path for [[embeddingNearDups]]: candidates are pairs sharing any
+    * (table, bucket), exact cosine verifies ≥ threshold. Same
+    * deterministic planes as [[annTopK]], same candidates-only shape as
+    * MinHash banding — the corpus never pairs with itself. Recall is
+    * the standard LSH trade (tables × bits tunes it); the exact
+    * [[embeddingNearDups]] remains the bounded-corpora ground truth. */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
+      dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
+    val bucketed = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(lshBucketsAll(col("embedding"), dim, tables, nbits)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("i") < col("j"))
+      .dropDuplicates("i", "j")
+      .withColumn("sim", round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("i", "j", "sim")
+  }
+
   /** Deterministic ±1 hyperplane for (table, bit): component signs from
     * MurmurHash3 of "table:bit:dim" — reproducible with no stored model.
     * `private[graft]` so the oracle generator can embed the same

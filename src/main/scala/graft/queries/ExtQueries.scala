@@ -54,18 +54,8 @@ object ExtQueries {
     * literals, so DuckDB computes the identical buckets, candidates,
     * and re-rank — a complete independent twin, not a rows-only check. */
   private def annLshOracle(dim: Int, tables: Int, nbits: Int, k: Int): String = {
-    val planeRows = (for (t <- 0 until tables; b <- 0 until nbits) yield {
-      val pl = Similarity.plane(t, b, dim)
-        .map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
-      s"($t, $b, [$pl])"
-    }).mkString(", ")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |planes(tbl, bit, pl) AS (VALUES $planeRows),
-       |b AS (
-       |  SELECT e.vec_id, p.tbl,
-       |         SUM(CASE WHEN ${dotl("e.v", "p.pl")} >= 0
-       |                  THEN CAST(1 << p.bit AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
-       |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl),
+       |${planesCte(dim, tables, nbits)},
        |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 10),
        |cand AS (
        |  SELECT DISTINCT q.query_id, b.vec_id FROM b
@@ -79,6 +69,35 @@ object ExtQueries {
        |  FROM scored
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared planes-CTE fragment for the LSH oracles (e07, e16). */
+  private def planesCte(dim: Int, tables: Int, nbits: Int): String = {
+    val rows = (for (t <- 0 until tables; b <- 0 until nbits) yield {
+      val pl = Similarity.plane(t, b, dim)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+      s"($t, $b, [$pl])"
+    }).mkString(", ")
+    s"""planes(tbl, bit, pl) AS (VALUES $rows),
+       |b AS (
+       |  SELECT e.vec_id, p.tbl,
+       |         SUM(CASE WHEN ${dotl("e.v", "p.pl")} >= 0
+       |                  THEN CAST(1 << p.bit AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl)""".stripMargin
+  }
+
+  /** e16 oracle: LSH-banded near-dup pairs — identical planes/buckets,
+    * candidate pair join, exact cosine threshold. */
+  private def nearDupLshOracle(threshold: Double, dim: Int, tables: Int,
+      nbits: Int): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${planesCte(dim, tables, nbits)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j FROM b a
+       |  JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT i, j, sim FROM (
+       |  SELECT c.i, c.j, ROUND(${cosl("ea.v", "eb.v")}, 6) AS sim
+       |  FROM cand c JOIN emb ea ON ea.vec_id = c.i JOIN emb eb ON eb.vec_id = c.j
+       |) WHERE sim >= $threshold ORDER BY i, j""".stripMargin
 
   /** One Lloyd round in SQL: assign each vector to its best centroid
     * (argmax of v·c − ‖c‖²/2; ties → larger cluster id, mirroring the
@@ -277,6 +296,28 @@ object ExtQueries {
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
       Some(annIvfOracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
+    ),
+    QDef(
+      // exact-dedup keep-list: min doc_id per fingerprint group — the
+      // batch twin of Dedup.streamDedup (stream twin spec-tested in
+      // StreamSpec: first-arrival-wins within the watermark).
+      "e15_dedup_keep",
+      (s, dir) =>
+        Dedup.exactDedupKeep(graft.model.Tables.load(s, s"$dir/documents.parquet"))
+          .orderBy("fp"),
+      Some(s"""SELECT md5($norm) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)
+    ),
+    QDef(
+      // LSH-banded embedding near-dup PAIRS — the scale path for e05
+      // (candidates-only bucket join, exact cosine verify), with the
+      // full pipeline mirrored in the oracle via the literal planes.
+      "e16_embed_near_dup_lsh",
+      (s, dir) =>
+        Similarity.embeddingNearDupsLsh(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"), 0.45)
+          .orderBy("i", "j"),
+      Some(nearDupLshOracle(0.45, dim = 64, tables = 12, nbits = 6))
     ),
     QDef(
       "e08_lang_id",

@@ -82,6 +82,18 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("LSH near-dup pairs are a sound subset of brute pairs with recall") {
+    val brute = Similarity.embeddingNearDups(emb, 0.45)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDupsLsh(emb, 0.45)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH pairs must pass the same exact verify")
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.3, s"LSH pair recall $recall too low")
+    }
+  }
+
   test("cosine of identical vectors is 1") {
     val sim = emb.limit(5)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("s"))

@@ -111,6 +111,33 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per fingerprint within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.Dedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (doc_id, tsUs, text)
+    val min = 60L * 1000 * 1000
+    val base = 600 * min
+    val df = mem.toDF().toDF("doc_id", "tus", "text")
+    val deduped = Dedup.streamDedup(df,
+      eventTime = timestamp_micros(col("tus")), watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two distinct texts + one duplicate (whitespace-normalized)
+      mem.addData((1L, base, "hello world"), (2L, base + min, "HELLO  world"),
+        (3L, base + 2 * min, "unique one"))
+      q.processAllAvailable()
+      // batch 2: duplicate arrives within watermark → dropped
+      mem.addData((4L, base + 3 * min, "hello world"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 3L), s"first arrival wins within watermark: $kept")
+    } finally q.stop()
+  }
+
   test("walPlayer + backup/restore compose with Resolve") {
     import graft.flow.Jobs
     val wal = Fixtures.cellsEventsV(spark, sf0001)
