@@ -92,4 +92,84 @@ object GAdmin {
 
   def deleteTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")
+
+  /** Contents rewrite shared by truncate/deleteFamily: materialize the
+    * transformed cell set OFF the table's files (localCheckpoint) so
+    * the overwrite does not read what it truncates, then re-write the
+    * bucketed table at its own location and restore the graft table
+    * properties (saveAsTable recreates the catalog entry). This is the
+    * analogue of the reference rewriting store files (truncate
+    * recreates regions empty; deleteColumnFamily drops the family's
+    * stores) — a heavyweight admin op by construction. */
+  private def rewriteTable(spark: SparkSession, name: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val q = qualified(name)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $q").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    val desc = spark.sql(s"DESCRIBE FORMATTED $q").collect()
+    def d(key: String) = desc.find(_.getString(0) == key).map(_.getString(1))
+    val loc = d("Location").getOrElse(sys.error(s"no location recorded for $name"))
+    val buckets = d("Num Buckets")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(16)
+    val snapshot = transform(spark.table(q)).localCheckpoint()
+    BucketedStore.write(snapshot, q, loc, buckets)
+    val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    if (kv.nonEmpty) spark.sql(s"ALTER TABLE $q SET TBLPROPERTIES ($kv)")
+  }
+
+  /** Admin.tableExists — catalog membership. */
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(qualified(name))
+
+  /** Admin.truncateTable: drop all cells, keep the table + properties.
+    * Requires the table DISABLED first, as the reference does. */
+  def truncateTable(spark: SparkSession, name: String): Unit = {
+    require(!isEnabled(spark, name),
+      s"table $name must be disabled before truncate (reference semantics)")
+    rewriteTable(spark, name, _.limit(0))
+  }
+
+  /** Admin.modifyTable family list (ColumnFamilyDescriptor set):
+    * families are schema metadata here (the cell schema is universal),
+    * so addition is a property update; removal also drops the family's
+    * cells, as the reference's deleteColumnFamily does. */
+  def listFamilies(spark: SparkSession, name: String): Seq[String] =
+    prop(spark, name, "graft.families").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  def addFamily(spark: SparkSession, name: String, family: String): Unit = {
+    require(family.matches("[A-Za-z0-9_]+"),
+      s"illegal family name '$family': only [A-Za-z0-9_] allowed")
+    val fams = (listFamilies(spark, name) :+ family).distinct
+    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
+      s"('graft.families' = '${fams.mkString(",")}')")
+  }
+
+  def deleteFamily(spark: SparkSession, name: String, family: String): Unit = {
+    val fams = listFamilies(spark, name).filterNot(_ == family)
+    rewriteTable(spark, name,
+      _.filter(org.apache.spark.sql.functions.col("family") =!= family))
+    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
+      s"('graft.families' = '${fams.mkString(",")}')")
+  }
+
+  /** RegionLocator.getStartKeys analogue: n-quantile split points of
+    * the live row-key space (what HFileOutputFormat2 feeds its
+    * TotalOrderPartitioner) — drives repartitionByRange bulk loads
+    * aligned to the current key distribution. Deterministic hash-order
+    * pseudo-sample of ≤100k keys, quantiles on the sorted sample (the
+    * reference's RegionSplitter samples the same way). */
+  def splitPoints(spark: SparkSession, name: String, n: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    require(n >= 1, "need at least one region")
+    if (n == 1) return Nil
+    val sample = spark.table(qualified(name)).select("row")
+      .orderBy(xxhash64(col("row"))).limit(100000)
+      .collect().map(_.getString(0)).sorted
+    if (sample.isEmpty) Nil
+    else (1 until n)
+      .map(i => sample(((i.toLong * sample.length) / n).toInt.min(sample.length - 1)))
+      .distinct
+  }
 }

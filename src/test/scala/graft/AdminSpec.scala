@@ -44,4 +44,39 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "t2")
     assert(!GAdmin.listTables(spark).contains("t1"))
   }
+
+  test("truncate, family alteration, split points, existence") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin2").toString
+    GAdmin.createTable(spark, "t3", tmp, families = Seq("d"), buckets = 2)
+    assert(GAdmin.tableExists(spark, "t3") && !GAdmin.tableExists(spark, "nope"))
+
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(400)
+    GAdmin.put(spark, "t3", cells)
+
+    // family alteration: add is metadata-only; delete drops its cells
+    GAdmin.addFamily(spark, "t3", "m")
+    assert(GAdmin.listFamilies(spark, "t3") === Seq("d", "m"))
+    val extra = cells.limit(40).withColumn("family", lit("m"))
+    GAdmin.put(spark, "t3", extra)
+    assert(GAdmin.table(spark, "t3").count() === 440)
+    GAdmin.deleteFamily(spark, "t3", "m")
+    assert(GAdmin.listFamilies(spark, "t3") === Seq("d"))
+    assert(GAdmin.table(spark, "t3").count() === 400)
+    assert(GAdmin.table(spark, "t3").filter(col("family") === "m").count() === 0)
+
+    // split points: sorted, within the key range, n-1 of them
+    val pts = GAdmin.splitPoints(spark, "t3", 4)
+    assert(pts.size === 3 && pts === pts.sorted)
+    assert(pts.forall(p => p >= "0000000000" && p <= "9999999999"))
+
+    // truncate requires disabled; empties but keeps table + families
+    intercept[IllegalArgumentException](GAdmin.truncateTable(spark, "t3"))
+    GAdmin.disableTable(spark, "t3")
+    GAdmin.truncateTable(spark, "t3")
+    GAdmin.enableTable(spark, "t3")
+    assert(GAdmin.table(spark, "t3").count() === 0)
+    assert(GAdmin.listFamilies(spark, "t3") === Seq("d"))
+
+    GAdmin.deleteTable(spark, "t3")
+  }
 }
