@@ -271,11 +271,11 @@ object CodecFunctions {
   def ordered_decode_blob_var(c: Column, desc: Boolean = false): Column  = decN(c, "blobvar", desc)
   def ordered_decode_blob_copy(c: Column, desc: Boolean = false): Column = decN(c, "blobcopy", desc)
 
-  /** Composite ascending row key: concatenation of the per-column
-    * encodings (self-terminating ⇒ prefix-free ⇒ lex order of the
-    * concat = tuple order), the reference's `Struct` composition. */
+  /** Composite ascending row key — the all-ASC special case of
+    * [[ordered_struct]] (self-terminating ⇒ prefix-free ⇒ lex order of
+    * the concat = tuple order), the reference's `Struct` composition. */
   def ordered_key(cols: Column*): Column =
-    concat(cols.map(ordered_encode): _*)
+    ordered_struct(cols.map(OField(_)): _*)
 
   /** Explicit Struct builder (types/Struct.java + StructBuilder): a
     * field list with per-field sort order; encodings concatenate into

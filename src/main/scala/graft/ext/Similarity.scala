@@ -74,9 +74,7 @@ object Similarity {
     * [[embeddingNearDups]] remains the bounded-corpora ground truth. */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
       dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
-    val bucketed = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(lshBucketsAll(col("embedding"), dim, tables, nbits)).as(Seq("tbl", "bucket")))
+    val bucketed = lshBucketed(emb, dim, tables, nbits)
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"),
@@ -113,6 +111,15 @@ object Similarity {
     * over the corpus (vs. one union branch per table). */
   def lshBucketsAll(emb: Column, dim: Int, tables: Int, nbits: Int): Column =
     array((0 until tables).map(t => lshBucket(emb, dim, t, nbits)): _*)
+
+  /** Norm-projected corpus exploded to one (tbl, bucket) row per hash
+    * table — the shared candidate-generation base of [[annTopK]] and
+    * [[embeddingNearDupsLsh]]. */
+  private def lshBucketed(emb: DataFrame, dim: Int, tables: Int,
+      nbits: Int): DataFrame =
+    withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(lshBucketsAll(col("embedding"), dim, tables, nbits)).as(Seq("tbl", "bucket")))
 
   /** Deterministic mini k-means for the IVF index: seeds = the `nlist`
     * lowest vec_ids, then `iters` Lloyd rounds. Assignment is map-side
@@ -231,9 +238,7 @@ object Similarity {
     * bucket) with a query; exact cosine re-ranks. */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int,
       dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
-    val bucketed = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(lshBucketsAll(col("embedding"), dim, tables, nbits)).as(Seq("tbl", "bucket")))
+    val bucketed = lshBucketed(emb, dim, tables, nbits)
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("tbl"), col("bucket"))

@@ -49,6 +49,19 @@ object ExtQueries {
   private def halfSql(c: String): String =
     s"(list_reduce(list_transform($c, x -> x * x), (p, q) -> p + q) / 2)"
 
+  /** Shared ANN tail: exact-cosine scoring of (query_id, vec_id)
+    * candidate pairs + the deterministic top-k re-rank (ties →
+    * neighbor_id ASC) — identical in the e07 and e13 oracles. */
+  private def rerankSql(cand: String, k: Int): String =
+    s"""scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
+       |  FROM $cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** e07 oracle: the FULL LSH ANN pipeline in SQL. The ±1 hyperplanes
     * are deterministic constants (Similarity.plane), embedded here as
     * literals, so DuckDB computes the identical buckets, candidates,
@@ -60,14 +73,7 @@ object ExtQueries {
        |cand AS (
        |  SELECT DISTINCT q.query_id, b.vec_id FROM b
        |  JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
-       |scored AS (
-       |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
-       |  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id)
-       |SELECT query_id, rank, neighbor_id, sim FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |${rerankSql("cand", k)}""".stripMargin
   }
 
   /** Shared planes-CTE fragment for the LSH oracles (e07, e16). */
@@ -144,14 +150,7 @@ object ExtQueries {
        |cand AS (
        |  SELECT DISTINCT p.query_id, i.vec_id FROM idx i
        |  JOIN probe p ON i.cl = p.cl AND i.vec_id <> p.query_id),
-       |scored AS (
-       |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
-       |  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id)
-       |SELECT query_id, rank, neighbor_id, sim FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM scored
-       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |${rerankSql("cand", k)}""".stripMargin
   }
 
   /** Shared MinHash+LSH candidate pipeline (shingle → 16 min-hashes →
