@@ -21,6 +21,7 @@ object Queries {
       queries.MutationQueries.defs ++
       queries.StreamQueries.defs ++
       queries.ExtQueries.defs ++
+      queries.PipelineQueries.defs ++
       queries.CodecQueries.defs ++
       queries.ReplayQueries.defs
 }

@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * dedup/quality (SURVEY.md §2.10): deterministic splits and samples,
+  * sequence packing, benchmark decontamination, and PII scrubbing.
+  *
+  * Everything here is built from the portable [[TextHash]] primitives,
+  * so each operator has an exact DuckDB oracle twin, and every design
+  * is shuffle-minimal: splits/samples/scrubs are pure map-side
+  * projections; packing shuffles once on its shard key; decontamination
+  * joins on 48-bit shingle hashes (longs, never the shingle strings).
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test assignment: bucket = salted 48-bit
+    * hash of the id modulo 100, split by cumulative percentage. Pure
+    * map-side (no shuffle, no state) and stable under re-runs,
+    * insertions, and re-partitioning — the property that matters at
+    * 100 TB, where a `rand()` split is irreproducible and a sort-based
+    * split moves the corpus. */
+  def trainSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    docs
+      .withColumn("bucket",
+        (hash48(col(idCol).cast("string"), "split") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Approximate-fraction deterministic sample: keep ids whose salted
+    * hash falls below frac·2^48. Map-side only — THE 100 TB sampling
+    * shape (no shuffle, no count pass); the realized fraction deviates
+    * by O(1/√n). Different salts give independent samples. */
+  def hashSample(docs: DataFrame, frac: Double, idCol: String = "doc_id",
+      salt: String = "sample"): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    docs.filter(
+      hash48(col(idCol).cast("string"), salt) < lit((frac * (1L << 48)).toLong))
+  }
+
+  /** Exact-fraction stratified sample: within each stratum, rank docs
+    * by (salted hash, id) and keep the first ⌈frac·n⌉. One shuffle on
+    * the stratum key; the per-stratum sort is the price of exactness —
+    * use [[hashSample]] when approximate fractions suffice. Heavy
+    * strata are ordinary window skew (AQE handles the shuffle; the
+    * rank itself is a streaming window, no materialized buffer). */
+  def stratifiedSample(docs: DataFrame, stratum: Column, frac: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    val w  = Window.partitionBy(stratum)
+      .orderBy(hash48(col(idCol).cast("string"), "sample"), col(idCol))
+    val cw = Window.partitionBy(stratum)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
+  /** Next-fit sequence packing: assign documents (in id order, within a
+    * deterministic hash shard) to fixed-capacity context windows — the
+    * batch-assembly step of LLM pretraining. A document that would
+    * overflow the open pack starts a new one; a document longer than
+    * `capacity` gets a pack of its own (callers chunk or drop it).
+    *
+    * Packing is inherently sequential, so the distributed shape is
+    * shard-parallel: one shuffle on the salted shard key, then a pure
+    * in-memory fold per shard. Any partition of the corpus into shards
+    * yields a valid packing (packs never span shards), so `shards`
+    * simply scales out — size it so a shard's (id, n_tokens) pairs fit
+    * an executor (16 bytes/doc: ~60M docs/GiB; the TEXT never moves,
+    * only ids and counts shuffle).
+    *
+    * Returns (shard, doc_id, n_tokens, pack_id, pack_fill) with
+    * pack_id numbered per shard and pack_fill the running token count
+    * after placing the doc. */
+  def packSequences(docs: DataFrame, capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0 && shards > 0, "capacity and shards must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs
+      .select(
+        col("doc_id").cast("long"),
+        (hash48(col("doc_id").cast("string"), "shard") % shards).cast("int").as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(_._1)
+        var pack = 0L
+        var fill = 0L
+        sorted.iterator.map { case (id, _, t) =>
+          if (fill > 0 && fill + t > capacity) { pack += 1; fill = t }
+          else fill += t
+          (shard, id, t, pack, fill)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "pack_id", "pack_fill")
+  }
+
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word `n`-gram shingles with any benchmark
+    * document (the n-gram-overlap test run before training to keep
+    * eval data out of the corpus). Returns (train_id, bench_id,
+    * shared) contaminated pairs.
+    *
+    * The join key is the 48-bit shingle hash, not the shingle string —
+    * the single shuffle moves (id, long) pairs. The benchmark side is
+    * tiny by construction (an eval suite), so Catalyst broadcasts it;
+    * the corpus never self-joins. */
+  def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5,
+      minShared: Long = 2): DataFrame = {
+    val hashed = Dedup.shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), hash48(col("sh"), "decon").as("h"))
+    val benchIds = docs.filter(benchPred).select(col("doc_id").as("bench_id"))
+    val bench = hashed.join(benchIds, hashed("doc_id") === benchIds("bench_id"))
+      .select(col("bench_id"), col("h"))
+    val train = hashed.join(benchIds, hashed("doc_id") === benchIds("bench_id"), "left_anti")
+      .select(col("doc_id").as("train_id"), col("h"))
+    train.join(bench, Seq("h"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** PII patterns: POSIX classes only, so the Java-regex (Spark) and
+    * RE2 (DuckDB oracle) dialects agree byte-for-byte. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val NumRe   = "[0-9]+"
+
+  /** PII scrub: redact emails, IPv4 addresses, then remaining digit
+    * runs (in that order — each count is the number of replacements at
+    * its stage, so the stages compose deterministically). Pure map-side
+    * regex work in whole-stage codegen; returns the input id column,
+    * the scrubbed text, and per-category redaction counts. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s0 = col(textCol)
+    val s1 = regexp_replace(s0, EmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, Ipv4Re, "<IP>")
+    val s3 = regexp_replace(s2, NumRe, "<NUM>")
+    df.select(
+      col(idCol),
+      s3.as("clean"),
+      regexp_count(s0, lit(EmailRe)).as("n_email"),
+      regexp_count(s1, lit(Ipv4Re)).as("n_ip"),
+      regexp_count(s2, lit(NumRe)).as("n_num"))
+  }
+}

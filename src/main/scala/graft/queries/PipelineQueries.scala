@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.ext.Pipeline
+import graft.ext.TextHash.Sql
+import graft.model.{Fixtures, Tables}
+
+/** E17–E22: corpus-preparation operators (SURVEY §2.10 — splits,
+  * samples, packing, decontamination, PII scrubbing). Every oracle is a
+  * complete independent DuckDB twin built from the same portable
+  * [[graft.ext.TextHash]] primitives; the packing oracle replays the
+  * sequential next-fit fold as a recursive CTE.
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, s"$dir/documents.parquet")
+
+  private def h48doc(salt: String) =
+    Sql.hash48("CAST(doc_id AS VARCHAR)", s"'$salt'")
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "e17_train_split",
+      (s, dir) =>
+        Pipeline.trainSplit(docs(s, dir))
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(b AS INT) AS bucket,
+              |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              |            ELSE 'test' END AS split
+              |FROM (SELECT doc_id, ${h48doc("split")} % 100 AS b FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e18_seq_packing",
+      (s, dir) =>
+        Pipeline.packSequences(docs(s, dir), capacity = 512, shards = 8)
+          .orderBy("shard", "doc_id"),
+      // the sequential next-fit fold, replayed as a recursive CTE that
+      // advances one document per shard per iteration
+      Some(s"""WITH RECURSIVE d0 AS (
+              |  SELECT doc_id, CAST(${h48doc("shard")} % 8 AS INT) AS shard,
+              |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tokens
+              |  FROM documents
+              |), d AS (
+              |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d0
+              |), rec AS (
+              |  SELECT shard, rn, doc_id, n_tokens,
+              |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+              |         CASE WHEN r.pack_fill + d.n_tokens > 512
+              |              THEN r.pack_id + 1 ELSE r.pack_id END,
+              |         CASE WHEN r.pack_fill + d.n_tokens > 512
+              |              THEN d.n_tokens ELSE r.pack_fill + d.n_tokens END
+              |  FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+              |)
+              |SELECT shard, doc_id, n_tokens, pack_id, pack_fill
+              |FROM rec ORDER BY shard, doc_id""".stripMargin)
+    ),
+    QDef(
+      "e19_pii_scrub",
+      (s, dir) =>
+        Pipeline.piiScrub(
+            Tables.load(s, s"$dir/events.parquet", Some(Fixtures.eventsSchema)),
+            "event_id", "props")
+          .orderBy("event_id"),
+      Some {
+        def rep(src: String, re: String, to: String) =
+          s"regexp_replace($src, '$re', '$to', 'g')"
+        def cnt(src: String, re: String) =
+          s"CAST(len(regexp_extract_all($src, '$re')) AS INT)"
+        val s1 = rep("props", Pipeline.EmailRe, "<EMAIL>")
+        val s2 = rep(s1, Pipeline.Ipv4Re, "<IP>")
+        val s3 = rep(s2, Pipeline.NumRe, "<NUM>")
+        s"""SELECT event_id, $s3 AS clean,
+           |       ${cnt("props", Pipeline.EmailRe)} AS n_email,
+           |       ${cnt(s1, Pipeline.Ipv4Re)} AS n_ip,
+           |       ${cnt(s2, Pipeline.NumRe)} AS n_num
+           |FROM events ORDER BY event_id""".stripMargin
+      }
+    ),
+    QDef(
+      "e20_decontamination",
+      (s, dir) =>
+        Pipeline.decontaminate(docs(s, dir), col("doc_id") % 50 === 0,
+            n = 5, minShared = 2)
+          .orderBy("train_id", "bench_id"),
+      Some(s"""WITH sh5 AS (
+              |  SELECT DISTINCT doc_id, unnest(${Sql.shingles("toks", 5)}) AS sh
+              |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents)
+              |), hh AS (SELECT doc_id, ${Sql.hash48("sh", "'decon'")} AS h FROM sh5),
+              |b AS (SELECT doc_id AS bench_id, h FROM hh WHERE doc_id % 50 = 0),
+              |t AS (SELECT doc_id AS train_id, h FROM hh WHERE doc_id % 50 <> 0)
+              |SELECT train_id, bench_id, COUNT(*) AS shared
+              |FROM t JOIN b USING (h)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+              |ORDER BY 1, 2""".stripMargin)
+    ),
+    QDef(
+      "e21_stratified_sample",
+      (s, dir) =>
+        Pipeline.stratifiedSample(docs(s, dir), col("lang"), 0.2)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("lang", "doc_id"),
+      Some(s"""SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang,
+              |         row_number() OVER (PARTITION BY lang
+              |           ORDER BY ${h48doc("sample")}, doc_id) AS rn,
+              |         COUNT(*) OVER (PARTITION BY lang) AS n
+              |  FROM documents
+              |) WHERE rn <= CEIL(n * 0.2) ORDER BY lang, doc_id""".stripMargin)
+    ),
+    QDef(
+      "e22_hash_sample",
+      (s, dir) =>
+        Pipeline.hashSample(docs(s, dir), 0.1)
+          .select(col("doc_id"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ${h48doc("sample")} < ${(0.1 * (1L << 48)).toLong}
+              |ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

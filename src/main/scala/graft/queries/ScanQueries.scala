@@ -218,6 +218,30 @@ object ScanQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_events WHERE ts >= 3
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // Result.getMap 3-level assembly (Result.java getMap/getNoVersionMap):
+      // the resolved multi-version read serialized per row as the sorted
+      // family:qualifier@ts@value cell map — one string per row, so the
+      // nested-map shape is hash-comparable across engines. groupBy(row)
+      // reuses the region layout (no extra exchange over the store).
+      "q59_result_map",
+      (s, dir) =>
+        Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 3)
+          .groupBy("row")
+          .agg(array_join(array_sort(collect_list(
+              concat_ws("@", concat_ws(":", col("family"), col("qualifier")),
+                col("ts"), col("value")))), "|").as("cellmap"))
+          .orderBy("row"),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, string_agg(s, '|' ORDER BY s) AS cellmap FROM (
+          |  SELECT row, family || ':' || qualifier || '@' || CAST(ts AS VARCHAR)
+          |           || '@' || value AS s FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY row, family, qualifier
+          |                                 ORDER BY ts DESC) AS rn
+          |    FROM live_events
+          |  ) WHERE rn <= 3
+          |) GROUP BY row ORDER BY row""".stripMargin))
     )
   )
 }

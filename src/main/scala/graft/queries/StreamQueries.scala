@@ -63,6 +63,28 @@ object StreamQueries {
              |              THEN 1 ELSE 0 END AS ns
              |  FROM events
              |) GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    QDef(
+      "q60_stream_stream_join",
+      // REAL stream-stream interval join (two watermarked unbounded
+      // inputs, state bounded by watermark + interval), run to
+      // completion with AvailableNow; batch oracle = the same interval
+      // join in SQL on µs-truncated event time.
+      (s, dir) => {
+        val stream = WalStream.source(s, s"$dir/events.parquet", Fixtures.eventsSchema)
+        val joined = WalStream.clickAttribution(stream)
+        WalStream.runAvailableNow(joined, s"q60_sink_${sinkId.incrementAndGet()}",
+            mode = "append")
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) >= epoch_us(c.ts)
+             | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)
     )
   )
 }

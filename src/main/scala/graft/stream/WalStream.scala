@@ -59,10 +59,39 @@ object WalStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream interval join: click→purchase attribution within
+    * `within`, per user — the two-unbounded-inputs join the reference
+    * cannot express. Both sides carry a watermark, so Spark bounds the
+    * join state to watermark + interval (state is evicted as event time
+    * advances — the property that keeps a perpetual attribution
+    * pipeline at O(window), not O(stream)). Inner joins emit matches as
+    * they arrive; event time is µs-truncated epoch time, so the batch
+    * oracle's epoch_us arithmetic sees identical boundaries. */
+  def clickAttribution(stream: DataFrame, within: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val base = stream.withColumn("ets", Cellify.tsUtc(col("ts")))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ets").as("ct"))
+      .withWatermark("ct", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ets").as("pt"))
+      .withWatermark("pt", watermark)
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pt")) - unix_micros(col("ct"))).as("lag_us"))
+  }
+
   /** Run a streaming aggregation to completion over the current log
     * contents (Trigger.AvailableNow + in-memory sink) and return the
-    * materialized result — the batch-equivalence harness for Q34. */
-  def runAvailableNow(agg: DataFrame, queryName: String): DataFrame = {
+    * materialized result — the batch-equivalence harness for Q34.
+    * `mode` is "complete" for aggregations, "append" for joins. */
+  def runAvailableNow(agg: DataFrame, queryName: String,
+      mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     // offset/commit logs on tmpfs when available: the bounded
     // availableNow run needs durability only for the run itself, and
@@ -74,7 +103,7 @@ object WalStream {
       .format("memory")
       .queryName(queryName)
       .option("checkpointLocation", ckDir)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
