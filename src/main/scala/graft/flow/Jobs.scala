@@ -99,24 +99,35 @@ object Jobs {
     * against an empty replica) degrades to a shuffle join instead of
     * an over-limit broadcast. */
   def syncDiffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
-    // The summary join feeds three consumers (matched branch + both
-    // semi-joins) and is deliberately NOT checkpointed/persisted:
-    // recomputing two map-side digest aggregates is cheap and fully
-    // fault-tolerant, while localCheckpoint's unreplicated executor
-    // blocks would make a 100 TB sync die on any executor loss and
-    // its LogicalRDD leaf would hide the digest phase from plan
-    // audits. (When the inputs are not pre-partitioned, ReuseExchange
-    // dedups the shared shuffle anyway.)
+    // Deliberately lazy and NOT persisted/checkpointed: the digest
+    // aggregates are map-side-combined scans of the (cached / bucketed)
+    // cell store, so recomputing the summary join once per consumer is
+    // cheap and fully fault-tolerant, while persist's unreplicated
+    // blocks would make a 100 TB sync die on any executor loss (the
+    // reference durably WRITES its hash files — HashTable.java:64 — and
+    // the Spark analogue of that durability is lineage, not caching;
+    // when the inputs share a layout ReuseExchange dedups the shared
+    // shuffle anyway).
     val j = summaryJoin(src, dst)
-    val matchedEqual = j.filter(col("__eq"))
-      .agg(coalesce(sum(col("sn")), lit(0L)).as("n"))
-      .select(lit("matched").as("class"), col("n"))
-    val diffRows = j.filter(!col("__eq")).select("row")
+    // Rows on one side only classify arithmetically (every cell is
+    // src_only/dst_only) and digest-equal rows are all matched — no
+    // cell ever moves for them. Only rows present on BOTH sides with
+    // unequal digests (the truly-divergent set, tiny on a healthy
+    // pair) reach the per-cell full-outer detail join.
+    val arith = j.agg(
+        coalesce(sum(when(col("__eq"), col("sn"))), lit(0L)).as("m"),
+        coalesce(sum(when(col("sn").isNull, col("dn"))), lit(0L)).as("d"),
+        coalesce(sum(when(col("dn").isNull, col("sn"))), lit(0L)).as("s"))
+      .select(expr(
+        "stack(3, 'matched', m, 'dst_only', d, 'src_only', s) AS (class, n)"))
+    val bothDiff = j
+      .filter(!col("__eq") && col("sn").isNotNull && col("dn").isNotNull)
+      .select("row")
     val detail = syncDiff(
-        src.join(diffRows, Seq("row"), "left_semi"),
-        dst.join(diffRows, Seq("row"), "left_semi"))
+        src.join(bothDiff, Seq("row"), "left_semi"),
+        dst.join(bothDiff, Seq("row"), "left_semi"))
       .groupBy("class").agg(count(lit(1)).as("n"))
-    detail.unionByName(matchedEqual)
+    detail.unionByName(arith)
       .groupBy("class").agg(sum(col("n")).as("n"))
       .filter(col("n") > 0)
       .orderBy("class")
