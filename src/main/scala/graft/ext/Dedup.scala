@@ -166,12 +166,20 @@ object Dedup {
       posexplode(segs).as(Seq("seg", "sv")))
     val a = segRows.select(col("seg"), col("sv"), col("doc_id").as("i"), col("simhash").as("fi"))
     val b = segRows.select(col("seg"), col("sv"), col("doc_id").as("j"), col("simhash").as("fj"))
+    // hamming check BEFORE dropDuplicates: bit_count is one codegen'd
+    // instruction per candidate, while dedup is a shuffle on the full
+    // candidate multiset (low segment entropy makes that set ~100-1000x
+    // the surviving pairs) — filter-first moves only true near-dups.
+    // explicit groupBy+min, not dropDuplicates: hamming is functionally
+    // determined by (i, j), so min is the value itself, and the fresh
+    // aggregate alias avoids dropDuplicates' exprId reuse (which trips
+    // RewriteExceptAll's ReplicateRows binding downstream).
     a.join(b, Seq("seg", "sv"))
       .filter(col("i") < col("j"))
-      .dropDuplicates("i", "j")
-      .withColumn("hamming", bit_count(col("fi").bitwiseXOR(col("fj"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("i", "j", "hamming")
+      .select(col("i"), col("j"),
+        bit_count(col("fi").bitwiseXOR(col("fj"))).as("hamming0"))
+      .filter(col("hamming0") <= maxHamming)
+      .groupBy("i", "j").agg(min(col("hamming0")).as("hamming"))
   }
 
   /** Connected components over a near-dup pair graph: every document

@@ -79,12 +79,17 @@ object Similarity {
       col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
+    // verify BEFORE dropDuplicates: the candidate multiset still carries
+    // both embedding arrays, so deduping it first would shuffle
+    // candidates x 2·dim doubles; the fused dot_fold loop is map-side
+    // codegen, and after the threshold filter only narrow (i, j, sim)
+    // survivor rows reach the dedup exchange.
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("i") < col("j"))
-      .dropDuplicates("i", "j")
-      .withColumn("sim", round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("sim") >= threshold)
-      .select("i", "j", "sim")
+      .select(col("i"), col("j"),
+        round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim0"))
+      .filter(col("sim0") >= threshold)
+      .groupBy("i", "j").agg(min(col("sim0")).as("sim"))
   }
 
   /** Deterministic ±1 hyperplane for (table, bit): component signs from
@@ -221,12 +226,16 @@ object Similarity {
         explode(probeClusters(col("embedding"), cents, nprobe)).as("cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
+    // sim BEFORE the (query_id, vec_id) dedup: it is deterministic per
+    // pair, so dedup keeps the same value, and the dedup exchange then
+    // moves narrow (query_id, vec_id, sim) rows instead of rows still
+    // carrying both embedding arrays.
     indexed
       .join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("sim",
-        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+      .select(col("query_id"), col("vec_id"),
+        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("sim0"))
+      .groupBy("query_id", "vec_id").agg(min(col("sim0")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
@@ -242,17 +251,17 @@ object Similarity {
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("tbl"), col("bucket"))
+    // sim BEFORE the (query_id, vec_id) dedup — same narrow-exchange
+    // rationale as annIvfTopK above.
     val cands = bucketed
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qnrm"),
-        col("vec_id"), col("embedding"), col("nrm"))
-      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("sim0"))
+      .groupBy("query_id", "vec_id").agg(min(col("sim0")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     cands
-      .withColumn("sim",
-        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
