@@ -91,7 +91,7 @@ object WalStream {
     * materialized result — the batch-equivalence harness for Q34.
     * `mode` is "complete" for aggregations, "append" for joins. */
   def runAvailableNow(agg: DataFrame, queryName: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val spark = agg.sparkSession
     // offset/commit logs on tmpfs when available: the bounded
     // availableNow run needs durability only for the run itself, and
@@ -99,14 +99,30 @@ object WalStream {
     val ckBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
       else sys.props("java.io.tmpdir")
     val ckDir = s"$ckBase/graft-ck/$queryName-${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckDir)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators instantiate one state store per shuffle
+    // partition per store kind (a stream-stream join keeps FOUR per
+    // partition), and every micro-batch commits each store — for a
+    // bounded harness run that fixed cost dwarfs the data (32 -> 4
+    // partitions is 6x wall-clock on q60). Pin a small state-partition
+    // count for the run and restore the session default after; a
+    // perpetual production stream instead sizes this to throughput at
+    // stream START (state partitioning is fixed by the first
+    // checkpoint, so the knob matters once, up front).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      // conf restored only AFTER awaitTermination: the stream's
+      // execution thread snapshots shuffle partitions into the first
+      // checkpointed OffsetSeqMetadata asynchronously after start()
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckDir)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // bounded run is over — reclaim the tmpfs-backed offset/commit log
     try {
       import java.nio.file.{Files, Paths}
