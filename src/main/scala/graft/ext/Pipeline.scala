@@ -139,6 +139,33 @@ object Pipeline {
       .filter(col("shared") >= minShared)
   }
 
+  /** Per-domain document cap: keep at most `cap` documents per domain,
+    * chosen deterministically by salted hash (the anti-over-representation
+    * step that stops one crawl host from dominating a mixture).
+    *
+    * Two-level selection so a single hot domain cannot serialize into
+    * one task at 100 TB: documents first compete within (domain,
+    * hash-bucket) — `buckets` parallel row_number windows per domain,
+    * each keeping ≤ cap — then the ≤ buckets·cap survivors per domain
+    * rank once more for the true top-cap. Both windows are streaming
+    * rank (no buffer); the second sees at most buckets·cap rows per
+    * domain regardless of corpus size. With buckets = 1 this degrades
+    * to the plain single-window form. */
+  def domainCap(docs: DataFrame, domain: Column, cap: Int,
+      idCol: String = "doc_id", buckets: Int = 16): DataFrame = {
+    require(cap > 0 && buckets > 0, "cap and buckets must be positive")
+    val h = hash48(col(idCol).cast("string"), "cap")
+    val pre = Window.partitionBy(domain, pmod(h, lit(buckets)))
+      .orderBy(h, col(idCol))
+    val fin = Window.partitionBy(domain).orderBy(h, col(idCol))
+    docs
+      .withColumn("__rn1", row_number().over(pre))
+      .filter(col("__rn1") <= cap)
+      .withColumn("__rn", row_number().over(fin))
+      .filter(col("__rn") <= cap)
+      .drop("__rn1", "__rn")
+  }
+
   /** PII patterns: POSIX classes only, so the Java-regex (Spark) and
     * RE2 (DuckDB oracle) dialects agree byte-for-byte. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"

@@ -81,6 +81,59 @@ object TextAnalysis {
       size(array_distinct(tokens(col("text")))).cast("long").as("distinct_tokens")
     )
 
+  /** Repetition signals (the Gopher/MassiveText repetition filters,
+    * word-level): per document, the token count, the occurrence count
+    * of its most frequent token, and the number of duplicated word
+    * 2-/3-grams. All counts are INTEGERS — the downstream filter
+    * thresholds them as fractions, but emitting counts keeps the
+    * declared query exactly hash-comparable with no float rounding.
+    * Pure map-side (one projection, no shuffle at any scale); the
+    * per-doc top-token scan is O(distinct × tokens) on a bounded
+    * document, not a corpus aggregate. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        shingles("toks", 2).as("g2"), shingles("toks", 3).as("g3"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_max(transform(array_distinct(col("toks")),
+          w => size(filter(col("toks"), t => t === w))))
+          .cast("long").as("top_word_n"),
+        (size(col("g2")) - size(array_distinct(col("g2"))))
+          .cast("long").as("dup_2gram_n"),
+        (size(col("g3")) - size(array_distinct(col("g3"))))
+          .cast("long").as("dup_3gram_n"))
+
+  /** Corpus-trained unigram log-probability score (the CCNet-style LM
+    * quality signal, reduced to its order-0 form): per document, the
+    * mean ln p(token) under the corpus' own unigram distribution.
+    * Low (very negative) = rare-token-heavy text; high = common-token
+    * boilerplate.
+    *
+    * Two aggregates: vocabulary counts (map-combined; vocabulary is
+    * bounded, so the result broadcasts), then a per-doc mean over a
+    * broadcast join — the token stream itself is never shuffled except
+    * by doc_id for the final partial/final average. The corpus total
+    * rides along as a broadcast scalar, keeping the whole operator one
+    * lazy plan (no driver collect). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val vocab = pairs.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    pairs
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double")) - log(col("tot").cast("double"))), 4)
+          .as("avg_logp"))
+  }
+
   /** Document fingerprinting: exact md5 of normalized text + a
     * winnowing-style signature (min 48-bit shingle hash — the rolling
     * hash's minimum, the standard winnow anchor). */

@@ -124,6 +124,57 @@ object PipelineQueries {
       Some(s"""SELECT doc_id FROM documents
               |WHERE ${h48doc("sample")} < ${(0.1 * (1L << 48)).toLong}
               |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e23_repetition",
+      (s, dir) =>
+        graft.ext.TextAnalysis.repetitionSignals(docs(s, dir))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents
+              |), g AS (
+              |  SELECT doc_id, toks,
+              |         ${Sql.shingles("toks", 2)} AS g2,
+              |         ${Sql.shingles("toks", 3)} AS g3
+              |  FROM t
+              |)
+              |SELECT doc_id,
+              |       CAST(len(toks) AS BIGINT) AS n_tokens,
+              |       CAST(list_max(list_transform(list_distinct(toks),
+              |         w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_word_n,
+              |       CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup_2gram_n,
+              |       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup_3gram_n
+              |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e24_domain_cap",
+      (s, dir) =>
+        Pipeline.domainCap(docs(s, dir), col("source"), cap = 50)
+          .select(col("doc_id"), col("source"))
+          .orderBy("source", "doc_id"),
+      // single-window oracle: the two-level Spark plan selects the same
+      // top-cap rows per domain (level 1 only pre-prunes within buckets)
+      Some(s"""SELECT doc_id, source FROM (
+              |  SELECT doc_id, source,
+              |         row_number() OVER (PARTITION BY source
+              |           ORDER BY ${h48doc("cap")}, doc_id) AS rn
+              |  FROM documents
+              |) WHERE rn <= 50 ORDER BY source, doc_id""".stripMargin)
+    ),
+    QDef(
+      "e25_unigram_logprob",
+      (s, dir) =>
+        graft.ext.TextAnalysis.unigramLogProb(docs(s, dir))
+          .orderBy("doc_id"),
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, unnest(${Sql.tokens("text")}) AS tok FROM documents
+              |), v AS (
+              |  SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok
+              |), tt AS (SELECT SUM(cnt) AS tot FROM v)
+              |SELECT p.doc_id, COUNT(*) AS n_tokens,
+              |       ROUND(AVG(ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))), 4) AS avg_logp
+              |FROM p JOIN v USING (tok) CROSS JOIN tt
+              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)
     )
   )
 }

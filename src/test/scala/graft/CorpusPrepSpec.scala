@@ -99,4 +99,49 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(2).getString(1) === "ids <NUM> <NUM> and ip <IP>")
     assert((out(2).getInt(2), out(2).getInt(3), out(2).getInt(4)) === ((0, 1, 2)))
   }
+
+  test("repetitionSignals counts top word and duplicated n-grams exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),       // 5 toks; 'a'×3; 2-grams: ab,ba,ab,ba → 2 dups; 3-grams: aba,bab,aba → 1 dup
+      (2L, "x y z"),           // all distinct, no dup grams
+      (3L, "w")                // single token: no 2/3-grams
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.repetitionSignals(df)
+      .orderBy("doc_id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3), out(0).getLong(4))
+      === ((5L, 3L, 2L, 1L)))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3), out(1).getLong(4))
+      === ((3L, 1L, 0L, 0L)))
+    assert((out(2).getLong(1), out(2).getLong(2), out(2).getLong(3), out(2).getLong(4))
+      === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("domainCap keeps at most cap per domain, deterministically, matching 1-bucket form") {
+    val capped = Pipeline.domainCap(docs, col("source"), cap = 3)
+    val per = capped.groupBy("source").count().collect()
+    assert(per.forall(_.getLong(1) <= 3))
+    // domains with >= 3 docs are filled to exactly cap
+    val full = docs.groupBy("source").count().collect()
+      .filter(_.getLong(1) >= 3).map(_.getString(0)).toSet
+    assert(per.filter(r => full(r.getString(0))).forall(_.getLong(1) === 3))
+    // two-level pre-prune selects the same rows as the plain window
+    val plain = Pipeline.domainCap(docs, col("source"), cap = 3, buckets = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val two = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(two === plain)
+  }
+
+  test("unigramLogProb scores common-token text above rare-token text") {
+    import spark.implicits._
+    // 'the' dominates the corpus; 'zyx' appears once
+    val df = (Seq((1L, "the the the the"), (2L, "zyx the the the")) ++
+      (3L to 20L).map(i => (i, "the the and and"))).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.unigramLogProb(df)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L)
+    val common = out(0).getDouble(2)
+    val rare = out(1).getDouble(2)
+    assert(common > rare, s"common $common should beat rare $rare")
+  }
 }
