@@ -206,8 +206,11 @@ object Similarity {
     if (files.isEmpty) 0 else java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
   }
 
-  def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+  /** Cached centroids + the norm-projected corpus with its cluster id —
+    * the shared coarse-quantization base of [[annIvfTopK]] and
+    * [[semanticDedup]]. */
+  private def ivfIndexed(emb: DataFrame, nlist: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
     // bounded: evict one (arbitrary) entry past the cap — never the
     // whole map, so the hot corpus is not retrained on every call
     while (centroidCache.size >= CentroidCacheMax)
@@ -217,8 +220,13 @@ object Similarity {
         emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
         nlist, iters),
       trainCentroids(emb, nlist, iters))
-    val indexed = withNorm(emb)
-      .withColumn("cluster", assignCluster(col("embedding"), cents))
+    (cents, withNorm(emb)
+      .withColumn("cluster", assignCluster(col("embedding"), cents)))
+  }
+
+  def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val (cents, indexed) = ivfIndexed(emb, nlist, iters)
     val q = indexed
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -239,6 +247,38 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication: coarse-quantize the corpus
+    * with the IVF k-means, then inside each cluster drop every vector
+    * whose cosine to a LOWER-id cluster-mate reaches `threshold` (the
+    * lowest id of each semantic group survives — deterministic, order-
+    * free). Returns every vector with its cluster and keep flag.
+    *
+    * The intra-cluster pair scan IS the SemDeDup design: clusters bound
+    * the quadratic term, and at 100 TB `nlist` scales with the corpus
+    * so cluster size stays constant; the only data motion is one
+    * shuffle on cluster id (the same partitioning the IVF index
+    * already stores) plus a narrow (vec_id, keep) join back. */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val (_, indexed) = ivfIndexed(emb, nlist, iters)
+    val a = indexed.select(col("cluster"), col("vec_id").as("i"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = indexed.select(col("cluster"), col("vec_id").as("j"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    // narrow projection before the distinct: only duplicate ids shuffle
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("i") < col("j"))
+      .select(col("j").as("vec_id"),
+        round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim0"))
+      .filter(col("sim0") >= threshold)
+      .select("vec_id").distinct()
+      .withColumn("__dup", lit(true))
+    indexed.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("__dup").isNull.as("keep"))
   }
 
   /** ANN top-k via LSH candidate buckets + exact re-rank. `tables`

@@ -125,6 +125,31 @@ object ExtQueries {
        |$cOut AS (SELECT p.cl, COALESCE(u.c, p.c) AS c
        |          FROM $prev p LEFT JOIN __${cOut}_l u ON u.cl = p.cl)""".stripMargin
 
+  /** e26 oracle: the FULL SemDeDup pipeline in SQL — the e13 k-means
+    * CTEs, final cluster assignment, then an intra-cluster lower-id
+    * pair scan marking every vector whose cosine to an earlier
+    * cluster-mate reaches the threshold. */
+  private def semanticDedupOracle(threshold: Double, dim: Int, nlist: Int,
+      iters: Int): String = {
+    require(iters == 2, "oracle is written for the declared iters=2")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
+       |${kmeansIterSql("c0", "a1", "c1", dim)},
+       |${kmeansIterSql("c1", "a2", "c2", dim)},
+       |idx AS (SELECT vec_id, v, cl FROM (
+       |  SELECT e.vec_id, e.v, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+       |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+       |dups AS (SELECT DISTINCT b.vec_id FROM idx a JOIN idx b
+       |  ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ROUND(${cosl("a.v", "b.v")}, 6) >= $threshold)
+       |SELECT i.vec_id, i.cl AS cluster, d.vec_id IS NULL AS keep
+       |FROM idx i LEFT JOIN dups d ON d.vec_id = i.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
   /** e13 oracle: the FULL IVF pipeline in SQL — deterministic k-means
     * (seeds = lowest vec_ids, `iters` quantized Lloyd rounds), final
     * cluster assignment, nprobe probes per query (argmin ties → smaller
@@ -317,6 +342,16 @@ object ExtQueries {
             graft.model.Tables.load(s, s"$dir/embeddings.parquet"), 0.45)
           .orderBy("i", "j"),
       Some(nearDupLshOracle(0.45, dim = 64, tables = 12, nbits = 6))
+    ),
+    QDef(
+      // SemDeDup-style semantic dedup: IVF-cluster the corpus, drop
+      // vectors whose cosine to a lower-id cluster-mate >= threshold.
+      "e26_semantic_dedup",
+      (s, dir) =>
+        Similarity.semanticDedup(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"), 0.9)
+          .orderBy("vec_id"),
+      Some(semanticDedupOracle(0.9, dim = 64, nlist = 16, iters = 2))
     ),
     QDef(
       "e08_lang_id",

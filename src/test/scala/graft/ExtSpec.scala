@@ -169,4 +169,18 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
+
+  test("semanticDedup keeps cluster minima; thresholds bound the keep set") {
+    val all = Similarity.semanticDedup(emb, threshold = 0.9).collect()
+    assert(all.length === emb.count())
+    // the lowest id in every cluster is always kept (no lower-id mate)
+    val minPerCluster = all.groupBy(_.getInt(1)).values.map(_.map(_.getLong(0)).min).toSet
+    assert(all.filter(r => minPerCluster(r.getLong(0))).forall(_.getBoolean(2)))
+    // threshold above any cosine: everything kept
+    val loose = Similarity.semanticDedup(emb, threshold = 1.1).collect()
+    assert(loose.forall(_.getBoolean(2)))
+    // threshold at -1: only the cluster minimum survives (every pair qualifies)
+    val tight = Similarity.semanticDedup(emb, threshold = -1.0).collect()
+    assert(tight.count(_.getBoolean(2)) === minPerCluster.size)
+  }
 }
