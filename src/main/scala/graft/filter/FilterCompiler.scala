@@ -124,7 +124,11 @@ object FilterCompiler {
       // (DependentColumnFilter.java:46) — the reference's only join.
       val ref0 = cells.filter(col("family") === fam && col("qualifier") === q)
       val ref = valueCmp.fold(ref0) { case (op, c) => ref0.filter(c.test(col("value"), op)) }
-      val joined = cells.join(ref.select("row", "ts").distinct(), Seq("row", "ts"), "left_semi")
+      // no distinct on the reference side: a semi-join ignores duplicate
+      // build rows anyway, and the distinct's (row, ts) aggregate
+      // exchange would break the cell store's hash(row) co-partitioning
+      // (subset co-partitioning keeps the semi-join exchange-free).
+      val joined = cells.join(ref.select("row", "ts"), Seq("row", "ts"), "left_semi")
       if (drop) joined.filter(!(col("family") === fam && col("qualifier") === q)) else joined
 
     case PageFilter(n) =>
