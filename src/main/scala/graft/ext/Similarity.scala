@@ -33,6 +33,13 @@ object Similarity {
   private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), l2_norm(col("embedding")).as("nrm"))
 
+  /** round(cosine, 6) over pre-normed vectors — the one shared verify
+    * kernel of every pair scan below (rounding precision and the fused
+    * dot_fold form must stay identical across them AND their DuckDB
+    * oracle twins). */
+  private def cosSim(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(dot_fold(va, vb) / (na * nb), 6)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding self). Query side is broadcast; rank
     * ties break on (rounded sim DESC, vec_id ASC) for determinism. */
@@ -43,7 +50,7 @@ object Similarity {
     val scored = e
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim",
-        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored
@@ -60,7 +67,7 @@ object Similarity {
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("sim", round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("sim", cosSim(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("sim") >= threshold)
       .select("i", "j", "sim")
   }
@@ -87,7 +94,7 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"),
-        round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim0"))
+        cosSim(col("va"), col("na"), col("vb"), col("nb")).as("sim0"))
       .filter(col("sim0") >= threshold)
       .groupBy("i", "j").agg(min(col("sim0")).as("sim"))
   }
@@ -242,7 +249,7 @@ object Similarity {
       .join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("sim0"))
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")).as("sim0"))
       .groupBy("query_id", "vec_id").agg(min(col("sim0")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -271,7 +278,7 @@ object Similarity {
     val dups = a.join(b, Seq("cluster"))
       .filter(col("i") < col("j"))
       .select(col("j").as("vec_id"),
-        round(dot_fold(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim0"))
+        cosSim(col("va"), col("na"), col("vb"), col("nb")).as("sim0"))
       .filter(col("sim0") >= threshold)
       .select("vec_id").distinct()
       .withColumn("__dup", lit(true))
@@ -297,7 +304,7 @@ object Similarity {
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot_fold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("sim0"))
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")).as("sim0"))
       .groupBy("query_id", "vec_id").agg(min(col("sim0")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)

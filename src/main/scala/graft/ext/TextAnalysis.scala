@@ -92,7 +92,9 @@ object TextAnalysis {
     * document, not a corpus aggregate. */
   def repetitionSignals(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // null text behaves as empty text (the oracle twin coalesces the
+      // same way; without it the two engines disagree on NULL rows)
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), col("toks"),
         shingles("toks", 2).as("g2"), shingles("toks", 3).as("g3"))
       .select(
@@ -117,7 +119,13 @@ object TextAnalysis {
     * broadcast join — the token stream itself is never shuffled except
     * by doc_id for the final partial/final average. The corpus total
     * rides along as a broadcast scalar, keeping the whole operator one
-    * lazy plan (no driver collect). */
+    * lazy plan (no driver collect).
+    *
+    * The mean sums FLOOR(ln p · 1e6) longs, not doubles: integer sums
+    * are order-independent, so the score cannot drift with partition
+    * layout or engine summation order (the same quantization contract
+    * as the IVF centroid trainer). 1e-6 is far below any quality
+    * signal. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
@@ -130,8 +138,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double")) - log(col("tot").cast("double"))), 4)
-          .as("avg_logp"))
+        sum(floor((log(col("cnt").cast("double")) - log(col("tot").cast("double"))) * 1000000)
+          .cast("long")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__s").cast("double") / (col("n_tokens") * 1000000.0), 4).as("avg_logp"))
   }
 
   /** Document fingerprinting: exact md5 of normalized text + a

@@ -131,7 +131,7 @@ object PipelineQueries {
         graft.ext.TextAnalysis.repetitionSignals(docs(s, dir))
           .orderBy("doc_id"),
       Some(s"""WITH t AS (
-              |  SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents
+              |  SELECT doc_id, ${Sql.tokens("COALESCE(text, '')")} AS toks FROM documents
               |), g AS (
               |  SELECT doc_id, toks,
               |         ${Sql.shingles("toks", 2)} AS g2,
@@ -166,13 +166,16 @@ object PipelineQueries {
       (s, dir) =>
         graft.ext.TextAnalysis.unigramLogProb(docs(s, dir))
           .orderBy("doc_id"),
+      // FLOOR(ln p * 1e6) integer sums — order-independent, same
+      // quantization as the Spark side (and the k-means oracle)
       Some(s"""WITH p AS (
               |  SELECT doc_id, unnest(${Sql.tokens("text")}) AS tok FROM documents
               |), v AS (
               |  SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok
               |), tt AS (SELECT SUM(cnt) AS tot FROM v)
               |SELECT p.doc_id, COUNT(*) AS n_tokens,
-              |       ROUND(AVG(ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))), 4) AS avg_logp
+              |       ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |             / (COUNT(*) * 1000000.0), 4) AS avg_logp
               |FROM p JOIN v USING (tok) CROSS JOIN tt
               |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)
     )
