@@ -166,6 +166,38 @@ object Pipeline {
       .drop("__rn1", "__rn")
   }
 
+  /** Deterministic domain reweighting: downsample each domain so the
+    * kept corpus matches a target mixture `weights` (the static DoReMi-
+    * style mixture step). With K = min_d(n_d / w_d) — the largest total
+    * reachable WITHOUT upsampling any domain — the keep fraction is
+    * f_d = w_d · K / n_d (≤ 1, = 1 for the binding domain), realized as
+    * the salted-hash threshold keep: hash48(id) < f_d · 2^48.
+    *
+    * One tiny per-domain count aggregate broadcast back over the
+    * corpus; the keep decision itself is map-side hash arithmetic —
+    * the same zero-shuffle sampling shape as [[hashSample]], so the
+    * corpus is never moved. All arithmetic is integer counts and
+    * literal weights through IEEE mult/div (no libm), so the kept set
+    * is bit-identical across engines and re-runs. */
+  def domainReweight(docs: DataFrame, weights: Map[String, Double],
+      domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val w = weights.toSeq.toDF(domainCol, "__w")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .join(w, Seq(domainCol))                  // inner: unweighted domains drop
+    val k = counts.agg(min(col("__n") / col("__w")).as("__k"))
+    val frac = counts.crossJoin(broadcast(k))
+      .withColumn("__f", least(lit(1.0), col("__w") * col("__k") / col("__n")))
+      .select(col(domainCol), col("__f"))
+    docs.join(broadcast(frac), Seq(domainCol))
+      .filter(hash48(col(idCol).cast("string"), "reweight") <
+        floor(col("__f") * lit((1L << 48).toDouble)).cast("long"))
+      .drop("__f")
+  }
+
   /** PII patterns: POSIX classes only, so the Java-regex (Spark) and
     * RE2 (DuckDB oracle) dialects agree byte-for-byte. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"

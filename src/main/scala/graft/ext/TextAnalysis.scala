@@ -144,6 +144,37 @@ object TextAnalysis {
         round(col("__s").cast("double") / (col("n_tokens") * 1000000.0), 4).as("avg_logp"))
   }
 
+  /** Order-1 (bigram) conditional log-probability score: per document,
+    * the mean ln P(w_i | w_{i-1}) with P = c(w_{i-1} w_i) / c(w_{i-1} ·),
+    * both counts trained on the corpus itself — the next step up from
+    * [[unigramLogProb]] and the shape for any higher-order n-gram LM
+    * signal (swap the shingle width). Documents with fewer than two
+    * tokens have no bigrams and are absent from the output (the oracle
+    * twin agrees).
+    *
+    * Same scale shape as the unigram: two bounded count aggregates
+    * broadcast back over the bigram stream, FLOOR(ln p · 1e6) integer
+    * sums so the score is independent of summation order. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), explode_outer(shingles("toks", 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val big = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    grams
+      .join(broadcast(big), Seq("bg"))
+      .join(broadcast(uni), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(floor((log(col("c2").cast("double")) - log(col("c1").cast("double"))) * 1000000)
+          .cast("long")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / (col("n_bigrams") * 1000000.0), 4).as("avg_logp"))
+  }
+
   /** Document fingerprinting: exact md5 of normalized text + a
     * winnowing-style signature (min 48-bit shingle hash — the rolling
     * hash's minimum, the standard winnow anchor). */

@@ -21,6 +21,12 @@ object PipelineQueries {
   private def h48doc(salt: String) =
     Sql.hash48("CAST(doc_id AS VARCHAR)", s"'$salt'")
 
+  /** e28's declared target mixture (exact binary fractions; declared
+    * BEFORE `defs`, which captures it at object init). */
+  private val ReweightTargets: Map[String, Double] =
+    Map("src0" -> 0.25, "src1" -> 0.25) ++
+      (2 to 17).map(i => s"src$i" -> 0.03125).toMap
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "e17_train_split",
@@ -178,6 +184,48 @@ object PipelineQueries {
               |             / (COUNT(*) * 1000000.0), 4) AS avg_logp
               |FROM p JOIN v USING (tok) CROSS JOIN tt
               |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)
+    ),
+    QDef(
+      "e27_bigram_logprob",
+      (s, dir) =>
+        graft.ext.TextAnalysis.bigramLogProb(docs(s, dir))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents
+              |), g AS (
+              |  SELECT doc_id, unnest(${Sql.shingles("toks", 2)}) AS bg FROM t
+              |), g2 AS (
+              |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g
+              |), b AS (SELECT bg, COUNT(*) AS c2 FROM g2 GROUP BY bg),
+              |u AS (SELECT w1, COUNT(*) AS c1 FROM g2 GROUP BY w1)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |       ROUND(SUM(CAST(FLOOR((ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) * 1000000) AS BIGINT))
+              |             / (COUNT(*) * 1000000.0), 4) AS avg_logp
+              |FROM g2 JOIN b USING (bg) JOIN u USING (w1)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      "e28_domain_reweight",
+      // target mixture: src0/src1 at 25% each, src2..src17 at 3.125%
+      // (exact binary fractions — the SQL literals are bit-exact
+      // doubles); src18/src19 unweighted and therefore dropped
+      (s, dir) =>
+        Pipeline.domainReweight(docs(s, dir), ReweightTargets)
+          .select(col("doc_id"), col("source"))
+          .orderBy("source", "doc_id"),
+      Some {
+        val vals = ReweightTargets.toSeq.sortBy(_._1)
+          .map { case (d, w) => s"('$d', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(source, w) AS (VALUES $vals),
+           |c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+           |cw AS (SELECT c.source, c.n, w.w FROM c JOIN w USING (source)),
+           |k AS (SELECT MIN(n / w) AS k FROM cw),
+           |f AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), w * k.k / n) AS f
+           |      FROM cw CROSS JOIN k)
+           |SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+           |WHERE ${h48doc("reweight")} < CAST(FLOOR(f * 281474976710656.0) AS BIGINT)
+           |ORDER BY d.source, d.doc_id""".stripMargin
+      }
     )
   )
 }

@@ -132,6 +132,41 @@ class CorpusPrepSpec extends SparkSpec {
     assert(two === plain)
   }
 
+  test("bigramLogProb scores predictable sequences above novel ones") {
+    import spark.implicits._
+    // "a b" dominates; doc 2's "a c" is the rare continuation of "a"
+    val df = (Seq((1L, "a b a b a b"), (2L, "a c a b a b")) ++
+      (3L to 12L).map(i => (i, "a b a b"))).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramLogProb(df)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 5L) // 6 tokens -> 5 bigrams
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    // single-token docs are absent
+    val one = graft.ext.TextAnalysis.bigramLogProb(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() === 0L)
+  }
+
+  test("domainReweight hits the target mixture without upsampling") {
+    import spark.implicits._
+    // 100 docs in dom0, 50 in dom1, 10 in dom2 (unweighted -> dropped)
+    val df = ((1 to 100).map(i => (i.toLong, "dom0")) ++
+      (101 to 150).map(i => (i.toLong, "dom1")) ++
+      (151 to 160).map(i => (i.toLong, "dom2"))).toDF("doc_id", "source")
+    val kept = Pipeline.domainReweight(df, Map("dom0" -> 0.5, "dom1" -> 0.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K = min(100/0.5, 50/0.5) = 100: dom1 binds (keeps all 50),
+    // dom0 halves (hash sampling is approximate: O(1/sqrt n) deviation)
+    assert(kept("dom1") === 50L)
+    assert(kept("dom0") >= 35L && kept("dom0") <= 65L, s"dom0=${kept("dom0")}")
+    assert(!kept.contains("dom2"))
+    // deterministic under re-run
+    val again = Pipeline.domainReweight(df, Map("dom0" -> 0.5, "dom1" -> 0.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === again)
+  }
+
   test("unigramLogProb scores common-token text above rare-token text") {
     import spark.implicits._
     // 'the' dominates the corpus; 'zyx' appears once
