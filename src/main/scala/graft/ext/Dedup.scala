@@ -83,6 +83,9 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): a truncated band " +
+        "layout silently weakens (or with r=0 empties) the LSH guarantee")
     val r = k / bands
     // All k min-hashes in ONE pass over the shingle array (fused md5
     // kernel) — not k interpreted transform() traversals.
@@ -102,13 +105,18 @@ object Dedup {
       .filter(col("sig") =!= "")
     val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val b = bandRows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
-    val (m, jac) = arrayJaccard(col("shi"), col("shj"))
+    val (_, jac) = arrayJaccard(col("shi"), col("shj"))
+    // verify BEFORE the pair dedup (same contract as the SimHash and
+    // embedding-LSH paths): a candidate appears at most `bands` times,
+    // so re-verifying duplicates costs a few array_intersects, while
+    // deduping first would shuffle the candidate multiset with both
+    // shingle arrays still attached. Threshold compares the UNROUNDED
+    // Jaccard (rounding is presentation only), matching the oracle.
     a.join(b, Seq("band", "sig"))
       .filter(col("i") < col("j"))
-      .dropDuplicates("i", "j")
-      .withColumn("jac", jac)
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+      .select(col("i"), col("j"), jac.as("jac0"))
+      .filter(col("jac0") >= threshold)
+      .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
   }
 
   /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate
@@ -206,11 +214,16 @@ object Dedup {
     // component min, so sum(label) is strictly decreasing until the
     // fixpoint — one aggregate per round instead of a labels⋈labels
     // diff join.
+    // decimal(38,0), not long: ids may themselves be large hashes
+    // (e.g. 48-bit fingerprints), and a long sum over ~100k of those
+    // overflows — ARITHMETIC_OVERFLOW under ANSI, or a silent wrap
+    // that can end the loop before the fixpoint with ANSI off.
     // coalesce: sum over an EMPTY label set is NULL — zero near-dup
     // pairs (clean corpus / high threshold) must yield an empty result,
     // not an NPE.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): BigDecimal =
+      BigDecimal(df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var changed = 1L
     var iter = 0

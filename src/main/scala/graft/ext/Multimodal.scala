@@ -36,11 +36,13 @@ object Multimodal {
     * batch-shape (whole-partition iterator, zero-copy per row) is what
     * a vectorized decode needs. Returns (payload bytes, first symbol
     * code point) — code point, not raw byte, so the value is
-    * charset-stable for non-ASCII payload-as-text stand-ins. */
+    * charset-stable for non-ASCII payload-as-text stand-ins. A null
+    * blob (NULL source text cast to binary) decodes as empty rather
+    * than crashing the partition. */
   def decodeStub(blob: Array[Byte]): (Long, Int) =
-    (blob.length.toLong,
-      if (blob.isEmpty) 0
-      else new String(blob, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0))
+    if (blob == null || blob.isEmpty) (0L, 0)
+    else (blob.length.toLong,
+      new String(blob, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0))
 
   /** Feature extraction over media rows — mapPartitions so a real
     * decoder amortizes per-partition init (model load, codec context),

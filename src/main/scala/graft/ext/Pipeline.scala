@@ -91,7 +91,9 @@ object Pipeline {
       .select(
         col("doc_id").cast("long"),
         (hash48(col("doc_id").cast("string"), "shard") % shards).cast("int").as("shard"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        // null text counts as empty (its single '' token) — without the
+        // coalesce the non-nullable tuple encoder below throws on NULL
+        size(tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
       .as[(Long, Int, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (shard, it) =>
@@ -124,14 +126,18 @@ object Pipeline {
     // inlines the whole interpreted shingle pipeline (split is
     // re-evaluated ~2n× per row — measured 14× slower at sf0.1); the
     // rule cannot fire on outer generates, so the pipeline runs once.
-    val hashed = Dedup.shingleArrays(docs, n)
+    def hashed(side: DataFrame) = Dedup.shingleArrays(side, n)
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), hash48(col("sh"), "decon").as("h"))
-    val benchIds = docs.filter(benchPred).select(col("doc_id").as("bench_id"))
-    val bench = hashed.join(benchIds, hashed("doc_id") === benchIds("bench_id"))
-      .select(col("bench_id"), col("h"))
-    val train = hashed.join(benchIds, hashed("doc_id") === benchIds("bench_id"), "left_anti")
+    // Partition the corpus BEFORE shingling, so each document is
+    // shingled exactly once (the previous corpus-wide frame fed both
+    // joins and was evaluated twice) and the bench/train id joins
+    // disappear. NULL predicate rows are train (they are not bench —
+    // same partition the id-anti-join produced).
+    val bench = hashed(docs.filter(benchPred))
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val train = hashed(docs.filter(!coalesce(benchPred, lit(false))))
       .select(col("doc_id").as("train_id"), col("h"))
     train.join(bench, Seq("h"))
       .groupBy("train_id", "bench_id")

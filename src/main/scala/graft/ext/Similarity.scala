@@ -218,14 +218,17 @@ object Similarity {
     * [[semanticDedup]]. */
   private def ivfIndexed(emb: DataFrame, nlist: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
-    // bounded: evict one (arbitrary) entry past the cap — never the
-    // whole map, so the hot corpus is not retrained on every call
-    while (centroidCache.size >= CentroidCacheMax)
-      centroidCache.headOption.foreach { case (k0, _) => centroidCache.remove(k0) }
-    val cents = centroidCache.getOrElseUpdate(
-      (System.identityHashCode(emb.sparkSession),
-        emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
-        nlist, iters),
+    val key = (System.identityHashCode(emb.sparkSession),
+      emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
+      nlist, iters)
+    // bounded: on a MISS evict arbitrary other entries past the cap —
+    // never on a hit, and never the requested key, so the hot corpus is
+    // not evicted by its own lookup and retrained
+    if (!centroidCache.contains(key))
+      while (centroidCache.size >= CentroidCacheMax)
+        centroidCache.keysIterator.find(_ != key)
+          .foreach(centroidCache.remove)
+    val cents = centroidCache.getOrElseUpdate(key,
       trainCentroids(emb, nlist, iters))
     (cents, withNorm(emb)
       .withColumn("cluster", assignCluster(col("embedding"), cents)))

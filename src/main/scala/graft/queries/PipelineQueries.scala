@@ -49,7 +49,7 @@ object PipelineQueries {
       // advances one document per shard per iteration
       Some(s"""WITH RECURSIVE d0 AS (
               |  SELECT doc_id, CAST(${h48doc("shard")} % 8 AS INT) AS shard,
-              |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tokens
+              |         CAST(len(${Sql.tokens("COALESCE(text, '')")}) AS BIGINT) AS n_tokens
               |  FROM documents
               |), d AS (
               |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d0
