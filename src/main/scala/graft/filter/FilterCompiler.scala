@@ -22,8 +22,11 @@ object FilterCompiler {
     case QualifierFilter(op, c) => Some(c.test(col("qualifier"), op))
     case ValueFilter(op, c)     => Some(c.test(col("value"), op))
     case ColumnValueFilter(fam, q, op, c) =>
-      // cells of other columns pass untested (ColumnValueFilter.java:48)
-      Some(!(col("family") === fam && col("qualifier") === q) ||
+      // "return the matched cell only" (ColumnValueFilter.java:39 doc,
+      // filterCell:102-113): other columns are skipped via
+      // NEXT_COL/NEXT_ROW, so only the tested column's matching cells
+      // survive — unlike SCVF, which admits the whole row.
+      Some(col("family") === fam && col("qualifier") === q &&
         c.test(col("value"), op))
     case PrefixFilter(p)        => Some(col("row").startsWith(p))
     case InclusiveStopFilter(s, reversed) =>
@@ -86,6 +89,18 @@ object FilterCompiler {
         })
       } else None
     case _ => None
+  }
+
+  /** Propagate scan reversed-ness into the filter tree — the graft twin
+    * of the server's `filter.setReversed(scan.isReversed())` (applied
+    * on scanner open, so Scan.setReversed reaches every direction-
+    * sensitive filter without the client hand-threading it). */
+  def withReversed(f: GFilter, reversed: Boolean): GFilter = f match {
+    case InclusiveStopFilter(s, _)  => InclusiveStopFilter(s, reversed)
+    case WhileMatchFilter(inner, _) => WhileMatchFilter(withReversed(inner, reversed), reversed)
+    case SkipFilter(inner)          => SkipFilter(withReversed(inner, reversed))
+    case FilterList(op, fs)         => FilterList(op, fs.map(withReversed(_, reversed)))
+    case other                      => other
   }
 
   /** Apply a filter to a CellSet DataFrame. */
@@ -154,15 +169,23 @@ object FilterCompiler {
       cells.join(vetoed, Seq("row"), "left_anti")
 
     case WhileMatchFilter(inner, reversed) =>
-      val p = cellPredicate(inner).getOrElse(
-        throw new IllegalArgumentException("WhileMatchFilter requires a cell-level inner filter"))
       // keep the prefix of the stream before the first rejected row
       // (WhileMatchFilter.java:39): scalar min(row) (max for reversed
       // scans) over rejects, then the strict prefix before it. One tiny
       // agg (broadcast) + one filter. Declared capability boundary
       // (SURVEY §7 watch list): the rewrite is ROW-granular — the
       // reference's cell-granular mid-row stop is not reproduced.
-      val firstReject = cells.filter(!(p <=> lit(true)))
+      val rejects = cellPredicate(inner) match {
+        case Some(p) => cells.filter(!(p <=> lit(true))).select("row")
+        case None =>
+          // ROW-level inner (e.g. SCVF): a row is rejected iff the
+          // inner filter admits none of its cells — the same row
+          // granularity as the cell-predicate branch
+          cells.select("row")
+            .join(apply(cells, inner).select("row").distinct(),
+              Seq("row"), "left_anti")
+      }
+      val firstReject = rejects
         .agg((if (reversed) max(col("row")) else min(col("row"))).as("__stop"))
       cells.join(broadcast(firstReject))
         .filter(col("__stop").isNull ||

@@ -25,7 +25,9 @@ final case class FamilyFilter(op: CompareOp, cmp: GComparator) extends GFilter
 final case class QualifierFilter(op: CompareOp, cmp: GComparator) extends GFilter
 /** F4 ValueFilter.java:45 */
 final case class ValueFilter(op: CompareOp, cmp: GComparator) extends GFilter
-/** F5 ColumnValueFilter.java:48 — value test only for one (f,q); other cells pass. */
+/** F5 ColumnValueFilter.java:39 — "return the matched cell only": keeps
+  * matching cells of the one (f,q) column; all other cells are skipped
+  * (filterCell:102 returns NEXT_COL/NEXT_ROW off-column). */
 final case class ColumnValueFilter(family: String, qualifier: String,
     op: CompareOp, cmp: GComparator) extends GFilter
 /** F9 PrefixFilter.java:39 — row key starts-with. */

@@ -134,8 +134,13 @@ object CellStore {
       case Some((s, df)) if s eq spark => df
       case _ =>
         val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cache.put(key, (spark, df))
-        df
+        // putIfAbsent, then unpersist the loser: two concurrent first
+        // calls both build+persist, and without this the losing copy's
+        // blocks leak in executor memory for the session's lifetime
+        cache.putIfAbsent(key, (spark, df)) match {
+          case Some((s, winner)) if s eq spark => df.unpersist(); winner
+          case _ => df
+        }
     }
   }
 }
@@ -146,6 +151,18 @@ object CellStore {
   */
 object Fixtures {
   import Cellify._
+
+  /** The orders five-qualifier cell mapping — ONE definition shared by
+    * cells_orders and the mutated replica fixture, so a qualifier
+    * change cannot desynchronize them and surface as phantom Q29/Q30
+    * diff classes. */
+  private def ordersQuals: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "o_custkey"       -> col("o_custkey"),
+    "o_orderstatus"   -> col("o_orderstatus"),
+    "o_totalprice"    -> money(col("o_totalprice")),
+    "o_orderdate"     -> tsStr(col("o_orderdate")),
+    "o_orderpriority" -> col("o_orderpriority")
+  )
 
   /** Region-style storage layout for a materialized cell table:
     * hash-partitioned on the row key and sorted within partitions on
@@ -195,13 +212,7 @@ object Fixtures {
       o,
       rowKey = padKey(col("o_orderkey")),
       family = "d",
-      quals = Seq(
-        "o_custkey"       -> col("o_custkey"),
-        "o_orderstatus"   -> col("o_orderstatus"),
-        "o_totalprice"    -> money(col("o_totalprice")),
-        "o_orderdate"     -> tsStr(col("o_orderdate")),
-        "o_orderpriority" -> col("o_orderpriority")
-      )
+      quals = ordersQuals
     ), col("row"), col("row"), col("family"), col("qualifier"))
   }
 
@@ -278,13 +289,7 @@ object Fixtures {
       o.filter(col("o_orderkey") < 500),
       rowKey = padKey(col("o_orderkey") + 1000000000L),
       family = "d",
-      quals = Seq(
-        "o_custkey"       -> col("o_custkey"),
-        "o_orderstatus"   -> col("o_orderstatus"),
-        "o_totalprice"    -> money(col("o_totalprice")),
-        "o_orderdate"     -> tsStr(col("o_orderdate")),
-        "o_orderpriority" -> col("o_orderpriority")
-      )
+      quals = ordersQuals
     )
     regionLayout(base.unionByName(extra),
       col("row"), col("row"), col("family"), col("qualifier"))

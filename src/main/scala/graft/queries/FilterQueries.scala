@@ -130,8 +130,14 @@ object FilterQueries {
     ),
     QDef(
       "q20_while_match",
+      // WhileMatch over the ROW-level SCVF (the reference's row-coherent
+      // WhileMatch composition): scan rows while o_custkey != 42, stop
+      // at the first row where it is. (ColumnValueFilter would be
+      // cell-granular inside WhileMatch — reference filterCell returns
+      // NEXT_COL off-column, ending the scan — outside the declared
+      // row-granular boundary.)
       (s, dir) => run(co(s, dir),
-        WhileMatchFilter(ColumnValueFilter("d", "o_custkey",
+        WhileMatchFilter(SingleColumnValueFilter("d", "o_custkey",
           CompareOp.NotEqual, BinaryComparator("42")))),
       Some(oracleOrders(
         "WHERE row < COALESCE((SELECT min(row) FROM cells_orders WHERE family = 'd' AND qualifier = 'o_custkey' AND value = '42'), '~')"))

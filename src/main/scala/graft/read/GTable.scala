@@ -117,10 +117,26 @@ object GTable {
     scan(cells, pointSpec(rowKey, s))
 
   /** Multi-get: semi-join against the key list (broadcast on the small
-    * key side — Table.get(List[Get]), Table.java:176). */
-  def multiGet(cells: DataFrame, keys: DataFrame): DataFrame =
-    cells.join(broadcast(keys.select(col(keys.columns.head).as("row"))),
-               Seq("row"), "left_semi")
+    * key side), then the SAME resolve path as a single get —
+    * Table.get(List[Get]) (Table.java:176) returns fully-resolved
+    * Results, identical to get() per key; a raw subset would expose
+    * tombstones and shadowed versions the single-get path hides. */
+  def multiGet(cells: DataFrame, keys: DataFrame, s: GScan = GScan()): DataFrame =
+    scan(cells.join(broadcast(keys.select(col(keys.columns.head).as("row"))),
+                    Seq("row"), "left_semi"), s)
+
+  /** Scan with a [[graft.filter.GFilter]] tree — the Scan.setFilter
+    * path. The scan's reversed-ness propagates into the tree before
+    * compilation (the server calls filter.setReversed(scan.isReversed())
+    * on scanner open, HRegion — without this, a WHILE/InclusiveStop
+    * filter inside a reversed scan computes the complement prefix), and
+    * the filter applies to the cell set BEFORE version resolution
+    * (filterCell precedes version counting, UserScanQueryMatcher). */
+  def scanFiltered(cells: DataFrame, s: GScan,
+      f: graft.filter.GFilter): DataFrame = {
+    val tree = graft.filter.FilterCompiler.withReversed(f, s.reversed)
+    scan(graft.filter.FilterCompiler(cells, tree), s)
+  }
 
   /** S8 multi-table scan (MultiTableInputFormatBase.java:229: one job
     * over several tables' scans): union the cell sets, then ONE scan

@@ -29,13 +29,18 @@ object WalStream {
     * symlinked dir. */
   private def asDir(path: String): String = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(path)
+    // absolute target: a relative path would be stored relative to the
+    // LINK's directory and dangle; keyed on the absolute form so the
+    // same file reached via different cwds shares one dir
+    val p = Paths.get(path).toAbsolutePath.normalize
     if (!Files.isRegularFile(p)) path
     else {
       val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
-        Integer.toHexString(path.hashCode))
+        Integer.toHexString(p.toString.hashCode))
       val link = dir.resolve(p.getFileName)
-      if (!Files.exists(link)) {
+      // isSymbolicLink, not exists: exists() FOLLOWS a dangling link
+      // and returns false, which would re-create and crash
+      if (!Files.isSymbolicLink(link)) {
         Files.createDirectories(dir)
         Files.createSymbolicLink(link, p)
       }
@@ -137,10 +142,13 @@ object WalStream {
 
   /** Exactly-once apply: the ReplicationSink analogue
     * (replication/regionserver/ReplicationSink.java). Each micro-batch
-    * is appended idempotently — dedup on the full cell coordinate +
-    * seq, so retried batches cannot double-apply (the reference uses
-    * per-region sequenceId ordering + ZK-acked offsets). */
-  def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    * is appended idempotently, and same-coordinate conflicts resolve
+    * deterministically: by `seqCol` when the WAL carries a sequence id
+    * (the reference's per-region sequenceId ordering), else by value
+    * ordering — an arbitrary dropDuplicates winner would let a replica
+    * diverge from its source on double-writes at one timestamp. */
+  def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String,
+      seqCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     cellStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -151,7 +159,9 @@ object WalStream {
         // reference's per-region WAL ordering.
         // type is part of the identity: a Put and a tombstone may share
         // (row,family,qualifier,ts) — both must replicate
-        batch.dropDuplicates("row", "family", "qualifier", "ts", "type")
+        val ord = seqCol.map(col).getOrElse(col("value"))
+        batch.groupBy("row", "family", "qualifier", "ts", "type")
+          .agg(max_by(col("value"), ord).as("value"))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 

@@ -62,8 +62,9 @@ object Mutations {
   /** M5 CheckAndMutate (HRegion.checkAndMutate:5130): batch CAS.
     * Rows whose guard cell matches get `mutation` applied; all other
     * cells pass through unchanged. The guard evaluation is one
-    * aggregate on the (small) guard column + a broadcast semi-join —
-    * the batch analogue of the server's read-check-apply under lock.
+    * aggregate on the guard column + a semi-join (AQE broadcasts the
+    * matching-row list when it is small) — the batch analogue of the
+    * server's read-check-apply under lock.
     *
     * `mutation` maps the cells of a matching row to their new state
     * (e.g. set one qualifier's value). */
@@ -73,8 +74,13 @@ object Mutations {
       .filter(col("family") === guard.family &&
         col("qualifier") === guard.qualifier && guard.valuePred)
       .select("row").distinct()
-    val hit  = cells.join(broadcast(matching), Seq("row"), "left_semi")
-    val miss = cells.join(broadcast(matching), Seq("row"), "left_anti")
+    // no broadcast hint: the matching-row set is bounded by the GUARD,
+    // not by us — a broad guard can match most of the table, and a
+    // forced broadcast would then exceed the 8 GB cap / driver memory.
+    // AQE broadcasts it when it is actually small (same policy as the
+    // sync-diff divergent-row list, flow/Jobs.scala).
+    val hit  = cells.join(matching, Seq("row"), "left_semi")
+    val miss = cells.join(matching, Seq("row"), "left_anti")
     mutation(hit).unionByName(miss)
   }
 
@@ -88,8 +94,9 @@ object Mutations {
   def checkAndMutate(cells: DataFrame, guard: graft.filter.GFilter,
       mutation: DataFrame => DataFrame): DataFrame = {
     val matching = graft.filter.FilterCompiler.admittedRows(cells, guard)
-    val hit  = cells.join(broadcast(matching), Seq("row"), "left_semi")
-    val miss = cells.join(broadcast(matching), Seq("row"), "left_anti")
+    // unhinted for the same reason as the cell-guard overload above
+    val hit  = cells.join(matching, Seq("row"), "left_semi")
+    val miss = cells.join(matching, Seq("row"), "left_anti")
     mutation(hit).unionByName(miss)
   }
 

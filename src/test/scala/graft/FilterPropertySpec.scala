@@ -71,7 +71,7 @@ class FilterPropertySpec extends SparkSpec {
     case QualifierFilter(op, cmp) => cmpTest(cmp, c.qualifier, op)
     case ValueFilter(op, cmp)     => cmpTest(cmp, c.value, op)
     case ColumnValueFilter(fam, q, op, cmp) =>
-      !(c.family == fam && c.qualifier == q) || cmpTest(cmp, c.value, op)
+      c.family == fam && c.qualifier == q && cmpTest(cmp, c.value, op)
     case PrefixFilter(p)          => c.row.startsWith(p)
     case InclusiveStopFilter(s, rev) => if (rev) c.row >= s else c.row <= s
     case MultiRowRangeFilter(rs) => rs.exists { r =>

@@ -18,14 +18,15 @@ class FilterSpec extends SparkSpec {
     assert(r === Set("0000000010", "0000000011", "0000000012", "0000000013"))
   }
 
-  test("ColumnValueFilter passes other columns untested") {
+  test("ColumnValueFilter returns the matched cell only") {
     val out = FilterCompiler(co,
       ColumnValueFilter("d", "o_orderstatus", CompareOp.Equal, BinaryComparator("F")))
-    // non-status cells all pass; status cells only when F
-    val statuses = out.filter(col("qualifier") === "o_orderstatus")
-      .select("value").distinct().collect().map(_.getString(0)).toSet
+    // only the tested column's matching cells survive; every other
+    // column is skipped (ColumnValueFilter.java:39 "matched cell only")
+    val statuses = out.select("value").distinct().collect().map(_.getString(0)).toSet
     assert(statuses === Set("F"))
-    assert(out.filter(col("qualifier") === "o_custkey").count() === co.filter(col("qualifier") === "o_custkey").count())
+    assert(out.filter(col("qualifier") =!= "o_orderstatus").count() === 0L)
+    assert(out.count() === co.filter(col("qualifier") === "o_orderstatus" && col("value") === "F").count())
   }
 
   test("SCVF filterIfMissing=false lets rows lacking the column pass") {
@@ -78,12 +79,18 @@ class FilterSpec extends SparkSpec {
     } else assert(fwd === rev)
   }
 
-  test("WhileMatch keeps strict prefix before first reject") {
+  test("WhileMatch keeps strict prefix before first reject (row-level inner)") {
+    // SCVF inner: row-coherent WhileMatch composition (a cell-exact CVF
+    // inner would stop at the first off-column cell in the reference)
     val out = FilterCompiler(co,
-      WhileMatchFilter(ColumnValueFilter("d", "o_orderstatus", CompareOp.NotEqual, BinaryComparator("P"))))
+      WhileMatchFilter(SingleColumnValueFilter("d", "o_orderstatus",
+        CompareOp.NotEqual, BinaryComparator("P"))))
     val firstP = co.filter(col("qualifier") === "o_orderstatus" && col("value") === "P")
       .agg(min("row")).head().getString(0)
     assert(out.agg(max("row")).head().getString(0) < firstP)
+    // every kept row is complete (row granularity)
+    val perRow = out.groupBy("row").count().select("count").distinct().collect()
+    assert(perRow.map(_.getLong(0)).toSet === Set(5L))
   }
 
   test("MUST_PASS_ONE with row-level children unions admitted cell sets") {

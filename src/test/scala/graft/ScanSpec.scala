@@ -96,6 +96,24 @@ class ScanSpec extends SparkSpec {
     assert(out.filter(col("type") =!= graft.model.CellType.Put).count() > 0)
   }
 
+  test("scanFiltered propagates reversed-ness into the filter tree") {
+    import graft.filter._
+    // WHILE row >= '0000000100': ascending stops at the first row BELOW
+    // the bound (none — starts there), reversed scans DOWN and must
+    // stop before crossing it — without propagation the reversed run
+    // would compute the ascending complement
+    val f = WhileMatchFilter(RowFilter(CompareOp.GreaterOrEqual,
+      BinaryComparator("0000000100")))
+    val fwd = GTable.scanFiltered(co, GScan(), f)
+      .select("row").distinct().collect().map(_.getString(0))
+    val rev = GTable.scanFiltered(co, GScan(reversed = true), f)
+      .select("row").distinct().collect().map(_.getString(0))
+    // reversed: rows from the top DOWN to the bound (all >= bound);
+    // forward: empty or prefix strictly below the first < bound row
+    assert(rev.nonEmpty && rev.forall(_ >= "0000000100"))
+    assert(fwd.forall(_ < "0000000100"))
+  }
+
   test("scan filter runs before the version gate") {
     val ev = Fixtures.cellsEventsV(spark, sf0001)
     // keep only ts <= 3 cells via filter with maxVersions = 1: the
