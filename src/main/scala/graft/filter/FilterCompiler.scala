@@ -175,12 +175,22 @@ object FilterCompiler {
       // agg (broadcast) + one filter. Declared capability boundary
       // (SURVEY §7 watch list): the rewrite is ROW-granular — the
       // reference's cell-granular mid-row stop is not reproduced.
-      val rejects = cellPredicate(inner) match {
-        case Some(p) => cells.filter(!(p <=> lit(true))).select("row")
-        case None =>
-          // ROW-level inner (e.g. SCVF): a row is rejected iff the
-          // inner filter admits none of its cells — the same row
-          // granularity as the cell-predicate branch
+      val rejects = (cellPredicate(inner), inner) match {
+        case (Some(p), _) => cells.filter(!(p <=> lit(true))).select("row")
+        case (None, SingleColumnValueFilter(fam, q, op, c, ifMissing, latestOnly)) =>
+          // fast path: rejected rows read straight off the shared
+          // verdict aggregate (one guard-column aggregate, no
+          // admitted-cells materialization + anti-join)
+          val v = scvfVerdict(cells, fam, q, op, c, latestOnly)
+          val falseRows = v.filter(!(col("__m") <=> lit(true))).select("row")
+          if (!ifMissing) falseRows
+          else falseRows.unionByName(
+            cells.select("row").distinct()
+              .join(v.select("row"), Seq("row"), "left_anti"))
+        case (None, _) =>
+          // ROW-level inner: a row is rejected iff the inner filter
+          // admits none of its cells — the same row granularity as the
+          // cell-predicate branch
           cells.select("row")
             .join(apply(cells, inner).select("row").distinct(),
               Seq("row"), "left_anti")
