@@ -49,12 +49,18 @@ object GTable {
     * total cell order. All predicates are plain `Column`s → Catalyst
     * pushes them into the source scan before the (optional) resolve.
     */
+  /** The scan's row-range predicates alone — shared with
+    * [[scanFiltered]], which must range-prune BEFORE the filter tree
+    * runs (stateful filters like PageFilter count rows INSIDE the scan
+    * boundaries on the server). */
+  private def rangePredsOf(s: GScan): Seq[Column] = Seq(
+    s.startRow.map(v => if (s.startInclusive) col("row") >= v else col("row") > v),
+    s.stopRow.map(v => if (s.stopInclusive) col("row") <= v else col("row") < v),
+    s.rowPrefix.map(p => col("row").startsWith(p))
+  ).flatten
+
   def scan(cells: DataFrame, s: GScan): DataFrame = {
-    val rangePreds: Seq[Column] = Seq(
-      s.startRow.map(v => if (s.startInclusive) col("row") >= v else col("row") > v),
-      s.stopRow.map(v => if (s.stopInclusive) col("row") <= v else col("row") < v),
-      s.rowPrefix.map(p => col("row").startsWith(p))
-    ).flatten
+    val rangePreds: Seq[Column] = rangePredsOf(s)
     // Projection UNIONS family and column selections (addFamily +
     // addColumn build one family→qualifiers map, Scan.java:269,282):
     // a selected family contributes ALL its qualifiers.
@@ -135,7 +141,12 @@ object GTable {
   def scanFiltered(cells: DataFrame, s: GScan,
       f: graft.filter.GFilter): DataFrame = {
     val tree = graft.filter.FilterCompiler.withReversed(f, s.reversed)
-    scan(graft.filter.FilterCompiler(cells, tree), s)
+    // range-prune FIRST: the server's filters see only cells inside the
+    // scan boundaries (a PageFilter counts rows within the range, not
+    // the table), then the filtered set flows through the normal scan
+    // (the residual range predicates there are no-ops)
+    val ranged = rangePredsOf(s).foldLeft(cells)((df, p) => df.filter(p))
+    scan(graft.filter.FilterCompiler(ranged, tree), s)
   }
 
   /** S8 multi-table scan (MultiTableInputFormatBase.java:229: one job

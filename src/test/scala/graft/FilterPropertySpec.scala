@@ -283,4 +283,35 @@ class FilterPropertySpec extends SparkSpec {
       assert(got === want, s"case $i filter=$f cells=$cells")
     }
   }
+
+  test("scanFiltered equals naive(reversed-propagated tree) + range on 40 random cases") {
+    import graft.read.{GScan, GTable}
+    val rnd = new Random(20260813)
+    (1 to 40).foreach { i =>
+      val cells = genCells(rnd)
+      val f     = genFilter(rnd, depth = 2)
+      val reversed = rnd.nextBoolean()
+      val (lo, hi) = {
+        val a = rowsPool(rnd.nextInt(rowsPool.size))
+        val b = rowsPool(rnd.nextInt(rowsPool.size))
+        if (a <= b) (a, b) else (b, a)
+      }
+      val s = GScan(startRow = Some(lo), stopRow = Some(hi),
+        stopInclusive = rnd.nextBoolean(), reversed = reversed, raw = true)
+      val got = GTable.scanFiltered(cells.toDF(), s, f)
+        .collect()
+        .map(r => (r.getAs[String]("row"), r.getAs[String]("family"),
+          r.getAs[String]("qualifier"), r.getAs[Long]("ts"),
+          Option(r.getAs[String]("value")).getOrElse(" null")))
+        .toSet
+      // naive twin: range-prune FIRST (server filters see only in-range
+      // cells), then the reversed-propagated filter tree
+      // (raw scan — Put-only fixture, so resolve is identity)
+      val ranged = cells.filter { c =>
+        c.row >= lo && (if (s.stopInclusive) c.row <= hi else c.row < hi)
+      }
+      val filtered = naive(ranged, FilterCompiler.withReversed(f, reversed))
+      assert(got === asTuples(filtered), s"case $i rev=$reversed filter=$f")
+    }
+  }
 }
