@@ -242,6 +242,23 @@ object ScanQueries {
           |    FROM live_events
           |  ) WHERE rn <= 3
           |) GROUP BY row ORDER BY row""".stripMargin))
+    ),
+    QDef(
+      // Scan.setFilter × Scan.setReversed: the server propagates
+      // reversed-ness into the filter on scanner open
+      // (filter.setReversed), so WHILE row >= K inside a reversed scan
+      // keeps the DESCENDING prefix down to K — scanFiltered is the
+      // graft twin of that propagation point.
+      "q61_reversed_while",
+      (s, dir) =>
+        ordered(GTable.scanFiltered(co(s, dir),
+            GScan(raw = true, reversed = true),
+            graft.filter.WhileMatchFilter(graft.filter.RowFilter(
+              graft.filter.CompareOp.GreaterOrEqual,
+              graft.filter.BinaryComparator("0000000950")))),
+          reversed = true),
+      Some(oracleScan("WHERE row >= '0000000950'",
+        order = "row DESC, family, qualifier, ts DESC"))
     )
   )
 }
