@@ -38,6 +38,25 @@ object AggregationClient {
   def median(df: DataFrame, value: Column, scanPred: Option[Column] = None): DataFrame =
     base(df, scanPred).agg(percentile(value, lit(0.5)).as("median"))
 
+  /** Approximate median/percentile — the 100 TB path. Exact
+    * `percentile`'s partial buffer grows with the number of DISTINCT
+    * values per partition (it counts occurrences per value), which is
+    * unbounded on high-cardinality measures at scale;
+    * `approx_percentile` is a fixed-size Greenwald–Khanna sketch with
+    * bounded rank error 1/accuracy, and its partials merge in the
+    * normal partial/final aggregate — the same reason the reference's
+    * two-phase median protocol (AggregationClient.java:778) ships
+    * region SUMMARIES rather than region values. */
+  def medianApprox(df: DataFrame, value: Column, accuracy: Int = 10000,
+      scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred)
+      .agg(approx_percentile(value, lit(0.5), lit(accuracy)).as("median"))
+
+  def percentileApprox(df: DataFrame, value: Column, p: Double,
+      accuracy: Int = 10000, scanPred: Option[Column] = None): DataFrame =
+    base(df, scanPred)
+      .agg(approx_percentile(value, lit(p), lit(accuracy)).as("percentile"))
+
   /** Row count over a CellSet — the reference pairs rowCount with
     * FirstKeyOnlyFilter to touch one cell per row
     * (AggregationClient.java:350); count-distinct-rows is the

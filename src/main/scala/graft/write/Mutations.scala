@@ -56,8 +56,13 @@ object Mutations {
 
   /** Guard specification for CheckAndMutate: compare one (family,
     * qualifier) cell per row (client/CheckAndMutate.java;
-    * Table.checkAndMutate Table.java:297). */
-  final case class Guard(family: String, qualifier: String, valuePred: Column)
+    * Table.checkAndMutate Table.java:297). `timeRange` is the optional
+    * [min,max) window the CHECK READ is restricted to
+    * (CheckAndMutate.builder().timeRange, applied to the server-side
+    * check Get in HRegion.checkAndMutate) — it scopes which cell
+    * versions the guard may see, not which cells the mutation touches. */
+  final case class Guard(family: String, qualifier: String, valuePred: Column,
+      timeRange: Option[(Long, Long)] = None)
 
   /** M5 CheckAndMutate (HRegion.checkAndMutate:5130): batch CAS.
     * Rows whose guard cell matches get `mutation` applied; all other
@@ -70,9 +75,12 @@ object Mutations {
     * (e.g. set one qualifier's value). */
   def checkAndMutate(cells: DataFrame, guard: Guard,
       mutation: DataFrame => DataFrame): DataFrame = {
+    val tsPred = guard.timeRange.fold(lit(true)) { case (lo, hi) =>
+      col("ts") >= lo && col("ts") < hi
+    }
     val matching = cells
       .filter(col("family") === guard.family &&
-        col("qualifier") === guard.qualifier && guard.valuePred)
+        col("qualifier") === guard.qualifier && tsPred && guard.valuePred)
       .select("row").distinct()
     // no broadcast hint: the matching-row set is bounded by the GUARD,
     // not by us — a broad guard can match most of the table, and a
@@ -90,10 +98,16 @@ object Mutations {
     * the batch analogue of the server evaluating the guard filter over
     * the row before applying the mutation. Reuses the full
     * [[graft.filter.FilterCompiler]] algebra, so OR-lists, SCVF, and
-    * row-level guards all compose. */
+    * row-level guards all compose. `timeRange` restricts the cells the
+    * guard filter reads (the check Get's time range), exactly as in the
+    * cell-guard overload. */
   def checkAndMutate(cells: DataFrame, guard: graft.filter.GFilter,
-      mutation: DataFrame => DataFrame): DataFrame = {
-    val matching = graft.filter.FilterCompiler.admittedRows(cells, guard)
+      mutation: DataFrame => DataFrame,
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
+    val checkView = timeRange.fold(cells) { case (lo, hi) =>
+      cells.filter(col("ts") >= lo && col("ts") < hi)
+    }
+    val matching = graft.filter.FilterCompiler.admittedRows(checkView, guard)
     // unhinted for the same reason as the cell-guard overload above
     val hit  = cells.join(matching, Seq("row"), "left_semi")
     val miss = cells.join(matching, Seq("row"), "left_anti")

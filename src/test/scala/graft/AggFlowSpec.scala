@@ -27,6 +27,27 @@ class AggFlowSpec extends SparkSpec {
     assert(math.abs(med - expected) < 1e-9)
   }
 
+  test("approx median tracks exact within the sketch's rank error") {
+    val exact = AggregationClient.median(orders, col("o_totalprice")).head().getDouble(0)
+    val approx = AggregationClient.medianApprox(orders, col("o_totalprice"))
+      .head().getDouble(0)
+    // accuracy=10000 → rank error ≤ n/10000; the fixture has ~1.5k
+    // orders, so the sketch is exact up to element granularity. Bound
+    // by the value span of the ±1-rank neighborhood instead of eps=0.
+    val sorted = orders.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val mid = sorted.length / 2
+    val lo = sorted(math.max(0, mid - 2))
+    val hi = sorted(math.min(sorted.length - 1, mid + 2))
+    assert(approx >= lo && approx <= hi, s"approx=$approx not in [$lo,$hi]")
+    assert(math.abs(approx - exact) <= hi - lo)
+    // p25 ≤ p75 sanity on the generic surface
+    val p25 = AggregationClient.percentileApprox(orders, col("o_totalprice"), 0.25)
+      .head().getDouble(0)
+    val p75 = AggregationClient.percentileApprox(orders, col("o_totalprice"), 0.75)
+      .head().getDouble(0)
+    assert(p25 <= exact && exact <= p75)
+  }
+
   test("column interpreter aggregator sums interpreted values") {
     import spark.implicits._
     val vals = Seq("1", "2", "39").toDF("value")

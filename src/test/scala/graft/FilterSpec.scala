@@ -126,6 +126,33 @@ class FilterSpec extends SparkSpec {
     assert(out.count() === co.count())
   }
 
+  test("checkAndMutate timeRange restricts the check read, not the mutation") {
+    import graft.write.Mutations
+    import spark.implicits._
+    val cells = Seq(
+      ("r1", "d", "q", 2L, "Put", "P"),
+      ("r1", "d", "x", 9L, "Put", "other"),
+      ("r2", "d", "q", 9L, "Put", "P")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    def hits(out: org.apache.spark.sql.DataFrame): Set[String] =
+      out.filter(col("value") === "HIT").select("row")
+        .distinct().collect().map(_.getString(0)).toSet
+    // cell guard: only r1's guard cell falls inside [0,5)
+    val g = Mutations.Guard("d", "q", col("value") === "P", timeRange = Some((0L, 5L)))
+    val out = Mutations.checkAndMutate(cells, g,
+      hit => hit.withColumn("value", lit("HIT")))
+    assert(hits(out) === Set("r1"))
+    assert(out.count() === cells.count()) // r1's OTHER cell mutated too: window scoped the check only
+    assert(out.filter(col("row") === "r1" && col("value") =!= "HIT").count() === 0L)
+    // filter guard: same window logic through the compiled algebra
+    val f = SingleColumnValueFilter("d", "q", CompareOp.Equal,
+      BinaryComparator("P"), filterIfMissing = true)
+    val out2 = Mutations.checkAndMutate(cells, f,
+      (hit: org.apache.spark.sql.DataFrame) => hit.withColumn("value", lit("HIT")),
+      timeRange = Some((5L, 10L)))
+    assert(hits(out2) === Set("r2"))
+  }
+
   test("ParseFilter grammar: precedence and nesting") {
     val f = ParseFilter.parse(
       "PrefixFilter('a') AND ValueFilter(=, 'substring:x') OR SKIP QualifierFilter(!=, 'binary:q')")
