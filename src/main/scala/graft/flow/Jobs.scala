@@ -149,6 +149,28 @@ object Jobs {
       .groupBy("row_class").agg(count(lit(1)).as("rows"))
       .orderBy("row_class")
 
+  /** Major compaction (Admin.majorCompact, Admin.java; executed by
+    * Compactor.java / DefaultCompactor over the store): rewrite the
+    * store keeping only cells a fresh scan could still return under
+    * the family descriptor — versions beyond maxVersions, TTL-expired
+    * cells (beyond MIN_VERSIONS), tombstoned cells AND the now-useless
+    * tombstone markers themselves all drop out. That retention policy
+    * is exactly the §2.4 read-time resolve with the descriptor knobs
+    * and no scan-level narrowing, so compaction IS
+    * [[graft.read.Resolve.latest]] materialized: any standard scan
+    * over the compacted store equals the same scan over the original
+    * (CompactionSpec asserts the invariant), while raw/time-travel
+    * reads lose history — the same trade the reference makes
+    * (KEEP_DELETED_CELLS=FALSE). Pair with
+    * [[graft.write.BucketedStore]] to persist the rewrite in region
+    * layout; at 100 TB the rewrite is one resolve pipeline (broadcast
+    * tombstone masks + one rank window) feeding the range-partitioned
+    * sorted writer — no extra exchange beyond the store's own layout. */
+  def majorCompact(cells: DataFrame, maxVersions: Int = 1,
+      ttlCutoff: Option[Long] = None, minVersions: Int = 0): DataFrame =
+    graft.read.Resolve.latest(cells, maxVersions,
+      ttlCutoff = ttlCutoff, minVersions = minVersions)
+
   /** D3 Export (mapreduce/Export.java:43): dump a scan to files. */
   def export(cells: DataFrame, pred: Option[Column], outPath: String): Unit =
     pred.fold(cells)(cells.filter).write.mode(SaveMode.Overwrite).parquet(outPath)

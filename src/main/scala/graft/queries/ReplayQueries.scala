@@ -78,6 +78,25 @@ object ReplayQueries {
              |       MIN(tus) AS start_us, MAX(tus) AS end_us
              |FROM g GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)
+    ),
+    QDef(
+      // Admin.majorCompact as a store rewrite: compact under the FAMILY
+      // descriptor (maxVersions=3, TTL floor 2), then serve a normal
+      // narrower read (latest-1) THROUGH the compacted store — the
+      // compaction invariant is that this equals the same read over the
+      // uncompacted original, which is exactly what the oracle computes.
+      "q62_major_compact",
+      (s, dir) => {
+        val compacted = Jobs.majorCompact(Fixtures.cellsEventsV(s, dir),
+          maxVersions = 3, ttlCutoff = Some(2L))
+        graft.read.GTable.scan(compacted, graft.read.GScan())
+          .select("row", "family", "qualifier", "ts", "value")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events WHERE ts >= 2
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     )
   )
 }
