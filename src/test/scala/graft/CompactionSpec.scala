@@ -32,6 +32,54 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: compaction is invisible to standard reads within retention") {
+    // The invariant holds for non-raw scans with no time-travel knobs
+    // and read maxVersions <= compacted maxVersions; time-range reads
+    // may legitimately see fewer versions after a major compaction
+    // (over-limit history is gone) — same behavior as the reference.
+    import scala.util.Random
+    val rowKeys = Seq("r1", "r2", "r3", "r4")
+    val fams  = Seq("d", "e")
+    val quals = Seq("a", "b", "c")
+    val rnd = new Random(2610)
+    def genCells(): Seq[GCell] = {
+      val n = 12 + rnd.nextInt(30)
+      (0 until n).map { _ =>
+        val r = rowKeys(rnd.nextInt(rowKeys.size)); val f = fams(rnd.nextInt(fams.size))
+        val q = quals(rnd.nextInt(quals.size)); val ts = 1 + rnd.nextInt(5)
+        val t = rnd.nextInt(8) match {
+          case 0 => CellType.Delete
+          case 1 => CellType.DeleteColumn
+          case 2 => CellType.DeleteFamily
+          case 3 => CellType.DeleteFamilyVersion
+          case _ => CellType.Put
+        }
+        val q2 = if (t == CellType.DeleteFamily || t == CellType.DeleteFamilyVersion) "" else q
+        val v = if (t == CellType.Put) s"$r/$f/$q2@$ts" else null
+        GCell(r, f, q2, ts.toLong, t, v)
+      }.groupBy(c => (c.row, c.family, c.qualifier, c.ts, c.`type`))
+        .map(_._2.head).toSeq
+    }
+    (1 to 15).foreach { i =>
+      val cells = genCells().toDF()
+      val compactV = 1 + rnd.nextInt(3)
+      val compacted = Jobs.majorCompact(cells, maxVersions = compactV)
+      val s = GScan(
+        startRow = if (rnd.nextBoolean()) Some(rowKeys(rnd.nextInt(rowKeys.size))) else None,
+        stopRow = if (rnd.nextBoolean()) Some(rowKeys(rnd.nextInt(rowKeys.size))) else None,
+        startInclusive = rnd.nextBoolean(),
+        stopInclusive = rnd.nextBoolean(),
+        reversed = rnd.nextBoolean(),
+        families = if (rnd.nextBoolean()) Seq(fams(rnd.nextInt(fams.size))) else Nil,
+        columns = if (rnd.nextBoolean())
+          Seq(fams(rnd.nextInt(fams.size)) -> quals(rnd.nextInt(quals.size))) else Nil,
+        maxVersions = 1 + rnd.nextInt(compactV),
+        limit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None)
+      assert(rows(GTable.scan(compacted, s)) === rows(GTable.scan(cells, s)),
+        s"case $i scan=$s compactV=$compactV")
+    }
+  }
+
   test("compaction physically drops markers, masked cells, and expired versions") {
     val df = Seq(
       GCell("r1", "d", "a", 1, CellType.Put, "old"),
