@@ -32,5 +32,43 @@ class BucketedStoreSpec extends SparkSpec {
     val diff = graft.flow.Jobs.syncDiffCounts(a, b)
     val matched = diff.filter(col("class") === "src_only").head().getLong(1)
     assert(matched === cells.filter(col("qualifier") === "o_custkey").count())
+
+  }
+
+  test("high-cardinality stores carry the ROW bloom (HFile BloomType.ROW twin)") {
+    // Parquet only MATERIALIZES the bloom when a row group's dictionary
+    // encoding falls back to plain — a fully dictionary-encoded column
+    // already gives exact membership filtering, so the bloom would be
+    // redundant (and the writer drops it). The fixture's repeated row
+    // keys dict-encode; the 100 TB case — many distinct row keys per
+    // file — is where the bloom exists and matters, so that is what we
+    // assert on.
+    val tmp = java.nio.file.Files.createTempDirectory("bstore_hc").toString
+    val wide = spark.range(200000).selectExpr(
+      "lpad(cast(id as string), 16, '0') as row", "'d' as family",
+      "'q' as qualifier", "1L as ts", "'Put' as type",
+      "cast(id as string) as value")
+    BucketedStore.write(wide, "bs_hc", s"$tmp/hc", buckets = 2,
+      bloomNdv = 200000L)
+    val files = new java.io.File(s"$tmp/hc").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val rowCols = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "row")
+        assert(rowCols.nonEmpty)
+        rowCols.foreach { c =>
+          assert(c.getBloomFilterOffset >= 0,
+            s"${f.getName}: row column has no bloom filter")
+        }
+      } finally reader.close()
+    }
   }
 }
