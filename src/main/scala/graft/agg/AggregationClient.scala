@@ -49,8 +49,8 @@ object AggregationClient {
     * region SUMMARIES rather than region values. */
   def medianApprox(df: DataFrame, value: Column, accuracy: Int = 10000,
       scanPred: Option[Column] = None): DataFrame =
-    base(df, scanPred)
-      .agg(approx_percentile(value, lit(0.5), lit(accuracy)).as("median"))
+    percentileApprox(df, value, 0.5, accuracy, scanPred)
+      .withColumnRenamed("percentile", "median")
 
   def percentileApprox(df: DataFrame, value: Column, p: Double,
       accuracy: Int = 10000, scanPred: Option[Column] = None): DataFrame =

@@ -75,13 +75,19 @@ object Mutations {
     * (e.g. set one qualifier's value). */
   def checkAndMutate(cells: DataFrame, guard: Guard,
       mutation: DataFrame => DataFrame): DataFrame = {
-    val tsPred = guard.timeRange.fold(lit(true)) { case (lo, hi) =>
-      col("ts") >= lo && col("ts") < hi
-    }
-    val matching = cells
-      .filter(col("family") === guard.family &&
-        col("qualifier") === guard.qualifier && tsPred && guard.valuePred)
-      .select("row").distinct()
+    // The check READ is a server-side Get of the guard column: latest
+    // LIVE version within the time range (HRegion.checkAndMutate
+    // builds a Get — delete-masked, newest-1 after the window). A
+    // shadowed or tombstoned version must NOT satisfy the check.
+    // Filtering to the guard FAMILY first keeps its family-scoped
+    // tombstone markers (qualifier "") visible to masking while
+    // letting the predicate push to the source scan.
+    val famCells = cells.filter(col("family") === guard.family)
+    val checkRead = graft.read.Resolve.latest(famCells, maxVersions = 1,
+      timeRange = guard.timeRange.map { case (lo, hi) =>
+        graft.read.Resolve.TimeRange(lo, hi) },
+      cellFilter = Some(col("qualifier") === guard.qualifier))
+    val matching = checkRead.filter(guard.valuePred).select("row")
     // no broadcast hint: the matching-row set is bounded by the GUARD,
     // not by us — a broad guard can match most of the table, and a
     // forced broadcast would then exceed the 8 GB cap / driver memory.
@@ -98,14 +104,18 @@ object Mutations {
     * the batch analogue of the server evaluating the guard filter over
     * the row before applying the mutation. Reuses the full
     * [[graft.filter.FilterCompiler]] algebra, so OR-lists, SCVF, and
-    * row-level guards all compose. `timeRange` restricts the cells the
-    * guard filter reads (the check Get's time range), exactly as in the
-    * cell-guard overload. */
+    * row-level guards all compose. The guard filter evaluates over the
+    * LIVE cells of the row (the check Get is delete-masked before the
+    * filter runs in the matcher), optionally restricted to `timeRange`
+    * — the filter itself then sees every live in-window version, which
+    * is when the server runs filterCell (before version counting), so
+    * SCVF's own latestVersionOnly knob keeps its meaning. */
   def checkAndMutate(cells: DataFrame, guard: graft.filter.GFilter,
       mutation: DataFrame => DataFrame,
       timeRange: Option[(Long, Long)] = None): DataFrame = {
-    val checkView = timeRange.fold(cells) { case (lo, hi) =>
-      cells.filter(col("ts") >= lo && col("ts") < hi)
+    val live = graft.read.Resolve.maskTombstones(cells)
+    val checkView = timeRange.fold(live) { case (lo, hi) =>
+      live.filter(col("ts") >= lo && col("ts") < hi)
     }
     val matching = graft.filter.FilterCompiler.admittedRows(checkView, guard)
     // unhinted for the same reason as the cell-guard overload above

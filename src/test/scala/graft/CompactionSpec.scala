@@ -26,10 +26,13 @@ class CompactionSpec extends SparkSpec {
         GScan(),                          // latest view
         GScan(maxVersions = 2),           // within retained versions
         GScan(families = Seq("d")),       // projected
-        GScan().withRange("e00001", "e00020"))) {
+        GScan().withRange("0000000001", "0000000020"))) {
       assert(rows(GTable.scan(compacted, s)) === rows(GTable.scan(store, s)),
         s"scan $s diverged through compaction")
     }
+    // the ranged case must actually cover fixture rows
+    assert(rows(GTable.scan(store,
+      GScan().withRange("0000000001", "0000000020"))).nonEmpty)
   }
 
   test("fuzz: compaction is invisible to standard reads within retention") {

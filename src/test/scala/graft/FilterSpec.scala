@@ -153,6 +153,37 @@ class FilterSpec extends SparkSpec {
     assert(hits(out2) === Set("r2"))
   }
 
+  test("checkAndMutate check read is the latest LIVE version") {
+    import graft.write.Mutations
+    import graft.model.CellType
+    import spark.implicits._
+    val cells = Seq(
+      // r1: in-window 'P' is SHADOWED by a newer in-window 'X' — the
+      // check Get reads 'X' only, so the guard must fail
+      ("r1", "d", "q", 1L, CellType.Put, "P"),
+      ("r1", "d", "q", 3L, CellType.Put, "X"),
+      // r2: the only 'P' is tombstoned — check sees no live cell
+      ("r2", "d", "q", 1L, CellType.Put, "P"),
+      ("r2", "d", "q", 2L, CellType.DeleteColumn, null),
+      // r3: live latest 'P' — the one true hit
+      ("r3", "d", "q", 4L, CellType.Put, "P")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    def hits(out: org.apache.spark.sql.DataFrame): Set[String] =
+      out.filter(col("value") === "HIT").select("row")
+        .distinct().collect().map(_.getString(0)).toSet
+    val g = Mutations.Guard("d", "q", col("value") === "P",
+      timeRange = Some((0L, 5L)))
+    val out = Mutations.checkAndMutate(cells, g,
+      hit => hit.withColumn("value", lit("HIT")))
+    assert(hits(out) === Set("r3"))
+    // same through the filter-guard overload (masked before the filter)
+    val f = SingleColumnValueFilter("d", "q", CompareOp.Equal,
+      BinaryComparator("P"), filterIfMissing = true, latestVersionOnly = true)
+    val out2 = Mutations.checkAndMutate(cells, f,
+      (hit: org.apache.spark.sql.DataFrame) => hit.withColumn("value", lit("HIT")))
+    assert(hits(out2) === Set("r3"))
+  }
+
   test("ParseFilter grammar: precedence and nesting") {
     val f = ParseFilter.parse(
       "PrefixFilter('a') AND ValueFilter(=, 'substring:x') OR SKIP QualifierFilter(!=, 'binary:q')")
