@@ -124,6 +124,25 @@ object Mutations {
     mutation(hit).unionByName(miss)
   }
 
+  /** CheckAndMutate.ifNotExists (CheckAndMutate.java builder,
+    * `ifNotExists(family, qualifier)`): apply the mutation to rows
+    * whose check read finds NO live version of the guard column — the
+    * insert-if-absent CAS. Same check-read semantics as the value
+    * guards (delete-masked, optional time window). */
+  def checkAndMutateIfNotExists(cells: DataFrame, family: String,
+      qualifier: String, mutation: DataFrame => DataFrame,
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
+    val famCells = cells.filter(col("family") === family)
+    val present = graft.read.Resolve.latest(famCells, maxVersions = 1,
+      timeRange = timeRange.map { case (lo, hi) =>
+        graft.read.Resolve.TimeRange(lo, hi) },
+      cellFilter = Some(col("qualifier") === qualifier))
+      .select("row")
+    val hit  = cells.join(present, Seq("row"), "left_anti")
+    val miss = cells.join(present, Seq("row"), "left_semi")
+    mutation(hit).unionByName(miss)
+  }
+
   /** M6 RowMutations / latest-view MERGE: collapse the mutation log
     * into the latest visible state per column — upserts win by ts,
     * tombstones delete (MERGE ... WHEN MATCHED semantics over paths

@@ -182,6 +182,11 @@ class FilterSpec extends SparkSpec {
     val out2 = Mutations.checkAndMutate(cells, f,
       (hit: org.apache.spark.sql.DataFrame) => hit.withColumn("value", lit("HIT")))
     assert(hits(out2) === Set("r3"))
+    // ifNotExists: r2's guard column is tombstoned away, so it counts
+    // as absent; r1/r3 have live versions and must not mutate
+    val out3 = Mutations.checkAndMutateIfNotExists(cells, "d", "q",
+      hit => hit.withColumn("value", lit("HIT")))
+    assert(hits(out3) === Set("r2"))
   }
 
   test("ParseFilter grammar: precedence and nesting") {
