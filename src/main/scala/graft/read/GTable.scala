@@ -135,9 +135,14 @@ object GTable {
     * path. The scan's reversed-ness propagates into the tree before
     * compilation (the server calls filter.setReversed(scan.isReversed())
     * on scanner open, HRegion — without this, a WHILE/InclusiveStop
-    * filter inside a reversed scan computes the complement prefix), and
-    * the filter applies to the cell set BEFORE version resolution
-    * (filterCell precedes version counting, UserScanQueryMatcher). */
+    * filter inside a reversed scan computes the complement prefix).
+    * Matcher ordering (ScanQueryMatcher.java:252 →
+    * UserScanQueryMatcher.java:195): delete tracking runs BEFORE
+    * filterCell, so on a non-raw scan the tree evaluates over the
+    * delete-masked view — a tombstoned value can never satisfy an SCVF
+    * — while version counting still runs AFTER the filter (rejected
+    * cells must not consume version slots; the downstream [[scan]]
+    * resolve re-masks a marker-free frame, which is a no-op). */
   def scanFiltered(cells: DataFrame, s: GScan,
       f: graft.filter.GFilter): DataFrame = {
     val tree = graft.filter.FilterCompiler.withReversed(f, s.reversed)
@@ -146,7 +151,21 @@ object GTable {
     // the table), then the filtered set flows through the normal scan
     // (the residual range predicates there are no-ops)
     val ranged = rangePredsOf(s).foldLeft(cells)((df, p) => df.filter(p))
-    scan(graft.filter.FilterCompiler(ranged, tree), s)
+    // the matcher's ts checks also precede filterCell: the tree only
+    // sees in-window, unexpired live cells (TTL pre-filters unless
+    // MIN_VERSIONS needs expired cells retained for ranking)
+    val visible =
+      if (s.raw) ranged
+      else {
+        val masked = Resolve.maskedView(ranged, s.timeRange, s.cfTimeRanges,
+          s.keepDeleted)
+        Seq(
+          Resolve.timeRangePred(s.timeRange, s.cfTimeRanges),
+          if (s.minVersions == 0) s.ttlCutoff.map(cut => col("ts") >= cut)
+          else None
+        ).flatten.foldLeft(masked)((df, p) => df.filter(p))
+      }
+    scan(graft.filter.FilterCompiler(visible, tree), s)
   }
 
   /** S8 multi-table scan (MultiTableInputFormatBase.java:229: one job

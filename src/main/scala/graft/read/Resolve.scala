@@ -76,17 +76,7 @@ object Resolve {
       minVersions: Int = 0,
       keepDeleted: Boolean = false
   ): DataFrame = {
-    // KEEP_DELETED_CELLS ceiling is PER FAMILY: a family's as-of point
-    // is its own range max (override) or the scan-global max; families
-    // with no range at all keep full masking.
-    val masked =
-      if (keepDeleted && (timeRange.isDefined || cfTimeRanges.nonEmpty)) {
-        val base = timeRange.map(tr => lit(tr.max)).getOrElse(lit(Long.MaxValue))
-        val ceil = cfTimeRanges.foldLeft(base) {
-          case (acc, (f, tr)) => when(col("family") === f, lit(tr.max)).otherwise(acc)
-        }
-        maskTombstones(cells, tombVisible = Some(col("ts") < ceil))
-      } else maskTombstones(cells)
+    val masked = maskedView(cells, timeRange, cfTimeRanges, keepDeleted)
     val ranged = Seq(
       timeRangePred(timeRange, cfTimeRanges),
       // TTL is a pre-gate filter unless MIN_VERSIONS needs expired
@@ -110,6 +100,22 @@ object Resolve {
     }
     retained.drop("__rn")
   }
+
+  /** The delete-masked (live) view under the scan's visibility knobs —
+    * the cell set every LATER stage of the matcher sees (delete
+    * tracking runs first, ScanQueryMatcher.java:252). KEEP_DELETED_
+    * CELLS ceiling is PER FAMILY: a family's as-of point is its own
+    * range max (override) or the scan-global max; families with no
+    * range at all keep full masking. */
+  def maskedView(cells: DataFrame, timeRange: Option[TimeRange],
+      cfTimeRanges: Map[String, TimeRange], keepDeleted: Boolean): DataFrame =
+    if (keepDeleted && (timeRange.isDefined || cfTimeRanges.nonEmpty)) {
+      val base = timeRange.map(tr => lit(tr.max)).getOrElse(lit(Long.MaxValue))
+      val ceil = cfTimeRanges.foldLeft(base) {
+        case (acc, (f, tr)) => when(col("family") === f, lit(tr.max)).otherwise(acc)
+      }
+      maskTombstones(cells, tombVisible = Some(col("ts") < ceil))
+    } else maskTombstones(cells)
 
   /** Apply the 4 tombstone kinds to the Put cells; returns live puts.
     * `raw` scans (Scan.setRaw, Scan.java:848) skip this entirely.

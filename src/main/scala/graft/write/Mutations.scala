@@ -75,19 +75,8 @@ object Mutations {
     * (e.g. set one qualifier's value). */
   def checkAndMutate(cells: DataFrame, guard: Guard,
       mutation: DataFrame => DataFrame): DataFrame = {
-    // The check READ is a server-side Get of the guard column: latest
-    // LIVE version within the time range (HRegion.checkAndMutate
-    // builds a Get — delete-masked, newest-1 after the window). A
-    // shadowed or tombstoned version must NOT satisfy the check.
-    // Filtering to the guard FAMILY first keeps its family-scoped
-    // tombstone markers (qualifier "") visible to masking while
-    // letting the predicate push to the source scan.
-    val famCells = cells.filter(col("family") === guard.family)
-    val checkRead = graft.read.Resolve.latest(famCells, maxVersions = 1,
-      timeRange = guard.timeRange.map { case (lo, hi) =>
-        graft.read.Resolve.TimeRange(lo, hi) },
-      cellFilter = Some(col("qualifier") === guard.qualifier))
-    val matching = checkRead.filter(guard.valuePred).select("row")
+    val matching = guardCheckRead(cells, guard.family, guard.qualifier,
+      guard.timeRange).filter(guard.valuePred).select("row")
     // no broadcast hint: the matching-row set is bounded by the GUARD,
     // not by us — a broad guard can match most of the table, and a
     // forced broadcast would then exceed the 8 GB cap / driver memory.
@@ -132,15 +121,51 @@ object Mutations {
   def checkAndMutateIfNotExists(cells: DataFrame, family: String,
       qualifier: String, mutation: DataFrame => DataFrame,
       timeRange: Option[(Long, Long)] = None): DataFrame = {
-    val famCells = cells.filter(col("family") === family)
-    val present = graft.read.Resolve.latest(famCells, maxVersions = 1,
-      timeRange = timeRange.map { case (lo, hi) =>
-        graft.read.Resolve.TimeRange(lo, hi) },
-      cellFilter = Some(col("qualifier") === qualifier))
+    val present = guardCheckRead(cells, family, qualifier, timeRange)
       .select("row")
     val hit  = cells.join(present, Seq("row"), "left_anti")
     val miss = cells.join(present, Seq("row"), "left_semi")
     mutation(hit).unionByName(miss)
+  }
+
+  /** The check READ behind the cell guards: per row, the latest LIVE
+    * version of the guard column within the optional time window —
+    * what the server's check Get returns (HRegion.checkAndMutate:
+    * delete-masked, THEN window-filtered, newest-1). ONE partial+final
+    * aggregate over the guard family decides every row (the same
+    * shape as FilterCompiler's SCVF verdict): tombstone thresholds and
+    * the in-window put versions collect in a single groupBy(row) —
+    * which co-partitions with the store layout — and the live-latest
+    * pick is a per-row array fold, so no mask broadcast joins and no
+    * rank window. Returns (row, value) for rows whose check read found
+    * a cell; rows with no live in-window version are absent. Masking
+    * is NOT window-restricted (a marker at any ts kills its targets;
+    * the window then filters surviving puts — Resolve.latest order). */
+  private def guardCheckRead(cells: DataFrame, family: String,
+      qualifier: String, timeRange: Option[(Long, Long)]): DataFrame = {
+    val isQ = col("qualifier") === qualifier
+    val win = timeRange.fold(lit(true)) { case (lo, hi) =>
+      col("ts") >= lo && col("ts") < hi
+    }
+    val agg = cells.filter(col("family") === family).groupBy("row").agg(
+      max(when(col("type") === CellType.DeleteFamily, col("ts"))).as("__dfam"),
+      collect_set(when(col("type") === CellType.DeleteFamilyVersion,
+        col("ts"))).as("__dfamv"),
+      max(when(col("type") === CellType.DeleteColumn && isQ,
+        col("ts"))).as("__dcol"),
+      collect_set(when(col("type") === CellType.Delete && isQ,
+        col("ts"))).as("__dver"),
+      collect_list(when(col("type") === CellType.Put && isQ && win,
+        struct(col("ts"), col("value")))).as("__puts"))
+    val live = filter(col("__puts"), p =>
+      (col("__dfam").isNull || p.getField("ts") > col("__dfam")) &&
+        (col("__dcol").isNull || p.getField("ts") > col("__dcol")) &&
+        !array_contains(col("__dfamv"), p.getField("ts")) &&
+        !array_contains(col("__dver"), p.getField("ts")))
+    // struct max orders by (ts, value): newest version, ties on value —
+    // the same deterministic tie-break as the SCVF verdict aggregate
+    agg.select(col("row"), array_max(live).getField("value").as("value"))
+      .filter(col("value").isNotNull)
   }
 
   /** M6 RowMutations / latest-view MERGE: collapse the mutation log

@@ -284,6 +284,63 @@ class FilterPropertySpec extends SparkSpec {
     }
   }
 
+  test("non-raw scanFiltered masks deletes BEFORE the tree on 40 random cases") {
+    import graft.read.{GScan, GTable}
+    val rnd = new Random(20260814)
+    // cells with tombstones mixed in
+    def genCellsT(): Seq[GCell] = {
+      val n = 20 + rnd.nextInt(25)
+      (0 until n).map { _ =>
+        val t = rnd.nextInt(8) match {
+          case 0 => CellType.Delete
+          case 1 => CellType.DeleteColumn
+          case 2 => CellType.DeleteFamily
+          case 3 => CellType.DeleteFamilyVersion
+          case _ => CellType.Put
+        }
+        val q = if (t == CellType.DeleteFamily || t == CellType.DeleteFamilyVersion) ""
+                else qualsPool(rnd.nextInt(qualsPool.size))
+        GCell(rowsPool(rnd.nextInt(rowsPool.size)),
+          famsPool(rnd.nextInt(famsPool.size)), q,
+          1L + rnd.nextInt(3), t,
+          if (t == CellType.Put) valsPool(rnd.nextInt(valsPool.size)) else null)
+      }.groupBy(c => (c.row, c.family, c.qualifier, c.ts, c.`type`))
+        .map(_._2.head).toSeq
+    }
+    // naive delete masking (no time-travel knobs on a default GScan)
+    def mask(cells: Seq[GCell]): Seq[GCell] =
+      cells.filter(_.`type` == CellType.Put).filterNot { p =>
+        cells.exists { d =>
+          d.row == p.row && d.family == p.family && (d.`type` match {
+            case CellType.Delete =>
+              d.qualifier == p.qualifier && d.ts == p.ts
+            case CellType.DeleteColumn =>
+              d.qualifier == p.qualifier && p.ts <= d.ts
+            case CellType.DeleteFamily        => p.ts <= d.ts
+            case CellType.DeleteFamilyVersion => p.ts == d.ts
+            case _ => false
+          })
+        }
+      }
+    (1 to 40).foreach { i =>
+      val cells = genCellsT()
+      val f     = genFilter(rnd, depth = 2)
+      val got = GTable.scanFiltered(cells.toDF(), GScan(), f)
+        .collect()
+        .map(r => (r.getAs[String]("row"), r.getAs[String]("family"),
+          r.getAs[String]("qualifier"), r.getAs[Long]("ts"),
+          Option(r.getAs[String]("value")).getOrElse(" null")))
+        .toSet
+      // mask → filter tree → newest-1 version gate (filter precedes
+      // version counting, so the gate runs on the tree's survivors);
+      // scanFiltered normalizes the tree's reversed flags to the scan's
+      val want = naive(mask(cells), FilterCompiler.withReversed(f, reversed = false))
+        .groupBy(c => (c.row, c.family, c.qualifier)).values
+        .flatMap(cs => cs.sortBy(-_.ts).take(1))
+      assert(got === asTuples(want.toSeq), s"case $i filter=$f cells=$cells")
+    }
+  }
+
   test("scanFiltered equals naive(reversed-propagated tree) + range on 40 random cases") {
     import graft.read.{GScan, GTable}
     val rnd = new Random(20260813)

@@ -114,6 +114,37 @@ class ScanSpec extends SparkSpec {
     assert(fwd.forall(_ < "0000000100"))
   }
 
+  test("scanFiltered runs the tree over the delete-masked view") {
+    import graft.filter._
+    import graft.model.{CellType, GCell}
+    import spark.implicits._
+    // r1's 'P' is tombstoned: the matcher's delete tracker runs BEFORE
+    // filterCell, so the SCVF must never see it and r1 must not pass;
+    // r2's live 'P' passes. In raw mode the filter DOES see history.
+    val cells = Seq(
+      GCell("r1", "d", "q", 1, CellType.Put, "P"),
+      GCell("r1", "d", "q", 2, CellType.DeleteColumn, null),
+      GCell("r1", "d", "x", 3, CellType.Put, "other"),
+      GCell("r2", "d", "q", 1, CellType.Put, "P")
+    ).toDF()
+    val f = SingleColumnValueFilter("d", "q", CompareOp.Equal,
+      BinaryComparator("P"), filterIfMissing = true)
+    val live = GTable.scanFiltered(cells, GScan(), f)
+      .select("row").distinct().collect().map(_.getString(0)).toSet
+    assert(live === Set("r2"))
+    // raw mode DOES expose the shadowed history to the tree (the
+    // marker itself is the newest 'q' version there, so probe with
+    // any-version matching rather than latestVersionOnly)
+    val fAny = SingleColumnValueFilter("d", "q", CompareOp.Equal,
+      BinaryComparator("P"), filterIfMissing = true, latestVersionOnly = false)
+    val raw = GTable.scanFiltered(cells, GScan(raw = true), fAny)
+      .select("row").distinct().collect().map(_.getString(0)).toSet
+    assert(raw === Set("r1", "r2"))
+    val liveAny = GTable.scanFiltered(cells, GScan(), fAny)
+      .select("row").distinct().collect().map(_.getString(0)).toSet
+    assert(liveAny === Set("r2"))
+  }
+
   test("scan filter runs before the version gate") {
     val ev = Fixtures.cellsEventsV(spark, sf0001)
     // keep only ts <= 3 cells via filter with maxVersions = 1: the
