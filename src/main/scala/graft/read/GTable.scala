@@ -59,7 +59,13 @@ object GTable {
     s.rowPrefix.map(p => col("row").startsWith(p))
   ).flatten
 
-  def scan(cells: DataFrame, s: GScan): DataFrame = {
+  def scan(cells: DataFrame, s: GScan): DataFrame = scanImpl(cells, s, premasked = false)
+
+  /** `premasked` = the caller already applied [[Resolve.maskedView]]
+    * (scanFiltered does, to feed its filter tree the live view) — the
+    * resolve then skips the redundant mask subplan. */
+  private[graft] def scanImpl(cells: DataFrame, s: GScan,
+      premasked: Boolean): DataFrame = {
     val rangePreds: Seq[Column] = rangePredsOf(s)
     // Projection UNIONS family and column selections (addFamily +
     // addColumn build one family→qualifiers map, Scan.java:269,282):
@@ -101,7 +107,7 @@ object GTable {
         Resolve.latest(pruned, s.maxVersions, s.timeRange,
           ttlCutoff = s.ttlCutoff, cellFilter = s.filter,
           cfTimeRanges = s.cfTimeRanges, minVersions = s.minVersions,
-          keepDeleted = s.keepDeleted)
+          keepDeleted = s.keepDeleted, premasked = premasked)
     val ordered = resolved.orderBy(cellOrder(s.reversed): _*)
     // limit counts table ROWS (Scan.setLimit, Scan.java:958), not cells
     s.limit.fold(ordered) { n =>
@@ -151,21 +157,23 @@ object GTable {
     // the table), then the filtered set flows through the normal scan
     // (the residual range predicates there are no-ops)
     val ranged = rangePredsOf(s).foldLeft(cells)((df, p) => df.filter(p))
-    // the matcher's ts checks also precede filterCell: the tree only
-    // sees in-window, unexpired live cells (TTL pre-filters unless
-    // MIN_VERSIONS needs expired cells retained for ranking)
+    // the matcher's ts checks also precede filterCell (on raw scans
+    // too — TimeRange applies in the StoreScanner below raw-ness), so
+    // the tree only sees in-window, unexpired cells — and on non-raw
+    // scans only LIVE ones
     val visible =
-      if (s.raw) ranged
-      else {
-        val masked = Resolve.maskedView(ranged, s.timeRange, s.cfTimeRanges,
-          s.keepDeleted)
-        Seq(
-          Resolve.timeRangePred(s.timeRange, s.cfTimeRanges),
-          if (s.minVersions == 0) s.ttlCutoff.map(cut => col("ts") >= cut)
-          else None
-        ).flatten.foldLeft(masked)((df, p) => df.filter(p))
-      }
-    scan(graft.filter.FilterCompiler(visible, tree), s)
+      if (s.raw)
+        // raw skips masking and TTL (as scan()'s raw branch does) but
+        // not the time range
+        Resolve.timeRangePred(s.timeRange, s.cfTimeRanges)
+          .fold(ranged)(ranged.filter)
+      else
+        Resolve.preGatePreds(s.timeRange, s.cfTimeRanges, s.ttlCutoff,
+            s.minVersions)
+          .foldLeft(Resolve.maskedView(ranged, s.timeRange, s.cfTimeRanges,
+            s.keepDeleted))((df, p) => df.filter(p))
+    scanImpl(graft.filter.FilterCompiler(visible, tree), s,
+      premasked = !s.raw)
   }
 
   /** S8 multi-table scan (MultiTableInputFormatBase.java:229: one job

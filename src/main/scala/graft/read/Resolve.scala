@@ -74,19 +74,20 @@ object Resolve {
       cellFilter: Option[org.apache.spark.sql.Column] = None,
       cfTimeRanges: Map[String, TimeRange] = Map.empty,
       minVersions: Int = 0,
-      keepDeleted: Boolean = false
+      keepDeleted: Boolean = false,
+      premasked: Boolean = false
   ): DataFrame = {
-    val masked = maskedView(cells, timeRange, cfTimeRanges, keepDeleted)
-    val ranged = Seq(
-      timeRangePred(timeRange, cfTimeRanges),
-      // TTL is a pre-gate filter unless MIN_VERSIONS needs expired
-      // cells to keep ranking (they may still be retained below)
-      if (minVersions == 0) ttlCutoff.map(cut => col("ts") >= cut) else None,
+    // premasked: the caller already ran maskedView (e.g. scanFiltered,
+    // which must mask BEFORE its filter tree) — skip the redundant
+    // 4-leg mask subplan over an already marker-free frame
+    val masked =
+      if (premasked) cells
+      else maskedView(cells, timeRange, cfTimeRanges, keepDeleted)
+    val ranged = (preGatePreds(timeRange, cfTimeRanges, ttlCutoff, minVersions)
       // filterCell runs BEFORE version counting in the matcher
       // (UserScanQueryMatcher.java:195) — rejected cells must not
       // consume version slots
-      cellFilter
-    ).flatten.foldLeft(masked)((df, p) => df.filter(p))
+      ++ cellFilter).foldLeft(masked)((df, p) => df.filter(p))
     val w = Window
       .partitionBy(col("row"), col("family"), col("qualifier"))
       .orderBy(col("ts").desc)
@@ -100,6 +101,18 @@ object Resolve {
     }
     retained.drop("__rn")
   }
+
+  /** The matcher's pre-filter ts checks: scan/per-CF time range, and
+    * TTL as a pre-gate cut unless MIN_VERSIONS needs expired cells to
+    * keep ranking (they may still be retained after the gate). Shared
+    * by [[latest]] and the filter-visibility view in GTable so the two
+    * cannot drift. */
+  def preGatePreds(timeRange: Option[TimeRange],
+      cfTimeRanges: Map[String, TimeRange], ttlCutoff: Option[Long],
+      minVersions: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    timeRangePred(timeRange, cfTimeRanges),
+    if (minVersions == 0) ttlCutoff.map(cut => col("ts") >= cut) else None
+  ).flatten
 
   /** The delete-masked (live) view under the scan's visibility knobs —
     * the cell set every LATER stage of the matcher sees (delete

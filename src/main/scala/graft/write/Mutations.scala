@@ -137,8 +137,9 @@ object Mutations {
     * the in-window put versions collect in a single groupBy(row) —
     * which co-partitions with the store layout — and the live-latest
     * pick is a per-row array fold, so no mask broadcast joins and no
-    * rank window. Returns (row, value) for rows whose check read found
-    * a cell; rows with no live in-window version are absent. Masking
+    * rank window. Returns the checked CELL (row, family, qualifier,
+    * ts, type, value) for rows whose check read found a live version;
+    * rows with none are absent. Masking
     * is NOT window-restricted (a marker at any ts kills its targets;
     * the window then filters surviving puts — Resolve.latest order). */
   private def guardCheckRead(cells: DataFrame, family: String,
@@ -163,9 +164,17 @@ object Mutations {
         !array_contains(col("__dfamv"), p.getField("ts")) &&
         !array_contains(col("__dver"), p.getField("ts")))
     // struct max orders by (ts, value): newest version, ties on value —
-    // the same deterministic tie-break as the SCVF verdict aggregate
-    agg.select(col("row"), array_max(live).getField("value").as("value"))
-      .filter(col("value").isNotNull)
+    // the same deterministic tie-break as the SCVF verdict aggregate.
+    // Presence = a live version EXISTS (size, not value non-nullness: a
+    // live null-valued Put is present, and must fail ifNotExists). The
+    // full cell coordinate is projected so valuePreds over ts (or
+    // family/qualifier) keep resolving.
+    agg.filter(size(live) > 0)
+      .select(col("row"), lit(family).as("family"),
+        lit(qualifier).as("qualifier"),
+        array_max(live).getField("ts").as("ts"),
+        lit(CellType.Put).as("type"),
+        array_max(live).getField("value").as("value"))
   }
 
   /** M6 RowMutations / latest-view MERGE: collapse the mutation log

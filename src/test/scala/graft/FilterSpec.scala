@@ -187,6 +187,19 @@ class FilterSpec extends SparkSpec {
     val out3 = Mutations.checkAndMutateIfNotExists(cells, "d", "q",
       hit => hit.withColumn("value", lit("HIT")))
     assert(hits(out3) === Set("r2"))
+    // a live NULL-valued Put is still PRESENT (must fail ifNotExists),
+    // and guard preds may reference the checked cell's ts
+    val withNull = cells.unionByName(Seq(
+      ("r4", "d", "q", 1L, CellType.Put, null.asInstanceOf[String])
+    ).toDF("row", "family", "qualifier", "ts", "type", "value"))
+    val out4 = Mutations.checkAndMutateIfNotExists(withNull, "d", "q",
+      hit => hit.withColumn("value", lit("HIT")))
+    assert(hits(out4) === Set("r2"))
+    val gTs = Mutations.Guard("d", "q",
+      col("value") === "P" && col("ts") >= 4L)
+    val out5 = Mutations.checkAndMutate(withNull, gTs,
+      hit => hit.withColumn("value", lit("HIT")))
+    assert(hits(out5) === Set("r3"))
   }
 
   test("ParseFilter grammar: precedence and nesting") {
