@@ -81,30 +81,39 @@ object Dedup {
     * the whole pipeline is the candidate band-join — the shape that
     * survives 100 TB (candidates ≪ n², corpus never pairs with itself).
     */
-  def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+  /** (doc_id, shs, band, sig) LSH band-signature rows — the shared
+    * candidate-generation base of [[minHashNearDups]] and
+    * [[incrementalNearDups]] (at scale this IS the persisted dedup
+    * index: corpus signatures are computed once and stored).
+    *
+    * All k min-hashes come from ONE pass over the shingle array (fused
+    * md5 kernel) — not k interpreted transform() traversals.
+    * Shingle-less docs must not band-join: their min-hashes are all
+    * null, so concat_ws yields the EMPTY band signature — filtering
+    * sig != "" AFTER the signature materializes removes them (the
+    * oracle's sh CTE likewise has no rows for them) without a filter
+    * BELOW the projection, which would break subexpression reuse and
+    * recompute the whole shingle pipeline per reference (~6x). */
+  private def bandRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands): a truncated band " +
         "layout silently weakens (or with r=0 empties) the LSH guarantee")
     val r = k / bands
-    // All k min-hashes in ONE pass over the shingle array (fused md5
-    // kernel) — not k interpreted transform() traversals.
     val sigs = graft.functions.MinHashFunctions.minhash_sigs(col("shs"), k)
     val bandSig = array((0 until bands).map { b =>
       concat_ws("-", (b * r until (b + 1) * r).map(i => col("sigs")(i).cast("string")): _*)
     }: _*)
-    // Shingle-less docs must not band-join: their min-hashes are all
-    // null, so concat_ws yields the EMPTY band signature — filtering
-    // sig != "" AFTER the signature materializes removes them (the
-    // oracle's sh CTE likewise has no rows for them) without a filter
-    // BELOW the projection, which would break subexpression reuse and
-    // recompute the whole shingle pipeline per reference (~6x).
-    val bandRows = shingleArrays(docs)
+    shingleArrays(docs)
       .select(col("doc_id"), col("shs"), sigs.as("sigs"))
       .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
       .filter(col("sig") =!= "")
-    val a = bandRows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
-    val b = bandRows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+  }
+
+  def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = bandRows(docs, k, bands)
+    val a = rows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
+    val b = rows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
     val (_, jac) = arrayJaccard(col("shi"), col("shj"))
     // verify BEFORE the pair dedup (same contract as the SimHash and
     // embedding-LSH paths): a candidate appears at most `bands` times,
@@ -117,6 +126,76 @@ object Dedup {
       .select(col("i"), col("j"), jac.as("jac0"))
       .filter(col("jac0") >= threshold)
       .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
+  }
+
+  /** Incremental (cross-corpus) near-dup: MinHash+LSH matches of a NEW
+    * document batch against an EXISTING corpus — the continuous-ingest
+    * dedup shape: an arriving shard is checked against everything
+    * already accepted, never against itself (intra-batch dedup is
+    * [[minHashNearDups]] on the batch alone).
+    *
+    * Returns (i = new doc, j = corpus doc, jaccard ≥ threshold) pairs.
+    *
+    * Scale shape: the corpus side of the band-join is exactly the
+    * [[bandRows]] signature index — computed once when each doc was
+    * accepted and persisted (bucketed on (band, sig)); only the NEW
+    * batch computes signatures at ingest time, and since batches are
+    * small relative to the corpus the new side broadcasts: checking a
+    * shard against a 100 TB corpus moves no corpus data at all. */
+  def incrementalNearDups(docs: DataFrame, newPred: Column, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val rows = bandRows(docs, k, bands)
+    val nw = rows.filter(newPred)
+      .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
+    val cp = rows.filter(!newPred)
+      .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+    val (_, jac) = arrayJaccard(col("shi"), col("shj"))
+    // same verify-before-dedup contract as minHashNearDups; broadcast
+    // the (small) new batch so the corpus index never shuffles
+    broadcast(nw).join(cp, Seq("band", "sig"))
+      .select(col("i"), col("j"), jac.as("jac0"))
+      .filter(col("jac0") >= threshold)
+      .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
+  }
+
+  /** Sub-document exact dedup at fixed token-window granularity — the
+    * C4/RefinedWeb-style "paragraph" dedup generalized to corpora
+    * without paragraph structure: tokens chunk into `width`-token
+    * segments, each segment's md5 dedups GLOBALLY (first occurrence by
+    * (doc_id, segment index) survives, intra-document repeats
+    * included), and each document reassembles from its surviving
+    * segments in order. Returns (doc_id, n_segs, kept_segs,
+    * dedup_text).
+    *
+    * Scale shape: segmentation is map-side; the global first-occurrence
+    * pick is ONE shuffle on the 128-bit segment fingerprint (rank
+    * window over fp); reassembly is one shuffle back on doc_id.
+    * Boilerplate segments repeated across millions of pages collapse in
+    * the fp partition — the skew case is a single ubiquitous segment,
+    * which AQE's skew handling splits, and only (fp → first-owner)
+    * winners influence the output. */
+  def segmentDedup(docs: DataFrame, width: Int = 20): DataFrame = {
+    require(width > 0, "segment width must be positive")
+    val segList = expr(
+      s"transform(sequence(0, cast(ceil(size(__toks) / $width.0) as int) - 1), " +
+        s"i -> array_join(slice(__toks, i * $width + 1, $width), ' '))")
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), posexplode(segList).as(Seq("idx", "seg")))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("idx"))
+    segs
+      .withColumn("fp", md5(col("seg")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("keep"), lit(1))).as("kept_segs"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("dedup_text"))
   }
 
   /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate

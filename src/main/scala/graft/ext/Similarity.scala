@@ -295,6 +295,38 @@ object Similarity {
     * independent hash tables computed in ONE map-side pass (posexplode
     * of the bucket array); candidates = vectors sharing any (table,
     * bucket) with a query; exact cosine re-ranks. */
+  /** k-NN GRAPH: every vector's k approximate nearest neighbors in one
+    * job — the all-queries form of [[annTopK]] (SemDeDup diversity
+    * analysis, graph-based pruning, and kNN-classifier prep all start
+    * here). Candidates come from the same LSH bucket structure, but the
+    * query side is the corpus itself, so the bucket join is a
+    * SELF-equi-join on (table, bucket) — a SortMergeJoin/
+    * ShuffledHashJoin, never a broadcast of the corpus and never the n²
+    * pair space. sim computes BEFORE the (query_id, vec_id) dedup so
+    * the dedup exchange moves narrow rows (the embedding arrays stay
+    * below the join), and the final per-query top-k window partitions
+    * on query_id — the same key the candidate aggregate just
+    * partitioned on, so no extra exchange. Recall is the LSH trade
+    * (tables × nbits tunes it); ties break (sim DESC, vec_id ASC). */
+  def knnGraph(emb: DataFrame, k: Int,
+      dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
+    val bucketed = lshBucketed(emb, dim, tables, nbits)
+    val q = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")).as("sim0"))
+      .groupBy("query_id", "vec_id").agg(min(col("sim0")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   def annTopK(emb: DataFrame, queryPred: Column, k: Int,
       dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
     val bucketed = lshBucketed(emb, dim, tables, nbits)

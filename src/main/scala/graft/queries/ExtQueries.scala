@@ -180,19 +180,23 @@ object ExtQueries {
 
   /** Shared MinHash+LSH candidate pipeline (shingle → 16 min-hashes →
     * 4 band signatures → bucket-join candidates → intersection sizes),
-    * spliced into the e02 pair query and the e14 grouping query. */
-  private val minhashCtes =
+    * spliced into the e02 pair query and the e14 grouping query; the
+    * candidate-pair condition is a parameter so the e31 incremental
+    * (new-batch × corpus) variant reuses the identical signatures. */
+  private def minhashCtesWith(candCond: String) =
     s"""$shCte,
        |hs AS (SELECT doc_id, g.i AS i, min(${Sql.hash48("sh", "CAST(g.i AS VARCHAR)")}) AS minh
        |       FROM sh, generate_series(0, 15) g(i) GROUP BY doc_id, g.i),
        |bk AS (SELECT doc_id, (i // 4) AS band,
        |       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY i) AS sig FROM hs GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bk a
-       |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND $candCond),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT c.i, c.j, COUNT(*) AS m FROM cand c
        |          JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.sh = b.sh
        |          GROUP BY 1, 2)""".stripMargin
+
+  private val minhashCtes = minhashCtesWith("a.doc_id < b.doc_id")
 
   private def langScore(terms: Seq[String]): String =
     terms.map { t =>
@@ -352,6 +356,66 @@ object ExtQueries {
             graft.model.Tables.load(s, s"$dir/embeddings.parquet"), 0.9)
           .orderBy("vec_id"),
       Some(semanticDedupOracle(0.9, dim = 64, nlist = 16, iters = 2))
+    ),
+    QDef(
+      // incremental (cross-corpus) near-dup: the NEW batch (doc_id >=
+      // 250) checked against the ACCEPTED corpus (doc_id < 250) via the
+      // same MinHash signature index — the continuous-ingest dedup
+      // shape (the batch broadcasts; the corpus index never shuffles).
+      "e31_incremental_dedup",
+      (s, dir) =>
+        Dedup.incrementalNearDups(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            col("doc_id") >= 250, k = 16, bands = 4, threshold = 0.8)
+          .orderBy("i", "j"),
+      Some(s"""WITH ${minhashCtesWith("a.doc_id >= 250 AND b.doc_id < 250")}
+              |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
+              |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
+      // sub-document exact dedup: 20-token segments dedup globally
+      // (first occurrence by (doc_id, idx) wins), docs reassemble from
+      // surviving segments — C4-style "paragraph" dedup for corpora
+      // without paragraph structure.
+      "e29_segment_dedup",
+      (s, dir) =>
+        Dedup.segmentDedup(graft.model.Tables.load(s, s"$dir/documents.parquet"), width = 20)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+              |segs AS (
+              |  SELECT doc_id, u.idx AS idx, u.seg AS seg FROM (
+              |    SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+              |      i -> struct_pack(idx := i, seg := array_to_string(toks[CAST(i*20+1 AS BIGINT):CAST(i*20+20 AS BIGINT)], ' ')))) AS u
+              |    FROM t)
+              |),
+              |marked AS (
+              |  SELECT doc_id, idx, seg,
+              |         (row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx)) = 1 AS keep
+              |  FROM segs)
+              |SELECT doc_id, COUNT(*) AS n_segs,
+              |       COUNT(CASE WHEN keep THEN 1 END) AS kept_segs,
+              |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx), '') AS dedup_text
+              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // k-NN graph: every vector's top-5 approximate neighbors via the
+      // LSH self-join (all-queries form of e07 — the corpus is the
+      // query set, so candidates come from a bucket SELF-join, not a
+      // broadcast). Full oracle: identical literal planes.
+      "e30_knn_graph",
+      (s, dir) =>
+        Similarity.knnGraph(graft.model.Tables.load(s, s"$dir/embeddings.parquet"), k = 5)
+          .orderBy("query_id", "rank"),
+      Some {
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${planesCte(dim = 64, tables = 12, nbits = 6)},
+           |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b),
+           |cand AS (
+           |  SELECT DISTINCT q.query_id, b.vec_id FROM b
+           |  JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
+           |${rerankSql("cand", 5)}""".stripMargin
+      }
     ),
     QDef(
       "e08_lang_id",

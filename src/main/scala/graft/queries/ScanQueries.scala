@@ -101,6 +101,58 @@ object ScanQueries {
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // Coprocessor hook chain (RegionObserver preScannerOpen:1268 /
+      // postScannerNext:1320): two observers apply in registration
+      // order — the first narrows the scan range before planning (so
+      // the tighter bound still pushes down to the source scan), the
+      // second transforms the result plan (derived value-length column
+      // + drop empty values). The oracle is the fully-expanded SQL —
+      // proving the hooks compose declaratively, not imperatively.
+      "q64_observed_scan",
+      (s, dir) => {
+        import graft.read.{ObservedTable, ReadObserver}
+        val narrow = new ReadObserver {
+          override def preScannerOpen(sc: GScan): GScan =
+            sc.copy(stopRow = Some("0000000200"))
+        }
+        val enrich = new ReadObserver {
+          override def postScannerNext(df: DataFrame): DataFrame =
+            df.filter(length(col("value")) > 0)
+              .withColumn("vlen", length(col("value")).cast("long"))
+        }
+        ObservedTable.scan(co(s, dir),
+            GScan(raw = true).withRange("0000000100", "0000000300"),
+            Seq(narrow, enrich))
+          .select((outCols :+ "vlen").map(col): _*)
+          .orderBy(GTable.cellOrder(): _*)
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, value, CAST(length(value) AS BIGINT) AS vlen
+          |FROM cells_orders
+          |WHERE row >= '0000000100' AND row < '0000000200' AND length(value) > 0
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // Intra-row per-CF pagination (Scan.setMaxResultsPerColumnFamily
+      // / setRowOffsetPerColumnFamily, Scan.java:514,523): skip the
+      // first value of each (row, family) store, keep at most 3 after
+      // it — counting VALUES (versions too) in cell order, AFTER the
+      // version gate, as the server's storeLimit/storeOffset do.
+      "q63_cf_pagination",
+      (s, dir) =>
+        ordered(GTable.scan(Fixtures.cellsEventsV(s, dir),
+          GScan(maxVersions = 2, maxResultsPerCf = Some(3), rowOffsetPerCf = 1))),
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family ORDER BY qualifier, ts DESC) AS pos
+          |  FROM (
+          |    SELECT row, family, qualifier, ts, value FROM (
+          |      SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |      FROM live_events) WHERE rn <= 2)
+          |) WHERE pos > 1 AND pos <= 4
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // S6 raw scan (Scan.setRaw, Scan.java:848): storage-level view —
       // tombstone markers surface as rows, no masking, no version gate;
       // the time range still prunes. `type` is projected to prove it.

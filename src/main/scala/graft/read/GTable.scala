@@ -30,7 +30,9 @@ final case class GScan(
     minVersions: Int = 0,                 // CF MIN_VERSIONS (keep n beyond TTL)
     keepDeleted: Boolean = false,         // CF KEEP_DELETED_CELLS time-travel
     filter: Option[Column] = None,        // compiled graft.filter predicate
-    limit: Option[Int] = None             // setLimit (Scan.java:958) — global rows
+    limit: Option[Int] = None,            // setLimit (Scan.java:958) — global rows
+    maxResultsPerCf: Option[Int] = None,  // setMaxResultsPerColumnFamily (Scan.java:514)
+    rowOffsetPerCf: Int = 0               // setRowOffsetPerColumnFamily (Scan.java:523)
 ) {
   def withRange(start: String, stop: String): GScan =
     copy(startRow = Some(start), stopRow = Some(stop))
@@ -108,7 +110,30 @@ object GTable {
           ttlCutoff = s.ttlCutoff, cellFilter = s.filter,
           cfTimeRanges = s.cfTimeRanges, minVersions = s.minVersions,
           keepDeleted = s.keepDeleted, premasked = premasked)
-    val ordered = resolved.orderBy(cellOrder(s.reversed): _*)
+    // Intra-row per-CF pagination (Scan.setMaxResultsPerColumnFamily /
+    // setRowOffsetPerColumnFamily, Scan.java:514,523): skip the first
+    // `storeOffset` values of each (row, family) store and keep at most
+    // `storeLimit` after it, counting VALUES (versions too) in cell
+    // order — the server enforces this per HStore read
+    // (StoreScanner's storeLimit/storeOffset), AFTER the version gate
+    // and filters, which is exactly where this sits. The rank window
+    // partitions on (row, family) — a prefix of the store layout's
+    // row-hash partitioning, so over the materialized cell store it
+    // plans without a fresh exchange (same reuse as the resolve rank).
+    val paged =
+      if (s.maxResultsPerCf.isEmpty && s.rowOffsetPerCf == 0) resolved
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("row"), col("family"))
+          .orderBy(col("qualifier").asc, col("ts").desc)
+        val lo = s.rowOffsetPerCf
+        val hi = s.maxResultsPerCf
+          .map(m => col("__cfpos") <= lo + m).getOrElse(lit(true))
+        resolved.withColumn("__cfpos", row_number().over(w))
+          .filter(col("__cfpos") > lo && hi)
+          .drop("__cfpos")
+      }
+    val ordered = paged.orderBy(cellOrder(s.reversed): _*)
     // limit counts table ROWS (Scan.setLimit, Scan.java:958), not cells
     s.limit.fold(ordered) { n =>
       val keep = ordered.select("row").distinct()

@@ -170,6 +170,62 @@ class ExtSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("segmentDedup drops repeated segments globally and reassembles in order") {
+    import spark.implicits._
+    val w = 4
+    // docA: two 4-token segments; docB: docA's first segment + a fresh
+    // one; docC repeats ITS OWN first segment (intra-doc dup)
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, width = w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f g h")))
+    // docB's first segment lost to docA (lower doc_id)
+    assert(out(2L) === ((2L, 1L, "x y z w")))
+    // docC's second copy of its own segment drops; first stays
+    assert(out(3L) === ((2L, 1L, "p q r s")))
+  }
+
+  test("incrementalNearDups matches new docs against the corpus only") {
+    import spark.implicits._
+    // near-copy of corpus doc 1 arriving as new doc 100001, plus two
+    // identical NEW docs (100002/100003) that must NOT pair intra-batch
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+      .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
+    val twinText = docs.filter(col("doc_id") === 2).select("text").head().getString(0)
+    val batch = near.select("doc_id", "text")
+      .unionByName(Seq((100002L, twinText), (100003L, twinText)).toDF("doc_id", "text"))
+    val all = docs.select("doc_id", "text").unionByName(batch)
+    val pairs = Dedup.incrementalNearDups(all, col("doc_id") >= 100000L, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100001L, 1L)))
+    // the twin batch docs match corpus doc 2, not each other
+    assert(pairs.contains((100002L, 2L)) && pairs.contains((100003L, 2L)))
+    assert(!pairs.exists { case (i, j) => i >= 100000L && j >= 100000L })
+    // corpus-corpus pairs never surface
+    assert(pairs.forall { case (i, j) => i >= 100000L && j < 100000L })
+  }
+
+  test("knnGraph covers every vector with k ranked neighbors at usable recall") {
+    val k = 5
+    val g = Similarity.knnGraph(emb, k = k).collect()
+    val n = emb.count()
+    // every vector is a query with exactly k neighbors ranked 1..k
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size === n)
+    assert(byQ.values.forall(_.map(_.getInt(1)).sorted.sameElements(1 to k)))
+    // recall vs brute over all queries
+    val brute = Similarity.bruteTopK(emb, lit(true), k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"knnGraph recall $recall too low")
+  }
+
   test("semanticDedup keeps cluster minima; thresholds bound the keep set") {
     val all = Similarity.semanticDedup(emb, threshold = 0.9).collect()
     assert(all.length === emb.count())

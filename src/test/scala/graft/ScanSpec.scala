@@ -145,6 +145,33 @@ class ScanSpec extends SparkSpec {
     assert(liveAny === Set("r2"))
   }
 
+  test("per-CF pagination skips storeOffset values and caps at storeLimit") {
+    import spark.implicits._
+    import graft.model.{CellType, GCell}
+    val cells = Seq(
+      GCell("r1", "a", "q1", 2, CellType.Put, "a12"),
+      GCell("r1", "a", "q1", 1, CellType.Put, "a11"),
+      GCell("r1", "a", "q2", 1, CellType.Put, "a21"),
+      GCell("r1", "a", "q3", 1, CellType.Put, "a31"),
+      GCell("r1", "b", "q1", 1, CellType.Put, "b11")
+    ).toDF()
+    // maxVersions=2: family a's store order is (q1,2),(q1,1),(q2,1),(q3,1);
+    // offset 1 skips (q1,2), limit 2 keeps (q1,1),(q2,1). family b has a
+    // single value, consumed by the offset.
+    val r = GTable.scan(cells,
+        GScan(maxVersions = 2, maxResultsPerCf = Some(2), rowOffsetPerCf = 1))
+      .select("family", "qualifier", "ts").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r === Set(("a", "q1", 1L), ("a", "q2", 1L)))
+    // version gate runs FIRST: with maxVersions=1 the shadowed (q1,1)
+    // never reaches the pagination counter
+    val r1 = GTable.scan(cells,
+        GScan(maxVersions = 1, maxResultsPerCf = Some(2), rowOffsetPerCf = 1))
+      .select("family", "qualifier", "ts").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r1 === Set(("a", "q2", 1L), ("a", "q3", 1L)))
+  }
+
   test("scan filter runs before the version gate") {
     val ev = Fixtures.cellsEventsV(spark, sf0001)
     // keep only ts <= 3 cells via filter with maxVersions = 1: the
