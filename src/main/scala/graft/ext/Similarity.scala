@@ -103,26 +103,27 @@ object Similarity {
     * MurmurHash3 of "table:bit:dim" — reproducible with no stored model.
     * `private[graft]` so the oracle generator can embed the same
     * constants as SQL literals (the DuckDB twin computes the identical
-    * buckets from the identical planes). */
+    * buckets from the identical planes). Delegates to the fused-kernel
+    * definition so the Column surface and the oracle literals cannot
+    * drift. */
   private[graft] def plane(table: Int, bit: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { d =>
-      if ((scala.util.hashing.MurmurHash3.stringHash(s"$table:$bit:$d", 42) & 1) == 1) 1.0
-      else -1.0
-    }
+    Array.tabulate(dim)(graft.functions.LshBucketsKernel.planeSign(table, bit, _))
 
   /** Random-hyperplane LSH bucket id per vector for one table: `nbits`
-    * sign bits of dot products with the deterministic planes. Each dot
-    * is one fused [[graft.functions.DotFold]] loop against a literal
-    * plane array — map-side only, whole-stage codegen. */
+    * sign bits of dot products with the deterministic planes (the
+    * single-table slice of the fused [[lshBucketsAll]] kernel). */
   def lshBucket(emb: Column, dim: Int, table: Int, nbits: Int): Column =
-    (0 until nbits).map { b =>
-      when(dot_fold(emb, typedlit(plane(table, b, dim))) >= 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    element_at(graft.functions.LshFunctions.lsh_buckets(emb, dim, table + 1, nbits), table + 1)
 
-  /** All `tables` bucket ids in one projection: array<long>, one pass
-    * over the corpus (vs. one union branch per table). */
+  /** All `tables` bucket ids in one projection: array<long>, one fused
+    * [[graft.functions.LshBucketsExpr]] kernel pass per vector. NOT the
+    * tables×nbits dot_fold composition: that inlines ~72 literal-array
+    * loops into the enclosing whole-stage-codegen method, which blows
+    * the JVM's per-method JIT budget and drops the WHOLE fused stage
+    * (bucket-join probes and re-rank arithmetic included) to
+    * interpreter speed — measured ~10x on the kNN-graph path. */
   def lshBucketsAll(emb: Column, dim: Int, tables: Int, nbits: Int): Column =
-    array((0 until tables).map(t => lshBucket(emb, dim, t, nbits)): _*)
+    graft.functions.LshFunctions.lsh_buckets(emb, dim, tables, nbits)
 
   /** Norm-projected corpus exploded to one (tbl, bucket) row per hash
     * table — the shared candidate-generation base of [[annTopK]] and

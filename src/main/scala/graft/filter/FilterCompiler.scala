@@ -115,6 +115,35 @@ object FilterCompiler {
     * the SCVF pass-case reads its verdict aggregate without the
     * cells-side semi-join at all. */
   def admittedRows(cells: DataFrame, f: GFilter): DataFrame = f match {
+    // OR of column-value guards: ONE verdict-matrix pass instead of a
+    // union of per-filter subplans. All tested columns rank in one
+    // window (per-column latest), then one grouped aggregate computes
+    // every child's verdict as an int column — a single exchange on
+    // row-hash, where the union form ran a sort+aggregate+exchange
+    // PER child and then a distinct over the union.
+    case FilterList(FilterList.MustPassOne, fs)
+        if fs.size > 1 && fs.forall {
+          case SingleColumnValueFilter(_, _, _, _, true, _) => true
+          case _ => false
+        } =>
+      val svs = fs.collect { case s: SingleColumnValueFilter => s }
+      val colCells = cells.filter(
+        svs.map(s => col("family") === s.family && col("qualifier") === s.qualifier)
+          .reduce(_ || _))
+      // per-column newest version (same (ts, value) ordering as the
+      // single-SCVF verdict); non-latest-only children ignore the rank
+      val w = Window.partitionBy(col("row"), col("family"), col("qualifier"))
+        .orderBy(col("ts").desc, col("value").desc)
+      val ranked = colCells.withColumn("__rn", row_number().over(w))
+      val verdicts = svs.zipWithIndex.map { case (s, i) =>
+        val colMatch = col("family") === s.family && col("qualifier") === s.qualifier
+        val scope = if (s.latestVersionOnly) colMatch && col("__rn") === 1 else colMatch
+        max(when(scope && (s.cmp.test(col("value"), s.op) <=> lit(true)), 1)
+          .otherwise(0)).as(s"__v$i")
+      }
+      ranked.groupBy("row").agg(verdicts.head, verdicts.tail: _*)
+        .filter(svs.indices.map(i => col(s"__v$i") === 1).reduce(_ || _))
+        .select("row")
     case FilterList(FilterList.MustPassOne, fs) if fs.nonEmpty =>
       fs.map(admittedRows(cells, _)).reduce(_ unionByName _).distinct()
     case SingleColumnValueFilter(fam, q, op, c, true, latestOnly) =>
@@ -265,12 +294,21 @@ object FilterCompiler {
   private def scvfVerdict(cells: DataFrame, fam: String, q: String,
       op: CompareOp, c: GComparator, latestVersionOnly: Boolean): DataFrame = {
     val colCells = cells.filter(col("family") === fam && col("qualifier") === q)
-    val tested =
-      if (latestVersionOnly)
-        c.test(max(struct(col("ts"), col("value"))).getField("value"), op)
-      else
-        max(when(c.test(col("value"), op), 1).otherwise(0)) === 1
-    colCells.groupBy("row").agg(tested.as("__m"))
+    if (latestVersionOnly) {
+      // the check reads the column's newest version (ts ties broken by
+      // value, the exact ordering of max(struct(ts, value))) — realized
+      // as a rank window, NOT a struct max: a struct-with-string agg
+      // buffer is not hash-aggregable, so the max form planned
+      // SortAggregate pairs (two full sorts per verdict) everywhere a
+      // latest-only SCVF appeared (q42's guard paid it four times)
+      val w = Window.partitionBy(col("row"))
+        .orderBy(col("ts").desc, col("value").desc)
+      colCells.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("row"), c.test(col("value"), op).as("__m"))
+    } else
+      colCells.groupBy("row")
+        .agg((max(when(c.test(col("value"), op), 1).otherwise(0)) === 1).as("__m"))
   }
 
   private def scvf(cells: DataFrame, fam: String, q: String, op: CompareOp,
