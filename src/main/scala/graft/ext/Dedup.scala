@@ -64,7 +64,7 @@ object Dedup {
   /** Exact Jaccard of two shingle-array columns — set semantics via
     * array_intersect; identical integer arithmetic to the row-form
     * equi-join count (both count the distinct shared shingles). */
-  private def arrayJaccard(shi: Column, shj: Column): (Column, Column) = {
+  private[ext] def arrayJaccard(shi: Column, shj: Column): (Column, Column) = {
     val m = size(array_intersect(shi, shj))
     (m, m.cast("double") / (size(shi) + size(shj) - m))
   }
@@ -94,7 +94,7 @@ object Dedup {
     * oracle's sh CTE likewise has no rows for them) without a filter
     * BELOW the projection, which would break subexpression reuse and
     * recompute the whole shingle pipeline per reference (~6x). */
-  private def bandRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[ext] def bandRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands): a truncated band " +
         "layout silently weakens (or with r=0 empties) the LSH guarantee")

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED MinHash-LSH dedup index — the continuous-ingest form
+  * of [[Dedup.incrementalNearDups]] at corpus scale.
+  *
+  * [[Dedup.bandRows]] is the in-session signature pipeline; this module
+  * makes it a durable artifact, the way
+  * [[graft.write.BucketedStore]] makes the cell store durable: band
+  * rows (band, sig, doc_id, shs) written as a bucketed table hashed on
+  * (band, sig) and coordinate-sorted. Checking an arriving shard
+  * against a 100 TB accepted corpus then:
+  *
+  *   - computes signatures for the SHARD only (the corpus signed each
+  *     doc once, at accept time),
+  *   - joins on (band, sig) with the shard side broadcast — the index
+  *     scans but never shuffles — or, for a shard too big to
+  *     broadcast, shuffle-joins where ONLY the shard moves (the index
+  *     bucketing already satisfies the join distribution, and the
+  *     in-bucket sort order satisfies the merge order),
+  *   - verifies candidates exactly (shingle Jaccard) straight off the
+  *     join output: the index carries each doc's shingle set per band
+  *     row, trading ~`bands`x signature-storage for a query with no
+  *     second corpus join (the verify data arrives with the candidate).
+  *
+  * Accepted docs append to the index with the same layout
+  * ([[append]]); dedup of the shard against itself stays
+  * [[Dedup.minHashNearDups]] on the shard alone.
+  */
+object DedupIndex {
+
+  /** Build (or replace) the signature index for an accepted corpus.
+    * `k`/`bands` must match every later [[query]]/[[append]] — they
+    * define the signature layout (stored per row as a guard column). */
+  def build(docs: DataFrame, table: String, path: String,
+      k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit =
+    writeRows(Dedup.bandRows(docs, k, bands).withColumn("k", lit(k)),
+      table, path, buckets, SaveMode.Overwrite)
+
+  /** Append a newly-accepted batch to the index (same layout). */
+  def append(docs: DataFrame, table: String, path: String,
+      k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit =
+    writeRows(Dedup.bandRows(docs, k, bands).withColumn("k", lit(k)),
+      table, path, buckets, SaveMode.Append)
+
+  private def writeRows(rows: DataFrame, table: String, path: String,
+      buckets: Int, mode: SaveMode): Unit =
+    rows.write
+      .mode(mode)
+      .option("path", path)
+      .bucketBy(buckets, "band", "sig")
+      .sortBy("band", "sig", "doc_id")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Near-dup matches of `newDocs` against the indexed corpus:
+    * (i = new doc, j = corpus doc, jaccard >= threshold). `k`/`bands`
+    * must equal the build parameters (checked against the stored
+    * layout). `broadcastBatch = false` selects the big-shard path:
+    * a shuffle join in which the index side still plans exchange-free
+    * off its bucketing. */
+  def query(spark: SparkSession, table: String, newDocs: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val idx = spark.table(table)
+    require(idx.columns.contains("k"),
+      s"$table is not a DedupIndex table (no layout guard column)")
+    // layout guard: a mismatched k would silently yield zero-recall
+    // joins, so fail loudly. One-row metadata probe (every row stores
+    // the build k), not a per-row runtime check.
+    idx.select("k").limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == k,
+        s"DedupIndex $table was built with k=${r.getInt(0)}, queried with k=$k")
+    }
+    val nw0 = Dedup.bandRows(newDocs, k, bands)
+      .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
+    val nw = if (broadcastBatch) broadcast(nw0) else nw0
+    val cp = idx
+      .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+    val (_, jac) = Dedup.arrayJaccard(col("shi"), col("shj"))
+    nw.join(cp, Seq("band", "sig"))
+      .select(col("i"), col("j"), jac.as("jac0"))
+      .filter(col("jac0") >= threshold)
+      .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
+  }
+}

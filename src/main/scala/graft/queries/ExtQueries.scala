@@ -374,6 +374,29 @@ object ExtQueries {
               |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
     ),
     QDef(
+      // persisted dedup index: e31's semantics through the durable
+      // artifact — corpus signatures built ONCE into a (band, sig)-
+      // bucketed table, the arriving batch broadcast against it (the
+      // index scans but never shuffles). Same oracle as e31: the index
+      // is a layout, not a semantics change.
+      "e32_dedup_index",
+      (s, dir) => {
+        val all = graft.model.Tables.load(s, s"$dir/documents.parquet")
+        val tmp = java.nio.file.Files.createTempDirectory("dix_q").toString
+        graft.ext.DedupIndex.build(
+          all.filter(col("doc_id") < 250).select("doc_id", "text"),
+          "e32_dedup_index_tbl", s"$tmp/idx", k = 16, bands = 4, buckets = 8)
+        graft.ext.DedupIndex.query(s, "e32_dedup_index_tbl",
+            all.filter(col("doc_id") >= 250).select("doc_id", "text"),
+            k = 16, bands = 4, threshold = 0.8)
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH ${minhashCtesWith("a.doc_id >= 250 AND b.doc_id < 250")}
+              |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
+              |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
+    ),
+    QDef(
       // sub-document exact dedup: 20-token segments dedup globally
       // (first occurrence by (doc_id, idx) wins), docs reassemble from
       // surviving segments — C4-style "paragraph" dedup for corpora

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DedupIndex}
+
+/** Persisted MinHash signature index: build/append/query must agree
+  * with the in-session incremental near-dup, and the query plan must
+  * leave the index side unshuffled (that IS the 100 TB contract).
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  private def batch = {
+    import spark.implicits._
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+      .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
+      .select("doc_id", "text")
+    val twin = docs.filter(col("doc_id") === 2).select("text").head().getString(0)
+    near.unionByName(Seq((100002L, twin)).toDF("doc_id", "text"))
+  }
+
+  test("indexed query equals the in-session incremental near-dup") {
+    val tmp = java.nio.file.Files.createTempDirectory("dix").toString
+    DedupIndex.build(docs.select("doc_id", "text"), "dix_a", s"$tmp/a", buckets = 4)
+    val viaIndex = DedupIndex.query(spark, "dix_a", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inSession = Dedup.incrementalNearDups(
+        docs.select("doc_id", "text").unionByName(batch), col("doc_id") >= 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === inSession)
+    assert(viaIndex.exists { case (i, j, _) => i == 100001L && j == 1L })
+    assert(viaIndex.exists { case (i, j, _) => i == 100002L && j == 2L })
+  }
+
+  test("append extends the corpus; accepted docs then match later arrivals") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dix").toString
+    DedupIndex.build(docs.select("doc_id", "text"), "dix_b", s"$tmp/b", buckets = 4)
+    // accept the batch -> its docs join the corpus index
+    DedupIndex.append(batch, "dix_b", s"$tmp/b", buckets = 4)
+    // a later arrival matching an APPENDED doc must now hit
+    val twin = docs.filter(col("doc_id") === 2).select("text").head().getString(0)
+    val later = Seq((200001L, twin)).toDF("doc_id", "text")
+    val hits = DedupIndex.query(spark, "dix_b", later)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((200001L, 2L)))
+    assert(hits.contains((200001L, 100002L)), "appended twin must be indexed")
+  }
+
+  test("query never shuffles the index side; k mismatch fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("dix").toString
+    DedupIndex.build(docs.select("doc_id", "text"), "dix_c", s"$tmp/c", buckets = 4)
+
+    // broadcast path: index side streams through a broadcast join
+    val bq = DedupIndex.query(spark, "dix_c", batch)
+    bq.count()
+    val bplan = bq.queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin"), bplan)
+
+    // big-shard path: shuffle join, but the bucketed index side still
+    // plans without an exchange (only the batch side moves)
+    // simulate a shard too big to broadcast: disable auto-broadcast so
+    // the planner must fall back to the bucketing-based shuffle join
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val splan = try {
+      val sq = DedupIndex.query(spark, "dix_c", batch, broadcastBatch = false)
+      sq.count()
+      sq.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert(splan.contains("dix_c"), splan)
+    assert(splan.contains("SortMergeJoin") || splan.contains("ShuffledHashJoin"), splan)
+    // exactly two hash exchanges may exist: the batch side moving to
+    // the index's (band, sig) bucketing, and the final (i, j) pair
+    // dedup. A third would mean the index side re-shuffled.
+    val exchanges = splan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"index side must not re-shuffle ($exchanges exchanges):\n$splan")
+
+    intercept[IllegalArgumentException] {
+      DedupIndex.query(spark, "dix_c", batch, k = 32, bands = 4)
+    }
+  }
+}
