@@ -85,4 +85,36 @@ object DedupIndex {
       .filter(col("jac0") >= threshold)
       .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
   }
+
+  /** STREAMING near-dup matches of an arriving document stream against
+    * the indexed corpus — the continuous-ingest pipeline proper:
+    * `docsStream` (a streaming DataFrame with doc_id, text) signs each
+    * micro-batch map-side, stream-static joins the signature index on
+    * (band, sig), and exact-verifies — all STATELESS (append mode), so
+    * a perpetual stream runs with zero state store growth regardless
+    * of corpus or stream size.
+    *
+    * Emits (i, j, jaccard) with at most `bands` rows per matched pair
+    * (one per agreeing band); the pair-dedup `groupBy(i, j)` is
+    * deliberately NOT part of the stream — as an unwindowed stateful
+    * aggregation it would retain every pair ever seen. Dedup at the
+    * consumer: batch post-step, or `dropDuplicatesWithinWatermark`
+    * when arrivals carry event time. */
+  def streamQuery(spark: SparkSession, table: String, docsStream: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val idx = spark.table(table)
+    require(idx.columns.contains("k"),
+      s"$table is not a DedupIndex table (no layout guard column)")
+    val nw = Dedup.bandRows(docsStream, k, bands)
+      .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
+    val cp = idx
+      .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+    val (_, jac) = Dedup.arrayJaccard(col("shi"), col("shj"))
+    nw.join(cp, Seq("band", "sig"))
+      // threshold on the UNROUNDED jaccard (rounding is presentation
+      // only) — same contract as every batch dedup path
+      .select(col("i"), col("j"), jac.as("jac0"))
+      .filter(col("jac0") >= threshold)
+      .select(col("i"), col("j"), round(col("jac0"), 4).as("jaccard"))
+  }
 }

@@ -19,6 +19,7 @@ object ExtQueries {
 
   // ---- shared oracle fragments ---------------------------------------------
 
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
   private val norm = Sql.normText("text")
   private val toks = Sql.tokens("text")
 
@@ -439,6 +440,37 @@ object ExtQueries {
            |  JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
            |${rerankSql("cand", 5)}""".stripMargin
       }
+    ),
+    QDef(
+      // STREAMING incremental dedup: the arriving shard flows through
+      // Structured Streaming (file source, availableNow) and stream-
+      // static joins the persisted signature index — stateless append
+      // mode, so the perpetual form runs with zero state growth. The
+      // consumer-side pair dedup (at most `bands` copies per match) is
+      // a batch groupBy here. Same oracle as e31/e32: execution mode,
+      // not semantics.
+      "e33_stream_dedup",
+      (s, dir) => {
+        val all = graft.model.Tables.load(s, s"$dir/documents.parquet")
+        val tmp = java.nio.file.Files.createTempDirectory("dix_sq").toString
+        graft.ext.DedupIndex.build(
+          all.filter(col("doc_id") < 250).select("doc_id", "text"),
+          "e33_stream_dedup_tbl", s"$tmp/idx", k = 16, bands = 4, buckets = 8)
+        all.filter(col("doc_id") >= 250).select("doc_id", "text")
+          .write.parquet(s"$tmp/arrivals")
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING").parquet(s"$tmp/arrivals")
+        val matches = graft.ext.DedupIndex.streamQuery(
+          s, "e33_stream_dedup_tbl", stream, k = 16, bands = 4, threshold = 0.8)
+        graft.stream.WalStream.runAvailableNow(matches,
+            s"e33_sink_${sinkId.incrementAndGet()}", mode = "append")
+          .groupBy("i", "j").agg(min(col("jaccard")).as("jaccard"))
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH ${minhashCtesWith("a.doc_id >= 250 AND b.doc_id < 250")}
+              |SELECT i, j, ROUND(m * 1.0 / (si.n + sj.n - m), 4) AS jaccard
+              |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
     ),
     QDef(
       "e08_lang_id",

@@ -83,4 +83,24 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.query(spark, "dix_c", batch, k = 32, bands = 4)
     }
   }
+
+  test("streaming query matches the batch query and stays stateless") {
+    val tmp = java.nio.file.Files.createTempDirectory("dix").toString
+    DedupIndex.build(docs.select("doc_id", "text"), "dix_s", s"$tmp/s", buckets = 4)
+    // arriving shard as a file stream
+    batch.write.parquet(s"$tmp/arrivals")
+    val stream = spark.readStream
+      .schema(batch.schema).parquet(s"$tmp/arrivals")
+    val matches = DedupIndex.streamQuery(spark, "dix_s", stream)
+    assert(matches.isStreaming)
+    val out = graft.stream.WalStream.runAvailableNow(matches, "dix_stream_q",
+      mode = "append")
+    // consumer-side pair dedup (at most `bands` rows per pair arrive)
+    val streamed = out.groupBy("i", "j").agg(min(col("jaccard")).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBatch = DedupIndex.query(spark, "dix_s", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === viaBatch)
+    assert(streamed.exists { case (i, j, _) => i == 100001L && j == 1L })
+  }
 }
