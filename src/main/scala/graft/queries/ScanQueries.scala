@@ -246,6 +246,51 @@ object ScanQueries {
       // TTL expires cells below ts 4, but the newest 2 versions per
       // column are retained regardless — columns whose every version is
       // expired still answer with their freshest two.
+      "q65_nvb_resolve",
+      // NEW_VERSION_BEHAVIOR (ColumnFamilyDescriptorBuilder.java:197,
+      // NewVersionBehaviorTracker.java): mvcc-sensitive resolve over a
+      // seq-bearing cell set. Deterministic write order: puts carry
+      // seq = ts*10; the markers interleave so each kind demonstrates
+      // sequence sensitivity — DeleteColumn(ts=3, seq=25) spares the
+      // ts=3 put (seq 30, written after it), DeleteFamily(ts=2,
+      // seq=15) spares the ts=2 put, and the version Delete(ts=4,
+      // seq=35) predates its put (seq 40) and fires not at all (the
+      // default tracker would mask all of these).
+      (s, dir) => {
+        val seq = when(col("type") === "Put", col("ts") * 10)
+          .when(col("type") === "DeleteColumn", lit(25L))
+          .when(col("type") === "DeleteFamily", lit(15L))
+          .otherwise(lit(35L))
+        val cells = Fixtures.cellsEventsV(s, dir).withColumn("seq", seq)
+        ordered(Resolve.latestNvb(cells, maxVersions = 2))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """sq AS (
+          |  SELECT row, family, qualifier, ts, type, value,
+          |         CASE type WHEN 'Put' THEN ts * 10 WHEN 'DeleteColumn' THEN 25
+          |                   WHEN 'DeleteFamily' THEN 15 ELSE 35 END AS seq
+          |  FROM cells_events_v),
+          |puts AS (SELECT * FROM sq WHERE type = 'Put'),
+          |surv AS (
+          |  SELECT p.* FROM puts p
+          |  WHERE NOT EXISTS (SELECT 1 FROM sq d WHERE d.type = 'DeleteColumn'
+          |          AND d.row = p.row AND d.family = p.family AND d.qualifier = p.qualifier
+          |          AND p.ts <= d.ts AND p.seq < d.seq)
+          |    AND NOT EXISTS (SELECT 1 FROM sq f WHERE f.type = 'DeleteFamily'
+          |          AND f.row = p.row AND f.family = p.family
+          |          AND p.ts <= f.ts AND p.seq < f.seq)),
+          |ranked AS (
+          |  SELECT *,
+          |         row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC, seq DESC) AS rn,
+          |         EXISTS (SELECT 1 FROM sq v WHERE v.type = 'Delete'
+          |                 AND v.row = surv.row AND v.family = surv.family AND v.qualifier = surv.qualifier
+          |                 AND v.ts = surv.ts AND surv.seq < v.seq) AS vdel
+          |  FROM surv)""".stripMargin)(
+        """SELECT row, family, qualifier, ts, value FROM ranked
+          |WHERE rn <= 2 AND NOT vdel
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       "q45_min_versions",
       (s, dir) =>
         ordered(Resolve.latest(Fixtures.cellsEventsV(s, dir), maxVersions = 3,

@@ -102,6 +102,56 @@ object Resolve {
     retained.drop("__rn")
   }
 
+  /** NEW_VERSION_BEHAVIOR resolve (ColumnFamilyDescriptorBuilder
+    * .java:197, NewVersionBehaviorTracker.java): mvcc-sensitive
+    * masking over a SEQ-BEARING cell frame (`seqCol`, the per-cell
+    * write order — the WAL sequence-id analogue). A delete marker only
+    * masks cells written before it; deleted versions still consume
+    * version slots inside their mvcc segment; duplicate-(ts,type) puts
+    * mask. See [[graft.functions.NvbVisible]] for the tracker port.
+    *
+    * Dataflow: ONE shuffle onto the column coordinate (collect each
+    * column's cells + each family's family-scope markers into arrays),
+    * then the per-column tracker kernel runs map-side and the visible
+    * versions explode back out. The family-marker join is row+family
+    * keyed — a prefix of the column grouping, so it reuses the same
+    * partitioning (and the bucketed store layout satisfies both).
+    *
+    * Returns the canonical columns (row, family, qualifier, ts, type,
+    * value) plus `seqCol`, newest-first per column.
+    */
+  def latestNvb(
+      cells: DataFrame,
+      maxVersions: Int = 1,
+      resultMaxVersions: Int = Int.MaxValue,
+      ttlCutoff: Option[Long] = None,
+      minVersions: Int = 0,
+      seqCol: String = "seq"
+  ): DataFrame = {
+    import graft.functions.{NvbFunctions, NvbKernel}
+    val tcode = CellType.all.map(t => (t, NvbKernel.typeCode(t)))
+      .foldLeft(lit(-1)) { case (acc, (t, c)) =>
+        when(col("type") === t, lit(c)).otherwise(acc)
+      }
+    val famScope = col("type").isin(CellType.DeleteFamily, CellType.DeleteFamilyVersion)
+    val colCells = cells.filter(!famScope)
+      .groupBy("row", "family", "qualifier")
+      .agg(collect_list(struct(col("ts"), col(seqCol).as("seq"), tcode.as("tcode"),
+        col("value"))).as("__cs"))
+    val famCells = cells.filter(famScope)
+      .groupBy("row", "family")
+      .agg(collect_list(struct(col("ts"), col(seqCol).as("seq"), tcode.as("tcode")))
+        .as("__fs"))
+    colCells
+      .join(famCells, Seq("row", "family"), "left")
+      .select(col("row"), col("family"), col("qualifier"),
+        explode(NvbFunctions.nvb_visible(col("__cs"), col("__fs"), maxVersions,
+          resultMaxVersions, ttlCutoff.getOrElse(Long.MinValue), minVersions)).as("__v"))
+      .select(col("row"), col("family"), col("qualifier"),
+        col("__v.ts").as("ts"), lit(CellType.Put).as("type"),
+        col("__v.value").as("value"), col("__v.seq").as(seqCol))
+  }
+
   /** The matcher's pre-filter ts checks: scan/per-CF time range, and
     * TTL as a pre-gate cut unless MIN_VERSIONS needs expired cells to
     * keep ranking (they may still be retained after the gate). Shared
