@@ -245,6 +245,61 @@ object Jobs {
   def restore(full: DataFrame, incrementals: Seq[DataFrame]): DataFrame =
     incrementals.foldLeft(full)(_ unionByName _)
 
+  /** BulkDeleteEndpoint (hbase-examples
+    * .../example/BulkDeleteEndpoint.java:120-235): delete-by-scan as
+    * marker generation. The scan (with its filter) defines the matched
+    * USER-VISIBLE cells (the endpoint opens a normal region scanner);
+    * each matched row folds into one Delete mutation whose markers
+    * depend on `deleteType`:
+    *   - ROW:     Delete(row, ts) with no adds — masks every family of
+    *              the table (the endpoint scans FirstKeyOnly; the
+    *              Delete covers all CFs), so DeleteFamily × all store
+    *              families
+    *   - FAMILY:  DeleteFamily per matched (row, family)
+    *   - COLUMN:  DeleteColumn per matched (row, family, qualifier)
+    *              (addColumns, dedup'd per column — :210-221)
+    *   - VERSION: exact-version Delete; with no `timestamp` every
+    *              matched version's own ts deletes (:221-231), with
+    *              one, just that version per matched column
+    * `timestamp=None` for the marker kinds = LATEST_TIMESTAMP.
+    *
+    * Returns the marker frame (canonical cell schema) — append it to
+    * the store (or feed applySink) and the next resolve hides the
+    * matched data; counts come free from the marker frame itself.
+    * Scale: markers are distinct coordinates of matched cells — the
+    * same aggregate shape as the tombstone masks resolve builds.
+    */
+  def bulkDelete(cells: DataFrame, scan: graft.read.GScan, deleteType: String,
+      timestamp: Option[Long] = None): DataFrame = {
+    import graft.model.CellType
+    val matched = graft.read.GTable.scan(cells, scan)
+    val mts = lit(timestamp.getOrElse(Long.MaxValue))
+    val nullV = lit(null).cast("string").as("value")
+    deleteType match {
+      case "ROW" =>
+        matched.select("row").distinct()
+          .crossJoin(cells.select("family").distinct())
+          .select(col("row"), col("family"), lit("").as("qualifier"),
+            mts.as("ts"), lit(CellType.DeleteFamily).as("type"), nullV)
+      case "FAMILY" =>
+        matched.select("row", "family").distinct()
+          .select(col("row"), col("family"), lit("").as("qualifier"),
+            mts.as("ts"), lit(CellType.DeleteFamily).as("type"), nullV)
+      case "COLUMN" =>
+        matched.select("row", "family", "qualifier").distinct()
+          .select(col("row"), col("family"), col("qualifier"),
+            mts.as("ts"), lit(CellType.DeleteColumn).as("type"), nullV)
+      case "VERSION" =>
+        val verTs = timestamp.fold(col("ts"))(lit(_))
+        matched.select(col("row"), col("family"), col("qualifier"),
+            verTs.cast("long").as("ts")).distinct()
+          .select(col("row"), col("family"), col("qualifier"), col("ts"),
+            lit(CellType.Delete).as("type"), nullV)
+      case other =>
+        throw new IllegalArgumentException(s"unknown deleteType: $other")
+    }
+  }
+
   /** M10 bulk load layout (HFileOutputFormat2.java:109 +
     * SimpleTotalOrderPartitioner.java:42): total-order partitioned,
     * sorted-within-partition write — Spark's native range-shuffle

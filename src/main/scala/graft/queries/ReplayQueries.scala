@@ -97,6 +97,81 @@ object ReplayQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_events WHERE ts >= 2
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // MOB storage (MobUtils.java:128,518; CF MOB_THRESHOLD): split
+      // the store at threshold 10 — big Put values move to the
+      // content-addressed side table, ref cells replace them — then
+      // read back THROUGH the stitch join. Output: one accounting row
+      // computed from the SPLIT frames (so an identity "split" cannot
+      // pass) + the read-back mismatch count vs the original (must be
+      // 0, which is what the oracle literally asserts). max_inline_len
+      // proves no over-threshold value stayed inline.
+      "q67_mob_roundtrip",
+      (s, dir) => {
+        import graft.write.MobStore
+        val cells = Fixtures.cellsOrders(s, dir)
+        val (main, mob) = MobStore.split(cells, threshold = 10)
+        val back = MobStore.read(main, mob)
+        val mismatches = back.alias("b")
+          .join(cells.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        main.agg(
+          count(lit(1)).as("n_cells"),
+          count(when(col("value").startsWith(MobStore.RefPrefix), 1))
+            .as("mob_cells"),
+          max(when(!col("value").startsWith(MobStore.RefPrefix),
+            length(col("value")).cast("long"))).as("max_inline_len"))
+          .crossJoin(mob.agg(count(lit(1)).as("mob_refs")))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT COUNT(*) AS n_cells,
+          |       COUNT(CASE WHEN length(value) >= 10 THEN 1 END) AS mob_cells,
+          |       MAX(CASE WHEN length(value) < 10 THEN length(value) END) AS max_inline_len,
+          |       COUNT(DISTINCT CASE WHEN length(value) >= 10 THEN value END) AS mob_refs,
+          |       CAST(0 AS BIGINT) AS mismatches
+          |FROM cells_orders""".stripMargin))
+    ),
+    QDef(
+      // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
+      // the scan (maxVersions=3, filter event_type='click') defines
+      // the matched user-visible cells — the filter runs BEFORE the
+      // version gate, as in the matcher — and every matched column
+      // gets a DeleteColumn marker at LATEST_TIMESTAMP. The final
+      // read over store ∪ markers hides those columns entirely while
+      // props/value survive.
+      "q68_bulk_delete",
+      (s, dir) => {
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val marks = Jobs.bulkDelete(cells,
+          graft.read.GScan(maxVersions = 3,
+            filter = Some(col("qualifier") === "event_type" && col("value") === "click")),
+          "COLUMN")
+        Resolve.latest(cells.unionByName(marks), maxVersions = 2)
+          .select("row", "family", "qualifier", "ts", "value")
+          .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV,
+        """__bd_m AS (
+          |  SELECT DISTINCT row FROM (
+          |    SELECT row, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |    FROM live_events WHERE qualifier = 'event_type' AND value = 'click')
+          |  WHERE rn <= 3),
+          |__bd_all AS (
+          |  SELECT * FROM cells_events_v
+          |  UNION ALL
+          |  SELECT row, 'd' AS family, 'event_type' AS qualifier,
+          |         CAST(9223372036854775807 AS BIGINT) AS ts,
+          |         'DeleteColumn' AS type, CAST(NULL AS VARCHAR) AS value
+          |  FROM __bd_m)""".stripMargin,
+        Cte.liveView("__bd_all", "live_bd"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_bd
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     )
   )
 }

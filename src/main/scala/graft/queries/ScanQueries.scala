@@ -303,6 +303,40 @@ object ScanQueries {
           |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // Per-cell TTL (Mutation.setTTL → TagType.TTL_TAG_TYPE;
+      // ScanQueryMatcher.isCellTTLExpired:143): a cell with a TTL tag
+      // dies once ts + ttl < now, checked in preCheck BEFORE the
+      // delete tracker and version gate. Deterministic tags: props
+      // puts at ts <= 2 carry ttl=2 (dead at now=5), and EVERY
+      // DeleteColumn marker carries ttl=1 — so the user_id%7 masking
+      // of 'value' from q06/q40 vanishes here (an expired marker is
+      // inert), the sharpest observable of the pre-mask placement.
+      // Family TTL floor (cutoff 2) still applies downstream.
+      "q66_cell_ttl",
+      (s, dir) => {
+        val ttl = when(col("qualifier") === "props" && col("type") === "Put"
+            && col("ts") <= 2, lit(2L))
+          .when(col("type") === "DeleteColumn", lit(1L))
+        val cells = Fixtures.cellsEventsV(s, dir).withColumn("ttl", ttl)
+        ordered(Resolve.latest(cells.filter(Resolve.cellTtlLive(now = 5L)),
+          maxVersions = 2, ttlCutoff = Some(2L)))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__cttl_sq AS (
+          |  SELECT row, family, qualifier, ts, type, value,
+          |         CASE WHEN qualifier = 'props' AND type = 'Put' AND ts <= 2 THEN 2
+          |              WHEN type = 'DeleteColumn' THEN 1 END AS ttl
+          |  FROM cells_events_v),
+          |__cttl_alive AS (
+          |  SELECT row, family, qualifier, ts, type, value FROM __cttl_sq
+          |  WHERE ttl IS NULL OR ts + ttl >= 5)""".stripMargin,
+        Cte.liveView("__cttl_alive", "live_cttl"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_cttl WHERE ts >= 2
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // §2.4 TTL (ScanInfo.getTtl) + multi-version gate: cells older
       // than the TTL floor are invisible BEFORE the version gate, and
       // the newest 2 surviving versions are returned per column.

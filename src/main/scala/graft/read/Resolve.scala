@@ -102,6 +102,19 @@ object Resolve {
     retained.drop("__rn")
   }
 
+  /** Per-cell TTL liveness (Mutation.setTTL → TagType.TTL_TAG_TYPE;
+    * ScanQueryMatcher.isCellTTLExpired, ScanQueryMatcher.java:143): a
+    * cell carrying a non-null `ttlCol` is dead once ts + ttl < now.
+    * The matcher runs this in preCheck — BEFORE the delete tracker and
+    * the version gate — so apply it as a PRE-mask filter on the cell
+    * frame: expired cells neither mask (an expired marker is inert)
+    * nor consume version slots. Per-cell TTL cannot EXTEND life beyond
+    * the family TTL (ScanQueryMatcher.java:159) — the family
+    * `ttlCutoff` still applies downstream as usual.
+    */
+  def cellTtlLive(now: Long, ttlCol: String = "ttl"): org.apache.spark.sql.Column =
+    col(ttlCol).isNull || col("ts") + col(ttlCol) >= lit(now)
+
   /** NEW_VERSION_BEHAVIOR resolve (ColumnFamilyDescriptorBuilder
     * .java:197, NewVersionBehaviorTracker.java): mvcc-sensitive
     * masking over a SEQ-BEARING cell frame (`seqCol`, the per-cell

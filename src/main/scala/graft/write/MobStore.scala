@@ -1,0 +1,64 @@
+package graft.write
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.CellType
+
+/** MOB (medium-object) storage model — the Spark twin of the
+  * reference's MOB path (hbase-server mob/: MobUtils.java:128,518 —
+  * MOB_REFERENCE_TAG on ref cells; ColumnFamilyDescriptorBuilder
+  * MOB_THRESHOLD): values at/above the family's threshold move to a
+  * side MOB store, and the main store keeps a small REFERENCE cell in
+  * their place, so the hot row-keyed store stays narrow (scans,
+  * compactions, and diffs never drag the blobs) and identical big
+  * values are stored once.
+  *
+  * Model: the ref value is `mobref:<md5(value)>` (the reference stores
+  * value-length + mob file name under MOB_REFERENCE_TAG_TYPE; a
+  * content hash is the layout-free analogue). The MOB side table is
+  * `(ref, value)` distinct — content-addressed, so duplicate blobs
+  * dedup exactly like MOB files shared across cells.
+  *
+  * Scale: `split` is one map-side projection plus a distinct on the
+  * (small-cardinality) blob side; `read` left-joins only ref-bearing
+  * cells against the MOB table on the content hash — inline cells
+  * carry a null join key and never match, so the blob shuffle moves
+  * |mob refs|, not |cells|. At 100 TB the MOB table is the bucketed
+  * layout's natural side table (bucket on ref).
+  */
+object MobStore {
+
+  val RefPrefix = "mobref:"
+
+  private def isMob(threshold: Int) =
+    col("type") === CellType.Put && col("value").isNotNull &&
+      length(col("value")) >= threshold
+
+  /** Split a canonical cell frame at `threshold`: returns (main, mob)
+    * where `main` replaces each big Put value with its content ref and
+    * `mob` holds the distinct (ref, value) blobs. */
+  def split(cells: DataFrame, threshold: Int): (DataFrame, DataFrame) = {
+    val mob = cells.filter(isMob(threshold))
+      .select(md5(col("value")).as("ref"), col("value"))
+      .distinct()
+    val main = cells.withColumn("value",
+      when(isMob(threshold), concat(lit(RefPrefix), md5(col("value"))))
+        .otherwise(col("value")))
+    (main, mob)
+  }
+
+  /** Transparent read: stitch MOB refs back to their blobs. Cells
+    * without a ref pass through untouched (null join key — never
+    * matches, no blob shuffle for them). */
+  def read(main: DataFrame, mob: DataFrame): DataFrame = {
+    val withRef = main.withColumn("__ref",
+      when(col("value").startsWith(RefPrefix),
+        substring(col("value"), RefPrefix.length + 1, 32)))
+    withRef
+      .join(mob.withColumnRenamed("value", "__blob"),
+        withRef("__ref") === mob("ref"), "left")
+      .withColumn("value", coalesce(col("__blob"), col("value")))
+      .drop("__ref", "ref", "__blob")
+  }
+}
