@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.{shim => colshim}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cell-visibility expression evaluation — the reference's visibility
+  * labels subsystem (hbase-server security/visibility/:
+  * ExpressionParser.java:42, Operator.java:24-26,
+  * VisibilityLabelFilter.java, DefaultVisibilityLabelServiceImpl).
+  *
+  * Grammar (ExpressionParser.java): labels, `&`, `|`, `!`, parens, and
+  * double-quoted labels with `\"`/`\\` escapes. The reference's stack
+  * parser gives `&` and `|` EQUAL precedence, left-associative (a new
+  * operator wraps the whole expression built so far —
+  * ExpressionParser.processANDorOROp:261), and `!` binds to the next
+  * node. So `a|b&c` parses as `(a|b)&c` — NOT the C precedence.
+  *
+  * Evaluation against a user's Authorizations (the label set the scan
+  * carries): leaf = set membership, `!leaf` = absence, `&`/`|` =
+  * boolean. A cell with no expression (null/empty) is visible to
+  * everyone (only tagged cells are checked —
+  * VisibilityLabelFilter.filterCell). Enforcement placement matches
+  * the reference: the filter runs per-cell BEFORE the version gate, so
+  * an invisible newest version does not consume a version slot — pass
+  * [[VisibilityFunctions.vis_match]] as `Resolve.latest(cellFilter=…)`.
+  */
+object VisKernel {
+
+  sealed trait Node
+  final case class Leaf(label: String) extends Node
+  final case class Not(child: Node) extends Node
+  final case class Op(and: Boolean, children: Vector[Node]) extends Node
+
+  /** Parse per the reference's token set. Throws IllegalArgumentException
+    * on malformed input (the reference's ParseException twin). */
+  def parse(s: String): Node = {
+    var i = 0
+    val n = s.length
+    def err(msg: String) =
+      throw new IllegalArgumentException(s"visibility parse error at $i in '$s': $msg")
+    def skipWs(): Unit = while (i < n && s.charAt(i) == ' ') i += 1
+    // primary := '!' primary | '(' expr ')' | label | '"' quoted '"'
+    def primary(): Node = {
+      skipWs()
+      if (i >= n) err("unexpected end")
+      s.charAt(i) match {
+        case '!' => i += 1; Not(primary())
+        case '(' =>
+          i += 1
+          val e = expr()
+          skipWs()
+          if (i >= n || s.charAt(i) != ')') err("expected )")
+          i += 1
+          e
+        case '"' =>
+          i += 1
+          val sb = new StringBuilder
+          while (i < n && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\' && i + 1 < n &&
+                (s.charAt(i + 1) == '"' || s.charAt(i + 1) == '\\')) i += 1
+            sb.append(s.charAt(i)); i += 1
+          }
+          if (i >= n) err("unterminated quote")
+          i += 1
+          Leaf(sb.toString)
+        case c if c == '&' || c == '|' || c == ')' => err(s"unexpected '$c'")
+        case _ =>
+          val start = i
+          while (i < n && !"&|!()\" ".contains(s.charAt(i))) i += 1
+          if (i == start) err("empty label")
+          Leaf(s.substring(start, i))
+      }
+    }
+    // expr := primary (('&'|'|') primary)*  — equal precedence, a new
+    // operator WRAPS the accumulated left side (reference stack parser)
+    def expr(): Node = {
+      var acc = primary()
+      skipWs()
+      while (i < n && (s.charAt(i) == '&' || s.charAt(i) == '|')) {
+        val and = s.charAt(i) == '&'
+        i += 1
+        val rhs = primary()
+        acc = acc match {
+          case Op(a, cs) if a == and => Op(a, cs :+ rhs)
+          case other                 => Op(and, Vector(other, rhs))
+        }
+        skipWs()
+      }
+      acc
+    }
+    val root = expr()
+    skipWs()
+    if (i != n) err("trailing input")
+    root
+  }
+
+  def eval(node: Node, auths: Set[String]): Boolean = node match {
+    case Leaf(l)     => auths.contains(l)
+    case Not(c)      => !eval(c, auths)
+    case Op(true, cs)  => cs.forall(eval(_, auths))
+    case Op(false, cs) => cs.exists(eval(_, auths))
+  }
+
+  // Expressions repeat heavily across cells (a corpus has few distinct
+  // policies) — memoize parses per thread, bounded.
+  private val memo = new ThreadLocal[java.util.LinkedHashMap[String, Node]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, Node](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Node]) =
+          size() > 1024
+      }
+  }
+
+  def visible(expr: String, auths: Set[String]): Boolean = {
+    if (expr == null || expr.isEmpty) return true
+    val m = memo.get()
+    var node = m.get(expr)
+    if (node == null) { node = parse(expr); m.put(expr, node) }
+    eval(node, auths)
+  }
+}
+
+/** `vis_match(expr)` — true iff the cell's visibility expression admits
+  * the given Authorizations. Null/empty expression → visible (untagged
+  * cells are never checked). */
+final case class VisibilityMatch(child: Expression, auths: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val authSet = auths.toSet
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) true
+    else VisKernel.visible(v.asInstanceOf[UTF8String].toString, authSet)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VisibilityMatch =
+    copy(child = newChild)
+}
+
+object VisibilityFunctions {
+  /** Column form: `vis_match(col("vis"), Set("public", "finance"))`. */
+  def vis_match(expr: Column, auths: Set[String]): Column =
+    colshim.column(VisibilityMatch(colshim.expression(expr), auths.toSeq.sorted))
+}

@@ -337,6 +337,40 @@ object ScanQueries {
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // Visibility labels (security/visibility/: ExpressionParser
+      // .java:42, VisibilityLabelFilter): per-cell policies keyed on
+      // (row+ts)%5 cover the grammar — plain label, OR, AND-with-NOT,
+      // and the reference's EQUAL-precedence left-assoc shape
+      // 'public|secret&internal' = '(public|secret)&internal' (false
+      // under Authorizations {public, finance}; C precedence would
+      // say true — the oracle pins the reference parse). Enforcement
+      // placement matches VisibilityLabelFilter: per-cell BEFORE the
+      // version gate, so an invisible newest version frees its slot
+      // (policies vary per ts, making the placement observable).
+      // Boundary: markers mask regardless of visibility (the
+      // VisibilityScanDeleteTracker per-expression delete scoping is
+      // not modeled).
+      "q69_visibility",
+      (s, dir) => {
+        import graft.functions.VisibilityFunctions.vis_match
+        val m = (col("row").cast("long") + col("ts")) % 5
+        val vis = when(m === 0, "secret")
+          .when(m === 1, "public|internal")
+          .when(m === 2, "secret&finance")
+          .when(m === 3, "!secret&finance")
+          .otherwise("public|secret&internal")
+        val tagged = Fixtures.cellsEventsV(s, dir).withColumn("vis", vis)
+        ordered(Resolve.latest(tagged, maxVersions = 2,
+          cellFilter = Some(vis_match(col("vis"), Set("public", "finance")))))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events
+          |  WHERE (CAST(row AS BIGINT) + ts) % 5 IN (1, 3)
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // §2.4 TTL (ScanInfo.getTtl) + multi-version gate: cells older
       // than the TTL floor are invisible BEFORE the version gate, and
       // the newest 2 surviving versions are returned per column.

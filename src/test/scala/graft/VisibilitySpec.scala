@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VisKernel, VisibilityFunctions}
+import graft.read.Resolve
+
+/** Visibility-labels grammar and enforcement
+  * (security/visibility/ExpressionParser.java, VisibilityLabelFilter).
+  */
+class VisibilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val auths = Set("public", "finance")
+
+  test("leaf, AND, OR, NOT evaluate against the auth set") {
+    assert(VisKernel.visible("public", auths))
+    assert(!VisKernel.visible("secret", auths))
+    assert(VisKernel.visible("public&finance", auths))
+    assert(!VisKernel.visible("public&secret", auths))
+    assert(VisKernel.visible("secret|finance", auths))
+    assert(VisKernel.visible("!secret", auths))
+    assert(!VisKernel.visible("!public", auths))
+    assert(VisKernel.visible("!secret&finance", auths))
+  }
+
+  test("& and | have EQUAL precedence, left-associative (reference stack parser)") {
+    // (public|secret)&internal = false — C precedence would give true
+    assert(!VisKernel.visible("public|secret&internal", auths))
+    // (secret&internal)|public = true — same under either precedence,
+    // but pins left-assoc wrapping
+    assert(VisKernel.visible("secret&internal|public", auths))
+    // parens restore the C grouping
+    assert(VisKernel.visible("public|(secret&internal)", auths))
+  }
+
+  test("quoted labels with escapes; untagged cells are visible") {
+    assert(VisKernel.visible("\"top secret\"|public", auths))
+    assert(VisKernel.visible("\"a\\\"b\"", Set("a\"b")))
+    assert(VisKernel.visible("\"a\\\\b\"", Set("a\\b")))
+    assert(VisKernel.visible(null, Set.empty))
+    assert(VisKernel.visible("", Set.empty))
+  }
+
+  test("malformed expressions throw") {
+    for (bad <- Seq("a&", "(a", "a)", "a b", "&a", "!", "\"unterminated"))
+      assertThrows[IllegalArgumentException](VisKernel.parse(bad))
+  }
+
+  test("vis filter runs BEFORE the version gate: invisible newest frees its slot") {
+    val cells = Seq(
+      ("r1", "d", "q", 3L, "Put", "v3", "secret"),
+      ("r1", "d", "q", 2L, "Put", "v2", "public"),
+      ("r1", "d", "q", 1L, "Put", "v1", "public")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value", "vis")
+    val out = Resolve.latest(cells, maxVersions = 2,
+        cellFilter = Some(VisibilityFunctions.vis_match(col("vis"), auths)))
+      .select("ts").as[Long].collect().sorted
+    // ts=3 is invisible; the 2-version gate then admits ts=2 AND ts=1
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+}
