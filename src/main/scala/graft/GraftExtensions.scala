@@ -12,8 +12,8 @@ import graft.functions.{DotFold, MinHashSigs}
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) — the sanctioned
   * deployment path for a library of custom Catalyst surfaces, so SQL
-  * users get `dot_fold` / `ordered_encode` / `minhash_sigs` without
-  * programmatic registration.
+  * users get `dot_fold` / `ordered_encode` / `minhash_sigs` /
+  * `vis_match` without programmatic registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,6 +53,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(k >= 1 && k <= 64, s"minhash_sigs: k must be in 1..64, got $k")
         MinHashSigs(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vis_match"),
+      info("vis_match", classOf[graft.functions.VisibilityMatch]),
+      (children: Seq[Expression]) => {
+        // vis_match(expr, auth1, auth2, ...) — auths must be string
+        // literals (the Authorizations set is scan-constant in the
+        // reference); fail at plan time, not per-row
+        require(children.nonEmpty, "vis_match expects (expr, auths...)")
+        val auths = children.tail.map { c =>
+          require(c.foldable, "vis_match: auths must be string literals")
+          c.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"vis_match: auths must be strings, got $other")
+          }
+        }
+        graft.functions.VisibilityMatch(children.head, auths.sorted)
       }))
   }
 }

@@ -198,6 +198,56 @@ object Dedup {
           " ").as("dedup_text"))
   }
 
+  /** Exact duplicated-substring removal — the ExactSubstr dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022) at word-token granularity: every width-`k` token
+    * window that appears verbatim more than once in the corpus is
+    * removed from every occurrence EXCEPT the first (global
+    * (doc_id, pos) order); tokens covered by at least one removed
+    * window are cut and the survivors reassemble in order.
+    *
+    * Dataflow: the sliding-window stream is |tokens| narrow rows
+    * (doc_id, pos, md5 fingerprint); ONE shuffle groups per
+    * fingerprint to count occurrences and rank the keeper; only
+    * duplicated non-keeper occurrences (typically a tiny fraction)
+    * explode into covered positions for the anti-flag join back onto
+    * the token stream. Linear in corpus token count, no pair space —
+    * the suffix-array machinery of the paper is replaced by the
+    * fingerprint group-by, which is the shape that scales on Spark.
+    *
+    * Returns (doc_id, n_tokens, kept_tokens, dedup_text).
+    */
+  def substringDedup(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, "window width must be positive")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val sh = base
+      .select(col("doc_id"), posexplode(shingles("__toks", k)).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("pos"), md5(col("seg")).as("fp"))
+    val byFp = Window.partitionBy(col("fp"))
+    val occ = sh
+      .withColumn("n", count(lit(1)).over(byFp))
+      .withColumn("rk",
+        row_number().over(byFp.orderBy(col("doc_id"), col("pos"))))
+    val covered = occ.filter(col("n") > 1 && col("rk") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    toks
+      .join(covered.withColumn("__cut", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__cut").isNull, lit(1))).as("kept_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__cut").isNull,
+              struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("dedup_text"))
+  }
+
   /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate
     * with 32 ±1 vote columns (no per-bit explode — the vote matrix is
     * 32 scalar aggregations fused into one pass). */

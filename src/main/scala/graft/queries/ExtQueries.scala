@@ -473,6 +473,45 @@ object ExtQueries {
               |WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8 ORDER BY i, j""".stripMargin)
     ),
     QDef(
+      // ExactSubstr dedup (Lee et al. 2022), word-token windows of 20:
+      // windows repeated verbatim anywhere in the corpus are removed
+      // from all but their first (doc_id, pos) occurrence; covered
+      // tokens cut, survivors reassemble. Differs from e29 in that
+      // windows SLIDE (every duplicated span is caught regardless of
+      // alignment), the paper's headline property.
+      "e34_substring_dedup",
+      (s, dir) =>
+        Dedup.substringDedup(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"), k = 20)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+              |tok AS (
+              |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+              |    SELECT doc_id, unnest(list_transform(range(len(toks)),
+              |      i -> struct_pack(pos := i, tok := toks[CAST(i+1 AS BIGINT)]))) AS u
+              |    FROM t)),
+              |sh AS (
+              |  SELECT doc_id, u.pos AS pos, md5(u.seg) AS fp FROM (
+              |    SELECT doc_id, unnest(list_transform(range(CASE WHEN len(toks) >= 20 THEN len(toks) - 19 ELSE 0 END),
+              |      i -> struct_pack(pos := i, seg := array_to_string(toks[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')))) AS u
+              |    FROM t)),
+              |occ AS (
+              |  SELECT doc_id, pos,
+              |         COUNT(*) OVER (PARTITION BY fp) AS n,
+              |         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+              |  FROM sh),
+              |cov AS (SELECT DISTINCT doc_id, pos FROM (
+              |  SELECT doc_id, unnest(range(pos, pos + 20)) AS pos FROM occ
+              |  WHERE n > 1 AND rk > 1) c),
+              |flag AS (
+              |  SELECT tok.doc_id, tok.pos, tok.tok, cov.pos IS NOT NULL AS cut
+              |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos)
+              |SELECT doc_id, COUNT(*) AS n_tokens,
+              |       COUNT(CASE WHEN NOT cut THEN 1 END) AS kept_tokens,
+              |       COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '') AS dedup_text
+              |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
       "e08_lang_id",
       (s, dir) =>
         TextAnalysis.langId(graft.model.Tables.load(s, s"$dir/documents.parquet"))

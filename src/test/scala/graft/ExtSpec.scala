@@ -189,6 +189,27 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((2L, 1L, "p q r s")))
   }
 
+  test("substringDedup cuts UNALIGNED duplicated spans; first occurrence survives") {
+    import spark.implicits._
+    val k = 4
+    // docB embeds docA's 6-token run at a shifted offset — fixed-width
+    // segment dedup would miss it, sliding windows must not. docC is
+    // untouched unique text.
+    val run = "r1 r2 r3 r4 r5 r6"
+    val d = Seq(
+      (1L, run),
+      (2L, s"x1 x2 x3 $run y1"),
+      (3L, "u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, k = k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docA: globally-first occurrence of every duplicated window — intact
+    assert(out(1L) === ((6L, 6L, run)))
+    // docB: covered positions 3..8 cut, prefix+suffix survive
+    assert(out(2L) === ((10L, 4L, "x1 x2 x3 y1")))
+    assert(out(3L) === ((5L, 5L, "u1 u2 u3 u4 u5")))
+  }
+
   test("incrementalNearDups matches new docs against the corpus only") {
     import spark.implicits._
     // near-copy of corpus doc 1 arriving as new doc 100001, plus two

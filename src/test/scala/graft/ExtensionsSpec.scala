@@ -30,6 +30,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val sigs = s.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 4) AS m")
         .head().getSeq[Long](0)
       assert(sigs.length === 4)
+      val vis = s.sql(
+        "SELECT vis_match('public|secret&internal', 'public', 'finance') AS v")
+        .head().getBoolean(0)
+      assert(!vis) // reference precedence: (public|secret)&internal
+      assert(s.sql("SELECT vis_match('!secret&finance', 'public', 'finance') AS v")
+        .head().getBoolean(0))
+      // non-literal auths must fail at plan time
+      assertThrows[Exception](
+        s.sql("SELECT vis_match('a', CAST(rand() * 0 AS STRING)) AS v").collect())
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
