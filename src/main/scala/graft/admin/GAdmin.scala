@@ -19,11 +19,76 @@ object GAdmin {
 
   /** Table names are interpolated into SQL — restrict to identifier
     * characters (the reference enforces its own name charset,
-    * TableName.isLegalTableQualifierName). */
+    * TableName.isLegalTableQualifierName). Accepts the reference's
+    * `ns:table` form (TableName.valueOf); a bare name lives in the
+    * default namespace. `__` is the namespace separator in the catalog
+    * encoding, so it is reserved (keeps the encoding injective). */
   private def qualified(name: String) = {
-    require(name.matches("[A-Za-z0-9_]+"),
-      s"illegal table name '$name': only [A-Za-z0-9_] allowed")
-    s"graft_$name"
+    val (ns, t) = name.split(":", 2) match {
+      case Array(bare)      => (None, bare)
+      case Array(n, tab)    => (Some(n), tab)
+    }
+    require(t.matches("[A-Za-z0-9_]+") && !t.contains("__"),
+      s"illegal table name '$t': only [A-Za-z0-9_] allowed, '__' reserved")
+    ns.foreach(n => require(n.matches("[A-Za-z0-9_]+") && !n.contains("__"),
+      s"illegal namespace '$n': only [A-Za-z0-9_] allowed, '__' reserved"))
+    ns.fold(s"graft_$t")(n => s"graft_${n}__$t")
+  }
+
+  // ---- Namespaces (Admin.createNamespace / listNamespaces /
+  // deleteNamespace, NamespaceDescriptor; tables address as
+  // "ns:table"). The registry is a tiny catalog table; the default
+  // namespace always exists and holds bare-named tables. ----
+
+  private val NsReg = "graft_nsreg"
+
+  private def nsRegistry(spark: SparkSession): Seq[String] =
+    if (spark.catalog.tableExists(NsReg))
+      spark.table(NsReg).collect().map(_.getString(0)).toSeq
+    else Nil
+
+  /** Rewrite the (driver-sized) registry. A crashed prior process can
+    * leave the managed location on disk with no catalog entry, which
+    * makes CTAS refuse — clear the orphan first. */
+  private def writeNsRegistry(spark: SparkSession, ns: Seq[String]): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $NsReg")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), NsReg)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ns.toDF("ns").write.mode(SaveMode.Overwrite).saveAsTable(NsReg)
+  }
+
+  def createNamespace(spark: SparkSession, ns: String): Unit = {
+    require(ns.matches("[A-Za-z0-9_]+") && !ns.contains("__"),
+      s"illegal namespace '$ns'")
+    require(ns != "default" && !nsRegistry(spark).contains(ns),
+      s"namespace $ns already exists") // NamespaceExistException twin
+    writeNsRegistry(spark, nsRegistry(spark) :+ ns)
+  }
+
+  def listNamespaces(spark: SparkSession): Seq[String] =
+    ("default" +: nsRegistry(spark)).sorted
+
+  def listTableNamesByNamespace(spark: SparkSession, ns: String): Seq[String] = {
+    val all = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_")).filterNot(_ == NsReg)
+    if (ns == "default")
+      all.filterNot(_.stripPrefix("graft_").contains("__"))
+        .map(_.stripPrefix("graft_")).toSeq
+    else
+      all.filter(_.startsWith(s"graft_${ns}__"))
+        .map(t => s"$ns:${t.stripPrefix(s"graft_${ns}__")}").toSeq
+  }
+
+  /** Delete an EMPTY namespace — the reference rejects non-empty ones
+    * (ConstraintException). */
+  def deleteNamespace(spark: SparkSession, ns: String): Unit = {
+    require(nsRegistry(spark).contains(ns), s"no such namespace $ns")
+    require(listTableNamesByNamespace(spark, ns).isEmpty,
+      s"namespace $ns is not empty")
+    writeNsRegistry(spark, nsRegistry(spark).filterNot(_ == ns))
   }
 
   /** Create an empty cell table (bucketed region layout). Families are
@@ -35,16 +100,30 @@ object GAdmin {
     // charset guard as table names
     families.foreach(f => require(f.matches("[A-Za-z0-9_]+"),
       s"illegal family name '$f': only [A-Za-z0-9_] allowed"))
+    // a namespaced table needs its namespace created first
+    // (NamespaceNotFoundException twin)
+    name.split(":", 2) match {
+      case Array(ns, _) => require(nsRegistry(spark).contains(ns),
+        s"no such namespace $ns")
+      case _ =>
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CellSchema.schema)
-    BucketedStore.write(empty, qualified(name), s"$path/$name", buckets)
+    BucketedStore.write(empty, qualified(name),
+      s"$path/${name.replace(':', '_')}", buckets)
     spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
       s"('graft.families' = '${families.mkString(",")}', 'graft.enabled' = 'true')")
   }
 
+  /** All table names, namespaced ones in their `ns:table` form. */
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_")).map(_.stripPrefix("graft_")).toSeq
+      .map(_.name).filter(_.startsWith("graft_")).filterNot(_ == NsReg)
+      .map(_.stripPrefix("graft_"))
+      .map(t => t.split("__", 2) match {
+        case Array(ns, tab) => s"$ns:$tab"
+        case _              => t
+      }).toSeq
 
   private def prop(spark: SparkSession, name: String, key: String): Option[String] =
     spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")

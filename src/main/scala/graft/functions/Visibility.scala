@@ -123,6 +123,54 @@ object VisKernel {
     if (node == null) { node = parse(expr); m.put(expr, node) }
     eval(node, auths)
   }
+
+  /** Canonical form of a visibility expression — the string twin of
+    * the reference's tag serialization: `ExpressionExpander` rewrites
+    * the parse tree to an OR of AND-clauses (NOT pushed to leaves),
+    * `VisibilityUtils.createVisibilityExpTags` sorts the ordinals
+    * inside each clause-tag, and the delete-vs-put comparison sorts
+    * the tag LIST (`DefaultVisibilityLabelServiceImpl
+    * .sortTagsBasedOnOrdinal:604` before `compareTagsOrdinals`). So
+    * two expressions delete-match iff their sorted-DNF forms are
+    * equal — `a&b` ≡ `b&a`, `a|b` ≡ `b|a`, `!!a` ≡ `a` — and the
+    * empty/null expression canonicalizes to "" (matches only
+    * untagged cells, `matchVisibility:577-583`). Negated labels
+    * render as `!x` and sort with their ordinal sign the way negative
+    * ordinals do. */
+  def canonical(expr: String): String = {
+    if (expr == null || expr.isEmpty) return ""
+    val m = canonMemo.get()
+    var c = m.get(expr)
+    if (c == null) {
+      c = dnf(parse(expr))
+        .map(_.distinct.sorted.mkString("&"))
+        .distinct.sorted.mkString("|")
+      m.put(expr, c)
+    }
+    c
+  }
+
+  /** Sorted-DNF expansion (ExpressionExpander twin). Visibility
+    * policies are tiny (a handful of labels), so the worst-case
+    * exponential product never bites; results are memoized per
+    * distinct expression anyway. */
+  private def dnf(n: Node): Vector[Vector[String]] = n match {
+    case Leaf(l)          => Vector(Vector(l))
+    case Not(Leaf(l))     => Vector(Vector("!" + l))
+    case Not(Not(c))      => dnf(c)
+    case Not(Op(and, cs)) => dnf(Op(!and, cs.map(Not))) // De Morgan
+    case Op(false, cs)    => cs.flatMap(dnf)
+    case Op(true, cs) =>
+      cs.map(dnf).reduceLeft((a, b) => for { x <- a; y <- b } yield x ++ y)
+  }
+
+  private val canonMemo = new ThreadLocal[java.util.LinkedHashMap[String, String]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, String]) =
+          size() > 1024
+      }
+  }
 }
 
 /** `vis_match(expr)` — true iff the cell's visibility expression admits
@@ -146,8 +194,32 @@ final case class VisibilityMatch(child: Expression, auths: Seq[String])
     copy(child = newChild)
 }
 
+/** `vis_canonical(expr)` — the sorted-DNF canonical form used for
+  * delete-scope matching (see [[VisKernel.canonical]]). Null → ""
+  * (the untagged class). */
+final case class VisCanonical(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(
+      VisKernel.canonical(v.asInstanceOf[UTF8String].toString))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VisCanonical =
+    copy(child = newChild)
+}
+
 object VisibilityFunctions {
   /** Column form: `vis_match(col("vis"), Set("public", "finance"))`. */
   def vis_match(expr: Column, auths: Set[String]): Column =
     colshim.column(VisibilityMatch(colshim.expression(expr), auths.toSeq.sorted))
+
+  /** Column form of [[VisKernel.canonical]]. */
+  def vis_canonical(expr: Column): Column =
+    colshim.column(VisCanonical(colshim.expression(expr)))
 }

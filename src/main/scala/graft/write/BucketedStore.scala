@@ -1,6 +1,7 @@
 package graft.write
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The at-scale persistence of the canonical cell store: bucketed
   * parquet, hashed on the row key and sorted on the cell coordinate —
@@ -36,16 +37,50 @@ object BucketedStore {
     * at real store cardinalities the dictionary falls back to plain
     * and every file carries the filter (BucketedStoreSpec). */
   def write(cells: DataFrame, table: String, path: String, buckets: Int,
-      bloomNdv: Long = 1000000L): Unit =
-    cells.write
-      .mode(SaveMode.Overwrite)
-      .option("path", path)
-      .option("parquet.bloom.filter.enabled#row", "true")
-      .option("parquet.bloom.filter.expected.ndv#row", bloomNdv.toString)
+      bloomNdv: Long = 1000000L, bloom: String = "ROW"): Unit = {
+    val (frame, bloomOpts) = bloom match {
+      case "ROW" => (cells, Map.empty[String, String])
+      case "ROWCOL" =>
+        // BloomType.ROWCOL (StoreFileReader.passesGeneralRowColBloomFilter
+        // :311): the bloom key is row+qualifier, so a Get naming a
+        // specific column can reject a file that HAS the row but NOT
+        // that column. Stored as a derived concat column (NUL
+        // separator — absent from both key spaces) with its own
+        // parquet bloom; the ROW bloom stays too (the reference's
+        // rowBloomKey fallback probe for family markers, :405-406).
+        (cells.withColumn("__rowcol",
+          concat(col("row"), lit("\u0000"), col("qualifier"))),
+          Map("parquet.bloom.filter.enabled#__rowcol" -> "true",
+            "parquet.bloom.filter.expected.ndv#__rowcol" -> (bloomNdv * 4).toString))
+      case other =>
+        throw new IllegalArgumentException(s"unknown bloom type: $other")
+    }
+    bloomOpts.foldLeft(frame.write
+        .mode(SaveMode.Overwrite)
+        .option("path", path)
+        .option("parquet.bloom.filter.enabled#row", "true")
+        .option("parquet.bloom.filter.expected.ndv#row", bloomNdv.toString)) {
+        case (w, (k, v)) => w.option(k, v)
+      }
       .bucketBy(buckets, "row")
       .sortBy("row", "family", "qualifier")
       .format("parquet")
       .saveAsTable(table)
+  }
 
-  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  /** Point-column probe predicate for a ROWCOL store: pushes to the
+    * `__rowcol` bloom so a file holding the row but lacking the
+    * column is skipped before its data pages are read. */
+  def rowColPred(row: String, qualifier: String): Column =
+    col("__rowcol") === s"$row\u0000$qualifier"
+
+  /** Read back the canonical cell view (derived bloom-key columns
+    * dropped). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).drop("__rowcol")
+
+  /** Raw table read including derived bloom-key columns (for probes
+    * via [[rowColPred]]). */
+  def readRaw(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -79,4 +79,34 @@ class AdminSpec extends SparkSpec {
 
     GAdmin.deleteTable(spark, "t3")
   }
+
+  test("namespaces: create, address as ns:table, list, guarded delete") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_ns").toString
+    // namespaced create requires the namespace to exist
+    intercept[IllegalArgumentException](
+      GAdmin.createTable(spark, "prod:tx", tmp))
+    GAdmin.createNamespace(spark, "prod")
+    assert(GAdmin.listNamespaces(spark).contains("prod"))
+    intercept[IllegalArgumentException](GAdmin.createNamespace(spark, "prod"))
+
+    GAdmin.createTable(spark, "prod:tx", tmp)
+    GAdmin.createTable(spark, "txplain", tmp)
+    assert(GAdmin.listTableNamesByNamespace(spark, "prod") === Seq("prod:tx"))
+    assert(GAdmin.listTableNamesByNamespace(spark, "default").contains("txplain"))
+    assert(GAdmin.listTables(spark).contains("prod:tx"))
+    // the full admin surface addresses through ns:table
+    assert(GAdmin.tableExists(spark, "prod:tx"))
+    assert(GAdmin.table(spark, "prod:tx").count() === 0)
+
+    // delete of a non-empty namespace is rejected (ConstraintException)
+    intercept[IllegalArgumentException](GAdmin.deleteNamespace(spark, "prod"))
+    GAdmin.deleteTable(spark, "prod:tx")
+    GAdmin.deleteNamespace(spark, "prod")
+    assert(!GAdmin.listNamespaces(spark).contains("prod"))
+
+    // '__' is the encoding separator — reserved in bare names
+    intercept[IllegalArgumentException](
+      GAdmin.createTable(spark, "a__b", tmp))
+    GAdmin.deleteTable(spark, "txplain")
+  }
 }

@@ -71,4 +71,47 @@ class BucketedStoreSpec extends SparkSpec {
       } finally reader.close()
     }
   }
+
+  test("ROWCOL stores carry the row+qualifier bloom and answer point-column gets") {
+    val tmp = java.nio.file.Files.createTempDirectory("bstore_rc").toString
+    // many distinct (row, qualifier) pairs per file so the bloom
+    // materializes (same dictionary-fallback condition as above)
+    val wide = spark.range(100000).selectExpr(
+      "lpad(cast(id as string), 16, '0') as row", "'d' as family",
+      "concat('q', cast(id % 7 as string)) as qualifier", "1L as ts",
+      "'Put' as type", "cast(id as string) as value")
+    BucketedStore.write(wide, "bs_rc", s"$tmp/rc", buckets = 2,
+      bloomNdv = 100000L, bloom = "ROWCOL")
+    // canonical read hides the derived key; raw read probes through it
+    assert(!BucketedStore.read(spark, "bs_rc").columns.contains("__rowcol"))
+    val probe = BucketedStore.readRaw(spark, "bs_rc")
+      .filter(BucketedStore.rowColPred("0000000000000042", "q0"))
+    assert(probe.count() === 1)
+    assert(BucketedStore.readRaw(spark, "bs_rc")
+      .filter(BucketedStore.rowColPred("0000000000000042", "q1")).count() === 0)
+    // the probe predicate reaches the parquet scan (bloom-eligible)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("__rowcol"),
+      s"rowcol probe must push down:\n$plan")
+    val files = new java.io.File(s"$tmp/rc").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val rcCols = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "__rowcol")
+        assert(rcCols.nonEmpty)
+        rcCols.foreach { c =>
+          assert(c.getBloomFilterOffset >= 0,
+            s"${f.getName}: __rowcol column has no bloom filter")
+        }
+      } finally reader.close()
+    }
+  }
 }
