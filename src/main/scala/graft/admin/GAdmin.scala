@@ -42,22 +42,40 @@ object GAdmin {
 
   private val NsReg = "graft_nsreg"
 
+  private val NsRegTmp = NsReg + "_swap"
+
+  /** Registry reads fall back to the swap table: a crash between the
+    * old registry's drop and the swap's rename loses nothing, because
+    * the new contents were durable in the swap table first. */
   private def nsRegistry(spark: SparkSession): Seq[String] =
     if (spark.catalog.tableExists(NsReg))
       spark.table(NsReg).collect().map(_.getString(0)).toSeq
+    else if (spark.catalog.tableExists(NsRegTmp))
+      spark.table(NsRegTmp).collect().map(_.getString(0)).toSeq
     else Nil
 
-  /** Rewrite the (driver-sized) registry. A crashed prior process can
-    * leave the managed location on disk with no catalog entry, which
-    * makes CTAS refuse — clear the orphan first. */
+  /** A crashed prior process can leave a managed location on disk with
+    * no catalog entry, which makes CTAS refuse — clear the orphan. */
+  private def clearOrphan(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
+  /** Rewrite the (driver-sized) registry crash-safely: write the new
+    * contents to a swap table FIRST, then drop the old registry and
+    * rename the swap into place. At no point is the only copy of the
+    * registry a half-written table. */
   private def writeNsRegistry(spark: SparkSession, ns: Seq[String]): Unit = {
     import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $NsRegTmp")
+    clearOrphan(spark, NsRegTmp)
+    ns.toDF("ns").write.mode(SaveMode.Overwrite).saveAsTable(NsRegTmp)
     spark.sql(s"DROP TABLE IF EXISTS $NsReg")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), NsReg)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    ns.toDF("ns").write.mode(SaveMode.Overwrite).saveAsTable(NsReg)
+    clearOrphan(spark, NsReg)
+    spark.sql(s"ALTER TABLE $NsRegTmp RENAME TO $NsReg")
   }
 
   def createNamespace(spark: SparkSession, ns: String): Unit = {
@@ -109,8 +127,11 @@ object GAdmin {
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CellSchema.schema)
+    // data directory uses the same injective encoding as the catalog
+    // name — 'ns:t' and a bare 'ns_t' must never share a path (the
+    // second create would silently truncate the first's files)
     BucketedStore.write(empty, qualified(name),
-      s"$path/${name.replace(':', '_')}", buckets)
+      s"$path/${qualified(name)}", buckets)
     spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
       s"('graft.families' = '${families.mkString(",")}', 'graft.enabled' = 'true')")
   }
@@ -167,7 +188,7 @@ object GAdmin {
   def cloneSnapshot(spark: SparkSession, snapPath: String, newName: String,
       path: String, buckets: Int = 16): Unit =
     BucketedStore.write(spark.read.schema(CellSchema.schema).parquet(snapPath),
-      qualified(newName), s"$path/$newName", buckets)
+      qualified(newName), s"$path/${qualified(newName)}", buckets)
 
   def deleteTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")

@@ -33,17 +33,40 @@ object DedupIndex {
 
   /** Build (or replace) the signature index for an accepted corpus.
     * `k`/`bands` must match every later [[query]]/[[append]] — they
-    * define the signature layout (stored per row as a guard column). */
+    * define the signature layout (both stored per row as guard
+    * columns and validated on every read/append). */
   def build(docs: DataFrame, table: String, path: String,
       k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit =
-    writeRows(Dedup.bandRows(docs, k, bands).withColumn("k", lit(k)),
+    writeRows(Dedup.bandRows(docs, k, bands)
+        .withColumn("k", lit(k)).withColumn("bands", lit(bands)),
       table, path, buckets, SaveMode.Overwrite)
 
-  /** Append a newly-accepted batch to the index (same layout). */
+  /** Append a newly-accepted batch to the index (same layout —
+    * validated against the stored guard columns first). */
   def append(docs: DataFrame, table: String, path: String,
-      k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit =
-    writeRows(Dedup.bandRows(docs, k, bands).withColumn("k", lit(k)),
+      k: Int = 16, bands: Int = 4, buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    if (spark.catalog.tableExists(table))
+      checkLayout(spark.table(table), table, k, bands)
+    writeRows(Dedup.bandRows(docs, k, bands)
+        .withColumn("k", lit(k)).withColumn("bands", lit(bands)),
       table, path, buckets, SaveMode.Append)
+  }
+
+  /** Layout guard: a mismatched k or bands would silently change the
+    * band-signature width and yield wrong/zero-recall joins, so fail
+    * loudly. One-row metadata probe (every row stores the build
+    * layout), not a per-row runtime check. */
+  private def checkLayout(idx: DataFrame, table: String,
+      k: Int, bands: Int): Unit = {
+    require(idx.columns.contains("k") && idx.columns.contains("bands"),
+      s"$table is not a DedupIndex table (no layout guard columns)")
+    idx.select("k", "bands").limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == k && r.getInt(1) == bands,
+        s"DedupIndex $table was built with k=${r.getInt(0)}, " +
+          s"bands=${r.getInt(1)}; used with k=$k, bands=$bands")
+    }
+  }
 
   private def writeRows(rows: DataFrame, table: String, path: String,
       buckets: Int, mode: SaveMode): Unit =
@@ -65,15 +88,7 @@ object DedupIndex {
       k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
       broadcastBatch: Boolean = true): DataFrame = {
     val idx = spark.table(table)
-    require(idx.columns.contains("k"),
-      s"$table is not a DedupIndex table (no layout guard column)")
-    // layout guard: a mismatched k would silently yield zero-recall
-    // joins, so fail loudly. One-row metadata probe (every row stores
-    // the build k), not a per-row runtime check.
-    idx.select("k").limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == k,
-        s"DedupIndex $table was built with k=${r.getInt(0)}, queried with k=$k")
-    }
+    checkLayout(idx, table, k, bands)
     val nw0 = Dedup.bandRows(newDocs, k, bands)
       .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val nw = if (broadcastBatch) broadcast(nw0) else nw0
@@ -103,8 +118,7 @@ object DedupIndex {
   def streamQuery(spark: SparkSession, table: String, docsStream: DataFrame,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val idx = spark.table(table)
-    require(idx.columns.contains("k"),
-      s"$table is not a DedupIndex table (no layout guard column)")
+    checkLayout(idx, table, k, bands)
     val nw = Dedup.bandRows(docsStream, k, bands)
       .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val cp = idx

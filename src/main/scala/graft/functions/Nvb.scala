@@ -197,7 +197,12 @@ object NvbKernel {
           // duplicate (ts, type) of the previously scanned put: masked,
           // and bounds segment counting (tracker prepare() :173-178)
           val dupMvcc = if (havePut && lastPutTs == c.ts) lastPutSeq else Long.MaxValue
-          havePut = true; lastPutTs = c.ts; lastPutSeq = c.seq
+          // a duplicate leaves the tracker untouched (prepare() returns
+          // early, :173-178) — with 3+ same-ts puts every later one
+          // bounds its counting segment by the FIRST-scanned put's mvcc
+          if (dupMvcc == Long.MaxValue) {
+            havePut = true; lastPutTs = c.ts; lastPutSeq = c.seq
+          }
           // tracker isDeleted() :233-268
           var verdict = 0 // 0 not-deleted, 1 version-masked, 2 version-deleted, 3 column-deleted
           val tail = colMap.tailMap(c.seq).entrySet().iterator()

@@ -123,15 +123,15 @@ object ReplayQueries {
           count(when(col("value").startsWith(MobStore.RefPrefix), 1))
             .as("mob_cells"),
           max(when(!col("value").startsWith(MobStore.RefPrefix),
-            length(col("value")).cast("long"))).as("max_inline_len"))
+            octet_length(col("value")).cast("long"))).as("max_inline_len"))
           .crossJoin(mob.agg(count(lit(1)).as("mob_refs")))
           .withColumn("mismatches", lit(mismatches))
       },
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT COUNT(*) AS n_cells,
-          |       COUNT(CASE WHEN length(value) >= 10 THEN 1 END) AS mob_cells,
-          |       MAX(CASE WHEN length(value) < 10 THEN length(value) END) AS max_inline_len,
-          |       COUNT(DISTINCT CASE WHEN length(value) >= 10 THEN value END) AS mob_refs,
+          |       COUNT(CASE WHEN octet_length(encode(value)) >= 10 THEN 1 END) AS mob_cells,
+          |       MAX(CASE WHEN octet_length(encode(value)) < 10 THEN octet_length(encode(value)) END) AS max_inline_len,
+          |       COUNT(DISTINCT CASE WHEN octet_length(encode(value)) >= 10 THEN value END) AS mob_refs,
           |       CAST(0 AS BIGINT) AS mismatches
           |FROM cells_orders""".stripMargin))
     ),

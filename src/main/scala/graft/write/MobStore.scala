@@ -31,9 +31,22 @@ object MobStore {
 
   val RefPrefix = "mobref:"
 
+  /** Escape prefix for INLINE values that would otherwise read as ref
+    * cells: an under-threshold value beginning with `mobref:` (or with
+    * this prefix itself) is stored as `mobesc:<value>` and unescaped on
+    * read, so blob stitching never misfires on look-alike payloads. */
+  val EscPrefix = "mobesc:"
+
+  // MOB_THRESHOLD is a BYTE length in the reference
+  // (ColumnFamilyDescriptorBuilder MOB_THRESHOLD, bytes of the cell
+  // value) — octet_length, not character count, or multi-byte values
+  // under-count
   private def isMob(threshold: Int) =
     col("type") === CellType.Put && col("value").isNotNull &&
-      length(col("value")) >= threshold
+      octet_length(col("value")) >= threshold
+
+  private def needsEscape =
+    col("value").startsWith(RefPrefix) || col("value").startsWith(EscPrefix)
 
   /** Split a canonical cell frame at `threshold`: returns (main, mob)
     * where `main` replaces each big Put value with its content ref and
@@ -44,13 +57,15 @@ object MobStore {
       .distinct()
     val main = cells.withColumn("value",
       when(isMob(threshold), concat(lit(RefPrefix), md5(col("value"))))
+        .when(needsEscape, concat(lit(EscPrefix), col("value")))
         .otherwise(col("value")))
     (main, mob)
   }
 
-  /** Transparent read: stitch MOB refs back to their blobs. Cells
-    * without a ref pass through untouched (null join key — never
-    * matches, no blob shuffle for them). */
+  /** Transparent read: stitch MOB refs back to their blobs, and strip
+    * one escape prefix from escaped inline values. Cells without a ref
+    * pass through untouched (null join key — never matches, no blob
+    * shuffle for them). */
   def read(main: DataFrame, mob: DataFrame): DataFrame = {
     val withRef = main.withColumn("__ref",
       when(col("value").startsWith(RefPrefix),
@@ -58,7 +73,12 @@ object MobStore {
     withRef
       .join(mob.withColumnRenamed("value", "__blob"),
         withRef("__ref") === mob("ref"), "left")
-      .withColumn("value", coalesce(col("__blob"), col("value")))
+      .withColumn("value",
+        when(col("__blob").isNotNull, col("__blob"))
+          // unescape only INLINE values (a stitched blob is verbatim)
+          .when(col("value").startsWith(EscPrefix),
+            substring(col("value"), EscPrefix.length + 1, Int.MaxValue))
+          .otherwise(col("value")))
       .drop("__ref", "ref", "__blob")
   }
 }

@@ -109,4 +109,20 @@ class AdminSpec extends SparkSpec {
       GAdmin.createTable(spark, "a__b", tmp))
     GAdmin.deleteTable(spark, "txplain")
   }
+
+  test("'ns:t' and bare 'ns_t' never share a data directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_coll").toString
+    GAdmin.createNamespace(spark, "acc")
+    GAdmin.createTable(spark, "acc:t", tmp, buckets = 2)
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(100)
+    GAdmin.put(spark, "acc:t", cells)
+    // the colliding bare name creates a DISTINCT empty table; the
+    // namespaced table's files must survive the second create
+    GAdmin.createTable(spark, "acc_t", tmp, buckets = 2)
+    assert(GAdmin.table(spark, "acc_t").count() === 0)
+    assert(GAdmin.table(spark, "acc:t").count() === 100)
+    GAdmin.deleteTable(spark, "acc:t")
+    GAdmin.deleteTable(spark, "acc_t")
+    GAdmin.deleteNamespace(spark, "acc")
+  }
 }

@@ -35,6 +35,32 @@ class MobBulkSpec extends SparkSpec {
     assert(cellSet(MobStore.read(main, mob)) === cellSet(cells))
   }
 
+  test("MOB threshold counts bytes, and look-alike inline values round-trip") {
+    import graft.model.CellType
+    val cells = Seq(
+      // 5 chars but 10 UTF-8 bytes — BYTE threshold must move it
+      ("r1", "d", "q", 1L, CellType.Put, "ééééé", 1L),
+      // 5 ASCII bytes — stays inline
+      ("r2", "d", "q", 1L, CellType.Put, "short", 2L),
+      // inline (8 bytes) value that LOOKS like a ref cell — must
+      // escape + round-trip, never stitch
+      ("r3", "d", "q", 1L, CellType.Put, "mobref:x", 3L),
+      // inline value that looks like an ESCAPED cell — double-escapes
+      ("r4", "d", "q", 1L, CellType.Put, "mobesc:y", 4L))
+      .toDF("row", "family", "qualifier", "ts", "type", "value", "seq")
+    val (main, mob) = MobStore.split(cells, threshold = 10)
+    // the multi-byte value moved to the blob side despite 5 "chars"
+    assert(main.filter(col("row") === "r1" &&
+      col("value").startsWith(MobStore.RefPrefix)).count() === 1)
+    assert(mob.count() === 1) // only r1's blob — look-alikes stayed inline
+    // the look-alikes are escaped in the store, not left ambiguous
+    assert(main.filter(col("row") === "r3").head().getAs[String]("value")
+      === "mobesc:mobref:x")
+    assert(main.filter(col("row") === "r4").head().getAs[String]("value")
+      === "mobesc:mobesc:y")
+    assert(cellSet(MobStore.read(main, mob)) === cellSet(cells))
+  }
+
   test("MOB roundtrip preserves tombstone markers untouched") {
     val (main, mob) = MobStore.split(store, threshold = 4)
     val markers = store.filter(col("type") =!= CellType.Put)

@@ -67,6 +67,24 @@ class NvbSpec extends SparkSpec {
       Set(("r", "f", "q", 5L, "b"), ("r", "f", "q", 4L, "c")))
   }
 
+  test("3+ duplicate-ts puts all bound against the FIRST-scanned put's mvcc") {
+    // tracker prepare() :173-178 returns EARLY on a duplicate without
+    // updating lastCqMvcc — so the 2nd AND 3rd puts at the same ts both
+    // cap their counting segment at the newest put's mvcc, and only the
+    // newest survives while consuming one slot
+    val df = cellsOf(
+      ("r", "f", "q", 5L, "Put", "a", 1L),
+      ("r", "f", "q", 5L, "Put", "b", 2L),
+      ("r", "f", "q", 5L, "Put", "c", 3L),
+      ("r", "f", "q", 4L, "Put", "older", 0L))
+    assert(visible(df, maxVersions = 2) ===
+      Set(("r", "f", "q", 5L, "c"), ("r", "f", "q", 4L, "older")))
+    // with a version delete BETWEEN duplicates: the delete (ts 5, seq 4)
+    // masks all three ts-5 puts; the older put is still within versions
+    val df2 = df.unionByName(cellsOf(("r", "f", "q", 5L, "Delete", null, 4L)))
+    assert(visible(df2, maxVersions = 2) === Set(("r", "f", "q", 4L, "older")))
+  }
+
   test("family markers track per family and stay mvcc-sensitive") {
     val df = cellsOf(
       ("r", "f", "q1", 5L, "Put", "gone", 1L),
