@@ -53,15 +53,34 @@ object Bench {
     } catch { case _: Throwable => () }
     val loadS = (System.nanoTime() - l0) / 1e9
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // iteration aids (default off): SPARK_GRAFT_BENCH_ONLY=q1,q2 times
+    // a subset; SPARK_GRAFT_BENCH_REPS=n emits one JSON line per pass
+    // (within-JVM repeats separate run-to-run noise from plan drift)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val bench = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+
+    for (_ <- 1 to reps) {
+      // a failing query must be VISIBLE in the bench record (it would
+      // otherwise read as a fast time): timing stays numeric for the
+      // driver, the exception class lands in a parallel "errors" map
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val results = bench.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => errors(name) = e.getClass.getSimpleName
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","load_sec":$loadS,"n_errors":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load_sec":$loadS,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -366,10 +366,12 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // Truncate lineage every few rounds: without it the plan tree
       // doubles per iteration and driver-side planning dominates long
-      // convergence runs at scale. localCheckpoint materializes the
-      // current labels and drops the upstream lineage.
+      // convergence runs at scale. The checkpoint is LAZY so the
+      // convergence probe below materializes it — exactly ONE blocking
+      // driver action per round, not two (per-round job launches are
+      // the fixed cost that dominates small-data convergence).
       val next =
-        if (iter % 3 == 2) step.localCheckpoint()
+        if (iter % 3 == 2) step.localCheckpoint(eager = false)
         else step.persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       changed = if (nextSum < prevSum) 1L else 0L

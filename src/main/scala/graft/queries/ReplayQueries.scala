@@ -81,15 +81,23 @@ object ReplayQueries {
     ),
     QDef(
       // Admin.majorCompact as a store rewrite: compact under the FAMILY
-      // descriptor (maxVersions=3, TTL floor 2), then serve a normal
-      // narrower read (latest-1) THROUGH the compacted store — the
+      // descriptor (maxVersions=3, TTL floor 2), LAND the rewrite via
+      // BucketedStore.write — the deployment shape (dev/PLANS.md q62):
+      // the durable boundary stops the reader from re-deriving the
+      // compaction subplan per tombstone-mask source — then serve a
+      // normal narrower read (latest-1) over the WRITTEN store. The
       // compaction invariant is that this equals the same read over the
       // uncompacted original, which is exactly what the oracle computes.
       "q62_major_compact",
       (s, dir) => {
+        import graft.write.BucketedStore
         val compacted = Jobs.majorCompact(Fixtures.cellsEventsV(s, dir),
           maxVersions = 3, ttlCutoff = Some(2L))
-        graft.read.GTable.scan(compacted, graft.read.GScan())
+        val tmp = java.nio.file.Files.createTempDirectory("compact_q").toString
+        BucketedStore.write(compacted, "q62_compacted_tbl", s"$tmp/store",
+          buckets = 8)
+        graft.read.GTable.scan(BucketedStore.read(s, "q62_compacted_tbl"),
+            graft.read.GScan())
           .select("row", "family", "qualifier", "ts", "value")
       },
       Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
