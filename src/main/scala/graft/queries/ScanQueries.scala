@@ -347,9 +347,9 @@ object ScanQueries {
       // placement matches VisibilityLabelFilter: per-cell BEFORE the
       // version gate, so an invisible newest version frees its slot
       // (policies vary per ts, making the placement observable).
-      // Boundary: markers mask regardless of visibility (the
-      // VisibilityScanDeleteTracker per-expression delete scoping is
-      // not modeled).
+      // Masking here is label-blind (the default ScanDeleteTracker);
+      // per-expression delete scoping is q70 (Resolve.latest
+      // visScope — the VisibilityScanDeleteTracker port).
       "q69_visibility",
       (s, dir) => {
         import graft.functions.VisibilityFunctions.vis_match
@@ -368,6 +368,57 @@ object ScanQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_events
           |  WHERE (CAST(row AS BIGINT) + ts) % 5 IN (1, 3)
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // Visibility-SCOPED delete tracking (VisibilityScanDeleteTracker
+      // .java:43,181): on a labeled store a delete marker masks only
+      // puts whose visibility expression delete-matches its own —
+      // exact equality of sorted-tag canonical forms
+      // (DefaultVisibilityLabelServiceImpl.matchVisibility:560-604),
+      // the empty expression matching only untagged cells. Put
+      // policies vary by (row+ts)%3 {a&b, secret, untagged}; marker
+      // policies by row%3 {b&a, public, untagged}. So on row%3==0 the
+      // marker ('b&a') masks exactly the puts labeled 'a&b' (canonical
+      // equivalence — commuted AND still delete-matches); on row%3==1
+      // the marker ('public') masks NOTHING (no put carries it —
+      // label-blind masking would wrongly hide 'secret'/untagged
+      // puts); on row%3==2 the untagged marker masks exactly the
+      // untagged puts.
+      "q70_vis_scoped_delete",
+      (s, dir) => {
+        val pm = (col("row").cast("long") + col("ts")) % 3
+        val dm = col("row").cast("long") % 3
+        val vis = when(col("type") === graft.model.CellType.Put,
+            when(pm === 0, "a&b").when(pm === 1, "secret"))
+          .otherwise(when(dm === 0, "b&a").when(dm === 1, "public"))
+        val tagged = Fixtures.cellsEventsV(s, dir).withColumn("vis", vis)
+        ordered(Resolve.latest(tagged, maxVersions = 2, visScope = Some("vis")))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__q70v AS (
+          |  SELECT *, CASE WHEN type = 'Put'
+          |    THEN CASE (CAST(row AS BIGINT) + ts) % 3 WHEN 0 THEN 'a&b' WHEN 1 THEN 'secret' ELSE '' END
+          |    ELSE CASE CAST(row AS BIGINT) % 3 WHEN 0 THEN 'a&b' WHEN 1 THEN 'public' ELSE '' END
+          |  END AS vc FROM cells_events_v
+          |),
+          |__q70_puts AS (SELECT * FROM __q70v WHERE type = 'Put'),
+          |__q70_dfam AS (SELECT row, family, vc, max(ts) AS mts FROM __q70v WHERE type = 'DeleteFamily' GROUP BY 1, 2, 3),
+          |__q70_dcol AS (SELECT row, family, qualifier, vc, max(ts) AS mts FROM __q70v WHERE type = 'DeleteColumn' GROUP BY 1, 2, 3, 4),
+          |__q70_dver AS (SELECT DISTINCT row, family, qualifier, ts, vc FROM __q70v WHERE type = 'Delete'),
+          |live_q70 AS (
+          |  SELECT p.row, p.family, p.qualifier, p.ts, p.value FROM __q70_puts p
+          |  LEFT JOIN __q70_dfam f ON p.row = f.row AND p.family = f.family AND p.vc = f.vc
+          |  LEFT JOIN __q70_dcol c ON p.row = c.row AND p.family = c.family AND p.qualifier = c.qualifier AND p.vc = c.vc
+          |  WHERE (f.mts IS NULL OR p.ts > f.mts)
+          |    AND (c.mts IS NULL OR p.ts > c.mts)
+          |    AND NOT EXISTS (SELECT 1 FROM __q70_dver v WHERE v.row = p.row
+          |      AND v.family = p.family AND v.qualifier = p.qualifier
+          |      AND v.ts = p.ts AND v.vc = p.vc)
+          |)""".stripMargin)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_q70
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(

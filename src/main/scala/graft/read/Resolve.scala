@@ -75,14 +75,15 @@ object Resolve {
       cfTimeRanges: Map[String, TimeRange] = Map.empty,
       minVersions: Int = 0,
       keepDeleted: Boolean = false,
-      premasked: Boolean = false
+      premasked: Boolean = false,
+      visScope: Option[String] = None
   ): DataFrame = {
     // premasked: the caller already ran maskedView (e.g. scanFiltered,
     // which must mask BEFORE its filter tree) — skip the redundant
     // 4-leg mask subplan over an already marker-free frame
     val masked =
       if (premasked) cells
-      else maskedView(cells, timeRange, cfTimeRanges, keepDeleted)
+      else maskedView(cells, timeRange, cfTimeRanges, keepDeleted, visScope)
     val ranged = (preGatePreds(timeRange, cfTimeRanges, ttlCutoff, minVersions)
       // filterCell runs BEFORE version counting in the matcher
       // (UserScanQueryMatcher.java:195) — rejected cells must not
@@ -184,14 +185,16 @@ object Resolve {
     * range max (override) or the scan-global max; families with no
     * range at all keep full masking. */
   def maskedView(cells: DataFrame, timeRange: Option[TimeRange],
-      cfTimeRanges: Map[String, TimeRange], keepDeleted: Boolean): DataFrame =
+      cfTimeRanges: Map[String, TimeRange], keepDeleted: Boolean,
+      visScope: Option[String] = None): DataFrame =
     if (keepDeleted && (timeRange.isDefined || cfTimeRanges.nonEmpty)) {
       val base = timeRange.map(tr => lit(tr.max)).getOrElse(lit(Long.MaxValue))
       val ceil = cfTimeRanges.foldLeft(base) {
         case (acc, (f, tr)) => when(col("family") === f, lit(tr.max)).otherwise(acc)
       }
-      maskTombstones(cells, tombVisible = Some(col("ts") < ceil))
-    } else maskTombstones(cells)
+      maskTombstones(cells, tombVisible = Some(col("ts") < ceil),
+        visScope = visScope)
+    } else maskTombstones(cells, visScope = visScope)
 
   /** Apply the 4 tombstone kinds to the Put cells; returns live puts.
     * `raw` scans (Scan.setRaw, Scan.java:848) skip this entirely.
@@ -200,37 +203,55 @@ object Resolve {
     *        predicate on the tombstone cells: only markers satisfying
     *        it mask (a marker at/after the as-of point has not
     *        happened yet). A `Column` so per-family ceilings compose.
+    * @param visScope visibility-scoped delete tracking
+    *        (VisibilityScanDeleteTracker.java:43,181 on labeled
+    *        stores): the named column carries each cell's visibility
+    *        expression, and a delete marker masks ONLY puts whose
+    *        expression delete-matches its own — exact equality of the
+    *        sorted-DNF canonical forms ([[graft.functions.VisKernel
+    *        .canonical]]; DefaultVisibilityLabelServiceImpl
+    *        .matchVisibility:560-604 compares sorted tag lists), with
+    *        the null/empty expression matching only untagged cells
+    *        (EMPTY_TAG markers, tracker :49-50). Realized as one extra
+    *        derived join key on every mask leg, so the masks stay
+    *        broadcastable aggregates — per-(expression) tracking like
+    *        the tracker's per-type tag lists, with no extra exchange.
     */
   def maskTombstones(cells: DataFrame,
-      tombVisible: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val puts = cells.filter(col("type") === CellType.Put)
-    val tombSrc = tombVisible.fold(cells)(cells.filter)
+      tombVisible: Option[org.apache.spark.sql.Column] = None,
+      visScope: Option[String] = None): DataFrame = {
+    val src = visScope.fold(cells)(v => cells.withColumn("__vc",
+      graft.functions.VisibilityFunctions.vis_canonical(col(v))))
+    val vc = if (visScope.isDefined) Seq("__vc") else Nil
+    val puts = src.filter(col("type") === CellType.Put)
+    val tombSrc = tombVisible.fold(src)(src.filter)
 
     val dFam = tombSrc
       .filter(col("type") === CellType.DeleteFamily)
-      .groupBy("row", "family")
+      .groupBy((Seq("row", "family") ++ vc).map(col): _*)
       .agg(max("ts").as("__dfam_ts"))
     val dCol = tombSrc
       .filter(col("type") === CellType.DeleteColumn)
-      .groupBy("row", "family", "qualifier")
+      .groupBy((Seq("row", "family", "qualifier") ++ vc).map(col): _*)
       .agg(max("ts").as("__dcol_ts"))
     val dVer = tombSrc
       .filter(col("type") === CellType.Delete)
-      .select("row", "family", "qualifier", "ts")
+      .select((Seq("row", "family", "qualifier", "ts") ++ vc).map(col): _*)
       .distinct()
     val dFamVer = tombSrc
       .filter(col("type") === CellType.DeleteFamilyVersion)
-      .select("row", "family", "ts")
+      .select((Seq("row", "family", "ts") ++ vc).map(col): _*)
       .distinct()
 
     puts
-      .join(dVer, Seq("row", "family", "qualifier", "ts"), "left_anti")
-      .join(dFamVer, Seq("row", "family", "ts"), "left_anti")
-      .join(dCol, Seq("row", "family", "qualifier"), "left")
+      .join(dVer, Seq("row", "family", "qualifier", "ts") ++ vc, "left_anti")
+      .join(dFamVer, Seq("row", "family", "ts") ++ vc, "left_anti")
+      .join(dCol, Seq("row", "family", "qualifier") ++ vc, "left")
       .filter(col("__dcol_ts").isNull || col("ts") > col("__dcol_ts"))
       .drop("__dcol_ts")
-      .join(dFam, Seq("row", "family"), "left")
+      .join(dFam, Seq("row", "family") ++ vc, "left")
       .filter(col("__dfam_ts").isNull || col("ts") > col("__dfam_ts"))
       .drop("__dfam_ts")
+      .drop(vc: _*)
   }
 }

@@ -47,6 +47,34 @@ class VisibilitySpec extends SparkSpec {
       assertThrows[IllegalArgumentException](VisKernel.parse(bad))
   }
 
+  test("vis-scoped deletes mask only expression-matching puts (VisibilityScanDeleteTracker)") {
+    // tracker isDeleted (VisibilityScanDeleteTracker.java:181): a
+    // labeled DeleteColumn masks a put iff the expressions delete-match
+    // (sorted-tag equality); empty matches only untagged
+    val cells = Seq(
+      ("r1", "d", "q", 1L, "Put", "vA", "a&b"),      // masked: 'b&a' marker delete-matches commuted AND
+      ("r1", "d", "q", 2L, "Put", "vS", "secret"),   // survives: no 'secret' marker
+      ("r1", "d", "q", 3L, "Put", "vU", null),       // masked by the UNTAGGED marker (ts 4 >= 3)
+      ("r1", "d", "q", 4L, "DeleteColumn", null, "b&a"),
+      ("r1", "d", "q", 4L, "DeleteColumn", null, null),
+      ("r2", "d", "q", 1L, "Put", "vP", "public"),   // label-blind would mask; scoped must NOT
+      ("r2", "d", "q", 2L, "DeleteColumn", null, "secret")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value", "vis")
+    val out = Resolve.latest(cells, maxVersions = 5, visScope = Some("vis"))
+      .select("row", "ts").as[(String, Long)].collect().toSet
+    assert(out === Set(("r1", 2L), ("r2", 1L)))
+    // the same store WITHOUT scoping masks label-blind (default tracker)
+    val blind = Resolve.latest(cells, maxVersions = 5)
+      .select("row", "ts").as[(String, Long)].collect().toSet
+    assert(blind === Set.empty)
+    // exact-version Delete scoping: ts AND expression must both match
+    val v = Seq(
+      ("r3", "d", "q", 5L, "Put", "x", "k"),
+      ("r3", "d", "q", 5L, "Delete", null, "other")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value", "vis")
+    assert(Resolve.latest(v, maxVersions = 1, visScope = Some("vis")).count() === 1)
+  }
+
   test("vis filter runs BEFORE the version gate: invisible newest frees its slot") {
     val cells = Seq(
       ("r1", "d", "q", 3L, "Put", "v3", "secret"),
