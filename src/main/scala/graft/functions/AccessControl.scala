@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.{shim => colshim}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cell-level ACLs — the per-cell half of the reference's
+  * AccessController security model (hbase-server security/access/:
+  * AccessController.java:176, AccessControlFilter.java:131
+  * CHECK_CELL_DEFAULT, AuthManager.authorizeCell:437,
+  * PermissionStorage.getCellPermissionsForUser; actions
+  * Permission.java R/W/X/C/A).
+  *
+  * Model: the reference attaches a serialized user→permissions map to
+  * a cell as an ACL tag (Mutation.setACL → ACL_TAG_TYPE); graft's
+  * analogue is a reserved string column of comma-separated
+  * `principal:actions` grants — `"alice:RW,bob:R,@eng:R"` — where a
+  * `@`-prefixed principal is a group, exactly the reference's
+  * group-name convention (AuthUtil.isGroupPrincipal).
+  *
+  * Evaluation matches CHECK_CELL_DEFAULT: a cell is readable iff the
+  * user holds a table/CF-scope grant (decided upstream of the scan —
+  * pass it as `tableGrant`) OR the cell's own ACL implies the action
+  * for the user or one of their groups. Cell ACLs therefore EXTEND
+  * access to users without table grants; they never revoke a
+  * table-grant holder (AccessControlFilter.java:131-139 — the `||`).
+  * A cell with no ACL column/empty grants nothing at cell scope.
+  * Enforcement placement matches the filter: per cell, BEFORE the
+  * version gate (AccessControlFilter tracks its own per-column
+  * version count, :100-117) — pass as `Resolve.latest(cellFilter=…)`
+  * the same way as [[VisibilityFunctions.vis_match]].
+  */
+object AclKernel {
+
+  /** Parse `"alice:RW,@eng:R"` → principal → action set. Malformed
+    * entries (no ':') throw, mirroring the reference's failed tag
+    * parse being an error path (AuthManager.authorizeCell:452). */
+  def parse(acl: String): Map[String, Set[Char]] =
+    acl.split(",").iterator.filter(_.nonEmpty).map { grant =>
+      grant.split(":", 2) match {
+        case Array(p, actions) if p.nonEmpty =>
+          actions.foreach(a => require("RWXCA".contains(a),
+            s"unknown action '$a' in grant '$grant' (Permission: R/W/X/C/A)"))
+          p -> actions.toSet
+        case _ =>
+          throw new IllegalArgumentException(s"malformed ACL grant '$grant'")
+      }
+    }.toMap
+
+  // ACL policies repeat heavily across cells — memoize per thread,
+  // bounded (same shape as VisKernel's expression memo)
+  private val memo = new ThreadLocal[java.util.LinkedHashMap[String, Map[String, Set[Char]]]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, Map[String, Set[Char]]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, Set[Char]]]) = size() > 1024
+      }
+  }
+
+  /** Does the cell's ACL imply `action` for any of `principals` (the
+    * user plus their `@group`s)? Null/empty ACL grants nothing. */
+  def cellAuthorizes(acl: String, principals: Set[String], action: Char): Boolean = {
+    if (acl == null || acl.isEmpty) return false
+    val m = memo.get()
+    var grants = m.get(acl)
+    if (grants == null) { grants = parse(acl); m.put(acl, grants) }
+    principals.exists(p => grants.get(p).exists(_.contains(action)))
+  }
+}
+
+/** `acl_check(aclCol)` — true iff the cell admits the given user (or
+  * groups) for `action`, or `tableGrant` already admits everything.
+  * See [[AclKernel]]. */
+final case class AclCheck(child: Expression, principals: Seq[String],
+    action: String, tableGrant: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val principalSet = principals.toSet
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    if (tableGrant) return true
+    val v = child.eval(input)
+    v != null && AclKernel.cellAuthorizes(
+      v.asInstanceOf[UTF8String].toString, principalSet, action.head)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AclCheck =
+    copy(child = newChild)
+}
+
+object AclFunctions {
+  /** Column form: `acl_check(col("acl"), "alice", Set("@eng"), 'R')`.
+    * `tableGrant` is the upstream table/CF authorization verdict —
+    * when true every cell passes (cell ACLs extend, never restrict). */
+  def acl_check(acl: Column, user: String, groups: Set[String] = Set.empty,
+      action: Char = 'R', tableGrant: Boolean = false): Column = {
+    require("RWXCA".contains(action), "action must be one of R/W/X/C/A")
+    colshim.column(AclCheck(colshim.expression(acl),
+      (groups + user).toSeq.sorted, action.toString, tableGrant))
+  }
+}

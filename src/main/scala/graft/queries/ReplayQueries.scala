@@ -180,6 +180,48 @@ object ReplayQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_bd
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // M6 RowMutations (client/RowMutations.java:37; applied by
+      // HRegion.mutateRow under one row lock): a multi-op single-row
+      // batch — here a Put to event_type AND a DeleteColumn on props,
+      // both at ts 6, for every row with user_id % 11 == 0 — lands as
+      // ONE mutation batch (graft's atomicity boundary is the
+      // job-commit, SURVEY §2.5 M7). The resolved read shows both
+      // effects together: the new put IS the visible event_type
+      // version and props is gone, on exactly those rows.
+      "q71_row_mutations",
+      (s, dir) => {
+        import graft.model.CellType
+        import graft.write.Mutations
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val rmRows = cells.select("row").distinct()
+          .filter(col("row").cast("long") % 11 === 0)
+        val puts = rmRows.select(col("row"), lit("d").as("family"),
+          lit("event_type").as("qualifier"), lit(6L).as("ts"),
+          lit(CellType.Put).as("type"), concat(lit("rm:"), col("row")).as("value"))
+        val dels = rmRows.select(col("row"), lit("d").as("family"),
+          lit("props").as("qualifier"), lit(6L).as("ts"),
+          lit(CellType.DeleteColumn).as("type"), lit(null).cast("string").as("value"))
+        Mutations.mergeLatest(cells, puts.unionByName(dels), maxVersions = 1)
+          .select("row", "family", "qualifier", "ts", "value")
+          .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__rm_rows AS (SELECT DISTINCT row FROM cells_events_v WHERE CAST(row AS BIGINT) % 11 = 0),
+          |__rm_all AS (
+          |  SELECT * FROM cells_events_v
+          |  UNION ALL
+          |  SELECT row, 'd' AS family, 'event_type' AS qualifier, CAST(6 AS BIGINT) AS ts,
+          |         'Put' AS type, 'rm:' || row AS value FROM __rm_rows
+          |  UNION ALL
+          |  SELECT row, 'd' AS family, 'props' AS qualifier, CAST(6 AS BIGINT) AS ts,
+          |         'DeleteColumn' AS type, CAST(NULL AS VARCHAR) AS value FROM __rm_rows)""".stripMargin,
+        Cte.liveView("__rm_all", "live_rm"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_rm
+          |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     )
   )
 }

@@ -422,6 +422,35 @@ object ScanQueries {
           |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // Cell-level ACLs (AccessController.java:176;
+      // AccessControlFilter.java:131 CHECK_CELL_DEFAULT;
+      // AuthManager.authorizeCell:437): per-cell grant maps keyed on
+      // (row+ts)%4 — {alice:RW}, {bob:R}, {bob:RW,@eng:R}, no-ACL —
+      // read as user 'alice' in group '@eng' WITHOUT a table grant,
+      // so only cells whose own ACL implies READ for alice (direct
+      // grant, or via the group) survive: policies 0 and 2.
+      // Enforcement is per cell BEFORE the version gate, exactly like
+      // q69's visibility filter (the reference filter tracks its own
+      // per-column version count, AccessControlFilter.java:100-117).
+      "q72_cell_acl",
+      (s, dir) => {
+        import graft.functions.AclFunctions.acl_check
+        val m = (col("row").cast("long") + col("ts")) % 4
+        val acl = when(m === 0, "alice:RW")
+          .when(m === 1, "bob:R")
+          .when(m === 2, "bob:RW,@eng:R")
+        val tagged = Fixtures.cellsEventsV(s, dir).withColumn("acl", acl)
+        ordered(Resolve.latest(tagged, maxVersions = 2,
+          cellFilter = Some(acl_check(col("acl"), "alice", Set("@eng")))))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_events
+          |  WHERE (CAST(row AS BIGINT) + ts) % 4 IN (0, 2)
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       // §2.4 TTL (ScanInfo.getTtl) + multi-version gate: cells older
       // than the TTL floor are invisible BEFORE the version gate, and
       // the newest 2 surviving versions are returned per column.
