@@ -31,6 +31,49 @@ object Multimodal {
       lit("image-stub").as("modality")
     )
 
+  /** REAL pure-JVM image header parse — no codec library: container
+    * dimensions straight from the header bytes of PNG (IHDR
+    * width/height, big-endian at offsets 16/20), GIF (logical-screen
+    * u16le at 6/8), BMP (BITMAPINFOHEADER i32le at 18/22), and JPEG
+    * (first SOFn frame segment). Returns (format, width, height); None
+    * for anything unrecognized — callers fall back to [[decodeStub]].
+    * This is the non-fake half of the decode path: real image bytes get
+    * real dimensions, payloads without a codec container keep the
+    * deterministic stand-in. */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def beInt(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def leShort(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def leInt(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b == null) None
+    else if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some(("png", beInt(16), beInt(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some(("gif", leShort(6), leShort(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", leInt(18), leInt(22)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) jpegDims(b)
+    else None
+  }
+
+  private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    var i = 2
+    while (i + 9 < b.length) {
+      if (u8(i) != 0xff) return None
+      val marker = u8(i + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else {
+        // SOFn carry dimensions; C4/C8/CC are huffman/arithmetic tables
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(("jpeg", (u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6)))
+        i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+      }
+    }
+    None
+  }
+
   /** STUB decoder — deterministic fake of an image/audio decode.
     * A real implementation would parse `blob` with a codec; the
     * batch-shape (whole-partition iterator, zero-copy per row) is what
@@ -56,9 +99,13 @@ object Multimodal {
         // per-partition init would go here (codec/model handles)
         rows.map { r =>
           val (len, first) = decodeStub(r.blob)
+          // real codec-container payloads yield REAL dimensions from the
+          // header parse; everything else keeps the metadata columns
+          val dims = parseImageHeader(r.blob)
           MediaFeatures(r.doc_id, len,
             n_frames = (len + frameBytes - 1) / frameBytes,
-            width = r.width, height = r.height, first_byte = first)
+            width = dims.fold(r.width)(_._2),
+            height = dims.fold(r.height)(_._3), first_byte = first)
         }
       }
   }

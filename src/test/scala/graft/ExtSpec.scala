@@ -123,6 +123,35 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
 
+  test("image header parse reads real container dimensions (png/gif/bmp/jpeg)") {
+    import spark.implicits._
+    // real encoder output, not hand-built bytes: javax.imageio is the
+    // pure-JVM codec the header parser must agree with
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+      bos.toByteArray
+    }
+    for ((fmt, tag) <- Seq("png" -> "png", "gif" -> "gif", "bmp" -> "bmp",
+        "jpg" -> "jpeg"))
+      assert(Multimodal.parseImageHeader(encode(fmt, 23, 17)) === Some((tag, 23, 17)),
+        s"format $fmt")
+    // non-container payloads and nulls fall through to the stub path
+    assert(Multimodal.parseImageHeader("just text".getBytes) === None)
+    assert(Multimodal.parseImageHeader(null) === None)
+    // end-to-end: a real PNG row gets its REAL dims (not the metadata
+    // columns); a text-payload row keeps the metadata stand-ins
+    val media = Seq(
+      (1L, encode("png", 23, 17), 99, 98, "image"),
+      (2L, "plain words".getBytes, 40, 30, "image-stub")
+    ).toDF("doc_id", "blob", "width", "height", "modality")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(feats(1L) === ((23, 17)) && feats(2L) === ((40, 30)))
+  }
+
   test("minhash_sigs kernel matches the k-transforms form bit-for-bit") {
     import graft.ext.TextHash._
     import graft.functions.MinHashFunctions.minhash_sigs

@@ -48,6 +48,61 @@ class StreamSpec extends SparkSpec {
     assert(n1 === 100)
   }
 
+  test("applySink preserves per-key serial order across micro-batches (serial-peer contract)") {
+    // The reference's serial replication mode guarantees a sink applies
+    // a region's WAL entries in sequenceId order (ReplicationSourceManager,
+    // serial peer). graft's mapping (SURVEY §2.8): micro-batches apply in
+    // WAL-append order and batch_id surfaces on read as the ordering
+    // key, so an ordering-sensitive consumer reading batch_id-ascending
+    // replays each key's mutations in source (seq) order; within a
+    // batch, seqCol resolves same-coordinate double-writes.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("serial").toString
+    val log = Paths.get(tmp, "log"); Files.createDirectories(log)
+    // two WAL segments appended in seq order; the same coordinate is
+    // rewritten across segments, plus an intra-segment double-write at
+    // one (row,ts) where seq must pick the winner deterministically
+    def seg(name: String, mtime: Long, rows: (String, Long, String, Long)*): Unit = {
+      val stage = s"$tmp/stage_$name"
+      rows.toSeq.toDF("row", "ts", "value", "seq")
+        .select(col("row"), lit("d").as("family"), lit("q").as("qualifier"),
+          col("ts"), lit("Put").as("type"), col("value"), col("seq"))
+        .coalesce(1).write.parquet(stage)
+      import scala.jdk.CollectionConverters._
+      val src = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = log.resolve(s"$name.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    seg("000", t0, ("r1", 1L, "v1", 1L), ("r1", 1L, "v1b", 2L), ("r2", 1L, "a1", 3L))
+    seg("001", t0 + 5000, ("r1", 2L, "v2", 4L), ("r2", 2L, "a2", 5L))
+    val schema = graft.model.CellSchema.schema
+      .add(org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(log.toString)
+    val q = WalStream.applySink(stream, s"$tmp/ckpt", s"$tmp/out", seqCol = Some("seq"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("batch_id", "row", "ts", "value").as[(Long, String, Long, String)]
+      .collect().sorted
+    // segment 0 (older mtime) is micro-batch 0; the seq winner took the
+    // intra-batch double-write
+    assert(out.toSeq === Seq(
+      (0L, "r1", 1L, "v1b"), (0L, "r2", 1L, "a1"),
+      (1L, "r1", 2L, "v2"), (1L, "r2", 2L, "a2")), s"got: ${out.toSeq}")
+    // per-key serial order: replaying batch_id-ascending never steps a
+    // key's ts backwards — the ordering-sensitive-consumer contract
+    val perKey = out.groupBy(_._2).values
+    assert(perKey.forall(rows => rows.sortBy(_._1).map(_._3).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1))))
+  }
+
   test("batch sessionizer matches the gaps-and-islands window form") {
     import graft.stream.Sessionize
     val typed = Sessionize.sessionize(Fixtures.events(spark, sf0001))
