@@ -31,7 +31,7 @@ import java.nio.charset.StandardCharsets
   * same devices the reference uses (`Order.DESCENDING` applies a
   * complement mask).
   */
-object OBytes {
+object OBytes extends OrderedCodec {
 
   @inline private def cpl(b: Array[Byte]): Array[Byte] = {
     var i = 0

@@ -154,6 +154,151 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("layout-faithful mode (OBytesHb): full order/roundtrip battery") {
+    import graft.codec.OBytesHb
+    checkOrder[Long](longs, OBytesHb.encodeLong, _ compareTo _)
+    for (v <- longs; d <- Seq(false, true))
+      assert(OBytesHb.decodeLong(OBytesHb.encodeLong(v, d), d) == v)
+    checkOrder[Double](doubles, OBytesHb.encodeDouble,
+      (a, b) => java.lang.Double.compare(a, b))
+    for (v <- doubles :+ Double.NaN; d <- Seq(false, true))
+      assert(java.lang.Double.doubleToLongBits(
+        OBytesHb.decodeDouble(OBytesHb.encodeDouble(v, d), d)) ==
+        java.lang.Double.doubleToLongBits(v), s"roundtrip $v")
+    checkOrder[String](strings, OBytesHb.encodeString,
+      (a, b) => OBytes.compare(a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+    for (v <- strings; d <- Seq(false, true))
+      assert(OBytesHb.decodeString(OBytesHb.encodeString(v, d), d) == v)
+    intercept[IllegalArgumentException](OBytesHb.encodeString("a\u0000b", false))
+    val nums = numerics ++ Seq("1e30", "-1e30", "1e-30", "-1e-30", "42",
+      "-0.07", "3.14159").map(new JBigDecimal(_))
+    checkOrder[JBigDecimal](nums, OBytesHb.encodeNumeric, _ compareTo _)
+    for (v <- nums; d <- Seq(false, true))
+      assert(OBytesHb.decodeNumeric(OBytesHb.encodeNumeric(v, d), d).compareTo(v) == 0,
+        s"numeric roundtrip $v desc=$d")
+    val ints = Seq(Int.MinValue, -1000, -1, 0, 1, 42, Int.MaxValue) ++
+      Seq.fill(20)(rnd.nextInt())
+    checkOrder[Int](ints, OBytesHb.encodeInt, Ordering[Int].compare)
+    for (v <- ints; d <- Seq(false, true))
+      assert(OBytesHb.decodeInt(OBytesHb.encodeInt(v, d), d) == v)
+    val shorts = Seq(Short.MinValue, -1, 0, 1, Short.MaxValue).map(_.toShort)
+    checkOrder[Short](shorts, OBytesHb.encodeShort, Ordering[Short].compare)
+    shorts.foreach(v =>
+      assert(OBytesHb.decodeShort(OBytesHb.encodeShort(v, true), true) == v))
+    val bytes = (Byte.MinValue to Byte.MaxValue).map(_.toByte)
+    checkOrder[Byte](bytes.take(16) ++ bytes.takeRight(16), OBytesHb.encodeByte,
+      Ordering[Byte].compare)
+    bytes.foreach(v => assert(OBytesHb.decodeByte(OBytesHb.encodeByte(v, false), false) == v))
+    val floats = Seq(Float.NegativeInfinity, -1.5f, -0.0f, 0.0f, 1.5f,
+      Float.PositiveInfinity) ++ Seq.fill(20)(rnd.nextFloat() * 1e6f - 5e5f)
+    checkOrder[Float](floats, OBytesHb.encodeFloat,
+      (a, b) => java.lang.Float.compare(a, b))
+    floats.foreach(v => assert(java.lang.Float.floatToIntBits(
+      OBytesHb.decodeFloat(OBytesHb.encodeFloat(v, true), true)) ==
+      java.lang.Float.floatToIntBits(v)))
+    // BlobVar order parity holds for what the reference guarantees
+    // (equal-length blobs and prefix pairs — see the OBytesHb
+    // .encodeBlobVar scaladoc for the preserved final-7-bit-group
+    // quirk on mixed-length non-prefix pairs)
+    val fixedLen: Seq[Array[Byte]] =
+      Seq.fill(24)(Array.fill(9)(rnd.nextInt(256).toByte))
+    checkOrder[Array[Byte]](fixedLen, OBytesHb.encodeBlobVar, OBytes.compare)
+    val base = Array.fill(10)(rnd.nextInt(256).toByte)
+    val prefixes = (0 to 10).map(base.take)
+    checkOrder[Array[Byte]](prefixes, OBytesHb.encodeBlobVar, OBytes.compare)
+    // the documented faithful quirk, pinned so a "fix" can't silently
+    // de-faithful the layout
+    assert(OBytes.compare(OBytesHb.encodeBlobVar(Array[Byte](1), false),
+      OBytesHb.encodeBlobVar(Array[Byte](0, 0), false)) < 0)
+    val blobs: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray, Array[Byte](0), Array[Byte](0, 0), Array[Byte](0, 1),
+      Array[Byte](1), Array[Byte](1, 0), Array[Byte](-1), Array[Byte](-1, -1),
+      "abc".getBytes, "abcd".getBytes) ++ fixedLen ++ prefixes
+    blobs.foreach { v =>
+      for (d <- Seq(false, true))
+        assert(java.util.Arrays.equals(
+          OBytesHb.decodeBlobVar(OBytesHb.encodeBlobVar(v, d), d), v))
+      assert(java.util.Arrays.equals(
+        OBytesHb.decodeBlobCopy(OBytesHb.encodeBlobCopy(v, false), false), v))
+      if (!v.contains(0: Byte))
+        assert(java.util.Arrays.equals(
+          OBytesHb.decodeBlobCopy(OBytesHb.encodeBlobCopy(v, true), true), v))
+    }
+    intercept[IllegalArgumentException](
+      OBytesHb.encodeBlobCopy(Array[Byte](1, 0, 2), true))
+  }
+
+  test("OBytesHb golden vectors pin the reference byte layout") {
+    import graft.codec.OBytesHb
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString(" ")
+    // fixed-width: header + sign-flipped big-endian payload
+    assert(hex(OBytesHb.encodeLong(0L, false)) === "2c 80 00 00 00 00 00 00 00")
+    assert(hex(OBytesHb.encodeInt(1, false)) === "2b 80 00 00 01")
+    assert(hex(OBytesHb.encodeShort(-1, false)) === "2a 7f ff")
+    assert(hex(OBytesHb.encodeByte(0, false)) === "29 80")
+    // float64 1.0: IEEE 3ff0… with the sign bit flipped
+    assert(hex(OBytesHb.encodeDouble(1.0, false)) === "31 bf f0 00 00 00 00 00 00")
+    // text: 0x34 + UTF-8 + 0x00 terminator
+    assert(hex(OBytesHb.encodeString("foo", false)) === "34 66 6f 6f 00")
+    // numeric: zero is bare 0x15; 1.0 is medium-positive E=1 (0x17+1)
+    // with single centimal digit 01 → terminal byte 2*1 = 0x02
+    assert(hex(OBytesHb.encodeNumeric(JBigDecimal.ZERO, false)) === "15")
+    assert(hex(OBytesHb.encodeNumeric(JBigDecimal.ONE, false)) === "18 02")
+    assert(hex(OBytesHb.encodeNumeric(JBigDecimal.ONE.negate(), false)) === "12 fd")
+    // 0.5: small-positive 0x16, ~varint(0)=0xff, centimal 50 → 2*50=0x64
+    assert(hex(OBytesHb.encodeNumeric(new JBigDecimal("0.5"), false)) === "16 ff 64")
+    // blob-var: 7-bit packing under 0x37; empty is a bare terminator
+    assert(hex(OBytesHb.encodeBlobVar(Array[Byte](-1), false)) === "37 ff 40")
+    assert(hex(OBytesHb.encodeBlobVar(Array.emptyByteArray, false)) === "37 00")
+    assert(hex(OBytesHb.encodeBlobCopy(Array[Byte](1, 2), false)) === "38 01 02")
+    assert(hex(OBytesHb.encodeNull(false)) === "05")
+    // DESCENDING is the complement of the WHOLE field, header included
+    assert(java.util.Arrays.equals(OBytesHb.encodeLong(5L, true),
+      OBytesHb.encodeLong(5L, false).map(b => (~b).toByte)))
+  }
+
+  test("order parity across wire formats: OBytes and OBytesHb sort identically") {
+    import graft.codec.{OBytesHb, OrderedCodec}
+    val codecs: Seq[OrderedCodec] = Seq(OBytes, OBytesHb)
+    // the two formats must induce the same total order on the same values
+    def ranks[T](vs: Seq[T], enc: OrderedCodec => (T, Boolean) => Array[Byte]): Unit = {
+      val Seq(a, b) = codecs.map(c =>
+        vs.sortWith((x, y) => OBytes.compare(enc(c)(x, false), enc(c)(y, false)) < 0))
+      assert(a === b)
+    }
+    ranks[Long](longs, c => c.encodeLong)
+    ranks[Double](doubles, c => c.encodeDouble)
+    ranks[String](strings.distinct, c => c.encodeString)
+    ranks[JBigDecimal](numerics, c => c.encodeNumeric)
+  }
+
+  test("GBytes (Raw* family): big-endian roundtrip + layout goldens") {
+    import graft.codec.GBytes
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString(" ")
+    for (v <- longs) assert(GBytes.toLong(GBytes.toBytes(v)) == v)
+    for (v <- Seq(Int.MinValue, -1, 0, 1, 42, Int.MaxValue) ++ Seq.fill(20)(rnd.nextInt()))
+      assert(GBytes.toInt(GBytes.toBytes(v)) == v)
+    for (v <- Seq(Short.MinValue, -1, 0, 1, Short.MaxValue).map(_.toShort))
+      assert(GBytes.toShort(GBytes.toBytes(v)) == v)
+    for (v <- doubles :+ Double.NaN)
+      assert(java.lang.Double.doubleToRawLongBits(GBytes.toDouble(GBytes.toBytes(v))) ==
+        java.lang.Double.doubleToRawLongBits(v))
+    for (v <- Seq(-1.5f, 0.0f, 1.5f, Float.MaxValue))
+      assert(GBytes.toFloat(GBytes.toBytes(v)) == v)
+    for (s <- strings) assert(GBytes.toStringBin(GBytes.toBytes(s)) == s)
+    for (v <- numerics)
+      assert(GBytes.toBigDecimal(GBytes.toBytes(v)).compareTo(v) == 0)
+    // layout goldens: plain big-endian two's complement, raw IEEE bits
+    assert(hex(GBytes.toBytes(1L)) === "00 00 00 00 00 00 00 01")
+    assert(hex(GBytes.toBytes(-1L)) === "ff ff ff ff ff ff ff ff")
+    assert(hex(GBytes.toBytes(256)) === "00 00 01 00")
+    assert(hex(GBytes.toBytes(1.0)) === "3f f0 00 00 00 00 00 00")
+    assert(hex(GBytes.toBytes(new JBigDecimal("1.5"))) === "00 00 00 01 0f")
+    // the documented non-ordering: -1L sorts ABOVE 1L in raw layout
+    // (that is why the Ordered* family exists)
+    assert(OBytes.compare(GBytes.toBytes(-1L), GBytes.toBytes(1L)) > 0)
+  }
+
   test("composite keys: concat orders like the tuple (prefix-free)") {
     val tuples = for {
       s <- Seq("a", "ab", "b", "")
