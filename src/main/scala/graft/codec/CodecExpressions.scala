@@ -23,6 +23,16 @@ object CodecBridge {
     UTF8String.fromString(OBytes.decodeString(b, desc))
   def encDecimal(d: Decimal, desc: Boolean): Array[Byte] =
     OBytes.encodeNumeric(d.toJavaBigDecimal, desc)
+  // layout-faithful ([[OBytesHb]]) twins — distinct names because
+  // codegen call sites are static
+  def encUtf8Hb(s: UTF8String, desc: Boolean): Array[Byte] =
+    OBytesHb.encodeString(s.toString, desc)
+  def decUtf8Hb(b: Array[Byte], desc: Boolean): UTF8String =
+    UTF8String.fromString(OBytesHb.decodeString(b, desc))
+  def encDecimalHb(d: Decimal, desc: Boolean): Array[Byte] =
+    OBytesHb.encodeNumeric(d.toJavaBigDecimal, desc)
+  def decNumericDoubleHb(b: Array[Byte], desc: Boolean): Double =
+    OBytesHb.decodeNumeric(b, desc).doubleValue()
 }
 
 /** `ordered_encode(col[, desc])`: order-preserving byte encoding of a
@@ -35,41 +45,52 @@ object CodecBridge {
   * (`repartitionByRange`) is graft's analogue of the reference's
   * region-split-by-key layout.
   */
-case class OrderedEncode(child: Expression, desc: Boolean)
+case class OrderedEncode(child: Expression, desc: Boolean, hb: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "ordered_encode"
+  override def prettyName: String = if (hb) "ordered_encode_hb" else "ordered_encode"
+
+  // wire format selector: graft's own layout, or the reference-layout-
+  // faithful OBytesHb (same OrderedCodec contract, different bytes)
+  private def M: String = if (hb) "graft.codec.OBytesHb" else "graft.codec.OBytes"
+  @transient private lazy val codec: OrderedCodec = if (hb) OBytesHb else OBytes
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
         StringType | TimestampType | _: DecimalType =>
       TypeCheckResult.TypeCheckSuccess
     case t =>
-      TypeCheckResult.TypeCheckFailure(s"ordered_encode: unsupported key type $t")
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: unsupported key type $t")
   }
 
   override protected def nullSafeEval(v: Any): Any = child.dataType match {
-    case LongType | TimestampType => OBytes.encodeLong(v.asInstanceOf[Long], desc)
-    case IntegerType              => OBytes.encodeLong(v.asInstanceOf[Int].toLong, desc)
-    case ShortType                => OBytes.encodeLong(v.asInstanceOf[Short].toLong, desc)
-    case ByteType                 => OBytes.encodeLong(v.asInstanceOf[Byte].toLong, desc)
-    case DoubleType               => OBytes.encodeDouble(v.asInstanceOf[Double], desc)
-    case FloatType                => OBytes.encodeDouble(v.asInstanceOf[Float].toDouble, desc)
-    case StringType               => CodecBridge.encUtf8(v.asInstanceOf[UTF8String], desc)
-    case _: DecimalType           => CodecBridge.encDecimal(v.asInstanceOf[Decimal], desc)
-    case t                        => sys.error(s"unsupported key type $t")
+    case LongType | TimestampType => codec.encodeLong(v.asInstanceOf[Long], desc)
+    case IntegerType              => codec.encodeLong(v.asInstanceOf[Int].toLong, desc)
+    case ShortType                => codec.encodeLong(v.asInstanceOf[Short].toLong, desc)
+    case ByteType                 => codec.encodeLong(v.asInstanceOf[Byte].toLong, desc)
+    case DoubleType               => codec.encodeDouble(v.asInstanceOf[Double], desc)
+    case FloatType                => codec.encodeDouble(v.asInstanceOf[Float].toDouble, desc)
+    case StringType =>
+      if (hb) CodecBridge.encUtf8Hb(v.asInstanceOf[UTF8String], desc)
+      else CodecBridge.encUtf8(v.asInstanceOf[UTF8String], desc)
+    case _: DecimalType =>
+      if (hb) CodecBridge.encDecimalHb(v.asInstanceOf[Decimal], desc)
+      else CodecBridge.encDecimal(v.asInstanceOf[Decimal], desc)
+    case t => sys.error(s"unsupported key type $t")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => child.dataType match {
-      case LongType | TimestampType => s"graft.codec.OBytes.encodeLong($c, $desc)"
+      case LongType | TimestampType => s"$M.encodeLong($c, $desc)"
       case IntegerType | ShortType | ByteType =>
-        s"graft.codec.OBytes.encodeLong((long) $c, $desc)"
-      case DoubleType => s"graft.codec.OBytes.encodeDouble($c, $desc)"
-      case FloatType  => s"graft.codec.OBytes.encodeDouble((double) $c, $desc)"
-      case StringType => s"graft.codec.CodecBridge.encUtf8($c, $desc)"
-      case _: DecimalType => s"graft.codec.CodecBridge.encDecimal($c, $desc)"
+        s"$M.encodeLong((long) $c, $desc)"
+      case DoubleType => s"$M.encodeDouble($c, $desc)"
+      case FloatType  => s"$M.encodeDouble((double) $c, $desc)"
+      case StringType =>
+        s"graft.codec.CodecBridge.${if (hb) "encUtf8Hb" else "encUtf8"}($c, $desc)"
+      case _: DecimalType =>
+        s"graft.codec.CodecBridge.${if (hb) "encDecimalHb" else "encDecimal"}($c, $desc)"
       case t => sys.error(s"unsupported key type $t")
     })
 
@@ -82,33 +103,39 @@ case class OrderedEncode(child: Expression, desc: Boolean)
   * `target` picks the decoder; numeric decodes through BigDecimal to
   * DoubleType (the exact-BigDecimal path is the OBytes API itself).
   */
-case class OrderedDecode(child: Expression, target: DataType, desc: Boolean)
+case class OrderedDecode(child: Expression, target: DataType, desc: Boolean,
+    hb: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = target
-  override def prettyName: String = "ordered_decode"
+  override def prettyName: String = if (hb) "ordered_decode_hb" else "ordered_decode"
+
+  private def M: String = if (hb) "graft.codec.OBytesHb" else "graft.codec.OBytes"
+  @transient private lazy val codec: OrderedCodec = if (hb) OBytesHb else OBytes
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"ordered_decode: needs binary input, got $t")
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName: needs binary input, got $t")
   }
 
   override protected def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
     target match {
-      case LongType | TimestampType => OBytes.decodeLong(b, desc)
-      case DoubleType               => OBytes.decodeDouble(b, desc)
-      case StringType               => CodecBridge.decUtf8(b, desc)
-      case t                        => sys.error(s"unsupported decode type $t")
+      case LongType | TimestampType => codec.decodeLong(b, desc)
+      case DoubleType               => codec.decodeDouble(b, desc)
+      case StringType =>
+        if (hb) CodecBridge.decUtf8Hb(b, desc) else CodecBridge.decUtf8(b, desc)
+      case t => sys.error(s"unsupported decode type $t")
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => target match {
-      case LongType | TimestampType => s"graft.codec.OBytes.decodeLong($c, $desc)"
-      case DoubleType               => s"graft.codec.OBytes.decodeDouble($c, $desc)"
-      case StringType               => s"graft.codec.CodecBridge.decUtf8($c, $desc)"
-      case t                        => sys.error(s"unsupported decode type $t")
+      case LongType | TimestampType => s"$M.decodeLong($c, $desc)"
+      case DoubleType               => s"$M.decodeDouble($c, $desc)"
+      case StringType =>
+        s"graft.codec.CodecBridge.${if (hb) "decUtf8Hb" else "decUtf8"}($c, $desc)"
+      case t => sys.error(s"unsupported decode type $t")
     })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedDecode =
@@ -119,23 +146,28 @@ case class OrderedDecode(child: Expression, target: DataType, desc: Boolean)
   * `OrderedNumeric.decodeDouble` analogue. Interpreted-only eval is
   * fine here: it sits on small decoded outputs, not the scan hot path.
   */
-case class OrderedDecodeNumeric(child: Expression, desc: Boolean)
+case class OrderedDecodeNumeric(child: Expression, desc: Boolean,
+    hb: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "ordered_decode_numeric"
+  override def prettyName: String =
+    if (hb) "ordered_decode_numeric_hb" else "ordered_decode_numeric"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"ordered_decode_numeric: needs binary input, got $t")
+      s"$prettyName: needs binary input, got $t")
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    OBytes.decodeNumericDouble(v.asInstanceOf[Array[Byte]], desc)
+    if (hb) CodecBridge.decNumericDoubleHb(v.asInstanceOf[Array[Byte]], desc)
+    else OBytes.decodeNumericDouble(v.asInstanceOf[Array[Byte]], desc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.codec.OBytes.decodeNumericDouble($c, $desc)")
+    defineCodeGen(ctx, ev, c =>
+      if (hb) s"graft.codec.CodecBridge.decNumericDoubleHb($c, $desc)"
+      else s"graft.codec.OBytes.decodeNumericDouble($c, $desc)")
 
   override protected def withNewChildInternal(newChild: Expression): OrderedDecodeNumeric =
     copy(child = newChild)
@@ -147,11 +179,16 @@ case class OrderedDecodeNumeric(child: Expression, desc: Boolean)
   * 8-byte OrderedInt64 layout), these preserve the declared width —
   * the reference exposes them as distinct `DataType`s for key-size
   * control, and so does graft. */
-case class OrderedEncodeNarrow(child: Expression, kind: String, desc: Boolean)
+case class OrderedEncodeNarrow(child: Expression, kind: String, desc: Boolean,
+    hb: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
-  override def prettyName: String = s"ordered_encode_$kind"
+  override def prettyName: String =
+    if (hb) s"ordered_encode_${kind}_hb" else s"ordered_encode_$kind"
+
+  private def M: String = if (hb) "graft.codec.OBytesHb" else "graft.codec.OBytes"
+  @transient private lazy val codec: OrderedCodec = if (hb) OBytesHb else OBytes
 
   private def expected: DataType = kind match {
     case "int32"   => IntegerType
@@ -167,29 +204,30 @@ case class OrderedEncodeNarrow(child: Expression, kind: String, desc: Boolean)
       s"$prettyName: needs $expected input, got ${child.dataType}")
 
   override protected def nullSafeEval(v: Any): Any = kind match {
-    case "int32"    => OBytes.encodeInt(v.asInstanceOf[Int], desc)
-    case "int16"    => OBytes.encodeShort(v.asInstanceOf[Short], desc)
-    case "int8"     => OBytes.encodeByte(v.asInstanceOf[Byte], desc)
-    case "float32"  => OBytes.encodeFloat(v.asInstanceOf[Float], desc)
-    case "blobvar"  => OBytes.encodeBlobVar(v.asInstanceOf[Array[Byte]], desc)
-    case "blobcopy" => OBytes.encodeBlobCopy(v.asInstanceOf[Array[Byte]], desc)
+    case "int32"    => codec.encodeInt(v.asInstanceOf[Int], desc)
+    case "int16"    => codec.encodeShort(v.asInstanceOf[Short], desc)
+    case "int8"     => codec.encodeByte(v.asInstanceOf[Byte], desc)
+    case "float32"  => codec.encodeFloat(v.asInstanceOf[Float], desc)
+    case "blobvar"  => codec.encodeBlobVar(v.asInstanceOf[Array[Byte]], desc)
+    case "blobcopy" => codec.encodeBlobCopy(v.asInstanceOf[Array[Byte]], desc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => kind match {
-      case "int32"    => s"graft.codec.OBytes.encodeInt($c, $desc)"
-      case "int16"    => s"graft.codec.OBytes.encodeShort($c, $desc)"
-      case "int8"     => s"graft.codec.OBytes.encodeByte($c, $desc)"
-      case "float32"  => s"graft.codec.OBytes.encodeFloat($c, $desc)"
-      case "blobvar"  => s"graft.codec.OBytes.encodeBlobVar($c, $desc)"
-      case "blobcopy" => s"graft.codec.OBytes.encodeBlobCopy($c, $desc)"
+      case "int32"    => s"$M.encodeInt($c, $desc)"
+      case "int16"    => s"$M.encodeShort($c, $desc)"
+      case "int8"     => s"$M.encodeByte($c, $desc)"
+      case "float32"  => s"$M.encodeFloat($c, $desc)"
+      case "blobvar"  => s"$M.encodeBlobVar($c, $desc)"
+      case "blobcopy" => s"$M.encodeBlobCopy($c, $desc)"
     })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedEncodeNarrow =
     copy(child = newChild)
 }
 
-case class OrderedDecodeNarrow(child: Expression, kind: String, desc: Boolean)
+case class OrderedDecodeNarrow(child: Expression, kind: String, desc: Boolean,
+    hb: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = kind match {
@@ -199,7 +237,11 @@ case class OrderedDecodeNarrow(child: Expression, kind: String, desc: Boolean)
     case "float32" => FloatType
     case "blobvar" | "blobcopy" => BinaryType
   }
-  override def prettyName: String = s"ordered_decode_$kind"
+  override def prettyName: String =
+    if (hb) s"ordered_decode_${kind}_hb" else s"ordered_decode_$kind"
+
+  private def M: String = if (hb) "graft.codec.OBytesHb" else "graft.codec.OBytes"
+  @transient private lazy val codec: OrderedCodec = if (hb) OBytesHb else OBytes
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -209,23 +251,23 @@ case class OrderedDecodeNarrow(child: Expression, kind: String, desc: Boolean)
   override protected def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
     kind match {
-      case "int32"    => OBytes.decodeInt(b, desc)
-      case "int16"    => OBytes.decodeShort(b, desc)
-      case "int8"     => OBytes.decodeByte(b, desc)
-      case "float32"  => OBytes.decodeFloat(b, desc)
-      case "blobvar"  => OBytes.decodeBlobVar(b, desc)
-      case "blobcopy" => OBytes.decodeBlobCopy(b, desc)
+      case "int32"    => codec.decodeInt(b, desc)
+      case "int16"    => codec.decodeShort(b, desc)
+      case "int8"     => codec.decodeByte(b, desc)
+      case "float32"  => codec.decodeFloat(b, desc)
+      case "blobvar"  => codec.decodeBlobVar(b, desc)
+      case "blobcopy" => codec.decodeBlobCopy(b, desc)
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => kind match {
-      case "int32"    => s"graft.codec.OBytes.decodeInt($c, $desc)"
-      case "int16"    => s"graft.codec.OBytes.decodeShort($c, $desc)"
-      case "int8"     => s"graft.codec.OBytes.decodeByte($c, $desc)"
-      case "float32"  => s"graft.codec.OBytes.decodeFloat($c, $desc)"
-      case "blobvar"  => s"graft.codec.OBytes.decodeBlobVar($c, $desc)"
-      case "blobcopy" => s"graft.codec.OBytes.decodeBlobCopy($c, $desc)"
+      case "int32"    => s"$M.decodeInt($c, $desc)"
+      case "int16"    => s"$M.decodeShort($c, $desc)"
+      case "int8"     => s"$M.decodeByte($c, $desc)"
+      case "float32"  => s"$M.decodeFloat($c, $desc)"
+      case "blobvar"  => s"$M.decodeBlobVar($c, $desc)"
+      case "blobcopy" => s"$M.decodeBlobCopy($c, $desc)"
     })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedDecodeNarrow =
@@ -238,6 +280,19 @@ object CodecFunctions {
   def ordered_encode(c: Column): Column = ordered_encode(c, desc = false)
   def ordered_encode(c: Column, desc: Boolean): Column =
     colshim.column(OrderedEncode(colshim.expression(c), desc))
+
+  // layout-faithful mode: identical surface, reference wire bytes
+  // ([[OBytesHb]]) — keys interchange with reference-client encodings
+  def ordered_encode_hb(c: Column, desc: Boolean = false): Column =
+    colshim.column(OrderedEncode(colshim.expression(c), desc, hb = true))
+  def ordered_decode_long_hb(c: Column, desc: Boolean = false): Column =
+    colshim.column(OrderedDecode(colshim.expression(c), LongType, desc, hb = true))
+  def ordered_decode_double_hb(c: Column, desc: Boolean = false): Column =
+    colshim.column(OrderedDecode(colshim.expression(c), DoubleType, desc, hb = true))
+  def ordered_decode_string_hb(c: Column, desc: Boolean = false): Column =
+    colshim.column(OrderedDecode(colshim.expression(c), StringType, desc, hb = true))
+  def ordered_decode_numeric_hb(c: Column, desc: Boolean = false): Column =
+    colshim.column(OrderedDecodeNumeric(colshim.expression(c), desc, hb = true))
 
   def ordered_decode_long(c: Column, desc: Boolean = false): Column =
     colshim.column(OrderedDecode(colshim.expression(c), LongType, desc))

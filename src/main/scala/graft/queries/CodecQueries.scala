@@ -66,6 +66,42 @@ object CodecQueries {
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
     QDef(
+      // C04: the LAYOUT-FAITHFUL OrderedBytes mode (OBytesHb —
+      // byte-for-byte OrderedBytes.java wire format, header-byte
+      // scheme) on the same contract gate as C01/C02: composite-key
+      // total-order parity (text + DESC float64 + int64, each
+      // self-terminating so concat = Struct) AND decode∘encode = id on
+      // real data. Layout fidelity itself is pinned by CodecSpec's
+      // golden byte vectors; this query proves the mode works as a
+      // first-class key surface on the engine.
+      "c04_hb_layout_sort",
+      (s, dir) => {
+        val o = Tables.load(s, s"$dir/orders.parquet")
+        val k = concat(
+          ordered_encode_hb(col("o_orderpriority")),
+          ordered_encode_hb(col("o_totalprice"), desc = true),
+          ordered_encode_hb(col("o_orderkey")))
+        o.select(k.as("k"), col("o_orderpriority"),
+            round(col("o_totalprice"), 4).as("price"), col("o_orderkey"),
+            ordered_decode_long_hb(ordered_encode_hb(col("o_orderkey"))).as("dec_long"),
+            round(ordered_decode_double_hb(
+              ordered_encode_hb(col("o_totalprice"), desc = true), desc = true), 4)
+              .as("dec_double"),
+            ordered_decode_string_hb(ordered_encode_hb(col("o_orderpriority")))
+              .as("dec_str"))
+          .withColumn("rank", row_number().over(Window.orderBy(col("k"))))
+          .select("rank", "o_orderpriority", "price", "o_orderkey",
+            "dec_long", "dec_double", "dec_str")
+          .orderBy("rank")
+      },
+      Some("""SELECT row_number() OVER (ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey) AS rank,
+             |       o_orderpriority, ROUND(o_totalprice, 4) AS price, o_orderkey,
+             |       o_orderkey AS dec_long,
+             |       ROUND(o_totalprice, 4) AS dec_double,
+             |       o_orderpriority AS dec_str
+             |FROM orders ORDER BY rank""".stripMargin)
+    ),
+    QDef(
       // C03: the NARROW DataType family (types/OrderedInt32/16/8,
       // OrderedFloat32, OrderedBlobVar — types/DataType.java:49):
       // roundtrip per type AND total-order parity of a composite key

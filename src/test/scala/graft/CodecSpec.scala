@@ -353,6 +353,26 @@ class CodecExprSpec extends SparkSpec {
     assert(got == Seq("-1", "5", "A", "a"))
   }
 
+  test("hb-mode expressions: roundtrip + sort parity on a DataFrame") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "x"), (-5L, -0.5, "épée"), (0L, 0.0, ""), (7L, 1.5, "ab"))
+      .toDF("l", "d", "s")
+    val back = df.select(
+      ordered_decode_long_hb(ordered_encode_hb($"l")).as("l"),
+      ordered_decode_double_hb(ordered_encode_hb($"d", desc = true), desc = true).as("d"),
+      ordered_decode_string_hb(ordered_encode_hb($"s")).as("s"))
+    assert(back.collect().toSeq == df.collect().toSeq)
+    // composite hb key orders like the tuple, same as the graft layout
+    val byKey = df.orderBy(concat(ordered_encode_hb($"s"), ordered_encode_hb($"l")))
+      .select("s", "l").as[(String, Long)].collect().toSeq
+    assert(byKey == df.select("s", "l").as[(String, Long)].collect().toSeq.sorted)
+    // numeric decimal path through the centimal layout
+    val num = df.select(round(ordered_decode_numeric_hb(
+      ordered_encode_hb($"d".cast("decimal(10,2)"))), 4).as("n"))
+      .as[Double].collect().toSeq
+    assert(num == df.select($"d").as[Double].collect().toSeq)
+  }
+
   test("SQL registration: ordered_encode usable from spark.sql") {
     graft.codec.CodecFunctions.register(spark)
     val n = spark.sql(
