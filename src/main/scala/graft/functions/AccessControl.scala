@@ -106,3 +106,93 @@ object AclFunctions {
       (groups + user).toSeq.sorted, action.toString, tableGrant))
   }
 }
+
+/** Table/namespace/global-scope authorization — the upper half of the
+  * reference's security model (AuthManager.java: authorizeUserGlobal
+  * :212, authorizeUserNamespace:245, authorizeUserTable:271,
+  * authorizeUserFamily:300; PermissionStorage ACL rows). Scope
+  * implication follows the reference: a GLOBAL grant implies every
+  * namespace/table; a NAMESPACE grant implies every table in it; a
+  * TABLE grant with no family implies every family; a FAMILY grant
+  * with no qualifier implies every qualifier. Principals are users or
+  * `@group` names, matched against the caller's identity set. The
+  * verdict feeds [[AclFunctions.acl_check]]'s `tableGrant` flag — cell
+  * ACLs then extend (never restrict) that verdict, CHECK_CELL_DEFAULT.
+  */
+object AuthManager {
+
+  sealed trait Scope
+  case object Global extends Scope
+  final case class Namespace(ns: String) extends Scope
+  /** family/qualifier None = all (reference's null-family/qualifier). */
+  final case class Table(table: String, family: Option[String] = None,
+      qualifier: Option[String] = None) extends Scope
+
+  final case class Grant(principal: String, scope: Scope, actions: Set[Char]) {
+    actions.foreach(a => require("RWXCA".contains(a), s"unknown action '$a'"))
+  }
+
+  /** Namespace of a (possibly `ns:table`-qualified) table name —
+    * TableName.getNamespaceAsString semantics, default namespace for
+    * bare names. */
+  def namespaceOf(table: String): String = {
+    val i = table.indexOf(':')
+    if (i < 0) "default" else table.substring(0, i)
+  }
+
+  /** Does any grant authorize `action` on (table, family, qualifier)
+    * for the user (plus groups)? Checked global → namespace → table →
+    * family → qualifier, the reference's authorize() cascade. */
+  def authorize(grants: Seq[Grant], user: String, groups: Set[String],
+      table: String, family: Option[String], qualifier: Option[String],
+      action: Char): Boolean = {
+    val principals = groups + user
+    val ns = namespaceOf(table)
+    grants.exists { g =>
+      principals.contains(g.principal) && g.actions.contains(action) &&
+      (g.scope match {
+        case Global         => true
+        case Namespace(n)   => n == ns
+        case Table(t, f, q) =>
+          t == table &&
+          f.forall(gf => family.contains(gf)) &&
+          q.forall(gq => qualifier.contains(gq))
+      })
+    }
+  }
+
+  /** Table-scope shortcut for read gating: true ⇒ pass as
+    * `acl_check(tableGrant = true)`. */
+  def tableGrant(grants: Seq[Grant], user: String, groups: Set[String],
+      table: String, family: Option[String] = None, action: Char = 'R'): Boolean =
+    authorize(grants, user, groups, table, family, None, action)
+}
+
+/** Write-path enforcement — the AccessController.preBatchMutate gate
+  * (AccessController.java:176 install; prePut/preDelete/preBatchMutate
+  * reject unauthorized mutations with AccessDeniedException). graft's
+  * analogue is a [[graft.read.Observers]] WriteObserver: strict mode
+  * throws on the first unauthorized mutation family (the coprocessor
+  * contract — the batch fails, it is not silently trimmed); permissive
+  * mode filters instead, for pipelines that quarantine rather than
+  * abort. The check is per distinct (family) of the batch — a
+  * driver-metadata-sized aggregate, not a per-row collect.
+  */
+final class AclWriteObserver(grants: Seq[AuthManager.Grant], user: String,
+    groups: Set[String], table: String, strict: Boolean = true)
+    extends graft.read.WriteObserver {
+
+  override def preBatchMutate(batch: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val families = batch.select("family").distinct()
+      .collect().map(_.getString(0)).toSeq // O(families), bounded
+    val denied = families.filterNot(f =>
+      AuthManager.authorize(grants, user, groups, table, Some(f), None, 'W'))
+    if (denied.isEmpty) batch
+    else if (strict)
+      throw new SecurityException(
+        s"AccessDenied: user '$user' lacks WRITE on $table families ${denied.mkString(",")}")
+    else batch.filter(!col("family").isin(denied: _*))
+  }
+}

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AclFunctions, AclKernel}
+import graft.functions.{AclFunctions, AclKernel, AclWriteObserver, AuthManager}
+import graft.model.Fixtures
 import graft.read.Resolve
 
 /** Cell-level ACLs (AccessControlFilter CHECK_CELL_DEFAULT;
@@ -42,6 +43,65 @@ class AccessControlSpec extends SparkSpec {
     assert(withGrant.count() === 3)
     val cellOnly = cells.filter(AclFunctions.acl_check(col("acl"), "alice"))
     assert(cellOnly.select("value").as[String].collect().toSet === Set("open"))
+  }
+
+  test("AuthManager scope cascade: global > namespace > table > family > qualifier") {
+    import AuthManager._
+    val grants = Seq(
+      Grant("root", Global, Set('R', 'W', 'X', 'C', 'A')),
+      Grant("@ops", Namespace("prod"), Set('R', 'W')),
+      Grant("alice", Table("prod:events"), Set('R')),
+      Grant("bob", Table("prod:events", Some("d")), Set('R', 'W')),
+      Grant("carol", Table("prod:events", Some("d"), Some("props")), Set('R')))
+    // global implies everything
+    assert(authorize(grants, "root", Set.empty, "any:tbl", Some("x"), Some("y"), 'A'))
+    // namespace grant (via group) covers its tables, not others
+    assert(authorize(grants, "dave", Set("@ops"), "prod:events", Some("d"), None, 'W'))
+    assert(!authorize(grants, "dave", Set("@ops"), "stage:events", None, None, 'R'))
+    // table grant with no family implies all families, only its actions
+    assert(authorize(grants, "alice", Set.empty, "prod:events", Some("m"), Some("q"), 'R'))
+    assert(!authorize(grants, "alice", Set.empty, "prod:events", None, None, 'W'))
+    // family-scope grant binds to its family
+    assert(authorize(grants, "bob", Set.empty, "prod:events", Some("d"), Some("q"), 'W'))
+    assert(!authorize(grants, "bob", Set.empty, "prod:events", Some("m"), None, 'W'))
+    // qualifier-scope grant binds to its qualifier
+    assert(authorize(grants, "carol", Set.empty, "prod:events", Some("d"), Some("props"), 'R'))
+    assert(!authorize(grants, "carol", Set.empty, "prod:events", Some("d"), Some("other"), 'R'))
+    // bare table names live in the default namespace
+    assert(namespaceOf("t") === "default" && namespaceOf("ns:t") === "ns")
+  }
+
+  test("write gate: strict preBatchMutate throws, permissive filters") {
+    import AuthManager._
+    val grants = Seq(Grant("alice", Table("t", Some("d")), Set('W')))
+    val batch = Seq(
+      ("r1", "d", "q", 1L, "Put", "ok"),
+      ("r1", "m", "q", 1L, "Put", "blocked")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    val strict = new AclWriteObserver(grants, "alice", Set.empty, "t")
+    val ex = intercept[SecurityException](strict.preBatchMutate(batch))
+    assert(ex.getMessage.contains("m"))
+    val permissive = new AclWriteObserver(grants, "alice", Set.empty, "t", strict = false)
+    assert(permissive.preBatchMutate(batch).select("family")
+      .as[String].collect().toSeq === Seq("d"))
+    // fully-authorized batch passes through untouched (same plan)
+    val okOnly = batch.filter(col("family") === "d")
+    assert(strict.preBatchMutate(okOnly).count() === 1)
+  }
+
+  test("acl cellFilter adds no exchange to the resolve plan") {
+    // backs the round-5 plan audit: enforcement rides the existing
+    // cellFilter slot map-side — same number of Exchanges as the
+    // unfiltered resolve
+    val cells = Fixtures.cellsEventsV(spark, sf0001)
+      .withColumn("acl", when((col("row").cast("long") + col("ts")) % 2 === 0, "alice:R"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val plain = Resolve.latest(cells, maxVersions = 2)
+    val gated = Resolve.latest(cells, maxVersions = 2,
+      cellFilter = Some(AclFunctions.acl_check(col("acl"), "alice")))
+    assert(exchanges(gated) === exchanges(plain))
   }
 
   test("acl filter runs BEFORE the version gate: unreadable newest frees its slot") {
