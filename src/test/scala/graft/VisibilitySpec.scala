@@ -75,6 +75,20 @@ class VisibilitySpec extends SparkSpec {
     assert(Resolve.latest(v, maxVersions = 1, visScope = Some("vis")).count() === 1)
   }
 
+  test("vis-scoped masking adds no exchange to the resolve plan") {
+    // backs the round-5 plan audit: the scoping is an extra derived
+    // join key on the existing mask legs, not an extra exchange —
+    // same Exchange count as the label-blind resolve on the same store
+    val cells = graft.model.Fixtures.cellsEventsV(spark, sf0001)
+      .withColumn("vis",
+        when(col("ts") % 3 === 0, "public").when(col("ts") % 3 === 1, "a&b"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val blind = Resolve.latest(cells, maxVersions = 2)
+    val scoped = Resolve.latest(cells, maxVersions = 2, visScope = Some("vis"))
+    assert(exchanges(scoped) === exchanges(blind))
+  }
+
   test("vis filter runs BEFORE the version gate: invisible newest frees its slot") {
     val cells = Seq(
       ("r1", "d", "q", 3L, "Put", "v3", "secret"),
