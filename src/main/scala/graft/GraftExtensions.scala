@@ -55,6 +55,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigs(children.head, k)
       }))
     ext.injectFunction((
+      // layout-faithful twin: reference OrderedBytes wire bytes
+      FunctionIdentifier("ordered_encode_hb"),
+      info("ordered_encode_hb", classOf[OrderedEncode]),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)    => OrderedEncode(c, desc = false, hb = true)
+        case Seq(c, d) => OrderedEncode(c, d.eval() == true, hb = true)
+        case _ => throw new IllegalArgumentException(
+          "ordered_encode_hb expects (col) or (col, desc)")
+      }))
+    ext.injectFunction((
+      // acl_check(acl, user[, groups...]) — the READ gate form
+      // (action fixed to 'R', no table grant; richer forms live on the
+      // Column API). Principals are plan-time literals, like vis_match
+      // auths — the caller identity is scan-constant in the reference.
+      FunctionIdentifier("acl_check"),
+      info("acl_check", classOf[graft.functions.AclCheck]),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2, "acl_check expects (acl, user, groups...)")
+        val principals = children.tail.map { c =>
+          require(c.foldable, "acl_check: principals must be string literals")
+          c.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"acl_check: principals must be strings, got $other")
+          }
+        }
+        graft.functions.AclCheck(children.head, principals.sorted, "R",
+          tableGrant = false)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vis_match"),
       info("vis_match", classOf[graft.functions.VisibilityMatch]),
       (children: Seq[Expression]) => {

@@ -228,6 +228,29 @@ class CodecSpec extends AnyFunSuite {
       OBytesHb.encodeBlobCopy(Array[Byte](1, 0, 2), true))
   }
 
+  test("OBytesHb numeric: randomized order/roundtrip across magnitudes and scales") {
+    import graft.codec.OBytesHb
+    // same seeded sweep shape as the OBytes twin: 300 BigDecimals
+    // spanning 1e-30..1e+30, mixed signs and scales — exercises the
+    // small/medium/large classes, both varint branches, and ~M/~E
+    // complements on negatives
+    val r = new scala.util.Random(11)
+    val vs = Seq.fill(300) {
+      val unscaled = BigInt(r.nextLong()).abs + 1
+      val scale = r.nextInt(60) - 30
+      val sign = if (r.nextBoolean()) 1 else -1
+      new JBigDecimal(new java.math.BigInteger((unscaled * sign).toString), scale)
+    }.distinct
+    val sortedByBytes = vs.sortWith((a, b) =>
+      OBytes.compare(OBytesHb.encodeNumeric(a, false), OBytesHb.encodeNumeric(b, false)) < 0)
+    val sortedByValue = vs.sortWith(_.compareTo(_) < 0)
+    assert(sortedByBytes.map(_.stripTrailingZeros) ==
+      sortedByValue.map(_.stripTrailingZeros))
+    for (v <- vs; d <- Seq(false, true))
+      assert(OBytesHb.decodeNumeric(OBytesHb.encodeNumeric(v, d), d).compareTo(v) == 0,
+        s"hb numeric roundtrip $v desc=$d")
+  }
+
   test("OBytesHb golden vectors pin the reference byte layout") {
     import graft.codec.OBytesHb
     def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString(" ")

@@ -39,6 +39,18 @@ class ExtensionsSpec extends AnyFunSuite {
       // non-literal auths must fail at plan time
       assertThrows[Exception](
         s.sql("SELECT vis_match('a', CAST(rand() * 0 AS STRING)) AS v").collect())
+      // hb-mode encode: reference wire format (9-byte FIXED_INT64 with
+      // 0x2c header) vs graft's 8-byte layout above
+      val hb = s.sql("SELECT ordered_encode_hb(CAST(42 AS BIGINT)) AS k")
+        .head().getAs[Array[Byte]](0)
+      assert(hb.length === 9 && hb(0) === 0x2c.toByte)
+      // acl_check read gate: direct grant, group grant, denial
+      assert(s.sql("SELECT acl_check('alice:RW,@eng:R', 'alice') AS a")
+        .head().getBoolean(0))
+      assert(s.sql("SELECT acl_check('bob:RW,@eng:R', 'alice', '@eng') AS a")
+        .head().getBoolean(0))
+      assert(!s.sql("SELECT acl_check('bob:RW', 'alice', '@eng') AS a")
+        .head().getBoolean(0))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
