@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke for the round-5 operators (dev/PLANS.md table):
+  * id-shifted ×10 replication of the sf0.1 events cell store, timing
+  * the scoped/gated resolves against the plain resolve, plus hb-mode
+  * encode throughput over lineitem. Run:
+  * `sbt "Test/runMain graft.ScaleSmoke10x"` (32 threads, Bench config).
+  */
+object ScaleSmoke10x {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    val base = graft.model.Fixtures.cellsEventsV(spark, dir)
+    val x10 = (0 until 10).map(i =>
+        base.withColumn("row", concat(lit(i.toString), col("row"))))
+      .reduce(_ unionByName _)
+      .withColumn("vis",
+        when(col("ts") % 3 === 0, "public").when(col("ts") % 3 === 1, "a&b"))
+      .withColumn("acl",
+        when((col("ts") + length(col("row"))) % 2 === 0, "alice:R"))
+      .repartition(32, col("row")).persist()
+    val n = x10.count()
+    println(s"store: $n cells (10x)")
+
+    def runCount(name: String, df: => DataFrame): Unit = {
+      val (c, s) = time(df.count())
+      println(f"$name%-28s $s%6.2f s   ($c rows)")
+    }
+
+    import graft.read.Resolve
+    runCount("resolve plain", Resolve.latest(x10, maxVersions = 2))
+    runCount("resolve vis-scoped",
+      Resolve.latest(x10, maxVersions = 2, visScope = Some("vis")))
+    runCount("resolve acl-gated",
+      Resolve.latest(x10, maxVersions = 2, cellFilter =
+        Some(graft.functions.AclFunctions.acl_check(col("acl"), "alice"))))
+
+    val l = graft.model.Tables.load(spark, s"$dir/lineitem.parquet")
+    val l10 = (0 until 10).map(i =>
+        l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    import graft.codec.CodecFunctions._
+    runCount("hb-encode 3-col key 10x",
+      l10.select(concat(
+        ordered_encode_hb(col("l_returnflag")),
+        ordered_encode_hb(col("l_extendedprice"), desc = true),
+        ordered_encode_hb(col("l_orderkey"))).as("k"))
+        .filter(length(col("k")) > 0))
+    runCount("graft-encode 3-col key 10x",
+      l10.select(concat(
+        ordered_encode(col("l_returnflag")),
+        ordered_encode(col("l_extendedprice"), desc = true),
+        ordered_encode(col("l_orderkey"))).as("k"))
+        .filter(length(col("k")) > 0))
+
+    spark.stop()
+  }
+}
