@@ -23,5 +23,6 @@ object Queries {
       queries.ExtQueries.defs ++
       queries.PipelineQueries.defs ++
       queries.CodecQueries.defs ++
-      queries.ReplayQueries.defs
+      queries.ReplayQueries.defs ++
+      queries.FlowQueries.defs
 }

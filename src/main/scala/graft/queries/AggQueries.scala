@@ -100,6 +100,27 @@ object AggQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin))
     ),
     QDef(
+      // A8 ColumnInterpreter (client/coprocessor/ColumnInterpreter.java,
+      // BigDecimalColumnInterpreter): the custom-aggregate extension
+      // point as a declared query — the user-supplied decimal semiring
+      // lifted into a typed Spark Aggregator (partial/final merge run by
+      // Tungsten), summing the o_totalprice cell values exactly.
+      "q78_interpreter_sum",
+      (s, dir) => {
+        import s.implicits._
+        import graft.agg.GColumnInterpreter
+        val vals = Fixtures.cellsOrders(s, dir)
+          .filter(col("qualifier") === "o_totalprice")
+          .select(col("value")).as[String]
+        val agg = GColumnInterpreter.sumAggregator(GColumnInterpreter.Decimals)
+        vals.select(agg.toColumn).toDF("s")
+          .select(col("s").cast("double").as("sum_price"))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM cells_orders WHERE qualifier = 'o_totalprice'""".stripMargin))
+    ),
+    QDef(
       "q30_verify_replication",
       (s, dir) =>
         Jobs.verifyReplication(Fixtures.cellsOrders(s, dir),

@@ -39,6 +39,17 @@ object FilterQueries {
       Some(oracleOrders("WHERE regexp_matches(row, '^00000001.[02468]$')"))
     ),
     QDef(
+      // F5 ColumnValueFilter.java:39 — "return the matched cell only":
+      // unlike SCVF (whole-row verdict, q10), only the matching cells of
+      // the one tested column survive; every other cell is skipped.
+      "q77_column_value_filter",
+      (s, dir) => run(co(s, dir),
+        ColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+          BinaryComparator("O"))),
+      Some(oracleOrders(
+        "WHERE family = 'd' AND qualifier = 'o_orderstatus' AND value = 'O'"))
+    ),
+    QDef(
       "q09_value_substring",
       (s, dir) => run(co(s, dir),
         ValueFilter(CompareOp.Equal, SubstringComparator("ent"))),

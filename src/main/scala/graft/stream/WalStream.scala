@@ -147,6 +147,21 @@ object WalStream {
     * (the reference's per-region sequenceId ordering), else by value
     * ordering — an arbitrary dropDuplicates winner would let a replica
     * diverge from its source on double-writes at one timestamp. */
+  /** Batch form of the sink's same-coordinate conflict resolution: the
+    * entry with the highest WAL sequence id wins (the reference's
+    * per-region sequenceId ordering, serial-peer mode —
+    * ReplicationSourceManager); without a seq column, value ordering
+    * keeps the winner deterministic. type is part of the identity: a
+    * Put and a tombstone may share (row,family,qualifier,ts) — both
+    * must replicate. One shuffle on the cell coordinates; at 100 TB
+    * this is the same key the cell store is bucketed on, so the
+    * exchange disappears against a stored target. */
+  def applyBatch(batch: DataFrame, seqCol: Option[String] = None): DataFrame = {
+    val ord = seqCol.map(col).getOrElse(col("value"))
+    batch.groupBy("row", "family", "qualifier", "ts", "type")
+      .agg(max_by(col("value"), ord).as("value"))
+  }
+
   def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String,
       seqCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     cellStream.writeStream
@@ -157,11 +172,7 @@ object WalStream {
         // between sink write and checkpoint commit) cannot double-apply.
         // batch_id surfaces on read as the sequence-id analogue of the
         // reference's per-region WAL ordering.
-        // type is part of the identity: a Put and a tombstone may share
-        // (row,family,qualifier,ts) — both must replicate
-        val ord = seqCol.map(col).getOrElse(col("value"))
-        batch.groupBy("row", "family", "qualifier", "ts", "type")
-          .agg(max_by(col("value"), ord).as("value"))
+        applyBatch(batch, seqCol)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
