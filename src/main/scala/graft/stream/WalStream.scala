@@ -140,18 +140,13 @@ object WalStream {
     spark.table(queryName)
   }
 
-  /** Exactly-once apply: the ReplicationSink analogue
-    * (replication/regionserver/ReplicationSink.java). Each micro-batch
-    * is appended idempotently, and same-coordinate conflicts resolve
-    * deterministically: by `seqCol` when the WAL carries a sequence id
-    * (the reference's per-region sequenceId ordering), else by value
-    * ordering — an arbitrary dropDuplicates winner would let a replica
-    * diverge from its source on double-writes at one timestamp. */
-  /** Batch form of the sink's same-coordinate conflict resolution: the
+  /** Same-coordinate conflict resolution of the sink, batch form: the
     * entry with the highest WAL sequence id wins (the reference's
     * per-region sequenceId ordering, serial-peer mode —
     * ReplicationSourceManager); without a seq column, value ordering
-    * keeps the winner deterministic. type is part of the identity: a
+    * keeps the winner deterministic — an arbitrary dropDuplicates
+    * winner would let a replica diverge from its source on
+    * double-writes at one timestamp. type is part of the identity: a
     * Put and a tombstone may share (row,family,qualifier,ts) — both
     * must replicate. One shuffle on the cell coordinates; at 100 TB
     * this is the same key the cell store is bucketed on, so the
@@ -162,6 +157,10 @@ object WalStream {
       .agg(max_by(col("value"), ord).as("value"))
   }
 
+  /** Exactly-once apply: the ReplicationSink analogue
+    * (replication/regionserver/ReplicationSink.java). Each micro-batch
+    * is appended idempotently through [[applyBatch]]'s conflict
+    * resolution. */
   def applySink(cellStream: DataFrame, checkpointDir: String, outDir: String,
       seqCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     cellStream.writeStream
