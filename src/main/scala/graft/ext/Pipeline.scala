@@ -227,4 +227,60 @@ object Pipeline {
       regexp_count(s1, lit(Ipv4Re)).as("n_ip"),
       regexp_count(s2, lit(NumRe)).as("n_num"))
   }
+
+  /** Fixed-width overlapping token chunks — the RAG / context-window
+    * preparation step: chunk i covers tokens [i·stride, i·stride+width)
+    * of the whitespace-normalized token stream, so consecutive chunks
+    * overlap by width−stride tokens and every token lands in ≥1 chunk.
+    * Pure map-side (tokenize → explode of a per-doc chunk-index range);
+    * output volume is n_tokens/stride rows per doc — linear in corpus
+    * size, the only shape that survives 100 TB. chunk_hash (md5 of the
+    * joined chunk) is the dedup/join key downstream stages use. */
+  def chunkDocs(docs: DataFrame, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__nc",
+        expr(s"1 + (greatest(__n - $width, 0) + ${stride - 1}) DIV $stride"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(width)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("chunk_len"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** Canonical URL form — the Common-Crawl-style normalization under
+    * which URL-level dedup runs: lowercase scheme+host, strip a leading
+    * `www.`, strip the scheme's default port, drop `utm_*` tracking
+    * params, sort the surviving query params, trim trailing slashes,
+    * drop the fragment. Pure map-side regexp/array expressions with
+    * exact DuckDB twins (regexp_extract group numbering and anchored
+    * regexp_replace agree across both engines). */
+  def canonicalizeUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*).*$"
+    val scheme = lower(regexp_extract(url, re, 1))
+    val bare = regexp_replace(lower(regexp_extract(url, re, 2)), "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(bare, ":443$", ""))
+      .when(scheme === "http", regexp_replace(bare, ":80$", ""))
+      .otherwise(bare)
+    val path = regexp_replace(regexp_extract(url, re, 3), "/+$", "")
+    val keptParams = array_sort(filter(split(regexp_extract(url, re, 4), "&"),
+      p => p =!= "" && !p.rlike("^utm_")))
+    val query = array_join(keptParams, "&")
+    concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** URL-level exact dedup over the canonical form: one hash-groupBy on
+    * the canonical URL (the same scale shape as exact text dedup e01);
+    * the keeper is the smallest id, deterministically. */
+  def urlDedup(docs: DataFrame, urlCol: Column,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(canonicalizeUrl(urlCol).as("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 }

@@ -226,6 +226,67 @@ object PipelineQueries {
            |WHERE ${h48doc("reweight")} < CAST(FLOOR(f * 281474976710656.0) AS BIGINT)
            |ORDER BY d.source, d.doc_id""".stripMargin
       }
+    ),
+    QDef(
+      // Fixed-width overlapping token chunking (RAG / context-window
+      // prep): width 64, stride 48 — consecutive chunks overlap by 16
+      // tokens; chunk_hash is the downstream dedup/join key. Map-side
+      // tokenize + per-doc index-range explode; linear in corpus size.
+      "e35_doc_chunking",
+      (s, dir) =>
+        Pipeline.chunkDocs(docs(s, dir), width = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents),
+              |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+              |c AS (SELECT doc_id, toks, 1 + (GREATEST(n - 64, 0) + 47) // 48 AS n_chunks FROM n),
+              |x AS (SELECT doc_id, toks, UNNEST(range(n_chunks)) AS i FROM c),
+              |s AS (SELECT doc_id, i AS chunk_idx,
+              |             list_slice(toks, i * 48 + 1, i * 48 + 64) AS chunk FROM x)
+              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
+              |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+              |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+    QDef(
+      // URL canonicalization + URL-level dedup (the Common-Crawl-style
+      // pre-text dedup pass). The messy URL fixture is derived
+      // deterministically from (source, doc_id): uppercase scheme/host
+      // noise, www., explicit default port, a utm_ tracking param, a
+      // trailing slash — distinct docs collapse when they share
+      // (source, doc_id%25, doc_id%100) after normalization, which the
+      // oracle reproduces with the same canonicalization in SQL.
+      "e36_url_dedup",
+      (s, dir) => {
+        val url = format_string(
+          "HTTPS://WWW.%s.Example.COM:443/p/%d/?utm_source=s%d&id=%d",
+          col("source"), pmod(col("doc_id"), lit(25)),
+          pmod(col("doc_id"), lit(3)), pmod(col("doc_id"), lit(100)))
+        Pipeline.urlDedup(docs(s, dir).withColumn("url", url), col("url"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         printf('HTTPS://WWW.%s.Example.COM:443/p/%d/?utm_source=s%d&id=%d',
+             |                source, doc_id % 25, doc_id % 3, doc_id % 100) AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*).*$', 1)) AS scheme,
+             |         regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*).*$', 2)), '^www\.', '') AS bare,
+             |         regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*).*$', 3), '/+$', '') AS path,
+             |         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*).*$', 4) AS q
+             |  FROM u),
+             |c AS (
+             |  SELECT doc_id,
+             |         scheme || '://' ||
+             |         (CASE WHEN scheme = 'https' THEN regexp_replace(bare, ':443$', '')
+             |               WHEN scheme = 'http' THEN regexp_replace(bare, ':80$', '')
+             |               ELSE bare END) || path ||
+             |         (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canon_url
+             |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+             |                    x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS cq
+             |        FROM p))
+             |SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+             |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin)
     )
   )
 }

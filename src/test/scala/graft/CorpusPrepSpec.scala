@@ -179,4 +179,47 @@ class CorpusPrepSpec extends SparkSpec {
     val rare = out(1).getDouble(2)
     assert(common > rare, s"common $common should beat rare $rare")
   }
+
+  test("chunkDocs covers every token with the declared overlap") {
+    import graft.ext.TextHash
+    val chunks = Pipeline.chunkDocs(docs, width = 64, stride = 48).cache()
+    val nToks = docs.select(size(TextHash.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    // coverage: per doc, chunk lengths sum to n + 16 * (n_chunks - 1)
+    // (each non-first chunk re-reads exactly width-stride=16 tokens),
+    // so total tokens reconstruct exactly
+    val agg = chunks.groupBy("doc_id")
+      .agg(sum(col("chunk_len")).as("s"), count(lit(1)).as("c")).cache()
+    val reconstructed = agg.agg(sum(col("s") - (col("c") - 1) * 16)).head().getLong(0)
+    assert(reconstructed === nToks)
+    // every chunk except a doc's last is exactly `width` long
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val short = chunks
+      .withColumn("last", col("chunk_idx") === max(col("chunk_idx")).over(w))
+      .filter(!col("last") && col("chunk_len") =!= 64).count()
+    assert(short === 0)
+    // deterministic chunk ids start at 0 and are dense
+    val idx = chunks.groupBy("doc_id")
+      .agg(min(col("chunk_idx")).as("lo"), max(col("chunk_idx")).as("hi"),
+        count(lit(1)).as("c"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("c") - 1).count()
+    assert(idx === 0)
+  }
+
+  test("canonicalizeUrl normalizes case/port/www/tracking/slash and is idempotent") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1", "https://ex.com/A/b?a=1&b=2"),
+      ("http://ex.com:80/", "http://ex.com"),
+      ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+      ("https://ex.com/p?utm_medium=z", "https://ex.com/p"),
+      ("https://ex.com/p#frag", "https://ex.com/p"),
+      ("ftp://Ex.Com:443/f", "ftp://ex.com:443/f")
+    ).toDF("url", "want")
+    val got = cases.withColumn("canon", Pipeline.canonicalizeUrl(col("url")))
+    assert(got.filter(col("canon") =!= col("want")).count() === 0)
+    // idempotence: canon(canon(u)) = canon(u)
+    val twice = got.withColumn("again", Pipeline.canonicalizeUrl(col("canon")))
+    assert(twice.filter(col("again") =!= col("canon")).count() === 0)
+  }
 }
