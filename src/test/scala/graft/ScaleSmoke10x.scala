@@ -70,6 +70,32 @@ object ScaleSmoke10x {
         ordered_encode(col("l_orderkey"))).as("k"))
         .filter(length(col("k")) > 0))
 
+    // e35/e36 shapes (round-5 late additions): 10× the documents table
+    val d = graft.model.Tables.load(spark, s"$dir/documents.parquet")
+    val d10 = (0 until 10).map(i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    runCount("chunkDocs 64/48 10x docs",
+      graft.ext.Pipeline.chunkDocs(d10, width = 64, stride = 48))
+    runCount("urlDedup 10x docs", {
+      val url = format_string(
+        "HTTPS://WWW.%s.Example.COM:443/p/%d/?utm_source=s%d&id=%d",
+        col("source"), pmod(col("doc_id"), lit(25)),
+        pmod(col("doc_id"), lit(3)), pmod(col("doc_id"), lit(100)))
+      graft.ext.Pipeline.urlDedup(d10.withColumn("url", url), col("url"))
+    })
+
+    // q79 shape: serial apply over the ×10 store with a conflicting resend
+    runCount("serialApply 10x store", {
+      val wal = x10.withColumn("seq", col("ts") * 10 + 1)
+      val resend = wal
+        .filter(col("type") === "Put" && col("qualifier") === "event_type")
+        .withColumn("seq", col("seq") + 5)
+        .withColumn("value", concat(lit("v2:"), col("value")))
+      graft.stream.WalStream.applyBatch(wal.unionByName(resend),
+        seqCol = Some("seq"))
+    })
+
     spark.stop()
   }
 }
