@@ -13,6 +13,22 @@ final case class QDef(
 )
 
 object Queries {
+  /** Stable per-name scratch dir for queries that pass through a
+    * durable write boundary (export/import, compaction landing, bulk
+    * mutation batches): reps of the same query overwrite ONE slot
+    * instead of accumulating a fresh copy per invocation when the
+    * bench loops (SPARK_GRAFT_BENCH_REPS). */
+  def scratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-q", name)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(root).toString
+  }
+
   /** Populated by the per-module registries; SparkEntry exposes it. */
   def all: Seq[QDef] =
     queries.ScanQueries.defs ++

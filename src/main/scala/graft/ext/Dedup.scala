@@ -391,6 +391,35 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Best-of-cluster canonical selection: near-dup group every
+    * document ([[minHashNearDups]] → [[nearDupGroups]]), score every
+    * document ([[TextAnalysis.qualityScore]]), and per group KEEP the
+    * highest-quality member (tie → lowest doc_id) — the training-set
+    * keep-list that retains the best copy of each duplicated document
+    * instead of an arbitrary one (min-id). Singletons form their own
+    * group and keep themselves.
+    *
+    * Scale shape: groups and quality are both per-doc aggregates; the
+    * arbitration window partitions by group_id, whose partitions are
+    * near-dup clusters — bounded by the duplication factor, not the
+    * corpus. One left join + one inner join + one bounded window on
+    * top of the LSH/CC passes. */
+  def canonicalKeep(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val groups = nearDupGroups(minHashNearDups(docs, k, bands, threshold))
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
+  }
+
   /** Exact n-gram Jaccard over a bounded id range (the exact-answer
     * small-scope tool; LSH is the scale path). All pairs of the bounded
     * set, intersected map-side on the per-doc shingle arrays. */

@@ -61,7 +61,12 @@ object Multimodal {
     var i = 2
     while (i + 9 < b.length) {
       if (u8(i) != 0xff) return None
+      // 0xFF fill/padding bytes may precede a marker (JPEG B.1.1.2)
+      while (i + 9 < b.length && u8(i + 1) == 0xff) i += 1
       val marker = u8(i + 1)
+      // SOS starts entropy-coded data (no more segment headers before
+      // dims); EOI ends the stream — either way dims won't follow
+      if (marker == 0xda || marker == 0xd9) return None
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
       else {
         // SOFn carry dimensions; C4/C8/CC are huffman/arithmetic tables

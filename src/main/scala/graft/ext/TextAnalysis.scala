@@ -152,20 +152,25 @@ object TextAnalysis {
     * tokens have no bigrams and are absent from the output (the oracle
     * twin agrees).
     *
-    * Same scale shape as the unigram: two bounded count aggregates
-    * broadcast back over the bigram stream, FLOOR(ln p · 1e6) integer
-    * sums so the score is independent of summation order. */
+    * Scale shape: UNLIKE the unigram, the bigram "vocabulary" is NOT
+    * bounded — on diverse text the distinct-bigram count tracks the
+    * corpus, so a count-table broadcast would ship corpus-sized state
+    * to every executor. Count in place instead: two partition-count
+    * windows over the gram stream (c(w1 w2), then c(w1 ·) — the
+    * denominator is just the gram count sharing w1, no separate
+    * unigram table needed), then the per-doc fold. One tokenize pass,
+    * three shuffles of the gram stream, zero broadcast — the same
+    * plan at any corpus size. FLOOR(ln p · 1e6) integer sums keep the
+    * score independent of summation order. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
-    val grams = docs
+    import org.apache.spark.sql.expressions.Window
+    docs
       .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), explode_outer(shingles("toks", 2)).as("bg"))
       .filter(col("bg").isNotNull)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val big = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    grams
-      .join(broadcast(big), Seq("bg"))
-      .join(broadcast(uni), Seq("w1"))
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -173,6 +178,73 @@ object TextAnalysis {
           .cast("long")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s").cast("double") / (col("n_bigrams") * 1000000.0), 4).as("avg_logp"))
+  }
+
+  /** tf-idf top-`k` terms per document — the classic salient-term
+    * signal (term routing, topic tagging, index keys for a corpus
+    * catalog). score = tf · ln((N+1)/(df+1)), quantized FLOOR(·1e6)
+    * so the rank order is engine-independent; ties break on the term
+    * string ascending.
+    *
+    * Scale shape: one shuffle onto (doc_id, token) for tf; df is an
+    * aggregate of THAT aggregate (vocabulary-bounded, broadcast); the
+    * doc count rides as a 1-row broadcast; the final top-k rank window
+    * partitions by doc_id — bounded partitions at any corpus size. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("tok"))
+    tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_q",
+        floor(col("tf") * (log(col("n_docs").cast("double") + 1)
+          - log(col("df").cast("double") + 1)) * 1000000).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score_q"))
+  }
+
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail terciles of the LM quality score
+    * ([[unigramLogProb]] — highest avg log-prob = most "fluent" =
+    * head, the CCNet convention). Two paths:
+    *   - `thresholds = Some((headMin, midMin))`: map-side bucketing
+    *     against precomputed score cutoffs — the 100 TB path (CCNet
+    *     itself derives cutoffs from a sample, so an
+    *     `approx_percentile` over a fraction of the corpus feeds this
+    *     argument at scale; no global sort ever happens).
+    *   - `thresholds = None`: exact rank terciles via one ntile window
+    *     over the PER-DOC score frame (already aggregated — corpus
+    *     text never reaches the sort). The deterministic
+    *     (avg_logp desc, doc_id) ordering makes the split
+    *     engine-reproducible, which is what the declared oracle pins.
+    */
+  def pplBuckets(docs: DataFrame,
+      thresholds: Option[(Double, Double)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs).select(col("doc_id"), col("avg_logp"))
+    thresholds match {
+      case Some((headMin, midMin)) =>
+        scored.withColumn("ppl_bucket",
+          when(col("avg_logp") >= headMin, "head")
+            .when(col("avg_logp") >= midMin, "middle")
+            .otherwise("tail"))
+      case None =>
+        val w = Window.orderBy(col("avg_logp").desc, col("doc_id"))
+        scored
+          .withColumn("__t", ntile(3).over(w))
+          .withColumn("ppl_bucket",
+            when(col("__t") === 1, "head")
+              .when(col("__t") === 2, "middle").otherwise("tail"))
+          .drop("__t")
+    }
   }
 
   /** Document fingerprinting: exact md5 of normalized text + a

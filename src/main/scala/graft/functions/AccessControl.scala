@@ -40,12 +40,13 @@ object AclKernel {
     * entries (no ':') throw, mirroring the reference's failed tag
     * parse being an error path (AuthManager.authorizeCell:452). */
   def parse(acl: String): Map[String, Set[Char]] =
-    acl.split(",").iterator.filter(_.nonEmpty).map { grant =>
+    acl.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { grant =>
       grant.split(":", 2) match {
-        case Array(p, actions) if p.nonEmpty =>
+        case Array(p0, actions0) if p0.trim.nonEmpty =>
+          val actions = actions0.trim
           actions.foreach(a => require("RWXCA".contains(a),
             s"unknown action '$a' in grant '$grant' (Permission: R/W/X/C/A)"))
-          p -> actions.toSet
+          p0.trim -> actions.toSet
         case _ =>
           throw new IllegalArgumentException(s"malformed ACL grant '$grant'")
       }

@@ -181,11 +181,15 @@ object Fixtures {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, s"$sfDir/lineitem.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects as TimestampType; read it as epoch-nanos LongType
-    * via an explicit schema (works on any session, no legacy conf).
-    * `tsUtc` derives a micros TimestampType column when event-time
-    * semantics are needed (truncation matches DuckDB's ns→µs read). */
+  /** events.ts ships as parquet TIMESTAMP — the driver has generated
+    * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) variants across
+    * rounds. Read it as raw LongType via an explicit schema (NANOS is
+    * rejected by the vectorized TimestampType reader anyway), then
+    * normalize to epoch-nanos with the footer-derived multiplier
+    * ([[eventsTsNanosMult]]) so every downstream consumer sees one
+    * unit. `tsUtc` derives a micros TimestampType column when
+    * event-time semantics are needed (truncation matches DuckDB's
+    * ns→µs read). */
   val eventsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -198,10 +202,55 @@ object Fixtures {
     ))
   }
 
+  /** ts-unit multiplier to epoch-nanos for a parquet file's `ts`
+    * column, read from the footer's logical type (one driver-side
+    * footer read, memoized per path). Plain INT64 (our own WAL logs)
+    * is already nanos → 1. */
+  private val tsMultMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def eventsTsNanosMult(spark: SparkSession, path: String): Long =
+    tsMultMemo.computeIfAbsent(path, { p =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+          .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+            }
+          case _ => 1L
+        }
+      } finally reader.close()
+    }: java.util.function.Function[String, java.lang.Long])
+
+  /** The raw events frame with `ts` normalized to epoch-nanos —
+    * EVERY reader of events.parquet must come through here (or apply
+    * [[eventsTsNanosMult]] itself) so unit drift in the driver's
+    * generator cannot skew time-range semantics. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val mult = eventsTsNanosMult(spark, path)
+    val df = Tables.load(spark, path, Some(eventsSchema))
+    if (mult == 1L) df else df.withColumn("ts", col("ts") * lit(mult))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     CellStore.materialize(spark, "events", sfDir)(
       regionLayout(
-        Tables.load(spark, s"$sfDir/events.parquet", Some(eventsSchema)),
+        eventsRaw(spark, sfDir),
         col("user_id"), col("user_id"), col("ts"), col("event_id")))
 
   /** cells_orders — single-version cell view of `orders`. */

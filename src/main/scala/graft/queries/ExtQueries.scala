@@ -383,7 +383,7 @@ object ExtQueries {
       "e32_dedup_index",
       (s, dir) => {
         val all = graft.model.Tables.load(s, s"$dir/documents.parquet")
-        val tmp = java.nio.file.Files.createTempDirectory("dix_q").toString
+        val tmp = graft.Queries.scratchDir("dix_q")
         graft.ext.DedupIndex.build(
           all.filter(col("doc_id") < 250).select("doc_id", "text"),
           "e32_dedup_index_tbl", s"$tmp/idx", k = 16, bands = 4, buckets = 8)
@@ -452,7 +452,7 @@ object ExtQueries {
       "e33_stream_dedup",
       (s, dir) => {
         val all = graft.model.Tables.load(s, s"$dir/documents.parquet")
-        val tmp = java.nio.file.Files.createTempDirectory("dix_sq").toString
+        val tmp = graft.Queries.scratchDir("dix_sq")
         graft.ext.DedupIndex.build(
           all.filter(col("doc_id") < 250).select("doc_id", "text"),
           "e33_stream_dedup_tbl", s"$tmp/idx", k = 16, bands = 4, buckets = 8)
@@ -583,6 +583,84 @@ object ExtQueries {
              |       CAST(16 + doc_id % 48 AS INT) AS height,
              |       ascii(substr(text, 1, 1)) AS first_byte
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // tf-idf top-3 salient terms per document; FLOOR(·1e6) score
+      // quantization + term-ascending tie-break make the rank order
+      // engine-independent (TextAnalysis.tfidfTopTerms scaladoc).
+      "e37_tfidf_terms",
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"), k = 3)
+          .orderBy("doc_id", "rank"),
+      Some(s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM p GROUP BY doc_id, tok),
+              |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+              |SELECT doc_id, rank, tok, score_q FROM (
+              |  SELECT tf.doc_id, tf.tok,
+              |         CAST(FLOOR(tf.tf * (ln(n.n_docs + 1.0) - ln(df.df + 1.0)) * 1000000) AS BIGINT) AS score_q,
+              |         row_number() OVER (PARTITION BY tf.doc_id
+              |           ORDER BY CAST(FLOOR(tf.tf * (ln(n.n_docs + 1.0) - ln(df.df + 1.0)) * 1000000) AS BIGINT) DESC,
+              |                    tf.tok) AS rank
+              |  FROM tf JOIN df USING (tok) CROSS JOIN n
+              |) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+    ),
+    QDef(
+      // CCNet-style perplexity terciles over the corpus-trained LM
+      // score (exact-ntile oracle path; the thresholds arg is the
+      // sampled 100 TB path — TextAnalysis.pplBuckets scaladoc).
+      "e38_ppl_buckets",
+      (s, dir) =>
+        TextAnalysis.pplBuckets(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, unnest($toks) AS tok FROM documents
+              |), v AS (SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok),
+              |tt AS (SELECT SUM(cnt) AS tot FROM v),
+              |sc AS (
+              |  SELECT p.doc_id,
+              |         ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |               / (COUNT(*) * 1000000.0), 4) AS avg_logp
+              |  FROM p JOIN v USING (tok) CROSS JOIN tt GROUP BY p.doc_id)
+              |SELECT doc_id, avg_logp,
+              |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+              |FROM (SELECT *, ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS t FROM sc)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // best-of-cluster canonical selection: e14's near-dup groups ×
+      // e09's quality score — keep the highest-quality member of each
+      // duplicate cluster (tie → lowest doc_id), singletons keep
+      // themselves (Dedup.canonicalKeep scaladoc).
+      "e39_canonical_keep",
+      (s, dir) =>
+        Dedup.canonicalKeep(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            k = 16, bands = 4, threshold = 0.8)
+          .orderBy("doc_id"),
+      Some {
+        val stop = langScore(TextAnalysis.profiles.flatMap(_._2))
+        s"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (SELECT i, j FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+           |          WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8),
+           |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+           |grp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+           |q AS (
+           |  SELECT doc_id, ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 4) AS quality
+           |  FROM (
+           |    SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens, $stop AS stop_hits
+           |    FROM (SELECT doc_id, text, ' ' || $norm || ' ' AS p FROM documents)))
+           |SELECT doc_id, group_id, quality,
+           |       row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id) = 1 AS keep
+           |FROM (
+           |  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, q.quality
+           |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id JOIN q ON q.doc_id = d.doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

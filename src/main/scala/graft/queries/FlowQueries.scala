@@ -20,8 +20,7 @@ object FlowQueries {
 
   private val outCols = Seq("row", "family", "qualifier", "ts", "value")
 
-  private def tmpDir(pfx: String): String =
-    java.nio.file.Files.createTempDirectory(pfx).toString
+  private def tmpDir(pfx: String): String = graft.Queries.scratchDir(pfx)
 
   val defs: Seq[QDef] = Seq(
     QDef(

@@ -71,9 +71,7 @@ object PipelineQueries {
     QDef(
       "e19_pii_scrub",
       (s, dir) =>
-        Pipeline.piiScrub(
-            Tables.load(s, s"$dir/events.parquet", Some(Fixtures.eventsSchema)),
-            "event_id", "props")
+        Pipeline.piiScrub(Fixtures.eventsRaw(s, dir), "event_id", "props")
           .orderBy("event_id"),
       Some {
         def rep(src: String, re: String, to: String) =

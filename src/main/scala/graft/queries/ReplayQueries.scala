@@ -93,7 +93,7 @@ object ReplayQueries {
         import graft.write.BucketedStore
         val compacted = Jobs.majorCompact(Fixtures.cellsEventsV(s, dir),
           maxVersions = 3, ttlCutoff = Some(2L))
-        val tmp = java.nio.file.Files.createTempDirectory("compact_q").toString
+        val tmp = graft.Queries.scratchDir("compact_q")
         BucketedStore.write(compacted, "q62_compacted_tbl", s"$tmp/store",
           buckets = 8)
         graft.read.GTable.scan(BucketedStore.read(s, "q62_compacted_tbl"),
@@ -154,10 +154,17 @@ object ReplayQueries {
       "q68_bulk_delete",
       (s, dir) => {
         val cells = Fixtures.cellsEventsV(s, dir)
-        val marks = Jobs.bulkDelete(cells,
+        // LAND the marker frame before the read-back resolve (the
+        // BulkDeleteEndpoint shape: markers are durable mutations the
+        // region applies, not a subplan of the reader). Without the
+        // boundary the final resolve's four mask legs each re-derive
+        // the whole matched-scan subplan (dev/PLANS.md q68 row).
+        val tmp = graft.Queries.scratchDir("bulk_delete_q")
+        Jobs.bulkDelete(cells,
           graft.read.GScan(maxVersions = 3,
             filter = Some(col("qualifier") === "event_type" && col("value") === "click")),
-          "COLUMN")
+          "COLUMN").write.mode("overwrite").parquet(s"$tmp/markers")
+        val marks = s.read.parquet(s"$tmp/markers")
         Resolve.latest(cells.unionByName(marks), maxVersions = 2)
           .select("row", "family", "qualifier", "ts", "value")
           .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
@@ -203,7 +210,13 @@ object ReplayQueries {
         val dels = rmRows.select(col("row"), lit("d").as("family"),
           lit("props").as("qualifier"), lit(6L).as("ts"),
           lit(CellType.DeleteColumn).as("type"), lit(null).cast("string").as("value"))
-        Mutations.mergeLatest(cells, puts.unionByName(dels), maxVersions = 1)
+        // LAND the mutation batch before the merge: a RowMutations
+        // batch is client-supplied data, not a subplan of the reader —
+        // without the boundary mergeLatest's mask legs each re-derive
+        // the distinct-row seed (dev/PLANS.md q71 row).
+        val tmp = graft.Queries.scratchDir("row_mutations_q")
+        puts.unionByName(dels).write.mode("overwrite").parquet(s"$tmp/batch")
+        Mutations.mergeLatest(cells, s.read.parquet(s"$tmp/batch"), maxVersions = 1)
           .select("row", "family", "qualifier", "ts", "value")
           .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
       },

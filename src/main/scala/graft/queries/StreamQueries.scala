@@ -24,7 +24,7 @@ object StreamQueries {
     QDef(
       "q34_stream_window",
       (s, dir) => {
-        val stream = WalStream.source(s, s"$dir/events.parquet", Fixtures.eventsSchema)
+        val stream = WalStream.sourceNs(s, s"$dir/events.parquet", Fixtures.eventsSchema)
         val agg    = WalStream.tumblingCounts(stream, "1 hour")
         val out    = WalStream.runAvailableNow(agg, s"q34_sink_${sinkId.incrementAndGet()}")
         out.select(
@@ -71,7 +71,7 @@ object StreamQueries {
       // completion with AvailableNow; batch oracle = the same interval
       // join in SQL on µs-truncated event time.
       (s, dir) => {
-        val stream = WalStream.source(s, s"$dir/events.parquet", Fixtures.eventsSchema)
+        val stream = WalStream.sourceNs(s, s"$dir/events.parquet", Fixtures.eventsSchema)
         val joined = WalStream.clickAttribution(stream)
         WalStream.runAvailableNow(joined, s"q60_sink_${sinkId.incrementAndGet()}",
             mode = "append")

@@ -24,6 +24,15 @@ object WalStream {
   def source(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(asDir(path))
 
+  /** [[source]] with `ts` normalized to epoch-nanos via the footer's
+    * TIMESTAMP unit ([[graft.model.Fixtures.eventsTsNanosMult]]) — use
+    * for the driver's events.parquet, whose unit varies by generation. */
+  def sourceNs(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val mult = graft.model.Fixtures.eventsTsNanosMult(spark, path)
+    val s = source(spark, path, schema)
+    if (mult == 1L) s else s.withColumn("ts", col("ts") * lit(mult))
+  }
+
   /** The file-stream source lists a *directory*; when handed a single
     * parquet file (the driver fixtures), expose it through a stable
     * symlinked dir. */

@@ -28,8 +28,14 @@ class AccessControlSpec extends SparkSpec {
   }
 
   test("malformed grants throw") {
-    for (bad <- Seq("alice", ":RW", "alice:RQ"))
+    for (bad <- Seq("alice", ":RW", "alice:RQ", " :RW"))
       assertThrows[IllegalArgumentException](AclKernel.parse(bad))
+  }
+
+  test("grant authoring whitespace is tolerated, not silently denied") {
+    assert(AclKernel.parse("alice:RW, bob:R , @eng : X") ===
+      Map("alice" -> Set('R', 'W'), "bob" -> Set('R'), "@eng" -> Set('X')))
+    assert(AclKernel.cellAuthorizes("alice:RW, bob:R", Set("bob"), 'R'))
   }
 
   test("table grant admits every cell — cell ACLs extend, never restrict") {

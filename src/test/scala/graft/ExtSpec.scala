@@ -141,6 +141,16 @@ class ExtSpec extends SparkSpec {
     // non-container payloads and nulls fall through to the stub path
     assert(Multimodal.parseImageHeader("just text".getBytes) === None)
     assert(Multimodal.parseImageHeader(null) === None)
+    // 0xFF fill bytes between segments are legal padding (B.1.1.2):
+    // inject them after SOI in a real jpeg and dims must still parse
+    val jpg = encode("jpg", 23, 17)
+    val padded = (jpg.take(2) :+ 0xff.toByte :+ 0xff.toByte) ++ jpg.drop(2)
+    assert(Multimodal.parseImageHeader(padded) === Some(("jpeg", 23, 17)))
+    // a stream whose header section ends (SOS/EOI) before any SOF must
+    // bail out rather than scan entropy-coded data for segment lengths
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x11, 0x00, 0x17).map(_.toByte)
+    assert(Multimodal.parseImageHeader(sosFirst) === None)
     // end-to-end: a real PNG row gets its REAL dims (not the metadata
     // columns); a text-payload row keeps the metadata stand-ins
     val media = Seq(
@@ -288,5 +298,82 @@ class ExtSpec extends SparkSpec {
     // threshold at -1: only the cluster minimum survives (every pair qualifies)
     val tight = Similarity.semanticDedup(emb, threshold = -1.0).collect()
     assert(tight.count(_.getBoolean(2)) === minPerCluster.size)
+  }
+
+  test("tfidfTopTerms ranks salient terms; a corpus-wide term never wins") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry common")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(tiny, k = 2).collect()
+      .groupBy(_.getLong(0))
+    // rank 1 is the doc's own repeated rare term, not 'common' (df=3 → idf 0... negative? ln(4/4)=0)
+    assert(top(1L).minBy(_.getLong(1)).getString(2) === "apple")
+    assert(top(2L).minBy(_.getLong(1)).getString(2) === "banana")
+    assert(top(3L).minBy(_.getLong(1)).getString(2) === "cherry")
+    // ranks are 1..k, dense, per doc
+    top.values.foreach(rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq))
+    // real corpus: every doc with tokens appears, at most k rows each
+    val full = TextAnalysis.tfidfTopTerms(docs, k = 3)
+    val perDoc = full.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 3))
+    assert(perDoc.length === docs.filter(length(col("text")) > 0).count())
+  }
+
+  test("pplBuckets: ntile path splits terciles; thresholds path agrees map-side") {
+    val exact = TextAnalysis.pplBuckets(docs).cache()
+    val n = exact.count()
+    val byB = exact.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byB.keySet))
+    assert(byB.values.max - byB.values.min <= 1) // ntile balance
+    // derive the cutoffs the exact split chose, rerun map-side: same buckets
+    val headMin = exact.filter(col("ppl_bucket") === "head")
+      .agg(min("avg_logp")).head().getDouble(0)
+    val midMin = exact.filter(col("ppl_bucket") === "middle")
+      .agg(min("avg_logp")).head().getDouble(0)
+    val mapped = TextAnalysis.pplBuckets(docs, Some((headMin, midMin)))
+    val diff = exact.alias("a").join(mapped.alias("b"), Seq("doc_id"))
+      .filter(col("a.ppl_bucket") =!= col("b.ppl_bucket")).count()
+    // boundary docs sharing the cutoff score may land either side of a
+    // RANK split but always below the THRESHOLD split — allow only ties
+    val tieDocs = exact.groupBy("avg_logp").count().filter(col("count") > 1)
+      .join(exact, Seq("avg_logp")).count()
+    assert(diff <= tieDocs, s"$diff bucket mismatches exceed $tieDocs boundary ties")
+    assert(n === docs.filter(length(col("text")) > 0).count())
+  }
+
+  test("canonicalKeep keeps exactly the best-quality member per group") {
+    // doc 100001 near-dups doc 1 but is LONGER (higher quality via the
+    // length term, still jaccard ≥ 0.8) — the keep-list must prefer it
+    // over min-id doc 1
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+      .withColumn("text", concat(col("text"), lit(" alpha beta gamma")))
+    val all = docs.unionByName(near)
+    val keep = Dedup.canonicalKeep(all).cache()
+    assert(keep.count() === all.count())
+    // exactly one keeper per group
+    val perGroup = keep.filter(col("keep"))
+      .groupBy("group_id").count().collect()
+    assert(perGroup.forall(_.getLong(1) === 1L))
+    assert(keep.select(count_distinct(col("group_id"))).head().getLong(0)
+      === perGroup.length.toLong)
+    // the kept member IS the group's max quality
+    val q = Dedup.canonicalKeep(all)
+    val bad = q.alias("a").join(q.alias("b"),
+        col("a.group_id") === col("b.group_id") &&
+        col("a.keep") && !col("b.keep") &&
+        col("b.quality") > col("a.quality")).count()
+    assert(bad === 0L)
+    // and for the injected pair specifically, the longer doc wins
+    val g1 = keep.filter(col("doc_id").isin(1L, 100001L)).collect()
+    assert(g1.map(_.getLong(1)).distinct.length === 1, "1 and 100001 must share a group")
+    assert(g1.find(_.getLong(0) === 100001L).get.getBoolean(3),
+      "higher-quality member must be kept")
+    assert(!g1.find(_.getLong(0) === 1L).get.getBoolean(3))
   }
 }

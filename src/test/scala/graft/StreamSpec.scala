@@ -8,7 +8,7 @@ import graft.stream.WalStream
 class StreamSpec extends SparkSpec {
 
   test("streaming tumbling window equals batch computation") {
-    val stream = WalStream.source(spark, s"$sf0001/events.parquet", Fixtures.eventsSchema)
+    val stream = WalStream.sourceNs(spark, s"$sf0001/events.parquet", Fixtures.eventsSchema)
     val out = WalStream.runAvailableNow(
       WalStream.tumblingCounts(stream), "streamspec_tumble")
     val batch = Fixtures.events(spark, sf0001)
@@ -22,7 +22,7 @@ class StreamSpec extends SparkSpec {
   }
 
   test("streaming session_window groups events by 30-min gaps") {
-    val stream = WalStream.source(spark, s"$sf0001/events.parquet", Fixtures.eventsSchema)
+    val stream = WalStream.sourceNs(spark, s"$sf0001/events.parquet", Fixtures.eventsSchema)
     val sessions = WalStream.runAvailableNow(
       WalStream.sessionCounts(stream), "streamspec_sessions")
     // total events across sessions == total events
