@@ -201,19 +201,26 @@ object GAdmin {
     * analogue of the reference rewriting store files (truncate
     * recreates regions empty; deleteColumnFamily drops the family's
     * stores) — a heavyweight admin op by construction. */
+  /** (location, bucket count) of a graft table's store, from the
+    * catalog entry. */
+  private def layoutOf(spark: SparkSession, name: String): (String, Int) = {
+    val desc = spark.sql(s"DESCRIBE FORMATTED ${qualified(name)}").collect()
+    def d(key: String) = desc.find(_.getString(0) == key).map(_.getString(1))
+    (d("Location").getOrElse(sys.error(s"no location recorded for $name")),
+      d("Num Buckets")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(16))
+  }
+
   private def rewriteTable(spark: SparkSession, name: String,
-      transform: DataFrame => DataFrame): Unit = {
+      transform: DataFrame => DataFrame,
+      newBuckets: Option[Int] = None): Unit = {
     val q = qualified(name)
     val props = spark.sql(s"SHOW TBLPROPERTIES $q").collect()
       .map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft."))
-    val desc = spark.sql(s"DESCRIBE FORMATTED $q").collect()
-    def d(key: String) = desc.find(_.getString(0) == key).map(_.getString(1))
-    val loc = d("Location").getOrElse(sys.error(s"no location recorded for $name"))
-    val buckets = d("Num Buckets")
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(16)
+    val (loc, buckets) = layoutOf(spark, name)
     val snapshot = transform(spark.table(q)).localCheckpoint()
-    BucketedStore.write(snapshot, q, loc, buckets)
+    BucketedStore.write(snapshot, q, loc, newBuckets.getOrElse(buckets))
     val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
     if (kv.nonEmpty) spark.sql(s"ALTER TABLE $q SET TBLPROPERTIES ($kv)")
   }
@@ -252,6 +259,52 @@ object GAdmin {
       _.filter(org.apache.spark.sql.functions.col("family") =!= family))
     spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
       s"('graft.families' = '${fams.mkString(",")}')")
+  }
+
+  /** Region count of a table — its bucket count (a graft "region" is
+    * a bucket of the bucketed store; RegionLocator.getAllRegionLocations
+    * size analogue). */
+  def regionCount(spark: SparkSession, name: String): Int =
+    layoutOf(spark, name)._2
+
+  /** Admin.splitRegionAsync analogue at the layout level: double the
+    * region (bucket) count. The reference's split rewrites the parent
+    * region's store files into two daughters
+    * (MasterRpcServices.splitRegion → SplitTableRegionProcedure); the
+    * bucketed-store rewrite is the same store-file rewrite, applied
+    * table-wide. */
+  def splitRegions(spark: SparkSession, name: String): Unit =
+    rewriteTable(spark, name, identity,
+      Some(regionCount(spark, name) * 2))
+
+  /** Admin.mergeRegionsAsync analogue: halve the region (bucket)
+    * count (MergeTableRegionsProcedure's store-file merge). */
+  def mergeRegions(spark: SparkSession, name: String): Unit =
+    rewriteTable(spark, name, identity,
+      Some(math.max(1, regionCount(spark, name) / 2)))
+
+  /** SimpleRegionNormalizer analogue (hbase-server/.../normalizer/
+    * SimpleRegionNormalizer.java: split regions over 2× the table
+    * average, merge adjacent regions under half of it): compute the
+    * bucket count that brings the mean bucket size to `targetBytes`,
+    * and rewrite ONLY when the current layout is off by ≥2× in either
+    * direction (the normalizer's own hysteresis — a near-target layout
+    * is not churned). Returns the resulting region count. Store size
+    * is read from the filesystem, the analogue of RegionMetrics
+    * store-file sizes. */
+  def normalize(spark: SparkSession, name: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (loc, cur) = layoutOf(spark, name)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue.toLong).toInt
+    if (ideal >= cur * 2 || ideal.toLong * 2 <= cur) {
+      rewriteTable(spark, name, identity, Some(ideal))
+      ideal
+    } else cur
   }
 
   /** RegionLocator.getStartKeys analogue: n-quantile split points of

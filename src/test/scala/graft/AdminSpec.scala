@@ -125,4 +125,54 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "acc_t")
     GAdmin.deleteNamespace(spark, "acc")
   }
+
+  test("region split/merge rewrite the bucket layout, content intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_rg").toString
+    GAdmin.createTable(spark, "trg", tmp, buckets = 2)
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(300)
+    GAdmin.put(spark, "trg", cells)
+    assert(GAdmin.regionCount(spark, "trg") === 2)
+
+    GAdmin.splitRegions(spark, "trg")
+    assert(GAdmin.regionCount(spark, "trg") === 4)
+    assert(GAdmin.table(spark, "trg").count() === 300)
+    // graft properties survive the rewrite
+    assert(GAdmin.listFamilies(spark, "trg") === Seq("d"))
+
+    GAdmin.mergeRegions(spark, "trg")
+    assert(GAdmin.regionCount(spark, "trg") === 2)
+    assert(GAdmin.table(spark, "trg")
+      .exceptAll(cells.select(GAdmin.table(spark, "trg").columns.map(col): _*))
+      .isEmpty)
+    GAdmin.deleteTable(spark, "trg")
+  }
+
+  test("normalizer resizes only a ≥2x-off layout, toward the byte target") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_nm").toString
+    GAdmin.createTable(spark, "tnm", tmp, buckets = 8)
+    GAdmin.put(spark, "tnm", Fixtures.cellsOrders(spark, sf0001).limit(500))
+
+    // a huge byte target → ideal count 1, an 8x-off layout → rewrite
+    val n1 = GAdmin.normalize(spark, "tnm", targetBytes = 1L << 40)
+    assert(n1 === 1 && GAdmin.regionCount(spark, "tnm") === 1)
+    assert(GAdmin.table(spark, "tnm").count() === 500)
+
+    // target chosen so ideal lands within [cur/2, 2*cur): no churn
+    val bytes = {
+      // derive current size through the same fs the normalizer uses
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sql("DESCRIBE FORMATTED graft_tnm").collect()
+          .find(_.getString(0) == "Location").get.getString(1))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val n2 = GAdmin.normalize(spark, "tnm", targetBytes = bytes) // ideal = 1 == cur
+    assert(n2 === 1 && GAdmin.regionCount(spark, "tnm") === 1)
+
+    // a tiny byte target → ideal far above 2*cur → split-style rewrite
+    val n3 = GAdmin.normalize(spark, "tnm", targetBytes = math.max(1L, bytes / 8))
+    assert(n3 >= 2 && GAdmin.regionCount(spark, "tnm") === n3)
+    assert(GAdmin.table(spark, "tnm").count() === 500)
+    GAdmin.deleteTable(spark, "tnm")
+  }
 }

@@ -85,6 +85,15 @@ object ScaleSmoke10x {
       graft.ext.Pipeline.urlDedup(d10.withColumn("url", url), col("url"))
     })
 
+    // e37/e38/e39 shapes (round-6 additions) over the ×10 documents
+    runCount("tfidfTopTerms 10x docs",
+      graft.ext.TextAnalysis.tfidfTopTerms(d10, k = 3))
+    runCount("pplBuckets thresholds 10x docs",
+      // the 100 TB path: sampled cutoffs, map-side bucketing
+      graft.ext.TextAnalysis.pplBuckets(d10, thresholds = Some((-7.0, -7.5))))
+    runCount("canonicalKeep 10x docs",
+      graft.ext.Dedup.canonicalKeep(d10))
+
     // q79 shape: serial apply over the ×10 store with a conflicting resend
     runCount("serialApply 10x store", {
       val wal = x10.withColumn("seq", col("ts") * 10 + 1)
