@@ -169,11 +169,72 @@ object GAdmin {
   /** Append a mutation batch (Put/Delete cells) to the table store —
     * merge-on-read semantics, reconciliation at scan time (Resolve).
     * Rejected on a disabled table, like the reference's
-    * TableNotEnabledException on mutate. */
+    * TableNotEnabledException on mutate; rejected (or the table
+    * disabled) when a space quota is in violation, like the
+    * RegionServer's SpaceViolationPolicyEnforcement gate. */
   def put(spark: SparkSession, name: String, cells: DataFrame): Unit = {
+    enforceSpaceQuota(spark, name)
     require(isEnabled(spark, name), s"table $name is disabled")
     cells.select(CellSchema.columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).insertInto(qualified(name))
+  }
+
+  // ---- Space quotas (the hbase quotas subsystem:
+  // QuotaSettingsFactory.limitTableSpace, SpaceViolationPolicy.java,
+  // SpaceQuotaSnapshot.java; enforced on the RegionServer write path
+  // by SpaceViolationPolicyEnforcement). Usage is the store's
+  // filesystem size — the RegionMetrics store-file-size analogue the
+  // reference's quota observer sums. Enforcement is checked at put
+  // time against CURRENT usage (the reference's enforcement is
+  // likewise asynchronous-usage-based: the batch that crosses the
+  // line is admitted; the next one is not). ----
+
+  private val QuotaPolicies =
+    Set("NO_INSERTS", "NO_WRITES", "NO_WRITES_COMPACTIONS", "DISABLE")
+
+  def setSpaceQuota(spark: SparkSession, name: String, limitBytes: Long,
+      policy: String = "NO_INSERTS"): Unit = {
+    require(limitBytes > 0, "quota limit must be positive")
+    require(QuotaPolicies(policy),
+      s"unknown violation policy '$policy' (${QuotaPolicies.mkString("/")})")
+    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
+      s"('graft.quota.bytes' = '$limitBytes', 'graft.quota.policy' = '$policy')")
+  }
+
+  def removeSpaceQuota(spark: SparkSession, name: String): Unit =
+    spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
+      "('graft.quota.bytes', 'graft.quota.policy')")
+
+  /** (usageBytes, limitBytes, policy, inViolation) — the
+    * SpaceQuotaSnapshot view; limit/policy are None with no quota. */
+  def spaceQuotaSnapshot(spark: SparkSession, name: String)
+      : (Long, Option[Long], Option[String], Boolean) = {
+    val (loc, _) = layoutOf(spark, name)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val usage = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val limit = prop(spark, name, "graft.quota.bytes").map(_.toLong)
+    val policy = prop(spark, name, "graft.quota.policy")
+    (usage, limit, policy, limit.exists(usage > _))
+  }
+
+  /** Write-path quota gate: in violation, DISABLE disables the table
+    * (the policy's defining action — reads then fail too, as in the
+    * reference); the NO_* policies reject the write with the
+    * SpaceLimitingException twin. */
+  private def enforceSpaceQuota(spark: SparkSession, name: String): Unit = {
+    val (usage, limit, policy, inViolation) = spaceQuotaSnapshot(spark, name)
+    if (inViolation) policy.getOrElse("NO_INSERTS") match {
+      case "DISABLE" =>
+        disableTable(spark, name)
+        throw new IllegalStateException(
+          s"space quota violation on $name (usage $usage > limit ${limit.get}): " +
+            "policy DISABLE — table disabled")
+      case p =>
+        throw new IllegalStateException(
+          s"space quota violation on $name (usage $usage > limit ${limit.get}): " +
+            s"policy $p rejects writes")
+    }
   }
 
   /** Point-in-time snapshot: immutable copy of the current store.

@@ -283,4 +283,54 @@ object Pipeline {
     docs
       .groupBy(canonicalizeUrl(urlCol).as("canon_url"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** Deterministic global training shuffle + sharding: every document
+    * gets a pseudo-random position from its salted id hash; shard =
+    * hash mod nShards, within-shard order = (hash, id). Re-runs give
+    * the same order, a different salt an independent one — the
+    * "shuffle once, stream shards in order" training-data layout.
+    *
+    * Scale shape: the hash is map-side; the position rank partitions
+    * by shard, and nShards is chosen so a shard is one output file
+    * (~GBs) — the same per-shard sort the sharded WRITE needs anyway,
+    * so the rank adds no exchange the layout didn't already pay. */
+  def shardShuffle(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val h = hash48(col(idCol).cast("string"), salt)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    docs
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+
+  /** Quality-ranked token budgeting: within each source, rank documents
+    * by (quality desc, id) and keep the best prefix whose cumulative
+    * token count fits `budgetTokens` — "fill a fixed training budget
+    * with the best available data, per source". A document that
+    * straddles the boundary is kept iff its own cumulative sum still
+    * fits (the reference point for the oracle twin).
+    *
+    * Scale shape: one window per source (rank + running sum — a single
+    * sort per partition serves both). A pathologically hot source
+    * serializes its own running sum; the e24-style two-level pre-prune
+    * applies when needed (rank within (source, hash-bucket) first and
+    * feed each bucket a budget share — an approximation the exact
+    * declared form does not take). */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long,
+      sourceCol: String = "source"): DataFrame = {
+    val nTok = size(tokens(coalesce(col("text"), lit("")))).cast("long")
+    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col(sourceCol), nTok.as("n_tokens"))
+      .join(q, Seq("doc_id"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col(sourceCol), col("quality"),
+        col("n_tokens"), col("cum_tokens"), col("kept"))
+  }
 }

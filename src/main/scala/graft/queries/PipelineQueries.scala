@@ -285,6 +285,51 @@ object PipelineQueries {
              |        FROM p))
              |SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
              |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin)
+    ),
+    QDef(
+      // deterministic global training shuffle + sharding: salted-hash
+      // position, shard = hash mod n, within-shard (hash, id) order —
+      // reproducible across runs, independent across salts
+      // (Pipeline.shardShuffle scaladoc).
+      "e40_shard_shuffle",
+      (s, dir) =>
+        Pipeline.shardShuffle(docs(s, dir), nShards = 8)
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos"),
+      Some(s"""SELECT doc_id, shard, pos FROM (
+              |  SELECT doc_id, shard,
+              |         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+              |  FROM (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard
+              |        FROM (SELECT doc_id, ${h48doc("shuffle")} AS h FROM documents)))
+              |ORDER BY shard, pos""".stripMargin)
+    ),
+    QDef(
+      // quality-ranked token budgeting: per source, keep the best
+      // prefix (quality desc, id) whose running token sum fits the
+      // budget (Pipeline.tokenBudget scaladoc).
+      "e41_token_budget",
+      (s, dir) =>
+        Pipeline.tokenBudget(docs(s, dir), budgetTokens = 600L)
+          .orderBy("doc_id"),
+      Some {
+        val stop = graft.ext.TextAnalysis.profiles.flatMap(_._2).map { t =>
+          s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
+        }.mkString(" + ")
+        s"""WITH q AS (
+           |  SELECT doc_id, source, n_tokens,
+           |         ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 4) AS quality
+           |  FROM (
+           |    SELECT doc_id, source,
+           |           CAST(len(${Sql.tokens("COALESCE(text, '')")}) AS BIGINT) AS n_tokens,
+           |           $stop AS stop_hits
+           |    FROM (SELECT doc_id, source, text, ' ' || ${Sql.normText("text")} || ' ' AS p FROM documents))),
+           |r AS (
+           |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+           |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM q)
+           |SELECT doc_id, source, quality, n_tokens, cum_tokens, cum_tokens <= 600 AS kept
+           |FROM r ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -73,8 +73,12 @@ object StreamQueries {
       (s, dir) => {
         val stream = WalStream.sourceNs(s, s"$dir/events.parquet", Fixtures.eventsSchema)
         val joined = WalStream.clickAttribution(stream)
+        // 4 state partitions: a stream-stream join keeps FOUR state
+        // stores per partition, and the bounded run's store lifecycle
+        // dwarfs its 46-row match volume (dev/PLANS.md q60 row) — a
+        // perpetual stream sizes this to throughput at stream start
         WalStream.runAvailableNow(joined, s"q60_sink_${sinkId.incrementAndGet()}",
-            mode = "append")
+            mode = "append", statePartitions = 4)
           .orderBy("user_id", "click_id", "purchase_id")
       },
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -147,6 +147,46 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "trg")
   }
 
+  test("space quotas: snapshot, write-path policies, removal") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_sq").toString
+    GAdmin.createTable(spark, "tsq", tmp, buckets = 2)
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(200)
+    GAdmin.put(spark, "tsq", cells)
+
+    // no quota: snapshot reports usage only, puts pass
+    val (u0, l0, p0, v0) = GAdmin.spaceQuotaSnapshot(spark, "tsq")
+    assert(u0 > 0 && l0.isEmpty && p0.isEmpty && !v0)
+
+    // a generous quota admits writes
+    GAdmin.setSpaceQuota(spark, "tsq", u0 * 100, "NO_INSERTS")
+    GAdmin.put(spark, "tsq", cells.limit(10))
+
+    // shrink the limit below usage: NO_INSERTS rejects the write
+    GAdmin.setSpaceQuota(spark, "tsq", 1L, "NO_INSERTS")
+    val (_, _, _, viol) = GAdmin.spaceQuotaSnapshot(spark, "tsq")
+    assert(viol)
+    val e = intercept[IllegalStateException](
+      GAdmin.put(spark, "tsq", cells.limit(10)))
+    assert(e.getMessage.contains("NO_INSERTS"))
+    assert(GAdmin.isEnabled(spark, "tsq")) // NO_INSERTS never disables
+
+    // DISABLE policy disables the table on the violating write
+    GAdmin.setSpaceQuota(spark, "tsq", 1L, "DISABLE")
+    intercept[IllegalStateException](GAdmin.put(spark, "tsq", cells.limit(10)))
+    assert(!GAdmin.isEnabled(spark, "tsq"))
+    GAdmin.enableTable(spark, "tsq")
+
+    // removing the quota restores writes
+    GAdmin.removeSpaceQuota(spark, "tsq")
+    GAdmin.put(spark, "tsq", cells.limit(10))
+    val (_, l1, _, v1) = GAdmin.spaceQuotaSnapshot(spark, "tsq")
+    assert(l1.isEmpty && !v1)
+
+    intercept[IllegalArgumentException](
+      GAdmin.setSpaceQuota(spark, "tsq", 10L, "NOT_A_POLICY"))
+    GAdmin.deleteTable(spark, "tsq")
+  }
+
   test("normalizer resizes only a ≥2x-off layout, toward the byte target") {
     val tmp = java.nio.file.Files.createTempDirectory("admin_nm").toString
     GAdmin.createTable(spark, "tnm", tmp, buckets = 8)

@@ -42,4 +42,47 @@ class PipelineSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/corpus")
     assert(spark.read.parquet(s"$tmp/corpus").count() === scored.count())
   }
+
+  test("shardShuffle: reproducible, salt-independent, shard-complete") {
+    import graft.ext.Pipeline
+    val docs = Tables.load(spark, s"$sf0001/documents.parquet")
+    val a = Pipeline.shardShuffle(docs, nShards = 4).select("doc_id", "shard", "pos")
+    // deterministic: a re-run is byte-identical
+    assert(a.exceptAll(Pipeline.shardShuffle(docs, nShards = 4)
+      .select("doc_id", "shard", "pos")).isEmpty)
+    // every doc lands exactly once; positions are 1..n dense per shard
+    assert(a.count() === docs.count())
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .collect()
+    assert(perShard.length === 4)
+    perShard.foreach(r =>
+      assert(r.getLong(1) === r.getLong(2) && r.getLong(3) === 1L))
+    // a different salt produces a different order (independence)
+    val b = Pipeline.shardShuffle(docs, nShards = 4, salt = "other")
+      .select("doc_id", "shard", "pos")
+    assert(a.exceptAll(b).count() > 0)
+  }
+
+  test("tokenBudget keeps the best-quality prefix per source within budget") {
+    import graft.ext.Pipeline
+    val docs = Tables.load(spark, s"$sf0001/documents.parquet")
+    val out = Pipeline.tokenBudget(docs, budgetTokens = 300L).cache()
+    assert(out.count() === docs.count())
+    // kept-set per source: total tokens within budget
+    val keptSums = out.filter(col("kept")).groupBy("source")
+      .agg(sum("n_tokens").as("t")).collect()
+    keptSums.foreach(r => assert(r.getLong(1) <= 300L, r.toString))
+    // prefix property: no dropped doc outranks a kept one (higher
+    // quality, or equal quality with smaller id) within a source
+    val bad = out.alias("k").join(out.alias("d"),
+        col("k.source") === col("d.source") &&
+        col("k.kept") && !col("d.kept") &&
+        (col("d.quality") > col("k.quality") ||
+          (col("d.quality") === col("k.quality") &&
+            col("d.doc_id") < col("k.doc_id")))).count()
+    assert(bad === 0L)
+    // some source must actually exceed a 300-token budget (test bites)
+    assert(out.filter(!col("kept")).count() > 0)
+  }
 }
