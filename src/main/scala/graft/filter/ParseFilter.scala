@@ -185,6 +185,8 @@ object ParseFilter {
     case "ValueFilter"     => ValueFilter(op(a(0)), comparator(str(a(1))))
     case "ColumnRangeFilter" =>
       ColumnRangeFilter(str(a(0)), bool(a(1)), str(a(2)), bool(a(3)))
+    case "ColumnValueFilter" =>
+      ColumnValueFilter(str(a(0)), str(a(1)), op(a(2)), comparator(str(a(3))))
     case "SingleColumnValueFilter" =>
       SingleColumnValueFilter(str(a(0)), str(a(1)), op(a(2)), comparator(str(a(3))),
         filterIfMissing = a.lift(4).exists(bool),

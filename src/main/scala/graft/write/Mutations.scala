@@ -77,14 +77,28 @@ object Mutations {
       mutation: DataFrame => DataFrame): DataFrame = {
     val matching = guardCheckRead(cells, guard.family, guard.qualifier,
       guard.timeRange).filter(guard.valuePred).select("row")
-    // no broadcast hint: the matching-row set is bounded by the GUARD,
-    // not by us — a broad guard can match most of the table, and a
-    // forced broadcast would then exceed the 8 GB cap / driver memory.
-    // AQE broadcasts it when it is actually small (same policy as the
-    // sync-diff divergent-row list, flow/Jobs.scala).
-    val hit  = cells.join(matching, Seq("row"), "left_semi")
-    val miss = cells.join(matching, Seq("row"), "left_anti")
-    mutation(hit).unionByName(miss)
+    applyWithVerdict(cells, matching, mutation)
+  }
+
+  /** Split-apply-recombine on a per-row verdict: ONE left join against
+    * the distinct matching-row list, flag-filtered into the mutated and
+    * pass-through branches. Both branches are the IDENTICAL join
+    * subplan, so the exchanges under it plan once and re-serve
+    * (ReuseExchange) — a semi+anti pair would compute the verdict
+    * subplan twice. No broadcast hint: the matching-row set is bounded
+    * by the GUARD, not by us — a broad guard can match most of the
+    * table, and a forced broadcast would then exceed the 8 GB cap /
+    * driver memory. AQE broadcasts it when it is actually small (same
+    * policy as the sync-diff divergent-row list, flow/Jobs.scala). */
+  private def applyWithVerdict(cells: DataFrame, matching: DataFrame,
+      mutation: DataFrame => DataFrame, invert: Boolean = false): DataFrame = {
+    val flagged = cells.join(
+      matching.distinct().withColumn("__hit", lit(true)), Seq("row"), "left")
+    val (hitPred, missPred) =
+      if (invert) (col("__hit").isNull, col("__hit"))
+      else (col("__hit"), col("__hit").isNull)
+    mutation(flagged.filter(hitPred).drop("__hit"))
+      .unionByName(flagged.filter(missPred).drop("__hit"))
   }
 
   /** M5 CheckAndMutate with an ARBITRARY Filter guard
@@ -107,10 +121,7 @@ object Mutations {
       live.filter(col("ts") >= lo && col("ts") < hi)
     }
     val matching = graft.filter.FilterCompiler.admittedRows(checkView, guard)
-    // unhinted for the same reason as the cell-guard overload above
-    val hit  = cells.join(matching, Seq("row"), "left_semi")
-    val miss = cells.join(matching, Seq("row"), "left_anti")
-    mutation(hit).unionByName(miss)
+    applyWithVerdict(cells, matching, mutation)
   }
 
   /** CheckAndMutate.ifNotExists (CheckAndMutate.java builder,
@@ -123,9 +134,7 @@ object Mutations {
       timeRange: Option[(Long, Long)] = None): DataFrame = {
     val present = guardCheckRead(cells, family, qualifier, timeRange)
       .select("row")
-    val hit  = cells.join(present, Seq("row"), "left_anti")
-    val miss = cells.join(present, Seq("row"), "left_semi")
-    mutation(hit).unionByName(miss)
+    applyWithVerdict(cells, present, mutation, invert = true)
   }
 
   /** The check READ behind the cell guards: per row, the latest LIVE

@@ -219,6 +219,12 @@ class FilterSpec extends SparkSpec {
       LongComparator(5), filterIfMissing = true, latestVersionOnly = false))
   }
 
+  test("ParseFilter: ColumnValueFilter (matched-cell-only form)") {
+    val f = ParseFilter.parse("ColumnValueFilter('d', 'o_orderstatus', =, 'binary:F')")
+    assert(f === ColumnValueFilter("d", "o_orderstatus", CompareOp.Equal,
+      BinaryComparator("F")))
+  }
+
   test("ParseFilter rejects garbage") {
     intercept[IllegalArgumentException](ParseFilter.parse("NoSuchFilter('x')"))
     intercept[IllegalArgumentException](ParseFilter.parse("PrefixFilter('a'"))
