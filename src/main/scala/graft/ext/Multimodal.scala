@@ -56,6 +56,45 @@ object Multimodal {
     else None
   }
 
+  /** Audio metadata: (format, sampleRate, channels, bitsPerSample,
+    * dataBytes). */
+  final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, dataBytes: Long)
+
+  /** REAL pure-JVM audio header parse — the WAV/RIFF twin of
+    * [[parseImageHeader]]: walks the RIFF chunk list (chunks are
+    * word-aligned; id + u32le size), reads the fmt chunk's channel
+    * count / sample rate / bits-per-sample and the data chunk's byte
+    * length. None for anything that is not a well-formed RIFF/WAVE —
+    * callers fall back to [[decodeStub]]. */
+  def parseAudioHeader(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def leShort(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def leInt(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(i)
+      val size = leInt(i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= b.length)
+        fmt = Some((leShort(i + 10), leInt(i + 12), leShort(i + 22)))
+      else if (id == "data") dataBytes = size
+      // chunks are word-aligned: odd sizes carry a pad byte; advance in
+      // Long space so a malformed huge size ends the walk instead of
+      // wrapping the cursor backwards
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > Int.MaxValue) i = b.length
+      else i = next.toInt
+    }
+    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
+      AudioMeta("wav", rate, ch, bits, dataBytes)
+    }
+  }
+
   private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
     var i = 2

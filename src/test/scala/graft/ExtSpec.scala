@@ -162,6 +162,33 @@ class ExtSpec extends SparkSpec {
     assert(feats(1L) === ((23, 17)) && feats(2L) === ((40, 30)))
   }
 
+  test("audio header parse reads real WAV metadata (rate/channels/bits/data)") {
+    // real encoder output: javax.sound writes the RIFF/WAVE container
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(rate: Float, channels: Int, bits: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val m = Multimodal.parseAudioHeader(wav(16000f, 2, 16, 1234)).get
+    assert(m === Multimodal.AudioMeta("wav", 16000, 2, 16, 1234L * 2 * 2))
+    val mono8 = Multimodal.parseAudioHeader(wav(8000f, 1, 8, 999)).get
+    assert(mono8.sampleRate === 8000 && mono8.channels === 1 &&
+      mono8.bitsPerSample === 8 && mono8.dataBytes === 999L)
+    // non-audio payloads and nulls fall through to the stub path
+    assert(Multimodal.parseAudioHeader("RIFFnope".getBytes) === None)
+    assert(Multimodal.parseAudioHeader(null) === None)
+    // a truncated/malformed size must terminate, not wrap the cursor
+    val broken = wav(8000f, 1, 8, 4)
+    broken(16) = 0xff.toByte; broken(17) = 0xff.toByte
+    broken(18) = 0xff.toByte; broken(19) = 0xff.toByte
+    assert(Multimodal.parseAudioHeader(broken) === None)
+  }
+
   test("minhash_sigs kernel matches the k-transforms form bit-for-bit") {
     import graft.ext.TextHash._
     import graft.functions.MinHashFunctions.minhash_sigs
