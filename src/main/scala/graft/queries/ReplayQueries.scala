@@ -235,6 +235,40 @@ object ReplayQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
           |  FROM live_rm
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // Region split as a DECLARED query (Admin.splitRegionAsync →
+      // SplitTableRegionProcedure's daughter store-file rewrite; graft
+      // regions are buckets, GAdmin.splitRegions): land cells_orders in
+      // a 4-region table, split to 8, then audit the result FROM THE
+      // FILES — every cell present (n_cells/n_rows vs the source), the
+      // region count doubled, and every row physically in the bucket
+      // its hash names (misplaced = 0; Spark bucket id = pmod(hash(row),
+      // n), the same Murmur3(seed 42) the hash() function computes —
+      // the oracle pins the expectation, the Spark side measures it).
+      "q80_region_split",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        if (GAdmin.tableExists(s, "q80tbl")) GAdmin.deleteTable(s, "q80tbl")
+        val tmp = graft.Queries.scratchDir("split_q")
+        GAdmin.createTable(s, "q80tbl", tmp, buckets = 4)
+        GAdmin.put(s, "q80tbl", Fixtures.cellsOrders(s, dir))
+        GAdmin.splitRegions(s, "q80tbl")
+        val regions = GAdmin.regionCount(s, "q80tbl")
+        GAdmin.table(s, "q80tbl")
+          .withColumn("__bucket",
+            regexp_extract(input_file_name(), "_(\\d{5})\\.", 1).cast("int"))
+          .withColumn("__want", pmod(hash(col("row")), lit(8)))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            count_distinct(col("row")).as("n_rows"),
+            count(when(col("__bucket") =!= col("__want"), 1)).as("misplaced"))
+          .withColumn("regions", lit(regions.toLong))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT COUNT(*) AS n_cells, COUNT(DISTINCT row) AS n_rows,
+          |       CAST(0 AS BIGINT) AS misplaced, CAST(8 AS BIGINT) AS regions
+          |FROM cells_orders""".stripMargin))
     )
   )
 }

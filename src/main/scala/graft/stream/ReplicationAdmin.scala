@@ -1,0 +1,82 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+
+/** Replication peer management — the `Admin.addReplicationPeer` /
+  * `removeReplicationPeer` / `enableReplicationPeer` surface
+  * (hbase-client/.../client/Admin.java replication section;
+  * ReplicationPeerConfig.java — per-peer table/CF scope maps;
+  * ReplicationSourceManager starts one WAL source per ENABLED peer,
+  * each filtered by NamespaceTableCfWALEntryFilter).
+  *
+  * A peer is (id, table → families scope, enabled). Scope semantics
+  * follow ReplicationPeerConfig: an EMPTY table map replicates every
+  * table; a table mapped to an empty family list replicates all its
+  * families; otherwise only the named families. The registry is
+  * driver-held configuration (the reference keeps it in ZooKeeper —
+  * coordination state, not data; a durable catalog-table variant would
+  * use GAdmin's swap-rename registry pattern).
+  */
+object ReplicationAdmin {
+
+  final case class Peer(id: String, tableCfs: Map[String, Seq[String]],
+      enabled: Boolean)
+
+  private val peers =
+    new java.util.concurrent.ConcurrentHashMap[String, Peer]()
+
+  /** ReplicationException twin on duplicate ids, as addReplicationPeer
+    * throws. */
+  def addPeer(id: String, tableCfs: Map[String, Seq[String]] = Map.empty,
+      enabled: Boolean = true): Unit = {
+    require(id.nonEmpty && !id.contains("-"),
+      s"illegal peer id '$id' (the reference rejects '-' in peer ids)")
+    val prev = peers.putIfAbsent(id, Peer(id, tableCfs, enabled))
+    require(prev == null, s"peer $id already exists")
+  }
+
+  def removePeer(id: String): Unit = {
+    val prev = peers.remove(id)
+    require(prev != null, s"no such peer $id")
+  }
+
+  def enablePeer(id: String): Unit = setEnabled(id, on = true)
+  def disablePeer(id: String): Unit = setEnabled(id, on = false)
+
+  private def setEnabled(id: String, on: Boolean): Unit = {
+    val p = peers.get(id)
+    require(p != null, s"no such peer $id")
+    peers.put(id, p.copy(enabled = on))
+  }
+
+  def listPeers(): Seq[Peer] = {
+    import scala.jdk.CollectionConverters._
+    peers.values.asScala.toSeq.sortBy(_.id)
+  }
+
+  /** The families of `table` this peer replicates: None = table out of
+    * scope; Some(Nil) = all families; Some(fams) = those families
+    * (ReplicationPeerConfig.needToReplicate semantics). */
+  def scopeFor(id: String, table: String): Option[Seq[String]] = {
+    val p = peers.get(id)
+    require(p != null, s"no such peer $id")
+    if (!p.enabled) None
+    else if (p.tableCfs.isEmpty) Some(Nil)
+    else p.tableCfs.get(table)
+  }
+
+  /** One scoped CDC stream per ENABLED peer replicating `table` — the
+    * ReplicationSourceManager fan-out: each peer gets the WAL stream
+    * through its own scope filter (WalStream.scoped; an all-families
+    * scope passes the stream through unfiltered). */
+  def replicate(table: String, stream: DataFrame): Map[String, DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    peers.values.asScala.toSeq.sortBy(_.id).flatMap { p =>
+      scopeFor(p.id, table).map(fams =>
+        p.id -> WalStream.scoped(stream, fams))
+    }.toMap
+  }
+
+  /** Test/lifecycle hook: drop every peer (a fresh cluster state). */
+  def removeAllPeers(): Unit = peers.clear()
+}

@@ -242,4 +242,41 @@ class StreamSpec extends SparkSpec {
         s"widened single session expected: ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("replication peer admin: scope semantics and per-peer fan-out") {
+    import graft.stream.ReplicationAdmin
+    ReplicationAdmin.removeAllPeers()
+    try {
+      ReplicationAdmin.addPeer("all")
+      ReplicationAdmin.addPeer("evd", Map("events" -> Seq("d")))
+      ReplicationAdmin.addPeer("other", Map("orders" -> Nil))
+      ReplicationAdmin.addPeer("off", enabled = false)
+      // duplicate and illegal ids throw (ReplicationException twins)
+      intercept[IllegalArgumentException](ReplicationAdmin.addPeer("all"))
+      intercept[IllegalArgumentException](ReplicationAdmin.addPeer("a-b"))
+
+      // scope semantics (ReplicationPeerConfig.needToReplicate)
+      assert(ReplicationAdmin.scopeFor("all", "events") === Some(Nil))
+      assert(ReplicationAdmin.scopeFor("evd", "events") === Some(Seq("d")))
+      assert(ReplicationAdmin.scopeFor("evd", "orders") === None)
+      assert(ReplicationAdmin.scopeFor("other", "orders") === Some(Nil))
+      assert(ReplicationAdmin.scopeFor("off", "events") === None)
+
+      // fan-out: one scoped stream per enabled in-scope peer
+      val cells = Fixtures.cellsEventsV(spark, sf0001)
+      val outs = ReplicationAdmin.replicate("events", cells)
+      assert(outs.keySet === Set("all", "evd"))
+      assert(outs("all").count() === cells.count())
+      assert(outs("evd").count() === cells.filter(col("family") === "d").count())
+      assert(outs("evd").filter(col("family") =!= "d").count() === 0)
+
+      // disable drops a peer from the fan-out; enable restores it
+      ReplicationAdmin.disablePeer("all")
+      assert(ReplicationAdmin.replicate("events", cells).keySet === Set("evd"))
+      ReplicationAdmin.enablePeer("all")
+      ReplicationAdmin.removePeer("evd")
+      assert(ReplicationAdmin.replicate("events", cells).keySet === Set("all"))
+      intercept[IllegalArgumentException](ReplicationAdmin.removePeer("evd"))
+    } finally ReplicationAdmin.removeAllPeers()
+  }
 }
