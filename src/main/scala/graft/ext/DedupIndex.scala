@@ -115,6 +115,47 @@ object DedupIndex {
     * aggregation it would retain every pair ever seen. Dedup at the
     * consumer: batch post-step, or `dropDuplicatesWithinWatermark`
     * when arrivals carry event time. */
+  /** The COMPLETE continuous-ingest loop as one streaming query:
+    * every arriving micro-batch is (1) deduped against itself —
+    * within-batch near-dup groups keep their lowest id — then (2)
+    * checked against the persisted index; surviving docs are ACCEPTED:
+    * appended to the durable corpus (one overwrite-mode directory per
+    * epoch, so a replayed batch is idempotent) and to the signature
+    * index, where the NEXT micro-batch already sees them. foreachBatch
+    * is the sink-transaction boundary (the reference's per-batch
+    * ReplicationSink apply). Index appends are at-least-once on
+    * replay — duplicate signature rows are harmless (candidate pairs
+    * dedup at query time), while corpus contents stay exactly-once.
+    *
+    * Returns the started query; callers drive it (AvailableNow for a
+    * bounded run, processing-time trigger for a perpetual one). */
+  def ingestStream(docsStream: DataFrame, table: String, idxPath: String,
+      corpusPath: String, checkpoint: String, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // cut the source lineage: the
+        // batch is re-read below by 3 consumers (intra pairs, index
+        // query, accepted write) — without it each re-plans the source
+        val intraDup = Dedup.minHashNearDups(b, k, bands, threshold)
+          .select(col("j").as("doc_id")).distinct()
+        val indexDup = query(spark, table, b, k, bands, threshold)
+          .select(col("i").as("doc_id")).distinct()
+        val accepted = b
+          .join(intraDup, Seq("doc_id"), "left_anti")
+          .join(indexDup, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // accepted feeds TWO writes; and the index
+        // append below must not re-derive it THROUGH the index table it
+        // is itself appending to
+        accepted.write.mode(SaveMode.Overwrite)
+          .parquet(s"$corpusPath/batch=$epoch")
+        append(accepted, table, idxPath, k, bands, buckets)
+        ()
+      }
+
   def streamQuery(spark: SparkSession, table: String, docsStream: DataFrame,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val idx = spark.table(table)

@@ -103,4 +103,57 @@ class DedupIndexSpec extends SparkSpec {
     assert(streamed === viaBatch)
     assert(streamed.exists { case (i, j, _) => i == 100001L && j == 1L })
   }
+
+  test("ingestStream: the full continuous-ingest loop across micro-batches") {
+    import spark.implicits._
+    // fully synthetic texts: every token is id-suffixed, so distinct
+    // docs share ZERO shingles and copies share ALL of them
+    def doc(id: Long, of: Long = -1): (Long, String) = {
+      val base = if (of >= 0) of else id
+      (id, (1 to 10).map(w => s"w${w}tok$base").mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    val arrivals = s"$tmp/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    def land(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val stage = s"$tmp/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$arrivals/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime)) // file-source batch order
+    }
+
+    // accepted corpus so far: docs 0-9
+    DedupIndex.build((0L to 9L).map(doc(_)).toDF("doc_id", "text"),
+      "ingest_idx", s"$tmp/idx", buckets = 4)
+    // batch A: fresh 10-19, index-dups (copies of seed 0-4), one
+    // intra-batch dup (2000 copies 10 — both absent from the index)
+    land((10L to 19L).map(doc(_)) ++ (0L to 4L).map(i => doc(1000 + i, i))
+      :+ doc(2000, 10), "a", 1000000L)
+    // batch B: fresh 30-39, a copy of A-ACCEPTED 15 (must be rejected
+    // because A's acceptance appended to the index), a copy of seed 7
+    land((30L to 39L).map(doc(_)) :+ doc(3000, 15) :+ doc(3001, 7),
+      "b", 2000000L)
+
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(arrivals)
+    val q = DedupIndex.ingestStream(stream, "ingest_idx", s"$tmp/idx",
+        s"$tmp/corpus", s"$tmp/ck", buckets = 4)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus === ((10L to 19L) ++ (30L to 39L)).toSet,
+      s"accepted set wrong: $corpus")
+    // the index now answers for everything accepted so far
+    val probe = Seq(doc(9000, 35), doc(9001, 12), doc(9002, 999))
+      .toDF("doc_id", "text")
+    val hits = DedupIndex.query(spark, "ingest_idx", probe)
+      .select("i").distinct().as[Long].collect().toSet
+    assert(hits === Set(9000L, 9001L))
+    spark.sql("DROP TABLE IF EXISTS ingest_idx")
+  }
 }
