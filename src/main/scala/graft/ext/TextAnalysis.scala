@@ -180,6 +180,50 @@ object TextAnalysis {
         round(col("__s").cast("double") / (col("n_bigrams") * 1000000.0), 4).as("avg_logp"))
   }
 
+  /** The Gopher/MassiveText quality-rule BUNDLE (Rae et al. 2021 §A1.1,
+    * word-level adaptation): the per-document keep verdict production
+    * filters actually apply, composed from the integer-exact signals
+    * the individual operators expose. Every rule is an INTEGER
+    * comparison (fractions cross-multiplied), so the verdict is
+    * engine-exact:
+    *   - r_words:    minWords ≤ n_tokens ≤ maxWords
+    *   - r_mean_len: 3 ≤ mean alphanumeric-chars-per-token ≤ 10
+    *                 (3·n ≤ alpha_chars ≤ 10·n)
+    *   - r_top:      top word ≤ 20% of tokens (top·5 ≤ n)
+    *   - r_dup2:     duplicate 2-grams ≤ 20% of 2-grams (dup·5 ≤ |g2|)
+    *   - r_stop:     ≥ 2 stopword hits
+    * keep = all of the above. Pure map-side — one projection, no
+    * shuffle at any scale (e23's shape with a verdict head). */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame = {
+    val p = padded(col("text"))
+    val stopHits = profiles.flatMap(_._2).map(t => cnt(p, t)).reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("text"),
+        tokens(coalesce(col("text"), lit(""))).as("toks"),
+        stopHits.cast("long").as("__stop"))
+      .select(col("doc_id"), col("toks"), col("__stop"),
+        length(regexp_replace(normText(coalesce(col("text"), lit(""))),
+          "[^a-z0-9]", "")).cast("long").as("__alpha"),
+        shingles("toks", 2).as("__g2"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) >= minWords && size(col("toks")) <= maxWords)
+          .as("r_words"),
+        (lit(3) * size(col("toks")) <= col("__alpha") &&
+          col("__alpha") <= lit(10) * size(col("toks"))).as("r_mean_len"),
+        (array_max(transform(array_distinct(col("toks")),
+          w => size(filter(col("toks"), t => t === w)))) * 5 <=
+          size(col("toks"))).as("r_top"),
+        ((size(col("__g2")) - size(array_distinct(col("__g2")))) * 5 <=
+          size(col("__g2"))).as("r_dup2"),
+        (col("__stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_top") &&
+          col("r_dup2") && col("r_stop"))
+  }
+
   /** tf-idf top-`k` terms per document — the classic salient-term
     * signal (term routing, topic tagging, index keys for a corpus
     * catalog). score = tf · ln((N+1)/(df+1)), quantized FLOOR(·1e6)

@@ -330,6 +330,40 @@ object PipelineQueries {
            |SELECT doc_id, source, quality, n_tokens, cum_tokens, cum_tokens <= 600 AS kept
            |FROM r ORDER BY doc_id""".stripMargin
       }
+    ),
+    QDef(
+      // the Gopher-rules quality bundle: five integer-exact rule
+      // verdicts + the composite keep (TextAnalysis.gopherRules
+      // scaladoc) — the production filter stack as ONE declared query.
+      "e42_gopher_rules",
+      (s, dir) =>
+        graft.ext.TextAnalysis.gopherRules(docs(s, dir), minWords = 20)
+          .orderBy("doc_id"),
+      Some {
+        val stop = graft.ext.TextAnalysis.profiles.flatMap(_._2).map { t =>
+          s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, ${Sql.tokens("COALESCE(text, '')")} AS toks,
+           |         ' ' || ${Sql.normText("text")} || ' ' AS p,
+           |         CAST(length(regexp_replace(${Sql.normText("COALESCE(text, '')")}, '[^a-z0-9]', '', 'g')) AS BIGINT) AS alpha
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id, toks, alpha, CAST(len(toks) AS BIGINT) AS n,
+           |         ${Sql.shingles("toks", 2)} AS g2, $stop AS stop_hits
+           |  FROM t
+           |), v AS (
+           |  SELECT doc_id, n AS n_tokens,
+           |         n BETWEEN 20 AND 100000 AS r_words,
+           |         3 * n <= alpha AND alpha <= 10 * n AS r_mean_len,
+           |         CAST(list_max(list_transform(list_distinct(toks),
+           |           w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) * 5 <= n AS r_top,
+           |         CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) * 5 <= CAST(len(g2) AS BIGINT) AS r_dup2,
+           |         stop_hits >= 2 AS r_stop
+           |  FROM g)
+           |SELECT *, r_words AND r_mean_len AND r_top AND r_dup2 AND r_stop AS keep
+           |FROM v ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
