@@ -291,6 +291,35 @@ object TextAnalysis {
     }
   }
 
+  /** Per-source corpus report card — the profiling aggregate a dataset
+    * team runs before training: document count, token volume, exact-dup
+    * rate (distinct normalized-md5 vs rows), declared-language mix,
+    * and mean quality (FLOOR(·1e4) integer mean so the report is
+    * engine-exact). One shuffle on the source key; every input column
+    * is map-side derived — the canonical partial/final aggregation
+    * shape at any corpus size. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(coalesce(col("text"), lit("")))).cast("long").as("__tok"),
+        md5(normText(col("text"))).as("__fp"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        count_distinct(col("__fp")).as("uniq_docs"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        count(when(col("lang") =!= "en", 1)).as("n_other"),
+        sum(floor(col("quality") * 10000).cast("long")).as("__qsum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("uniq_docs"), (col("n_docs") - col("uniq_docs")).as("dups"),
+        col("n_en"), col("n_other"),
+        round(col("__qsum").cast("double") / (col("n_docs") * 10000.0), 4)
+          .as("mean_quality"))
+  }
+
   /** Document fingerprinting: exact md5 of normalized text + a
     * winnowing-style signature (min 48-bit shingle hash — the rolling
     * hash's minimum, the standard winnow anchor). */

@@ -364,6 +364,39 @@ object PipelineQueries {
            |SELECT *, r_words AND r_mean_len AND r_top AND r_dup2 AND r_stop AS keep
            |FROM v ORDER BY doc_id""".stripMargin
       }
+    ),
+    QDef(
+      // per-source corpus report card: doc/token volume, exact-dup
+      // rate, language mix, FLOOR-quantized mean quality
+      // (TextAnalysis.corpusReport scaladoc).
+      "e43_corpus_report",
+      (s, dir) =>
+        graft.ext.TextAnalysis.corpusReport(docs(s, dir))
+          .orderBy("source"),
+      Some {
+        val stop = graft.ext.TextAnalysis.profiles.flatMap(_._2).map { t =>
+          s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
+        }.mkString(" + ")
+        s"""WITH q AS (
+           |  SELECT doc_id, ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 4) AS quality
+           |  FROM (
+           |    SELECT doc_id, CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tokens, $stop AS stop_hits
+           |    FROM (SELECT doc_id, text, ' ' || ${Sql.normText("text")} || ' ' AS p FROM documents))),
+           |b AS (
+           |  SELECT d.source, d.lang, q.quality,
+           |         CAST(len(${Sql.tokens("COALESCE(d.text, '')")}) AS BIGINT) AS tok,
+           |         md5(${Sql.normText("d.text")}) AS fp
+           |  FROM documents d JOIN q ON q.doc_id = d.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           |       COUNT(DISTINCT fp) AS uniq_docs,
+           |       COUNT(*) - COUNT(DISTINCT fp) AS dups,
+           |       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+           |       COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS n_other,
+           |       ROUND(CAST(SUM(CAST(FLOOR(quality * 10000) AS BIGINT)) AS DOUBLE)
+           |             / (COUNT(*) * 10000.0), 4) AS mean_quality
+           |FROM b GROUP BY source ORDER BY source""".stripMargin
+      }
     )
   )
 }
