@@ -420,6 +420,40 @@ object Dedup {
       .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
   }
 
+  /** Cross-source overlap matrix — "who copied whom" at corpus level:
+    * for every source pair, the count of distinct n-gram shingles they
+    * share and the shingle-space Jaccard. The source-granular
+    * generalization of benchmark decontamination (e20): a high
+    * off-diagonal cell means two feeds carry the same underlying text.
+    *
+    * Scale shape: the corpus reduces to the DISTINCT (source, shingle
+    * hash) space first (one aggregate; 48-bit longs, never shingle
+    * strings); the self-join on the hash then fans out at most
+    * |sources|² per hash — source cardinality, like vocabulary, is
+    * bounded, so the pair stream stays proportional to the distinct-
+    * shingle space at any corpus size. */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("source"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("source"), explode(shingles("toks", n)).as("sh"))
+      .select(col("source"), hash48(col("sh"), "xsrc").as("h"))
+      .distinct()
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 4).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard over a bounded id range (the exact-answer
     * small-scope tool; LSH is the scale path). All pairs of the bounded
     * set, intersected map-side on the per-doc shingle arrays. */

@@ -585,6 +585,28 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // cross-source overlap matrix: distinct shared shingles +
+      // shingle-space Jaccard per source pair — the "who copied whom"
+      // corpus diagnostic (Dedup.sourceOverlapMatrix scaladoc).
+      "e44_source_overlap",
+      (s, dir) =>
+        Dedup.sourceOverlapMatrix(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"))
+          .orderBy("src_a", "src_b"),
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT source, ${Sql.hash48("sh", "'xsrc'")} AS h
+              |  FROM (SELECT source, unnest(${Sql.shingles("toks")}) AS sh
+              |        FROM (SELECT source, ${Sql.tokens("COALESCE(text, '')")} AS toks FROM documents))),
+              |t AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+              |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+              |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+              |      GROUP BY 1, 2)
+              |SELECT src_a, src_b, shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+              |       ROUND(shared * 1.0 / (ta.n_sh + tb.n_sh - shared), 4) AS jaccard
+              |FROM p JOIN t ta ON ta.source = src_a JOIN t tb ON tb.source = src_b
+              |ORDER BY src_a, src_b""".stripMargin)
+    ),
+    QDef(
       // tf-idf top-3 salient terms per document; FLOOR(·1e6) score
       // quantization + term-ascending tie-break make the rank order
       // engine-independent (TextAnalysis.tfidfTopTerms scaladoc).

@@ -93,6 +93,12 @@ object ScaleSmoke10x {
       graft.ext.TextAnalysis.pplBuckets(d10, thresholds = Some((-7.0, -7.5))))
     runCount("canonicalKeep 10x docs",
       graft.ext.Dedup.canonicalKeep(d10))
+    runCount("gopherRules 10x docs",
+      graft.ext.TextAnalysis.gopherRules(d10))
+    runCount("corpusReport 10x docs",
+      graft.ext.TextAnalysis.corpusReport(d10))
+    runCount("sourceOverlap 10x docs",
+      graft.ext.Dedup.sourceOverlapMatrix(d10))
 
     // q79 shape: serial apply over the ×10 store with a conflicting resend
     runCount("serialApply 10x store", {
