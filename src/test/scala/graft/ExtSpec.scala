@@ -189,6 +189,54 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.parseAudioHeader(broken) === None)
   }
 
+  test("gopherRules: each rule rejects its own degenerate document") {
+    import spark.implicits._
+    val en = "the and is in to of a for on with" // 10 stopword tokens
+    val tiny = Seq(
+      1L -> (en + " " + (1 to 20).map(i => s"term$i").mkString(" ")), // passes all
+      2L -> "short text only",                               // r_words
+      3L -> (en + (" spam" * 20)),                           // r_top (spam > 20%)
+      4L -> ("alpha beta " * 15).trim,                       // r_stop (no stopwords) + r_dup2
+      5L -> (en + " " + (1 to 15).map(i => s"superduperextralongtoken$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(tiny, minWords = 15).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "good doc must keep") // keep col idx 7
+    assert(!out(2L).getBoolean(2) && !out(2L).getBoolean(7)) // r_words
+    assert(!out(3L).getBoolean(4) && !out(3L).getBoolean(7)) // r_top
+    assert(!out(4L).getBoolean(6) && !out(4L).getBoolean(5)) // r_stop, r_dup2
+    assert(!out(5L).getBoolean(3), "mean token length >10 must fail r_mean_len")
+  }
+
+  test("corpusReport: dup injection moves dups, not uniq; quality mean bounded") {
+    import spark.implicits._
+    val base = docs.limit(40).select("doc_id", "text", "lang", "source")
+    val dup = base.limit(5).withColumn("doc_id", col("doc_id") + 100000)
+    val rep = TextAnalysis.corpusReport(base.unionByName(dup)).collect()
+    val nDocs = rep.map(_.getLong(1)).sum
+    val uniq = rep.map(_.getLong(3)).sum
+    val dups = rep.map(_.getLong(4)).sum
+    assert(nDocs === 45 && dups >= 5 && nDocs - uniq === dups)
+    assert(rep.map(_.getLong(5)).sum + rep.map(_.getLong(6)).sum === nDocs) // lang mix partitions
+    rep.foreach(r => assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0))
+  }
+
+  test("sourceOverlapMatrix finds the planted cross-source copy") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "wholly unique first document text about region scans", "en", "sA"),
+      (2L, "wholly unique first document text about region scans", "en", "sB"), // copy in sB
+      (3L, "completely different second text regarding window aggregation", "en", "sC")
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = Dedup.sourceOverlapMatrix(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap // (src_a, src_b)
+    val ab = m(("sA", "sB"))
+    assert(ab.getLong(2) > 0 && ab.getDouble(5) === 1.0,
+      "identical docs across sA/sB must share their whole shingle space")
+    assert(!m.contains(("sA", "sC")) && !m.contains(("sB", "sC")),
+      "disjoint sources must be absent from the matrix")
+  }
+
   test("minhash_sigs kernel matches the k-transforms form bit-for-bit") {
     import graft.ext.TextHash._
     import graft.functions.MinHashFunctions.minhash_sigs
