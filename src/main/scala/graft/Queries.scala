@@ -23,8 +23,10 @@ object Queries {
       sys.props("java.io.tmpdir"), "graft-q", name)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close() // the stream holds open DirectoryStreams
     }
     java.nio.file.Files.createDirectories(root).toString
   }

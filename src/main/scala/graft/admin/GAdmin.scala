@@ -223,6 +223,9 @@ object GAdmin {
     * reference); the NO_* policies reject the write with the
     * SpaceLimitingException twin. */
   private def enforceSpaceQuota(spark: SparkSession, name: String): Unit = {
+    // no quota configured → no filesystem walk: the common put path
+    // pays one property lookup, not a table-sized content summary
+    if (prop(spark, name, "graft.quota.bytes").isEmpty) return
     val (usage, limit, policy, inViolation) = spaceQuotaSnapshot(spark, name)
     if (inViolation) policy.getOrElse("NO_INSERTS") match {
       case "DISABLE" =>
@@ -272,16 +275,19 @@ object GAdmin {
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(16))
   }
 
+  /** `newBuckets` maps the CURRENT bucket count to the rewrite's —
+    * one catalog read serves both the decision and the write (split/
+    * merge would otherwise DESCRIBE the table twice per call). */
   private def rewriteTable(spark: SparkSession, name: String,
       transform: DataFrame => DataFrame,
-      newBuckets: Option[Int] = None): Unit = {
+      newBuckets: Int => Int = identity): Unit = {
     val q = qualified(name)
     val props = spark.sql(s"SHOW TBLPROPERTIES $q").collect()
       .map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft."))
     val (loc, buckets) = layoutOf(spark, name)
     val snapshot = transform(spark.table(q)).localCheckpoint()
-    BucketedStore.write(snapshot, q, loc, newBuckets.getOrElse(buckets))
+    BucketedStore.write(snapshot, q, loc, newBuckets(buckets))
     val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
     if (kv.nonEmpty) spark.sql(s"ALTER TABLE $q SET TBLPROPERTIES ($kv)")
   }
@@ -335,14 +341,12 @@ object GAdmin {
     * bucketed-store rewrite is the same store-file rewrite, applied
     * table-wide. */
   def splitRegions(spark: SparkSession, name: String): Unit =
-    rewriteTable(spark, name, identity,
-      Some(regionCount(spark, name) * 2))
+    rewriteTable(spark, name, identity, _ * 2)
 
   /** Admin.mergeRegionsAsync analogue: halve the region (bucket)
     * count (MergeTableRegionsProcedure's store-file merge). */
   def mergeRegions(spark: SparkSession, name: String): Unit =
-    rewriteTable(spark, name, identity,
-      Some(math.max(1, regionCount(spark, name) / 2)))
+    rewriteTable(spark, name, identity, b => math.max(1, b / 2))
 
   /** SimpleRegionNormalizer analogue (hbase-server/.../normalizer/
     * SimpleRegionNormalizer.java: split regions over 2× the table
@@ -363,7 +367,7 @@ object GAdmin {
     val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
     if (ideal >= cur * 2 || ideal.toLong * 2 <= cur) {
-      rewriteTable(spark, name, identity, Some(ideal))
+      rewriteTable(spark, name, identity, _ => ideal)
       ideal
     } else cur
   }

@@ -115,20 +115,47 @@ object DedupIndex {
     * aggregation it would retain every pair ever seen. Dedup at the
     * consumer: batch post-step, or `dropDuplicatesWithinWatermark`
     * when arrivals carry event time. */
-  /** The COMPLETE continuous-ingest loop as one streaming query:
-    * every arriving micro-batch is (1) deduped against itself —
-    * within-batch near-dup groups keep their lowest id — then (2)
-    * checked against the persisted index; surviving docs are ACCEPTED:
-    * appended to the durable corpus (one overwrite-mode directory per
-    * epoch, so a replayed batch is idempotent) and to the signature
-    * index, where the NEXT micro-batch already sees them. foreachBatch
-    * is the sink-transaction boundary (the reference's per-batch
-    * ReplicationSink apply). Index appends are at-least-once on
-    * replay — duplicate signature rows are harmless (candidate pairs
-    * dedup at query time), while corpus contents stay exactly-once.
-    *
-    * Returns the started query; callers drive it (AvailableNow for a
-    * bounded run, processing-time trigger for a perpetual one). */
+  /** The per-micro-batch body of [[ingestStream]], exposed so the
+    * replay contract is directly testable: (1) intra-batch dedup —
+    * within-batch near-dup groups keep their lowest id — then (2) the
+    * persisted-index check (SELF-matches excluded: on a crash-replay
+    * the batch's own docs are already indexed, and matching a doc
+    * against itself would empty `accepted` and wipe the epoch
+    * directory); survivors are ACCEPTED — written to the corpus (one
+    * overwrite-mode directory per epoch → replay-idempotent) and
+    * appended to the signature index. Index appends are at-least-once
+    * on replay — duplicate signature rows are harmless (candidate
+    * pairs dedup at query time), while corpus contents stay
+    * exactly-once. */
+  def ingestBatch(batch: DataFrame, epoch: Long, table: String,
+      idxPath: String, corpusPath: String, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint() // cut the source lineage: the
+    // batch is re-read below by 3 consumers (intra pairs, index
+    // query, accepted write) — without it each re-plans the source
+    val intraDup = Dedup.minHashNearDups(b, k, bands, threshold)
+      .select(col("j").as("doc_id")).distinct()
+    val indexDup = query(spark, table, b, k, bands, threshold)
+      .filter(col("i") =!= col("j")) // replay self-match guard
+      .select(col("i").as("doc_id")).distinct()
+    val accepted = b
+      .join(intraDup, Seq("doc_id"), "left_anti")
+      .join(indexDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // accepted feeds TWO writes; and the index
+    // append below must not re-derive it THROUGH the index table it
+    // is itself appending to
+    accepted.write.mode(SaveMode.Overwrite)
+      .parquet(s"$corpusPath/batch=$epoch")
+    append(accepted, table, idxPath, k, bands, buckets)
+  }
+
+  /** The COMPLETE continuous-ingest loop as one streaming query —
+    * [[ingestBatch]] behind foreachBatch, the sink-transaction
+    * boundary (the reference's per-batch ReplicationSink apply).
+    * Returns the CONFIGURED writer — add a trigger and `.start()` to
+    * run it (AvailableNow for a bounded run, processing-time for a
+    * perpetual one), as DedupIndexSpec does. */
   def ingestStream(docsStream: DataFrame, table: String, idxPath: String,
       corpusPath: String, checkpoint: String, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8, buckets: Int = 16)
@@ -136,24 +163,8 @@ object DedupIndex {
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.localCheckpoint() // cut the source lineage: the
-        // batch is re-read below by 3 consumers (intra pairs, index
-        // query, accepted write) — without it each re-plans the source
-        val intraDup = Dedup.minHashNearDups(b, k, bands, threshold)
-          .select(col("j").as("doc_id")).distinct()
-        val indexDup = query(spark, table, b, k, bands, threshold)
-          .select(col("i").as("doc_id")).distinct()
-        val accepted = b
-          .join(intraDup, Seq("doc_id"), "left_anti")
-          .join(indexDup, Seq("doc_id"), "left_anti")
-          .localCheckpoint() // accepted feeds TWO writes; and the index
-        // append below must not re-derive it THROUGH the index table it
-        // is itself appending to
-        accepted.write.mode(SaveMode.Overwrite)
-          .parquet(s"$corpusPath/batch=$epoch")
-        append(accepted, table, idxPath, k, bands, buckets)
-        ()
+        ingestBatch(batch, epoch, table, idxPath, corpusPath, k, bands,
+          threshold, buckets)
       }
 
   def streamQuery(spark: SparkSession, table: String, docsStream: DataFrame,

@@ -81,6 +81,17 @@ object TextAnalysis {
       size(array_distinct(tokens(col("text")))).cast("long").as("distinct_tokens")
     )
 
+  /** Occurrence count of the most frequent token — ONE definition of
+    * the O(distinct × tokens) per-doc scan, shared by
+    * [[repetitionSignals]] and [[gopherRules]]. */
+  private def topWordN(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      w => size(filter(toks, t => t === w))))
+
+  /** Duplicated n-gram count of a shingle array (size − distinct). */
+  private def dupNGramN(g: Column): Column =
+    size(g) - size(array_distinct(g))
+
   /** Repetition signals (the Gopher/MassiveText repetition filters,
     * word-level): per document, the token count, the occurrence count
     * of its most frequent token, and the number of duplicated word
@@ -100,13 +111,9 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        array_max(transform(array_distinct(col("toks")),
-          w => size(filter(col("toks"), t => t === w))))
-          .cast("long").as("top_word_n"),
-        (size(col("g2")) - size(array_distinct(col("g2"))))
-          .cast("long").as("dup_2gram_n"),
-        (size(col("g3")) - size(array_distinct(col("g3"))))
-          .cast("long").as("dup_3gram_n"))
+        topWordN(col("toks")).cast("long").as("top_word_n"),
+        dupNGramN(col("g2")).cast("long").as("dup_2gram_n"),
+        dupNGramN(col("g3")).cast("long").as("dup_3gram_n"))
 
   /** Corpus-trained unigram log-probability score (the CCNet-style LM
     * quality signal, reduced to its order-0 form): per document, the
@@ -213,11 +220,8 @@ object TextAnalysis {
           .as("r_words"),
         (lit(3) * size(col("toks")) <= col("__alpha") &&
           col("__alpha") <= lit(10) * size(col("toks"))).as("r_mean_len"),
-        (array_max(transform(array_distinct(col("toks")),
-          w => size(filter(col("toks"), t => t === w)))) * 5 <=
-          size(col("toks"))).as("r_top"),
-        ((size(col("__g2")) - size(array_distinct(col("__g2")))) * 5 <=
-          size(col("__g2"))).as("r_dup2"),
+        (topWordN(col("toks")) * 5 <= size(col("toks"))).as("r_top"),
+        (dupNGramN(col("__g2")) * 5 <= size(col("__g2"))).as("r_dup2"),
         (col("__stop") >= 2).as("r_stop"))
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_top") &&
@@ -236,8 +240,11 @@ object TextAnalysis {
     * partitions by doc_id — bounded partitions at any corpus size. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO coalesce on text: a NULL-text doc must be ABSENT (tokens(NULL)
+    // explodes to nothing after the null filter), matching the oracle's
+    // unnest-over-NULL behavior — the same contract as unigramLogProb
     val tf = docs
-      .select(col("doc_id"), explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -208,19 +208,26 @@ object Fixtures {
     * is already nanos → 1. */
   private val tsMultMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  def eventsTsNanosMult(spark: SparkSession, path: String): Long =
-    tsMultMemo.computeIfAbsent(path, { p =>
+  def eventsTsNanosMult(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(hp).isDirectory) {
+        val parts = fs.listStatus(hp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(parts.nonEmpty, s"no .parquet files under $path to " +
+          "probe the ts unit from")
+        parts.minBy(_.getName.toString)
+      } else hp
+    // memo key includes the probed file's mtime: the driver regenerates
+    // the fixtures between rounds, and a NANOS↔MICROS flip under a
+    // live session must not serve the stale multiplier
+    val key = s"$path@${fs.getFileStatus(file).getModificationTime}"
+    tsMultMemo.computeIfAbsent(key, { _ =>
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
-        else hp
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         reader.getFileMetaData.getSchema.getType(Seq("ts"): _*)
@@ -235,6 +242,7 @@ object Fixtures {
         }
       } finally reader.close()
     }: java.util.function.Function[String, java.lang.Long])
+  }
 
   /** The raw events frame with `ts` normalized to epoch-nanos —
     * EVERY reader of events.parquet must come through here (or apply

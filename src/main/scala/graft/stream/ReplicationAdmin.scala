@@ -44,9 +44,11 @@ object ReplicationAdmin {
   def disablePeer(id: String): Unit = setEnabled(id, on = false)
 
   private def setEnabled(id: String, on: Boolean): Unit = {
-    val p = peers.get(id)
-    require(p != null, s"no such peer $id")
-    peers.put(id, p.copy(enabled = on))
+    // atomic update: a plain get-then-put would lose a concurrent
+    // enable/disable racing between the two steps
+    val updated = peers.computeIfPresent(id,
+      (_, p) => p.copy(enabled = on))
+    require(updated != null, s"no such peer $id")
   }
 
   def listPeers(): Seq[Peer] = {
@@ -54,26 +56,30 @@ object ReplicationAdmin {
     peers.values.asScala.toSeq.sortBy(_.id)
   }
 
-  /** The families of `table` this peer replicates: None = table out of
-    * scope; Some(Nil) = all families; Some(fams) = those families
-    * (ReplicationPeerConfig.needToReplicate semantics). */
-  def scopeFor(id: String, table: String): Option[Seq[String]] = {
-    val p = peers.get(id)
-    require(p != null, s"no such peer $id")
+  /** The families of `table` a peer replicates: None = table out of
+    * scope (or peer disabled); Some(Nil) = all families; Some(fams) =
+    * those families (ReplicationPeerConfig.needToReplicate semantics). */
+  private def scopeOf(p: Peer, table: String): Option[Seq[String]] =
     if (!p.enabled) None
     else if (p.tableCfs.isEmpty) Some(Nil)
     else p.tableCfs.get(table)
+
+  def scopeFor(id: String, table: String): Option[Seq[String]] = {
+    val p = peers.get(id)
+    require(p != null, s"no such peer $id")
+    scopeOf(p, table)
   }
 
   /** One scoped CDC stream per ENABLED peer replicating `table` — the
     * ReplicationSourceManager fan-out: each peer gets the WAL stream
     * through its own scope filter (WalStream.scoped; an all-families
-    * scope passes the stream through unfiltered). */
+    * scope passes the stream through unfiltered). Scopes derive from
+    * the snapshot taken here, so a peer removed concurrently simply
+    * keeps or misses the whole fan-out — never a crash mid-way. */
   def replicate(table: String, stream: DataFrame): Map[String, DataFrame] = {
     import scala.jdk.CollectionConverters._
     peers.values.asScala.toSeq.sortBy(_.id).flatMap { p =>
-      scopeFor(p.id, table).map(fams =>
-        p.id -> WalStream.scoped(stream, fams))
+      scopeOf(p, table).map(fams => p.id -> WalStream.scoped(stream, fams))
     }.toMap
   }
 

@@ -156,4 +156,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(hits === Set(9000L, 9001L))
     spark.sql("DROP TABLE IF EXISTS ingest_idx")
   }
+
+  test("ingestBatch replay after a post-append crash keeps the epoch intact") {
+    import spark.implicits._
+    def doc(id: Long) = (id, (1 to 10).map(w => s"w${w}rep$id").mkString(" "))
+    val tmp = java.nio.file.Files.createTempDirectory("replay").toString
+    DedupIndex.build((0L to 4L).map(doc).toDF("doc_id", "text"),
+      "replay_idx", s"$tmp/idx", buckets = 4)
+    val batch = (10L to 14L).map(doc).toDF("doc_id", "text")
+
+    // first processing: all 5 accepted, corpus epoch written, index appended
+    DedupIndex.ingestBatch(batch, 0L, "replay_idx", s"$tmp/idx",
+      s"$tmp/corpus", buckets = 4)
+    val first = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first === (10L to 14L).toSet)
+
+    // crash-replay: the SAME batch re-runs with its docs already in the
+    // index — self-matches must not empty `accepted` and wipe the epoch
+    DedupIndex.ingestBatch(batch, 0L, "replay_idx", s"$tmp/idx",
+      s"$tmp/corpus", buckets = 4)
+    val replayed = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed === first, "replay must leave the epoch's corpus intact")
+    spark.sql("DROP TABLE IF EXISTS replay_idx")
+  }
 }
