@@ -420,6 +420,39 @@ object Dedup {
       .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is by NEAR-DUP
+    * GROUP, not by document — near-duplicates of a training document
+    * can never land in val/test (the contamination path a per-doc
+    * hash split leaves open: a test doc whose near-copy was trained
+    * on overstates every evaluation). Groups come from
+    * [[nearDupGroups]] over the [[minHashNearDups]] pair graph
+    * (singletons form their own group); the split is then
+    * [[Pipeline.trainSplit]]'s salted-hash bucketing applied to the
+    * GROUP id, so the assignment inherits its determinism and
+    * stability under re-runs and insertions — a new near-copy of an
+    * existing doc joins its group and therefore its split.
+    *
+    * Scale: the split itself is map-side on the grouped frame; cost is
+    * the LSH/CC pass (the same one e14/e39 run — share it). */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    val groups = nearDupGroups(minHashNearDups(docs, k, bands, threshold))
+    val bucket = (hash48(col("group_id").cast("string"), "split") % 100)
+      .cast("int")
+    docs.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+  }
+
   /** Cross-source overlap matrix — "who copied whom" at corpus level:
     * for every source pair, the count of distinct n-gram shingles they
     * share and the shingle-space Jaccard. The source-granular

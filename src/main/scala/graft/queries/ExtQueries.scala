@@ -585,6 +585,30 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // leakage-safe split: train/val/test assignment by NEAR-DUP
+      // GROUP, so near-copies never straddle the split boundary
+      // (Dedup.leakageSafeSplit scaladoc). Oracle = e14's recursive-CTE
+      // groups + e17's salted-hash bucketing, applied to the group id.
+      "e45_leakage_safe_split",
+      (s, dir) =>
+        Dedup.leakageSafeSplit(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS (SELECT i, j FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+              |          WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8),
+              |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM edges
+              |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+              |grp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+              |g AS (SELECT d.doc_id, COALESCE(grp.group_id, d.doc_id) AS group_id
+              |      FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id)
+              |SELECT doc_id, group_id,
+              |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+              |FROM (SELECT *, CAST(${Sql.hash48("CAST(group_id AS VARCHAR)", "'split'")} % 100 AS INT) AS b FROM g)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
       // cross-source overlap matrix: distinct shared shingles +
       // shingle-space Jaccard per source pair — the "who copied whom"
       // corpus diagnostic (Dedup.sourceOverlapMatrix scaladoc).

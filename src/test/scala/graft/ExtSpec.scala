@@ -237,6 +237,24 @@ class ExtSpec extends SparkSpec {
       "disjoint sources must be absent from the matrix")
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle the split boundary") {
+    val near = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(100001L))
+      .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
+    val all = docs.unionByName(near)
+    val s = Dedup.leakageSafeSplit(all).cache()
+    assert(s.count() === all.count())
+    // a group is atomic: one split per group, always
+    val straddled = s.groupBy("group_id")
+      .agg(count_distinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(straddled === 0L)
+    // the planted near-pair shares a group and therefore a split
+    val planted = s.filter(col("doc_id").isin(1L, 100001L)).collect()
+    assert(planted.map(_.getLong(1)).distinct.length === 1)
+    assert(planted.map(_.getString(2)).distinct.length === 1)
+    assert(s.filter(col("split") === "train").count() > 0)
+  }
+
   test("minhash_sigs kernel matches the k-transforms form bit-for-bit") {
     import graft.ext.TextHash._
     import graft.functions.MinHashFunctions.minhash_sigs
