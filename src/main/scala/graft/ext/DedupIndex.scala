@@ -118,10 +118,12 @@ object DedupIndex {
   /** The per-micro-batch body of [[ingestStream]], exposed so the
     * replay contract is directly testable: (1) intra-batch dedup —
     * within-batch near-dup groups keep their lowest id — then (2) the
-    * persisted-index check (SELF-matches excluded: on a crash-replay
-    * the batch's own docs are already indexed, and matching a doc
-    * against itself would empty `accepted` and wipe the epoch
-    * directory); survivors are ACCEPTED — written to the corpus (one
+    * persisted-index check. Identity matches (the doc_id itself is
+    * already indexed) reject the doc like any duplicate — corpus ids
+    * stay unique even when a source re-delivers a doc in a later
+    * epoch — EXCEPT ids this very epoch already accepted, which is
+    * the crash-replay case (rejecting those would wipe the epoch
+    * directory). Survivors are ACCEPTED — written to the corpus (one
     * overwrite-mode directory per epoch → replay-idempotent) and
     * appended to the signature index. Index appends are at-least-once
     * on replay — duplicate signature rows are harmless (candidate
@@ -136,12 +138,30 @@ object DedupIndex {
     // query, accepted write) — without it each re-plans the source
     val intraDup = Dedup.minHashNearDups(b, k, bands, threshold)
       .select(col("j").as("doc_id")).distinct()
-    val indexDup = query(spark, table, b, k, bands, threshold)
-      .filter(col("i") =!= col("j")) // replay self-match guard
+    val matches = query(spark, table, b, k, bands, threshold)
+    // content near-dups of OTHER docs always reject
+    val contentDup = matches.filter(col("i") =!= col("j"))
       .select(col("i").as("doc_id")).distinct()
+    // identity matches (i == j: this doc_id is already indexed) reject
+    // too — EXCEPT those this very epoch already accepted, which is
+    // the crash-replay case: rejecting them would empty `accepted` and
+    // overwrite the epoch directory with nothing. A same-id
+    // re-delivery in a LATER epoch has no such epoch record and is
+    // rejected, keeping corpus doc_ids unique.
+    val epochDir = s"$corpusPath/batch=$epoch"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ep = new org.apache.hadoop.fs.Path(epochDir)
+    val replayed =
+      if (ep.getFileSystem(hconf).exists(ep))
+        spark.read.parquet(epochDir).select(col("doc_id"))
+      else spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    val identityDup = matches.filter(col("i") === col("j"))
+      .select(col("i").as("doc_id")).distinct()
+      .join(replayed, Seq("doc_id"), "left_anti")
     val accepted = b
       .join(intraDup, Seq("doc_id"), "left_anti")
-      .join(indexDup, Seq("doc_id"), "left_anti")
+      .join(contentDup, Seq("doc_id"), "left_anti")
+      .join(identityDup, Seq("doc_id"), "left_anti")
       .localCheckpoint() // accepted feeds TWO writes; and the index
     // append below must not re-derive it THROUGH the index table it
     // is itself appending to

@@ -44,9 +44,10 @@ object AclKernel {
       grant.split(":", 2) match {
         case Array(p0, actions0) if p0.trim.nonEmpty =>
           val actions = actions0.trim
-          // empty action set after trim is a malformed grant, not a
-          // silent zero-permission entry — throw like any bad action
-          require(actions.nonEmpty, s"empty action set in grant '$grant'")
+          // an EMPTY action set ("bob:") is a valid deny-all grant,
+          // not a parse error: cells already stored with one must not
+          // turn every later scan's per-cell eval into an exception
+          // (unknown action LETTERS still throw, as does a missing ':')
           actions.foreach(a => require("RWXCA".contains(a),
             s"unknown action '$a' in grant '$grant' (Permission: R/W/X/C/A)"))
           p0.trim -> actions.toSet

@@ -206,8 +206,10 @@ object Fixtures {
     * column, read from the footer's logical type (one driver-side
     * footer read, memoized per path). Plain INT64 (our own WAL logs)
     * is already nanos → 1. */
+  // path → (probed file's mtime, multiplier): ONE entry per path — a
+  // regeneration replaces the entry instead of accumulating stale keys
   private val tsMultMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def eventsTsNanosMult(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -220,28 +222,35 @@ object Fixtures {
           "probe the ts unit from")
         parts.minBy(_.getName.toString)
       } else hp
-    // memo key includes the probed file's mtime: the driver regenerates
-    // the fixtures between rounds, and a NANOS↔MICROS flip under a
-    // live session must not serve the stale multiplier
-    val key = s"$path@${fs.getFileStatus(file).getModificationTime}"
-    tsMultMemo.computeIfAbsent(key, { _ =>
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        reader.getFileMetaData.getSchema.getType(Seq("ts"): _*)
-          .getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
-              case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+    // the memo entry is validated against the probed file's mtime: the
+    // driver regenerates the fixtures between rounds, and a
+    // NANOS↔MICROS flip under a live session must not serve the stale
+    // multiplier
+    val mtime = fs.getFileStatus(file).getModificationTime
+    tsMultMemo.compute(path, { (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        val mult =
+          try {
+            reader.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+              .getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+                }
+              case _ => 1L
             }
-          case _ => 1L
-        }
-      } finally reader.close()
-    }: java.util.function.Function[String, java.lang.Long])
+          } finally reader.close()
+        (mtime, mult)
+      }
+    })._2
   }
 
   /** The raw events frame with `ts` normalized to epoch-nanos —

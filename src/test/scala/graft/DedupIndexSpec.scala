@@ -179,6 +179,16 @@ class DedupIndexSpec extends SparkSpec {
     val replayed = spark.read.parquet(s"$tmp/corpus")
       .select("doc_id").as[Long].collect().toSet
     assert(replayed === first, "replay must leave the epoch's corpus intact")
+
+    // a LATER-epoch re-delivery of an already-accepted doc_id is NOT a
+    // replay: it must be rejected, keeping corpus doc_ids unique
+    DedupIndex.ingestBatch(
+      (batch.limit(2)).unionByName(Seq(doc(20L)).toDF("doc_id", "text")),
+      1L, "replay_idx", s"$tmp/idx", s"$tmp/corpus", buckets = 4)
+    val after = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(after === ((10L to 14L) :+ 20L).toList.sorted,
+      s"re-delivered ids must not duplicate: $after")
     spark.sql("DROP TABLE IF EXISTS replay_idx")
   }
 }
