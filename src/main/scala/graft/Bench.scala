@@ -78,7 +78,11 @@ object Bench {
         .mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // an errored query's time-to-exception must not deflate the band:
+      // the band aggregates SUCCESSFUL runs only; failures stay visible
+      // in n_errors/errors (and their wall time in the per-query map)
+      val ok = results.filter { case (k, _) => !errors.contains(k) }
+      val total = if (ok.nonEmpty) ok.values.sum else 0.0
       println(s"""{"metric":"total","value":$total,"unit":"sec","load_sec":$loadS,"n_errors":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     }
     spark.stop()

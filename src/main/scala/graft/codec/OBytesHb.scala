@@ -408,6 +408,9 @@ object OBytesHb extends OrderedCodec {
     var i = 1
     var done = false
     while (!done) {
+      if (i >= raw.length)
+        throw new IllegalArgumentException(
+          "blob-var: missing terminator (truncated input)")
       val e = raw(i) & 0xff
       acc = (acc << 7) | (e & 0x7f)
       nbits += 7

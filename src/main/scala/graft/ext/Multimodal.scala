@@ -95,6 +95,79 @@ object Multimodal {
     }
   }
 
+  /** Video container metadata: (format, durationMs, width, height,
+    * videoTracks). */
+  final case class VideoMeta(format: String, durationMs: Long, width: Int,
+      height: Int, videoTracks: Int)
+
+  /** REAL pure-JVM video header parse — the ISO-BMFF (MP4/MOV) twin of
+    * [[parseAudioHeader]]: walks the top-level box list (u32be size +
+    * fourcc; size==1 → u64be largesize follows), requires an `ftyp`
+    * leader, then inside `moov` reads `mvhd` (timescale + duration,
+    * version 0/1) and each `trak`'s `tkhd` (16.16 fixed-point
+    * width/height — non-zero only on video tracks). None for anything
+    * not well-formed — callers fall back to [[decodeStub]]. */
+  def parseVideoHeader(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int) = (b(i) & 0xff).toLong
+    def beInt(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def beLong(i: Int) = (beInt(i) << 32) | beInt(i + 4)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b == null || b.length < 16 || tag(4) != "ftyp") return None
+
+    // walk boxes in [lo, hi); returns (type, payloadStart, payloadEnd)
+    def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size0 = beInt(i.toInt)
+          val t = tag(i.toInt + 4)
+          val (payload, end) =
+            if (size0 == 1 && i + 16 <= hi) (i + 16, i + beLong(i.toInt + 8))
+            else if (size0 == 0) (i + 8, hi) // "to end of file"
+            else (i + 8, i + size0)
+          // malformed size: stop the walk rather than loop/overrun
+          val bounded = if (end <= i + 8 || end > hi) hi else end
+          i = bounded
+          (t, payload, bounded)
+        }
+      }
+
+    var dur = -1L
+    var w = 0; var h = 0; var vtracks = 0
+    boxes(0, b.length.toLong).foreach {
+      case ("moov", ms, me) =>
+        boxes(ms, me).foreach {
+          case ("mvhd", ps, _) =>
+            val p = ps.toInt
+            val ver = (b(p) & 0xff)
+            val (ts, d) =
+              if (ver == 1) (beInt(p + 20), beLong(p + 24))
+              else (beInt(p + 12), beInt(p + 16))
+            if (ts > 0) dur = d * 1000L / ts
+          case ("trak", ts0, te) =>
+            boxes(ts0, te).foreach {
+              case ("tkhd", ps, _) =>
+                val p = ps.toInt
+                val ver = (b(p) & 0xff)
+                val off = if (ver == 1) p + 88 else p + 76
+                if (off + 8 <= b.length) {
+                  val tw = (beInt(off) >> 16).toInt
+                  val th = (beInt(off + 4) >> 16).toInt
+                  if (tw > 0 && th > 0) {
+                    vtracks += 1
+                    if (tw * th > w * h) { w = tw; h = th }
+                  }
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (dur >= 0) Some(VideoMeta("mp4", dur, w, h, vtracks)) else None
+  }
+
   private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
     var i = 2

@@ -349,4 +349,83 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
+
+  // ---- Scalar quantization (SQ8): the compressed-scan ANN family ----
+  //
+  // At 100 TB the embedding column dominates the scan: float32×dim per
+  // row. SQ8 stores unit-normalized vectors as int8 codes (4× smaller
+  // than float32) and ranks by the INTEGER dot product of codes — the
+  // FAISS "SQ8 flat" baseline, and composed with the IVF coarse
+  // quantizer below, "IVF,SQ8": probe nprobe/nlist of the corpus, scan
+  // codes, never touch the float column. Integer scores are exact and
+  // order-independent, so ranking is engine-stable with no rounding.
+
+  /** SQ8 code: unit-normalize, then symmetric int8 quantization at the
+    * fixed scale 127 (|u_i| ≤ 1 after normalization), i.e.
+    * q_i = floor(u_i·127 + 0.5) ∈ [−127, 127]. floor(x+0.5) rather
+    * than round(): identical halfway semantics in every engine. */
+  def sq8Code(emb: Column, nrm: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * lit(127.0) / nrm + lit(0.5)).cast("int"))
+
+  /** Exact integer dot of two code arrays — the compressed-domain
+    * score (∝ cosine of the original vectors). dim·127² ≪ Long. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Norm-projected corpus reduced to (vec_id, code) — at scale this IS
+    * the stored representation (the float column stays behind in cold
+    * storage; the scan reads ¼ the bytes). */
+  private def sq8Coded(emb: DataFrame): DataFrame =
+    withNorm(emb)
+      .select(col("vec_id"), sq8Code(col("embedding"), col("nrm")).as("code"))
+
+  /** SQ8 flat top-k: brute compressed scan — broadcast the query codes,
+    * rank by integer qdot (ties → vec_id ASC; fully deterministic, no
+    * FP in the scan at all). The exact twin of [[bruteTopK]] at ¼ the
+    * scan bytes; recall-vs-brute gated in ExtSpec. */
+  def annSq8TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val coded = sq8Coded(emb)
+    val q = coded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", qdot(col("qcode"), col("code")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("qdot"))
+  }
+
+  /** IVF,SQ8: the IVF coarse quantizer prunes to `nprobe`/`nlist` of
+    * the corpus, the scan inside the probed lists runs in the
+    * compressed integer domain. At scale: corpus written partitioned by
+    * cluster id storing ONLY codes, probes read nprobe partitions, the
+    * join side is broadcast (query-code, probed-cluster) pairs —
+    * partition pruning × 4× byte reduction, multiplicative. */
+  def annIvfSq8TopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val (cents, indexed) = ivfIndexed(emb, nlist, iters)
+    val coded = indexed.select(col("vec_id"), col("cluster"),
+      sq8Code(col("embedding"), col("nrm")).as("code"))
+    val q = indexed.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sq8Code(col("embedding"), col("nrm")).as("qcode"),
+        explode(probeClusters(col("embedding"), cents, nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    // score BEFORE the (query_id, vec_id) dedup — the narrow-exchange
+    // rationale of annIvfTopK; qdot is per-pair deterministic so min()
+    // over probe duplicates is the value itself.
+    coded
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qdot(col("qcode"), col("code")).as("qd0"))
+      .groupBy("query_id", "vec_id").agg(min(col("qd0")).as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("qdot"))
+  }
 }

@@ -151,6 +151,58 @@ object ExtQueries {
        |ORDER BY i.vec_id""".stripMargin
   }
 
+  /** Shared SQ8 CTE fragment (e46, e47): unit-normalize, then
+    * q_i = floor(u_i·127 + 0.5) — the identical op sequence (and thus
+    * identical doubles) as Similarity.sq8Code. Codes are exact ints. */
+  private val sq8CodesCte: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, v, sqrt(${dotl("v", "v")}) AS nrm FROM emb),
+       |codes AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(FLOOR(x * 127.0 / nrm + 0.5) AS BIGINT)) AS code
+       |FROM nr)""".stripMargin
+
+  /** Integer dot of two code lists — exact, no rounding needed. */
+  private def qdotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), k -> $a[k+1] * $b[k+1]), (p, q) -> p + q)"
+
+  /** e47 oracle: the e13 IVF pipeline (deterministic k-means, probes,
+    * candidates) with the re-rank swapped to the SQ8 integer score. */
+  private def annIvfSq8Oracle(dim: Int, nlist: Int, nprobe: Int, iters: Int,
+      k: Int): String = {
+    require(iters == 2, "oracle is written for the declared iters=2")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, v, sqrt(${dotl("v", "v")}) AS nrm FROM emb),
+       |codes AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(FLOOR(x * 127.0 / nrm + 0.5) AS BIGINT)) AS code
+       |FROM nr),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
+       |${kmeansIterSql("c0", "a1", "c1", dim)},
+       |${kmeansIterSql("c1", "a2", "c2", dim)},
+       |idx AS (SELECT vec_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+       |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${halfSql("c.c")} - ${dotl("e.v", "c.c")}) ASC, c.cl ASC) AS rn
+       |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, i.vec_id FROM idx i
+       |  JOIN probe p ON i.cl = p.cl AND i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ${qdotSql("cq.code", "ce.code")} AS qdot
+       |  FROM cand c JOIN codes cq ON cq.vec_id = c.query_id
+       |              JOIN codes ce ON ce.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, qdot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** e13 oracle: the FULL IVF pipeline in SQL — deterministic k-means
     * (seeds = lowest vec_ids, `iters` quantized Lloyd rounds), final
     * cluster assignment, nprobe probes per query (argmin ties → smaller
@@ -707,6 +759,40 @@ object ExtQueries {
            |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id JOIN q ON q.doc_id = d.doc_id)
            |ORDER BY doc_id""".stripMargin
       }
+    ),
+    QDef(
+      // SQ8 flat: compressed-scan ANN — int8 codes (¼ the scan bytes),
+      // ranking by the EXACT integer dot of codes (zero FP at scan
+      // time, so no rounding boundary at all). Full oracle: DuckDB
+      // re-derives the identical codes and integer scores.
+      "e46_ann_sq8",
+      (s, dir) =>
+        Similarity.annSq8TopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      Some(sq8CodesCte +
+        s"""
+           |SELECT query_id, rank, neighbor_id, qdot FROM (
+           |  SELECT query_id, neighbor_id, qdot,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+           |  FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |           ${qdotSql("q.code", "e.code")} AS qdot
+           |    FROM codes q JOIN codes e ON e.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 10))
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    QDef(
+      // IVF,SQ8: coarse-quantizer pruning × compressed integer scan —
+      // the composite index (probe nprobe/nlist partitions, read only
+      // int8 codes inside them). Full oracle: the e13 deterministic
+      // k-means CTEs + the e46 code/score CTEs.
+      "e47_ann_ivf_sq8",
+      (s, dir) =>
+        Similarity.annIvfSq8TopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
     )
   )
 }

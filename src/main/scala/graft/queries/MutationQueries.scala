@@ -15,6 +15,30 @@ object MutationQueries {
 
   val defs: Seq[QDef] = Seq(
     QDef(
+      // M3/M4 setReturnResults (VERDICT r4 gap #4): every RMW op's
+      // post-image, in commit order — ONE running-fold window per key
+      // serves both the Increment post-sum and the Append post-seq.
+      // The window frame is sequential per key, so the double running
+      // sum is order-stable (same fold order on both engines);
+      // ROUND(.,4) absorbs representation noise as in q31.
+      "q81_rmw_returning",
+      (s, dir) =>
+        Mutations.rmwReturning(Fixtures.events(s, dir),
+            keys = Seq(col("user_id")), delta = col("value"),
+            appendVal = col("event_type"),
+            orderBy = Seq(col("ts"), col("event_id")), sep = ",")
+          .select(col("user_id"), col("event_id"),
+            round(col("post_sum"), 4).as("post_sum"), col("post_seq"))
+          .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id,
+             |       ROUND(SUM(value) OVER w, 4) AS post_sum,
+             |       string_agg(event_type, ',') OVER w AS post_seq
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+    QDef(
       // Known boundary: SUM over doubles is FP-order-dependent on both
       // engines; ROUND(.,4) absorbs partition-order noise and has held
       // at every tested SF/parallelism, but a sum landing exactly on a

@@ -1,6 +1,7 @@
 package graft.write
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.CellType
@@ -52,6 +53,25 @@ object Mutations {
       .agg(array_sort(collect_list(packed)).as("__arr"))
       .withColumn("value", array_join(expr("transform(__arr, x -> x.__v)"), sep))
       .drop("__arr")
+  }
+
+  /** M3/M4 setReturnResults (Increment.java:91, Append.java:91; the
+    * server builds the post-image Result per op — HRegion.increment
+    * :8343, HRegion.append:8324): each RMW returns the value AFTER its
+    * own application, in commit order. Batch equivalent: the RUNNING
+    * fold per key — one window over (keys, commit order), no join, no
+    * second pass. Emits both post-images per mutation row:
+    * `post_sum` (Increment: cumulative numeric fold of `delta`) and
+    * `post_seq` (Append: cumulative byte/string concat of `appendVal`).
+    * The frame is rows-unbounded-preceding→current — the exact
+    * serialize-per-row-lock order the reference's region applies. */
+  def rmwReturning(muts: DataFrame, keys: Seq[Column], delta: Column,
+      appendVal: Column, orderBy: Seq[Column], sep: String = ""): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    muts
+      .withColumn("post_sum", sum(delta).over(w))
+      .withColumn("post_seq", array_join(collect_list(appendVal).over(w), sep))
   }
 
   /** Guard specification for CheckAndMutate: compare one (family,

@@ -189,6 +189,38 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.parseAudioHeader(broken) === None)
   }
 
+  test("parseVideoHeader reads mvhd/tkhd from a hand-built ISO-BMFF box tree") {
+    def be(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0) ++ "isom".getBytes)
+    // mvhd v0: ver/flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhd = box("mvhd",
+      be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(5000) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: 76 payload bytes then 16.16 width/height
+    val tkhd = box("tkhd",
+      Array.fill[Byte](76)(0) ++ be(640 << 16) ++ be(360 << 16))
+    val soundTkhd = box("tkhd", // audio track: zero dims, must not count
+      Array.fill[Byte](76)(0) ++ be(0) ++ be(0))
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd) ++ box("trak", soundTkhd))
+    val m = Multimodal.parseVideoHeader(ftyp ++ moov).get
+    assert(m === Multimodal.VideoMeta("mp4", 5000L, 640, 360, 1))
+    // mvhd v1 (64-bit times), timescale 600, duration 1200 → 2000 ms
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++ be(600) ++
+        be(0) ++ be(1200) ++ Array.fill[Byte](80)(0))
+    val m1 = Multimodal.parseVideoHeader(ftyp ++ box("moov", mvhd1)).get
+    assert(m1.durationMs === 2000L && m1.videoTracks === 0)
+    // non-video and malformed inputs fall through to the stub path
+    assert(Multimodal.parseVideoHeader("nope".getBytes ++ be(0)) === None)
+    assert(Multimodal.parseVideoHeader(null) === None)
+    // a zero/garbage box size terminates instead of looping
+    val bad = ftyp ++ be(3) ++ "moov".getBytes
+    assert(Multimodal.parseVideoHeader(bad) === None)
+  }
+
   test("gopherRules: each rule rejects its own degenerate document") {
     import spark.implicits._
     val en = "the and is in to of a for on with" // 10 stopword tokens
@@ -276,6 +308,39 @@ class ExtSpec extends SparkSpec {
       .select(minhash_sigs(col("shs"), 4).as("sigs"))
       .collect().map(_.getSeq[Any](0))
     assert(out(0).forall(_ == null) && out(1).forall(_ != null))
+  }
+
+  test("SQ8 codes are bounded int8 and the flat scan tracks brute recall") {
+    val coded = Similarity.sq8Code(col("embedding"),
+      graft.functions.VectorFunctions.l2_norm(col("embedding")))
+    val bad = emb.select(explode(coded).as("c"))
+      .filter(col("c") < -127 || col("c") > 127).count()
+    assert(bad === 0L, "every SQ8 component must fit int8 range")
+    // recall vs exact brute: int8 of a unit vector loses <1% of the
+    // score mass, so top-5 agreement should be near-total
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.annSq8TopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(sq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall too low")
+  }
+
+  test("IVF,SQ8 equals the pure-SQ8 ranking restricted to probed lists") {
+    // the composite index must be the IVF candidate generator + the
+    // SQ8 scorer, nothing else: its results are a subset of flat SQ8's
+    // candidate space with identical integer scores
+    val ivfsq = Similarity.annIvfSq8TopK(emb, col("vec_id") < 10, k = 5)
+    assert(ivfsq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L)
+    val flatScores = Similarity.annSq8TopK(emb, col("vec_id") < 10, k = 1000)
+      .select("query_id", "neighbor_id", "qdot")
+    // every (query, neighbor, qdot) the composite emits appears with
+    // the same exact integer score in the flat scan
+    assert(ivfsq.select("query_id", "neighbor_id", "qdot")
+      .exceptAll(flatScores).count() === 0L)
   }
 
   test("IVF ANN achieves reasonable recall vs brute force") {

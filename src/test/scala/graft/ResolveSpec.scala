@@ -77,4 +77,20 @@ class ResolveSpec extends SparkSpec {
       GCell("r1", "d", "a", 5, CellType.Delete, null))
     assert(liveSet(Resolve.latest(df, 1)) === Set(("r1", "a", 1L)))
   }
+
+  test("rmwReturning emits per-op post-images in commit order") {
+    import org.apache.spark.sql.functions._
+    val muts = Seq(
+      ("u1", 1L, 1, 2.0, "a"), ("u1", 2L, 2, 3.0, "b"),
+      ("u1", 2L, 3, 5.0, "c"), ("u2", 9L, 1, 7.0, "x"))
+      .toDF("user", "ts", "seq", "delta", "tag")
+    val got = graft.write.Mutations.rmwReturning(muts, Seq(col("user")),
+        col("delta"), col("tag"), Seq(col("ts"), col("seq")), sep = ",")
+      .orderBy("user", "ts", "seq")
+      .select("user", "post_sum", "post_seq")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      ("u1", 2.0, "a"), ("u1", 5.0, "a,b"), ("u1", 10.0, "a,b,c"),
+      ("u2", 7.0, "x")))
+  }
 }
