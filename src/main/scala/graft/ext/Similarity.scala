@@ -202,8 +202,8 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int), Array[Array[Double]]]
 
-  /** Drop all cached IVF indexes (e.g. after overwriting a corpus). */
-  def invalidateIvfCache(): Unit = centroidCache.clear()
+  /** Drop all cached IVF/PQ indexes (e.g. after overwriting a corpus). */
+  def invalidateIvfCache(): Unit = { centroidCache.clear(); pqCache.clear() }
 
   /** Data fingerprint: hash of the SORTED file listing backing the plan
     * (part files carry unique names, so a rewrite changes the listing;
@@ -214,11 +214,11 @@ object Similarity {
     if (files.isEmpty) 0 else java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
   }
 
-  /** Cached centroids + the norm-projected corpus with its cluster id —
-    * the shared coarse-quantization base of [[annIvfTopK]] and
-    * [[semanticDedup]]. */
-  private def ivfIndexed(emb: DataFrame, nlist: Int,
-      iters: Int): (Array[Array[Double]], DataFrame) = {
+  /** Cached deterministic k-means over any (vec_id, embedding) plan —
+    * shared by the IVF index and the PQ sub-quantizers (each subspace
+    * slice is its own plan, so its codebook caches independently). */
+  private def cachedCentroids(emb: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     val key = (System.identityHashCode(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
       nlist, iters)
@@ -229,8 +229,15 @@ object Similarity {
       while (centroidCache.size >= CentroidCacheMax)
         centroidCache.keysIterator.find(_ != key)
           .foreach(centroidCache.remove)
-    val cents = centroidCache.getOrElseUpdate(key,
-      trainCentroids(emb, nlist, iters))
+    centroidCache.getOrElseUpdate(key, trainCentroids(emb, nlist, iters))
+  }
+
+  /** Cached centroids + the norm-projected corpus with its cluster id —
+    * the shared coarse-quantization base of [[annIvfTopK]] and
+    * [[semanticDedup]]. */
+  private def ivfIndexed(emb: DataFrame, nlist: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
+    val cents = cachedCentroids(emb, nlist, iters)
     (cents, withNorm(emb)
       .withColumn("cluster", assignCluster(col("embedding"), cents)))
   }
@@ -427,5 +434,163 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("qdot"))
+  }
+
+  // ---- Product quantization (PQ): codebook-compressed ANN ----
+  //
+  // PQ splits each vector into m subspaces and stores ONE small int per
+  // subspace (the id of the nearest sub-codebook centroid): m bytes per
+  // vector — 32× smaller than float32 at dim=64/m=8. Queries stay
+  // full-precision and score candidates by ADC (asymmetric distance):
+  // score = Σ_s q_s · c_{s,code_s} — m table lookups + dots against the
+  // tiny broadcast codebooks, never the corpus floats. Sub-codebooks
+  // train with the same deterministic quantized k-means as IVF (each
+  // subspace slice is its own cached plan).
+
+  /** Unit-normalized corpus (element-wise x/‖v‖ as doubles) — PQ trains
+    * and codes over unit vectors so the ADC inner product approximates
+    * COSINE (the ranking the exact baseline uses); without this, norm
+    * variance would systematically distort the compressed ranking. */
+  private def unitVectors(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / col("nrm"))
+        .as("embedding"))
+
+  /** PQ codebook cache — same bounding policy as [[centroidCache]]. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]
+
+  /** The m per-subspace codebooks (each ks × dsub) over the
+    * unit-normalized corpus. All m sub-quantizers train TOGETHER: one
+    * seed collect, then ONE job per Lloyd round that assigns every
+    * subspace map-side and aggregates the quantized integer sums keyed
+    * by (subspace, cluster, dim) — 1+iters driver actions total instead
+    * of m×(1+iters). Results are identical to training each slice
+    * separately (same seeds, same assignment kernel, same
+    * order-independent integer sums — the oracle trains per slice). */
+  private[graft] def pqCodebooks(emb: DataFrame, dim: Int, m: Int, ks: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val key = (System.identityHashCode(emb.sparkSession),
+      emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
+      m, ks, iters)
+    if (!pqCache.contains(key))
+      while (pqCache.size >= CentroidCacheMax)
+        pqCache.keysIterator.find(_ != key).foreach(pqCache.remove)
+    pqCache.getOrElseUpdate(key, {
+      val unit = unitVectors(emb)
+      // seeds: the lowest-ks unit vectors, sliced driver-side — exactly
+      // the per-slice seeds (slicing preserves vec_id order)
+      var books: Array[Array[Array[Double]]] = {
+        val rows = unit.orderBy("vec_id").limit(ks)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
+      }
+      for (_ <- 1 to iters) {
+        val codes = graft.functions.PqFunctions.pq_assign(col("embedding"),
+          graft.functions.PqFunctions.flatten(books), m, ks, dsub)
+        val upd = unit
+          .select(col("embedding"), posexplode(codes).as(Seq("s", "cl")))
+          .select(col("s"), col("cl"),
+            posexplode(slice(col("embedding"), col("s") * dsub + 1, lit(dsub)))
+              .as(Seq("d", "x")))
+          .groupBy("s", "cl", "d")
+          .agg(sum(floor(col("x") * 1000000).cast("long")).as("sm"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        upd.foreach { r =>
+          next(r.getAs[Int]("s"))(r.getAs[Int]("cl"))(r.getAs[Int]("d")) =
+            r.getAs[Long]("sm").toDouble / (r.getAs[Long]("n") * 1e6)
+        }
+        books = next
+      }
+      books
+    })
+  }
+
+  /** PQ code column: array of m sub-centroid ids (argmax v_s·c−‖c‖²/2
+    * per subspace — the IVF assignment math, run by the fused
+    * [[graft.functions.PqAssignExpr]] kernel: the composed
+    * array_max-of-dot_fold form would inline m×ks literal arrays into
+    * whole-stage codegen and drop the stage to interpreter speed, the
+    * same JIT-budget cliff the LSH kernel avoids). Input must be the
+    * unit-normalized double array. */
+  private def pqCode(emb: Column, books: Array[Array[Array[Double]]],
+      dsub: Int): Column = {
+    val m = books.length; val ks = books.head.length
+    graft.functions.PqFunctions.pq_assign(emb,
+      graft.functions.PqFunctions.flatten(books), m, ks, dsub)
+  }
+
+  /** ADC score of a full-precision query against a PQ code: per
+    * subspace, FLOOR(q_s·c_{code_s}·1e6) as a long — integer terms sum
+    * order-independently, so the total is engine-exact. Fused kernel
+    * for the same codegen-budget reason as [[pqCode]]. */
+  private def adcScore(qv: Column, code: Column,
+      books: Array[Array[Array[Double]]], dsub: Int): Column = {
+    val m = books.length; val ks = books.head.length
+    graft.functions.PqFunctions.pq_adc(qv, code,
+      graft.functions.PqFunctions.flatten(books), m, ks, dsub)
+  }
+
+  /** PQ-ADC top-k with exact refine (the FAISS "PQ + refine" shape):
+    * the WIDE scan runs over m-byte codes only (32× compression at
+    * dim=64/m=8) and keeps a `shortlist` of candidates per query by
+    * integer ADC score; only the bounded shortlist (queries×shortlist
+    * rows) then touches the float column for the exact-cosine re-rank.
+    * Both stages are deterministic (integer ADC ties → vec_id; rounded
+    * cosine ties → vec_id). Recall gate in ExtSpec. */
+  def annPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      dim: Int = 64, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    val dsub = dim / m
+    val books = pqCodebooks(emb, dim, m, ks, iters)
+    val unit = unitVectors(emb)
+    val coded = unit.select(col("vec_id"),
+      pqCode(col("embedding"), books, dsub).as("code"))
+    val q = unit.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcScore(col("qv"), col("code"), books, dsub))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "vec_id")
+    // exact refine over the SHORTLIST only — norms and cosine on the
+    // unit vectors, the same arithmetic the oracle's re-rank runs
+    val en = withNorm(unit)
+    val qn = en.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val cn = en.select(col("vec_id"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(broadcast(qn), "query_id")
+      .join(cn, "vec_id")
+      .withColumn("sim", cosSim(col("qv"), col("qnrm"), col("cv"), col("cnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Cluster-balanced subsampling: cap the number of kept vectors per
+    * k-means cluster, chosen by salted hash (deterministic, re-run
+    * stable) — the diversity-preserving downsampling step (keep broad
+    * coverage, shrink over-represented modes). Map-side after the
+    * cached assignment; the only exchange is the per-cluster rank
+    * window, partitioned by cluster id — bounded partitions at any
+    * corpus size when cap ≪ cluster size. */
+  def clusterBalancedSample(emb: DataFrame, cap: Int, nlist: Int = 16,
+      iters: Int = 2, salt: String = "cbs"): DataFrame = {
+    val (_, indexed) = ivfIndexed(emb, nlist, iters)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("hk").asc, col("vec_id").asc)
+    indexed.select(col("vec_id"), col("cluster"),
+        TextHash.hash48(col("vec_id").cast("string"), lit(salt)).as("hk"))
+      .withColumn("keep", row_number().over(w) <= cap)
+      .select(col("vec_id"), col("cluster"), col("keep"))
   }
 }

@@ -111,12 +111,13 @@ object ExtQueries {
     * Scala array_max-over-struct), then rebuild centroids from the
     * order-independent FLOOR(x·1e6) integer sums. Empty clusters keep
     * their previous centroid (COALESCE), as the Scala trainer does. */
-  private def kmeansIterSql(prev: String, aOut: String, cOut: String, dim: Int): String =
+  private def kmeansIterSql(prev: String, aOut: String, cOut: String, dim: Int,
+      embName: String = "emb"): String =
     s"""$aOut AS (SELECT vec_id, v, cl FROM (
        |  SELECT e.vec_id, e.v, c.cl,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
-       |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+       |  FROM $embName e CROSS JOIN $prev c) WHERE rn = 1),
        |__${cOut}_u AS (
        |  SELECT cl, g.d AS d, SUM(CAST(FLOOR(v[g.d + 1] * 1000000) AS BIGINT)) AS s, COUNT(*) AS n
        |  FROM $aOut, generate_series(0, ${dim - 1}) g(d) GROUP BY cl, g.d),
@@ -201,6 +202,74 @@ object ExtQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
        |  FROM scored
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** e48 oracle: the FULL PQ-ADC pipeline in SQL — per subspace, slice
+    * the corpus, run the same deterministic k-means (seeds = lowest
+    * vec_ids of the slice, quantized Lloyd rounds), assign codes; then
+    * ADC-score (query slice · coded centroid) as FLOOR(·1e6) integer
+    * terms whose sum is order-independent, and re-rank. */
+  private def annPqOracle(dim: Int, m: Int, ks: Int, iters: Int,
+      k: Int, shortlist: Int): String = {
+    require(iters == 2, "oracle is written for the declared iters=2")
+    val dsub = dim / m
+    val subCtes = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"""semb$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM emb),
+         |c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+         |       FROM (SELECT vec_id, v FROM semb$s ORDER BY vec_id LIMIT $ks)),
+         |${kmeansIterSql(s"c0_$s", s"a1_$s", s"c1_$s", dsub, s"semb$s")},
+         |${kmeansIterSql(s"c1_$s", s"a2_$s", s"c2_$s", dsub, s"semb$s")},
+         |code$s AS (SELECT vec_id, cl FROM (
+         |  SELECT e.vec_id, c.cl,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+         |  FROM semb$s e CROSS JOIN c2_$s c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val terms = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"""SELECT q.query_id, cd.vec_id,
+         |       CAST(FLOOR(${dotl("q.v[" + lo + ":" + hi + "]", "c.c")} * 1000000) AS BIGINT) AS t
+         |FROM q CROSS JOIN code$s cd JOIN c2_$s c ON c.cl = cd.cl
+         |WHERE cd.vec_id <> q.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |nr0 AS (SELECT vec_id, v0, sqrt(${dotl("v0", "v0")}) AS nrm FROM emb0),
+       |emb AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr0),
+       |$subCtes,
+       |q AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < 10),
+       |adcscored AS (
+       |  SELECT query_id, vec_id, SUM(t) AS adc FROM (
+       |$terms
+       |  ) GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS arank
+       |  FROM adcscored
+       |) WHERE arank <= $shortlist),
+       |${rerankSql("cand", k)}""".stripMargin
+  }
+
+  /** e49 oracle: the e13 k-means assignment + a per-cluster salted-hash
+    * rank capped at `cap` — cluster-balanced keep flags. */
+  private def clusterSampleOracle(dim: Int, nlist: Int, iters: Int,
+      cap: Int, salt: String): String = {
+    require(iters == 2, "oracle is written for the declared iters=2")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
+       |${kmeansIterSql("c0", "a1", "c1", dim)},
+       |${kmeansIterSql("c1", "a2", "c2", dim)},
+       |idx AS (SELECT vec_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+       |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT vec_id, cluster, rk <= $cap AS keep FROM (
+       |  SELECT vec_id, cl AS cluster,
+       |         row_number() OVER (PARTITION BY cl
+       |           ORDER BY ${Sql.hash48("CAST(vec_id AS VARCHAR)", s"'$salt'")}, vec_id) AS rk
+       |  FROM idx)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** e13 oracle: the FULL IVF pipeline in SQL — deterministic k-means
@@ -793,6 +862,34 @@ object ExtQueries {
             col("vec_id") < 10, k = 5)
           .orderBy("query_id", "rank"),
       Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
+    ),
+    QDef(
+      // PQ-ADC + exact refine: the corpus scan runs over m=8
+      // sub-centroid ids (32× compression at dim=64), ADC-scored
+      // asymmetrically (full-precision query · coded centroid,
+      // FLOOR(·1e6) integer terms so the sum is order-independent) to a
+      // 50-candidate shortlist; only the shortlist touches the float
+      // column for the exact-cosine re-rank. Full oracle: 8 independent
+      // deterministic sub-k-means + integer ADC + the shared re-rank.
+      "e48_ann_pq",
+      (s, dir) =>
+        Similarity.annPqTopK(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5)
+          .orderBy("query_id", "rank"),
+      Some(annPqOracle(dim = 64, m = 8, ks = 16, iters = 2, k = 5,
+        shortlist = 50))
+    ),
+    QDef(
+      // cluster-balanced subsampling: keep ≤ cap vectors per k-means
+      // cluster, selected by salted hash — diversity-preserving corpus
+      // downsampling (shrink over-represented modes, keep coverage).
+      "e49_cluster_sample",
+      (s, dir) =>
+        Similarity.clusterBalancedSample(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"), cap = 20)
+          .orderBy("vec_id"),
+      Some(clusterSampleOracle(dim = 64, nlist = 16, iters = 2,
+        cap = 20, salt = "cbs"))
     )
   )
 }

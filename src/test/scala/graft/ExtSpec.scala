@@ -343,6 +343,41 @@ class ExtSpec extends SparkSpec {
       .exceptAll(flatScores).count() === 0L)
   }
 
+  test("PQ codes are bounded sub-centroid ids with usable ADC recall") {
+    val books = Similarity.pqCodebooks(emb, dim = 64, m = 8, ks = 16, iters = 2)
+    assert(books.length === 8 && books.forall(_.length === 16) &&
+      books.forall(_.forall(_.length === 8)))
+    val pq = Similarity.annPqTopK(emb, col("vec_id") < 10, k = 5)
+    assert(pq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L)
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pq.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    // ADC shortlist + exact refine: recall is set by whether the true
+    // neighbor makes the 50-candidate shortlist, then refine is exact
+    assert(recall >= 0.5, s"PQ ADC+refine recall $recall too low")
+  }
+
+  test("clusterBalancedSample caps every cluster and keeps determinism") {
+    val s1 = Similarity.clusterBalancedSample(emb, cap = 10)
+    val kept = s1.filter(col("keep")).groupBy("cluster").count()
+    assert(kept.filter(col("count") > 10).count() === 0L,
+      "no cluster may exceed its cap")
+    // every cluster with ≥cap members keeps exactly cap
+    val sizes = s1.groupBy("cluster").count().withColumnRenamed("count", "n")
+    val full = kept.join(sizes, "cluster")
+      .filter(col("n") >= 10 && col("count") =!= 10).count()
+    assert(full === 0L, "a full cluster must keep exactly cap members")
+    // re-run stability: same salt → identical keep set
+    val a = s1.filter(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val b = Similarity.clusterBalancedSample(emb, cap = 10)
+      .filter(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force") {
     val emb = graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 20, k = 5)
