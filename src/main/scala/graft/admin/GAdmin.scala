@@ -173,10 +173,60 @@ object GAdmin {
     * disabled) when a space quota is in violation, like the
     * RegionServer's SpaceViolationPolicyEnforcement gate. */
   def put(spark: SparkSession, name: String, cells: DataFrame): Unit = {
+    enforceThrottle(spark, name, System.currentTimeMillis())
     enforceSpaceQuota(spark, name)
     require(isEnabled(spark, name), s"table $name is disabled")
     cells.select(CellSchema.columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).insertInto(qualified(name))
+  }
+
+  // ---- Throttle quotas (the other half of the quotas subsystem:
+  // QuotaSettingsFactory.throttleTable, ThrottleType.REQUEST_NUMBER,
+  // RpcThrottlingException; RateLimiter.java with its Fixed/Average
+  // interval refill strategies). One mutation BATCH = one request in
+  // graft's batch model, so the table limiter charges 1 per put — the
+  // REQUEST_NUMBER semantic. Limiters are in-JVM per (table, config):
+  // a changed quota starts a fresh bucket, removing the quota drops
+  // enforcement entirely. ----
+
+  private val limiters = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long, String), RateLimiter]
+
+  def setThrottleQuota(spark: SparkSession, name: String, limit: Long,
+      perMs: Long = 1000, refill: String = "AVERAGE"): Unit = {
+    require(limit > 0 && perMs > 0, "throttle limit/period must be positive")
+    require(refill == "AVERAGE" || refill == "FIXED",
+      s"unknown refill strategy '$refill' (AVERAGE/FIXED)")
+    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
+      s"('graft.throttle.limit' = '$limit', 'graft.throttle.unit.ms' = '$perMs', " +
+      s"'graft.throttle.refill' = '$refill')")
+  }
+
+  def removeThrottleQuota(spark: SparkSession, name: String): Unit =
+    spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
+      "('graft.throttle.limit', 'graft.throttle.unit.ms', 'graft.throttle.refill')")
+
+  /** Request-throttle gate on the mutation path (`nowMs` injected for
+    * determinism; `put` passes the wall clock). Over the limit →
+    * the RpcThrottlingException twin, carrying the limiter's
+    * waitInterval like the reference's retry-after payload. */
+  private[graft] def enforceThrottle(spark: SparkSession, name: String,
+      nowMs: Long, amount: Long = 1): Unit = {
+    val m = spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val limitOpt = m.get("graft.throttle.limit").map(_.toLong)
+    if (limitOpt.isEmpty) return
+    val perMs = m.get("graft.throttle.unit.ms").map(_.toLong).getOrElse(1000L)
+    val refill = m.getOrElse("graft.throttle.refill", "AVERAGE")
+    val lim = limiters.getOrElseUpdate((name, limitOpt.get, perMs, refill),
+      new RateLimiter(limitOpt.get, perMs, refill == "FIXED"))
+    lim.synchronized {
+      if (!lim.canExecute(nowMs, amount))
+        throw new IllegalStateException(
+          s"request throttle on $name: ${limitOpt.get}/${perMs}ms exceeded, " +
+            s"retry in ${lim.waitInterval(nowMs, amount)} ms")
+      lim.consume(amount)
+    }
   }
 
   // ---- Space quotas (the hbase quotas subsystem:

@@ -187,6 +187,54 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "tsq")
   }
 
+  test("rate limiter: AVERAGE refills proportionally, FIXED at boundaries") {
+    val avg = new graft.admin.RateLimiter(10, 1000, fixedInterval = false)
+    assert(avg.canExecute(0, 10)); avg.consume(10)
+    assert(!avg.canExecute(0, 1))          // drained at t=0
+    assert(avg.waitInterval(0, 1) === 100) // 1 unit ≙ 100 ms at 10/s
+    assert(!avg.canExecute(99, 1))         // proportional: 99 ms → 0 units
+    assert(avg.canExecute(100, 1))         //               100 ms → 1 unit
+    avg.consume(1)
+    assert(avg.canExecute(10000, 10))      // long idle caps at limit
+    assert(avg.available === 10)
+
+    val fix = new graft.admin.RateLimiter(10, 1000, fixedInterval = true)
+    assert(fix.canExecute(0, 10)); fix.consume(10)
+    assert(!fix.canExecute(999, 1))        // nothing before the boundary
+    assert(fix.waitInterval(999, 1) === 1) // remainder of the interval
+    assert(fix.canExecute(1000, 10))       // full refill at the boundary
+  }
+
+  test("throttle quota gates the put path per request, removal restores") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_tq").toString
+    GAdmin.createTable(spark, "ttq", tmp, buckets = 2)
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(50)
+
+    // 2 requests per second, smooth refill; drive the gate with an
+    // injected clock (put itself passes the wall clock)
+    GAdmin.setThrottleQuota(spark, "ttq", limit = 2, perMs = 1000)
+    GAdmin.enforceThrottle(spark, "ttq", nowMs = 5000)
+    GAdmin.enforceThrottle(spark, "ttq", nowMs = 5000)
+    val e = intercept[IllegalStateException](
+      GAdmin.enforceThrottle(spark, "ttq", nowMs = 5000))
+    assert(e.getMessage.contains("throttle") && e.getMessage.contains("retry"))
+    // half a unit-time later one token has refilled
+    GAdmin.enforceThrottle(spark, "ttq", nowMs = 5500)
+    intercept[IllegalStateException](
+      GAdmin.enforceThrottle(spark, "ttq", nowMs = 5500))
+
+    // removing the quota drops enforcement; real puts flow again
+    GAdmin.removeThrottleQuota(spark, "ttq")
+    GAdmin.enforceThrottle(spark, "ttq", nowMs = 5500)
+    GAdmin.put(spark, "ttq", cells)
+    assert(GAdmin.table(spark, "ttq").count() === 50)
+
+    intercept[IllegalArgumentException](
+      GAdmin.setThrottleQuota(spark, "ttq", limit = 2, perMs = 1000,
+        refill = "SOMETIMES"))
+    GAdmin.deleteTable(spark, "ttq")
+  }
+
   test("normalizer resizes only a ≥2x-off layout, toward the byte target") {
     val tmp = java.nio.file.Files.createTempDirectory("admin_nm").toString
     GAdmin.createTable(spark, "tnm", tmp, buckets = 8)

@@ -100,6 +100,30 @@ object ScaleSmoke10x {
     runCount("sourceOverlap 10x docs",
       graft.ext.Dedup.sourceOverlapMatrix(d10))
 
+    // e46/e48/e49 shapes (round-7 additions): ×10 the embeddings table
+    // (id-shifted copies — ANN scans/windows see 10× candidate volume)
+    val e = graft.model.Tables.load(spark, s"$dir/embeddings.parquet")
+    val e10 = (0 until 10).map(i =>
+        e.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    runCount("annSq8TopK 10x vecs",
+      graft.ext.Similarity.annSq8TopK(e10, col("vec_id") < 10, k = 5))
+    runCount("annPqTopK 10x vecs (incl train)",
+      graft.ext.Similarity.annPqTopK(e10, col("vec_id") < 10, k = 5))
+    runCount("annPqTopK 10x vecs (warm index)",
+      graft.ext.Similarity.annPqTopK(e10, col("vec_id") < 10, k = 5))
+    runCount("clusterBalancedSample 10x vecs",
+      graft.ext.Similarity.clusterBalancedSample(e10, cap = 20))
+
+    // q81 shape: RMW post-images over the ×10 events stream
+    val ev = graft.model.Fixtures.events(spark, dir)
+    val ev10 = (0 until 10).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    runCount("rmwReturning 10x events",
+      graft.write.Mutations.rmwReturning(ev10, Seq(col("user_id")),
+        col("value"), col("event_type"), Seq(col("ts"), col("event_id"))))
+
     // q79 shape: serial apply over the ×10 store with a conflicting resend
     runCount("serialApply 10x store", {
       val wal = x10.withColumn("seq", col("ts") * 10 + 1)
