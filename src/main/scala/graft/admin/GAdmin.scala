@@ -173,12 +173,22 @@ object GAdmin {
     * disabled) when a space quota is in violation, like the
     * RegionServer's SpaceViolationPolicyEnforcement gate. */
   def put(spark: SparkSession, name: String, cells: DataFrame): Unit = {
-    enforceThrottle(spark, name, System.currentTimeMillis())
-    enforceSpaceQuota(spark, name)
-    require(isEnabled(spark, name), s"table $name is disabled")
+    // ONE catalog read serves all three gates (SHOW TBLPROPERTIES is a
+    // driver round-trip; throttle + space quota + enabled would
+    // otherwise pay three on the hot mutation path)
+    val props = tblProps(spark, name)
+    enforceThrottle(spark, name, System.currentTimeMillis(), props = Some(props))
+    enforceSpaceQuota(spark, name, props = Some(props))
+    require(props.get("graft.enabled").forall(_ == "true"),
+      s"table $name is disabled")
     cells.select(CellSchema.columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).insertInto(qualified(name))
   }
+
+  /** All table properties in one catalog round-trip. */
+  private def tblProps(spark: SparkSession, name: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   // ---- Throttle quotas (the other half of the quotas subsystem:
   // QuotaSettingsFactory.throttleTable, ThrottleType.REQUEST_NUMBER,
@@ -211,9 +221,9 @@ object GAdmin {
     * the RpcThrottlingException twin, carrying the limiter's
     * waitInterval like the reference's retry-after payload. */
   private[graft] def enforceThrottle(spark: SparkSession, name: String,
-      nowMs: Long, amount: Long = 1): Unit = {
-    val m = spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      nowMs: Long, amount: Long = 1,
+      props: Option[Map[String, String]] = None): Unit = {
+    val m = props.getOrElse(tblProps(spark, name))
     val limitOpt = m.get("graft.throttle.limit").map(_.toLong)
     if (limitOpt.isEmpty) return
     val perMs = m.get("graft.throttle.unit.ms").map(_.toLong).getOrElse(1000L)
@@ -257,10 +267,10 @@ object GAdmin {
 
   /** Both quota properties in ONE catalog read (SHOW TBLPROPERTIES is
     * a driver round-trip; the quota paths would otherwise pay 2-3). */
-  private def quotaProps(spark: SparkSession, name: String)
+  private def quotaProps(spark: SparkSession, name: String,
+      props: Option[Map[String, String]] = None)
       : (Option[Long], Option[String]) = {
-    val m = spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = props.getOrElse(tblProps(spark, name))
     (m.get("graft.quota.bytes").map(_.toLong), m.get("graft.quota.policy"))
   }
 
@@ -280,10 +290,11 @@ object GAdmin {
     * (the policy's defining action — reads then fail too, as in the
     * reference); the NO_* policies reject the write with the
     * SpaceLimitingException twin. */
-  private def enforceSpaceQuota(spark: SparkSession, name: String): Unit = {
+  private def enforceSpaceQuota(spark: SparkSession, name: String,
+      props: Option[Map[String, String]] = None): Unit = {
     // no quota configured → no filesystem walk: the common put path
     // pays one catalog read, not a table-sized content summary
-    val (limitOpt, policyOpt) = quotaProps(spark, name)
+    val (limitOpt, policyOpt) = quotaProps(spark, name, props)
     if (limitOpt.isEmpty) return
     val (loc, _) = layoutOf(spark, name)
     val p = new org.apache.hadoop.fs.Path(loc)

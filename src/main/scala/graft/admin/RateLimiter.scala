@@ -46,18 +46,25 @@ final class RateLimiter(val limit: Long, val timeUnitMs: Long,
   def consume(amount: Long = 1): Unit = avail -= amount
 
   /** Milliseconds until `amount` units could be available — 0 if
-    * already executable. FIXED: the remainder of the current interval;
-    * AVERAGE: the proportional time for the missing units. */
+    * already executable, Long.MaxValue if `amount` exceeds the limit
+    * (the bucket caps at `limit`; no wait can ever satisfy it). FIXED:
+    * the remainder of the current interval; AVERAGE: the proportional
+    * time for the missing units MINUS credit already accrued since the
+    * last refill (un-credited elapsed time counts toward the next
+    * token — without this the retry-after overstates by up to one
+    * whole token period). */
   def waitInterval(nowMs: Long, amount: Long = 1): Long = {
     refill(nowMs)
     if (avail >= amount) 0L
+    else if (amount > limit) Long.MaxValue
     else if (fixedInterval) {
       val base = if (last == Long.MinValue) nowMs else last
       math.max(0L, base + timeUnitMs - nowMs)
     } else {
       val missing = amount - avail
-      // ceil(missing·timeUnit/limit)
-      (missing * timeUnitMs + limit - 1) / limit
+      val accrued = if (last == Long.MinValue) 0L else nowMs - last
+      // ceil(missing·timeUnit/limit) − elapsed-but-uncredited time
+      math.max(0L, (missing * timeUnitMs + limit - 1) / limit - accrued)
     }
   }
 }

@@ -138,25 +138,37 @@ object Multimodal {
     boxes(0, b.length.toLong).foreach {
       case ("moov", ms, me) =>
         boxes(ms, me).foreach {
-          case ("mvhd", ps, _) =>
+          // every payload read is bounds-guarded: a truncated box
+          // degrades to "field not found" (→ None), never an AIOOBE —
+          // the same graceful-degradation contract as parseAudioHeader
+          case ("mvhd", ps, pe) =>
             val p = ps.toInt
-            val ver = (b(p) & 0xff)
-            val (ts, d) =
-              if (ver == 1) (beInt(p + 20), beLong(p + 24))
-              else (beInt(p + 12), beInt(p + 16))
-            if (ts > 0) dur = d * 1000L / ts
+            if (ps + 1 <= pe && p < b.length) {
+              val ver = (b(p) & 0xff)
+              if (ver == 1 && ps + 32 <= pe && p + 32 <= b.length) {
+                val ts = beInt(p + 20)
+                if (ts > 0) dur = beLong(p + 24) * 1000L / ts
+              } else if (ver != 1 && ps + 20 <= pe && p + 20 <= b.length) {
+                val ts = beInt(p + 12)
+                if (ts > 0) dur = beInt(p + 16) * 1000L / ts
+              }
+            }
           case ("trak", ts0, te) =>
             boxes(ts0, te).foreach {
-              case ("tkhd", ps, _) =>
+              case ("tkhd", ps, pe) =>
                 val p = ps.toInt
-                val ver = (b(p) & 0xff)
-                val off = if (ver == 1) p + 88 else p + 76
-                if (off + 8 <= b.length) {
-                  val tw = (beInt(off) >> 16).toInt
-                  val th = (beInt(off + 4) >> 16).toInt
-                  if (tw > 0 && th > 0) {
-                    vtracks += 1
-                    if (tw * th > w * h) { w = tw; h = th }
+                if (ps + 1 <= pe && p < b.length) {
+                  val ver = (b(p) & 0xff)
+                  val off = if (ver == 1) p + 88 else p + 76
+                  if (ps + (off - p) + 8 <= pe && off + 8 <= b.length) {
+                    val tw = (beInt(off) >> 16).toInt
+                    val th = (beInt(off + 4) >> 16).toInt
+                    if (tw > 0 && th > 0) {
+                      vtracks += 1
+                      // Long math: garbage 16.16 dims (up to 65535)
+                      // would overflow an Int product and misorder
+                      if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+                    }
                   }
                 }
               case _ => ()

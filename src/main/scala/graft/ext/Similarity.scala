@@ -202,6 +202,18 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int), Array[Array[Double]]]
 
+  /** Shared bounded-memo policy (centroid + PQ caches): on a MISS evict
+    * arbitrary OTHER entries past the cap — never on a hit, and never
+    * the requested key, so a hot corpus is not evicted by its own
+    * lookup and retrained. */
+  private def boundedGet[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      key: K)(train: => V): V = {
+    if (!cache.contains(key))
+      while (cache.size >= CentroidCacheMax)
+        cache.keysIterator.find(_ != key).foreach(cache.remove)
+    cache.getOrElseUpdate(key, train)
+  }
+
   /** Drop all cached IVF/PQ indexes (e.g. after overwriting a corpus). */
   def invalidateIvfCache(): Unit = { centroidCache.clear(); pqCache.clear() }
 
@@ -222,14 +234,7 @@ object Similarity {
     val key = (System.identityHashCode(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
       nlist, iters)
-    // bounded: on a MISS evict arbitrary other entries past the cap —
-    // never on a hit, and never the requested key, so the hot corpus is
-    // not evicted by its own lookup and retrained
-    if (!centroidCache.contains(key))
-      while (centroidCache.size >= CentroidCacheMax)
-        centroidCache.keysIterator.find(_ != key)
-          .foreach(centroidCache.remove)
-    centroidCache.getOrElseUpdate(key, trainCentroids(emb, nlist, iters))
+    boundedGet(centroidCache, key)(trainCentroids(emb, nlist, iters))
   }
 
   /** Cached centroids + the norm-projected corpus with its cluster id —
@@ -456,9 +461,11 @@ object Similarity {
       transform(col("embedding"), x => x.cast("double") / col("nrm"))
         .as("embedding"))
 
-  /** PQ codebook cache — same bounding policy as [[centroidCache]]. */
+  /** PQ codebook cache — same bounding policy as [[centroidCache]].
+    * Key carries dim AND m (dsub = dim/m): same corpus trained at a
+    * different decomposition must never serve wrong-shape books. */
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]
 
   /** The m per-subspace codebooks (each ks × dsub) over the
     * unit-normalized corpus. All m sub-quantizers train TOGETHER: one
@@ -474,11 +481,8 @@ object Similarity {
     val dsub = dim / m
     val key = (System.identityHashCode(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), corpusFingerprint(emb),
-      m, ks, iters)
-    if (!pqCache.contains(key))
-      while (pqCache.size >= CentroidCacheMax)
-        pqCache.keysIterator.find(_ != key).foreach(pqCache.remove)
-    pqCache.getOrElseUpdate(key, {
+      dim, m, ks, iters)
+    boundedGet(pqCache, key) {
       val unit = unitVectors(emb)
       // seeds: the lowest-ks unit vectors, sliced driver-side — exactly
       // the per-slice seeds (slicing preserves vec_id order)
@@ -508,7 +512,7 @@ object Similarity {
         books = next
       }
       books
-    })
+    }
   }
 
   /** PQ code column: array of m sub-centroid ids (argmax v_s·c−‖c‖²/2

@@ -37,13 +37,20 @@ case class PqAssignExpr(child: Expression, books: Array[Double],
     case t => TypeCheckResult.TypeCheckFailure(s"pq_assign needs array<float|double>, got $t")
   }
 
+  // per-expression-instance, not a global identity-keyed memo: a global
+  // map keyed by the (freshly flattened per call) books array would
+  // accumulate entries forever on long-lived executors
+  @transient private lazy val halvesArr: Array[Double] =
+    PqKernel.computeHalves(books, m, ks, dsub)
+
   override protected def nullSafeEval(v: Any): Any =
-    PqKernel.assign(v.asInstanceOf[ArrayData], books, m, ks, dsub, isFloat)
+    PqKernel.assign(v.asInstanceOf[ArrayData], books, halvesArr, m, ks, dsub, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqBooks", books, "double[]")
+    val href = ctx.addReferenceObj("pqHalves", halvesArr, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.PqKernel.assign($c, $ref, $m, $ks, $dsub, $isFloat)")
+      c => s"graft.functions.PqKernel.assign($c, $ref, $href, $m, $ks, $dsub, $isFloat)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAssignExpr =
@@ -83,17 +90,12 @@ case class PqAdcExpr(left: Expression, right: Expression, books: Array[Double],
 
 object PqKernel {
 
-  /** ‖c‖²/2 per centroid, computed as the same left fold as the
-    * driver-side `c.map(x*x).sum / 2` of the composed form. Memoized by
-    * codebook identity (the flat array is shared per plan). */
-  private val halfCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[Array[Double], Array[Double]]())
-
-  private def halves(books: Array[Double], m: Int, ks: Int,
+  /** ‖c‖²/2 per centroid, the same left fold as the driver-side
+    * `c.map(x*x).sum / 2` of the composed form. Computed once per
+    * expression instance (see PqAssignExpr.halvesArr), never memoized
+    * globally. */
+  def computeHalves(books: Array[Double], m: Int, ks: Int,
       dsub: Int): Array[Double] = {
-    val got = halfCache.get(books)
-    if (got != null) return got
     val out = new Array[Double](m * ks)
     var c = 0
     while (c < m * ks) {
@@ -103,7 +105,6 @@ object PqKernel {
       out(c) = acc / 2
       c += 1
     }
-    halfCache.put(books, out)
     out
   }
 
@@ -114,8 +115,8 @@ object PqKernel {
     * keep the LARGER id (array_max-over-struct tie semantics of the
     * composed form). Malformed input (wrong length, null element) →
     * all-zero codes, like [[LshBucketsKernel.buckets]]. */
-  def assign(arr: ArrayData, books: Array[Double], m: Int, ks: Int,
-      dsub: Int, isFloat: Boolean): ArrayData = {
+  def assign(arr: ArrayData, books: Array[Double], half: Array[Double],
+      m: Int, ks: Int, dsub: Int, isFloat: Boolean): ArrayData = {
     val out = new Array[Int](m)
     val dim = m * dsub
     if (arr.numElements() != dim) return new GenericArrayData(out)
@@ -124,7 +125,6 @@ object PqKernel {
       if (arr.isNullAt(d)) return new GenericArrayData(out)
       d += 1
     }
-    val half = halves(books, m, ks, dsub)
     var s = 0
     while (s < m) {
       var best = Double.NegativeInfinity
@@ -146,13 +146,26 @@ object PqKernel {
   }
 
   /** ADC: Σ_s floor((q_s · c_{code_s})·1e6) as longs — identical to the
-    * composed `floor(dot_fold(slice(q), cvec)·1e6).cast(long)` sum. */
+    * composed `floor(dot_fold(slice(q), cvec)·1e6).cast(long)` sum.
+    * Malformed input (query length ≠ m·dsub, null elements, code length
+    * ≠ m, code id outside [0, ks)) scores Long.MinValue — it sorts
+    * LAST in the descending rank, the same end state as the composed
+    * form's null score under NULLS LAST; never an out-of-bounds read. */
   def adc(qv: ArrayData, code: ArrayData, books: Array[Double], m: Int,
       ks: Int, dsub: Int, isFloat: Boolean): Long = {
+    val dim = m * dsub
+    if (qv.numElements() != dim || code.numElements() != m) return Long.MinValue
+    var d = 0
+    while (d < dim) {
+      if (qv.isNullAt(d)) return Long.MinValue
+      d += 1
+    }
     var total = 0L
     var s = 0
     while (s < m) {
+      if (code.isNullAt(s)) return Long.MinValue
       val c = code.getInt(s)
+      if (c < 0 || c >= ks) return Long.MinValue
       var acc = 0.0
       val off = (s * ks + c) * dsub
       var j = 0

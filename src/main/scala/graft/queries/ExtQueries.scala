@@ -154,13 +154,17 @@ object ExtQueries {
 
   /** Shared SQ8 CTE fragment (e46, e47): unit-normalize, then
     * q_i = floor(u_i·127 + 0.5) — the identical op sequence (and thus
-    * identical doubles) as Similarity.sq8Code. Codes are exact ints. */
-  private val sq8CodesCte: String =
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nr AS (SELECT vec_id, v, sqrt(${dotl("v", "v")}) AS nrm FROM emb),
+    * identical doubles) as Similarity.sq8Code. Codes are exact ints.
+    * `sq8CodesFrag` assumes an `emb(vec_id, v DOUBLE[])` CTE upstream. */
+  private val sq8CodesFrag: String =
+    s"""nr AS (SELECT vec_id, v, sqrt(${dotl("v", "v")}) AS nrm FROM emb),
        |codes AS (SELECT vec_id,
        |  list_transform(v, x -> CAST(FLOOR(x * 127.0 / nrm + 0.5) AS BIGINT)) AS code
        |FROM nr)""".stripMargin
+
+  private val sq8CodesCte: String =
+    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      sq8CodesFrag
 
   /** Integer dot of two code lists — exact, no rounding needed. */
   private def qdotSql(a: String, b: String): String =
@@ -172,10 +176,7 @@ object ExtQueries {
       k: Int): String = {
     require(iters == 2, "oracle is written for the declared iters=2")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nr AS (SELECT vec_id, v, sqrt(${dotl("v", "v")}) AS nrm FROM emb),
-       |codes AS (SELECT vec_id,
-       |  list_transform(v, x -> CAST(FLOOR(x * 127.0 / nrm + 0.5) AS BIGINT)) AS code
-       |FROM nr),
+       |$sq8CodesFrag,
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
        |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
        |${kmeansIterSql("c0", "a1", "c1", dim)},

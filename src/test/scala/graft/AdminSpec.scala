@@ -193,6 +193,8 @@ class AdminSpec extends SparkSpec {
     assert(!avg.canExecute(0, 1))          // drained at t=0
     assert(avg.waitInterval(0, 1) === 100) // 1 unit ≙ 100 ms at 10/s
     assert(!avg.canExecute(99, 1))         // proportional: 99 ms → 0 units
+    assert(avg.waitInterval(99, 1) === 1)  // accrued 99 ms counts: 1 ms left
+    assert(avg.waitInterval(99, 11) === Long.MaxValue) // can never satisfy
     assert(avg.canExecute(100, 1))         //               100 ms → 1 unit
     avg.consume(1)
     assert(avg.canExecute(10000, 10))      // long idle caps at limit

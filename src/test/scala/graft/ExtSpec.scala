@@ -219,6 +219,16 @@ class ExtSpec extends SparkSpec {
     // a zero/garbage box size terminates instead of looping
     val bad = ftyp ++ be(3) ++ "moov".getBytes
     assert(Multimodal.parseVideoHeader(bad) === None)
+    // truncated leaf boxes (header only / short payload) degrade to
+    // None or field-skips — never an out-of-bounds read
+    val emptyMvhd = ftyp ++ box("moov", be(8) ++ "mvhd".getBytes)
+    assert(Multimodal.parseVideoHeader(emptyMvhd) === None)
+    val shortMvhd = ftyp ++ box("moov", box("mvhd", be(0) ++ be(0)))
+    assert(Multimodal.parseVideoHeader(shortMvhd) === None)
+    val shortTkhd = ftyp ++ box("moov",
+      mvhd ++ box("trak", box("tkhd", Array.fill[Byte](40)(0))))
+    assert(Multimodal.parseVideoHeader(shortTkhd) ===
+      Some(Multimodal.VideoMeta("mp4", 5000L, 0, 0, 0)))
   }
 
   test("gopherRules: each rule rejects its own degenerate document") {
