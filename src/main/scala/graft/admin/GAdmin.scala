@@ -409,6 +409,20 @@ object GAdmin {
   def regionCount(spark: SparkSession, name: String): Int =
     layoutOf(spark, name)._2
 
+  /** RegionLocator.getRegionLocation twin: the bucket ("region") a row
+    * key lands in — `pmod(hash(row), buckets)` with Spark's Murmur3
+    * (seed 42), i.e. EXACTLY the placement the store's file names carry
+    * (q80's audit) and the read path prunes by. Client-side math plus
+    * one catalog read; no data touched, no job run. */
+  def locateRow(spark: SparkSession, name: String, row: String): Int = {
+    val (_, n) = layoutOf(spark, name)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(row))), 42)
+      .eval(null).asInstanceOf[Int]
+    math.floorMod(h, n)
+  }
+
   /** Admin.splitRegionAsync analogue at the layout level: double the
     * region (bucket) count. The reference's split rewrites the parent
     * region's store files into two daughters

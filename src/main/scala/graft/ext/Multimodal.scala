@@ -239,6 +239,47 @@ object Multimodal {
       }
   }
 
+  final case class MediaMeta(doc_id: Long, format: String, width: Int,
+      height: Int, sample_rate: Int, channels: Int, duration_ms: Long,
+      video_tracks: Int)
+
+  /** Container-metadata dispatch across all three REAL parsers: try
+    * image (PNG/GIF/BMP/JPEG), then audio (RIFF/WAVE), then video
+    * (ISO-BMFF) by magic number; anything else is `raw` with zeroed
+    * fields. mapPartitions like [[extractFeatures]] — the batch shape a
+    * vectorized decoder needs; parse failures degrade per row, never
+    * fail the partition. */
+  def mediaMetadata(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "blob", "width", "height", "modality")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          parseImageHeader(r.blob) match {
+            case Some((fmt, w, h)) =>
+              MediaMeta(r.doc_id, fmt, w, h, 0, 0, 0L, 0)
+            case None => parseAudioHeader(r.blob) match {
+              case Some(a) =>
+                // duration = dataBytes / (rate · channels · bytes/sample)
+                val bytesPerSec =
+                  a.sampleRate.toLong * a.channels * (a.bitsPerSample / 8)
+                val durMs =
+                  if (bytesPerSec > 0) a.dataBytes * 1000L / bytesPerSec else 0L
+                MediaMeta(r.doc_id, a.format, 0, 0, a.sampleRate, a.channels,
+                  durMs, 0)
+              case None => parseVideoHeader(r.blob) match {
+                case Some(v) =>
+                  MediaMeta(r.doc_id, v.format, v.width, v.height, 0, 0,
+                    v.durationMs, v.videoTracks)
+                case None => MediaMeta(r.doc_id, "raw", 0, 0, 0, 0, 0L, 0)
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and
     * sample every `stride`-th — pure columnar ops, no UDF. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =

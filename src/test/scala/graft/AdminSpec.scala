@@ -187,6 +187,25 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "tsq")
   }
 
+  test("locateRow names the physical bucket the row's cells live in") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("admin_loc").toString
+    GAdmin.createTable(spark, "tloc", tmp, buckets = 4)
+    GAdmin.put(spark, "tloc", Fixtures.cellsOrders(spark, sf0001).limit(200))
+    // physical placement from the file names (the q80 audit convention)
+    val physical = GAdmin.table(spark, "tloc")
+      .withColumn("__bucket",
+        regexp_extract(input_file_name(), "_(\\d{5})\\.", 1).cast("int"))
+      .select("row", "__bucket").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(physical.nonEmpty)
+    physical.take(20).foreach { case (row, bucket) =>
+      assert(GAdmin.locateRow(spark, "tloc", row) === bucket,
+        s"locateRow must agree with physical placement for '$row'")
+    }
+    GAdmin.deleteTable(spark, "tloc")
+  }
+
   test("rate limiter: AVERAGE refills proportionally, FIXED at boundaries") {
     val avg = new graft.admin.RateLimiter(10, 1000, fixedInterval = false)
     assert(avg.canExecute(0, 10)); avg.consume(10)

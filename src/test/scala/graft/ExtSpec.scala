@@ -231,6 +231,48 @@ class ExtSpec extends SparkSpec {
       Some(Multimodal.VideoMeta("mp4", 5000L, 0, 0, 0)))
   }
 
+  test("mediaMetadata dispatches image/audio/video/raw by magic number") {
+    import spark.implicits._
+    def be(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def mkBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val png = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val wav = {
+      val fmt = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val af = new javax.sound.sampled.AudioFormat(fmt, 8000f, 16, 1, 2, 8000f, false)
+      val data = new Array[Byte](16000) // 1 s of mono 16-bit
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), af, 8000),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mp4 = mkBox("ftyp", "isom".getBytes ++ be(0)) ++ mkBox("moov",
+      mkBox("mvhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(2500) ++
+        Array.fill[Byte](80)(0)) ++
+      mkBox("trak", mkBox("tkhd",
+        Array.fill[Byte](76)(0) ++ be(320 << 16) ++ be(240 << 16))))
+    val media = Seq(
+      (1L, png, 0, 0, "image"), (2L, wav, 0, 0, "audio"),
+      (3L, mp4, 0, 0, "video"), (4L, "words".getBytes, 0, 0, "text"))
+      .toDF("doc_id", "blob", "width", "height", "modality")
+    val got = Multimodal.mediaMetadata(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(1L).format === "png" && got(1L).width === 8 && got(1L).height === 6)
+    assert(got(2L).format === "wav" && got(2L).sample_rate === 8000 &&
+      got(2L).channels === 1 && got(2L).duration_ms === 1000L)
+    assert(got(3L).format === "mp4" && got(3L).width === 320 &&
+      got(3L).duration_ms === 2500L && got(3L).video_tracks === 1)
+    assert(got(4L).format === "raw")
+  }
+
   test("gopherRules: each rule rejects its own degenerate document") {
     import spark.implicits._
     val en = "the and is in to of a for on with" // 10 stopword tokens
