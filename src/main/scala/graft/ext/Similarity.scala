@@ -30,7 +30,7 @@ object Similarity {
 
   /** Corpus projected with its per-vector L2 norm (computed once,
     * map-side; at scale this is the materialize-with-the-table column). */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[ext] def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), l2_norm(col("embedding")).as("nrm"))
 
   /** round(cosine, 6) over pre-normed vectors — the one shared verify
@@ -177,7 +177,7 @@ object Similarity {
     }: _*)).getField("i")
 
   /** `nprobe` nearest centroid ids for a query vector, best first. */
-  private def probeClusters(v: Column, cents: Array[Array[Double]],
+  private[ext] def probeClusters(v: Column, cents: Array[Array[Double]],
       nprobe: Int): Column = {
     val scored = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x * x).sum / 2
@@ -240,7 +240,7 @@ object Similarity {
   /** Cached centroids + the norm-projected corpus with its cluster id —
     * the shared coarse-quantization base of [[annIvfTopK]] and
     * [[semanticDedup]]. */
-  private def ivfIndexed(emb: DataFrame, nlist: Int,
+  private[ext] def ivfIndexed(emb: DataFrame, nlist: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
     val cents = cachedCentroids(emb, nlist, iters)
     (cents, withNorm(emb)
@@ -389,7 +389,7 @@ object Similarity {
   /** Norm-projected corpus reduced to (vec_id, code) — at scale this IS
     * the stored representation (the float column stays behind in cold
     * storage; the scan reads ¼ the bytes). */
-  private def sq8Coded(emb: DataFrame): DataFrame =
+  private[ext] def sq8Coded(emb: DataFrame): DataFrame =
     withNorm(emb)
       .select(col("vec_id"), sq8Code(col("embedding"), col("nrm")).as("code"))
 

@@ -891,6 +891,23 @@ object ExtQueries {
           .orderBy("vec_id"),
       Some(clusterSampleOracle(dim = 64, nlist = 16, iters = 2,
         cap = 20, salt = "cbs"))
+    ),
+    QDef(
+      // the DURABLE IVF,SQ8 index (AnnIndex): codes land partitioned by
+      // cluster (one directory per inverted list, int8 codes only),
+      // then the query reads nprobe/nlist partitions BY PRUNING and
+      // scores in the integer domain. Same math as e47 end-to-end, so
+      // the same full oracle pins it; the build cost is the declared
+      // durable-artifact cost, like e32's index write.
+      "e50_ann_index",
+      (s, dir) => {
+        val emb = graft.model.Tables.load(s, s"$dir/embeddings.parquet")
+        val idx = graft.Queries.scratchDir("ann_index_q")
+        AnnIndex.build(emb, idx)
+        AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
     )
   )
 }

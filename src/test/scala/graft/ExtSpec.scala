@@ -430,6 +430,35 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("AnnIndex: stored-index query equals the in-session operator and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    AnnIndex.build(emb, dir)
+    val stored = AnnIndex.query(spark, dir, emb.filter(col("vec_id") < 10), k = 5)
+    val inSession = Similarity.annIvfSq8TopK(emb, col("vec_id") < 10, k = 5)
+    assert(stored.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(stored).isEmpty,
+      "the durable index must return bit-identical results")
+    // partition pruning: the probed-cluster literal must land as a
+    // PARTITION filter on the codes scan (NOT a post-scan predicate —
+    // inputFiles/DataFrame-level listings show the unpruned relation,
+    // so inspect the scan node itself)
+    val one = AnnIndex.query(spark, dir,
+      emb.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+    val scans = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.references.exists(_.name == "cluster")) => f
+    }
+    assert(scans.nonEmpty, "codes scan must carry a cluster partition filter")
+    // the filter names exactly the single probed cluster id
+    val inVals = scans.head.partitionFilters.map(_.toString).mkString(";")
+    assert(inVals.contains("IN") || inVals.contains("="),
+      s"expected a literal cluster membership filter, got $inVals")
+    val allDirs = new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.startsWith("cluster="))
+    assert(allDirs > 1, "index must actually be split across partitions")
+    assert(one.count() === 3)
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force") {
     val emb = graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 20, k = 5)
