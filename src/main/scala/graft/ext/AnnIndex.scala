@@ -43,6 +43,24 @@ object AnnIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
   }
 
+  /** Append a batch of new vectors to an existing index: code them
+    * against the STORED centroids (the quantizer is immutable after
+    * build, as in FAISS — retrain = rebuild) and append into their
+    * cluster partitions. Only the batch is scanned and written; the
+    * existing lists are untouched. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    Similarity.withNorm(batch)
+      .select(col("vec_id"),
+        Similarity.assignCluster(col("embedding"), cents).as("cluster"),
+        Similarity.sq8Code(col("embedding"), col("nrm")).as("code"))
+      .select("vec_id", "cluster", "code")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$dir/codes")
+  }
+
   /** Top-k through the stored index: probe `nprobe` lists per query,
     * scan ONLY those partitions' codes, rank by exact integer qdot
     * (ties → vec_id). `queries` must carry (vec_id, embedding) —

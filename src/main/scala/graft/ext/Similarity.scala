@@ -170,7 +170,7 @@ object Similarity {
   /** Nearest-centroid id: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), as an
     * array_max over (score, id) structs — wholly map-side, one fused
     * dot per centroid. */
-  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
+  private[ext] def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
     array_max(array(cents.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x * x).sum / 2
       struct((dot_fold(v, typedlit(c)) - lit(half)).as("s"), lit(i).as("i"))

@@ -457,6 +457,16 @@ class ExtSpec extends SparkSpec {
       .count(_.getName.startsWith("cluster="))
     assert(allDirs > 1, "index must actually be split across partitions")
     assert(one.count() === 3)
+    // append: a near-copy of vector 0 (id-shifted) joins its cluster
+    // and becomes visible to the next query without a rebuild
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(900000L))
+    AnnIndex.append(spark, dir, clone)
+    val after = AnnIndex.query(spark, dir,
+        emb.filter(col("vec_id") === 0), k = 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(after === 900000L,
+      "an appended identical vector must be its source's top neighbor")
   }
 
   test("IVF ANN achieves reasonable recall vs brute force") {
