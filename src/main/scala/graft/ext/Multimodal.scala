@@ -246,33 +246,37 @@ object Multimodal {
   /** Container-metadata dispatch across all three REAL parsers: try
     * image (PNG/GIF/BMP/JPEG), then audio (RIFF/WAVE), then video
     * (ISO-BMFF) by magic number; anything else is `raw` with zeroed
-    * fields. mapPartitions like [[extractFeatures]] — the batch shape a
+    * fields. Needs only (doc_id, blob) — the parsers read nothing
+    * else. mapPartitions like [[extractFeatures]] — the batch shape a
     * vectorized decoder needs; parse failures degrade per row, never
     * fail the partition. */
   def mediaMetadata(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("doc_id", "blob", "width", "height", "modality")
-      .as[MediaRow]
+    media.select("doc_id", "blob")
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { r =>
-          parseImageHeader(r.blob) match {
+        rows.map { case (docId, blob) =>
+          parseImageHeader(blob) match {
             case Some((fmt, w, h)) =>
-              MediaMeta(r.doc_id, fmt, w, h, 0, 0, 0L, 0)
-            case None => parseAudioHeader(r.blob) match {
+              MediaMeta(docId, fmt, w, h, 0, 0, 0L, 0)
+            case None => parseAudioHeader(blob) match {
               case Some(a) =>
-                // duration = dataBytes / (rate · channels · bytes/sample)
-                val bytesPerSec =
-                  a.sampleRate.toLong * a.channels * (a.bitsPerSample / 8)
+                // duration in BIT space: dataBytes·8·1000 / (rate·ch·bits)
+                // — bits/8 would floor to 0 for sub-byte samples and
+                // undercount non-byte-aligned ones
+                val bitsPerSec =
+                  a.sampleRate.toLong * a.channels * a.bitsPerSample
                 val durMs =
-                  if (bytesPerSec > 0) a.dataBytes * 1000L / bytesPerSec else 0L
-                MediaMeta(r.doc_id, a.format, 0, 0, a.sampleRate, a.channels,
+                  if (bitsPerSec > 0) a.dataBytes * 8L * 1000L / bitsPerSec
+                  else 0L
+                MediaMeta(docId, a.format, 0, 0, a.sampleRate, a.channels,
                   durMs, 0)
-              case None => parseVideoHeader(r.blob) match {
+              case None => parseVideoHeader(blob) match {
                 case Some(v) =>
-                  MediaMeta(r.doc_id, v.format, v.width, v.height, 0, 0,
+                  MediaMeta(docId, v.format, v.width, v.height, 0, 0,
                     v.durationMs, v.videoTracks)
-                case None => MediaMeta(r.doc_id, "raw", 0, 0, 0, 0, 0L, 0)
+                case None => MediaMeta(docId, "raw", 0, 0, 0, 0, 0L, 0)
               }
             }
           }

@@ -416,6 +416,32 @@ object Similarity {
     * cluster id storing ONLY codes, probes read nprobe partitions, the
     * join side is broadcast (query-code, probed-cluster) pairs —
     * partition pruning × 4× byte reduction, multiplicative. */
+  /** THE compressed-probe ranking tail, shared verbatim by
+    * [[annIvfSq8TopK]] and [[AnnIndex.query]] (their bit-equality is
+    * oracle-pinned, so the tail must be one kernel, not two copies):
+    * join coded lists with the broadcast (query-code, cluster) pairs,
+    * score in the exact integer domain BEFORE the (query_id, vec_id)
+    * dedup (the narrow-exchange rationale of annIvfTopK; qdot is
+    * per-pair deterministic so min() over probe duplicates is the value
+    * itself), then the deterministic top-k window. `excludeSelf` drops
+    * candidates whose vec_id equals the query_id — right when queries
+    * ARE corpus rows, wrong for external query vectors whose ids may
+    * coincide with corpus ids. */
+  private[ext] def qdotRank(coded: DataFrame, q: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    coded
+      .join(broadcast(q), Seq("cluster"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        qdot(col("qcode"), col("code")).as("qd0"))
+      .groupBy("query_id", "vec_id").agg(min(col("qd0")).as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("qdot"))
+  }
+
   def annIvfSq8TopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val (cents, indexed) = ivfIndexed(emb, nlist, iters)
@@ -425,20 +451,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         sq8Code(col("embedding"), col("nrm")).as("qcode"),
         explode(probeClusters(col("embedding"), cents, nprobe)).as("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("vec_id").asc)
-    // score BEFORE the (query_id, vec_id) dedup — the narrow-exchange
-    // rationale of annIvfTopK; qdot is per-pair deterministic so min()
-    // over probe duplicates is the value itself.
-    coded
-      .join(broadcast(q), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        qdot(col("qcode"), col("code")).as("qd0"))
-      .groupBy("query_id", "vec_id").agg(min(col("qd0")).as("qdot"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("qdot"))
+    qdotRank(coded, q, k, excludeSelf = true)
   }
 
   // ---- Product quantization (PQ): codebook-compressed ANN ----
