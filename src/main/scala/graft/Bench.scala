@@ -76,7 +76,10 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      // ms precision keeps the one-line record compact (135+ queries at
+      // full double precision overflow log-tail buffers downstream)
+      def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
@@ -85,7 +88,7 @@ object Bench {
       // in n_errors/errors (and their wall time in the per-query map)
       val ok = results.filter { case (k, _) => !errors.contains(k) }
       val total = if (ok.nonEmpty) ok.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","load_sec":$loadS,"n_errors":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","load_sec":${f3(loadS)},"n_errors":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

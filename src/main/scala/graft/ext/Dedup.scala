@@ -174,14 +174,21 @@ object Dedup {
     * the fp partition — the skew case is a single ubiquitous segment,
     * which AQE's skew handling splits, and only (fp → first-owner)
     * winners influence the output. */
-  def segmentDedup(docs: DataFrame, width: Int = 20): DataFrame = {
+  /** Fixed-width token segmentation shared by [[segmentDedup]] and
+    * [[boilerplatePurge]]: map-side explode of each document into
+    * (doc_id, idx, seg) rows of `width` tokens. */
+  private def segmented(docs: DataFrame, width: Int): DataFrame = {
     require(width > 0, "segment width must be positive")
     val segList = expr(
       s"transform(sequence(0, cast(ceil(size(__toks) / $width.0) as int) - 1), " +
         s"i -> array_join(slice(__toks, i * $width + 1, $width), ' '))")
-    val segs = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), posexplode(segList).as(Seq("idx", "seg")))
+  }
+
+  def segmentDedup(docs: DataFrame, width: Int = 20): DataFrame = {
+    val segs = segmented(docs, width)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("idx"))
     segs
       .withColumn("fp", md5(col("seg")))
@@ -196,6 +203,44 @@ object Dedup {
               struct(col("idx"), col("seg"))))),
             x => x.getField("seg")),
           " ").as("dedup_text"))
+  }
+
+  /** Frequency-based boilerplate removal: any `width`-token segment
+    * occurring in at least `minDocs` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, license footers) and is removed from
+    * EVERY occurrence — including the first, unlike [[segmentDedup]],
+    * which keeps one canonical copy. This is the corpus-frequency
+    * cleaning rule (the C4 recipe's "discard any line repeated across
+    * the corpus" step) at token-segment granularity.
+    *
+    * Scale shape: segmentation is map-side; the distinct-doc frequency
+    * is ONE partial/final aggregate on the 128-bit segment fingerprint
+    * (segment-vocabulary-sized — boilerplate by definition collapses);
+    * the verdict joins the segment stream to that aggregate on fp and
+    * reassembly is one shuffle back on doc_id. A ubiquitous segment is
+    * one hot fp key in an aggregate, not a pair explosion.
+    *
+    * Returns (doc_id, n_segs, kept_segs, clean_text). */
+  def boilerplatePurge(docs: DataFrame, width: Int = 20,
+      minDocs: Long = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would purge every segment")
+    val segs = segmented(docs, width).withColumn("fp", md5(col("seg")))
+    val freq = segs.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+    segs
+      .join(freq, Seq("fp"), "left")
+      .withColumn("keep", col("ndocs").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("keep"), lit(1))).as("kept_segs"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
   }
 
   /** Exact duplicated-substring removal — the ExactSubstr dedup of

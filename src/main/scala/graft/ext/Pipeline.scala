@@ -145,6 +145,52 @@ object Pipeline {
       .filter(col("shared") >= minShared)
   }
 
+  /** Bloom-prescreened decontamination — the LARGE-benchmark variant of
+    * [[decontaminate]]. When the eval suite outgrows a broadcast hash
+    * relation (millions of eval documents → billions of shingles), a
+    * fixed-size Bloom filter of the benchmark's shingle hashes still
+    * broadcasts (size set by `fpp`, not by item width), pruning the
+    * corpus shingle stream MAP-SIDE so only bloom-positive shingles
+    * reach the exact verification join — the shuffle moves candidate
+    * shingles, a benchmark-overlap-sized stream, never the corpus.
+    * False positives cost wasted probes only (the equi-join discards
+    * them); false negatives cannot occur — the verdict is exact, which
+    * is why this query carries a full DuckDB oracle with no bloom in it.
+    *
+    * The verify join is pinned SHUFFLE_HASH: the whole point of the
+    * bloom is that the bench side need not broadcast, so the declared
+    * plan is the one that survives when it cannot.
+    *
+    * Returns the per-train-document verdict (train_id, n_bench_docs,
+    * max_shared): how many benchmark documents share ≥ `minShared`
+    * distinct `n`-gram shingles, and the largest such overlap. */
+  def decontaminateBloom(docs: DataFrame, benchPred: Column, n: Int = 5,
+      minShared: Long = 2, fpp: Double = 0.01): DataFrame = {
+    def hashed(side: DataFrame) = Dedup.shingleArrays(side, n)
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), hash48(col("sh"), "decon").as("h"))
+    val bench = hashed(docs.filter(benchPred))
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val train = hashed(docs.filter(!coalesce(benchPred, lit(false))))
+      .select(col("doc_id").as("train_id"), col("h"))
+    // Build the filter with ONE aggregate job over the bench hashes
+    // (count sizes the filter, then the sketch aggregates the bits) —
+    // driver state is the bloom's bits, bounded by fpp, never the data.
+    val benchH = bench.select(col("h")).distinct()
+    val expected = math.max(benchH.count(), 1L)
+    val bloom = benchH.stat.bloomFilter("h", expected, fpp)
+    val bf = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bf.value.mightContainLong(h))
+    train.filter(mightContain(col("h")))
+      .join(bench.hint("shuffle_hash"), Seq("h"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("shared")).as("max_shared"))
+  }
+
   /** Per-domain document cap: keep at most `cap` documents per domain,
     * chosen deterministically by salted hash (the anti-over-representation
     * step that stops one crawl host from dominating a mixture).
@@ -202,6 +248,47 @@ object Pipeline {
       .filter(hash48(col(idCol).cast("string"), "reweight") <
         floor(col("__f") * lit((1L << 48).toDouble)).cast("long"))
       .drop("__f")
+  }
+
+  /** Epoch-weighted dataset mixing — the UPSAMPLING complement of
+    * [[domainReweight]]: materialize one training epoch whose domain
+    * shares hit `weights` by REPEATING documents (sampling with
+    * replacement) instead of discarding from over-represented domains.
+    * The epoch is anchored so the most over-represented domain
+    * (largest n/w) is used exactly once; every other domain repeats
+    * r = w·k/n ≥ 1 times — floor(r) whole copies, plus one more when
+    * the salted id-hash falls below frac(r), so realized counts hit
+    * the target in expectation with per-document determinism (same
+    * doc → same copy count under any partitioning or corpus order).
+    *
+    * Scale shape: domain counts are one partial/final aggregate; the
+    * anchor k is a 1-row broadcast; the repetition itself is a
+    * map-side `explode(sequence)` — zero shuffle, output rows = epoch
+    * size. Returns (id, domain, copy), copy ∈ [0, copies). */
+  def epochMix(docs: DataFrame, weights: Map[String, Double],
+      domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val w = weights.toSeq.toDF(domainCol, "__w")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .join(w, Seq(domainCol))                  // inner: unweighted domains drop
+    val k = counts.agg(max(col("__n") / col("__w")).as("__k"))
+    val rate = counts.crossJoin(broadcast(k))
+      .withColumn("__r", col("__w") * col("__k") / col("__n"))
+      .select(col(domainCol), col("__r"))
+    docs.join(broadcast(rate), Seq(domainCol))
+      // FLOOR (not cast) on the frac threshold: cast-to-long truncates
+      // in Spark but rounds in DuckDB — floor is the portable form
+      .withColumn("__copies",
+        floor(col("__r")).cast("long") +
+          when(hash48(col(idCol).cast("string"), "mix") <
+            floor((col("__r") - floor(col("__r"))) * lit((1L << 48).toDouble))
+              .cast("long"), 1L).otherwise(0L))
+      .filter(col("__copies") >= 1) // r ≥ 1 by construction; guard anyway
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
   }
 
   /** PII patterns: POSIX classes only, so the Java-regex (Spark) and

@@ -59,6 +59,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive-training hard-negative mining: for each anchor
+    * (query) vector, the `k` nearest corpus vectors whose cosine is
+    * BELOW `posThreshold` — neighbors at or above the threshold are
+    * near-duplicates/positives of the anchor and are excluded, so what
+    * remains is exactly the hardest negative set (most similar without
+    * being a copy), the standard retrieval-training sampling step.
+    *
+    * Same plan skeleton as [[bruteTopK]] (broadcast anchors over one
+    * corpus scan, fused dot, per-anchor rank window) with the positive
+    * cut applied BEFORE the rank, so positives never occupy rank slots.
+    * The threshold compares the 6-dp rounded sim (ties are engine-
+    * stable). Scale path: compose the same cut with the IVF/SQ8
+    * scans (e13/e46) — the cut is a predicate, not a plan change. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      posThreshold: Double = 0.95): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")))
+      .filter(col("sim") < posThreshold)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** kNN majority-vote label classification over the embedding corpus
+    * — the label-propagation step of semi-supervised corpus labeling
+    * (classify an unlabeled/held-out slice by its nearest labeled
+    * neighbors; also the standard eval for embedding quality). The
+    * `queryPred` slice is classified by the REST of the corpus (query
+    * vectors never vote, so the eval is leak-free); the verdict is the
+    * majority label of the k nearest by cosine, ties broken to the
+    * smaller label id.
+    *
+    * Same broadcast-query scan as [[bruteTopK]], then two bounded
+    * aggregates (per-query label votes → majority rank) whose key
+    * spaces are queries×labels — never corpus-sized. Returns
+    * (vec_id, true_label, pred_label, votes). */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    // withColumn, not withNorm: the label column must survive the scan
+    val e = emb.withColumn("nrm", l2_norm(col("embedding")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val corpus = e.filter(!coalesce(queryPred, lit(false)))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")))
+    val nw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val votes = scored
+      .withColumn("rank", row_number().over(nw))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") === 1)
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+  }
+
   /** All near-duplicate vector pairs with cosine ≥ threshold (brute
     * pair scan — bounded corpora; LSH path below for scale). One fused
     * dot per pair; norms precomputed per vector. */

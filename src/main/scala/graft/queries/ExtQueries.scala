@@ -908,6 +908,84 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
+    ),
+    QDef(
+      // frequency-based boilerplate removal: segments occurring in ≥ 3
+      // distinct docs are purged from EVERY occurrence (vs e29, which
+      // keeps one canonical copy) — the corpus-frequency cleaning rule.
+      "e52_boilerplate_purge",
+      (s, dir) =>
+        Dedup.boilerplatePurge(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            width = 20, minDocs = 3)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+              |segs AS (
+              |  SELECT doc_id, u.idx AS idx, u.seg AS seg FROM (
+              |    SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+              |      i -> struct_pack(idx := i, seg := array_to_string(toks[CAST(i*20+1 AS BIGINT):CAST(i*20+20 AS BIGINT)], ' ')))) AS u
+              |    FROM t)
+              |),
+              |freq AS (
+              |  SELECT md5(seg) AS fp, COUNT(DISTINCT doc_id) AS ndocs
+              |  FROM segs GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+              |marked AS (
+              |  SELECT s.doc_id, s.idx, s.seg, f.ndocs IS NULL AS keep
+              |  FROM segs s LEFT JOIN freq f ON md5(s.seg) = f.fp)
+              |SELECT doc_id, COUNT(*) AS n_segs,
+              |       COUNT(CASE WHEN keep THEN 1 END) AS kept_segs,
+              |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx), '') AS clean_text
+              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // contrastive hard-negative mining: top-k below the positive
+      // cut (0.35 — calibrated to the synthetic corpus so the cut
+      // provably excludes true near-neighbors at this SF; in a real
+      // deployment this is the near-dup threshold).
+      "e53_hard_negatives",
+      (s, dir) =>
+        Similarity.hardNegatives(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5, posThreshold = 0.35)
+          .orderBy("query_id", "rank"),
+      Some(s"""SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT query_id, neighbor_id, sim,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM (
+              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |           ROUND(${cosSql("q.embedding", "e.embedding")}, 6) AS sim
+              |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 10
+              |  ) WHERE sim < 0.35
+              |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    QDef(
+      // kNN majority-vote label classification: the held-out slice
+      // (every 20th vector) classified by the labeled rest — leak-free
+      // (queries never vote); majority of the 10 nearest, ties to the
+      // smaller label id.
+      "e55_knn_classify",
+      (s, dir) =>
+        Similarity.knnClassify(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") % 20 === 0, k = 10)
+          .orderBy("vec_id"),
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS query_id, q.label AS true_label,
+              |         e.vec_id AS nid, e.label AS nlabel,
+              |         ROUND(${cosSql("q.embedding", "e.embedding")}, 6) AS sim
+              |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |  WHERE q.vec_id % 20 = 0 AND e.vec_id % 20 <> 0
+              |), nn AS (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, nid) AS rnk FROM scored
+              |), v AS (
+              |  SELECT query_id, true_label, nlabel, COUNT(*) AS votes
+              |  FROM nn WHERE rnk <= 10 GROUP BY 1, 2, 3)
+              |SELECT query_id AS vec_id, true_label, nlabel AS pred_label, votes
+              |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |        ORDER BY votes DESC, nlabel) AS vr FROM v)
+              |WHERE vr = 1 ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -397,6 +397,60 @@ object PipelineQueries {
            |             / (COUNT(*) * 10000.0), 4) AS mean_quality
            |FROM b GROUP BY source ORDER BY source""".stripMargin
       }
+    ),
+    QDef(
+      // bloom-prescreened decontamination (large-benchmark variant of
+      // e20): a fixed-size Bloom filter of bench shingle hashes prunes
+      // the corpus stream map-side; the exact verify join (pinned
+      // shuffle-hash — the bench side need not broadcast) removes
+      // false positives, so the verdict is exact and the oracle is
+      // plain SQL with no bloom in it.
+      "e51_bloom_decontam",
+      (s, dir) =>
+        Pipeline.decontaminateBloom(docs(s, dir), col("doc_id") % 40 === 1,
+            n = 3, minShared = 2)
+          .orderBy("train_id"),
+      Some(s"""WITH sh3 AS (
+              |  SELECT DISTINCT doc_id, unnest(${Sql.shingles("toks", 3)}) AS sh
+              |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents)
+              |), hh AS (SELECT doc_id, ${Sql.hash48("sh", "'decon'")} AS h FROM sh3),
+              |b AS (SELECT doc_id AS bench_id, h FROM hh WHERE doc_id % 40 = 1),
+              |t AS (SELECT doc_id AS train_id, h FROM hh WHERE doc_id % 40 <> 1),
+              |pairs AS (
+              |  SELECT train_id, bench_id, COUNT(*) AS shared
+              |  FROM t JOIN b USING (h)
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT train_id, COUNT(*) AS n_bench_docs, MAX(shared) AS max_shared
+              |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QDef(
+      // epoch-weighted dataset mixing: the UPSAMPLING complement of
+      // e28 — one materialized training epoch hitting the same target
+      // mixture by repeating docs (floor(r) copies + deterministic
+      // hash-fractional extra), anchored so the most over-represented
+      // domain is used exactly once.
+      "e54_epoch_mix",
+      (s, dir) =>
+        Pipeline.epochMix(docs(s, dir), ReweightTargets)
+          .orderBy("doc_id", "copy"),
+      Some {
+        val vals = ReweightTargets.toSeq.sortBy(_._1)
+          .map { case (d, w) => s"('$d', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(source, w) AS (VALUES $vals),
+           |c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+           |cw AS (SELECT c.source, c.n, w.w FROM c JOIN w USING (source)),
+           |k AS (SELECT MAX(n / w) AS k FROM cw),
+           |r AS (SELECT source, w * k.k / n AS r FROM cw CROSS JOIN k),
+           |cp AS (
+           |  SELECT d.doc_id, d.source,
+           |         CAST(FLOOR(r.r) AS BIGINT) +
+           |           CASE WHEN ${h48doc("mix")} <
+           |                CAST(FLOOR((r.r - FLOOR(r.r)) * 281474976710656.0) AS BIGINT)
+           |                THEN 1 ELSE 0 END AS copies
+           |  FROM documents d JOIN r USING (source))
+           |SELECT doc_id, source, unnest(range(copies)) AS copy
+           |FROM cp WHERE copies >= 1 ORDER BY doc_id, copy""".stripMargin
+      }
     )
   )
 }

@@ -84,6 +84,54 @@ class CorpusPrepSpec extends SparkSpec {
     assert(hits.forall(_._2 === 100000L))
   }
 
+  test("decontaminateBloom's exact verdict equals the broadcast path's, bloom or not") {
+    // same injected-copy corpus as the decontaminate test: the bloom is
+    // a prune, so the verdict must equal the e20 pair set aggregated
+    val bench = docs.filter(col("doc_id") === 3)
+      .withColumn("doc_id", lit(100000L))
+    val corpus = docs.unionByName(bench)
+    val viaBloom = Pipeline.decontaminateBloom(corpus,
+        col("doc_id") === 100000L, n = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPairs = Pipeline.decontaminate(corpus,
+        col("doc_id") === 100000L, n = 8, minShared = 3)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n"), max("shared").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBloom === viaPairs)
+    assert(viaBloom.exists(_._1 === 3L)) // the copied doc is flagged
+    // an aggressive fpp still cannot change the verdict (only probe cost)
+    val viaLoose = Pipeline.decontaminateBloom(corpus,
+        col("doc_id") === 100000L, n = 8, minShared = 3, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLoose === viaPairs)
+  }
+
+  test("epochMix upsamples to the target mixture; anchor domain used exactly once") {
+    import spark.implicits._
+    // srcA 40 docs, srcB 10 docs; target 50/50 → srcA is the anchor
+    // (largest n/w), used once; srcB repeats r = 4× each
+    val d = ((1L to 40L).map(i => (i, "srcA")) ++
+      (41L to 50L).map(i => (i, "srcB"))).toDF("doc_id", "source")
+    val mix = Pipeline.epochMix(d, Map("srcA" -> 0.5, "srcB" -> 0.5))
+    val rows = mix.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    (1L to 40L).foreach(i => assert(perDoc(i) === 1, s"anchor doc $i"))
+    (41L to 50L).foreach(i => assert(perDoc(i) === 4, s"upsampled doc $i"))
+    // copy indices are dense from 0 per doc; re-run is identical
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted === (0L until rs.length).toSeq)
+    }
+    val again = Pipeline.epochMix(d, Map("srcA" -> 0.5, "srcB" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sorted === again.sorted)
+    // fractional rates stay deterministic and within ±1 of the target
+    val frac = Pipeline.epochMix(d, Map("srcA" -> 0.6, "srcB" -> 0.4))
+    val bCount = frac.filter(col("source") === "srcB").count()
+    // r_B = 0.4*(40/0.6)/10 = 8/3 → each of 10 docs gets 2 or 3 copies
+    assert(bCount >= 20 && bCount <= 30)
+  }
+
   test("piiScrub redacts emails, IPs, and digit runs in stage order") {
     import spark.implicits._
     val df = Seq(

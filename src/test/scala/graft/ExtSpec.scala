@@ -512,6 +512,66 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((2L, 1L, "p q r s")))
   }
 
+  test("boilerplatePurge removes EVERY occurrence of a corpus-frequent segment") {
+    import spark.implicits._
+    val w = 4
+    // "a b c d" appears in 3 distinct docs (boilerplate at minDocs=3) —
+    // ALL copies go, including the first; "p q r s" appears twice in
+    // doc 3 but only ONE distinct doc, so intra-doc repetition survives
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d p q r s p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplatePurge(d, width = w, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 1L, "e f g h")))
+    assert(out(2L) === ((2L, 1L, "x y z w")))
+    assert(out(3L) === ((3L, 2L, "p q r s p q r s")))
+    // below the frequency bar nothing is touched
+    val none = Dedup.boilerplatePurge(d, width = w, minDocs = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none === Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("hardNegatives = brute ranking with the positive band cut out") {
+    val t = 0.35
+    val hard = Similarity.hardNegatives(emb, col("vec_id") < 10, k = 5,
+        posThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // no positive leaks past the cut
+    assert(hard.forall(_._4 < t))
+    // equals brute top-k computed over the sub-threshold universe: take
+    // a deep brute list, drop positives, re-rank, truncate to k
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = brute.filter(_._3 < t).groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+        .map { case ((_, n, s), i) => (q, i + 1, n, s) }
+    }.toSet
+    assert(hard.toSet === expected)
+  }
+
+  test("knnClassify: leak-free majority vote with deterministic ties") {
+    val out = Similarity.knnClassify(emb, col("vec_id") % 20 === 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // one verdict per query, queries never among voters
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(_._1 % 20 === 0))
+    assert(out.forall(r => r._4 >= 1L && r._4 <= 10L))
+    // cross-check one query against a hand vote from the brute list
+    val q0 = out.head._1
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nbrs = Similarity.bruteTopK(emb.filter(col("vec_id") % 20 =!= 0 ||
+          col("vec_id") === q0), col("vec_id") === q0, k = 10)
+      .collect().map(r => r.getLong(2))
+    val vote = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (l, n) => (-n, l) }.head
+    val got = out.find(_._1 === q0).get
+    assert((got._3, got._4) === ((vote._1, vote._2.toLong)))
+  }
+
   test("substringDedup cuts UNALIGNED duplicated spans; first occurrence survives") {
     import spark.implicits._
     val k = 4
