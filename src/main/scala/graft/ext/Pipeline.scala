@@ -420,4 +420,56 @@ object Pipeline {
       .select(col("doc_id"), col(sourceCol), col("quality"),
         col("n_tokens"), col("cum_tokens"), col("kept"))
   }
+
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023): score every candidate document by how target-like its
+    * hashed-feature profile is — the per-token log-likelihood ratio
+    * ln p_target(bucket) − ln p_raw(bucket) summed over the document,
+    * with tokens hashed into `buckets` feature buckets and Laplace +1
+    * smoothing on both distributions — then keep the top `k`
+    * candidates (targetPred rows define the target and are excluded
+    * from candidacy). Per-token terms are FLOOR(·1e6)-quantized longs,
+    * so document scores are order-independent exact integers.
+    *
+    * Scale shape: both feature distributions are `buckets`-row
+    * aggregates (fixed-size broadcasts — the POINT of hashed features:
+    * the feature space never tracks the vocabulary, let alone the
+    * corpus); the token stream is scored map-side against them and
+    * folded per doc. The exact top-k is one global rank window over
+    * the per-doc score frame (already aggregated — corpus text never
+    * reaches the sort); at corpus sizes where even that frame is hot,
+    * the e24-style bucketed pre-prune or a sampled score threshold
+    * (the e38 thresholds path) swaps in for the window. */
+  def dsirSample(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      k: Int = 100, idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && k >= 1)
+    val toks = docs
+      .select(col(idCol), targetPred.as("__t"),
+        explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .withColumn("b", pmod(hash48(col("tok"), "dsir"), lit(buckets.toLong)))
+    val tCnt = toks.filter(col("__t")).groupBy("b")
+      .agg(count(lit(1)).as("ct"))
+    val rCnt = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tots = tCnt.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rCnt.agg(sum(col("cr")).as("rt")))
+    val term = floor(
+      (log(col("ct").cast("double") + 1) - log(col("tt").cast("double") + buckets)
+        - log(col("cr").cast("double") + 1) + log(col("rt").cast("double") + buckets))
+        * 1000000).cast("long")
+    val scored = toks
+      .filter(!col("__t"))
+      .join(broadcast(tCnt), Seq("b"), "left")
+      .join(broadcast(rCnt), Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(term).as("logw_q"))
+    val w = Window.orderBy(col("logw_q").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("n_tokens"), col("logw_q"), col("rank"))
+  }
 }

@@ -327,6 +327,92 @@ object TextAnalysis {
           .as("mean_quality"))
   }
 
+  /** BPE tokenizer training — the first `rounds` merge rules (Sennrich
+    * et al. 2016), the `merges.txt` artifact a tokenizer build emits.
+    * The classic scale trick is built in: the corpus token stream is
+    * collapsed to a WORD-FREQUENCY table first (vocabulary-bounded),
+    * and every merge round touches only that table — pair counts are
+    * aggregates of the word table weighted by word frequency, never a
+    * second corpus pass. Each word is carried as a symbol string where
+    * EVERY symbol owns a space on both sides (`" a  b  c "` — double
+    * spaces between symbols, so adjacent pair occurrences in a run
+    * like `aaaa` share no delimiter characters); a merge is one
+    * literal `replace` of `" p1  p2 "` with `" p1p2 "`, whose
+    * left-to-right non-overlapping semantics are exactly BPE's greedy
+    * in-word merge order (`aaaa` → `[aa, aa]`) AND are identical
+    * across engines, so the oracle replays the same rounds as staged
+    * CTEs. The winning pair each round is max count, tie →
+    * lexicographic pair — fully deterministic. The per-round winner
+    * stays a 1-row broadcast inside ONE lazy plan (no driver collect);
+    * `rounds` is a small constant, so the re-derivation of earlier
+    * rounds inside later ones is a bounded constant factor on a
+    * vocabulary-sized table. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds is a bounded constant")
+    val words0 = docs
+      .select(explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // " a  b  c " — every symbol owns one space on each side (runs
+      // like `aaaa` then share no delimiter chars between occurrences)
+      .select(col("cnt"),
+        regexp_replace(col("tok"), "(.)", " $1 ").as("sym"))
+    def pairCounts(words: DataFrame): DataFrame =
+      words
+        .select(col("cnt"), split(trim(col("sym")), "  ").as("syms"))
+        .select(col("cnt"), explode(shingles("syms", 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+    val (_, winners) = (1 to rounds).foldLeft((words0, Seq.empty[DataFrame])) {
+      case ((words, acc), r) =>
+        val win = pairCounts(words)
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(lit(r).as("round"), col("pair"),
+            replace(col("pair"), lit(" "), lit("")).as("merged"), col("n"))
+        val next = words
+          .crossJoin(broadcast(win.select(col("pair").as("__p"))))
+          .select(col("cnt"),
+            replace(col("sym"),
+              // " p1  p2 " → " p1p2 ": the merged symbol's own spaces
+              concat(lit(" "), replace(col("__p"), lit(" "), lit("  ")),
+                lit(" ")),
+              concat(lit(" "), replace(col("__p"), lit(" "), lit("")),
+                lit(" "))).as("sym"))
+        (next, acc :+ win)
+    }
+    winners.reduce(_ union _).orderBy("round")
+  }
+
+  /** Tokenizer vocabulary build with a coverage cutoff: rank tokens by
+    * corpus frequency (tie → token ascending) and keep the smallest
+    * prefix whose cumulative token mass reaches `coveragePct` — the
+    * vocab-size-vs-OOV-rate decision made explicit. The membership
+    * test is integer cross-multiplied ((cum−cnt)·100 < tot·pct: a
+    * token is in iff coverage was still short of the target BEFORE
+    * it), so the verdict is engine-exact. One vocabulary aggregate +
+    * one rank/prefix-sum window over the VOCAB table (bounded, like
+    * e25's broadcast); at a vocabulary too large for one partition the
+    * e24-style two-level pre-prune applies unchanged since ranks below
+    * any bucket's cap can never enter the vocab. */
+  def vocabCoverage(docs: DataFrame, coveragePct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("tot"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    counts
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("in_vocab",
+        (col("cum") - col("cnt")) * 100 < col("tot") * coveragePct)
+      .select(col("tok"), col("cnt"), col("rank"), col("cum"),
+        col("in_vocab"))
+  }
+
   /** Document fingerprinting: exact md5 of normalized text + a
     * winnowing-style signature (min 48-bit shingle hash — the rolling
     * hash's minimum, the standard winnow anchor). */

@@ -451,6 +451,101 @@ object PipelineQueries {
            |SELECT doc_id, source, unnest(range(copies)) AS copy
            |FROM cp WHERE copies >= 1 ORDER BY doc_id, copy""".stripMargin
       }
+    ),
+    QDef(
+      // BPE tokenizer training — the first 3 merge rules (the
+      // merges.txt artifact). The oracle replays the same rounds as
+      // staged CTEs: pair counts over the word-frequency table, winner
+      // = (max count, tie → pair asc), merge = the SAME left-to-right
+      // literal replace (TextAnalysis.bpeMerges scaladoc).
+      "e56_bpe_merges",
+      (s, dir) => graft.ext.TextAnalysis.bpeMerges(docs(s, dir), rounds = 3),
+      Some {
+        val rounds = 3
+        val w0 =
+          s"""w0 AS (
+             |  SELECT CAST(cnt AS BIGINT) AS cnt,
+             |         regexp_replace(tok, '(.)', ' \\1 ', 'g') AS sym
+             |  FROM (SELECT tok, COUNT(*) AS cnt FROM (
+             |          SELECT unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+             |          FROM documents) WHERE tok <> '' GROUP BY tok))""".stripMargin
+        val stages = (1 to rounds).map { r =>
+          s"""p$r AS (
+             |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(${Sql.shingles("syms", 2)}) AS pr
+             |    FROM (SELECT cnt, string_split(trim(sym), '  ') AS syms FROM w${r - 1}))
+             |  GROUP BY pr),
+             |win$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+             |w$r AS (
+             |  SELECT cnt, replace(sym, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
+             |                      ' ' || replace(win$r.pr, ' ', '') || ' ') AS sym
+             |  FROM w${r - 1} CROSS JOIN win$r)""".stripMargin
+        }
+        val heads = (1 to rounds).map { r =>
+          s"""SELECT CAST($r AS INT) AS round, pr AS pair,
+             |       replace(pr, ' ', '') AS merged, n FROM win$r""".stripMargin
+        }
+        s"""WITH $w0,
+           |${stages.mkString(",\n")}
+           |${heads.mkString("\nUNION ALL\n")}
+           |ORDER BY round""".stripMargin
+      }
+    ),
+    QDef(
+      // tokenizer vocabulary with a 95% coverage cutoff: frequency
+      // rank + running token mass over the vocab table; membership is
+      // the integer cross-multiplied prefix test
+      // (TextAnalysis.vocabCoverage scaladoc).
+      "e57_vocab_coverage",
+      (s, dir) =>
+        graft.ext.TextAnalysis.vocabCoverage(docs(s, dir), coveragePct = 95)
+          .orderBy("rank"),
+      Some(s"""WITH c AS (
+              |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              |    SELECT unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+              |    FROM documents) WHERE tok <> '' GROUP BY tok),
+              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+              |r AS (
+              |  SELECT tok, cnt, tot,
+              |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+              |         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM c CROSS JOIN t)
+              |SELECT tok, cnt, rank, cum, (cum - cnt) * 100 < tot * 95 AS in_vocab
+              |FROM r ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // DSIR-style importance resampling toward the src0 target
+      // domain: hashed-unigram log-likelihood-ratio scores
+      // (FLOOR(·1e6)-quantized integer sums), exact top-100
+      // (Pipeline.dsirSample scaladoc).
+      "e58_dsir_sample",
+      (s, dir) =>
+        Pipeline.dsirSample(docs(s, dir), col("source") === "src0",
+            buckets = 256, k = 100)
+          .orderBy("rank"),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, is_t, ${Sql.hash48("tok", "'dsir'")} % 256 AS b
+              |  FROM (SELECT doc_id, source = 'src0' AS is_t,
+              |               unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+              |        FROM documents) WHERE tok <> ''),
+              |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tk WHERE is_t GROUP BY b),
+              |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tk GROUP BY b),
+              |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tc),
+              |rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS rt FROM rc),
+              |s AS (
+              |  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+              |         CAST(SUM(CAST(FLOOR((ln(COALESCE(ct, 0) + CAST(1 AS DOUBLE))
+              |           - ln(tt + CAST(256 AS DOUBLE))
+              |           - ln(cr + CAST(1 AS DOUBLE))
+              |           + ln(rt + CAST(256 AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT) AS logw_q
+              |  FROM tk LEFT JOIN tc USING (b) JOIN rc USING (b)
+              |       CROSS JOIN tt CROSS JOIN rt
+              |  WHERE NOT is_t GROUP BY tk.doc_id)
+              |SELECT doc_id, n_tokens, logw_q, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (ORDER BY logw_q DESC, doc_id) AS BIGINT) AS rank
+              |  FROM s)
+              |WHERE rank <= 100 ORDER BY rank""".stripMargin)
     )
   )
 }

@@ -254,6 +254,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(idx === 0)
   }
 
+  test("dsirSample ranks target-like candidates first and excludes the target") {
+    import spark.implicits._
+    // target (ids 1-5) speaks {alpha beta}; raw background (ids 10-29)
+    // speaks {zeta eta}; candidates 100/101 mix them in opposite
+    // proportions — the alpha-heavy one must outrank the zeta-heavy one
+    val docs = (
+      (1L to 5L).map(i => (i, "t", "alpha beta alpha beta")) ++
+        (10L to 29L).map(i => (i, "r", "zeta eta zeta eta")) ++
+        Seq((100L, "r", "alpha beta alpha zeta"),
+          (101L, "r", "zeta eta zeta alpha"))
+    ).toDF("doc_id", "source", "text")
+    val out = Pipeline.dsirSample(docs, col("source") === "t", buckets = 64, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(!out.keySet.exists(_ <= 5L), "target docs are not candidates")
+    assert(out.contains(100L) && out.contains(101L))
+    assert(out(100L) < out(101L), "alpha-heavy candidate ranks better")
+    // deterministic: same ranks on a re-run
+    val again = Pipeline.dsirSample(docs, col("source") === "t", buckets = 64, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === again)
+  }
+
   test("canonicalizeUrl normalizes case/port/www/tracking/slash and is idempotent") {
     import spark.implicits._
     val cases = Seq(

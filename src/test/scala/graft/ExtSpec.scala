@@ -292,6 +292,46 @@ class ExtSpec extends SparkSpec {
     assert(!out(5L).getBoolean(3), "mean token length >10 must fail r_mean_len")
   }
 
+  test("bpeMerges learns the classic merges on a hand-counted corpus") {
+    import spark.implicits._
+    // word freqs: low×3 lower×2 newest×4 widest×1 → round-1 pair counts
+    // peak at (w,e)=6; round 2 ties (l,o)=(s,t)=5 → lexicographic "l o";
+    // round 3 then picks (s,t)=5 (hand-derived, Sennrich's example)
+    val tiny = Seq(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(tiny, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "w e", "we", 6L), (2, "l o", "lo", 5L), (3, "s t", "st", 5L)))
+  }
+
+  test("bpeMerges greedy in-word merge is left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaaa"×3: round 1 pair (a,a)=9 (3 per word); greedy merge gives
+    // [aa, aa] per word, so round 2 sees (aa,aa)=3 — an overlapping
+    // count (which would see (a,a)=3·3 then [aa,a,a]…) diverges here
+    val tiny = Seq(1L -> "aaaa aaaa aaaa").toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(tiny, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a a", 9L), (2, "aa aa", 3L)))
+  }
+
+  test("vocabCoverage keeps the smallest prefix reaching the target mass") {
+    import spark.implicits._
+    // counts: a×5 b×3 c×1 d×1 (tot 10). pct=80: {a,b} covers 8 ≥ 8 →
+    // c,d out. pct=95: c still short of 9.5 at cum 9, so d is IN too.
+    val tiny = Seq(1L -> "a a a b b c", 2L -> "a a b d").toDF("doc_id", "text")
+    def vocab(pct: Int) = TextAnalysis.vocabCoverage(tiny, pct).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(vocab(80) === Map("a" -> true, "b" -> true, "c" -> false, "d" -> false))
+    assert(vocab(95) === Map("a" -> true, "b" -> true, "c" -> true, "d" -> true))
+    val ranks = TextAnalysis.vocabCoverage(tiny, 80).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ranks === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
   test("corpusReport: dup injection moves dups, not uniq; quality mean bounded") {
     import spark.implicits._
     val base = docs.limit(40).select("doc_id", "text", "lang", "source")
