@@ -4,13 +4,20 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata. The media codecs are not available in
-  * this environment, so the decode step is a clearly-marked
-  * deterministic STUB — but the Spark-side machinery (schema,
-  * batch-shaped partition processing, frame sampling, partitioning) is
-  * real: swap `decodeStub` for a codec and the pipeline is production
-  * shape. At scale the binary payloads stay columnar in parquet and
-  * every operator below is map-side.
+  * columns with typed metadata. Three tiers of honesty, each labeled:
+  *   - REAL pixel decode: PNG payloads decode fully through
+  *     [[PngCodec]] (pure-JVM inflate + unfilter, no codec library) —
+  *     [[imageFeatures]]/[[imageNearDup]] run on actual pixels, pinned
+  *     bit-exact by the e59/e60 analytic oracles.
+  *   - REAL header parses: container metadata for PNG/GIF/BMP/JPEG,
+  *     RIFF/WAVE, and ISO-BMFF (MP4/MOV) straight from the bytes.
+  *   - STUB: [[decodeStub]] stands in for payload decode of formats
+  *     with no JVM-native path (JPEG entropy decode, audio/video
+  *     codecs) — clearly marked, deterministic.
+  * The Spark-side machinery (schema, batch-shaped partition
+  * processing, frame sampling, partitioning) is real throughout. At
+  * scale the binary payloads stay columnar in parquet and every
+  * operator below is map-side.
   */
 object Multimodal {
 
@@ -282,6 +289,130 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Deterministic synthetic PNG: a `w`×`h` RGB gradient whose every
+    * pixel is a fixed linear function of (docId, x, y) —
+    *   r = (id·3 + x·7 + y·11) mod 256
+    *   g = (id·5 + x·13 + y·3) mod 256
+    *   b = (id·7 + x   + y·5 ) mod 256
+    * — encoded through the REAL javax.imageio PNG encoder. Because the
+    * pixel law is closed-form, a SQL oracle can recompute any
+    * pixel-derived feature analytically WITHOUT a decoder, which is
+    * what lets the declared image queries pin [[PngCodec]]'s decode as
+    * bit-exact: encoder (imageio) → decoder (ours) → feature must
+    * equal the formula. */
+  def syntheticPng(docId: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 3 + x * 7 + y * 11) % 256).toInt
+        val g = ((docId * 5 + x * 13 + y * 3) % 256).toInt
+        val b = ((docId * 7 + x + y * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Ingest twin of [[ingest]] for the REAL decode path: every doc gets
+    * an actual PNG payload ([[syntheticPng]] of its id). mapPartitions
+    * — the encoder amortizes like a real ingest-side transcoder. */
+  def ingestPng(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id, w, h))))
+      .toDF("doc_id", "blob")
+  }
+
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      channels: Int, luma_total: Long, ahash: String)
+
+  /** REAL image feature extraction: [[PngCodec]] decodes the payload
+    * to pixels (no stub anywhere on this path), then two integer-exact
+    * features per image:
+    *   - `luma_total`: Σ over pixels of Rec.601 luma ×1000
+    *   - `ahash`: the 8×8 average-hash ('1' where a cell's mean luma
+    *     exceeds the image mean; cross-multiplied integer compare
+    *     `cell_sum · n_pixels > total · cell_npix`, so unequal cell
+    *     sizes at non-multiple-of-8 dims stay exact), emitted as a
+    *     64-char bit string row-major — the standard perceptual
+    *     near-dup fingerprint.
+    * Non-decodable payloads are dropped (flatMap None — a corrupt blob
+    * never fails the partition). Map-side at any scale. */
+  def imageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, blob) =>
+          PngCodec.decode(blob).map { p =>
+            val sums = new Array[Long](64)
+            val npix = new Array[Long](64)
+            var y = 0
+            while (y < p.height) {
+              var x = 0
+              while (x < p.width) {
+                val cell = (y * 8 / p.height) * 8 + (x * 8 / p.width)
+                sums(cell) += p.lumaQ(x, y)
+                npix(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val total = sums.sum
+            val n = p.width.toLong * p.height
+            val bits = new StringBuilder(64)
+            var c = 0
+            while (c < 64) {
+              bits.append(if (sums(c) * n > total * npix(c)) '1' else '0')
+              c += 1
+            }
+            ImageFeatures(docId, p.width, p.height, p.channels, total,
+              bits.toString)
+          }
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate pairs by aHash hamming distance ≤
+    * `maxHamming`, over REAL decoded pixels ([[imageFeatures]]).
+    * Banded exactly like SimHash/MinHash: the 64-bit hash splits into
+    * `bands` equal slices and candidates must share at least one slice
+    * VERBATIM — pigeonhole-complete whenever maxHamming < bands (≤
+    * maxHamming differing bits cannot touch every one of `bands`
+    * slices), so the band join loses nothing while pruning the pair
+    * space to hash-bucket collisions. Exact hamming verify + dedup
+    * between join and output. */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "banding is only lossless below the band count")
+    require(64 % bands == 0, "bands must divide 64")
+    val bw = 64 / bands
+    val f = imageFeatures(media).select(col("doc_id"), col("ahash"))
+    val banded = f.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("slice", expr(s"substring(ahash, band * $bw + 1, $bw)"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band", "slice"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** Frame sampling: slice the payload into fixed-size frames and

@@ -707,6 +707,89 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // REAL PNG decode pinned bit-exact: every doc gets an actual PNG
+      // (imageio-encoded deterministic gradient, Multimodal
+      // .syntheticPng's closed-form pixel law), PngCodec decodes it —
+      // chunk walk, inflate, all five row filters — and the luma total
+      // + 8×8 aHash must equal the oracle's ANALYTIC recomputation
+      // from the pixel formula. No decoder in the oracle: if our
+      // unfiltering were off by one sample anywhere, the integer luma
+      // sum would diverge.
+      "e59_image_hash",
+      (s, dir) =>
+        Multimodal.imageFeatures(Multimodal.ingestPng(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, x, y,
+             |         (doc_id * 3 + x * 7 + y * 11) % 256 AS r,
+             |         (doc_id * 5 + x * 13 + y * 3) % 256 AS g,
+             |         (doc_id * 7 + x + y * 5) % 256 AS b
+             |  FROM documents, range(16) tx(x), range(16) ty(y)),
+             |cell AS (
+             |  SELECT doc_id, (y * 8 // 16) * 8 + (x * 8 // 16) AS c,
+             |         CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS s,
+             |         CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t,
+             |               CAST(SUM(np) AS BIGINT) AS n
+             |        FROM cell GROUP BY 1),
+             |hsh AS (
+             |  SELECT cell.doc_id,
+             |         string_agg(CASE WHEN s * n > t * np THEN '1' ELSE '0' END,
+             |                    '' ORDER BY c) AS ahash
+             |  FROM cell JOIN tot USING (doc_id) GROUP BY cell.doc_id)
+             |SELECT h.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+             |       CAST(3 AS INT) AS channels, t.t AS luma_total, h.ahash
+             |FROM hsh h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // perceptual near-dup over REAL decoded pixels: banded aHash
+      // bucket join (pigeonhole-complete at hamming ≤ 3 with 4 bands)
+      // + exact hamming verify (Multimodal.imageNearDup scaladoc). The
+      // oracle mirrors the banding analytically from the pixel law.
+      "e60_image_near_dup",
+      (s, dir) =>
+        Multimodal.imageNearDup(Multimodal.ingestPng(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")),
+            maxHamming = 3, bands = 4)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, x, y,
+             |         (doc_id * 3 + x * 7 + y * 11) % 256 AS r,
+             |         (doc_id * 5 + x * 13 + y * 3) % 256 AS g,
+             |         (doc_id * 7 + x + y * 5) % 256 AS b
+             |  FROM documents, range(16) tx(x), range(16) ty(y)),
+             |cell AS (
+             |  SELECT doc_id, (y * 8 // 16) * 8 + (x * 8 // 16) AS c,
+             |         CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS s,
+             |         CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t,
+             |               CAST(SUM(np) AS BIGINT) AS n
+             |        FROM cell GROUP BY 1),
+             |hsh AS (
+             |  SELECT cell.doc_id,
+             |         string_agg(CASE WHEN s * n > t * np THEN '1' ELSE '0' END,
+             |                    '' ORDER BY c) AS ahash
+             |  FROM cell JOIN tot USING (doc_id) GROUP BY cell.doc_id),
+             |bands AS (
+             |  SELECT doc_id, ahash, bd, substr(ahash, bd * 16 + 1, 16) AS slice
+             |  FROM hsh, range(4) tb(bd)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |         a.ahash AS ha, b.ahash AS hb
+             |  FROM bands a JOIN bands b
+             |    ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, hamming FROM (
+             |  SELECT a_id, b_id,
+             |         CAST(len(list_filter(range(1, 65),
+             |           i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS BIGINT) AS hamming
+             |  FROM cand)
+             |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)
+    ),
+    QDef(
       // leakage-safe split: train/val/test assignment by NEAR-DUP
       // GROUP, so near-copies never straddle the split boundary
       // (Dedup.leakageSafeSplit scaladoc). Oracle = e14's recursive-CTE

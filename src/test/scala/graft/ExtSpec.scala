@@ -123,6 +123,86 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
 
+  test("PngCodec decodes imageio-encoded pixels bit-exactly (rgb/rgba/gray)") {
+    import java.awt.image.BufferedImage
+    // adversarial content: random-ish pixels exercise all five row
+    // filters (imageio picks filters adaptively per row)
+    def encode(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    def fill(img: BufferedImage, w: Int, h: Int): Unit =
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 57 + (x * y) % 97) & 0xffffff
+        img.setRGB(x, y, (0xff << 24) | v)
+      }
+    // RGB (color type 2)
+    val rgb = new BufferedImage(21, 13, BufferedImage.TYPE_INT_RGB)
+    fill(rgb, 21, 13)
+    val pr = graft.ext.PngCodec.decode(encode(rgb)).get
+    assert(pr.width === 21 && pr.height === 13 && pr.channels === 3)
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val want = rgb.getRGB(x, y)
+      assert(pr.sample(x, y, 0) === ((want >> 16) & 0xff), s"R at ($x,$y)")
+      assert(pr.sample(x, y, 1) === ((want >> 8) & 0xff), s"G at ($x,$y)")
+      assert(pr.sample(x, y, 2) === (want & 0xff), s"B at ($x,$y)")
+    }
+    // RGBA (color type 6) — alpha channel decodes too
+    val rgba = new BufferedImage(9, 7, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 7; x <- 0 until 9)
+      rgba.setRGB(x, y, ((x * 37 + y) << 24) | ((x * 5) << 16) | (y << 8) | (x + y))
+    val pa = graft.ext.PngCodec.decode(encode(rgba)).get
+    assert(pa.channels === 4)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val want = rgba.getRGB(x, y)
+      assert(pa.sample(x, y, 3) === ((want >> 24) & 0xff), s"A at ($x,$y)")
+      assert(pa.sample(x, y, 0) === ((want >> 16) & 0xff), s"R at ($x,$y)")
+    }
+    // grayscale (color type 0)
+    val gray = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (x * 16 + y * 2) & 0xff
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val pg = graft.ext.PngCodec.decode(encode(gray)).get
+    assert(pg.channels === 1)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(pg.sample(x, y, 0) === gray.getRaster.getSample(x, y, 0))
+    // malformed inputs degrade to None, never throw
+    val good = encode(rgb)
+    assert(graft.ext.PngCodec.decode(null) === None)
+    assert(graft.ext.PngCodec.decode("not a png".getBytes) === None)
+    assert(graft.ext.PngCodec.decode(good.take(40)) === None)
+    assert(graft.ext.PngCodec.decode(good.dropRight(30)) === None, "truncated IDAT")
+    val corrupt = good.clone()
+    corrupt(60) = (corrupt(60) ^ 0x55).toByte // scribble inside IDAT
+    assert(graft.ext.PngCodec.decode(corrupt).fold(true)(_.width === 21),
+      "corrupt stream either rejects or still parses structurally")
+  }
+
+  test("imageFeatures/imageNearDup run on real decoded pixels") {
+    import spark.implicits._
+    // identical pixel law at id and id+256 → hamming-0 pair; the
+    // features must come from the DECODED payload, not metadata
+    val media = Multimodal.ingestPng(
+      Seq(1L, 2L, 257L).toDF("doc_id"))
+    val f = Multimodal.imageFeatures(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(f.keySet === Set(1L, 2L, 257L))
+    assert(f(1L).width === 16 && f(1L).channels === 3)
+    assert(f(1L).ahash.length === 64 && f(1L).ahash.forall(c => c == '0' || c == '1'))
+    assert(f(1L).luma_total === f(257L).luma_total, "id≡id' mod 256 → same image")
+    assert(f(1L).ahash === f(257L).ahash)
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 257L && h == 0L })
+    // a corrupt blob is dropped, not fatal
+    val withJunk = media.unionByName(
+      Seq((999L, "junk".getBytes)).toDF("doc_id", "blob"))
+    assert(Multimodal.imageFeatures(withJunk).count() === 3)
+  }
+
   test("image header parse reads real container dimensions (png/gif/bmp/jpeg)") {
     import spark.implicits._
     // real encoder output, not hand-built bytes: javax.imageio is the
