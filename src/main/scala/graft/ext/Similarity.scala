@@ -680,4 +680,67 @@ object Similarity {
       .withColumn("keep", row_number().over(w) <= cap)
       .select(col("vec_id"), col("cluster"), col("keep"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER parallel-pair miner): score a candidate pair not
+    * by raw cosine but by its RATIO to the two sides' average
+    * k-nearest-neighbor cosine —
+    *   margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+    * — which cancels out "hub" vectors that sit close to everything
+    * (a hub's high raw cosine is divided away by its own high
+    * neighborhood average). A source vector accepts its best target
+    * iff margin ≥ `minMarginQ`/1e6 (the classic threshold is 1.0+ε).
+    *
+    * Determinism contract: per-pair sims are the shared 6-dp rounded
+    * fold, then quantized to integer micro-units, so the k-sums are
+    * order-independent longs and the margin is one double division of
+    * exact integers — engine-identical. Both neighborhood averages
+    * come from the SAME pair stream (two rank windows, no second
+    * scan): avgk(src) over its targets, avgk(tgt) over the source
+    * QUERY set — the mining-run form of the margin (the reference
+    * denominator is whatever candidate sets the run scored).
+    *
+    * Scale shape: the pair stream is broadcast(src-queries) × target
+    * corpus — the e06 bounded-scope exact form; at corpus×corpus scale
+    * the stream comes from the IVF/LSH candidate generators instead
+    * (margin is a post-scan formula, not a plan change). The candidate
+    * join back to the per-tgt k-sums is candidate-bounded (|src|·k
+    * rows). */
+  def marginMine(emb: DataFrame, srcPred: Column, tgtPred: Column,
+      k: Int = 4, minMarginQ: Long = 1000000L): DataFrame = {
+    val e = withNorm(emb)
+    val src = e.filter(srcPred)
+      .select(col("vec_id").as("src_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.filter(tgtPred)
+      .join(broadcast(src), col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("tgt_id"),
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")).as("sim"))
+      .withColumn("simq", round(col("sim") * 1000000).cast("long"))
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("sim").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("sim").desc, col("src_id"))
+    val ranked = scored
+      .withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    val sumS = ranked.filter(col("rs") <= k).groupBy("src_id")
+      .agg(sum(col("simq")).as("ksum_src"))
+    val sumT = ranked.filter(col("rt") <= k).groupBy("tgt_id")
+      .agg(sum(col("simq")).as("ksum_tgt"))
+    val cand = ranked.filter(col("rs") <= k)
+      .join(broadcast(sumS), Seq("src_id"))
+      .join(sumT, Seq("tgt_id"))
+      .withColumn("den", col("ksum_src") + col("ksum_tgt"))
+      .filter(col("den") > 0)
+      .withColumn("margin_q",
+        floor(lit(2L * k) * col("simq").cast("double")
+          / col("den").cast("double") * 1000000).cast("long"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_q").desc, col("tgt_id"))
+    cand
+      .withColumn("best", row_number().over(wBest))
+      .filter(col("best") === 1 && col("margin_q") >= minMarginQ)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin_q"))
+  }
 }

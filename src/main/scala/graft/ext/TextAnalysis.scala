@@ -382,6 +382,45 @@ object TextAnalysis {
     winners.reduce(_ union _).orderBy("round")
   }
 
+  /** The ENCODE half of BPE ([[bpeMerges]] is the train half): apply
+    * the first `rounds` learned merges to every word of the corpus, in
+    * learned order — exactly how a trained tokenizer encodes — and
+    * report per-document symbol counts (whitespace tokens, initial
+    * character symbols, post-merge BPE symbols). The compression
+    * `n_chars → n_bpe` is the signal a tokenizer build watches.
+    *
+    * The merge table is derived lazily from the same plan (1-row
+    * winner per round, pivoted to one broadcast row); application is
+    * the same literal delimiter-framed `replace` as training, folded
+    * over the corpus token stream MAP-SIDE — one aggregate by doc at
+    * the end, nothing else shuffles. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeMerges(docs, rounds)
+    val wins = (1 to rounds).map(r =>
+        merges.filter(col("round") === r).select(col("pair").as(s"__p$r")))
+      .reduce(_ crossJoin _)
+    val toks = docs
+      .select(col("doc_id"),
+        explode_outer(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .withColumn("sym", regexp_replace(col("tok"), "(.)", " $1 "))
+    val applied = (1 to rounds).foldLeft(toks.crossJoin(broadcast(wins))) {
+      (df, r) =>
+        df.withColumn("sym",
+          replace(col("sym"),
+            concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("  ")),
+              lit(" ")),
+            concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("")),
+              lit(" "))))
+    }
+    applied
+      .select(col("doc_id"), length(col("tok")).cast("long").as("__chars"),
+        size(split(trim(col("sym")), "  ")).cast("long").as("__bpe"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__chars")).as("n_chars"),
+        sum(col("__bpe")).as("n_bpe"))
+  }
+
   /** Tokenizer vocabulary build with a coverage cutoff: rank tokens by
     * corpus frequency (tie → token ascending) and keep the smallest
     * prefix whose cumulative token mass reaches `coveragePct` — the

@@ -427,6 +427,45 @@ object ExtQueries {
               |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
     QDef(
+      // margin-based bitext mining (Similarity.marginMine scaladoc):
+      // even vec_ids < 40 are the source side, odd vec_ids the target
+      // corpus; per-pair 6-dp sims quantized to integer micro-units so
+      // the k-neighborhood sums are order-independent and the margin
+      // is one double division of exact integers.
+      "e61_margin_bitext",
+      (s, dir) =>
+        Similarity.marginMine(graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") % 2 === 0 && col("vec_id") < 40,
+            col("vec_id") % 2 === 1, k = 4)
+          .orderBy("src_id"),
+      Some(s"""WITH p AS (
+              |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+              |         ROUND(${cosSql("s.embedding", "t.embedding")}, 6) AS sim
+              |  FROM embeddings s JOIN embeddings t ON t.vec_id % 2 = 1
+              |  WHERE s.vec_id % 2 = 0 AND s.vec_id < 40),
+              |q AS (
+              |  SELECT *, CAST(ROUND(sim * 1000000, 0) AS BIGINT) AS simq,
+              |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rs,
+              |         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rt
+              |  FROM p),
+              |ss AS (SELECT src_id, CAST(SUM(simq) AS BIGINT) AS ksum_src
+              |       FROM q WHERE rs <= 4 GROUP BY 1),
+              |st AS (SELECT tgt_id, CAST(SUM(simq) AS BIGINT) AS ksum_tgt
+              |       FROM q WHERE rt <= 4 GROUP BY 1),
+              |c AS (
+              |  SELECT q.src_id, q.tgt_id, q.sim,
+              |         CAST(FLOOR(8 * CAST(simq AS DOUBLE)
+              |           / CAST(ksum_src + ksum_tgt AS DOUBLE) * 1000000) AS BIGINT) AS margin_q
+              |  FROM q JOIN ss USING (src_id) JOIN st USING (tgt_id)
+              |  WHERE rs <= 4 AND ksum_src + ksum_tgt > 0),
+              |m AS (
+              |  SELECT *, row_number() OVER (PARTITION BY src_id
+              |           ORDER BY margin_q DESC, tgt_id) AS best
+              |  FROM c)
+              |SELECT src_id, tgt_id, sim, margin_q FROM m
+              |WHERE best = 1 AND margin_q >= 1000000 ORDER BY src_id""".stripMargin)
+    ),
+    QDef(
       "e07_ann_lsh",
       // full oracle: the identical deterministic planes are embedded in
       // the SQL, so DuckDB re-derives buckets → candidates → re-rank

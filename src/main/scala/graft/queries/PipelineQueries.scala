@@ -27,6 +27,36 @@ object PipelineQueries {
     Map("src0" -> 0.25, "src1" -> 0.25) ++
       (2 to 17).map(i => s"src$i" -> 0.03125).toMap
 
+  /** Declared BPE merge-round count (e56 train / e62 encode). */
+  private val BpeRounds = 3
+
+  /** Shared oracle CTE chain for BPE training (e56/e62): word-freq
+    * table w0 (double-space-delimited symbol strings), then per round
+    * r: pair counts p_r, the winning pair win_r (max count, tie → pair
+    * asc), and the merged word table w_r. */
+  private def bpeCtes(rounds: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT CAST(cnt AS BIGINT) AS cnt,
+         |         regexp_replace(tok, '(.)', ' \\1 ', 'g') AS sym
+         |  FROM (SELECT tok, COUNT(*) AS cnt FROM (
+         |          SELECT unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+         |          FROM documents) WHERE tok <> '' GROUP BY tok))""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(${Sql.shingles("syms", 2)}) AS pr
+         |    FROM (SELECT cnt, string_split(trim(sym), '  ') AS syms FROM w${r - 1}))
+         |  GROUP BY pr),
+         |win$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+         |w$r AS (
+         |  SELECT cnt, replace(sym, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
+         |                      ' ' || replace(win$r.pr, ' ', '') || ' ') AS sym
+         |  FROM w${r - 1} CROSS JOIN win$r)""".stripMargin
+    }
+    (w0 +: stages).mkString(",\n")
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "e17_train_split",
@@ -461,34 +491,40 @@ object PipelineQueries {
       "e56_bpe_merges",
       (s, dir) => graft.ext.TextAnalysis.bpeMerges(docs(s, dir), rounds = 3),
       Some {
-        val rounds = 3
-        val w0 =
-          s"""w0 AS (
-             |  SELECT CAST(cnt AS BIGINT) AS cnt,
-             |         regexp_replace(tok, '(.)', ' \\1 ', 'g') AS sym
-             |  FROM (SELECT tok, COUNT(*) AS cnt FROM (
-             |          SELECT unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
-             |          FROM documents) WHERE tok <> '' GROUP BY tok))""".stripMargin
-        val stages = (1 to rounds).map { r =>
-          s"""p$r AS (
-             |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-             |    SELECT cnt, unnest(${Sql.shingles("syms", 2)}) AS pr
-             |    FROM (SELECT cnt, string_split(trim(sym), '  ') AS syms FROM w${r - 1}))
-             |  GROUP BY pr),
-             |win$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
-             |w$r AS (
-             |  SELECT cnt, replace(sym, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
-             |                      ' ' || replace(win$r.pr, ' ', '') || ' ') AS sym
-             |  FROM w${r - 1} CROSS JOIN win$r)""".stripMargin
-        }
-        val heads = (1 to rounds).map { r =>
+        val heads = (1 to BpeRounds).map { r =>
           s"""SELECT CAST($r AS INT) AS round, pr AS pair,
              |       replace(pr, ' ', '') AS merged, n FROM win$r""".stripMargin
         }
-        s"""WITH $w0,
-           |${stages.mkString(",\n")}
+        s"""WITH ${bpeCtes(BpeRounds)}
            |${heads.mkString("\nUNION ALL\n")}
            |ORDER BY round""".stripMargin
+      }
+    ),
+    QDef(
+      // the ENCODE half of BPE: the learned merges applied in order to
+      // every word, per-doc symbol counts before/after
+      // (TextAnalysis.bpeEncode scaladoc). The oracle re-derives the
+      // same merge table (shared CTEs) and applies the same nested
+      // delimiter-framed replaces.
+      "e62_bpe_encode",
+      (s, dir) => graft.ext.TextAnalysis.bpeEncode(docs(s, dir), rounds = 3)
+        .orderBy("doc_id"),
+      Some {
+        val sym0 = "regexp_replace(tok, '(.)', ' \\1 ', 'g')"
+        val applied = (1 to BpeRounds).foldLeft(sym0) { (acc, r) =>
+          s"""replace($acc, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
+             |        ' ' || replace(win$r.pr, ' ', '') || ' ')""".stripMargin
+        }
+        val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN win$r").mkString(" ")
+        s"""WITH ${bpeCtes(BpeRounds)},
+           |tk AS (SELECT doc_id, tok FROM (
+           |         SELECT doc_id, unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+           |         FROM documents) WHERE tok <> ''),
+           |enc AS (SELECT doc_id, tok, $applied AS sym FROM tk $crosses)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |       CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+           |       CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_bpe
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }
     ),
     QDef(
@@ -513,6 +549,52 @@ object PipelineQueries {
               |  FROM c CROSS JOIN t)
               |SELECT tok, cnt, rank, cum, (cum - cnt) * 100 < tot * 95 AS in_vocab
               |FROM r ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // CCNet end-to-end keep verdict: language gate × LM tercile gate
+      // × exact-dedup keeper, every signal exposed plus the composite
+      // keep (Pipeline.ccnetVerdict scaladoc). The oracle recomposes
+      // the e08/e38/e01 oracle fragments over the same doc set.
+      "e63_ccnet_verdict",
+      (s, dir) => Pipeline.ccnetVerdict(docs(s, dir)).orderBy("doc_id"),
+      Some {
+        val profiles = graft.ext.TextAnalysis.profiles
+        val scores = profiles.map { case (l, ts) =>
+          val cnt = ts.map { t =>
+            s"CAST((length(p) - length(replace(p, '$t', ''))) / ${t.length} AS BIGINT)"
+          }.mkString(" + ")
+          s"$cnt AS s_$l"
+        }.mkString(", ")
+        s"""WITH tkn AS (SELECT doc_id, unnest(${Sql.tokens("text")}) AS tok FROM documents),
+           |v AS (SELECT tok, COUNT(*) AS cnt FROM tkn GROUP BY tok),
+           |tt AS (SELECT SUM(cnt) AS tot FROM v),
+           |sc AS (
+           |  SELECT tkn.doc_id,
+           |         ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+           |               / (COUNT(*) * 1000000.0), 4) AS avg_logp
+           |  FROM tkn JOIN v USING (tok) CROSS JOIN tt GROUP BY tkn.doc_id),
+           |b AS (
+           |  SELECT doc_id, avg_logp,
+           |         CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+           |  FROM (SELECT *, ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS t FROM sc)),
+           |lp AS (SELECT doc_id, ' ' || ${Sql.normText("text")} || ' ' AS p FROM documents),
+           |ls AS (SELECT doc_id, $scores FROM lp),
+           |lg AS (
+           |  SELECT doc_id,
+           |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |              WHEN s_fr >= s_es THEN 'fr'
+           |              ELSE 'es' END AS pred_lang
+           |  FROM ls),
+           |k AS (
+           |  SELECT doc_id,
+           |         doc_id = MIN(doc_id) OVER (PARTITION BY md5(${Sql.normText("text")})) AS is_keeper
+           |  FROM documents)
+           |SELECT b.doc_id, pred_lang, avg_logp, ppl_bucket, is_keeper,
+           |       pred_lang = 'en' AND ppl_bucket <> 'tail' AND is_keeper AS keep
+           |FROM b JOIN lg USING (doc_id) JOIN k USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }
     ),
     QDef(
       // DSIR-style importance resampling toward the src0 target

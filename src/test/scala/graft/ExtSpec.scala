@@ -123,6 +123,34 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
 
+  test("marginMine pairs translations and never picks the hub vector") {
+    import spark.implicits._
+    // srcs are axis vectors; each has one clear "translation" target;
+    // tgt 12 is a HUB — decently similar to every src. Raw cosine
+    // might rank the hub high, but margin divides its own hot
+    // neighborhood away (the point of margin over cosine).
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f),
+      10L -> Array(0.95f, 0.05f, 0f, 0f),
+      11L -> Array(0.1f, 0.9f, 0.1f, 0f),
+      12L -> Array(0.6f, 0.6f, 0.6f, 0.2f),
+      13L -> Array(0f, 0f, 0.9f, 0.3f),
+      14L -> Array(0.2f, 0.1f, 0.05f, 0.9f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(emb, col("vec_id") < 10,
+        col("vec_id") >= 10, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out.view.mapValues(_._1).toMap === Map(0L -> 10L, 1L -> 11L, 2L -> 13L))
+    assert(out.values.forall(_._2 >= 1000000L), "accepted pairs have margin ≥ 1")
+    // determinism
+    val again = Similarity.marginMine(emb, col("vec_id") < 10,
+        col("vec_id") >= 10, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out === again)
+  }
+
   test("PngCodec decodes imageio-encoded pixels bit-exactly (rgb/rgba/gray)") {
     import java.awt.image.BufferedImage
     // adversarial content: random-ish pixels exercise all five row
@@ -396,6 +424,37 @@ class ExtSpec extends SparkSpec {
     val got = TextAnalysis.bpeMerges(tiny, rounds = 2).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
     assert(got.toSeq === Seq((1, "a a", 9L), (2, "aa aa", 3L)))
+  }
+
+  test("bpeEncode applies learned merges in order (hand-counted symbol counts)") {
+    import spark.implicits._
+    // merges learned on this corpus: we, lo, st (see bpeMerges test) →
+    // low = [lo w], lower = [lo we r], newest = [n e we st],
+    // widest = [w i d e st]
+    val tiny = Seq(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(tiny, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((5L, 19L, 12L)), "3·|low|+2·|lower| chars → 3·2+2·3 bpe")
+    assert(got(2L) === ((5L, 30L, 21L)), "4·|newest|+|widest| chars → 4·4+5 bpe")
+  }
+
+  test("ccnetVerdict: keep implies every gate; an injected dup fails the keeper gate") {
+    import spark.implicits._
+    val base = docs.limit(60).select("doc_id", "text")
+    val dup = base.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", col("doc_id") + 500000)
+    val out = graft.ext.Pipeline.ccnetVerdict(base.unionByName(dup)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.values.foreach { r =>
+      if (r.getBoolean(5))
+        assert(r.getString(1) == "en" && r.getString(3) != "tail" && r.getBoolean(4))
+    }
+    // the injected higher-id copy is never the keeper
+    val injected = out.keys.filter(_ >= 500000L)
+    assert(injected.nonEmpty && injected.forall(id => !out(id).getBoolean(4)))
   }
 
   test("vocabCoverage keeps the smallest prefix reaching the target mass") {
