@@ -293,6 +293,40 @@ object Dedup {
           " ").as("dedup_text"))
   }
 
+  /** Memorization-audit report — the READ-ONLY twin of
+    * [[substringDedup]]: the `topN` most-duplicated verbatim `k`-token
+    * spans corpus-wide, each with its total occurrence count, the
+    * number of DISTINCT documents it appears in, and its canonical
+    * first occurrence (min doc, then min pos — deterministic). This is
+    * the "what will the model memorize" audit a dedup run prints
+    * before deciding thresholds; substringDedup then cuts what this
+    * reports.
+    *
+    * Shape: one shuffle of the window stream on the window text (count
+    * + count-distinct + min-occurrence in a single aggregate), then
+    * one top-N rank over the REPEATED-window frame only (windows with
+    * n ≥ 2 — duplicate-density-sized, not corpus-sized). */
+  def memorizedSpans(docs: DataFrame, k: Int = 10, topN: Int = 20): DataFrame = {
+    require(k > 0 && topN > 0)
+    val sh = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("__toks"))
+      .select(col("doc_id"), posexplode(shingles("__toks", k)).as(Seq("pos", "seg")))
+    val agg = sh
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("n_occurrences") >= 2)
+    val w = Window.orderBy(col("n_occurrences").desc, col("seg").asc)
+    agg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("seg"), col("n_occurrences"), col("n_docs"),
+        col("__first.doc_id").as("first_doc"),
+        col("__first.pos").cast("long").as("first_pos"))
+  }
+
   /** 32-bit SimHash fingerprints: per-token 48-bit hash, one aggregate
     * with 32 ±1 vote columns (no per-bit explode — the vote matrix is
     * 32 scalar aggregations fused into one pass). */

@@ -129,6 +129,55 @@ object Similarity {
         col("label").as("pred_label"), col("votes"))
   }
 
+  /** Active-learning uncertainty sampling — "which unlabeled examples
+    * should a human label next": every `unlabeledPred` vector is
+    * kNN-classified by the labeled rest ([[knnClassify]]'s leak-free
+    * scan), and the LEAST-confident queries win — confidence = the
+    * vote MARGIN between the top two labels among the k neighbors
+    * (0 margin = an exact tie, maximal disagreement; k = unanimous).
+    * Returns the `m` most uncertain queries, margin ascending (tie →
+    * smaller vec_id), with their leading label and its votes — the
+    * standard margin-based active-learning acquisition rule.
+    *
+    * Plan: the same broadcast-query scan + votes aggregate as e55,
+    * then top-2 vote rows per query (bounded: queries×labels), a
+    * left join for the runner-up (absent = unanimous → margin k), and
+    * one rank window over the per-query margin frame. */
+  def uncertaintySample(emb: DataFrame, unlabeledPred: Column, k: Int = 10,
+      m: Int = 20): DataFrame = {
+    val e = emb.withColumn("nrm", l2_norm(col("embedding")))
+    val q = e.filter(unlabeledPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val corpus = e.filter(!coalesce(unlabeledPred, lit(false)))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")))
+    val nw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val votes = scored
+      .withColumn("rank", row_number().over(nw))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    val ranked = votes.withColumn("__vr", row_number().over(vw))
+    val top1 = ranked.filter(col("__vr") === 1)
+      .select(col("query_id"), col("label").as("top_label"),
+        col("votes").as("top_votes"))
+    val top2 = ranked.filter(col("__vr") === 2)
+      .select(col("query_id"), col("votes").as("__v2"))
+    val mw = Window.orderBy(col("margin").asc, col("query_id").asc)
+    top1.join(top2, Seq("query_id"), "left")
+      .withColumn("margin",
+        col("top_votes") - coalesce(col("__v2"), lit(0L)))
+      .withColumn("pick", row_number().over(mw).cast("long"))
+      .filter(col("pick") <= m)
+      .select(col("query_id").as("vec_id"), col("top_label"),
+        col("top_votes"), col("margin"), col("pick"))
+  }
+
   /** All near-duplicate vector pairs with cosine ≥ threshold (brute
     * pair scan — bounded corpora; LSH path below for scale). One fused
     * dot per pair; norms precomputed per vector. */
@@ -679,6 +728,73 @@ object Similarity {
         TextHash.hash48(col("vec_id").cast("string"), lit(salt)).as("hk"))
       .withColumn("keep", row_number().over(w) <= cap)
       .select(col("vec_id"), col("cluster"), col("keep"))
+  }
+
+  /** IVF recall sweep — the tuning report an ANN deployment reads
+    * before picking `nprobe`: for each candidate probe count, exact
+    * recall@k of [[annIvfTopK]] against the [[bruteTopK]] ground truth
+    * over the same query set. Emitted as integer hits/den plus
+    * `recall_q = ⌊hits·1e6/den⌋` (exact division — engine-identical).
+    * Recall is monotone in nprobe and reaches 1 at nprobe = nlist (a
+    * full probe IS the brute scan) — the spec pins both.
+    *
+    * Plan: ONE brute scan (the ground truth, bounded queries) +
+    * |nprobes| IVF runs sharing the cached centroids/assignment; every
+    * join is on (query, neighbor) pairs — queries×k-sized frames. */
+  def ivfRecallSweep(emb: DataFrame, queryPred: Column, k: Int = 5,
+      nprobes: Seq[Int] = Seq(1, 2, 4), nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(nprobes.nonEmpty)
+    val truth = bruteTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val den = truth.agg(count(lit(1)).as("den"))
+    nprobes.map { np =>
+      annIvfTopK(emb, queryPred, k, nlist, np, iters)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(den))
+      .withColumn("recall_q", expr("(hits * 1000000) div den"))
+      .select(col("nprobe"), col("hits"), col("den"), col("recall_q"))
+  }
+
+  /** Cluster cards — label every k-means cluster with its most
+    * salient terms (the BERTopic c-TF-IDF move): member documents'
+    * token counts aggregate at CLUSTER granularity, idf runs over
+    * clusters-containing-term (not documents), and each cluster keeps
+    * its top-`k` terms by the FLOOR(·1e6)-quantized score with
+    * term-ascending tie-break. The human-readable face of the
+    * embedding clustering — what a SemDeDup/clustering report prints
+    * next to each cluster id.
+    *
+    * Plan: the cached e13 assignment (map-side after training) joins
+    * the doc table on id, then e37's exact shape one level up: one
+    * (cluster, token) aggregate, a cluster-count-bounded df broadcast,
+    * a 1-row cluster-count broadcast, and a rank window partitioned by
+    * cluster — key spaces are clusters×vocabulary, never corpus-sized. */
+  def clusterCards(emb: DataFrame, docs: DataFrame, k: Int = 3,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val (_, indexed) = ivfIndexed(emb, nlist, iters)
+    val assign = indexed.select(col("vec_id").as("doc_id"), col("cluster"))
+    val tf = docs.join(assign, Seq("doc_id"))
+      .select(col("cluster"), explode_outer(TextHash.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ncl = tf.agg(count_distinct(col("cluster")).as("ncl"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score_q").desc, col("tok"))
+    tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(ncl))
+      .withColumn("score_q",
+        floor(col("tf") * (log(col("ncl").cast("double") + 1)
+          - log(col("df").cast("double") + 1)) * 1000000).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("rank"), col("tok"), col("score_q"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the

@@ -452,6 +452,87 @@ object TextAnalysis {
         col("in_vocab"))
   }
 
+  /** Windowed LM quality — local-quality detection inside documents
+    * (the paragraph-granular CCNet move, fixed-width form): the
+    * document's token stream splits into consecutive `width`-token
+    * windows, each window gets the corpus-unigram mean log-prob
+    * ([[unigramLogProb]]'s exact arithmetic at window granularity),
+    * and the document reports its window count plus its WORST and
+    * best window — a good document with one spam/garbage section
+    * (which a whole-doc mean averages away) surfaces through the
+    * worst-window score.
+    *
+    * Per-window means are ROUND(Σ⌊ln p·1e6⌋ / (n·1e6), 4) like e25 —
+    * integer sums, order-independent; the worst/best pick orders by
+    * (score, window idx), engine-stable. Plan: one posexplode pass,
+    * the e25 vocab broadcast, a (doc, window) aggregate, then a per-doc
+    * aggregate — window count per doc is length-bounded, nothing
+    * corpus-sized enters a window function. */
+  def windowPpl(docs: DataFrame, width: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col("doc_id"), posexplode_outer(tokens(col("text"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .filter(col("tok").isNotNull)
+      .withColumn("win", (col("p") / width).cast("long"))
+    val vocab = pairs.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    val winScores = pairs
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("win"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floor((log(col("cnt").cast("double")) - log(col("tot").cast("double"))) * 1000000)
+          .cast("long")).as("__s"))
+      .withColumn("win_logp",
+        round(col("__s").cast("double") / (col("n_tokens") * 1000000.0), 4))
+    val worst = Window.partitionBy(col("doc_id"))
+      .orderBy(col("win_logp").asc, col("win").asc)
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("win_logp").desc, col("win").asc)
+    winScores
+      .withColumn("__rw", row_number().over(worst))
+      .withColumn("__rb", row_number().over(best))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        max(when(col("__rw") === 1, col("win"))).as("worst_win"),
+        max(when(col("__rw") === 1, col("win_logp"))).as("worst_logp"),
+        max(when(col("__rb") === 1, col("win_logp"))).as("best_logp"))
+  }
+
+  /** N-gram novelty scoring — the memorization/boilerplate-risk signal:
+    * per document, how much of its distinct `n`-gram shingle set is
+    * NOVEL (appears in no other document) vs shared corpus-wide. High
+    * shared ratio = template/boilerplate-like or duplicated content
+    * (even when no single pair crosses a dedup threshold); high
+    * novelty = unique text. Emits the counts plus
+    * `novelty_q = ⌊(novel · 1e6) / n_shingles⌋` — integer division of
+    * exact counts, engine-identical.
+    *
+    * Shape: distinct (doc, shingle-hash) stream → one document-
+    * frequency aggregate on the hash (shingle-vocabulary-sized — the
+    * e44 argument: the distinct-shingle space, not the corpus pair
+    * space) → join back → one per-doc aggregate. Two shuffles of the
+    * shingle stream at any corpus size. */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles("toks", n))).as("sh"))
+      .select(col("doc_id"), hash48(col("sh"), "novelty").as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, 1)).as("n_shared"))
+      .withColumn("n_novel", col("n_shingles") - col("n_shared"))
+      .withColumn("novelty_q",
+        expr("(n_novel * 1000000) div n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("n_novel"), col("novelty_q"))
+  }
+
   /** Document fingerprinting: exact md5 of normalized text + a
     * winnowing-style signature (min 48-bit shingle hash — the rolling
     * hash's minimum, the standard winnow anchor). */

@@ -746,6 +746,40 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // memorization audit: the top-20 most-duplicated verbatim
+      // 10-token spans with occurrence/document counts and the
+      // canonical first occurrence (Dedup.memorizedSpans scaladoc) —
+      // the report substringDedup acts on.
+      "e68_memorized_spans",
+      (s, dir) =>
+        Dedup.memorizedSpans(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            k = 10, topN = 20)
+          .orderBy("rank"),
+      Some(s"""WITH t AS (SELECT doc_id, ${Sql.tokens("COALESCE(text, '')")} AS toks FROM documents),
+              |sh AS (
+              |  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+              |    SELECT doc_id, unnest(list_transform(
+              |      range(CASE WHEN len(toks) >= 10 THEN len(toks) - 9 ELSE 0 END),
+              |      i -> struct_pack(pos := i,
+              |        seg := array_to_string(toks[CAST(i+1 AS BIGINT):CAST(i+10 AS BIGINT)], ' ')))) AS u
+              |    FROM t)),
+              |cnt AS (
+              |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+              |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |  FROM sh GROUP BY seg),
+              |fst AS (
+              |  SELECT seg, doc_id AS first_doc, CAST(pos AS BIGINT) AS first_pos FROM (
+              |    SELECT seg, doc_id, pos,
+              |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+              |    FROM sh) WHERE rk = 1),
+              |rep AS (SELECT * FROM cnt JOIN fst USING (seg) WHERE n_occurrences >= 2)
+              |SELECT rank, seg, n_occurrences, n_docs, first_doc, first_pos FROM (
+              |  SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, seg) AS BIGINT) AS rank
+              |  FROM rep)
+              |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+    ),
+    QDef(
       // REAL PNG decode pinned bit-exact: every doc gets an actual PNG
       // (imageio-encoded deterministic gradient, Multimodal
       // .syntheticPng's closed-form pixel law), PngCodec decodes it —
@@ -1015,6 +1049,108 @@ object ExtQueries {
         cap = 20, salt = "cbs"))
     ),
     QDef(
+      // IVF recall sweep: exact recall@5 of the IVF scan vs the brute
+      // ground truth at nprobe ∈ {1,2,4} (Similarity.ivfRecallSweep
+      // scaladoc) — the ANN deployment's nprobe tuning table. Oracle =
+      // the shared k-means twin + one ranked probe CTE sliced per
+      // nprobe + the e06 brute twin.
+      "e69_ivf_recall",
+      (s, dir) =>
+        Similarity.ivfRecallSweep(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") < 10, k = 5, nprobes = Seq(1, 2, 4))
+          .orderBy("nprobe"),
+      Some {
+        val nps = Seq(1, 2, 4)
+        val perNp = nps.map { np =>
+          s"""cand$np AS (
+             |  SELECT DISTINCT p.query_id, i.vec_id FROM idx i
+             |  JOIN prb p ON i.cl = p.cl AND i.vec_id <> p.query_id AND p.rn <= $np),
+             |sc$np AS (
+             |  SELECT c.query_id, c.vec_id AS neighbor_id,
+             |         ROUND(${cosl("qe.v", "e.v")}, 6) AS sim
+             |  FROM cand$np c JOIN emb qe ON qe.vec_id = c.query_id
+             |                 JOIN emb e ON e.vec_id = c.vec_id),
+             |top$np AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS rank FROM sc$np)
+             |  WHERE rank <= 5),
+             |h$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+             |         FROM top$np t JOIN btop b USING (query_id, neighbor_id))""".stripMargin
+        }.mkString(",\n")
+        val union = nps.map(np =>
+          s"SELECT CAST($np AS INT) AS nprobe, hits FROM h$np").mkString("\nUNION ALL\n")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+           |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)),
+           |${kmeansIterSql("c0", "a1", "c1", 64)},
+           |${kmeansIterSql("c1", "a2", "c2", 64)},
+           |idx AS (SELECT vec_id, cl FROM (
+           |  SELECT e.vec_id, c.cl,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+           |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+           |prb AS (SELECT vec_id AS query_id, cl, rn FROM (
+           |  SELECT e.vec_id, c.cl,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY (${halfSql("c.c")} - ${dotl("e.v", "c.c")}) ASC, c.cl ASC) AS rn
+           |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= ${nps.max}),
+           |bsc AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |         ROUND(${cosl("q.v", "e.v")}, 6) AS sim
+           |  FROM emb q JOIN emb e ON e.vec_id <> q.vec_id WHERE q.vec_id < 10),
+           |btop AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS rank FROM bsc)
+           |  WHERE rank <= 5),
+           |den AS (SELECT CAST(COUNT(*) AS BIGINT) AS den FROM btop),
+           |$perNp
+           |SELECT nprobe, hits, den, (hits * 1000000) // den AS recall_q FROM (
+           |$union) CROSS JOIN den ORDER BY nprobe""".stripMargin
+      }
+    ),
+    QDef(
+      // cluster cards: every k-means cluster labeled with its top-3
+      // c-TF-IDF terms over member documents (Similarity.clusterCards
+      // scaladoc) — the e13 k-means twin + e37's tf-idf shape at
+      // cluster granularity.
+      "e65_cluster_cards",
+      (s, dir) =>
+        Similarity.clusterCards(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            graft.model.Tables.load(s, s"$dir/documents.parquet"), k = 3)
+          .orderBy("cluster", "rank"),
+      Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
+              |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)),
+              |${kmeansIterSql("c0", "a1", "c1", 64)},
+              |${kmeansIterSql("c1", "a2", "c2", 64)},
+              |idx AS (SELECT vec_id, cl FROM (
+              |  SELECT e.vec_id, c.cl,
+              |         row_number() OVER (PARTITION BY e.vec_id
+              |           ORDER BY (${dotl("e.v", "c.c")} - ${halfSql("c.c")}) DESC, c.cl DESC) AS rn
+              |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+              |tf AS (
+              |  SELECT cluster, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+              |    SELECT idx.cl AS cluster, unnest(${Sql.tokens("d.text")}) AS tok
+              |    FROM idx JOIN documents d ON d.doc_id = idx.vec_id)
+              |  WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2),
+              |dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+              |nc AS (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS ncl FROM tf),
+              |sc AS (
+              |  SELECT cluster, tok, tf,
+              |         CAST(FLOOR(tf * (ln(ncl + CAST(1 AS DOUBLE)) - ln(df + CAST(1 AS DOUBLE))) * 1000000) AS BIGINT) AS score_q
+              |  FROM tf JOIN dfx USING (tok) CROSS JOIN nc)
+              |SELECT cluster, rank, tok, score_q FROM (
+              |  SELECT cluster, tok, score_q,
+              |         CAST(row_number() OVER (PARTITION BY cluster
+              |           ORDER BY score_q DESC, tok) AS BIGINT) AS rank
+              |  FROM sc)
+              |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin)
+    ),
+    QDef(
       // the DURABLE IVF,SQ8 index (AnnIndex): codes land partitioned by
       // cluster (one directory per inverted list, int8 codes only),
       // then the query reads nprobe/nlist partitions BY PRUNING and
@@ -1108,6 +1244,43 @@ object ExtQueries {
               |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               |        ORDER BY votes DESC, nlabel) AS vr FROM v)
               |WHERE vr = 1 ORDER BY vec_id""".stripMargin)
+    ),
+    QDef(
+      // active-learning uncertainty sampling: the m most
+      // label-ambiguous unlabeled vectors by top-2 kNN vote margin
+      // (Similarity.uncertaintySample scaladoc) — e55's leak-free scan
+      // with the acquisition rule on top.
+      "e66_uncertainty",
+      (s, dir) =>
+        Similarity.uncertaintySample(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") % 20 === 1, k = 10, m = 20)
+          .orderBy("pick"),
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS query_id, e.vec_id AS nid, e.label AS nlabel,
+              |         ROUND(${cosSql("q.embedding", "e.embedding")}, 6) AS sim
+              |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              |  WHERE q.vec_id % 20 = 1 AND e.vec_id % 20 <> 1
+              |), nn AS (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, nid) AS rnk FROM scored
+              |), v AS (
+              |  SELECT query_id, nlabel, COUNT(*) AS votes
+              |  FROM nn WHERE rnk <= 10 GROUP BY 1, 2
+              |), r AS (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY votes DESC, nlabel) AS vr FROM v
+              |), t1 AS (SELECT query_id, nlabel AS top_label, votes AS top_votes
+              |          FROM r WHERE vr = 1),
+              |t2 AS (SELECT query_id, votes AS v2 FROM r WHERE vr = 2),
+              |mj AS (
+              |  SELECT t1.query_id, top_label, top_votes,
+              |         top_votes - COALESCE(v2, 0) AS margin
+              |  FROM t1 LEFT JOIN t2 USING (query_id))
+              |SELECT query_id AS vec_id, top_label, top_votes, margin, pick FROM (
+              |  SELECT *, CAST(row_number() OVER (ORDER BY margin, query_id) AS BIGINT) AS pick
+              |  FROM mj)
+              |WHERE pick <= 20 ORDER BY pick""".stripMargin)
     )
   )
 }

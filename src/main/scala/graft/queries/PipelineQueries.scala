@@ -454,6 +454,58 @@ object PipelineQueries {
               |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     QDef(
+      // windowed LM quality: worst/best 32-token window per doc under
+      // the corpus unigram LM — local-quality detection a whole-doc
+      // mean averages away (TextAnalysis.windowPpl scaladoc).
+      "e67_window_ppl",
+      (s, dir) =>
+        graft.ext.TextAnalysis.windowPpl(docs(s, dir), width = 32)
+          .orderBy("doc_id"),
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, u.pos // 32 AS win, u.tok AS tok FROM (
+              |    SELECT doc_id, unnest(list_transform(range(len(toks)),
+              |      i -> struct_pack(pos := i, tok := toks[CAST(i+1 AS BIGINT)]))) AS u
+              |    FROM (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents))),
+              |v AS (SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok),
+              |tt AS (SELECT SUM(cnt) AS tot FROM v),
+              |ws AS (
+              |  SELECT p.doc_id, win, COUNT(*) AS n_tokens,
+              |         ROUND(SUM(CAST(FLOOR((ln(CAST(cnt AS DOUBLE)) - ln(CAST(tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |               / (COUNT(*) * 1000000.0), 4) AS win_logp
+              |  FROM p JOIN v USING (tok) CROSS JOIN tt GROUP BY 1, 2),
+              |r AS (
+              |  SELECT *,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY win_logp ASC, win ASC) AS rw,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY win_logp DESC, win ASC) AS rb
+              |  FROM ws)
+              |SELECT doc_id, COUNT(*) AS n_windows,
+              |       CAST(MAX(CASE WHEN rw = 1 THEN win END) AS BIGINT) AS worst_win,
+              |       MAX(CASE WHEN rw = 1 THEN win_logp END) AS worst_logp,
+              |       MAX(CASE WHEN rb = 1 THEN win_logp END) AS best_logp
+              |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
+      // n-gram novelty scoring: per-doc novel-vs-shared distinct
+      // shingle counts + integer novelty ratio (TextAnalysis
+      // .noveltyScore scaladoc).
+      "e64_novelty",
+      (s, dir) =>
+        graft.ext.TextAnalysis.noveltyScore(docs(s, dir), n = 3)
+          .orderBy("doc_id"),
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT doc_id, unnest(${Sql.shingles("toks", 3)}) AS sh
+              |  FROM (SELECT doc_id, ${Sql.tokens("COALESCE(text, '')")} AS toks FROM documents)
+              |), hh AS (SELECT doc_id, ${Sql.hash48("sh", "'novelty'")} AS h FROM sh),
+              |df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM hh GROUP BY h)
+              |SELECT doc_id, n_shingles, n_shared,
+              |       n_shingles - n_shared AS n_novel,
+              |       ((n_shingles - n_shared) * 1000000) // n_shingles AS novelty_q
+              |FROM (SELECT doc_id, COUNT(*) AS n_shingles,
+              |             COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_shared
+              |      FROM hh JOIN df USING (h) GROUP BY doc_id)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
       // epoch-weighted dataset mixing: the UPSAMPLING complement of
       // e28 — one materialized training epoch hitting the same target
       // mixture by repeating docs (floor(r) copies + deterministic

@@ -123,6 +123,91 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
 
+  test("memorizedSpans reports duplicated windows with canonical first occurrence") {
+    import spark.implicits._
+    val tiny = Seq(
+      1L -> "a b c d e f",
+      2L -> "x a b c d y"
+    ).toDF("doc_id", "text")
+    val got = Dedup.memorizedSpans(tiny, k = 3, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // shared 3-grams: "a b c" and "b c d", both ×2; tie breaks seg asc
+    assert(got.toSeq === Seq(
+      (1L, "a b c", 2L, 2L, 1L, 0L),
+      (2L, "b c d", 2L, 2L, 1L, 1L)))
+  }
+
+  test("uncertaintySample picks the tied-vote query first, unanimous last") {
+    import spark.implicits._
+    // labeled corpus: two clean label clusters on the axes; query 10
+    // sits BETWEEN them (k=2 → one vote each → margin 0), query 11
+    // sits inside label 0 (both votes label 0 → margin 2)
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(0.1f, 0.9f), 1),
+      (10L, Array(0.6f, 0.55f), -1),
+      (11L, Array(1f, 0.05f), -1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.uncertaintySample(emb, col("vec_id") >= 10L, k = 2, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 2)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(10L)._4 === 0L && byId(10L)._5 === 1L, "tied query is most uncertain")
+    assert(byId(11L)._2 === 0 && byId(11L)._4 === 2L && byId(11L)._5 === 2L,
+      "unanimous label-0 query has margin k")
+  }
+
+  test("windowPpl surfaces the rare-token window a whole-doc mean hides") {
+    import spark.implicits._
+    // doc 1: 32 common tokens then 32 corpus-unique tokens — window 1
+    // must be the worst; doc 2 is all common (1 window, worst = best)
+    val common = (1 to 32).map(_ => "the").mkString(" ")
+    val rare = (1 to 32).map(i => s"zq$i").mkString(" ")
+    val tiny = Seq(1L -> s"$common $rare", 2L -> common).toDF("doc_id", "text")
+    val got = TextAnalysis.windowPpl(tiny, width = 32).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 2L && got(1L).getLong(2) === 1L,
+      "two windows, worst is the rare one")
+    assert(got(1L).getDouble(3) < got(1L).getDouble(4), "worst < best")
+    assert(got(2L).getLong(1) === 1L &&
+      got(2L).getDouble(3) === got(2L).getDouble(4))
+  }
+
+  test("ivfRecallSweep is monotone in nprobe and exact at full probe") {
+    val emb = graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
+    val out = Similarity.ivfRecallSweep(emb, col("vec_id") < 10, k = 5,
+        nprobes = Seq(1, 2, 4, 16))
+      .orderBy("nprobe").collect()
+    assert(out.length === 4)
+    val hits = out.map(_.getLong(1))
+    assert(hits.sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      "recall is monotone in nprobe")
+    val den = out.head.getLong(2)
+    assert(hits.last === den, "nprobe = nlist probes every list → recall 1")
+    assert(out.last.getLong(3) === 1000000L)
+  }
+
+  test("clusterCards labels every populated cluster with ranked distinct terms") {
+    val emb = graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
+    val d = graft.model.Tables.load(spark, s"$sf0001/documents.parquet")
+    val cards = Similarity.clusterCards(emb, d, k = 3).collect()
+    assert(cards.nonEmpty)
+    val byCluster = cards.groupBy(_.getInt(0))
+    assert(byCluster.size <= 16, "at most nlist clusters")
+    byCluster.values.foreach { rows =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.toSeq === (1L to ranks.length).toSeq, "dense ranks from 1")
+      assert(rows.map(_.getString(2)).distinct.length === rows.length,
+        "terms distinct within a cluster")
+    }
+    // deterministic across re-runs (cached centroids + quantized scores)
+    val again = Similarity.clusterCards(emb, d, k = 3).collect()
+    assert(cards.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("marginMine pairs translations and never picks the hub vector") {
     import spark.implicits._
     // srcs are axis vectors; each has one clear "translation" target;
@@ -469,6 +554,24 @@ class ExtSpec extends SparkSpec {
     val ranks = TextAnalysis.vocabCoverage(tiny, 80).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(ranks === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
+  test("noveltyScore counts shared vs novel shingles (hand-built overlap)") {
+    import spark.implicits._
+    val tiny = Seq(
+      1L -> "alpha beta gamma delta", // shares "alpha beta gamma" with 2
+      2L -> "alpha beta gamma zeta",
+      3L -> "one two three four" // fully novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) === ((2L, 1L, 1L, 500000L)))
+    assert(got(2L) === ((2L, 1L, 1L, 500000L)))
+    assert(got(3L) === ((2L, 0L, 2L, 1000000L)))
+    // a doc with fewer than n tokens has no shingles and is absent
+    val short = TextAnalysis.noveltyScore(Seq(9L -> "too short").toDF("doc_id", "text"))
+    assert(short.count() === 0)
   }
 
   test("corpusReport: dup injection moves dups, not uniq; quality mean bounded") {
