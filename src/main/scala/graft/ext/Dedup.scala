@@ -528,6 +528,41 @@ object Dedup {
       .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
   }
 
+  /** The full dedup STACK as one per-doc verdict — the e63 move for
+    * deduplication: a document is kept iff it is the keeper at EVERY
+    * granularity a production pass runs —
+    *   - URL level (pre-text, [[Pipeline.canonicalizeUrl]] — min id
+    *     per canonical URL),
+    *   - exact text ([[exact dedup]]'s min id per normalized md5),
+    *   - near-dup cluster ([[canonicalKeep]] — the best-quality member
+    *     of its MinHash/CC group).
+    * Every signal is exposed next to the composite `kept`, so the
+    * query doubles as the dedup pipeline's audit view.
+    *
+    * Plan: two map-side keeper windows (partitions bounded by the dup
+    * factor) + the shared e14 LSH/CC pass, joined on doc_id — the
+    * stack costs its parts, no new exchange shape. */
+  def dedupStack(docs: DataFrame, urlCol: Column, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val uw = Window.partitionBy(col("__canon"))
+    val urlK = docs
+      .withColumn("__canon", Pipeline.canonicalizeUrl(urlCol))
+      .withColumn("url_keeper", col("doc_id") === min(col("doc_id")).over(uw))
+      .select(col("doc_id"), col("url_keeper"))
+    val fw = Window.partitionBy(col("__fp"))
+    val exactK = docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("__fp"))
+      .withColumn("exact_keeper", col("doc_id") === min(col("doc_id")).over(fw))
+      .select(col("doc_id"), col("exact_keeper"))
+    val nearK = canonicalKeep(docs, k, bands, threshold)
+      .select(col("doc_id"), col("group_id"), col("keep").as("near_keeper"))
+    urlK
+      .join(exactK, Seq("doc_id"))
+      .join(nearK, Seq("doc_id"))
+      .withColumn("kept",
+        col("url_keeper") && col("exact_keeper") && col("near_keeper"))
+  }
+
   /** Leakage-safe train/val/test split: assignment is by NEAR-DUP
     * GROUP, not by document — near-duplicates of a training document
     * can never land in val/test (the contamination path a per-doc

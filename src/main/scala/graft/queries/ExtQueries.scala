@@ -746,6 +746,59 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // the full dedup stack as one verdict: URL keeper × exact-text
+      // keeper × near-dup canonical (Dedup.dedupStack scaladoc). The
+      // URL fixture is e36's synthesized messy URL; its canonical form
+      // is closed-form (the canonicalization law is pinned by e36), so
+      // the oracle constructs it analytically and recomposes the
+      // e01/e39 fragments for the other two gates.
+      "e70_dedup_stack",
+      (s, dir) => {
+        val url = format_string(
+          "HTTPS://WWW.%s.Example.COM:443/p/%d/?utm_source=s%d&id=%d",
+          col("source"), pmod(col("doc_id"), lit(25)),
+          pmod(col("doc_id"), lit(3)), pmod(col("doc_id"), lit(100)))
+        Dedup.dedupStack(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")
+              .withColumn("url", url),
+            col("url"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = langScore(TextAnalysis.profiles.flatMap(_._2))
+        s"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (SELECT i, j FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+           |          WHERE m * 1.0 / (si.n + sj.n - m) >= 0.8),
+           |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+           |grp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+           |q AS (
+           |  SELECT doc_id, ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 4) AS quality
+           |  FROM (
+           |    SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens, $stop AS stop_hits
+           |    FROM (SELECT doc_id, text, ' ' || $norm || ' ' AS p FROM documents))),
+           |nk AS (
+           |  SELECT doc_id, group_id,
+           |         row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id) = 1 AS near_keeper
+           |  FROM (
+           |    SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, q.quality
+           |    FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id JOIN q ON q.doc_id = d.doc_id)),
+           |uk AS (
+           |  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY canon) AS url_keeper FROM (
+           |    SELECT doc_id, printf('https://%s.example.com/p/%d?id=%d',
+           |                          source, doc_id % 25, doc_id % 100) AS canon
+           |    FROM documents)),
+           |ek AS (
+           |  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5($norm)) AS exact_keeper
+           |  FROM documents)
+           |SELECT doc_id, url_keeper, exact_keeper, group_id, near_keeper,
+           |       url_keeper AND exact_keeper AND near_keeper AS kept
+           |FROM uk JOIN ek USING (doc_id) JOIN nk USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }
+    ),
+    QDef(
       // memorization audit: the top-20 most-duplicated verbatim
       // 10-token spans with occurrence/document counts and the
       // canonical first occurrence (Dedup.memorizedSpans scaladoc) —

@@ -556,6 +556,33 @@ class ExtSpec extends SparkSpec {
     assert(ranks === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
   }
 
+  test("dedupStack: kept implies every gate; an injected copy loses all three") {
+    import spark.implicits._
+    val base = docs.limit(40).select("doc_id", "text", "source")
+    // a verbatim copy with a higher id: same URL bucket inputs mod 25/
+    // 100 (id + 100·25·100 keeps both residues), same text
+    val dup = base.orderBy("doc_id").limit(2)
+      .withColumn("doc_id", col("doc_id") + 250000L)
+    val all = base.unionByName(dup)
+    val url = format_string("HTTPS://WWW.%s.Example.COM:443/p/%d/?utm_source=s%d&id=%d",
+      col("source"), pmod(col("doc_id"), lit(25)),
+      pmod(col("doc_id"), lit(3)), pmod(col("doc_id"), lit(100)))
+    val out = Dedup.dedupStack(all.withColumn("url", url), col("url"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out.values.foreach { r =>
+      if (r.getBoolean(5))
+        assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(4))
+    }
+    val injected = out.keys.filter(_ >= 250000L)
+    assert(injected.nonEmpty)
+    injected.foreach { id =>
+      assert(!out(id).getBoolean(1), s"$id shares its URL bucket")
+      assert(!out(id).getBoolean(2), s"$id is an exact copy")
+      assert(!out(id).getBoolean(4), s"$id is in its original's near-dup group")
+      assert(!out(id).getBoolean(5))
+    }
+  }
+
   test("noveltyScore counts shared vs novel shingles (hand-built overlap)") {
     import spark.implicits._
     val tiny = Seq(

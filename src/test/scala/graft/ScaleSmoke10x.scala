@@ -115,6 +115,35 @@ object ScaleSmoke10x {
     runCount("clusterBalancedSample 10x vecs",
       graft.ext.Similarity.clusterBalancedSample(e10, cap = 20))
 
+    // e56-e69 shapes (round-9 additions) over the ×10 docs/vecs
+    runCount("bpeMerges 3 rounds 10x docs",
+      graft.ext.TextAnalysis.bpeMerges(d10, rounds = 3))
+    runCount("bpeEncode 10x docs",
+      graft.ext.TextAnalysis.bpeEncode(d10, rounds = 3))
+    runCount("vocabCoverage 10x docs",
+      graft.ext.TextAnalysis.vocabCoverage(d10))
+    runCount("dsirSample 10x docs",
+      graft.ext.Pipeline.dsirSample(d10, col("source") === "src0"))
+    runCount("noveltyScore 10x docs",
+      graft.ext.TextAnalysis.noveltyScore(d10))
+    runCount("windowPpl 10x docs",
+      graft.ext.TextAnalysis.windowPpl(d10))
+    runCount("memorizedSpans 10x docs",
+      graft.ext.Dedup.memorizedSpans(d10))
+    runCount("ccnetVerdict 10x docs",
+      graft.ext.Pipeline.ccnetVerdict(d10))
+    runCount("imageHash 10x docs (encode+decode)",
+      graft.ext.Multimodal.imageFeatures(
+        graft.ext.Multimodal.ingestPng(d10)).toDF())
+    runCount("marginMine 10x vecs",
+      graft.ext.Similarity.marginMine(e10,
+        col("vec_id") % 2 === 0 && col("vec_id") < 40, col("vec_id") % 2 === 1))
+    runCount("clusterCards 10x (docs x vecs)",
+      // d10/e10 ids are shifted identically, so members stay aligned
+      graft.ext.Similarity.clusterCards(e10, d10))
+    runCount("uncertaintySample 10x vecs",
+      graft.ext.Similarity.uncertaintySample(e10, col("vec_id") % 20 === 1))
+
     // q81 shape: RMW post-images over the ×10 events stream
     val ev = graft.model.Fixtures.events(spark, dir)
     val ev10 = (0 until 10).map(i =>
