@@ -819,9 +819,12 @@ object Similarity {
     * Scale shape: the pair stream is broadcast(src-queries) × target
     * corpus — the e06 bounded-scope exact form; at corpus×corpus scale
     * the stream comes from the IVF/LSH candidate generators instead
-    * (margin is a post-scan formula, not a plan change). The candidate
-    * join back to the per-tgt k-sums is candidate-bounded (|src|·k
-    * rows). */
+    * (margin is a post-scan formula, not a plan change). The stream is
+    * derived ONCE and exchanged three times (src → tgt → src): the
+    * k-sums are conditional window aggregates riding the rank windows'
+    * own partitionings, not groupBy+join-back consumers that would
+    * each re-derive the scan (PlanShapeSpec pins the single
+    * nested-loop scan). */
   def marginMine(emb: DataFrame, srcPred: Column, tgtPred: Column,
       k: Int = 4, minMarginQ: Long = 1000000L): DataFrame = {
     val e = withNorm(emb)
@@ -833,20 +836,27 @@ object Similarity {
       .select(col("src_id"), col("vec_id").as("tgt_id"),
         cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm")).as("sim"))
       .withColumn("simq", round(col("sim") * 1000000).cast("long"))
+    // ONE derivation of the pair stream serves everything: ranks via
+    // two ordered windows, then both k-neighborhood sums as
+    // CONDITIONAL window aggregates over the already-ranked frame —
+    // no groupBy+join back (which would re-derive the scan per
+    // consumer). The ksum windows share their rank window's
+    // partitioning, so the stream is exchanged three times total
+    // (src → tgt → src), never re-scanned.
     val wS = Window.partitionBy(col("src_id"))
       .orderBy(col("sim").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id"))
       .orderBy(col("sim").desc, col("src_id"))
-    val ranked = scored
+    val cand = scored
       .withColumn("rs", row_number().over(wS))
       .withColumn("rt", row_number().over(wT))
-    val sumS = ranked.filter(col("rs") <= k).groupBy("src_id")
-      .agg(sum(col("simq")).as("ksum_src"))
-    val sumT = ranked.filter(col("rt") <= k).groupBy("tgt_id")
-      .agg(sum(col("simq")).as("ksum_tgt"))
-    val cand = ranked.filter(col("rs") <= k)
-      .join(broadcast(sumS), Seq("src_id"))
-      .join(sumT, Seq("tgt_id"))
+      .withColumn("ksum_tgt",
+        sum(when(col("rt") <= k, col("simq")))
+          .over(Window.partitionBy(col("tgt_id"))))
+      .withColumn("ksum_src",
+        sum(when(col("rs") <= k, col("simq")))
+          .over(Window.partitionBy(col("src_id"))))
+      .filter(col("rs") <= k)
       .withColumn("den", col("ksum_src") + col("ksum_tgt"))
       .filter(col("den") > 0)
       .withColumn("margin_q",

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Physical-plan pins for the round-9 operator family — the scale
+  * contracts the scaladocs claim, asserted against the actual executed
+  * plan strings (the same style as VisibilitySpec's exchange-parity and
+  * DedupIndexSpec's no-shuffle pins):
+  *   - map-side ops really are exchange-free,
+  *   - bounded side tables really broadcast (no sort-merge join ever
+  *     lands on a corpus-sized stream against a fixed-size table),
+  *   - the one intentionally-flat scan (marginMine's bounded query
+  *     broadcast) is the ONLY nested-loop join in its plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.model.Tables.load(spark, s"$sf0001/documents.parquet")
+  private lazy val emb =
+    graft.model.Tables.load(spark, s"$sf0001/embeddings.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(p: String, token: String): Int =
+    token.r.findAllIn(p).length
+
+  // Tables.load adds ONE deliberate REPARTITION_BY_NUM exchange (the
+  // documented scan-parallelism repair); map-side contracts therefore
+  // pin the OP-induced exchanges — ENSURE_REQUIREMENTS — at zero.
+  test("imageFeatures is exchange-free (pure map chain, decode included)") {
+    val p = plan(Multimodal.imageFeatures(Multimodal.ingestPng(docs)).toDF())
+    assert(count(p, "ENSURE_REQUIREMENTS") === 0, s"unexpected shuffle:\n$p")
+  }
+
+  test("gopher/repetition/token analyses are exchange-free") {
+    for (df <- Seq(TextAnalysis.gopherRules(docs),
+        TextAnalysis.repetitionSignals(docs), TextAnalysis.tokenStats(docs))) {
+      val p = plan(df)
+      assert(count(p, "ENSURE_REQUIREMENTS") === 0, s"unexpected shuffle:\n$p")
+    }
+  }
+
+  test("dsirSample joins the token stream only against broadcasts") {
+    val p = plan(Pipeline.dsirSample(docs, col("source") === "src0"))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"bucket tables must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0,
+      s"no corpus-stream sort-merge join:\n$p")
+  }
+
+  test("bpeMerges keeps per-round winners as broadcasts") {
+    val p = plan(TextAnalysis.bpeMerges(docs, rounds = 2))
+    assert(count(p, "BroadcastExchange") >= 1, s"winners must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"no sort-merge join:\n$p")
+  }
+
+  test("marginMine's flat scan is its only nested-loop join, derived once") {
+    val p = plan(Similarity.marginMine(emb,
+      col("vec_id") % 2 === 0 && col("vec_id") < 40, col("vec_id") % 2 === 1))
+    assert(count(p, "BroadcastNestedLoopJoin") === 1,
+      s"exactly the bounded query×corpus scan:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+    assert(count(p, "SortMergeJoin") === 0,
+      s"k-sums ride the rank windows, never a join back:\n$p")
+  }
+
+  test("clusterCards broadcasts df/cluster-count tables; no cartesian on the token stream") {
+    val p = plan(Similarity.clusterCards(emb, docs))
+    assert(count(p, "BroadcastHashJoin") >= 1, s"df table must broadcast:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"no sort-merge join:\n$p")
+  }
+
+  test("windowPpl and noveltyScore never nested-loop or cartesian join") {
+    for (df <- Seq(TextAnalysis.windowPpl(docs),
+        TextAnalysis.noveltyScore(docs))) {
+      val p = plan(df)
+      assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+        s"only the 1-row total may nest:\n$p")
+    }
+  }
+}
