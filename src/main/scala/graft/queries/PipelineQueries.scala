@@ -57,6 +57,28 @@ object PipelineQueries {
     (w0 +: stages).mkString(",\n")
   }
 
+  /** Shared e62/e71 oracle: re-derive the merge table (same CTEs) and
+    * apply the same nested delimiter-framed replaces to every word —
+    * the store-backed encode (e71) is byte-identical to the in-session
+    * encode (e62) on the training corpus, so both pin against this. */
+  private lazy val BpeEncodeOracle: String = {
+    val sym0 = "regexp_replace(tok, '(.)', ' \\1 ', 'g')"
+    val applied = (1 to BpeRounds).foldLeft(sym0) { (acc, r) =>
+      s"""replace($acc, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
+         |        ' ' || replace(win$r.pr, ' ', '') || ' ')""".stripMargin
+    }
+    val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN win$r").mkString(" ")
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |tk AS (SELECT doc_id, tok FROM (
+       |         SELECT doc_id, unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
+       |         FROM documents) WHERE tok <> ''),
+       |enc AS (SELECT doc_id, tok, $applied AS sym FROM tk $crosses)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_bpe
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "e17_train_split",
@@ -561,23 +583,22 @@ object PipelineQueries {
       "e62_bpe_encode",
       (s, dir) => graft.ext.TextAnalysis.bpeEncode(docs(s, dir), rounds = 3)
         .orderBy("doc_id"),
-      Some {
-        val sym0 = "regexp_replace(tok, '(.)', ' \\1 ', 'g')"
-        val applied = (1 to BpeRounds).foldLeft(sym0) { (acc, r) =>
-          s"""replace($acc, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
-             |        ' ' || replace(win$r.pr, ' ', '') || ' ')""".stripMargin
-        }
-        val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN win$r").mkString(" ")
-        s"""WITH ${bpeCtes(BpeRounds)},
-           |tk AS (SELECT doc_id, tok FROM (
-           |         SELECT doc_id, unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok
-           |         FROM documents) WHERE tok <> ''),
-           |enc AS (SELECT doc_id, tok, $applied AS sym FROM tk $crosses)
-           |SELECT doc_id, COUNT(*) AS n_tokens,
-           |       CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
-           |       CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_bpe
-           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }
+      Some(BpeEncodeOracle)
+    ),
+    QDef(
+      // the PERSISTED tokenizer artifact (TokenizerStore scaladoc):
+      // merges + vocab land as parquet tables, then the corpus is
+      // encoded FROM THE STORE — learned pairs as plan literals, pure
+      // map-side. Output is byte-identical to e62 on the training
+      // corpus, so the oracle is e62's.
+      "e71_bpe_store",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val store = graft.Queries.scratchDir("bpe_store_q")
+        graft.ext.TokenizerStore.build(d, store, rounds = 3)
+        graft.ext.TokenizerStore.encode(s, store, d).orderBy("doc_id")
+      },
+      Some(BpeEncodeOracle)
     ),
     QDef(
       // tokenizer vocabulary with a 95% coverage cutoff: frequency

@@ -542,6 +542,37 @@ class ExtSpec extends SparkSpec {
     assert(injected.nonEmpty && injected.forall(id => !out(id).getBoolean(4)))
   }
 
+  test("TokenizerStore: stored-artifact encode equals in-session encode; applies to new batches") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest"
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_store").toString
+    graft.ext.TokenizerStore.build(corpus, dir, rounds = 3)
+    // merges round-trip in learned order
+    val stored = graft.ext.TokenizerStore.merges(spark, dir).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(stored.toSeq === Seq((1, "w e"), (2, "l o"), (3, "s t")))
+    // store-backed encode ≡ in-session encode on the training corpus
+    val fromStore = graft.ext.TokenizerStore.encode(spark, dir, corpus)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val inSession = TextAnalysis.bpeEncode(corpus, rounds = 3)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(fromStore === inSession)
+    // a NEW batch encodes with the TRAINED rules (lowest = lo w e s t
+    // under merges we/lo/st → [lo, we, st] = 3 symbols, 6 chars)
+    val batch = Seq(9L -> "lowest").toDF("doc_id", "text")
+    val enc = graft.ext.TokenizerStore.encode(spark, dir, batch).collect()
+    assert(enc.length === 1 &&
+      enc(0).getLong(1) === 1L && enc(0).getLong(2) === 6L &&
+      enc(0).getLong(3) === 3L)
+    // vocab table landed with membership flags
+    val v = graft.ext.TokenizerStore.vocab(spark, dir)
+    assert(v.columns.toSeq ===
+      Seq("tok", "cnt", "rank", "cum", "in_vocab") && v.count() > 0)
+  }
+
   test("vocabCoverage keeps the smallest prefix reaching the target mass") {
     import spark.implicits._
     // counts: a×5 b×3 c×1 d×1 (tot 10). pct=80: {a,b} covers 8 ≥ 8 →

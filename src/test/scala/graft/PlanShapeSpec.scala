@@ -58,6 +58,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") === 0, s"no sort-merge join:\n$p")
   }
 
+  test("TokenizerStore.encode is join-free (learned pairs are plan literals)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_plan").toString
+    TokenizerStore.build(docs, dir, rounds = 2)
+    val p = plan(TokenizerStore.encode(spark, dir, docs))
+    assert(count(p, "Join") === 0, s"no joins in the store-backed encode:\n$p")
+    assert(count(p, "BroadcastExchange") === 0, s"no broadcasts either:\n$p")
+  }
+
   test("marginMine's flat scan is its only nested-loop join, derived once") {
     val p = plan(Similarity.marginMine(emb,
       col("vec_id") % 2 === 0 && col("vec_id") < 40, col("vec_id") % 2 === 1))
