@@ -528,6 +528,19 @@ object Dedup {
       .select(col("doc_id"), col("group_id"), col("quality"), col("keep"))
   }
 
+  /** The min-id keeper LAW in one place (e01's rule, shared by every
+    * composed verdict — [[dedupStack]]'s URL and exact gates and
+    * [[Pipeline.ccnetVerdict]]'s dedup gate): flag each row as keeper
+    * iff its id is the minimum within its `key` partition. Partition
+    * sizes are bounded by the dup factor. */
+  private[ext] def keeperFlag(docs: DataFrame, key: Column, flag: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("__kk"))
+    docs.withColumn("__kk", key)
+      .withColumn(flag, col(idCol) === min(col(idCol)).over(w))
+      .drop("__kk")
+  }
+
   /** The full dedup STACK as one per-doc verdict — the e63 move for
     * deduplication: a document is kept iff it is the keeper at EVERY
     * granularity a production pass runs —
@@ -544,15 +557,9 @@ object Dedup {
     * stack costs its parts, no new exchange shape. */
   def dedupStack(docs: DataFrame, urlCol: Column, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val uw = Window.partitionBy(col("__canon"))
-    val urlK = docs
-      .withColumn("__canon", Pipeline.canonicalizeUrl(urlCol))
-      .withColumn("url_keeper", col("doc_id") === min(col("doc_id")).over(uw))
+    val urlK = keeperFlag(docs, Pipeline.canonicalizeUrl(urlCol), "url_keeper")
       .select(col("doc_id"), col("url_keeper"))
-    val fw = Window.partitionBy(col("__fp"))
-    val exactK = docs
-      .select(col("doc_id"), md5(normText(col("text"))).as("__fp"))
-      .withColumn("exact_keeper", col("doc_id") === min(col("doc_id")).over(fw))
+    val exactK = keeperFlag(docs, md5(normText(col("text"))), "exact_keeper")
       .select(col("doc_id"), col("exact_keeper"))
     val nearK = canonicalKeep(docs, k, bands, threshold)
       .select(col("doc_id"), col("group_id"), col("keep").as("near_keeper"))

@@ -373,7 +373,12 @@ object Multimodal {
             val bits = new StringBuilder(64)
             var c = 0
             while (c < 64) {
-              bits.append(if (sums(c) * n > total * npix(c)) '1' else '0')
+              // BigInt products: total·npix can exceed Long for images
+              // that pass the raster guard (e.g. 16k×16k gray) — a
+              // wrapped product would silently invert hash bits
+              bits.append(
+                if (BigInt(sums(c)) * n > BigInt(total) * npix(c)) '1'
+                else '0')
               c += 1
             }
             ImageFeatures(docId, p.width, p.height, p.channels, total,
@@ -397,7 +402,11 @@ object Multimodal {
     require(maxHamming < bands, "banding is only lossless below the band count")
     require(64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
+    // persist: the banded SELF-join would otherwise run the full
+    // decode+feature extraction once per join side (LRU-evicted; the
+    // frame is (id, 64-char hash) — tiny)
     val f = imageFeatures(media).select(col("doc_id"), col("ahash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = f.select(col("doc_id"), col("ahash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice", expr(s"substring(ahash, band * $bw + 1, $bw)"))

@@ -421,6 +421,33 @@ object Pipeline {
         col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** CCNet-style end-to-end keep verdict — the whole pipeline a CC
+    * snapshot actually runs, composed from the declared single-signal
+    * operators: language gate ([[TextAnalysis.langId]] must predict
+    * `lang`), LM quality gate ([[TextAnalysis.pplBuckets]] tercile
+    * must not be `tail`), and exact-dedup gate (only the min-id doc
+    * per normalized-md5 fingerprint survives, e01's keeper rule).
+    * Emits every per-doc signal plus the composite `keep`, so the
+    * query doubles as the pipeline's audit view. Docs with no tokens
+    * have no LM score and are absent (the oracle agrees).
+    *
+    * Plan: two map-side signal projections + the e25 vocab broadcast +
+    * one md5 keeper window (partitioned by fingerprint — bounded by
+    * the dup factor) joined on doc_id; the only global exchange is
+    * e38's already-aggregated tercile frame. */
+  def ccnetVerdict(docs: DataFrame, lang: String = "en"): DataFrame = {
+    val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+    val ppl = TextAnalysis.pplBuckets(docs)
+      .select(col("doc_id"), col("avg_logp"), col("ppl_bucket"))
+    val keeper = Dedup.keeperFlag(docs,
+        md5(TextHash.normText(col("text"))), "is_keeper")
+      .select(col("doc_id"), col("is_keeper"))
+    lid.join(ppl, Seq("doc_id")).join(keeper, Seq("doc_id"))
+      .withColumn("keep",
+        col("pred_lang") === lang && col("ppl_bucket") =!= "tail" &&
+          col("is_keeper"))
+  }
+
   /** DSIR-style data selection with importance resampling (Xie et al.
     * 2023): score every candidate document by how target-like its
     * hashed-feature profile is — the per-token log-likelihood ratio
@@ -440,35 +467,6 @@ object Pipeline {
     * reaches the sort); at corpus sizes where even that frame is hot,
     * the e24-style bucketed pre-prune or a sampled score threshold
     * (the e38 thresholds path) swaps in for the window. */
-  /** CCNet-style end-to-end keep verdict — the whole pipeline a CC
-    * snapshot actually runs, composed from the declared single-signal
-    * operators: language gate ([[TextAnalysis.langId]] must predict
-    * `lang`), LM quality gate ([[TextAnalysis.pplBuckets]] tercile
-    * must not be `tail`), and exact-dedup gate (only the min-id doc
-    * per normalized-md5 fingerprint survives, e01's keeper rule).
-    * Emits every per-doc signal plus the composite `keep`, so the
-    * query doubles as the pipeline's audit view. Docs with no tokens
-    * have no LM score and are absent (the oracle agrees).
-    *
-    * Plan: two map-side signal projections + the e25 vocab broadcast +
-    * one md5 keeper window (partitioned by fingerprint — bounded by
-    * the dup factor) joined on doc_id; the only global exchange is
-    * e38's already-aggregated tercile frame. */
-  def ccnetVerdict(docs: DataFrame, lang: String = "en"): DataFrame = {
-    val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
-    val ppl = TextAnalysis.pplBuckets(docs)
-      .select(col("doc_id"), col("avg_logp"), col("ppl_bucket"))
-    val w = Window.partitionBy(col("__fp"))
-    val keeper = docs
-      .select(col("doc_id"), md5(TextHash.normText(col("text"))).as("__fp"))
-      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
-      .select(col("doc_id"), col("is_keeper"))
-    lid.join(ppl, Seq("doc_id")).join(keeper, Seq("doc_id"))
-      .withColumn("keep",
-        col("pred_lang") === lang && col("ppl_bucket") =!= "tail" &&
-          col("is_keeper"))
-  }
-
   def dsirSample(docs: DataFrame, targetPred: Column, buckets: Int = 256,
       k: Int = 100, idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2 && k >= 1)
@@ -495,6 +493,9 @@ object Pipeline {
       .withColumn("cr", coalesce(col("cr"), lit(0L)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(term).as("logw_q"))
+      // an EMPTY target (misconfigured pred) makes every score NULL —
+      // return no sample rather than k arbitrary ids with NULL scores
+      .filter(col("logw_q").isNotNull)
     val w = Window.orderBy(col("logw_q").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

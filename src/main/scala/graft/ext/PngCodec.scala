@@ -51,7 +51,10 @@ object PngCodec {
     val bitDepth = u8(24)
     val colorType = u8(25)
     val interlace = u8(28)
-    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0)
+    // compression (26) and filter (27) methods have exactly one defined
+    // value each — anything else must degrade, not mis-decode
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0 ||
+      u8(26) != 0 || u8(27) != 0)
       return None
     val channels = colorType match {
       case 0 => 1 // grayscale
@@ -71,7 +74,9 @@ object PngCodec {
     var sawEnd = false
     while (!sawEnd && i + 8 <= png.length) {
       val len = beInt(i)
-      if (len < 0 || i + 8 + len + 4 > png.length) return None
+      // bound check in Long: a hostile length near Int.MaxValue would
+      // overflow the Int sum, slip past the guard, and throw downstream
+      if (len < 0 || i.toLong + 8L + len + 4L > png.length) return None
       val typ = new String(png, i + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(png, i + 8, len)

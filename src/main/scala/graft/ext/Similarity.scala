@@ -756,6 +756,9 @@ object Similarity {
         .select(lit(np).as("nprobe"), col("hits"))
     }.reduce(_ union _)
       .crossJoin(broadcast(den))
+      // empty query set → den 0: no tuning rows beats NULL recall (and
+      // the SQL twin's division error)
+      .filter(col("den") > 0)
       .withColumn("recall_q", expr("(hits * 1000000) div den"))
       .select(col("nprobe"), col("hits"), col("den"), col("recall_q"))
   }

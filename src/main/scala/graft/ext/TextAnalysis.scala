@@ -396,8 +396,11 @@ object TextAnalysis {
     * the end, nothing else shuffles. */
   def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val merges = bpeMerges(docs, rounds)
+    // per-round 1-row aggregates (max over ≤1 row): a round that ran
+    // dry yields NULL — its replace below is a guarded no-op — instead
+    // of an empty frame whose crossJoin would wipe out the corpus
     val wins = (1 to rounds).map(r =>
-        merges.filter(col("round") === r).select(col("pair").as(s"__p$r")))
+        merges.filter(col("round") === r).agg(max(col("pair")).as(s"__p$r")))
       .reduce(_ crossJoin _)
     val toks = docs
       .select(col("doc_id"),
@@ -407,11 +410,12 @@ object TextAnalysis {
     val applied = (1 to rounds).foldLeft(toks.crossJoin(broadcast(wins))) {
       (df, r) =>
         df.withColumn("sym",
-          replace(col("sym"),
-            concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("  ")),
-              lit(" ")),
-            concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("")),
-              lit(" "))))
+          when(col(s"__p$r").isNull, col("sym")).otherwise(
+            replace(col("sym"),
+              concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("  ")),
+                lit(" ")),
+              concat(lit(" "), replace(col(s"__p$r"), lit(" "), lit("")),
+                lit(" ")))))
     }
     applied
       .select(col("doc_id"), length(col("tok")).cast("long").as("__chars"),

@@ -63,11 +63,15 @@ object PipelineQueries {
     * encode (e62) on the training corpus, so both pin against this. */
   private lazy val BpeEncodeOracle: String = {
     val sym0 = "regexp_replace(tok, '(.)', ' \\1 ', 'g')"
+    // a dried-up round (empty win_r) is a guarded NO-OP, mirroring the
+    // Spark side's null-safe 1-row winner aggregates: LEFT JOIN keeps
+    // the word stream, CASE skips the absent round's replace
     val applied = (1 to BpeRounds).foldLeft(sym0) { (acc, r) =>
-      s"""replace($acc, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
-         |        ' ' || replace(win$r.pr, ' ', '') || ' ')""".stripMargin
+      s"""CASE WHEN win$r.pr IS NULL THEN $acc
+         |     ELSE replace($acc, ' ' || replace(win$r.pr, ' ', '  ') || ' ',
+         |                  ' ' || replace(win$r.pr, ' ', '') || ' ') END""".stripMargin
     }
-    val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN win$r").mkString(" ")
+    val crosses = (1 to BpeRounds).map(r => s"LEFT JOIN win$r ON TRUE").mkString(" ")
     s"""WITH ${bpeCtes(BpeRounds)},
        |tk AS (SELECT doc_id, tok FROM (
        |         SELECT doc_id, unnest(${Sql.tokens("COALESCE(text, '')")}) AS tok

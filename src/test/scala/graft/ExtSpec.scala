@@ -542,6 +542,33 @@ class ExtSpec extends SparkSpec {
     assert(injected.nonEmpty && injected.forall(id => !out(id).getBoolean(4)))
   }
 
+  test("bpe survives merge exhaustion: dried rounds no-op instead of emptying the corpus") {
+    import spark.implicits._
+    // "ab" everywhere: round 1 merges (a,b); rounds 2-3 have no pairs
+    val tiny = Seq(1L -> "ab ab ab").toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(tiny, rounds = 3).collect()
+    assert(merges.length === 1 && merges(0).getString(2) === "ab")
+    val enc = TextAnalysis.bpeEncode(tiny, rounds = 3).collect()
+    assert(enc.length === 1, "encode must not wipe the corpus")
+    assert(enc(0).getLong(1) === 3L && enc(0).getLong(2) === 6L &&
+      enc(0).getLong(3) === 3L, "three words of one merged symbol each")
+  }
+
+  test("PngCodec rejects a hostile chunk length without throwing") {
+    val good = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // overwrite the first post-IHDR chunk's length with ~Int.MaxValue:
+    // the Long-bounds guard must reject it (an Int sum would wrap)
+    val evil = good.clone()
+    evil(33) = 0x7f.toByte; evil(34) = 0xff.toByte
+    evil(35) = 0xff.toByte; evil(36) = 0xf0.toByte
+    assert(graft.ext.PngCodec.decode(evil) === None)
+  }
+
   test("TokenizerStore: stored-artifact encode equals in-session encode; applies to new batches") {
     import spark.implicits._
     val corpus = Seq(
