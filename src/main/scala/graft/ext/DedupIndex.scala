@@ -116,7 +116,10 @@ object DedupIndex {
     * consumer: batch post-step, or `dropDuplicatesWithinWatermark`
     * when arrivals carry event time. */
   /** The per-micro-batch body of [[ingestStream]], exposed so the
-    * replay contract is directly testable: (1) intra-batch dedup —
+    * replay contract is directly testable: (0) the optional quality
+    * `gate` (any batch composition — e.g. a left-semi join on the
+    * Gopher-rules keep verdict; rejected docs never touch the index
+    * or corpus), then (1) intra-batch dedup —
     * within-batch near-dup groups keep their lowest id — then (2) the
     * persisted-index check. Identity matches (the doc_id itself is
     * already indexed) reject the doc like any duplicate — corpus ids
@@ -131,9 +134,15 @@ object DedupIndex {
     * exactly-once. */
   def ingestBatch(batch: DataFrame, epoch: Long, table: String,
       idxPath: String, corpusPath: String, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, buckets: Int = 16): Unit = {
+      threshold: Double = 0.8, buckets: Int = 16,
+      gate: DataFrame => DataFrame = identity): Unit = {
     val spark = batch.sparkSession
-    val b = batch.localCheckpoint() // cut the source lineage: the
+    // quality gate FIRST (production order: the cheap verdict runs
+    // before any signing/joining, and a rejected doc never touches the
+    // index or the corpus) — `gate` sees the micro-batch as a plain
+    // DataFrame, so any batch composition works (e.g. filter on
+    // TextAnalysis.gopherRules' keep verdict)
+    val b = gate(batch).localCheckpoint() // cut the source lineage: the
     // batch is re-read below by 3 consumers (intra pairs, index
     // query, accepted write) — without it each re-plans the source
     val intraDup = Dedup.minHashNearDups(b, k, bands, threshold)
@@ -178,13 +187,14 @@ object DedupIndex {
     * perpetual one), as DedupIndexSpec does. */
   def ingestStream(docsStream: DataFrame, table: String, idxPath: String,
       corpusPath: String, checkpoint: String, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, buckets: Int = 16)
+      threshold: Double = 0.8, buckets: Int = 16,
+      gate: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         ingestBatch(batch, epoch, table, idxPath, corpusPath, k, bands,
-          threshold, buckets)
+          threshold, buckets, gate)
       }
 
   def streamQuery(spark: SparkSession, table: String, docsStream: DataFrame,

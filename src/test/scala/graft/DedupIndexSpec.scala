@@ -157,6 +157,35 @@ class DedupIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ingest_idx")
   }
 
+  test("ingestBatch quality gate rejects before dedup: gated docs never reach index or corpus") {
+    import spark.implicits._
+    def doc(id: Long): (Long, String) =
+      (id, (1 to 10).map(w => s"w${w}tok$id").mkString(" "))
+    val tmp = java.nio.file.Files.createTempDirectory("gated").toString
+    DedupIndex.build(Seq(doc(0)).toDF("doc_id", "text"),
+      "gated_idx", s"$tmp/idx", buckets = 4)
+    // the gate: the Gopher top-word repetition rule as a left-semi
+    // join (an arbitrary batch composition, not just a predicate)
+    val gate = (b: org.apache.spark.sql.DataFrame) => {
+      val keep = graft.ext.TextAnalysis.repetitionSignals(b)
+        .filter(col("top_word_n") * 5 <= col("n_tokens"))
+        .select("doc_id")
+      b.join(keep, Seq("doc_id"), "left_semi")
+    }
+    // 50: clean; 51: degenerate repetition (one token 10×) — gated out
+    val batch = Seq(doc(50), (51L, ("spam " * 10).trim)).toDF("doc_id", "text")
+    DedupIndex.ingestBatch(batch, 0L, "gated_idx", s"$tmp/idx",
+      s"$tmp/corpus", buckets = 4, gate = gate)
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus === Set(50L), s"only the clean doc lands: $corpus")
+    // the gated doc is absent from the INDEX too: a later identical
+    // arrival is not flagged as a duplicate of it
+    val probe = Seq((9000L, ("spam " * 10).trim)).toDF("doc_id", "text")
+    assert(DedupIndex.query(spark, "gated_idx", probe).count() === 0)
+    spark.sql("DROP TABLE IF EXISTS gated_idx")
+  }
+
   test("ingestBatch replay after a post-append crash keeps the epoch intact") {
     import spark.implicits._
     def doc(id: Long) = (id, (1 to 10).map(w => s"w${w}rep$id").mkString(" "))
