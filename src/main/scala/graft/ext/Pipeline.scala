@@ -291,6 +291,50 @@ object Pipeline {
         explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual α-sampling
+    * rule (mT5/XLM-R style): sampling weights w_i ∝ n_i^α with
+    * α ∈ (0, 1] flatten the natural source distribution (α = 1 keeps
+    * it, α → 0 approaches uniform), then ONE epoch of the original
+    * corpus SIZE is materialized at those weights — rare sources
+    * upsample (doc repetition), hot sources downsample — with e54's
+    * deterministic floor + hash-fractional copy rule.
+    *
+    * Determinism contract: n^α is computed as exp(α·ln n) — written
+    * identically in the oracle — then FLOOR(·1e9)-quantized to a long
+    * BEFORE the normalizing sum, because a sum of raw doubles is
+    * partition-order-dependent and one ulp at a hash-threshold
+    * boundary would flip a copy count between engines. The rate is
+    * then one fixed-order double expression over exact integers, and
+    * the fractional threshold uses e54's portable FLOOR form. Plan
+    * shape is e54's: one counts aggregate (sources-bounded,
+    * broadcast), a broadcast rate join, map-side explode(sequence) —
+    * zero shuffle of the corpus, output rows = epoch size. */
+  def temperatureMix(docs: DataFrame, alpha: Double,
+      domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature exponent in (0, 1]")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__na",
+        floor(exp(lit(alpha) * log(col("__n").cast("double"))) * 1e9)
+          .cast("long"))
+    val tots = counts.agg(sum(col("__n")).as("__nt"), sum(col("__na")).as("__wt"))
+    val rate = counts.crossJoin(broadcast(tots))
+      // r_i = N·w_i/n_i with w_i = na_i / Σ na_j, one fixed-order
+      // expression over exact integers
+      .withColumn("__r",
+        col("__nt").cast("double") * col("__na").cast("double")
+          / col("__wt").cast("double") / col("__n").cast("double"))
+      .select(col(domainCol), col("__r"))
+    docs.join(broadcast(rate), Seq(domainCol))
+      .withColumn("__copies",
+        floor(col("__r")).cast("long") +
+          when(hash48(col(idCol).cast("string"), "temp") <
+            floor((col("__r") - floor(col("__r"))) * lit((1L << 48).toDouble))
+              .cast("long"), 1L).otherwise(0L))
+      .filter(col("__copies") >= 1)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
+  }
+
   /** PII patterns: POSIX classes only, so the Java-regex (Spark) and
     * RE2 (DuckDB oracle) dialects agree byte-for-byte. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"

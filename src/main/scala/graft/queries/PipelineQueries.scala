@@ -561,6 +561,34 @@ object PipelineQueries {
       }
     ),
     QDef(
+      // temperature-scaled mixture sampling at α = 0.5 (the mT5-style
+      // flattening rule): one epoch at weights ∝ n^α — rare sources
+      // repeat, hot sources thin (Pipeline.temperatureMix scaladoc).
+      "e72_temperature_mix",
+      (s, dir) =>
+        Pipeline.temperatureMix(docs(s, dir), alpha = 0.5)
+          .orderBy("doc_id", "copy"),
+      Some(s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              |          FROM documents GROUP BY source),
+              |a AS (SELECT source, n,
+              |             CAST(FLOOR(exp(0.5 * ln(CAST(n AS DOUBLE))) * 1000000000.0) AS BIGINT) AS na
+              |      FROM c),
+              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(na) AS BIGINT) AS wt FROM a),
+              |r AS (SELECT source,
+              |             CAST(nt AS DOUBLE) * CAST(na AS DOUBLE)
+              |               / CAST(wt AS DOUBLE) / CAST(n AS DOUBLE) AS r
+              |      FROM a CROSS JOIN t),
+              |cp AS (
+              |  SELECT d.doc_id, d.source,
+              |         CAST(FLOOR(r.r) AS BIGINT) +
+              |           CASE WHEN ${h48doc("temp")} <
+              |                CAST(FLOOR((r.r - FLOOR(r.r)) * 281474976710656.0) AS BIGINT)
+              |                THEN 1 ELSE 0 END AS copies
+              |  FROM documents d JOIN r USING (source))
+              |SELECT doc_id, source, unnest(range(copies)) AS copy
+              |FROM cp WHERE copies >= 1 ORDER BY doc_id, copy""".stripMargin)
+    ),
+    QDef(
       // BPE tokenizer training — the first 3 merge rules (the
       // merges.txt artifact). The oracle replays the same rounds as
       // staged CTEs: pair counts over the word-frequency table, winner

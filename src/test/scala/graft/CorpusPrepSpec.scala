@@ -254,6 +254,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(idx === 0)
   }
 
+  test("temperatureMix flattens toward uniform; alpha=1 is the identity epoch") {
+    import spark.implicits._
+    // hot source: 90 docs; rare source: 10 docs
+    val d = ((1L to 90L).map(i => (i, "hot")) ++
+      (101L to 110L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    // alpha=1 keeps the natural distribution (rates = 1 up to the
+    // 1e-9 exp∘ln quantization sliver — at most one hash in 1e9 flips)
+    val id = Pipeline.temperatureMix(d, alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(id("hot") >= 89L && id("hot") <= 91L &&
+      id("rare") >= 9L && id("rare") <= 11L, s"near-identity epoch: $id")
+    val mixed = Pipeline.temperatureMix(d, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("rare") > 10L, "rare source upsamples")
+    assert(mixed("hot") < 90L, "hot source thins")
+    // epoch size ≈ corpus size (rates normalize to N in expectation)
+    val total = mixed.values.sum
+    assert(total >= 85L && total <= 115L, s"epoch ~corpus-sized: $total")
+    // deterministic
+    val again = Pipeline.temperatureMix(d, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed === again)
+  }
+
   test("dsirSample ranks target-like candidates first and excludes the target") {
     import spark.implicits._
     // target (ids 1-5) speaks {alpha beta}; raw background (ids 10-29)

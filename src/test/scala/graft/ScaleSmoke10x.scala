@@ -143,6 +143,8 @@ object ScaleSmoke10x {
       graft.ext.Similarity.clusterCards(e10, d10))
     runCount("uncertaintySample 10x vecs",
       graft.ext.Similarity.uncertaintySample(e10, col("vec_id") % 20 === 1))
+    runCount("temperatureMix 10x docs",
+      graft.ext.Pipeline.temperatureMix(d10, alpha = 0.5))
 
     // q81 shape: RMW post-images over the ×10 events stream
     val ev = graft.model.Fixtures.events(spark, dir)
