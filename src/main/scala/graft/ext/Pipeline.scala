@@ -335,6 +335,31 @@ object Pipeline {
         explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
   }
 
+  /** Dataset version diff — the corpus release audit (what changed
+    * between training-data v1 and v2): per id, `added` (new in v2),
+    * `removed` (gone from v2), `changed` (same id, different
+    * normalized content fingerprint), or `same`. Content identity is
+    * the e01 fingerprint (md5 of whitespace-normalized text, NULL as
+    * empty), so a pure-whitespace edit is `same` — the dedup family's
+    * own equality, applied to versioning.
+    *
+    * Shape: two map-side fingerprint projections + ONE full-outer
+    * equi-join on the id — the plan a 100 TB release diff wants (no
+    * content ever pairs across ids; co-partitioned stores join without
+    * exchange via the usual bucketing). */
+  def datasetDiff(v1: DataFrame, v2: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(TextHash.normText(coalesce(col("text"), lit("")))).as(as))
+    fp(v1, "__fa").join(fp(v2, "__fb"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "same")
+          .otherwise("changed"))
+      .select(col(idCol), col("status"))
+  }
+
   /** PII patterns: POSIX classes only, so the Java-regex (Spark) and
     * RE2 (DuckDB oracle) dialects agree byte-for-byte. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"

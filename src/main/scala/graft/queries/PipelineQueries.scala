@@ -561,6 +561,41 @@ object PipelineQueries {
       }
     ),
     QDef(
+      // dataset version diff (Pipeline.datasetDiff scaladoc): v2 is
+      // derived deterministically from v1 — drop id%37=0, append a
+      // token where id%41=0, add fresh ids (+1000000) for id%53=0 —
+      // and the diff must classify every id exactly.
+      "e73_dataset_diff",
+      (s, dir) => {
+        val v1 = docs(s, dir).select("doc_id", "text")
+        val v2 = v1.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(41)) === 0,
+              concat(col("text"), lit(" changedtoken")))
+              .otherwise(col("text")))
+          .unionByName(v1.filter(pmod(col("doc_id"), lit(53)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Pipeline.datasetDiff(v1, v2).orderBy("doc_id")
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+              |v2 AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 41 = 0 THEN text || ' changedtoken'
+              |              ELSE text END AS text
+              |  FROM v1 WHERE doc_id % 37 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id, text FROM v1 WHERE doc_id % 53 = 0),
+              |fa AS (SELECT doc_id, md5(${Sql.normText("COALESCE(text, '')")}) AS fa FROM v1),
+              |fb AS (SELECT doc_id, md5(${Sql.normText("COALESCE(text, '')")}) AS fb FROM v2)
+              |SELECT doc_id,
+              |       CASE WHEN fa IS NULL THEN 'added'
+              |            WHEN fb IS NULL THEN 'removed'
+              |            WHEN fa = fb THEN 'same'
+              |            ELSE 'changed' END AS status
+              |FROM fa FULL OUTER JOIN fb USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
       // temperature-scaled mixture sampling at α = 0.5 (the mT5-style
       // flattening rule): one epoch at weights ∝ n^α — rare sources
       // repeat, hot sources thin (Pipeline.temperatureMix scaladoc).

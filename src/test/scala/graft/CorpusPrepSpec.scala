@@ -254,6 +254,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(idx === 0)
   }
 
+  test("datasetDiff classifies added/removed/changed/same; whitespace edits are same") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"),
+      (4L, "spaced   out")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta zeta"), // changed
+      (3L, "kept text"), // same
+      (4L, "spaced out"), // whitespace-only edit → same fingerprint
+      (9L, "brand new")).toDF("doc_id", "text") // added; 2 removed
+    val got = Pipeline.datasetDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "changed", 2L -> "removed", 3L -> "same",
+      4L -> "same", 9L -> "added"))
+  }
+
   test("temperatureMix flattens toward uniform; alpha=1 is the identity epoch") {
     import spark.implicits._
     // hot source: 90 docs; rare source: 10 docs
