@@ -409,6 +409,45 @@ object Pipeline {
         md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
   }
 
+  /** Chunk-then-pack — the actual pretraining batch-assembly step
+    * ([[chunkDocs]] ∘ [[packSequences]]): overlong documents split
+    * into non-overlapping `maxLen`-token chunks FIRST (so no item ever
+    * exceeds a window), then the chunk stream packs next-fit into
+    * `capacity`-token windows, shard-parallel, in (doc_id, chunk_idx)
+    * order — consecutive chunks of one document stay adjacent in the
+    * training stream (shards key on the DOC id, so a document's chunks
+    * never split across shards).
+    *
+    * Scale shape inherits both parents: chunking is map-side; packing
+    * shuffles only (ids, counts) onto the shard key and folds
+    * in-memory per shard. */
+  def chunkPack(docs: DataFrame, maxLen: Int, capacity: Long,
+      shards: Int): DataFrame = {
+    require(maxLen > 0 && capacity >= maxLen && shards > 0,
+      "a chunk must fit a window")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    chunkDocs(docs, width = maxLen, stride = maxLen)
+      .select(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
+        (hash48(col("doc_id").cast("string"), "shard") % shards).cast("int")
+          .as("shard"),
+        col("chunk_len").cast("long"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(t => (t._1, t._2))
+        var pack = 0L
+        var fill = 0L
+        sorted.iterator.map { case (id, ci, _, t) =>
+          if (fill > 0 && fill + t > capacity) { pack += 1; fill = t }
+          else fill += t
+          (shard, id, ci, t, pack, fill)
+        }
+      }
+      .toDF("shard", "doc_id", "chunk_idx", "chunk_len", "pack_id",
+        "pack_fill")
+  }
+
   /** Canonical URL form — the Common-Crawl-style normalization under
     * which URL-level dedup runs: lowercase scheme+host, strip a leading
     * `www.`, strip the scheme's default port, drop `utm_*` tracking

@@ -561,6 +561,46 @@ object PipelineQueries {
       }
     ),
     QDef(
+      // chunk-then-pack (Pipeline.chunkPack scaladoc): overlong docs
+      // split to 128-token chunks first, chunks packed next-fit into
+      // 512-token windows — the e35 chunk CTE feeding e18's recursive
+      // replay, keyed on (doc_id, chunk_idx).
+      "e74_chunk_pack",
+      (s, dir) =>
+        Pipeline.chunkPack(docs(s, dir), maxLen = 128, capacity = 512,
+            shards = 8)
+          .orderBy("shard", "doc_id", "chunk_idx"),
+      Some(s"""WITH RECURSIVE c0 AS (
+              |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+              |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents)),
+              |ch AS (
+              |  SELECT doc_id, i AS chunk_idx,
+              |         CAST(len(list_slice(toks, i * 128 + 1, i * 128 + 128)) AS BIGINT) AS chunk_len
+              |  FROM (SELECT doc_id, toks,
+              |               UNNEST(range(1 + (GREATEST(n - 128, 0) + 127) // 128)) AS i
+              |        FROM c0)),
+              |d0 AS (
+              |  SELECT doc_id, chunk_idx,
+              |         CAST(${h48doc("shard")} % 8 AS INT) AS shard, chunk_len
+              |  FROM ch),
+              |d AS (
+              |  SELECT *, row_number() OVER (PARTITION BY shard
+              |           ORDER BY doc_id, chunk_idx) AS rn FROM d0),
+              |rec AS (
+              |  SELECT shard, rn, doc_id, chunk_idx, chunk_len,
+              |         CAST(0 AS BIGINT) AS pack_id, chunk_len AS pack_fill
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.shard, d.rn, d.doc_id, d.chunk_idx, d.chunk_len,
+              |         CASE WHEN r.pack_fill + d.chunk_len > 512
+              |              THEN r.pack_id + 1 ELSE r.pack_id END,
+              |         CASE WHEN r.pack_fill + d.chunk_len > 512
+              |              THEN d.chunk_len ELSE r.pack_fill + d.chunk_len END
+              |  FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+              |SELECT shard, doc_id, chunk_idx, chunk_len, pack_id, pack_fill
+              |FROM rec ORDER BY shard, doc_id, chunk_idx""".stripMargin)
+    ),
+    QDef(
       // dataset version diff (Pipeline.datasetDiff scaladoc): v2 is
       // derived deterministically from v1 — drop id%37=0, append a
       // token where id%41=0, add fresh ids (+1000000) for id%53=0 —

@@ -254,6 +254,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(idx === 0)
   }
 
+  test("chunkPack splits overlong docs then packs next-fit (hand-traced)") {
+    import spark.implicits._
+    // doc 1: 300 tokens → chunks 128/128/44; doc 2: 100 tokens.
+    // capacity 256, one shard: [c0,c1]=256 | [c2, doc2]=144
+    val tiny = Seq(
+      1L -> (1 to 300).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 100).map(i => s"u$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.chunkPack(tiny, maxLen = 128, capacity = 256, shards = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 128L, 0L, 128L),
+      (1L, 1L, 128L, 0L, 256L),
+      (1L, 2L, 44L, 1L, 44L),
+      (2L, 0L, 100L, 1L, 144L)))
+    // no chunk ever exceeds maxLen, no pack ever exceeds capacity
+    val all = Pipeline.chunkPack(docs, maxLen = 64, capacity = 256, shards = 4)
+    assert(all.filter(col("chunk_len") > 64).count() === 0)
+    assert(all.filter(col("pack_fill") > 256).count() === 0)
+  }
+
   test("datasetDiff classifies added/removed/changed/same; whitespace edits are same") {
     import spark.implicits._
     val v1 = Seq(
