@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line with per-query wall-clock at
-  * the target scale factor.
+/** Driver-run benchmark: ONE JSON line with per-query wall-clock at
+  * the target scale factor — the headline "queries"/"value" are
+  * per-query MINIMA over (default) 3 within-JVM reps, with every raw
+  * per-rep map embedded in the same record ("reps"), so a contended
+  * box shows up as min≪max in the record itself instead of reading as
+  * a plan regression.
   *
   * Methodology: a warmup pass at the smallest scale factor first (when
   * present) so the timed pass measures steady-state plans — Catalyst
@@ -55,41 +59,63 @@ object Bench {
     } catch { case _: Throwable => () }
     val loadS = (System.nanoTime() - l0) / 1e9
 
-    // iteration aids (default off): SPARK_GRAFT_BENCH_ONLY=q1,q2 times
-    // a subset; SPARK_GRAFT_BENCH_REPS=n emits one JSON line per pass
-    // (within-JVM repeats separate run-to-run noise from plan drift)
+    // iteration aids: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset;
+    // SPARK_GRAFT_BENCH_REPS=n overrides the repeat count.
+    //
+    // REPS defaults to 3 and the record is SELF-DEFENDING: "queries"
+    // and "value" report per-query MINIMA across reps (the contention
+    // control — a one-off noisy pass on a contended box cannot
+    // masquerade as plan drift), while "reps" carries every raw
+    // per-rep map so the noise itself stays auditable in one line.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val bench = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
-    for (_ <- 1 to reps) {
-      // a failing query must be VISIBLE in the bench record (it would
-      // otherwise read as a fast time): timing stays numeric for the
-      // driver, the exception class lands in a parallel "errors" map
-      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-      val results = bench.map { case (name, fn) =>
+    // a failing query must be VISIBLE in the bench record (it would
+    // otherwise read as a fast time): timing stays numeric for the
+    // driver, the exception class lands in a parallel "errors" map;
+    // a query only counts as errored if it failed in EVERY rep (a
+    // transient single-rep failure still surfaces in "flaky")
+    val repErrors = Array.fill(reps)(
+      scala.collection.mutable.LinkedHashMap[String, String]())
+    val repResults = (0 until reps).map { r =>
+      bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => errors(name) = e.getClass.getSimpleName
+          case e: Throwable => repErrors(r)(name) = e.getClass.getSimpleName
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-      // ms precision keeps the one-line record compact (135+ queries at
-      // full double precision overflow log-tail buffers downstream)
-      def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-        .mkString("{", ",", "}")
-      // an errored query's time-to-exception must not deflate the band:
-      // the band aggregates SUCCESSFUL runs only; failures stay visible
-      // in n_errors/errors (and their wall time in the per-query map)
-      val ok = results.filter { case (k, _) => !errors.contains(k) }
-      val total = if (ok.nonEmpty) ok.values.sum else 0.0
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","load_sec":${f3(loadS)},"n_errors":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
     }
+    // ms precision keeps the one-line record compact (159+ queries ×
+    // reps at full double precision overflow log-tail buffers)
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val names = bench.keys.toSeq
+    // per-query minimum over SUCCESSFUL reps; all-rep failures keep
+    // their last time-to-exception but are excluded from the total
+    val minQ = names.map { n =>
+      val ok = (0 until reps).filter(r => !repErrors(r).contains(n))
+      val src = if (ok.nonEmpty) ok else 0 until reps
+      n -> src.map(r => repResults(r)(n)).min
+    }
+    val hardFail = names.filter(n => (0 until reps).forall(repErrors(_).contains(n)))
+    val flaky = names.filter(n =>
+      !hardFail.contains(n) && (0 until reps).exists(repErrors(_).contains(n)))
+    val es = hardFail.map(n => "\"" + n + "\":\"" + repErrors.collectFirst {
+        case m if m.contains(n) => m(n) }.get + "\"")
+      .mkString("{", ",", "}")
+    val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = minQ.collect { case (n, v) if !hardFail.contains(n) => v }.sum
+    val repTotals = (0 until reps).map(r =>
+      f3(repResults(r).collect {
+        case (n, v) if !repErrors(r).contains(n) => v }.sum))
+      .mkString("[", ",", "]")
+    val repsJson = (0 until reps).map(r => jmap(repResults(r))).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(minQ)},"rep_totals":$repTotals,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -318,10 +318,15 @@ object Dedup {
         count_distinct(col("doc_id")).as("n_docs"),
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .filter(col("n_occurrences") >= 2)
+    // top-N via orderBy+limit (TakeOrderedAndProject): the repeated-
+    // window frame can be corpus-scale for boilerplate-heavy corpora,
+    // so it must never collapse into one global-window partition; the
+    // rank window runs over the ≤topN survivors only.
     val w = Window.orderBy(col("n_occurrences").desc, col("seg").asc)
     agg
+      .orderBy(col("n_occurrences").desc, col("seg").asc)
+      .limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("seg"), col("n_occurrences"), col("n_docs"),
         col("__first.doc_id").as("first_doc"),
         col("__first.pos").cast("long").as("first_pos"))

@@ -403,10 +403,15 @@ object Multimodal {
     require(64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
     // persist: the banded SELF-join would otherwise run the full
-    // decode+feature extraction once per join side (LRU-evicted; the
-    // frame is (id, 64-char hash) — tiny)
+    // decode+feature extraction once per join side (the frame is
+    // (id, 64-char hash) — tiny). Materialized eagerly so the decode
+    // runs exactly once, and unpersisted before return: the RESULT is
+    // cached instead (output-sized — duplicate-density, the minimum
+    // state any consumer holds anyway), so repeated invocations in a
+    // long-lived session don't accumulate feature frames.
     val f = imageFeatures(media).select(col("doc_id"), col("ahash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
     val banded = f.select(col("doc_id"), col("ahash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice", expr(s"substring(ahash, band * $bw + 1, $bw)"))
@@ -416,12 +421,16 @@ object Multimodal {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.ahash").as("ha"), col("b.ahash").as("hb"))
       .distinct()
-    pairs
+    val out = pairs
       .withColumn("hamming",
         expr("size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
           .cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    f.unpersist(blocking = false)
+    out
   }
 
   /** Frame sampling: slice the payload into fixed-size frames and

@@ -300,7 +300,7 @@ object Pipeline {
     * deterministic floor + hash-fractional copy rule.
     *
     * Determinism contract: n^α is computed as exp(α·ln n) — written
-    * identically in the oracle — then FLOOR(·1e9)-quantized to a long
+    * identically in the oracle — then FLOOR(·1e6)-quantized to a long
     * BEFORE the normalizing sum, because a sum of raw doubles is
     * partition-order-dependent and one ulp at a hash-threshold
     * boundary would flip a copy count between engines. The rate is
@@ -312,9 +312,13 @@ object Pipeline {
   def temperatureMix(docs: DataFrame, alpha: Double,
       domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "temperature exponent in (0, 1]")
+    // quantum 1e6 keeps n^α·1e6 inside a Long for any source up to
+    // ~9.2e12 docs at α = 1 (larger α-weights overflow FIRST in the
+    // oracle, which errors on cast while Spark's non-ANSI cast clamps —
+    // the quantum is sized so neither engine ever reaches that bound)
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("__n"))
       .withColumn("__na",
-        floor(exp(lit(alpha) * log(col("__n").cast("double"))) * 1e9)
+        floor(exp(lit(alpha) * log(col("__n").cast("double"))) * 1e6)
           .cast("long"))
     val tots = counts.agg(sum(col("__n")).as("__nt"), sum(col("__na")).as("__wt"))
     val rate = counts.crossJoin(broadcast(tots))
@@ -420,11 +424,15 @@ object Pipeline {
     *
     * Scale shape inherits both parents: chunking is map-side; packing
     * shuffles only (ids, counts) onto the shard key and folds
-    * in-memory per shard. */
+    * in-memory per shard. The per-shard fold buffers O(corpus/shards)
+    * 32-byte (id, idx, len) tuples in one task — `shards` MUST scale
+    * with the corpus (≈1 shard per 30M chunks per GiB of task heap;
+    * at 100 TB that's thousands of shards, same sizing rule as
+    * [[packSequences]]), it is a parallelism knob, not a constant. */
   def chunkPack(docs: DataFrame, maxLen: Int, capacity: Long,
       shards: Int): DataFrame = {
     require(maxLen > 0 && capacity >= maxLen && shards > 0,
-      "a chunk must fit a window")
+      "a chunk must fit a window; shards must scale with corpus size")
     val sp = docs.sparkSession
     import sp.implicits._
     chunkDocs(docs, width = maxLen, stride = maxLen)
@@ -604,10 +612,15 @@ object Pipeline {
       // an EMPTY target (misconfigured pred) makes every score NULL —
       // return no sample rather than k arbitrary ids with NULL scores
       .filter(col("logw_q").isNotNull)
+    // top-k as orderBy+limit = TakeOrderedAndProject (parallel partial
+    // top-k per partition, merge on the driver) — the corpus-sized
+    // score frame never lands in a single-partition global window; the
+    // rank window below runs over the ≤k surviving rows only.
     val w = Window.orderBy(col("logw_q").desc, col(idCol))
     scored
+      .orderBy(col("logw_q").desc, col(idCol))
+      .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col(idCol), col("n_tokens"), col("logw_q"), col("rank"))
   }
 }

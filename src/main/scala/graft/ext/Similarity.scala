@@ -168,12 +168,16 @@ object Similarity {
         col("votes").as("top_votes"))
     val top2 = ranked.filter(col("__vr") === 2)
       .select(col("query_id"), col("votes").as("__v2"))
+    // top-m via orderBy+limit (TakeOrderedAndProject): the per-query
+    // margin frame stays partition-parallel; only the ≤m picked rows
+    // see the single-partition rank window.
     val mw = Window.orderBy(col("margin").asc, col("query_id").asc)
     top1.join(top2, Seq("query_id"), "left")
       .withColumn("margin",
         col("top_votes") - coalesce(col("__v2"), lit(0L)))
+      .orderBy(col("margin").asc, col("query_id").asc)
+      .limit(m)
       .withColumn("pick", row_number().over(mw).cast("long"))
-      .filter(col("pick") <= m)
       .select(col("query_id").as("vec_id"), col("top_label"),
         col("top_votes"), col("margin"), col("pick"))
   }

@@ -646,7 +646,7 @@ object PipelineQueries {
       Some(s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
               |          FROM documents GROUP BY source),
               |a AS (SELECT source, n,
-              |             CAST(FLOOR(exp(0.5 * ln(CAST(n AS DOUBLE))) * 1000000000.0) AS BIGINT) AS na
+              |             CAST(FLOOR(exp(0.5 * ln(CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS na
               |      FROM c),
               |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(na) AS BIGINT) AS wt FROM a),
               |r AS (SELECT source,
@@ -806,7 +806,9 @@ object PipelineQueries {
               |  WHERE NOT is_t GROUP BY tk.doc_id)
               |SELECT doc_id, n_tokens, logw_q, rank FROM (
               |  SELECT *, CAST(row_number() OVER (ORDER BY logw_q DESC, doc_id) AS BIGINT) AS rank
-              |  FROM s)
+              |  -- empty-target degenerate config: scores go NULL -> no
+              |  -- sample, same guard as the engine (dsirSample scaladoc)
+              |  FROM s WHERE logw_q IS NOT NULL)
               |WHERE rank <= 100 ORDER BY rank""".stripMargin)
     )
   )

@@ -83,6 +83,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") === 0, s"no sort-merge join:\n$p")
   }
 
+  test("global top-k operators plan as TakeOrderedAndProject, not a one-partition window") {
+    // dsirSample/uncertaintySample/memorizedSpans rank a frame that can
+    // be corpus-scale; the plan must bound it with a parallel partial
+    // top-k (TakeOrderedAndProject) BEFORE any partition-less rank
+    // window — the window may only ever see the ≤k survivors.
+    val cases = Seq(
+      "e58" -> Pipeline.dsirSample(docs, col("source") === "src0",
+        buckets = 256, k = 100),
+      "e66" -> Similarity.uncertaintySample(emb, col("vec_id") % 20 === 1),
+      "e68" -> Dedup.memorizedSpans(docs))
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec,
+      GlobalLimitExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    for ((name, df) <- cases) {
+      val phys = unwrap(df.queryExecution.executedPlan)
+      assert(phys.find(_.isInstanceOf[TakeOrderedAndProjectExec]).isDefined,
+        s"$name: expected a parallel partial top-k:\n$phys")
+      val unbounded = phys.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.child.find {
+            case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+                 _: CollectLimitExec => true
+            case _ => false
+          }.isEmpty => w
+      }
+      assert(unbounded.isEmpty,
+        s"$name: partition-less window over an unbounded frame:\n$phys")
+    }
+  }
+
   test("windowPpl and noveltyScore never nested-loop or cartesian join") {
     for (df <- Seq(TextAnalysis.windowPpl(docs),
         TextAnalysis.noveltyScore(docs))) {
