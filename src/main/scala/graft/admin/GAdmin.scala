@@ -44,6 +44,13 @@ object GAdmin {
 
   private val NsRegTmp = NsReg + "_swap"
 
+  /** Catalog tables that are graft machinery, not user tables — kept
+    * out of every listing (the reference likewise hides hbase:meta /
+    * hbase:quota from user-facing listings). */
+  private def isSystemTable(catalogName: String): Boolean =
+    catalogName == NsReg || catalogName == NsRegTmp ||
+      catalogName == "graft_quotareg" || catalogName == "graft_quotareg_swap"
+
   /** Registry reads fall back to the swap table: a crash between the
     * old registry's drop and the swap's rename loses nothing, because
     * the new contents were durable in the swap table first. */
@@ -91,7 +98,7 @@ object GAdmin {
 
   def listTableNamesByNamespace(spark: SparkSession, ns: String): Seq[String] = {
     val all = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_")).filterNot(_ == NsReg)
+      .filter(_.startsWith("graft_")).filterNot(isSystemTable)
     if (ns == "default")
       all.filterNot(_.stripPrefix("graft_").contains("__"))
         .map(_.stripPrefix("graft_")).toSeq
@@ -139,7 +146,7 @@ object GAdmin {
   /** All table names, namespaced ones in their `ns:table` form. */
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_")).filterNot(_ == NsReg)
+      .map(_.name).filter(_.startsWith("graft_")).filterNot(isSystemTable)
       .map(_.stripPrefix("graft_"))
       .map(t => t.split("__", 2) match {
         case Array(ns, tab) => s"$ns:$tab"
@@ -172,12 +179,14 @@ object GAdmin {
     * TableNotEnabledException on mutate; rejected (or the table
     * disabled) when a space quota is in violation, like the
     * RegionServer's SpaceViolationPolicyEnforcement gate. */
-  def put(spark: SparkSession, name: String, cells: DataFrame): Unit = {
+  def put(spark: SparkSession, name: String, cells: DataFrame,
+      user: String = "anonymous"): Unit = {
     // ONE catalog read serves all three gates (SHOW TBLPROPERTIES is a
     // driver round-trip; throttle + space quota + enabled would
     // otherwise pay three on the hot mutation path)
     val props = tblProps(spark, name)
-    enforceThrottle(spark, name, System.currentTimeMillis(), props = Some(props))
+    enforceThrottle(spark, name, System.currentTimeMillis(),
+      props = Some(props), user = user)
     enforceSpaceQuota(spark, name, props = Some(props))
     require(props.get("graft.enabled").forall(_ == "true"),
       s"table $name is disabled")
@@ -216,28 +225,256 @@ object GAdmin {
     spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
       "('graft.throttle.limit', 'graft.throttle.unit.ms', 'graft.throttle.refill')")
 
+  // ---- User / namespace quota scopes (QuotaSettingsFactory
+  // .throttleUser with its table/namespace-qualified variants,
+  // .throttleNamespace, .limitNamespaceSpace; stored in the reference's
+  // hbase:quota system table keyed `u.<user>` / `t.<table>` /
+  // `n.<ns>`). graft's twin registry is a tiny catalog table written
+  // with the nsRegistry swap pattern; TABLE-scope quotas stay in
+  // TBLPROPERTIES (unchanged surface). Enforcement cascades
+  // most-specific-wins, AuthManager-style:
+  //   user+table > user+namespace > user > table > namespace
+  // (the reference's QuotaCache likewise consults the user's own state
+  // first and falls through to table/namespace machine state). ----
+
+  private val QuotaReg = "graft_quotareg"
+  private val QuotaRegTmp = QuotaReg + "_swap"
+
+  /** One registry row. `scope` ∈ USER/NAMESPACE; `qualifier` narrows a
+    * USER quota to one table (`t:<name>`) or namespace (`n:<ns>`), ""
+    * = all the user's requests. `qtype` ∈ THROTTLE/SPACE. `setting`
+    * carries the refill strategy (throttle) or violation policy
+    * (space); `unitMs` is 0 for space quotas. */
+  final case class QuotaEntry(scope: String, subject: String,
+      qualifier: String, qtype: String, limit: Long, unitMs: Long,
+      setting: String)
+
+  private def quotaRegistry(spark: SparkSession): Seq[QuotaEntry] = {
+    val t =
+      if (spark.catalog.tableExists(QuotaReg)) Some(QuotaReg)
+      else if (spark.catalog.tableExists(QuotaRegTmp)) Some(QuotaRegTmp)
+      else None
+    t.fold(Seq.empty[QuotaEntry])(spark.table(_).collect().toSeq.map(r =>
+      QuotaEntry(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getString(6))))
+  }
+
+  private def writeQuotaRegistry(spark: SparkSession,
+      rows: Seq[QuotaEntry]): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $QuotaRegTmp")
+    clearOrphan(spark, QuotaRegTmp)
+    rows.toDF("scope", "subject", "qualifier", "qtype", "limit", "unitMs",
+      "setting").write.mode(SaveMode.Overwrite).saveAsTable(QuotaRegTmp)
+    spark.sql(s"DROP TABLE IF EXISTS $QuotaReg")
+    clearOrphan(spark, QuotaReg)
+    spark.sql(s"ALTER TABLE $QuotaRegTmp RENAME TO $QuotaReg")
+  }
+
+  /** Upsert keyed on (scope, subject, qualifier, qtype) — re-setting a
+    * quota replaces it (and a replaced config starts a fresh limiter
+    * bucket, same contract as the table scope). */
+  private def upsertQuota(spark: SparkSession, q: QuotaEntry): Unit =
+    writeQuotaRegistry(spark, quotaRegistry(spark).filterNot(r =>
+      (r.scope, r.subject, r.qualifier, r.qtype) ==
+        ((q.scope, q.subject, q.qualifier, q.qtype))) :+ q)
+
+  private def removeQuota(spark: SparkSession, scope: String,
+      subject: String, qualifier: String, qtype: String): Unit =
+    writeQuotaRegistry(spark, quotaRegistry(spark).filterNot(r =>
+      (r.scope, r.subject, r.qualifier, r.qtype) ==
+        ((scope, subject, qualifier, qtype))))
+
+  private def requireRefill(refill: String): Unit =
+    require(refill == "AVERAGE" || refill == "FIXED",
+      s"unknown refill strategy '$refill' (AVERAGE/FIXED)")
+
+  private def requireNs(spark: SparkSession, ns: String): Unit =
+    require(ns == "default" || nsRegistry(spark).contains(ns),
+      s"no such namespace $ns")
+
+  /** QuotaSettingsFactory.throttleUser: caps EVERY request the user
+    * makes, narrowable to one table (`table = Some("ns:t")`) or one
+    * namespace (`namespace = Some(ns)`) like the reference's
+    * user+table / user+namespace variants. */
+  def setUserThrottleQuota(spark: SparkSession, user: String, limit: Long,
+      perMs: Long = 1000, refill: String = "AVERAGE",
+      table: Option[String] = None, namespace: Option[String] = None): Unit = {
+    require(limit > 0 && perMs > 0, "throttle limit/period must be positive")
+    requireRefill(refill)
+    require(table.isEmpty || namespace.isEmpty,
+      "a user quota narrows to a table OR a namespace, not both")
+    table.foreach(qualified(_)) // validate the name charset
+    namespace.foreach(requireNs(spark, _))
+    val qual = table.map("t:" + _).orElse(namespace.map("n:" + _)).getOrElse("")
+    upsertQuota(spark,
+      QuotaEntry("USER", user, qual, "THROTTLE", limit, perMs, refill))
+  }
+
+  def removeUserThrottleQuota(spark: SparkSession, user: String,
+      table: Option[String] = None, namespace: Option[String] = None): Unit =
+    removeQuota(spark, "USER", user,
+      table.map("t:" + _).orElse(namespace.map("n:" + _)).getOrElse(""),
+      "THROTTLE")
+
+  /** QuotaSettingsFactory.throttleNamespace: one shared bucket for all
+    * requests against the namespace's tables. */
+  def setNamespaceThrottleQuota(spark: SparkSession, ns: String, limit: Long,
+      perMs: Long = 1000, refill: String = "AVERAGE"): Unit = {
+    require(limit > 0 && perMs > 0, "throttle limit/period must be positive")
+    requireRefill(refill)
+    requireNs(spark, ns)
+    upsertQuota(spark,
+      QuotaEntry("NAMESPACE", ns, "", "THROTTLE", limit, perMs, refill))
+  }
+
+  def removeNamespaceThrottleQuota(spark: SparkSession, ns: String): Unit =
+    removeQuota(spark, "NAMESPACE", ns, "", "THROTTLE")
+
+  /** QuotaSettingsFactory.limitNamespaceSpace: byte budget over the SUM
+    * of the namespace's table stores. */
+  def setNamespaceSpaceQuota(spark: SparkSession, ns: String,
+      limitBytes: Long, policy: String = "NO_INSERTS"): Unit = {
+    require(limitBytes > 0, "quota limit must be positive")
+    require(QuotaPolicies(policy),
+      s"unknown violation policy '$policy' (${QuotaPolicies.mkString("/")})")
+    requireNs(spark, ns)
+    upsertQuota(spark,
+      QuotaEntry("NAMESPACE", ns, "", "SPACE", limitBytes, 0L, policy))
+  }
+
+  def removeNamespaceSpaceQuota(spark: SparkSession, ns: String): Unit =
+    removeQuota(spark, "NAMESPACE", ns, "", "SPACE")
+
+  /** Every configured quota, all scopes — the QuotaRetriever twin.
+    * Registry scopes come from the catalog table; TABLE scopes are
+    * gathered from each table's properties (driver round-trips — an
+    * admin listing, not a hot path). */
+  def listQuotas(spark: SparkSession): Seq[QuotaEntry] = {
+    val tableScoped = listTables(spark).flatMap { n =>
+      val m = tblProps(spark, n)
+      val thr = m.get("graft.throttle.limit").map(l =>
+        QuotaEntry("TABLE", n, "", "THROTTLE", l.toLong,
+          m.get("graft.throttle.unit.ms").map(_.toLong).getOrElse(1000L),
+          m.getOrElse("graft.throttle.refill", "AVERAGE")))
+      val sp = m.get("graft.quota.bytes").map(b =>
+        QuotaEntry("TABLE", n, "", "SPACE", b.toLong, 0L,
+          m.getOrElse("graft.quota.policy", "NO_INSERTS")))
+      thr.toSeq ++ sp.toSeq
+    }
+    (quotaRegistry(spark) ++ tableScoped)
+      .sortBy(q => (q.scope, q.subject, q.qualifier, q.qtype))
+  }
+
+  private def nsOf(name: String): String =
+    name.split(":", 2) match {
+      case Array(n, _) => n
+      case _           => "default"
+    }
+
+  /** Most-specific-wins pick over the throttle cascade. */
+  private def pickThrottle(spark: SparkSession, name: String, user: String,
+      props: Map[String, String]): Option[QuotaEntry] = {
+    val ns = nsOf(name)
+    val reg = quotaRegistry(spark).filter(_.qtype == "THROTTLE")
+    def userQ(qual: String) = reg.find(r =>
+      r.scope == "USER" && r.subject == user && r.qualifier == qual)
+    val tableQ = props.get("graft.throttle.limit").map(l =>
+      QuotaEntry("TABLE", name, "", "THROTTLE", l.toLong,
+        props.get("graft.throttle.unit.ms").map(_.toLong).getOrElse(1000L),
+        props.getOrElse("graft.throttle.refill", "AVERAGE")))
+    userQ(s"t:$name")
+      .orElse(userQ(s"n:$ns"))
+      .orElse(userQ(""))
+      .orElse(tableQ)
+      .orElse(reg.find(r => r.scope == "NAMESPACE" && r.subject == ns))
+  }
+
+  private def limiterFor(q: QuotaEntry): RateLimiter =
+    limiters.getOrElseUpdate(
+      (s"${q.scope}.${q.subject}.${q.qualifier}", q.limit, q.unitMs,
+        q.setting),
+      new RateLimiter(q.limit, q.unitMs, q.setting == "FIXED"))
+
+  /** One request through the full cascade — the audit/debug surface
+    * (admitted requests consume from the picked limiter exactly like
+    * enforcement, so probed sequences replay real behavior). Returns
+    * (scope, subject, admitted, retryAfterMs); ("NONE", "", true, 0)
+    * when no quota applies. */
+  def throttleProbe(spark: SparkSession, name: String, user: String,
+      nowMs: Long, amount: Long = 1): (String, String, Boolean, Long) =
+    pickThrottle(spark, name, user, tblProps(spark, name)) match {
+      case None => ("NONE", "", true, 0L)
+      case Some(q) =>
+        val lim = limiterFor(q)
+        lim.synchronized {
+          if (lim.canExecute(nowMs, amount)) {
+            lim.consume(amount)
+            (q.scope, q.subject, true, 0L)
+          } else (q.scope, q.subject, false, lim.waitInterval(nowMs, amount))
+        }
+    }
+
+  /** Replay a deterministic request schedule through the throttle
+    * cascade FROM A CLEAN SLATE — the enforcement audit surface (the
+    * declared query q82 reports these counts). `schedule` rows are
+    * (user, table, nRequests); groups replay in the given order,
+    * every request at the same injected instant, against FRESH
+    * limiter buckets local to this call (a what-if replay — the live
+    * gate's shared buckets in [[limiters]] are untouched, so the
+    * audit is rerun-deterministic). Returns one row per group:
+    * (user, table, scopeLabel, nRequests, nAdmitted, nRejected) with
+    * scopeLabel ∈ USER_TABLE/USER_NS/USER/TABLE/NAMESPACE/NONE. */
+  def throttleAudit(spark: SparkSession,
+      schedule: Seq[(String, String, Long)], nowMs: Long)
+      : Seq[(String, String, String, Long, Long, Long)] = {
+    val local = scala.collection.mutable.Map
+      .empty[(String, String, String), RateLimiter]
+    schedule.map { case (user, name, n) =>
+      pickThrottle(spark, name, user, tblProps(spark, name)) match {
+        case None => (user, name, "NONE", n, n, 0L)
+        case Some(q) =>
+          val label = q.scope match {
+            case "USER" if q.qualifier.startsWith("t:") => "USER_TABLE"
+            case "USER" if q.qualifier.startsWith("n:") => "USER_NS"
+            case s                                      => s
+          }
+          val lim = local.getOrElseUpdate(
+            (q.scope, q.subject, q.qualifier),
+            new RateLimiter(q.limit, q.unitMs, q.setting == "FIXED"))
+          var adm = 0L
+          var i = 0L
+          while (i < n) {
+            if (lim.canExecute(nowMs, 1)) { lim.consume(1); adm += 1 }
+            i += 1
+          }
+          (user, name, label, n, adm, n - adm)
+      }
+    }
+  }
+
   /** Request-throttle gate on the mutation path (`nowMs` injected for
     * determinism; `put` passes the wall clock). Over the limit →
     * the RpcThrottlingException twin, carrying the limiter's
-    * waitInterval like the reference's retry-after payload. */
+    * waitInterval like the reference's retry-after payload. The
+    * cascade picks ONE limiter per request (most-specific-wins). */
   private[graft] def enforceThrottle(spark: SparkSession, name: String,
       nowMs: Long, amount: Long = 1,
-      props: Option[Map[String, String]] = None): Unit = {
-    val m = props.getOrElse(tblProps(spark, name))
-    val limitOpt = m.get("graft.throttle.limit").map(_.toLong)
-    if (limitOpt.isEmpty) return
-    val perMs = m.get("graft.throttle.unit.ms").map(_.toLong).getOrElse(1000L)
-    val refill = m.getOrElse("graft.throttle.refill", "AVERAGE")
-    val lim = limiters.getOrElseUpdate((name, limitOpt.get, perMs, refill),
-      new RateLimiter(limitOpt.get, perMs, refill == "FIXED"))
-    lim.synchronized {
-      if (!lim.canExecute(nowMs, amount))
-        throw new IllegalStateException(
-          s"request throttle on $name: ${limitOpt.get}/${perMs}ms exceeded, " +
-            s"retry in ${lim.waitInterval(nowMs, amount)} ms")
-      lim.consume(amount)
-    }
-  }
+      props: Option[Map[String, String]] = None,
+      user: String = "anonymous"): Unit =
+    pickThrottle(spark, name, user, props.getOrElse(tblProps(spark, name)))
+      .foreach { q =>
+        val lim = limiterFor(q)
+        lim.synchronized {
+          if (!lim.canExecute(nowMs, amount))
+            throw new IllegalStateException(
+              s"request throttle [${q.scope} ${q.subject}" +
+                s"${if (q.qualifier.nonEmpty) " " + q.qualifier else ""}] " +
+                s"on $name: ${q.limit}/${q.unitMs}ms exceeded, " +
+                s"retry in ${lim.waitInterval(nowMs, amount)} ms")
+          lim.consume(amount)
+        }
+      }
 
   // ---- Space quotas (the hbase quotas subsystem:
   // QuotaSettingsFactory.limitTableSpace, SpaceViolationPolicy.java,
@@ -286,32 +523,62 @@ object GAdmin {
     (usage, limit, policy, limit.exists(usage > _))
   }
 
-  /** Write-path quota gate: in violation, DISABLE disables the table
-    * (the policy's defining action — reads then fail too, as in the
-    * reference); the NO_* policies reject the write with the
-    * SpaceLimitingException twin. */
-  private def enforceSpaceQuota(spark: SparkSession, name: String,
-      props: Option[Map[String, String]] = None): Unit = {
-    // no quota configured → no filesystem walk: the common put path
-    // pays one catalog read, not a table-sized content summary
-    val (limitOpt, policyOpt) = quotaProps(spark, name, props)
-    if (limitOpt.isEmpty) return
+  private def storeUsage(spark: SparkSession, name: String): Long = {
     val (loc, _) = layoutOf(spark, name)
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val usage = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    val (limit, policy, inViolation) =
-      (limitOpt, policyOpt, limitOpt.exists(usage > _))
-    if (inViolation) policy.getOrElse("NO_INSERTS") match {
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** (usageBytes, limitBytes, policy, inViolation) for a NAMESPACE
+    * space quota — usage is the sum over the namespace's tables, the
+    * reference's QuotaObserverChore roll-up. limit/policy None with no
+    * quota configured. */
+  def namespaceQuotaSnapshot(spark: SparkSession, ns: String)
+      : (Long, Option[Long], Option[String], Boolean) = {
+    val usage = listTableNamesByNamespace(spark, ns)
+      .map(storeUsage(spark, _)).sum
+    val q = quotaRegistry(spark).find(r =>
+      r.scope == "NAMESPACE" && r.subject == ns && r.qtype == "SPACE")
+    (usage, q.map(_.limit), q.map(_.setting), q.exists(usage > _.limit))
+  }
+
+  /** Write-path quota gate: in violation, DISABLE disables the table
+    * (the policy's defining action — reads then fail too, as in the
+    * reference); the NO_* policies reject the write with the
+    * SpaceLimitingException twin. Cascade is most-specific-wins: a
+    * TABLE quota governs alone when set, else the table's NAMESPACE
+    * quota (usage = sum over the namespace's stores) applies. */
+  private def enforceSpaceQuota(spark: SparkSession, name: String,
+      props: Option[Map[String, String]] = None): Unit = {
+    def violate(scope: String, usage: Long, limit: Long,
+        policy: String): Unit = policy match {
       case "DISABLE" =>
         disableTable(spark, name)
         throw new IllegalStateException(
-          s"space quota violation on $name (usage $usage > limit ${limit.get}): " +
-            "policy DISABLE — table disabled")
+          s"space quota violation [$scope] on $name " +
+            s"(usage $usage > limit $limit): policy DISABLE — table disabled")
       case p =>
         throw new IllegalStateException(
-          s"space quota violation on $name (usage $usage > limit ${limit.get}): " +
-            s"policy $p rejects writes")
+          s"space quota violation [$scope] on $name " +
+            s"(usage $usage > limit $limit): policy $p rejects writes")
+    }
+    // no quota configured → no filesystem walk: the common put path
+    // pays one catalog read, not a table-sized content summary
+    val (limitOpt, policyOpt) = quotaProps(spark, name, props)
+    if (limitOpt.isDefined) {
+      val usage = storeUsage(spark, name)
+      if (usage > limitOpt.get)
+        violate("TABLE", usage, limitOpt.get, policyOpt.getOrElse("NO_INSERTS"))
+    } else {
+      val ns = nsOf(name)
+      quotaRegistry(spark).find(r =>
+        r.scope == "NAMESPACE" && r.subject == ns && r.qtype == "SPACE")
+        .foreach { q =>
+          val usage = listTableNamesByNamespace(spark, ns)
+            .map(storeUsage(spark, _)).sum
+          if (usage > q.limit) violate("NAMESPACE", usage, q.limit, q.setting)
+        }
     }
   }
 

@@ -269,6 +269,87 @@ object ReplayQueries {
         """SELECT COUNT(*) AS n_cells, COUNT(DISTINCT row) AS n_rows,
           |       CAST(0 AS BIGINT) AS misplaced, CAST(8 AS BIGINT) AS regions
           |FROM cells_orders""".stripMargin))
+    ),
+    QDef(
+      // Quota scope cascade as a DECLARED query (QuotaSettingsFactory
+      // .throttleUser/.throttleNamespace + table scope;
+      // GAdmin.pickThrottle's most-specific-wins order user+table >
+      // user+ns > user > table > namespace): configure one quota per
+      // scope over a 2-table namespace, derive a request schedule FROM
+      // the orders table (user by custkey, table by orderkey), replay
+      // it through the cascade at one instant from a clean slate, and
+      // report admitted/rejected per (user, table) with the scope that
+      // governed. The oracle recomputes the same counts analytically —
+      // at one instant a fresh AVERAGE bucket admits exactly
+      // min(n, limit), sequentially for groups sharing a bucket (bob's
+      // global USER quota spans both tables, in schedule order).
+      "q82_quota_scopes",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        if (!GAdmin.listNamespaces(s).contains("q82ns"))
+          GAdmin.createNamespace(s, "q82ns")
+        val tmp = graft.Queries.scratchDir("quota_q")
+        for (t <- Seq("q82ns:ta", "q82ns:tb") if !GAdmin.tableExists(s, t))
+          GAdmin.createTable(s, t, tmp, buckets = 2)
+        GAdmin.setUserThrottleQuota(s, "alice", limit = 3,
+          table = Some("q82ns:ta"))
+        GAdmin.setUserThrottleQuota(s, "alice", limit = 4,
+          namespace = Some("q82ns"))
+        GAdmin.setUserThrottleQuota(s, "bob", limit = 5)
+        GAdmin.setThrottleQuota(s, "q82ns:ta", limit = 6)
+        GAdmin.setNamespaceThrottleQuota(s, "q82ns", limit = 7)
+        // bounded: the corpus collapses to 6 (user, table) counts
+        val sched = graft.model.Tables.load(s, s"$dir/orders.parquet")
+          .select(
+            when(pmod(col("o_custkey"), lit(3)) === 0, "alice")
+              .when(pmod(col("o_custkey"), lit(3)) === 1, "bob")
+              .otherwise("carol").as("usr"),
+            when(pmod(col("o_orderkey"), lit(2)) === 0, "q82ns:ta")
+              .otherwise("q82ns:tb").as("tbl"))
+          .groupBy("usr", "tbl").agg(count(lit(1)).as("n"))
+          .orderBy("usr", "tbl")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSeq
+        val audit = GAdmin.throttleAudit(s, sched, nowMs = 1000000L)
+        // unwind the registry so the config doesn't bleed across queries
+        GAdmin.removeUserThrottleQuota(s, "alice", table = Some("q82ns:ta"))
+        GAdmin.removeUserThrottleQuota(s, "alice", namespace = Some("q82ns"))
+        GAdmin.removeUserThrottleQuota(s, "bob")
+        GAdmin.removeThrottleQuota(s, "q82ns:ta")
+        GAdmin.removeNamespaceThrottleQuota(s, "q82ns")
+        import s.implicits._
+        audit.toDF("usr", "tbl", "scope", "n_requests", "n_admitted",
+            "n_rejected")
+          .withColumn("tbl", regexp_replace(col("tbl"), "^q82ns:", ""))
+          .orderBy("usr", "tbl")
+      },
+      Some("""WITH req AS (
+          |  SELECT CASE o_custkey % 3 WHEN 0 THEN 'alice' WHEN 1 THEN 'bob' ELSE 'carol' END AS usr,
+          |         CASE o_orderkey % 2 WHEN 0 THEN 'ta' ELSE 'tb' END AS tbl
+          |  FROM orders),
+          |g AS (SELECT usr, tbl, CAST(COUNT(*) AS BIGINT) AS n_requests
+          |      FROM req GROUP BY usr, tbl),
+          |adm AS (
+          |  SELECT usr, tbl, n_requests,
+          |    CAST(CASE
+          |      WHEN usr = 'alice' AND tbl = 'ta' THEN LEAST(n_requests, 3)
+          |      WHEN usr = 'alice' THEN LEAST(n_requests, 4)
+          |      WHEN usr = 'bob' AND tbl = 'ta' THEN LEAST(n_requests, 5)
+          |      WHEN usr = 'bob' THEN GREATEST(0, LEAST(n_requests,
+          |        5 - COALESCE((SELECT LEAST(n_requests, 5) FROM g g2
+          |                      WHERE g2.usr = 'bob' AND g2.tbl = 'ta'), 0)))
+          |      WHEN tbl = 'ta' THEN LEAST(n_requests, 6)
+          |      ELSE LEAST(n_requests, 7) END AS BIGINT) AS n_admitted
+          |  FROM g)
+          |SELECT usr, tbl,
+          |  CASE WHEN usr = 'alice' AND tbl = 'ta' THEN 'USER_TABLE'
+          |       WHEN usr = 'alice' THEN 'USER_NS'
+          |       WHEN usr = 'bob' THEN 'USER'
+          |       WHEN tbl = 'ta' THEN 'TABLE'
+          |       ELSE 'NAMESPACE' END AS scope,
+          |  n_requests, n_admitted,
+          |  n_requests - n_admitted AS n_rejected
+          |FROM adm ORDER BY usr, tbl""".stripMargin)
     )
   )
 }

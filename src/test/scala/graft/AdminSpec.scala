@@ -284,4 +284,110 @@ class AdminSpec extends SparkSpec {
     assert(GAdmin.table(spark, "tnm").count() === 500)
     GAdmin.deleteTable(spark, "tnm")
   }
+
+  test("throttle cascade: user+table > user+ns > user > table > namespace") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_qc").toString
+    if (!GAdmin.listNamespaces(spark).contains("qns"))
+      GAdmin.createNamespace(spark, "qns")
+    GAdmin.createTable(spark, "qns:qt1", tmp, buckets = 2)
+    GAdmin.createTable(spark, "qns:qt2", tmp, buckets = 2)
+    val t = 100000L // one fixed instant: no refill drift inside the test
+
+    // NAMESPACE scope: one shared bucket across the ns's tables AND users
+    GAdmin.setNamespaceThrottleQuota(spark, "qns", limit = 2, perMs = 1000)
+    val p1 = GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)
+    assert(p1._1 === "NAMESPACE" && p1._2 === "qns" && p1._3)
+    assert(GAdmin.throttleProbe(spark, "qns:qt2", "alice", t)._3) // 2nd token
+    val p3 = GAdmin.throttleProbe(spark, "qns:qt1", "bob", t)
+    assert(!p3._3 && p3._4 > 0) // drained — shared across users and tables
+
+    // a TABLE quota overrides the namespace scope for ITS table only
+    GAdmin.setThrottleQuota(spark, "qns:qt1", limit = 5, perMs = 1000)
+    val p4 = GAdmin.throttleProbe(spark, "qns:qt1", "bob", t)
+    assert(p4._1 === "TABLE" && p4._3)
+    assert(!GAdmin.throttleProbe(spark, "qns:qt2", "bob", t)._3) // still ns
+
+    // a USER quota beats table+ns for that user — other users unaffected
+    GAdmin.setUserThrottleQuota(spark, "alice", limit = 1, perMs = 1000)
+    val p5 = GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)
+    assert(p5._1 === "USER" && p5._2 === "alice" && p5._3)
+    assert(!GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)._3) // drained
+    assert(GAdmin.throttleProbe(spark, "qns:qt1", "bob", t)._1 === "TABLE")
+
+    // user+NAMESPACE narrows ahead of the user's global bucket: a fresh
+    // admit right after the global USER bucket drained proves the pick
+    GAdmin.setUserThrottleQuota(spark, "alice", limit = 3, perMs = 1000,
+      namespace = Some("qns"))
+    val p6 = GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)
+    assert(p6._1 === "USER" && p6._3)
+
+    // user+TABLE is the most specific of all — again a fresh bucket
+    GAdmin.setUserThrottleQuota(spark, "alice", limit = 1, perMs = 1000,
+      table = Some("qns:qt1"))
+    assert(GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)._3)
+    assert(!GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)._3) // drained
+    // qt2 falls to user+ns (has tokens left) — not the drained user+table
+    assert(GAdmin.throttleProbe(spark, "qns:qt2", "alice", t)._3)
+
+    // the registry lists every scope; removal unwinds the cascade
+    val listed = GAdmin.listQuotas(spark)
+    assert(listed.count(q => q.scope == "USER" && q.subject == "alice") === 3)
+    assert(listed.exists(q => q.scope == "NAMESPACE" && q.subject == "qns"))
+    assert(listed.exists(q => q.scope == "TABLE" && q.subject == "qns:qt1"))
+    GAdmin.removeUserThrottleQuota(spark, "alice", table = Some("qns:qt1"))
+    GAdmin.removeUserThrottleQuota(spark, "alice", namespace = Some("qns"))
+    GAdmin.removeUserThrottleQuota(spark, "alice")
+    assert(GAdmin.throttleProbe(spark, "qns:qt1", "alice", t)._1 === "TABLE")
+    GAdmin.removeThrottleQuota(spark, "qns:qt1")
+    GAdmin.removeNamespaceThrottleQuota(spark, "qns")
+    assert(GAdmin.throttleProbe(spark, "qns:qt1", "alice", t) ===
+      (("NONE", "", true, 0L)))
+
+    GAdmin.deleteTable(spark, "qns:qt1")
+    GAdmin.deleteTable(spark, "qns:qt2")
+    GAdmin.deleteNamespace(spark, "qns")
+  }
+
+  test("namespace space quota sums member stores; table scope overrides") {
+    val tmp = java.nio.file.Files.createTempDirectory("admin_nsq").toString
+    if (!GAdmin.listNamespaces(spark).contains("sns"))
+      GAdmin.createNamespace(spark, "sns")
+    GAdmin.createTable(spark, "sns:st1", tmp, buckets = 2)
+    GAdmin.createTable(spark, "sns:st2", tmp, buckets = 2)
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(100)
+    GAdmin.put(spark, "sns:st1", cells)
+    GAdmin.put(spark, "sns:st2", cells)
+
+    // usage rolls up over member tables; no quota → no violation
+    val (u0, l0, _, v0) = GAdmin.namespaceQuotaSnapshot(spark, "sns")
+    val (u1, _, _, _) = GAdmin.spaceQuotaSnapshot(spark, "sns:st1")
+    val (u2, _, _, _) = GAdmin.spaceQuotaSnapshot(spark, "sns:st2")
+    assert(u0 === u1 + u2 && u0 > 0 && l0.isEmpty && !v0)
+
+    // generous ns budget admits; 1-byte budget rejects writes to EVERY
+    // member with the NAMESPACE-scoped violation
+    GAdmin.setNamespaceSpaceQuota(spark, "sns", u0 * 100)
+    GAdmin.put(spark, "sns:st1", cells.limit(10))
+    GAdmin.setNamespaceSpaceQuota(spark, "sns", 1L)
+    assert(GAdmin.namespaceQuotaSnapshot(spark, "sns")._4)
+    val e1 = intercept[IllegalStateException](
+      GAdmin.put(spark, "sns:st1", cells.limit(10)))
+    assert(e1.getMessage.contains("NAMESPACE"))
+    intercept[IllegalStateException](GAdmin.put(spark, "sns:st2", cells.limit(10)))
+
+    // a table's own generous quota is more specific: st1 writes again,
+    // st2 still stops at the namespace line
+    GAdmin.setSpaceQuota(spark, "sns:st1", u0 * 100)
+    GAdmin.put(spark, "sns:st1", cells.limit(10))
+    intercept[IllegalStateException](GAdmin.put(spark, "sns:st2", cells.limit(10)))
+
+    // removal restores the namespace's members
+    GAdmin.removeNamespaceSpaceQuota(spark, "sns")
+    GAdmin.put(spark, "sns:st2", cells.limit(10))
+
+    GAdmin.removeSpaceQuota(spark, "sns:st1")
+    GAdmin.deleteTable(spark, "sns:st1")
+    GAdmin.deleteTable(spark, "sns:st2")
+    GAdmin.deleteNamespace(spark, "sns")
+  }
 }
