@@ -49,7 +49,8 @@ object GAdmin {
     * hbase:quota from user-facing listings). */
   private def isSystemTable(catalogName: String): Boolean =
     catalogName == NsReg || catalogName == NsRegTmp ||
-      catalogName == "graft_quotareg" || catalogName == "graft_quotareg_swap"
+      catalogName == "graft_quotareg" || catalogName == "graft_quotareg_swap" ||
+      catalogName == "graft_vislabels" || catalogName == "graft_vislabels_swap"
 
   /** Registry reads fall back to the swap table: a crash between the
     * old registry's drop and the swap's rename loses nothing, because
@@ -63,7 +64,7 @@ object GAdmin {
 
   /** A crashed prior process can leave a managed location on disk with
     * no catalog entry, which makes CTAS refuse — clear the orphan. */
-  private def clearOrphan(spark: SparkSession, table: String): Unit =
+  private[admin] def clearOrphan(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table)

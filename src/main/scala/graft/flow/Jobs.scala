@@ -167,9 +167,15 @@ object Jobs {
     * tombstone masks + one rank window) feeding the range-partitioned
     * sorted writer — no extra exchange beyond the store's own layout. */
   def majorCompact(cells: DataFrame, maxVersions: Int = 1,
-      ttlCutoff: Option[Long] = None, minVersions: Int = 0): DataFrame =
-    graft.read.Resolve.latest(cells, maxVersions,
+      ttlCutoff: Option[Long] = None, minVersions: Int = 0,
+      observers: Seq[graft.read.WriteObserver] = Nil): DataFrame = {
+    val resolved = graft.read.Resolve.latest(cells, maxVersions,
       ttlCutoff = ttlCutoff, minVersions = minVersions)
+    // preCompact hooks wrap the rewrite stream in registration order
+    // (RegionObserver.preCompact wraps the compaction scanner the same
+    // way); still a plain plan transform, so Catalyst optimizes through
+    observers.foldLeft(resolved)((df, o) => o.preCompact(df))
+  }
 
   /** D3 Export (mapreduce/Export.java:43): dump a scan to files. */
   def export(cells: DataFrame, pred: Option[Column], outPath: String): Unit =
@@ -216,8 +222,12 @@ object Jobs {
   def walPlayer(wal: DataFrame, timeRange: Option[(Long, Long)] = None,
       rowRemap: Option[Column => Column] = None,
       bulkLoadMode: Boolean = false): DataFrame = {
-    val ranged = timeRange.fold(wal) { case (lo, hi) =>
-      wal.filter(col("ts") >= lo && col("ts") < hi)
+    // meta markers (compaction/flush/region-event/bulk-load descriptors,
+    // WALEdit.METAFAMILY) are coordination metadata — WALPlayer replays
+    // data edits only, like the reference's WALPlayer map() skip
+    val data = graft.stream.WalMeta.dataOnly(wal)
+    val ranged = timeRange.fold(data) { case (lo, hi) =>
+      data.filter(col("ts") >= lo && col("ts") < hi)
     }
     val typed = if (bulkLoadMode) ranged.filter(col("type") === graft.model.CellType.Put)
       else ranged

@@ -118,9 +118,35 @@ object VisKernel {
 
   def visible(expr: String, auths: Set[String]): Boolean = {
     if (expr == null || expr.isEmpty) return true
+    eval(parsed(expr), auths)
+  }
+
+  private def parsed(expr: String): Node = {
     val m = memo.get()
     var node = m.get(expr)
     if (node == null) { node = parse(expr); m.put(expr, node) }
+    node
+  }
+
+  /** Every leaf label the expression references (negated or not). */
+  def labels(n: Node): Set[String] = n match {
+    case Leaf(l)   => Set(l)
+    case Not(c)    => labels(c)
+    case Op(_, cs) => cs.flatMap(labels).toSet
+  }
+
+  /** Strict [[visible]]: additionally REJECTS (throws) any expression
+    * referencing a label outside `defined` — the registry-backed
+    * InvalidLabelException twin (without a registry every label string
+    * is silently legal; see VisibilityAdmin). */
+  def visibleStrict(expr: String, auths: Set[String],
+      defined: Set[String]): Boolean = {
+    if (expr == null || expr.isEmpty) return true
+    val node = parsed(expr)
+    val bad = labels(node).find(!defined(_))
+    if (bad.isDefined)
+      throw new IllegalArgumentException(
+        s"undefined visibility label '${bad.get}' in '$expr'")
     eval(node, auths)
   }
 
@@ -175,11 +201,15 @@ object VisKernel {
 
 /** `vis_match(expr)` — true iff the cell's visibility expression admits
   * the given Authorizations. Null/empty expression → visible (untagged
-  * cells are never checked). */
-final case class VisibilityMatch(child: Expression, auths: Seq[String])
+  * cells are never checked). With `defined` set, evaluation is STRICT:
+  * an expression referencing an unregistered label fails the task
+  * (the registry-backed InvalidLabelException twin). */
+final case class VisibilityMatch(child: Expression, auths: Seq[String],
+    defined: Option[Seq[String]] = None)
     extends UnaryExpression with CodegenFallback {
 
   private lazy val authSet = auths.toSet
+  private lazy val definedSet = defined.map(_.toSet)
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -187,7 +217,13 @@ final case class VisibilityMatch(child: Expression, auths: Seq[String])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) true
-    else VisKernel.visible(v.asInstanceOf[UTF8String].toString, authSet)
+    else {
+      val s = v.asInstanceOf[UTF8String].toString
+      definedSet match {
+        case Some(d) => VisKernel.visibleStrict(s, authSet, d)
+        case None    => VisKernel.visible(s, authSet)
+      }
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): VisibilityMatch =
@@ -218,6 +254,15 @@ object VisibilityFunctions {
   /** Column form: `vis_match(col("vis"), Set("public", "finance"))`. */
   def vis_match(expr: Column, auths: Set[String]): Column =
     colshim.column(VisibilityMatch(colshim.expression(expr), auths.toSeq.sorted))
+
+  /** Strict column form: like [[vis_match]] but any expression
+    * referencing a label outside `defined` (the registry dictionary,
+    * VisibilityAdmin.listLabels) fails the scan instead of silently
+    * never matching. */
+  def vis_match_strict(expr: Column, auths: Set[String],
+      defined: Set[String]): Column =
+    colshim.column(VisibilityMatch(colshim.expression(expr),
+      auths.toSeq.sorted, Some(defined.toSeq.sorted)))
 
   /** Column form of [[VisKernel.canonical]]. */
   def vis_canonical(expr: Column): Column =

@@ -31,9 +31,15 @@ trait WriteObserver {
   def preBatchMutate(batch: DataFrame): DataFrame = batch
   /** Transform the merged store after apply (postBatchMutate). */
   def postBatchMutate(cells: DataFrame): DataFrame = cells
-  /** Transform the cell set at persistence points (preFlush/preCompact
-    * — e.g. drop expired cells before they are written back). */
+  /** Transform the cell set at persistence points (preFlush — e.g.
+    * drop expired cells before they are written back). */
   def preFlush(store: DataFrame): DataFrame = store
+  /** Transform the compaction REWRITE stream (preCompact:298 — the
+    * reference wraps the compaction's InternalScanner; graft's twin
+    * transforms the resolved frame feeding the rewritten store, so a
+    * hook sees exactly the cells that will survive into the new store
+    * files). Threaded by `Jobs.majorCompact(…, observers)`. */
+  def preCompact(store: DataFrame): DataFrame = store
 }
 
 /** Table façade with observer chains (the `coprocessorService`-adjacent

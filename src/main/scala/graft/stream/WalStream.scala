@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -16,6 +16,54 @@ import graft.model.Cellify
   * foreachBatch idempotent merge sink, plus event-time windowed
   * analytics the reference cannot express.
   */
+/** WAL meta entries — the reference's in-band coordination markers
+  * (hbase-server/.../wal/WALEdit.java:92-130): compaction, flush,
+  * region-event and bulk-load descriptors travel IN the WAL as cells
+  * under the reserved `METAFAMILY` family, marker kind in the
+  * qualifier, descriptor payload in the value. They are metadata, not
+  * data: CDC consumers key off them (a downstream cache invalidates on
+  * a compaction marker, an incremental-backup client on a bulk-load
+  * marker), but they must NEVER be applied as table cells —
+  * [[WalStream.applyBatch]] and WALPlayer exclude them, while
+  * [[WalStream.scoped]] passes them through every peer scope (the
+  * markers describe the region, not a column family, so family scoping
+  * does not apply to them). Marker kind strings are the reference's
+  * wire constants (WALEdit.java: `HBASE::COMPACTION`,
+  * `HBASE::FLUSH`, `HBASE::REGION_EVENT`, `HBASE::BULK_LOAD`) for
+  * consumer compatibility — format fidelity, same policy as OBytesHb. */
+object WalMeta {
+  /** WALEdit.METAFAMILY (WALEdit.java:92). */
+  val MetaFamily = "METAFAMILY"
+  /** Marker-kind qualifiers (WALEdit.java:97-130). */
+  val Compaction = "HBASE::COMPACTION"
+  val Flush = "HBASE::FLUSH"
+  val RegionEvent = "HBASE::REGION_EVENT"
+  val BulkLoad = "HBASE::BULK_LOAD"
+
+  /** WALEdit.isMetaEditFamily twin. */
+  def isMeta(family: Column): Column = family === MetaFamily
+
+  /** Marker rows in the WAL cell schema: the marker rides the region's
+    * start row (the reference writes markers against the region row),
+    * `ts` is the event's sequence point, payload is the descriptor
+    * (the reference serializes a protobuf descriptor; graft carries an
+    * opaque string the consumer parses). */
+  def markers(spark: SparkSession,
+      rows: Seq[(String, String, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (row, kind, ts, payload) =>
+      (row, MetaFamily, kind, ts, graft.model.CellType.Put, payload)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+  }
+
+  /** The meta slice of a WAL stream/batch — what a coordination-aware
+    * consumer subscribes to. */
+  def metaOnly(wal: DataFrame): DataFrame = wal.filter(isMeta(col("family")))
+
+  /** The data slice — every entry that may land as a table cell. */
+  def dataOnly(wal: DataFrame): DataFrame = wal.filter(!isMeta(col("family")))
+}
+
 object WalStream {
 
   /** CDC source: tail an append-only parquet log (the graft WAL).
@@ -59,9 +107,14 @@ object WalStream {
 
   /** Per-peer scope filtering (ChainWALEntryFilter /
     * NamespaceTableCfWALEntryFilter): keep only the replicated
-    * families/tables. */
+    * families/tables. META entries pass through every scope — family
+    * scoping describes data cells; markers describe the region
+    * (WALEdit.isMetaEditFamily guards them out of the cell filters in
+    * the reference's filter chain too). */
   def scoped(stream: DataFrame, families: Seq[String]): DataFrame =
-    if (families.isEmpty) stream else stream.filter(col("family").isin(families: _*))
+    if (families.isEmpty) stream
+    else stream.filter(col("family").isin(families: _*) ||
+      WalMeta.isMeta(col("family")))
 
   /** Tumbling-window analytics over the event stream (extension beyond
     * the reference — watermarked event-time aggregation). `tsNanos` is
@@ -162,7 +215,10 @@ object WalStream {
     * exchange disappears against a stored target. */
   def applyBatch(batch: DataFrame, seqCol: Option[String] = None): DataFrame = {
     val ord = seqCol.map(col).getOrElse(col("value"))
-    batch.groupBy("row", "family", "qualifier", "ts", "type")
+    // meta markers never land as table cells (WALEdit.isMetaEdit guard
+    // in the reference's ReplicationSink.replicateEntries)
+    WalMeta.dataOnly(batch)
+      .groupBy("row", "family", "qualifier", "ts", "type")
       .agg(max_by(col("value"), ord).as("value"))
   }
 

@@ -55,4 +55,29 @@ class ObserverSpec extends SparkSpec {
     }
     assert(ObservedTable.flush(cells, Seq(DropOld)).count() === cells.count())
   }
+
+  test("preCompact hooks wrap the compaction rewrite in registration order") {
+    import graft.flow.Jobs
+    val store = Fixtures.cellsEventsV(spark, sf0001)
+    object DropProps2 extends WriteObserver {
+      override def preCompact(s: DataFrame): DataFrame =
+        s.filter(col("qualifier") =!= "props")
+    }
+    object Audit extends WriteObserver {
+      override def preCompact(s: DataFrame): DataFrame =
+        s.withColumn("compacted", lit(1))
+    }
+    // no observers: exactly the q62 rewrite (unchanged behavior)
+    val plain = Jobs.majorCompact(store, maxVersions = 1)
+    assert(Jobs.majorCompact(store, maxVersions = 1, observers = Nil)
+      .exceptAll(plain).isEmpty)
+    // hooks compose in order over the RESOLVED stream (same composition
+    // contract as q64's read chain): filter first, then tag
+    val out = Jobs.majorCompact(store, maxVersions = 1,
+      observers = Seq(DropProps2, Audit))
+    assert(out.columns.contains("compacted"))
+    assert(out.filter(col("qualifier") === "props").count() === 0)
+    assert(out.drop("compacted")
+      .exceptAll(plain.filter(col("qualifier") =!= "props")).isEmpty)
+  }
 }

@@ -243,6 +243,53 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WAL meta markers pass scopes, surface to consumers, never land as cells") {
+    import spark.implicits._
+    import graft.stream.WalMeta
+    val data = Seq(
+      ("r1", "d", "q1", 1L, "Put", "v1"),
+      ("r2", "m", "q2", 2L, "Put", "v2")
+    ).toDF("row", "family", "qualifier", "ts", "type", "value")
+    val marks = WalMeta.markers(spark, Seq(
+      ("region0", WalMeta.Compaction, 3L, "files=2"),
+      ("region0", WalMeta.BulkLoad, 4L, "hfiles=1"),
+      ("region1", WalMeta.RegionEvent, 5L, "open")))
+    val wal = data.unionByName(marks)
+
+    // family scope filters DATA only; markers ride through every peer
+    val sc = WalStream.scoped(wal, Seq("d"))
+    assert(sc.filter(!WalMeta.isMeta(col("family")))
+      .select("family").distinct().as[String].collect().toSeq === Seq("d"))
+    assert(WalMeta.metaOnly(sc).count() === 3)
+
+    // the sink never applies a marker as a table cell
+    val applied = WalStream.applyBatch(wal)
+    assert(applied.filter(col("family") === WalMeta.MetaFamily).count() === 0)
+    assert(applied.count() === 2)
+
+    // WALPlayer replays data edits only, in or out of a time range
+    assert(graft.flow.Jobs.walPlayer(wal).count() === 2)
+    assert(graft.flow.Jobs.walPlayer(wal,
+      timeRange = Some((0L, 10L))).count() === 2)
+
+    // the consumer slice sees the markers in WAL order
+    assert(WalMeta.metaOnly(wal).orderBy("ts")
+      .select("qualifier").as[String].collect().toSeq ===
+      Seq(WalMeta.Compaction, WalMeta.BulkLoad, WalMeta.RegionEvent))
+
+    // end-to-end through a real scoped STREAM: markers survive
+    val tmp = java.nio.file.Files.createTempDirectory("walmeta").toString
+    wal.write.parquet(s"$tmp/log")
+    val stream = WalStream.source(spark, s"$tmp/log",
+      graft.model.CellSchema.schema)
+    val out = WalStream.runAvailableNow(
+      WalStream.scoped(stream, Seq("d"))
+        .groupBy("family").agg(count(lit(1)).as("n")),
+      "walmeta_scope")
+    val byFam = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFam === Map("d" -> 1L, WalMeta.MetaFamily -> 3L))
+  }
+
   test("replication peer admin: scope semantics and per-peer fan-out") {
     import graft.stream.ReplicationAdmin
     ReplicationAdmin.removeAllPeers()

@@ -101,4 +101,75 @@ class VisibilitySpec extends SparkSpec {
     // ts=3 is invisible; the 2-version gate then admits ts=2 AND ts=1
     assert(out.toSeq === Seq(1L, 2L))
   }
+
+  test("label registry: addLabels/listLabels/setAuths/getAuths/clearAuths") {
+    import graft.admin.VisibilityAdmin
+    // idempotent start (shared warehouse across runs)
+    val pre = VisibilityAdmin.listLabels(spark)
+    if (pre.nonEmpty) {
+      VisibilityAdmin.clearAuths(spark, "vuser", pre)
+      VisibilityAdmin.clearAuths(spark, "vother", pre)
+    }
+    val fresh = Seq("vl_public", "vl_secret", "vl_fin")
+      .filterNot(pre.contains)
+    if (fresh.nonEmpty) VisibilityAdmin.addLabels(spark, fresh)
+
+    // dictionary: listed, regex-filterable, duplicates rejected
+    assert(Seq("vl_public", "vl_secret", "vl_fin")
+      .forall(VisibilityAdmin.listLabels(spark).contains))
+    assert(VisibilityAdmin.listLabels(spark, Some("vl_s.*")) ===
+      Seq("vl_secret"))
+    intercept[IllegalArgumentException](
+      VisibilityAdmin.addLabels(spark, Seq("vl_public")))
+    intercept[IllegalArgumentException](
+      VisibilityAdmin.addLabels(spark, Seq("bad label")))
+
+    // grants: cumulative, undefined labels rejected, clear revokes
+    VisibilityAdmin.setAuths(spark, "vuser", Seq("vl_public"))
+    VisibilityAdmin.setAuths(spark, "vuser", Seq("vl_secret"))
+    assert(VisibilityAdmin.getAuths(spark, "vuser") ===
+      Seq("vl_public", "vl_secret"))
+    intercept[IllegalArgumentException](
+      VisibilityAdmin.setAuths(spark, "vuser", Seq("vl_undefined")))
+    VisibilityAdmin.clearAuths(spark, "vuser", Seq("vl_secret"))
+    assert(VisibilityAdmin.getAuths(spark, "vuser") === Seq("vl_public"))
+
+    // write-path gate: undefined labels in an expression throw
+    VisibilityAdmin.checkExpression(spark, "vl_public&!vl_fin")
+    VisibilityAdmin.checkExpression(spark, null)
+    intercept[IllegalArgumentException](
+      VisibilityAdmin.checkExpression(spark, "vl_public|vl_nope"))
+
+    // registry-defaulted scan auths: supplied wins but is FILTERED to
+    // grants; empty supplied falls back to the user's grants
+    assert(VisibilityAdmin.effectiveAuths(spark, "vuser") ===
+      Set("vl_public"))
+    assert(VisibilityAdmin.effectiveAuths(spark, "vuser",
+      Set("vl_public", "vl_secret")) === Set("vl_public"))
+    assert(VisibilityAdmin.effectiveAuths(spark, "vother") === Set.empty)
+  }
+
+  test("strict vis_match rejects undefined labels; lenient never matches them") {
+    val cells = Seq(
+      ("r1", "ok", "vl_public"),
+      ("r2", "ok", "vl_ghost")
+    ).toDF("row", "value", "vis")
+    val defined = Set("vl_public", "vl_secret")
+    // lenient: the undefined label simply never matches
+    assert(cells.filter(VisibilityFunctions.vis_match(col("vis"),
+      Set("vl_public"))).count() === 1)
+    // strict: the scan FAILS on the undefined label (wrapped in
+    // SparkException when the task runs distributed; surfaced directly
+    // when the local relation short-circuits)
+    val e = intercept[Exception](
+      cells.filter(VisibilityFunctions.vis_match_strict(col("vis"),
+        Set("vl_public"), defined)).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vl_ghost")))
+    // strict over only-defined expressions behaves like lenient
+    assert(cells.filter(col("row") === "r1")
+      .filter(VisibilityFunctions.vis_match_strict(col("vis"),
+        Set("vl_public"), defined)).count() === 1)
+  }
 }
