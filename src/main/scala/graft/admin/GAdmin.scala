@@ -250,15 +250,32 @@ object GAdmin {
       qualifier: String, qtype: String, limit: Long, unitMs: Long,
       setting: String)
 
-  private def quotaRegistry(spark: SparkSession): Seq[QuotaEntry] = {
-    val t =
-      if (spark.catalog.tableExists(QuotaReg)) Some(QuotaReg)
-      else if (spark.catalog.tableExists(QuotaRegTmp)) Some(QuotaRegTmp)
-      else None
-    t.fold(Seq.empty[QuotaEntry])(spark.table(_).collect().toSeq.map(r =>
-      QuotaEntry(r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4), r.getLong(5), r.getString(6))))
-  }
+  // In-JVM registry cache — the reference's QuotaCache (hbase-server/
+  // .../quotas/QuotaCache.java: RegionServers serve every request from
+  // a cached snapshot and refresh periodically, they never read
+  // hbase:quota per request). graft's writes invalidate the cache
+  // in-JVM immediately; cross-JVM configuration changes are picked up
+  // via [[refreshQuotaCache]] (the periodic-refresh analogue — config
+  // changes propagating lazily is the reference's model too).
+  @volatile private var quotaCache: Option[Seq[QuotaEntry]] = None
+
+  /** Drop the cached quota snapshot (QuotaCache refresh analogue) —
+    * call after another process has changed quota configuration. */
+  def refreshQuotaCache(): Unit = quotaCache = None
+
+  private def quotaRegistry(spark: SparkSession): Seq[QuotaEntry] =
+    quotaCache.getOrElse {
+      val t =
+        if (spark.catalog.tableExists(QuotaReg)) Some(QuotaReg)
+        else if (spark.catalog.tableExists(QuotaRegTmp)) Some(QuotaRegTmp)
+        else None
+      val rows = t.fold(Seq.empty[QuotaEntry])(
+        spark.table(_).collect().toSeq.map(r =>
+          QuotaEntry(r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      quotaCache = Some(rows)
+      rows
+    }
 
   private def writeQuotaRegistry(spark: SparkSession,
       rows: Seq[QuotaEntry]): Unit = {
@@ -270,6 +287,7 @@ object GAdmin {
     spark.sql(s"DROP TABLE IF EXISTS $QuotaReg")
     clearOrphan(spark, QuotaReg)
     spark.sql(s"ALTER TABLE $QuotaRegTmp RENAME TO $QuotaReg")
+    quotaCache = Some(rows) // write-through: this JVM sees it at once
   }
 
   /** Upsert keyed on (scope, subject, qualifier, qtype) — re-setting a

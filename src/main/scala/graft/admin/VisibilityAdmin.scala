@@ -30,16 +30,29 @@ object VisibilityAdmin {
   private val Reg = "graft_vislabels"
   private val RegTmp = Reg + "_swap"
 
+  // In-JVM snapshot cache, same model as GAdmin's quota cache (the
+  // reference's VisibilityLabelsCache is likewise an in-memory mirror
+  // of hbase:labels refreshed on change notification).
+  @volatile private var cache: Option[Seq[(String, String, String)]] = None
+
+  /** Drop the cached snapshot — call after another process changed the
+    * label registry (the cache-refresh notification analogue). */
+  def refreshCache(): Unit = cache = None
+
   /** (kind, subject, label): LABEL rows carry ("LABEL", label, "");
     * AUTH rows carry ("AUTH", user, label). */
-  private def registry(spark: SparkSession): Seq[(String, String, String)] = {
-    val t =
-      if (spark.catalog.tableExists(Reg)) Some(Reg)
-      else if (spark.catalog.tableExists(RegTmp)) Some(RegTmp)
-      else None
-    t.fold(Seq.empty[(String, String, String)])(spark.table(_).collect().toSeq
-      .map(r => (r.getString(0), r.getString(1), r.getString(2))))
-  }
+  private def registry(spark: SparkSession): Seq[(String, String, String)] =
+    cache.getOrElse {
+      val t =
+        if (spark.catalog.tableExists(Reg)) Some(Reg)
+        else if (spark.catalog.tableExists(RegTmp)) Some(RegTmp)
+        else None
+      val rows = t.fold(Seq.empty[(String, String, String)])(
+        spark.table(_).collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))))
+      cache = Some(rows)
+      rows
+    }
 
   private def write(spark: SparkSession,
       rows: Seq[(String, String, String)]): Unit = {
@@ -51,6 +64,7 @@ object VisibilityAdmin {
     spark.sql(s"DROP TABLE IF EXISTS $Reg")
     GAdmin.clearOrphan(spark, Reg)
     spark.sql(s"ALTER TABLE $RegTmp RENAME TO $Reg")
+    cache = Some(rows) // write-through for this JVM
   }
 
   /** Label charset — the reference rejects labels that collide with

@@ -59,6 +59,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC member of the
+    * decontamination family (n-gram shingle overlap e20, bloom-
+    * prescreened exact e51, cross-source matrix e44): a TRAIN vector
+    * is contaminated iff its cosine against ANY eval-set vector
+    * reaches `threshold`. This is the filter that catches paraphrased
+    * or translated eval leakage that no token-overlap check can see.
+    * Every train vector gets a verdict row with its closest eval
+    * vector and rounded similarity — the audit trail a release
+    * review reads, not just the drop list.
+    *
+    * Plan: the eval slice is bounded by contract (an eval BENCHMARK,
+    * not a corpus) and broadcasts over ONE train scan — the same
+    * bounded-flat-scan shape as marginMine; the per-train argmax is a
+    * vec_id-PARTITIONED rank window (never a global one); output is
+    * train-corpus-sized, linear. An EMPTY eval slice yields all-clean
+    * verdicts (left join), not an empty result. Scale path when the
+    * eval set outgrows a broadcast: the verdict is a predicate on the
+    * same rounded sim, so it composes unchanged with the IVF-pruned
+    * scan (e13) — prune to candidate lists, verify, anti-join. */
+  def embedDecontam(emb: DataFrame, evalPred: Column,
+      threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(emb)
+    val ev = e.filter(evalPred)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val train = e.filter(!coalesce(evalPred, lit(false)))
+    val scored = train.join(broadcast(ev), lit(true), "left")
+      .withColumn("sim",
+        when(col("eval_id").isNotNull,
+          cosSim(col("qv"), col("qnrm"), col("embedding"), col("nrm"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc_nulls_last, col("eval_id").asc_nulls_last)
+    scored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"),
+        col("eval_id").as("closest_eval"),
+        col("sim").as("max_sim"),
+        coalesce(col("sim") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Contrastive-training hard-negative mining: for each anchor
     * (query) vector, the `k` nearest corpus vectors whose cosine is
     * BELOW `posThreshold` — neighbors at or above the threshold are

@@ -1334,6 +1334,36 @@ object ExtQueries {
               |  SELECT *, CAST(row_number() OVER (ORDER BY margin, query_id) AS BIGINT) AS pick
               |  FROM mj)
               |WHERE pick <= 20 ORDER BY pick""".stripMargin)
+    ),
+    QDef(
+      // embedding-space decontamination: per-TRAIN-vector verdicts
+      // against the vec_id%17=3 eval slice — the semantic member of
+      // the decontam family (e20 shingles, e51 bloom, e44 matrix);
+      // closest eval vector + rounded cosine is the audit trail
+      // (Similarity.embedDecontam scaladoc).
+      "e75_embed_decontam",
+      (s, dir) =>
+        Similarity.embedDecontam(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            col("vec_id") % 17 === 3, threshold = 0.4)
+          .orderBy("vec_id"),
+      Some(s"""WITH ev AS (
+              |  SELECT vec_id AS eval_id, embedding FROM embeddings
+              |  WHERE vec_id % 17 = 3),
+              |tr AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  WHERE NOT (vec_id % 17 = 3)),
+              |sc AS (
+              |  SELECT t.vec_id, e.eval_id,
+              |         ROUND(${cosSql("t.embedding", "e.embedding")}, 6) AS sim
+              |  FROM tr t LEFT JOIN ev e ON TRUE),
+              |rk AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY sim DESC NULLS LAST, eval_id ASC NULLS LAST) AS r
+              |  FROM sc)
+              |SELECT vec_id, eval_id AS closest_eval, sim AS max_sim,
+              |       COALESCE(sim >= 0.4, FALSE) AS contaminated
+              |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -901,6 +901,32 @@ class ExtSpec extends SparkSpec {
     assert(none === Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("embedDecontam: per-train verdicts match the brute max-cosine rule") {
+    val evalPred = col("vec_id") % 17 === 3
+    val out = Similarity.embedDecontam(emb, evalPred, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val nTrain = emb.filter(!evalPred).count()
+    assert(emb.filter(evalPred).count() > 0)
+    assert(out.length === nTrain)          // one verdict per train vector
+    assert(out.forall(_._1 % 17 != 3))     // eval rows are never judged
+    // the verdict equals a directly-computed max-cosine per train row
+    val ev = emb.filter(evalPred)
+      .select(col("vec_id").as("eid"), col("embedding").as("evv"))
+    val chk = emb.filter(!evalPred).crossJoin(ev)
+      .withColumn("sim", round(Similarity.cosine(col("embedding"), col("evv")), 6))
+      .groupBy("vec_id").agg(max("sim").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, _, maxSim, contaminated) =>
+      assert(maxSim === chk(id))
+      assert(contaminated === (chk(id) >= 0.4))
+    }
+    // an empty eval slice yields all-clean verdicts, not an empty frame
+    val clean = Similarity.embedDecontam(emb, lit(false), 0.4).collect()
+    assert(clean.length === emb.count())
+    assert(clean.forall(r => !r.getBoolean(3) && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("hardNegatives = brute ranking with the positive band cut out") {
     val t = 0.35
     val hard = Similarity.hardNegatives(emb, col("vec_id") < 10, k = 5,
