@@ -155,6 +155,11 @@ object ScaleSmoke10x {
       graft.write.Mutations.rmwReturning(ev10, Seq(col("user_id")),
         col("value"), col("event_type"), Seq(col("ts"), col("event_id"))))
 
+    // e75 shape: per-train verdicts against a bounded eval slice — the
+    // output must scale with the TRAIN side only (eval stays broadcast)
+    runCount("embedDecontam 10x vecs",
+      graft.ext.Similarity.embedDecontam(e10, col("vec_id") % 17 === 3))
+
     // q79 shape: serial apply over the ×10 store with a conflicting resend
     runCount("serialApply 10x store", {
       val wal = x10.withColumn("seq", col("ts") * 10 + 1)
