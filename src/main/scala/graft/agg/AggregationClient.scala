@@ -57,6 +57,74 @@ object AggregationClient {
     base(df, scanPred)
       .agg(approx_percentile(value, lit(p), lit(accuracy)).as("percentile"))
 
+  /** WEIGHTED median — the capability behind the reference's
+    * weight-qualified median (AggregationClient.java:778,796: the
+    * two-qualifier form where the second column weights the first;
+    * per-region (value, weight) partials locate the crossing region,
+    * then one region-local walk finds the crossing cell). graft keeps
+    * the reference's TWO-PHASE LOCATE shape but defines the answer on
+    * VALUE order — the reference's walk is in row-key order, which
+    * makes its result an artifact of row-key assignment; value order
+    * is the statistical contract a Spark user expects and the one an
+    * engine-independent oracle can pin: the smallest value v with
+    * 2·Σ{weight | value ≤ v} ≥ Σweight (integer cross-multiplied — no
+    * halving float).
+    *
+    * Plan (the protocol twin, every stage bounded):
+    *  1. one (value → weight-sum) aggregate — distinct-value-sized;
+    *  2. `buckets` range bounds derived once (approxQuantile) and
+    *     FROZEN as plan literals, so bucket assignment is a pure
+    *     function of the value — any bounds give the correct answer,
+    *     they only steer balance (bounds that drift between two
+    *     executions of a lazy plan could not corrupt the offsets);
+    *  3. per-bucket weight sums collect to the driver (bucket-count-
+    *     sized — the region-locate phase, exactly the reference's
+    *     per-region summary map); prefix offsets broadcast back;
+    *  4. the running sum is a bucket-PARTITIONED window (each frame ≈
+    *     distinct-values/buckets) — no corpus-scale frame ever enters
+    *     a one-partition window.
+    * The aggregate recomputes for the bounds, the partials and the
+    * final pick (bounded passes, like the reference's two phases);
+    * lineage stays the fault-tolerance story. */
+  def weightedMedian(df: DataFrame, value: Column, weight: Column,
+      scanPred: Option[Column] = None, buckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    // weights are integral by contract (counts/occurrences — the
+    // reference's LongColumnInterpreter shape); non-integral weights
+    // cast down so the cross-multiplied compare stays exact
+    val g = base(df, scanPred)
+      .filter(value.isNotNull && weight.isNotNull)
+      .groupBy(value.cast("double").as("__v"))
+      .agg(functions.sum(weight.cast("long")).as("__w"))
+    // frozen literal bounds: bucket = #bounds strictly below v
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (qs.isEmpty) Array.empty[Double]
+      else g.stat.approxQuantile("__v", qs, 0.001).distinct.sorted
+    val bucketOf =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), b => b < col("__v")))
+    val parts = g.withColumn("__b", bucketOf)
+    // the region-locate summaries (bucket-count-sized)
+    val partials = parts.groupBy("__b").agg(functions.sum(col("__w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = partials.map(_._2).sum
+    val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (b, s)) =>
+      (b + 1, acc + s)
+    }.init.zip(partials).map { case ((_, off), (b, _)) => (b, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+    // bucket-local running sums + the crossing pick
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    parts.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__cw", functions.sum(col("__w")).over(w) + col("__off"))
+      .filter(col("__cw") * 2 >= total)
+      .agg(functions.min(col("__v")).as("weighted_median"))
+  }
+
   /** Row count over a CellSet — the reference pairs rowCount with
     * FirstKeyOnlyFilter to touch one cell per row
     * (AggregationClient.java:350); count-distinct-rows is the

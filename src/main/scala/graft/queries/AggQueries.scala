@@ -144,6 +144,27 @@ object AggQueries {
           |    GROUP BY 1
           |  )
           |) GROUP BY 1 ORDER BY 1""".stripMargin))
+    ),
+    QDef(
+      // A7 weighted form: the weight-qualified median protocol
+      // (AggregationClient.java:778 two-qualifier mode) on value order
+      // — smallest price with 2·cumWeight ≥ totalWeight, quantity as
+      // the weight (AggregationClient.weightedMedian scaladoc; the
+      // two-phase locate is the reference's per-region summary map).
+      "q83_weighted_median",
+      (s, dir) =>
+        AggregationClient.weightedMedian(lineitem(s, dir),
+          col("l_extendedprice"), col("l_quantity")),
+      Some("""WITH g AS (
+          |  SELECT l_extendedprice AS v,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g),
+          |c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM g)
+          |SELECT MIN(v) AS weighted_median FROM c CROSS JOIN t
+          |WHERE cw * 2 >= tw""".stripMargin)
     )
   )
 }

@@ -27,6 +27,34 @@ class AggFlowSpec extends SparkSpec {
     assert(math.abs(med - expected) < 1e-9)
   }
 
+  test("weighted median equals the driver-side crossing rule, any bucket count") {
+    // ground truth: expand each value `weight` times, take the smallest
+    // value whose cumulative (value-ordered) weight covers half
+    val rows = orders.select(col("o_totalprice"), (col("o_orderkey") % 7 + 1))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val total = byV.map(_._2).sum
+    val expected = byV.scanLeft((0.0, 0L)) { case ((_, acc), (v, w)) =>
+      (v, acc + w)
+    }.drop(1).find { case (_, cw) => cw * 2 >= total }.get._1
+    // the answer is bucket-count-invariant (bounds only steer balance)
+    for (b <- Seq(1, 4, 32)) {
+      val got = AggregationClient.weightedMedian(orders, col("o_totalprice"),
+        col("o_orderkey") % 7 + 1, buckets = b).head().getDouble(0)
+      assert(got === expected, s"buckets=$b")
+    }
+    // uniform weights degenerate to the lower median of the row multiset
+    val uni = AggregationClient.weightedMedian(orders, col("o_totalprice"),
+      lit(1L)).head().getDouble(0)
+    val uniByV = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val uniExpected = uniByV.scanLeft((0.0, 0L)) { case ((_, acc), (v, w)) =>
+      (v, acc + w)
+    }.drop(1).find { case (_, cw) => cw * 2 >= rows.length }.get._1
+    assert(uni === uniExpected)
+  }
+
   test("approx median tracks exact within the sketch's rank error") {
     val exact = AggregationClient.median(orders, col("o_totalprice")).head().getDouble(0)
     val approx = AggregationClient.medianApprox(orders, col("o_totalprice"))
