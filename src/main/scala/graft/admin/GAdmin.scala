@@ -294,15 +294,46 @@ object GAdmin {
     * quota replaces it (and a replaced config starts a fresh limiter
     * bucket, same contract as the table scope). */
   private def upsertQuota(spark: SparkSession, q: QuotaEntry): Unit =
+    upsertQuotas(spark, Seq(q))
+
+  /** Batched upsert — ONE registry rewrite for a whole configuration
+    * set (the per-scope setters each pay a swap-write; a config job
+    * applying several scopes batches them here). */
+  def upsertQuotas(spark: SparkSession, qs: Seq[QuotaEntry]): Unit = {
+    qs.foreach { q =>
+      require(q.scope == "USER" || q.scope == "NAMESPACE",
+        s"registry scopes are USER/NAMESPACE (table scope lives in " +
+          s"table properties), got '${q.scope}'")
+      q.qtype match {
+        case "THROTTLE" =>
+          require(q.limit > 0 && q.unitMs > 0,
+            "throttle limit/period must be positive")
+          requireRefill(q.setting)
+        case "SPACE" =>
+          require(q.limit > 0, "quota limit must be positive")
+          require(QuotaPolicies(q.setting),
+            s"unknown violation policy '${q.setting}'")
+        case other => throw new IllegalArgumentException(
+          s"unknown quota type '$other' (THROTTLE/SPACE)")
+      }
+    }
+    val keys = qs.map(q => (q.scope, q.subject, q.qualifier, q.qtype)).toSet
+    require(keys.size == qs.size, "duplicate quota key in batch")
     writeQuotaRegistry(spark, quotaRegistry(spark).filterNot(r =>
-      (r.scope, r.subject, r.qualifier, r.qtype) ==
-        ((q.scope, q.subject, q.qualifier, q.qtype))) :+ q)
+      keys((r.scope, r.subject, r.qualifier, r.qtype))) ++ qs)
+  }
 
   private def removeQuota(spark: SparkSession, scope: String,
       subject: String, qualifier: String, qtype: String): Unit =
+    removeQuotas(spark, Seq((scope, subject, qualifier, qtype)))
+
+  /** Batched removal — one registry rewrite, dual of [[upsertQuotas]]. */
+  def removeQuotas(spark: SparkSession,
+      keys: Seq[(String, String, String, String)]): Unit = {
+    val ks = keys.toSet
     writeQuotaRegistry(spark, quotaRegistry(spark).filterNot(r =>
-      (r.scope, r.subject, r.qualifier, r.qtype) ==
-        ((scope, subject, qualifier, qtype))))
+      ks((r.scope, r.subject, r.qualifier, r.qtype))))
+  }
 
   private def requireRefill(refill: String): Unit =
     require(refill == "AVERAGE" || refill == "FIXED",

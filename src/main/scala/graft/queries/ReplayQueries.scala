@@ -291,13 +291,19 @@ object ReplayQueries {
         val tmp = graft.Queries.scratchDir("quota_q")
         for (t <- Seq("q82ns:ta", "q82ns:tb") if !GAdmin.tableExists(s, t))
           GAdmin.createTable(s, t, tmp, buckets = 2)
-        GAdmin.setUserThrottleQuota(s, "alice", limit = 3,
-          table = Some("q82ns:ta"))
-        GAdmin.setUserThrottleQuota(s, "alice", limit = 4,
-          namespace = Some("q82ns"))
-        GAdmin.setUserThrottleQuota(s, "bob", limit = 5)
+        // registry scopes land in ONE batched swap-write (and unwind
+        // in one more) — the per-scope setters would pay one rewrite
+        // each; the table scope is a TBLPROPERTIES write as always
+        GAdmin.upsertQuotas(s, Seq(
+          GAdmin.QuotaEntry("USER", "alice", "t:q82ns:ta", "THROTTLE",
+            3, 1000, "AVERAGE"),
+          GAdmin.QuotaEntry("USER", "alice", "n:q82ns", "THROTTLE",
+            4, 1000, "AVERAGE"),
+          GAdmin.QuotaEntry("USER", "bob", "", "THROTTLE",
+            5, 1000, "AVERAGE"),
+          GAdmin.QuotaEntry("NAMESPACE", "q82ns", "", "THROTTLE",
+            7, 1000, "AVERAGE")))
         GAdmin.setThrottleQuota(s, "q82ns:ta", limit = 6)
-        GAdmin.setNamespaceThrottleQuota(s, "q82ns", limit = 7)
         // bounded: the corpus collapses to 6 (user, table) counts
         val sched = graft.model.Tables.load(s, s"$dir/orders.parquet")
           .select(
@@ -312,11 +318,12 @@ object ReplayQueries {
           .toSeq
         val audit = GAdmin.throttleAudit(s, sched, nowMs = 1000000L)
         // unwind the registry so the config doesn't bleed across queries
-        GAdmin.removeUserThrottleQuota(s, "alice", table = Some("q82ns:ta"))
-        GAdmin.removeUserThrottleQuota(s, "alice", namespace = Some("q82ns"))
-        GAdmin.removeUserThrottleQuota(s, "bob")
+        GAdmin.removeQuotas(s, Seq(
+          ("USER", "alice", "t:q82ns:ta", "THROTTLE"),
+          ("USER", "alice", "n:q82ns", "THROTTLE"),
+          ("USER", "bob", "", "THROTTLE"),
+          ("NAMESPACE", "q82ns", "", "THROTTLE")))
         GAdmin.removeThrottleQuota(s, "q82ns:ta")
-        GAdmin.removeNamespaceThrottleQuota(s, "q82ns")
         import s.implicits._
         audit.toDF("usr", "tbl", "scope", "n_requests", "n_admitted",
             "n_rejected")
