@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graft.{shim => colshim}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,7 +83,7 @@ object AclKernel {
   * See [[AclKernel]]. */
 final case class AclCheck(child: Expression, principals: Seq[String],
     action: String, tableGrant: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val principalSet = principals.toSet
 
@@ -95,6 +96,26 @@ final case class AclCheck(child: Expression, principals: Seq[String],
     v != null && AclKernel.cellAuthorizes(
       v.asInstanceOf[UTF8String].toString, principalSet, action.head)
   }
+
+  // per-cell gate on the resolve hot path — generated code calls the
+  // memoizing kernel (static-forwarder pattern) so the ACL check stays
+  // inside the WholeStageCodegen span; a table-level grant folds to a
+  // constant. Null ACL column = no cell grant = not authorized.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (tableGrant)
+      ev.copy(code = code"final boolean ${ev.value} = true;",
+        isNull = FalseLiteral)
+    else {
+      val c = child.genCode(ctx)
+      val p = ctx.addReferenceObj("principalSet", principalSet,
+        "scala.collection.immutable.Set")
+      val act = s"'${action.head}'" // pre-rendered: Char can't interpolate
+      ev.copy(code = code"""
+${c.code}
+final boolean ${ev.value} = !${c.isNull} &&
+  graft.functions.AclKernel.cellAuthorizes(${c.value}.toString(), $p, $act);""",
+        isNull = FalseLiteral)
+    }
 
   override protected def withNewChildInternal(newChild: Expression): AclCheck =
     copy(child = newChild)

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graft.{shim => colshim}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -206,7 +207,7 @@ object VisKernel {
   * (the registry-backed InvalidLabelException twin). */
 final case class VisibilityMatch(child: Expression, auths: Seq[String],
     defined: Option[Seq[String]] = None)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val authSet = auths.toSet
   private lazy val definedSet = defined.map(_.toSet)
@@ -226,6 +227,29 @@ final case class VisibilityMatch(child: Expression, auths: Seq[String],
     }
   }
 
+  // generated code calls the memoizing kernel directly (the static-
+  // forwarder pattern of MinHashKernel/LshKernel), so the per-cell
+  // filter stays inside the WholeStageCodegen span of the resolve
+  // pipeline instead of breaking it with an interpreted fallback.
+  // NOT nullSafeCodeGen: a null expression means UNTAGGED = visible.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val authsRef =
+      ctx.addReferenceObj("authSet", authSet, "scala.collection.immutable.Set")
+    val call = definedSet match {
+      case Some(d) =>
+        val dRef =
+          ctx.addReferenceObj("definedSet", d, "scala.collection.immutable.Set")
+        s"graft.functions.VisKernel.visibleStrict(${c.value}.toString(), $authsRef, $dRef)"
+      case None =>
+        s"graft.functions.VisKernel.visible(${c.value}.toString(), $authsRef)"
+    }
+    ev.copy(code = code"""
+${c.code}
+final boolean ${ev.value} = ${c.isNull} ? true : $call;""",
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): VisibilityMatch =
     copy(child = newChild)
 }
@@ -234,7 +258,7 @@ final case class VisibilityMatch(child: Expression, auths: Seq[String],
   * delete-scope matching (see [[VisKernel.canonical]]). Null → ""
   * (the untagged class). */
 final case class VisCanonical(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def nullable: Boolean = false
@@ -244,6 +268,17 @@ final case class VisCanonical(child: Expression)
     if (v == null) UTF8String.EMPTY_UTF8
     else UTF8String.fromString(
       VisKernel.canonical(v.asInstanceOf[UTF8String].toString))
+  }
+
+  // null → "" (the untagged class), so not nullSafeCodeGen either
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val u = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(code = code"""
+${c.code}
+final $u ${ev.value} = ${c.isNull} ? $u.EMPTY_UTF8 :
+  $u.fromString(graft.functions.VisKernel.canonical(${c.value}.toString()));""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): VisCanonical =
