@@ -1,0 +1,623 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, CRC32C}
+
+/** HFile version-3 byte format — the reference's on-disk store-file
+  * layout, re-implemented as a pure-JVM writer/reader pair so graft's
+  * export / bulk-load flows can exchange files with a live reference
+  * cluster.
+  *
+  * Layout (all sizes/offsets verified against the reference sources):
+  *  - Blocks: 33-byte header (`HFileBlock.java:132-148` — 8B magic,
+  *    int onDiskSizeWithoutHeader (incl. checksums), int
+  *    uncompressedSizeWithoutHeader, long prevBlockOffset, byte
+  *    checksumType, int bytesPerChecksum, int onDiskDataSizeWithHeader)
+  *    + payload + one 4-byte checksum per `bytesPerChecksum` chunk of
+  *    header-plus-payload (`HFileBlock.java:80-106`).
+  *  - Cells in a DATA block: int keyLen, int valLen, key(short rowLen,
+  *    row, byte famLen, fam, qual, long ts, byte type), value,
+  *    optional short tagsLen + tags, optional Hadoop-vlong mvcc
+  *    (`NoneEncoder.java:39-58`, KeyValue wire format).
+  *  - Load-on-open: single-level ROOT_INDEX (entries = long offset,
+  *    int onDiskSizeWithHeader, Hadoop-vint key length + key bytes —
+  *    `HFileBlockIndex.java:844-858`), an empty meta ROOT_INDEX,
+  *    FILE_INFO = "PBUF" magic + varint-delimited FileInfoProto of
+  *    BytesBytesPair entries (`HFileInfo.java:274-275`).
+  *  - Trailer: fixed 4096 bytes (`FixedFileTrailer.java:164-175`) =
+  *    "TRABLK\"$" + varint-delimited FileTrailerProto (HFile.proto) +
+  *    zero padding + int (major | minor<<24)
+  *    (`FixedFileTrailer.java:202-215,727-729`).
+  *
+  * Scope: compression NONE (Compression.Algorithm ordinal 2) and
+  * CRC32C checksums on the write side; the reader additionally accepts
+  * CRC32 and NULL checksum files, multi-level-index files (it walks the
+  * scanned section block-by-block, so index depth is irrelevant), and
+  * per-cell mvcc/tags when the FILE_INFO declares them — i.e. it reads
+  * default-configuration reference files that use no block compression
+  * or encoding.
+  */
+object HFileV3 {
+
+  /** One cell in reference wire terms. `typ` uses the public KeyValue
+    * type codes (Put=4, Delete=8, DeleteFamilyVersion=10,
+    * DeleteColumn=12, DeleteFamily=14). */
+  final case class HCell(
+      row: Array[Byte], family: Array[Byte], qualifier: Array[Byte],
+      ts: Long, typ: Byte, value: Array[Byte], mvcc: Long = 0L)
+
+  // --- public KeyValue type codes ---
+  val TypePut: Byte = 4
+  val TypeDelete: Byte = 8
+  val TypeDeleteFamilyVersion: Byte = 10
+  val TypeDeleteColumn: Byte = 12
+  val TypeDeleteFamily: Byte = 14
+
+  private val MagicData = "DATABLK*".getBytes(StandardCharsets.US_ASCII)
+  private val MagicRootIdx = "IDXROOT2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicLeafIdx = "IDXLEAF2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicInterIdx = "IDXINTE2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicBloom = "BLMFBLK2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicMeta = "METABLKc".getBytes(StandardCharsets.US_ASCII)
+  private val MagicFileInfo = "FILEINF2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicTrailer = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
+  private val PbMagic = "PBUF".getBytes(StandardCharsets.US_ASCII)
+
+  private val HeaderSize = 33
+  private val TrailerSize = 4096 // FixedFileTrailer.java:171 — v3 fixed size
+  private val MajorVersion = 3
+  private val MinorVersion = 3 // HFileReaderImpl.MAX_MINOR_VERSION
+  private val CompressionNone = 2 // Compression.Algorithm.NONE.ordinal()
+  private val ChecksumNull: Byte = 0
+  private val ChecksumCrc32: Byte = 1
+  private val ChecksumCrc32C: Byte = 2
+  private val ComparatorName = "org.apache.hadoop.hbase.CellComparatorImpl"
+
+  /** CellComparatorImpl order: row asc, family asc, qualifier asc,
+    * timestamp DESC, type code DESC (deletes sort before puts at the
+    * same ts). Returns <0 if a before b. */
+  def compareCells(a: HCell, b: HCell): Int = {
+    val r = compareBytes(a.row, b.row)
+    if (r != 0) return r
+    val f = compareBytes(a.family, b.family)
+    if (f != 0) return f
+    val q = compareBytes(a.qualifier, b.qualifier)
+    if (q != 0) return q
+    val t = java.lang.Long.compare(b.ts, a.ts)
+    if (t != 0) return t
+    java.lang.Integer.compare(b.typ & 0xff, a.typ & 0xff)
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  // ------------------------------------------------------------------
+  // Low-level encoders
+  // ------------------------------------------------------------------
+
+  /** Hadoop WritableUtils.writeVLong wire format (public Hadoop API). */
+  private[graft] def writeVLong(out: OutputStream, v: Long): Unit = {
+    if (v >= -112 && v <= 127) { out.write(v.toInt & 0xff); return }
+    var len = -112
+    var i = v
+    if (i < 0) { i = ~i; len = -120 }
+    var tmp = i
+    while (tmp != 0) { tmp >>= 8; len -= 1 }
+    out.write(len & 0xff)
+    val n = if (len < -120) -(len + 120) else -(len + 112)
+    var idx = n
+    while (idx != 0) {
+      val shift = (idx - 1) * 8
+      out.write(((i >> shift) & 0xff).toInt)
+      idx -= 1
+    }
+  }
+
+  private[graft] def readVLong(in: InputStream): Long = {
+    val first = in.read()
+    if (first < 0) throw new EOFException("vlong")
+    val b = first.toByte
+    if (b >= -112) return b.toLong
+    val negative = b < -120
+    val n = if (negative) -(b + 120) else -(b + 112)
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val nb = in.read()
+      if (nb < 0) throw new EOFException("vlong body")
+      v = (v << 8) | (nb & 0xff)
+      i += 1
+    }
+    if (negative) ~v else v
+  }
+
+  /** Protobuf base-128 varint (uint64). */
+  private def writeVarint(out: OutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt & 0x7f)
+  }
+
+  private def readVarint(buf: ByteBuffer): Long = {
+    var shift = 0
+    var v = 0L
+    var b = 0
+    do {
+      b = buf.get() & 0xff
+      v |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    v
+  }
+
+  private def pbVarintField(out: OutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, (field << 3) | 0) // wire type 0
+    writeVarint(out, v)
+  }
+
+  private def pbBytesField(out: OutputStream, field: Int, v: Array[Byte]): Unit = {
+    writeVarint(out, (field << 3) | 2) // wire type 2
+    writeVarint(out, v.length.toLong)
+    out.write(v)
+  }
+
+  /** Serialized cell KEY (the index / comparator unit): short rowLen +
+    * row + byte famLen + fam + qual + long ts + type byte. */
+  private[graft] def cellKeyBytes(c: HCell): Array[Byte] = {
+    val keyLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 8 + 1
+    val bb = ByteBuffer.allocate(keyLen)
+    bb.putShort(c.row.length.toShort)
+    bb.put(c.row)
+    bb.put(c.family.length.toByte)
+    bb.put(c.family)
+    bb.put(c.qualifier)
+    bb.putLong(c.ts)
+    bb.put(c.typ)
+    bb.array()
+  }
+
+  // ------------------------------------------------------------------
+  // Writer
+  // ------------------------------------------------------------------
+
+  /** Accumulates the file; tracks offsets like the reference's
+    * FSDataOutputStream position. */
+  private final class CountingOutput(val under: OutputStream) extends OutputStream {
+    var pos: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); pos += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); pos += len
+    }
+  }
+
+  private final case class BlockRecord(
+      offset: Long, onDiskSizeWithHeader: Int, firstKey: Array[Byte])
+
+  /** Write one block: header + payload + per-chunk CRC32C checksums.
+    * Returns the on-disk size including header and checksums. */
+  private def writeBlock(out: CountingOutput, magic: Array[Byte],
+      payload: Array[Byte], prevOffsetSameType: Long,
+      bytesPerChecksum: Int): Int = {
+    val onDiskDataSizeWithHeader = HeaderSize + payload.length
+    val nChunks =
+      (onDiskDataSizeWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
+    val checksumBytes = nChunks * 4
+    val header = ByteBuffer.allocate(HeaderSize)
+    header.put(magic)
+    header.putInt(payload.length + checksumBytes) // onDiskSizeWithoutHeader
+    header.putInt(payload.length)                 // uncompressedSizeWithoutHeader
+    header.putLong(prevOffsetSameType)
+    header.put(ChecksumCrc32C)
+    header.putInt(bytesPerChecksum)
+    header.putInt(onDiskDataSizeWithHeader)
+    val headerArr = header.array()
+
+    val body = new Array[Byte](onDiskDataSizeWithHeader)
+    System.arraycopy(headerArr, 0, body, 0, HeaderSize)
+    System.arraycopy(payload, 0, body, HeaderSize, payload.length)
+
+    out.write(body)
+    var chunk = 0
+    val sums = ByteBuffer.allocate(checksumBytes)
+    while (chunk < nChunks) {
+      val start = chunk * bytesPerChecksum
+      val len = math.min(bytesPerChecksum, onDiskDataSizeWithHeader - start)
+      val crc = new CRC32C
+      crc.update(body, start, len)
+      sums.putInt(crc.getValue.toInt)
+      chunk += 1
+    }
+    out.write(sums.array())
+    onDiskDataSizeWithHeader + checksumBytes
+  }
+
+  /** Stream `cells` (must already be in [[compareCells]] order — an
+    * out-of-order cell raises, mirroring HFileWriterImpl.checkKey) into
+    * a complete v3 file on `out`. Returns the cell count. */
+  def write(out: OutputStream, cells: Iterator[HCell],
+      blockSize: Int = 65536, bytesPerChecksum: Int = 16384): Long = {
+    require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
+    val co = new CountingOutput(out)
+    val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
+    var prevDataOffset = -1L
+    var entryCount = 0L
+    var totalUncompressed = 0L
+    var keyLenSum = 0L
+    var valLenSum = 0L
+    var lastCell: HCell = null
+    var firstKeyOfBlock: Array[Byte] = null
+    val buf = new ByteArrayOutputStream(blockSize + 4096)
+    val dos = new DataOutputStream(buf)
+
+    def closeDataBlock(): Unit = if (buf.size() > 0) {
+      val payload = buf.toByteArray
+      val offset = co.pos
+      val onDisk = writeBlock(co, MagicData, payload, prevDataOffset, bytesPerChecksum)
+      dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
+      prevDataOffset = offset
+      totalUncompressed += HeaderSize + payload.length
+      buf.reset()
+      firstKeyOfBlock = null
+    }
+
+    for (c <- cells) {
+      if (lastCell != null && compareCells(lastCell, c) > 0)
+        throw new IllegalArgumentException(
+          s"cells out of order: ${new String(lastCell.row, StandardCharsets.UTF_8)} > " +
+            new String(c.row, StandardCharsets.UTF_8))
+      lastCell = c
+      val key = cellKeyBytes(c)
+      if (firstKeyOfBlock == null) firstKeyOfBlock = key
+      // NoneEncoder wire format (no tags, no mvcc on the write side)
+      dos.writeInt(key.length)
+      dos.writeInt(c.value.length)
+      dos.write(key)
+      dos.write(c.value)
+      keyLenSum += key.length
+      valLenSum += c.value.length
+      entryCount += 1
+      if (buf.size() >= blockSize) closeDataBlock()
+    }
+    closeDataBlock()
+
+    val firstDataOffset = if (dataBlocks.nonEmpty) dataBlocks.head.offset else -1L
+    val lastDataOffset = if (dataBlocks.nonEmpty) dataBlocks.last.offset else -1L
+
+    // --- root data index (single level) ---
+    val rootIndexOffset = co.pos
+    val idxBuf = new ByteArrayOutputStream()
+    val idxDos = new DataOutputStream(idxBuf)
+    for (b <- dataBlocks) {
+      idxDos.writeLong(b.offset)
+      idxDos.writeInt(b.onDiskSizeWithHeader)
+      writeVLong(idxDos, b.firstKey.length.toLong) // Bytes.writeByteArray
+      idxDos.write(b.firstKey)
+    }
+    val rootPayload = idxBuf.toByteArray
+    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum)
+    totalUncompressed += HeaderSize + rootPayload.length
+
+    // --- meta index (empty single-level root) ---
+    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum)
+    totalUncompressed += HeaderSize
+
+    // --- file info ---
+    val fileInfoOffset = co.pos
+    val fiEntries = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+    def i32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    if (lastCell != null)
+      fiEntries += (("hfile.LASTKEY".getBytes(StandardCharsets.US_ASCII),
+        cellKeyBytes(lastCell)))
+    val avgK = if (entryCount == 0) 0 else (keyLenSum / entryCount).toInt
+    val avgV = if (entryCount == 0) 0 else (valLenSum / entryCount).toInt
+    fiEntries += (("hfile.AVG_KEY_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgK)))
+    fiEntries += (("hfile.AVG_VALUE_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgV)))
+    // FileInfoProto { repeated BytesBytesPair map_entry = 1 }; pairs
+    // sorted by key bytes (HFileInfo is a sorted map)
+    val fiBody = new ByteArrayOutputStream()
+    for ((k, v) <- fiEntries.sortWith((a, b) => compareBytes(a._1, b._1) < 0)) {
+      val pair = new ByteArrayOutputStream()
+      pbBytesField(pair, 1, k)
+      pbBytesField(pair, 2, v)
+      pbBytesField(fiBody, 1, pair.toByteArray)
+    }
+    val fiPayload = new ByteArrayOutputStream()
+    fiPayload.write(PbMagic)
+    writeVarint(fiPayload, fiBody.size().toLong) // writeDelimitedTo framing
+    fiBody.writeTo(fiPayload)
+    val fiBytes = fiPayload.toByteArray
+    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum)
+    totalUncompressed += HeaderSize + fiBytes.length
+
+    // --- trailer ---
+    val pb = new ByteArrayOutputStream()
+    pbVarintField(pb, 1, fileInfoOffset)
+    pbVarintField(pb, 2, rootIndexOffset) // load_on_open_data_offset
+    pbVarintField(pb, 3, (HeaderSize + rootPayload.length).toLong) // uncompr. index size
+    pbVarintField(pb, 4, totalUncompressed)
+    pbVarintField(pb, 5, dataBlocks.size.toLong) // data_index_count
+    pbVarintField(pb, 6, 0L)                     // meta_index_count
+    pbVarintField(pb, 7, entryCount)
+    pbVarintField(pb, 8, 1L)                     // num_data_index_levels
+    pbVarintField(pb, 9, firstDataOffset)
+    pbVarintField(pb, 10, lastDataOffset)
+    pbBytesField(pb, 11, ComparatorName.getBytes(StandardCharsets.UTF_8))
+    pbVarintField(pb, 12, CompressionNone.toLong)
+    val pbBytes = pb.toByteArray
+    val trailer = new ByteArrayOutputStream()
+    trailer.write(MagicTrailer)
+    writeVarint(trailer, pbBytes.length.toLong)
+    trailer.write(pbBytes)
+    val padding = TrailerSize - 8 - 4 - (trailer.size() - 8)
+    require(padding >= 0, "trailer pb exceeded fixed size")
+    trailer.write(new Array[Byte](padding))
+    val verInt = (MajorVersion & 0x00ffffff) | (MinorVersion << 24)
+    trailer.write(ByteBuffer.allocate(4).putInt(verInt).array())
+    co.write(trailer.toByteArray)
+    entryCount
+  }
+
+  /** Convenience: whole file as a byte array. */
+  def writeBytes(cells: Iterator[HCell], blockSize: Int = 65536): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(bos, cells, blockSize)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Reader
+  // ------------------------------------------------------------------
+
+  final case class Trailer(
+      fileInfoOffset: Long, loadOnOpenOffset: Long, entryCount: Long,
+      dataIndexCount: Int, metaIndexCount: Int, numDataIndexLevels: Int,
+      firstDataBlockOffset: Long, lastDataBlockOffset: Long,
+      comparatorClassName: String, compressionCodec: Int,
+      majorVersion: Int, minorVersion: Int)
+
+  /** Parse the fixed trailer from the last [[TrailerSize]] bytes. */
+  def readTrailer(tail: Array[Byte]): Trailer = {
+    require(tail.length >= TrailerSize, s"need $TrailerSize trailer bytes")
+    val t = ByteBuffer.wrap(tail, tail.length - TrailerSize, TrailerSize).slice()
+    val magic = new Array[Byte](8)
+    t.get(magic)
+    require(java.util.Arrays.equals(magic, MagicTrailer),
+      "not an HFile v2/v3 trailer (bad magic)")
+    val verInt = t.getInt(TrailerSize - 4)
+    val major = verInt & 0x00ffffff
+    val minor = verInt >>> 24
+    require(major == 2 || major == 3, s"unsupported HFile major version $major")
+    val pbLen = readVarint(t).toInt
+    var fileInfoOffset = 0L; var loadOnOpen = 0L; var entryCount = 0L
+    var dataIdxCount = 0; var metaIdxCount = 0; var levels = 1
+    var firstData = -1L; var lastData = -1L
+    var comparator = ""; var codec = CompressionNone
+    val end = t.position() + pbLen
+    while (t.position() < end) {
+      val tag = readVarint(t)
+      val field = (tag >> 3).toInt
+      val wire = (tag & 7).toInt
+      wire match {
+        case 0 =>
+          val v = readVarint(t)
+          field match {
+            case 1 => fileInfoOffset = v
+            case 2 => loadOnOpen = v
+            case 5 => dataIdxCount = v.toInt
+            case 6 => metaIdxCount = v.toInt
+            case 7 => entryCount = v
+            case 8 => levels = v.toInt
+            case 9 => firstData = v
+            case 10 => lastData = v
+            case _ => // 3,4,16: sizes/checksum we don't need
+          }
+        case 2 =>
+          val len = readVarint(t).toInt
+          val b = new Array[Byte](len)
+          t.get(b)
+          field match {
+            case 11 => comparator = new String(b, StandardCharsets.UTF_8)
+            case _ => // encryption_key / namespaces — unsupported, ignored
+          }
+        case 5 => t.getInt
+        case 1 => t.getLong
+        case w => throw new IllegalArgumentException(s"bad pb wire type $w")
+      }
+    }
+    Trailer(fileInfoOffset, loadOnOpen, entryCount, dataIdxCount, metaIdxCount,
+      levels, firstData, lastData, comparator, codec, major, minor)
+  }
+
+  final case class RawBlock(offset: Long, magic: String, payload: Array[Byte],
+      onDiskSizeWithHeader: Int)
+
+  /** Positional read: `pread(offset, len)` returns exactly `len` bytes.
+    * The whole reader runs against this, so an executor can stream a
+    * multi-GB HFile from any Hadoop FileSystem holding ONE block in
+    * memory at a time (FSDataInputStream pread — the same access shape
+    * HFileBlock.FSReaderImpl uses). */
+  type PRead = (Long, Int) => Array[Byte]
+
+  private def preadOf(bytes: Array[Byte]): PRead = (off, len) =>
+    java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+
+  /** Read one block at `pos`, verifying checksums. Returns the block
+    * and the position just after it. */
+  private def readBlockAt(pread: PRead, pos: Long): (RawBlock, Long) = {
+    val bytes = pread(pos, HeaderSize)
+    val bb = ByteBuffer.wrap(bytes, 0, HeaderSize).slice()
+    val magic = new Array[Byte](8)
+    bb.get(magic)
+    val onDiskSizeWithoutHeader = bb.getInt
+    val uncompressedSize = bb.getInt
+    bb.getLong // prevBlockOffset
+    val checksumType = bb.get()
+    val bytesPerChecksum = bb.getInt
+    val onDiskDataSizeWithHeader = bb.getInt
+    val totalOnDisk = HeaderSize + onDiskSizeWithoutHeader
+    val checksumBytes = totalOnDisk - onDiskDataSizeWithHeader
+    require(checksumBytes >= 0, "negative checksum section")
+    val body = pread(pos, totalOnDisk)
+    if (checksumType != ChecksumNull && checksumBytes > 0) {
+      val nChunks = checksumBytes / 4
+      var chunk = 0
+      while (chunk < nChunks) {
+        val start = chunk * bytesPerChecksum
+        val len = math.min(bytesPerChecksum, onDiskDataSizeWithHeader - start)
+        val crc = if (checksumType == ChecksumCrc32C) new CRC32C else new CRC32
+        crc.update(body, start, len)
+        val stored = ByteBuffer
+          .wrap(body, onDiskDataSizeWithHeader + chunk * 4, 4).getInt
+        if (stored != crc.getValue.toInt)
+          throw new IllegalStateException(
+            s"checksum mismatch in block at $pos chunk $chunk")
+        chunk += 1
+      }
+    }
+    val payloadLen = onDiskDataSizeWithHeader - HeaderSize
+    require(payloadLen == uncompressedSize,
+      "compressed blocks unsupported (compression must be NONE)")
+    val payload = java.util.Arrays.copyOfRange(
+      body, HeaderSize, onDiskDataSizeWithHeader)
+    (RawBlock(pos, new String(magic, StandardCharsets.US_ASCII),
+      payload, totalOnDisk), pos + totalOnDisk)
+  }
+
+  /** File-info map (key string → bytes) from the FILE_INFO block. */
+  def readFileInfo(pread: PRead, trailer: Trailer): Map[String, Array[Byte]] = {
+    val (blk, _) = readBlockAt(pread, trailer.fileInfoOffset)
+    require(blk.magic == "FILEINF2", s"expected FILEINF2, got ${blk.magic}")
+    val bb = ByteBuffer.wrap(blk.payload)
+    val pbm = new Array[Byte](4)
+    bb.get(pbm)
+    require(java.util.Arrays.equals(pbm, PbMagic), "missing PBUF magic")
+    val len = readVarint(bb).toInt
+    val end = bb.position() + len
+    val entries = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    while (bb.position() < end) {
+      val tag = readVarint(bb)
+      require((tag >> 3) == 1 && (tag & 7) == 2, "unexpected FileInfoProto field")
+      val plen = readVarint(bb).toInt
+      val pend = bb.position() + plen
+      var k: Array[Byte] = null; var v: Array[Byte] = null
+      while (bb.position() < pend) {
+        val ptag = readVarint(bb)
+        val flen = readVarint(bb).toInt
+        val b = new Array[Byte](flen)
+        bb.get(b)
+        if ((ptag >> 3) == 1) k = b else v = b
+      }
+      entries += new String(k, StandardCharsets.UTF_8) -> v
+    }
+    entries.toMap
+  }
+
+  /** Root data index entries: (offset, onDiskSizeWithHeader, firstKey). */
+  def readRootIndex(bytes: Array[Byte], trailer: Trailer): Seq[(Long, Int, Array[Byte])] = {
+    val (blk, _) = readBlockAt(preadOf(bytes), trailer.loadOnOpenOffset)
+    require(blk.magic == "IDXROOT2", s"expected IDXROOT2, got ${blk.magic}")
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
+    (0 until trailer.dataIndexCount).map { _ =>
+      val off = in.readLong()
+      val sz = in.readInt()
+      val klen = readVLong(in).toInt
+      val key = new Array[Byte](klen)
+      in.readFully(key)
+      (off, sz, key)
+    }
+  }
+
+  private def decodeKey(key: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte], Long, Byte) = {
+    val kb = ByteBuffer.wrap(key)
+    val rowLen = kb.getShort & 0xffff
+    val row = new Array[Byte](rowLen)
+    kb.get(row)
+    val famLen = kb.get() & 0xff
+    val fam = new Array[Byte](famLen)
+    kb.get(fam)
+    val qual = new Array[Byte](key.length - 2 - rowLen - 1 - famLen - 8 - 1)
+    kb.get(qual)
+    val ts = kb.getLong
+    val typ = kb.get()
+    (row, fam, qual, ts, typ)
+  }
+
+  /** Decode every cell of a complete in-memory v3 file, walking the
+    * scanned section sequentially (LEAF_INDEX / BLOOM_CHUNK blocks from
+    * multi-level reference files are skipped by magic, so index depth
+    * never matters). mvcc / tags presence comes from FILE_INFO
+    * (MAX_MEMSTORE_TS_KEY / hfile.MAX_TAGS_LEN — HFileWriterImpl:705,
+    * HFileInfo.java:79). */
+  def readCells(bytes: Array[Byte]): Iterator[HCell] =
+    readCellsFrom(preadOf(bytes), bytes.length.toLong)
+
+  /** Streaming decode against a positional reader — the executor-side
+    * import path: at most one block is resident at a time. */
+  def readCellsFrom(pread: PRead, fileLen: Long): Iterator[HCell] = {
+    val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
+    if (trailer.firstDataBlockOffset < 0) return Iterator.empty
+    val fi = readFileInfo(pread, trailer)
+    val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
+    val withTags = fi.contains("hfile.MAX_TAGS_LEN")
+    val endPos = trailer.loadOnOpenOffset
+    val blocks = Iterator.unfold(trailer.firstDataBlockOffset) { p =>
+      if (p >= endPos) None
+      else {
+        val (blk, next) = readBlockAt(pread, p)
+        Some((blk, next))
+      }
+    }
+    blocks.filter(_.magic == "DATABLK*").flatMap { blk =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
+      Iterator.continually {
+        if (in.available() <= 0) None
+        else {
+          val keyLen = in.readInt()
+          val valLen = in.readInt()
+          val key = new Array[Byte](keyLen)
+          in.readFully(key)
+          val value = new Array[Byte](valLen)
+          in.readFully(value)
+          if (withTags) {
+            val tagsLen = in.readShort() & 0xffff
+            if (tagsLen > 0) in.skipBytes(tagsLen) // tags carried but not modeled
+          }
+          val mvcc = if (withMvcc) readVLong(in) else 0L
+          val (row, fam, qual, ts, typ) = decodeKey(key)
+          Some(HCell(row, fam, qual, ts, typ, value, mvcc))
+        }
+      }.takeWhile(_.isDefined).map(_.get)
+    }
+  }
+
+  /** All raw blocks in file order (structural inspection for specs). */
+  def readAllBlocks(bytes: Array[Byte]): Seq[RawBlock] = {
+    val pread = preadOf(bytes)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[RawBlock]
+    var pos = 0L
+    val end = bytes.length - TrailerSize
+    while (pos < end) {
+      val (blk, next) = readBlockAt(pread, pos)
+      blocks += blk
+      pos = next
+    }
+    blocks.toSeq
+  }
+
+  /** Array-convenience twin of [[readFileInfo]] for specs. */
+  def readFileInfo(bytes: Array[Byte], trailer: Trailer): Map[String, Array[Byte]] =
+    readFileInfo(preadOf(bytes), trailer)
+}

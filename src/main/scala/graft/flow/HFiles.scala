@@ -1,0 +1,125 @@
+package graft.flow
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.HFileV3
+import graft.codec.HFileV3.HCell
+import graft.model.CellType
+
+/** Distributed HFile-v3 export / import — the byte-format twin of
+  * Jobs.bulkLoadLayout (reference: HFileOutputFormat2 writes one HFile
+  * per region per family, `hbase-mapreduce/.../HFileOutputFormat2.java`;
+  * LoadIncrementalHFiles / Import read them back).
+  *
+  * Scale shape: export range-partitions the cell stream on the row key
+  * (total order across files = the region split layout), each task
+  * streams its partition through [[HFileV3.write]] straight onto a
+  * Hadoop FileSystem — no driver involvement, no whole-file buffering.
+  * Import parallelizes one task per file and streams block-by-block via
+  * positional reads (one 64 KB block resident per task), so a 10 GB
+  * reference store file never materializes as one array.
+  */
+object HFiles {
+
+  private val typeToCode: Map[String, Byte] = Map(
+    CellType.Put -> HFileV3.TypePut,
+    CellType.Delete -> HFileV3.TypeDelete,
+    CellType.DeleteFamilyVersion -> HFileV3.TypeDeleteFamilyVersion,
+    CellType.DeleteColumn -> HFileV3.TypeDeleteColumn,
+    CellType.DeleteFamily -> HFileV3.TypeDeleteFamily)
+
+  private val codeToType: Map[Byte, String] = typeToCode.map(_.swap)
+
+  /** KeyValue type-code rank for the within-(row,fam,qual,ts) sort:
+    * CellComparatorImpl orders larger codes first (deletes before
+    * puts). */
+  private def typeRank = {
+    val pairs = typeToCode.toSeq
+    pairs.foldLeft(lit(0)) { case (acc, (name, code)) =>
+      when(col("type") === name, lit(code.toInt)).otherwise(acc)
+    }
+  }
+
+  val cellSchema: StructType = StructType(Seq(
+    StructField("row", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Write `cells` (canonical CellSet columns) as `numRegions` HFiles
+    * under `outPath` (`part-NNNNN.hfile`, row-range-disjoint and sorted
+    * — exactly the layout a reference bulk-load expects). */
+  def export(cells: DataFrame, numRegions: Int, outPath: String,
+      blockSize: Int = 65536): Unit = {
+    val ordered = cells
+      .repartitionByRange(numRegions, col("row"))
+      .sortWithinPartitions(
+        col("row"), col("family"), col("qualifier"),
+        col("ts").desc, typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value")
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        // Executor-local default conf resolves file:// in the harness;
+        // a deployment threads the cluster conf via spark-defaults
+        // (spark.hadoop.*), which Configuration() picks up from the
+        // classpath resources.
+        val path = new Path(f"$outPath%s/part-$pid%05d.hfile")
+        val fs = path.getFileSystem(new Configuration())
+        val out = fs.create(path, true)
+        try {
+          val hcells = it.map { r =>
+            HCell(
+              r.getString(0).getBytes("UTF-8"),
+              r.getString(1).getBytes("UTF-8"),
+              r.getString(2).getBytes("UTF-8"),
+              r.getLong(3),
+              typeToCode(r.getString(4)),
+              Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+          }
+          HFileV3.write(out, hcells, blockSize)
+          ()
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Read every `part-*.hfile` under `dir` back into the canonical
+    * CellSet frame — one task per file, streaming positional reads. */
+  def importCells(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new Path(dir, "part-*.hfile"))
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (pathStr, len) =>
+        val path = new Path(pathStr)
+        val in = path.getFileSystem(new Configuration()).open(path)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val pread: HFileV3.PRead = (off, n) => {
+          val buf = new Array[Byte](n)
+          in.readFully(off, buf)
+          buf
+        }
+        HFileV3.readCellsFrom(pread, len).map { c =>
+          Row(
+            new String(c.row, "UTF-8"),
+            new String(c.family, "UTF-8"),
+            new String(c.qualifier, "UTF-8"),
+            c.ts,
+            codeToType(c.typ),
+            new String(c.value, "UTF-8"))
+        }
+      }
+    spark.createDataFrame(rdd, cellSchema)
+  }
+}

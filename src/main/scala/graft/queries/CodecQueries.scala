@@ -143,6 +143,30 @@ object CodecQueries {
              |       l_returnflag AS dec_blob,
              |       row_number() OVER (ORDER BY l_quantity DESC, l_linenumber, l_returnflag, l_orderkey, CAST(l_discount AS REAL)) AS rank
              |FROM lineitem ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // C05: HFile v3 BYTE-FORMAT roundtrip (HFileWriterImpl.java:652,
+      // HFileReaderImpl, FixedFileTrailer.java:202) — the store-file
+      // twin of the c04 key codec. cells_orders is range-partitioned
+      // into 8 region files, each task streams its partition through
+      // graft's pure-JVM v3 writer (DATABLK* blocks + CRC32C chunk
+      // checksums + single-level IDXROOT2 + FILEINF2 + 4 KiB pb
+      // trailer), then one task per file streams the blocks back.
+      // Oracle = the cell fixture itself: byte-format encode∘decode
+      // must be identity over every cell. Layout fidelity (magics,
+      // trailer fields, checksum math, hostile-input bounds) is pinned
+      // by HFileSpec's structural cases.
+      "c05_hfile_roundtrip",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c05_hfile")
+        graft.flow.HFiles.export(
+          graft.model.Fixtures.cellsOrders(s, dir), 8, s"$out/hf")
+        graft.flow.HFiles.importCells(s, s"$out/hf")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, type, value FROM cells_orders
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }
