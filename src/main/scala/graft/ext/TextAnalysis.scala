@@ -547,4 +547,71 @@ object TextAnalysis {
         md5(normText(col("text"))).as("md5_fp"),
         array_min(transform(shingles("toks"),
           sh => hash48(sh, "w"))).as("winnow_min"))
+
+  /** BM25 lexical retrieval: top-`k` corpus documents per query — the
+    * sparse-retrieval half of a data-curation / RAG stack (the dense
+    * half is Similarity's ANN family). Queries are rows matching
+    * `queryPred` (a bounded slice by contract, like e61's bitext src
+    * side); each query's terms are the distinct first `nQueryTerms`
+    * tokens of its text.
+    *
+    * score(q,d) = Σ_t FLOOR(1e6 · idf(t) · tf·(k1+1) /
+    *   (tf + k1·(1-b + b·dl/avgdl))), idf = ln(1+(N-df+½)/(df+½)) —
+    * per-term quantization before the integer sum makes the total
+    * independent of engine summation order, and the rank tie-break is
+    * (score desc, doc_id asc): fully engine-stable (the e37/e61
+    * contract).
+    *
+    * Scale shape: ONE (doc_id, tok) aggregate builds tf with dl carried
+    * through (no second corpus pass); the corpus term stream is then
+    * pruned MAP-SIDE by the broadcast query-term set, so everything
+    * past the tf aggregate is sized by query-term postings, not the
+    * corpus; df/stats are query-term-bounded / 1-row broadcasts; the
+    * top-k window partitions per query (bounded frames). At 100 TB the
+    * tf table IS the inverted index — materialize it bucketed by tok
+    * once and every query batch costs only its postings. */
+  def bm25TopK(docs: DataFrame, queryPred: Column, nQueryTerms: Int = 6,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val tf = corpus
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val queries = corpus.filter(queryPred)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("toks"), 1, nQueryTerms))).as("tok"))
+    val qterms = queries.select("tok").distinct()
+    val tfq = tf.join(broadcast(qterms), Seq("tok")) // map-side postings prune
+    val dfreq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    // expression association mirrors the oracle SQL exactly, and k1+1 /
+    // 1-b stay RUNTIME double ops from the same decimal literals on
+    // both engines (a Scala-side constant fold could round differently
+    // than DuckDB's) —
+    // ((1e6·idf)·(tf·(k1+1)))/(tf + k1·((1-b) + (b·dl)/avgdl))
+    val contrib = floor(
+      lit(1e6) *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl"))))
+      .cast("long")
+    val scored = tfq
+      .join(broadcast(queries), Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_q", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c_q")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q")
+  }
 }

@@ -1364,6 +1364,40 @@ object ExtQueries {
               |SELECT vec_id, eval_id AS closest_eval, sim AS max_sim,
               |       COALESCE(sim >= 0.4, FALSE) AS contaminated
               |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin)
+    ),
+    QDef(
+      // BM25 top-5 lexical retrieval (TextAnalysis.bm25TopK scaladoc):
+      // queries = docs with doc_id % 50 = 0, terms = distinct first 6
+      // tokens; per-term FLOOR(·1e6) quantization before the integer
+      // sum + (score desc, doc_id) ties = engine-stable ranking. The
+      // tf aggregate is the inverted index; everything downstream is
+      // query-term-postings-sized.
+      "e76_bm25_topk",
+      (s, dir) =>
+        TextAnalysis.bm25TopK(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            queryPred = col("doc_id") % 50 === 0)
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (SELECT doc_id, $toks AS toks FROM documents WHERE text IS NOT NULL),
+              |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM c),
+              |tf AS (SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf FROM p GROUP BY doc_id, tok),
+              |q AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice(toks, 1, 6))) AS tok
+              |      FROM c WHERE doc_id % 50 = 0),
+              |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM c),
+              |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+              |sc AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |         SUM(CAST(FLOOR(
+              |           1000000.0
+              |           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              |           * (tf.tf * (1.2 + 1.0))
+              |           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl))) AS BIGINT)) AS score_q
+              |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+              |  GROUP BY q.query_id, tf.doc_id)
+              |SELECT query_id, rank, doc_id, score_q FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY score_q DESC, doc_id) AS rank FROM sc)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

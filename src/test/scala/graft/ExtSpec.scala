@@ -1113,4 +1113,39 @@ class ExtSpec extends SparkSpec {
       "higher-quality member must be kept")
     assert(!g1.find(_.getLong(0) === 1L).get.getBoolean(3))
   }
+
+  test("bm25: rare-term match outranks common-term match; idf orders docs") {
+    import spark.implicits._
+    // q (doc 0) asks for "alpha zebra"; doc 1 shares only the corpus-wide
+    // common term, doc 2 the rare one → doc 2 must score higher
+    val tiny = Seq(
+      0L -> "alpha zebra",
+      1L -> "alpha alpha alpha noise words here",
+      2L -> "zebra stripes pattern detail",
+      3L -> "alpha other things entirely",
+      4L -> "alpha more filler content").toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(tiny, col("doc_id") === 0, k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    val byDoc = got.map(t => t._1 -> t._2).toMap
+    // the query doc itself contains both terms → rank 1
+    assert(byDoc(0L) === 1L, s"self-match must rank first: ${got.toSeq}")
+    assert(byDoc(2L) < byDoc(1L),
+      s"rare 'zebra' doc must outrank common 'alpha' doc: ${got.toSeq}")
+    // scores strictly descend with rank (ties impossible here)
+    val ordered = got.sortBy(_._2).map(_._3)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    import spark.implicits._
+    val tiny = Seq(
+      0L -> "target",
+      1L -> "target short",
+      2L -> ("target " + Seq.fill(40)("pad").mkString(" ")),
+      3L -> "pad pad pad").toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(tiny, col("doc_id") === 0, k = 4)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got(1L) > got(2L), s"shorter doc with equal tf must score higher: $got")
+    assert(!got.contains(3L), "doc without any query term must be absent")
+  }
 }
