@@ -917,4 +917,43 @@ object Similarity {
       .filter(col("best") === 1 && col("margin_q") >= minMarginQ)
       .select(col("src_id"), col("tgt_id"), col("sim"), col("margin_q"))
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * ranking ([[TextAnalysis.bm25TopK]]) and the dense cosine ranking
+    * ([[bruteTopK]]) — the standard RAG/curation fusion (RRF,
+    * Cormack et al.): score(d) = Σ_lists 1/(c + rank_list(d)).
+    * Computed as BIGINT `1e9 div (c + rank)` contributions so the
+    * fused order is engine-exact; ties break on doc_id. A doc on only
+    * one list contributes only that list's term (the other rank shows
+    * NULL in the audit columns). The dense side excludes self-matches
+    * (bruteTopK's contract), the lexical side keeps them — fusion is
+    * rank-based, so the asymmetry is visible in the audit columns
+    * rather than hidden.
+    *
+    * Scale shape: both inputs are top-`kEach` lists — (queries ×
+    * kEach)-bounded frames — so the fusion join and final window cost
+    * nothing at any corpus size; the real work lives in the two
+    * retrieval operators, each already scale-audited. At 100 TB the
+    * dense list swaps to the IVF/PQ path with no change here. */
+  def rrfFuse(docs: DataFrame, emb: DataFrame,
+      lexPred: Column, densePred: Column,
+      kEach: Int = 20, kOut: Int = 5, c: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(docs, lexPred, k = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = bruteTopK(emb, densePred, kEach)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val fused = lex
+      .join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr(s"1000000000L div ($c + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($c + dense_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_q"),
+        col("lex_rank"), col("dense_rank"))
+  }
 }

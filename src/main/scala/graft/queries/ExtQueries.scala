@@ -1398,6 +1398,63 @@ object ExtQueries {
               |  SELECT *, row_number() OVER (PARTITION BY query_id
               |    ORDER BY score_q DESC, doc_id) AS rank FROM sc)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    QDef(
+      // Hybrid retrieval: RRF fusion of BM25 (e76's ranking, top-20)
+      // and dense cosine (e06's ranking, top-20) with integer
+      // 1e9 div (60+rank) contributions (Similarity.rrfFuse scaladoc).
+      // Same query slice on both sides: ids % 50 = 0.
+      "e77_rrf_fusion",
+      (s, dir) =>
+        Similarity.rrfFuse(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            lexPred = col("doc_id") % 50 === 0,
+            densePred = col("vec_id") % 50 === 0)
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (SELECT doc_id, $toks AS toks FROM documents WHERE text IS NOT NULL),
+              |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM c),
+              |tf AS (SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf FROM p GROUP BY doc_id, tok),
+              |q AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice(toks, 1, 6))) AS tok
+              |      FROM c WHERE doc_id % 50 = 0),
+              |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM c),
+              |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+              |sc AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |         SUM(CAST(FLOOR(
+              |           1000000.0
+              |           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              |           * (tf.tf * (1.2 + 1.0))
+              |           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl))) AS BIGINT)) AS score_q
+              |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+              |  GROUP BY q.query_id, tf.doc_id),
+              |lex AS (
+              |  SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY score_q DESC, doc_id) AS rank FROM sc)
+              |  WHERE rank <= 20),
+              |dn AS (
+              |  SELECT query_id, neighbor_id AS doc_id, CAST(rank AS BIGINT) AS dense_rank FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM (
+              |      SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |             ROUND(${cosSql("qe.embedding", "e.embedding")}, 6) AS sim
+              |      FROM embeddings qe JOIN embeddings e ON e.vec_id <> qe.vec_id
+              |      WHERE qe.vec_id % 50 = 0))
+              |  WHERE rank <= 20),
+              |fused AS (
+              |  SELECT COALESCE(lex.query_id, dn.query_id) AS query_id,
+              |         COALESCE(lex.doc_id, dn.doc_id) AS doc_id,
+              |         lex.lex_rank, dn.dense_rank,
+              |         COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+              |           + COALESCE(1000000000 // (60 + dn.dense_rank), 0) AS rrf_q
+              |  FROM lex FULL OUTER JOIN dn
+              |    ON lex.query_id = dn.query_id AND lex.doc_id = dn.doc_id)
+              |SELECT query_id, rank, doc_id, rrf_q, lex_rank, dense_rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank FROM fused)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

@@ -1148,4 +1148,27 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) > got(2L), s"shorter doc with equal tf must score higher: $got")
     assert(!got.contains(3L), "doc without any query term must be absent")
   }
+
+  test("rrf fusion: score is exactly the sum of the audit-rank terms") {
+    val fused = Similarity.rrfFuse(docs, emb,
+      lexPred = col("doc_id") % 17 === 0, densePred = col("vec_id") % 17 === 0,
+      kEach = 10, kOut = 5)
+    val rows = fused.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lexR = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val denR = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      val expect = lexR.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        denR.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) === expect, s"rrf_q mismatch in $r")
+      assert(lexR.isDefined || denR.isDefined, "row on neither list")
+    }
+    // per query: ranks are 1..n and scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
