@@ -956,4 +956,70 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_q"),
         col("lex_rank"), col("dense_rank"))
   }
+
+  /** Retrieval-quality evaluation: nDCG@k and MRR of the dense cosine
+    * ranking against LABEL relevance (a neighbor is relevant iff it
+    * shares the query's label) — the complement of e69's recall sweep,
+    * which scores an ANN index against brute truth; this scores the
+    * embedding SPACE itself against ground-truth classes (the standard
+    * embedding-benchmark protocol).
+    *
+    * Determinism: DCG weights are FLOOR(1e6/log2(rank+1)) integers, so
+    * per-query DCG/IDCG are exact integer sums; MRR is the exact
+    * integer `1e6 div first_relevant_rank`; nDCG is one 6-dp-rounded
+    * double division of exact integers. IDCG uses true nDCG@k
+    * semantics: the ideal list holds min(R, k) relevant docs where R =
+    * corpus docs sharing the label (self excluded).
+    *
+    * Scale shape: the ranked lists are (queries × k)-bounded; labels
+    * join them via one broadcast-tiny-side pass over the corpus label
+    * table; per-label counts are label-cardinality-bounded; the
+    * cumulative-weight table is k rows. Nothing corpus-sized is
+    * windowed or broadcast. */
+  def retrievalNdcg(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = bruteTopK(emb, queryPred, k)
+    // label of each query and neighbor: tiny frames broadcast against
+    // the corpus label table
+    val withLabels = labels.join(broadcast(top),
+        labels("vec_id") === top("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("label").as("nlab"))
+      .join(broadcast(labels
+          .withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "qlab")
+          .join(broadcast(top.select("query_id").distinct()), Seq("query_id"))),
+        Seq("query_id"))
+    val graded = withLabels
+      .withColumn("rel", (col("nlab") === col("qlab")).cast("long"))
+      .withColumn("w",
+        floor(lit(1e6) / log2(col("rank").cast("double") + lit(1.0))).cast("long"))
+    val perQuery = graded.groupBy("query_id", "qlab").agg(
+      sum(col("rel")).as("n_rel_topk"),
+      sum(col("rel") * col("w")).as("dcg_q"),
+      min(when(col("rel") === 1, col("rank"))).cast("long").as("first_rel"))
+    // R per query = corpus count of its label minus self
+    val labCnt = labels.groupBy("label").agg(count(lit(1)).as("lab_n"))
+    // cumulative ideal weights: k rows
+    val cw = emb.sparkSession.range(1, k + 1)
+      .select(col("id").cast("long").as("rnk"))
+      .withColumn("w",
+        floor(lit(1e6) / log2(col("rnk").cast("double") + lit(1.0))).cast("long"))
+      .withColumn("cumw", sum(col("w")).over(
+        Window.orderBy(col("rnk")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rnk"), col("cumw"))
+    perQuery
+      .join(broadcast(labCnt), col("qlab") === col("label"))
+      .withColumn("r_corpus", greatest(col("lab_n") - 1, lit(0L)))
+      .withColumn("ideal_n", least(col("r_corpus"), lit(k.toLong)))
+      .join(broadcast(cw), col("ideal_n") === col("rnk"), "left")
+      .withColumn("idcg_q", coalesce(col("cumw"), lit(0L)))
+      .withColumn("mrr_q",
+        coalesce(expr("1000000L div first_rel"), lit(0L)))
+      .withColumn("ndcg",
+        when(col("idcg_q") > 0,
+          round(col("dcg_q").cast("double") / col("idcg_q"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("query_id"), col("n_rel_topk"), col("r_corpus"),
+        col("first_rel"), col("mrr_q"), col("dcg_q"), col("idcg_q"), col("ndcg"))
+  }
 }

@@ -1455,6 +1455,52 @@ object ExtQueries {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank FROM fused)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    QDef(
+      // Retrieval-quality eval: nDCG@10 + MRR of the dense ranking
+      // against LABEL relevance (Similarity.retrievalNdcg scaladoc) —
+      // integer DCG weights FLOOR(1e6/log2(rank+1)), exact integer
+      // MRR, one rounded double division for nDCG.
+      "e78_retrieval_ndcg",
+      (s, dir) =>
+        Similarity.retrievalNdcg(
+            graft.model.Tables.load(s, s"$dir/embeddings.parquet"),
+            queryPred = col("vec_id") % 50 === 0)
+          .orderBy("query_id"),
+      Some(s"""WITH tp AS (
+              |  SELECT query_id, neighbor_id, rank FROM (
+              |    SELECT query_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM (
+              |      SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |             ROUND(${cosSql("qe.embedding", "e.embedding")}, 6) AS sim
+              |      FROM embeddings qe JOIN embeddings e ON e.vec_id <> qe.vec_id
+              |      WHERE qe.vec_id % 50 = 0))
+              |  WHERE rank <= 10),
+              |lab AS (SELECT vec_id, label FROM embeddings),
+              |g AS (SELECT t.query_id, t.rank,
+              |             CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+              |      FROM tp t JOIN lab nl ON nl.vec_id = t.neighbor_id
+              |                JOIN lab ql ON ql.vec_id = t.query_id),
+              |w AS (SELECT i AS rnk, CAST(FLOOR(1000000.0 / log2(i + 1.0)) AS BIGINT) AS w
+              |      FROM range(1, 11) t(i)),
+              |cw AS (SELECT rnk, CAST(SUM(w) OVER (ORDER BY rnk) AS BIGINT) AS cumw FROM w),
+              |pq AS (SELECT g.query_id,
+              |              CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+              |              CAST(SUM(rel * w.w) AS BIGINT) AS dcg_q,
+              |              CAST(MIN(CASE WHEN rel = 1 THEN g.rank END) AS BIGINT) AS first_rel
+              |       FROM g JOIN w ON w.rnk = g.rank GROUP BY g.query_id),
+              |lc AS (SELECT label, COUNT(*) AS lab_n FROM lab GROUP BY label),
+              |fin AS (SELECT pq.*, GREATEST(lc.lab_n - 1, 0) AS r_corpus
+              |        FROM pq JOIN lab ql ON ql.vec_id = pq.query_id
+              |                JOIN lc ON lc.label = ql.label)
+              |SELECT query_id, n_rel_topk, r_corpus, first_rel,
+              |       COALESCE(1000000 // first_rel, 0) AS mrr_q, dcg_q,
+              |       COALESCE(cw.cumw, 0) AS idcg_q,
+              |       CASE WHEN COALESCE(cw.cumw, 0) > 0
+              |            THEN ROUND(CAST(dcg_q AS DOUBLE) / cw.cumw, 6) ELSE 0.0 END AS ndcg
+              |FROM fin LEFT JOIN cw ON cw.rnk = LEAST(r_corpus, 10)
+              |ORDER BY query_id""".stripMargin)
     )
   )
 }

@@ -1171,4 +1171,27 @@ class ExtSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("retrieval nDCG: hand-computed 4-vector case") {
+    import spark.implicits._
+    // query 0 (label 1): neighbors by cosine are 1 (label 1), then 2
+    // (label 2), then 3 (label 1) → rel pattern 1,0,1
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.95f, 0.31f), 1),
+      (2L, Array(0.5f, 0.87f), 2),
+      (3L, Array(0.05f, 0.999f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.retrievalNdcg(tiny, col("vec_id") === 0, k = 3).head()
+    val w1 = 1000000L                                  // floor(1e6/log2(2))
+    val w2 = math.floor(1e6 / (math.log(3) / math.log(2))).toLong // 630929
+    val w3 = math.floor(1e6 / 2.0).toLong              // 500000
+    assert(r.getAs[Long]("n_rel_topk") === 2L)
+    assert(r.getAs[Long]("r_corpus") === 2L)   // two other label-1 docs
+    assert(r.getAs[Long]("first_rel") === 1L)
+    assert(r.getAs[Long]("mrr_q") === 1000000L)
+    assert(r.getAs[Long]("dcg_q") === w1 + w3) // relevant at ranks 1 and 3
+    assert(r.getAs[Long]("idcg_q") === w1 + w2) // ideal: 2 relevant up front
+    val expectedNdcg = math.rint((w1 + w3).toDouble / (w1 + w2) * 1e6) / 1e6
+    assert(math.abs(r.getAs[Double]("ndcg") - expectedNdcg) < 1e-6)
+  }
 }
