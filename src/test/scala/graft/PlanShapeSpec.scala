@@ -118,6 +118,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bm25 prunes the postings stream with broadcasts only; no corpus sort-merge") {
+    val p = plan(TextAnalysis.bm25TopK(docs, col("doc_id") % 50 === 0))
+    assert(count(p, "SortMergeJoin") === 0, s"no corpus-stream sort-merge:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"query terms / df / stats must broadcast:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+  }
+
+  test("rrf fusion windows only the bounded fused lists") {
+    val p = plan(Similarity.rrfFuse(docs, emb,
+      col("doc_id") % 50 === 0, col("vec_id") % 50 === 0))
+    // the one full-outer join runs on (queries × k) frames; the corpus
+    // streams must never cartesian beyond bruteTopK's bounded
+    // query-broadcast scan
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+    // exactly two bounded nested-loops are by-design: bruteTopK's
+    // query-broadcast scan (non-equi self-exclusion) and bm25's 1-row
+    // stats cross join
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the two bounded-by-design nested-loops may appear:\n$p")
+  }
+
+  test("retrievalNdcg joins label/weight tables as broadcasts") {
+    val p = plan(Similarity.retrievalNdcg(emb, col("vec_id") % 50 === 0))
+    assert(count(p, "SortMergeJoin") === 0, s"bounded frames must not SMJ:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+  }
+
   test("windowPpl and noveltyScore never nested-loop or cartesian join") {
     for (df <- Seq(TextAnalysis.windowPpl(docs),
         TextAnalysis.noveltyScore(docs))) {
