@@ -562,29 +562,31 @@ object TextAnalysis {
     * (score desc, doc_id asc): fully engine-stable (the e37/e61
     * contract).
     *
-    * Scale shape: ONE (doc_id, tok) aggregate builds tf with dl carried
-    * through (no second corpus pass); the corpus term stream is then
-    * pruned MAP-SIDE by the broadcast query-term set, so everything
-    * past the tf aggregate is sized by query-term postings, not the
-    * corpus; df/stats are query-term-bounded / 1-row broadcasts; the
-    * top-k window partitions per query (bounded frames). At 100 TB the
-    * tf table IS the inverted index — materialize it bucketed by tok
-    * once and every query batch costs only its postings. */
+    * Scale shape: the broadcast query-term set prunes the exploded
+    * token stream MAP-SIDE *before* any aggregate, so the only shuffle
+    * carries query-term postings (term-occurrence-sized), never the
+    * corpus token stream; dl rides along from the pre-explode map
+    * stage; df is an aggregate of the postings aggregate
+    * (query-term-bounded, broadcast) and stats a 1-row broadcast; the
+    * top-k window partitions per query (bounded frames). For repeated
+    * query batches at 100 TB, materialize the un-pruned (doc, tok, tf,
+    * dl) aggregate once bucketed by term — the inverted index — and
+    * this same plan reads only its postings buckets. */
   def bm25TopK(docs: DataFrame, queryPred: Column, nQueryTerms: Int = 6,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-    val tf = corpus
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
     val queries = corpus.filter(queryPred)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(col("toks"), 1, nQueryTerms))).as("tok"))
     val qterms = queries.select("tok").distinct()
-    val tfq = tf.join(broadcast(qterms), Seq("tok")) // map-side postings prune
+    val tfq = corpus
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .join(broadcast(qterms), Seq("tok")) // map-side prune BEFORE the aggregate
+      .groupBy("doc_id", "tok")
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
     val dfreq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
