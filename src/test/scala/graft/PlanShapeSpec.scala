@@ -122,7 +122,7 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(TextAnalysis.bm25TopK(docs, col("doc_id") % 50 === 0))
     assert(count(p, "SortMergeJoin") === 0, s"no corpus-stream sort-merge:\n$p")
     assert(count(p, "BroadcastHashJoin") >= 3,
-      s"query terms / df / stats must broadcast:\n$p")
+      s"query terms / queries / df must broadcast:\n$p")
     assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
   }
 
