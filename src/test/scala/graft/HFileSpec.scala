@@ -146,6 +146,31 @@ class HFileSpec extends AnyFunSuite {
     }
   }
 
+  test("migration path: exported HFiles bulk-load into a GAdmin table intact") {
+    // the live-cluster story: a reference deployment's store files land
+    // via HFiles.importCells → GAdmin.put, and the scan sees every cell
+    val spark = TestSession.spark
+    import graft.admin.GAdmin
+    val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
+    val out = Queries.scratchDir("hfile_migrate_spec")
+    graft.flow.HFiles.export(cells, 4, s"$out/hf")
+    val imported = graft.flow.HFiles.importCells(spark, s"$out/hf")
+    if (GAdmin.tableExists(spark, "hmig")) GAdmin.deleteTable(spark, "hmig")
+    GAdmin.createTable(spark, "hmig", s"$out/tbl", buckets = 2)
+    GAdmin.put(spark, "hmig", imported)
+    val n = cells.count()
+    assert(GAdmin.table(spark, "hmig").count() === n)
+    // spot-check value fidelity through the whole loop
+    val back = GAdmin.table(spark, "hmig")
+      .filter(org.apache.spark.sql.functions.col("qualifier") === "o_totalprice")
+      .count()
+    val orig = cells
+      .filter(org.apache.spark.sql.functions.col("qualifier") === "o_totalprice")
+      .count()
+    assert(back === orig)
+    GAdmin.deleteTable(spark, "hmig")
+  }
+
   test("block boundaries honor the comparator, not row boundaries") {
     // 3 versions of one (row, qual) must decode in ts-descending order
     // even when a block split lands between them
