@@ -91,12 +91,17 @@ object HFiles {
     }
   }
 
-  /** Read every `part-*.hfile` under `dir` back into the canonical
-    * CellSet frame — one task per file, streaming positional reads. */
-  def importCells(spark: SparkSession, dir: String): DataFrame = {
+  /** Read every matching HFile under `dir` back into the canonical
+    * CellSet frame — one task per file, streaming positional reads.
+    * `glob` defaults to a flat export; an epoch glob of the form
+    * `"epoch=?" + "/part-?.hfile"` (with `?` = `*`) reads a
+    * streaming-backup directory tree. */
+  def importCells(spark: SparkSession, dir: String,
+      glob: String = "part-*.hfile"): DataFrame = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new Path(dir, "part-*.hfile"))
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
       .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))

@@ -202,6 +202,47 @@ object WalStream {
     spark.table(queryName)
   }
 
+  /** Streaming incremental-backup sink: every micro-batch of the WAL
+    * data slice lands as comparator-sorted HFile-v3 region files under
+    * `outDir/epoch=<batchId>/` — the reference's incremental backup
+    * shape (WALs → HFileOutputFormat2 store files,
+    * `hbase-backup/.../mapreduce/MapReduceBackupCopyJob.java`) with
+    * graft's byte-faithful writer inside. Delete-then-write of the
+    * whole epoch directory makes re-delivery idempotent: a restarted
+    * stream that replays a batch rewrites the same epoch in place
+    * (same policy as the DedupIndex epoch gate). META-family marker
+    * entries are excluded — they describe regions, not cells
+    * (WALEdit.METAFAMILY contract), exactly like applyBatch.
+    * Runs the bounded AvailableNow form, like [[runAvailableNow]]. */
+  def hfileBackupSink(cells: DataFrame, outDir: String, numRegions: Int,
+      queryName: String): Unit = {
+    val spark = cells.sparkSession
+    val ckBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir")
+    val ckDir = s"$ckBase/graft-ck/$queryName-${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = cells.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val dir = s"$outDir/epoch=$epochId"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        graft.flow.HFiles.export(WalMeta.dataOnly(batch), numRegions, dir)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(ckDir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+  }
+
   /** Same-coordinate conflict resolution of the sink, batch form: the
     * entry with the highest WAL sequence id wins (the reference's
     * per-region sequenceId ordering, serial-peer mode —

@@ -326,4 +326,37 @@ class StreamSpec extends SparkSpec {
       intercept[IllegalArgumentException](ReplicationAdmin.removePeer("evd"))
     } finally ReplicationAdmin.removeAllPeers()
   }
+
+  test("streaming HFile backup sink: epochs land as byte-format files, markers excluded, redelivery idempotent") {
+    import graft.stream.{WalMeta, WalStream}
+    import spark.implicits._
+    val out = graft.Queries.scratchDir("hfile_stream_sink")
+    // a tiny WAL log on disk drives the real file-source path
+    val walDir = s"$out/wal"
+    val cells = Seq(
+      ("r1", "d", "q1", 1L, "Put", "a"),
+      ("r2", "d", "q1", 1L, "Put", "b"),
+      ("r3", "d", "q2", 2L, "Put", "c"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value")
+    val withMarker = cells.unionByName(WalMeta.markers(spark,
+      Seq(("r0", WalMeta.Flush, 5L, "flush-descriptor"))))
+    withMarker.write.mode("overwrite").parquet(walDir)
+    val stream = spark.readStream.schema(withMarker.schema).parquet(walDir)
+    WalStream.hfileBackupSink(stream, s"$out/bk", numRegions = 2,
+      queryName = "hfsink_t")
+    val back = graft.flow.HFiles.importCells(spark, s"$out/bk",
+      glob = "epoch=*/part-*.hfile")
+    // data cells roundtrip; the marker never lands as a cell
+    assert(back.count() === 3)
+    assert(back.filter(col("family") === WalMeta.MetaFamily).count() === 0)
+    assert(back.select("row", "value").as[(String, String)].collect().toSet ===
+      Set(("r1", "a"), ("r2", "b"), ("r3", "c")))
+    // redelivery: a fresh stream run (new checkpoint) replays epoch 0 —
+    // the epoch directory is rewritten, not duplicated
+    WalStream.hfileBackupSink(
+      spark.readStream.schema(withMarker.schema).parquet(walDir),
+      s"$out/bk", numRegions = 2, queryName = "hfsink_t2")
+    assert(graft.flow.HFiles.importCells(spark, s"$out/bk",
+      glob = "epoch=*/part-*.hfile").count() === 3)
+  }
 }
