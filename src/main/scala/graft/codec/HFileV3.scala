@@ -526,8 +526,11 @@ object HFileV3 {
   }
 
   /** Root data index entries: (offset, onDiskSizeWithHeader, firstKey). */
-  def readRootIndex(bytes: Array[Byte], trailer: Trailer): Seq[(Long, Int, Array[Byte])] = {
-    val (blk, _) = readBlockAt(preadOf(bytes), trailer.loadOnOpenOffset)
+  def readRootIndex(bytes: Array[Byte], trailer: Trailer): Seq[(Long, Int, Array[Byte])] =
+    readRootIndex(preadOf(bytes), trailer)
+
+  def readRootIndex(pread: PRead, trailer: Trailer): Seq[(Long, Int, Array[Byte])] = {
+    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset)
     require(blk.magic == "IDXROOT2", s"expected IDXROOT2, got ${blk.magic}")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
     (0 until trailer.dataIndexCount).map { _ =>
@@ -601,6 +604,72 @@ object HFileV3 {
         }
       }.takeWhile(_.isDefined).map(_.get)
     }
+  }
+
+  /** Point lookup against one file — the reference's Get read path
+    * (HFileReaderImpl.blockSeek over the loaded index): binary-search
+    * the root index for the last block whose first key ≤ the row's
+    * lowest possible key, then read ONLY the block(s) that can hold the
+    * row (a row may span a block boundary — the writer splits at cell
+    * boundaries, not row boundaries). Cost per get: trailer + file-info
+    * + root-index + O(row-span) data blocks, independent of file size.
+    * Single-level-index files (graft's own exports). */
+  def getRow(pread: PRead, fileLen: Long, row: Array[Byte]): Seq[HCell] = {
+    val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
+    if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
+      return Seq.empty
+    val fi = readFileInfo(pread, trailer)
+    val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
+    val withTags = fi.contains("hfile.MAX_TAGS_LEN")
+    val entries = readRootIndex(pread, trailer)
+    // lowest possible key for `row`: compare by row only — an index
+    // key with the same row is "within" the row regardless of its
+    // (fam, qual, ts) suffix
+    def rowOfKey(k: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.wrap(k)
+      val rl = bb.getShort & 0xffff
+      java.util.Arrays.copyOfRange(k, 2, 2 + rl)
+    }
+    // seek-before: the row may both start mid-block and span several
+    // whole blocks, so start at the block BEFORE the first block whose
+    // first-key row >= target (HBase's seekBefore(firstOnRow) shape)
+    var lo = 0; var hi = entries.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (compareBytes(rowOfKey(entries(mid)._3), row) < 0) lo = mid + 1
+      else hi = mid
+    }
+    val start = math.max(0, lo - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[HCell]
+    var i = start
+    var done = false
+    while (i < entries.size && !done) {
+      // after the first block, continue only while the next block can
+      // still START within the target row
+      if (i > start && compareBytes(rowOfKey(entries(i)._3), row) > 0) {
+        done = true
+      } else {
+        val (blk, _) = readBlockAt(pread, entries(i)._1)
+        val bin = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(blk.payload))
+        while (bin.available() > 0 && !done) {
+          val keyLen = bin.readInt(); val valLen = bin.readInt()
+          val key = new Array[Byte](keyLen); bin.readFully(key)
+          val value = new Array[Byte](valLen); bin.readFully(value)
+          if (withTags) {
+            val tl = bin.readShort() & 0xffff
+            if (tl > 0) bin.skipBytes(tl)
+          }
+          val mvcc = if (withMvcc) readVLong(bin) else 0L
+          val (r, f, q, ts, typ) = decodeKey(key)
+          val cmp = compareBytes(r, row)
+          if (cmp == 0) out += HCell(r, f, q, ts, typ, value, mvcc)
+          else if (cmp > 0) done = true
+        }
+        i += 1
+      }
+    }
+    out.toSeq
   }
 
   /** All raw blocks in file order (structural inspection for specs). */

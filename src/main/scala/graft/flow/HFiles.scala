@@ -91,6 +91,77 @@ object HFiles {
     }
   }
 
+  /** Multi-get served straight from an exported HFile directory — the
+    * reference's Get path against store files: a driver-side range
+    * table (region-count-bounded, 3 positional reads per file — the
+    * meta-table location lookup's analogue) routes each row to the one
+    * file whose [first, last] range can hold it; one task per touched
+    * file then binary-searches the block index and reads ONLY the
+    * row's block(s) ([[HFileV3.getRow]]). Absent rows cost an index
+    * probe, never a scan. */
+  def pointGet(spark: SparkSession, dir: String, rows: Seq[String]): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val ranges = files.flatMap { case (pathStr, len) =>
+      val in = fs.open(new Path(pathStr))
+      try {
+        val pread: HFileV3.PRead = (off, n) => {
+          val b = new Array[Byte](n); in.readFully(off, b); b
+        }
+        val trailer = HFileV3.readTrailer(pread(len - 4096, 4096))
+        if (trailer.dataIndexCount == 0) None
+        else {
+          val idx = HFileV3.readRootIndex(pread, trailer)
+          val firstKey = idx.head._3
+          val bb = java.nio.ByteBuffer.wrap(firstKey)
+          val rl = bb.getShort & 0xffff
+          val firstRow = java.util.Arrays.copyOfRange(firstKey, 2, 2 + rl)
+          val lastKey = HFileV3.readFileInfo(pread, trailer)("hfile.LASTKEY")
+          val lb = java.nio.ByteBuffer.wrap(lastKey)
+          val lrl = lb.getShort & 0xffff
+          val lastRow = java.util.Arrays.copyOfRange(lastKey, 2, 2 + lrl)
+          Some((pathStr, len, firstRow, lastRow))
+        }
+      } finally in.close()
+    }
+    val targets = rows.distinct.map(_.getBytes("UTF-8"))
+    val assignments = ranges.flatMap { case (p, len, lo, hi) =>
+      val mine = targets.filter(r => cmp(r, lo) >= 0 && cmp(r, hi) <= 0)
+      if (mine.isEmpty) None else Some((p, len, mine.map(new String(_, "UTF-8"))))
+    }
+    val rdd = spark.sparkContext
+      .parallelize(assignments, math.max(assignments.size, 1))
+      .flatMap { case (pathStr, len, targetRows) =>
+        val path = new Path(pathStr)
+        val in = path.getFileSystem(new Configuration()).open(path)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val pread: HFileV3.PRead = (off, n) => {
+          val b = new Array[Byte](n); in.readFully(off, b); b
+        }
+        targetRows.sorted.iterator.flatMap { r =>
+          HFileV3.getRow(pread, len, r.getBytes("UTF-8")).map { c =>
+            Row(new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+              new String(c.qualifier, "UTF-8"), c.ts, codeToType(c.typ),
+              new String(c.value, "UTF-8"))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
   /** Read every matching HFile under `dir` back into the canonical
     * CellSet frame — one task per file, streaming positional reads.
     * `glob` defaults to a flat export; an epoch glob of the form

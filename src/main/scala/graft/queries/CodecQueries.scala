@@ -167,6 +167,31 @@ object CodecQueries {
       Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
         """SELECT row, family, qualifier, ts, type, value FROM cells_orders
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C06: point-GETS served straight from the exported HFiles — the
+      // reference's Get read path against store files (meta-style range
+      // routing + block-index binary search + single-block reads,
+      // HFileReaderImpl.blockSeek). Probes 40 keys incl. absent ones
+      // (TPC-H orderkeys are sparse): absent rows cost an index probe,
+      // never a scan. HFileSpec pins the positional-read count.
+      "c06_hfile_get",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c06_hfile")
+        graft.flow.HFiles.export(
+          graft.model.Fixtures.cellsOrders(s, dir), 8, s"$out/hf")
+        val keys = ((1L to 40L) :+ 9999999999L).map(k => f"$k%010d")
+        graft.flow.HFiles.pointGet(s, s"$out/hf", keys)
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some {
+        val keyList = ((1L to 40L) :+ 9999999999L)
+          .map(k => f"'$k%010d'").mkString(", ")
+        graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+          s"""SELECT row, family, qualifier, ts, type, value FROM cells_orders
+             |WHERE row IN ($keyList)
+             |ORDER BY row, family, qualifier, ts, type, value""".stripMargin)
+      }
     )
   )
 }

@@ -171,6 +171,55 @@ class HFileSpec extends AnyFunSuite {
     GAdmin.deleteTable(spark, "hmig")
   }
 
+  test("getRow reads only the row's blocks — positional-read count is index-bounded") {
+    // 400 cells, 1-cell blocks → ~400 data blocks; a get must touch
+    // trailer + file-info + index + the row's own block(s), never scan
+    val cells = (1 to 100).flatMap { i =>
+      (1 to 4).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
+    }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
+    val bytes = HFileV3.writeBytes(cells.iterator, blockSize = 1)
+    assert(HFileV3.readTrailer(bytes).dataIndexCount >= 300)
+    var preads = 0
+    val pread: HFileV3.PRead = (off, len) => {
+      preads += 1
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+    val got = HFileV3.getRow(pread, bytes.length.toLong, "row-0042".getBytes(UTF_8))
+    assert(got.size == 4)
+    assert(got.map(c => new String(c.value, UTF_8)).toSet ==
+      Set("v42-1", "v42-2", "v42-3", "v42-4"))
+    // trailer(1) + fileinfo(2) + index(2) + 4 one-cell blocks(2 each) +
+    // the terminating next-block peek — far below the ~800 a scan costs
+    assert(preads <= 20, s"get touched $preads positional reads")
+
+    // absent row: index probe only, no block scan beyond one peek
+    preads = 0
+    assert(HFileV3.getRow(pread, bytes.length.toLong,
+      "row-0042x".getBytes(UTF_8)).isEmpty)
+    assert(preads <= 10, s"absent-row get touched $preads reads")
+
+    // row spanning a block boundary is reassembled whole (1-cell blocks
+    // mean EVERY row spans blocks)
+    val first = HFileV3.getRow(pread, bytes.length.toLong,
+      "row-0001".getBytes(UTF_8))
+    assert(first.size == 4)
+  }
+
+  test("pointGet routes rows to region files and matches a filtered import") {
+    val spark = TestSession.spark
+    val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
+    val out = Queries.scratchDir("hfile_get_spec")
+    graft.flow.HFiles.export(cells, 4, s"$out/hf")
+    val some = cells.select("row").distinct().orderBy("row").limit(7)
+      .collect().map(_.getString(0)).toSeq
+    val probe = some ++ Seq("zzzz-absent")
+    val got = graft.flow.HFiles.pointGet(spark, s"$out/hf", probe)
+    val expected = graft.flow.HFiles.importCells(spark, s"$out/hf")
+      .filter(org.apache.spark.sql.functions.col("row").isin(some: _*))
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("block boundaries honor the comparator, not row boundaries") {
     // 3 versions of one (row, qual) must decode in ts-descending order
     // even when a block split lands between them
