@@ -60,6 +60,7 @@ object HFileV3 {
   private val MagicLeafIdx = "IDXLEAF2".getBytes(StandardCharsets.US_ASCII)
   private val MagicInterIdx = "IDXINTE2".getBytes(StandardCharsets.US_ASCII)
   private val MagicBloom = "BLMFBLK2".getBytes(StandardCharsets.US_ASCII)
+  private val MagicBloomMeta = "BLMFMET2".getBytes(StandardCharsets.US_ASCII)
   private val MagicMeta = "METABLKc".getBytes(StandardCharsets.US_ASCII)
   private val MagicFileInfo = "FILEINF2".getBytes(StandardCharsets.US_ASCII)
   private val MagicTrailer = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
@@ -246,9 +247,14 @@ object HFileV3 {
 
   /** Stream `cells` (must already be in [[compareCells]] order — an
     * out-of-order cell raises, mirroring HFileWriterImpl.checkKey) into
-    * a complete v3 file on `out`. Returns the cell count. */
+    * a complete v3 file on `out`. With `rowBloom` (the reference's
+    * default BLOOMFILTER => 'ROW'), compound Bloom chunks land as
+    * BLMFBLK2 blocks with a BLMFMET2 load-on-open meta — byte-faithful
+    * CompoundBloomFilterWriter output ([[HBloom]]). Returns the cell
+    * count. */
   def write(out: OutputStream, cells: Iterator[HCell],
-      blockSize: Int = 65536, bytesPerChecksum: Int = 16384): Long = {
+      blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
+      rowBloom: Boolean = true): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     val co = new CountingOutput(out)
     val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
@@ -261,6 +267,27 @@ object HFileV3 {
     var firstKeyOfBlock: Array[Byte] = null
     val buf = new ByteArrayOutputStream(blockSize + 4096)
     val dos = new DataOutputStream(buf)
+    // compound ROW bloom state (one key per distinct row)
+    val bloomChunks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Array[Byte], HBloom.Chunk)] // offset, size, firstRow, chunk
+    var bloomChunk: HBloom.Chunk = null
+    var bloomPrev: HBloom.Chunk = null
+    var bloomFirstRow: Array[Byte] = null
+    var bloomKeyCount = 0L
+    var prevBloomOffset = -1L
+
+    def flushBloomChunk(): Unit = if (bloomChunk != null && bloomChunk.keyCount > 0) {
+      bloomChunk.compact()
+      val offset = co.pos
+      val onDisk = writeBlock(co, MagicBloom, bloomChunk.bits,
+        prevBloomOffset, bytesPerChecksum)
+      prevBloomOffset = offset
+      totalUncompressed += HeaderSize + bloomChunk.bits.length
+      bloomChunks += ((offset, onDisk, bloomFirstRow, bloomChunk))
+      bloomPrev = bloomChunk
+      bloomChunk = null
+      bloomFirstRow = null
+    }
 
     def closeDataBlock(): Unit = if (buf.size() > 0) {
       val payload = buf.toByteArray
@@ -278,6 +305,23 @@ object HFileV3 {
         throw new IllegalArgumentException(
           s"cells out of order: ${new String(lastCell.row, StandardCharsets.UTF_8)} > " +
             new String(c.row, StandardCharsets.UTF_8))
+      if (rowBloom &&
+          (lastCell == null || compareBytes(lastCell.row, c.row) != 0)) {
+        if (bloomChunk == null) {
+          bloomChunk =
+            if (bloomPrev != null) bloomPrev.createAnother()
+            else HBloom.createBySize()
+          bloomFirstRow = c.row
+        }
+        bloomChunk.add(c.row)
+        bloomKeyCount += 1
+        if (bloomChunk.keyCount >= bloomChunk.maxKeys) {
+          // chunk full: flush inline (blooms may interleave with data
+          // blocks — readers locate them via the meta's own index)
+          closeDataBlock()
+          flushBloomChunk()
+        }
+      }
       lastCell = c
       val key = cellKeyBytes(c)
       if (firstKeyOfBlock == null) firstKeyOfBlock = key
@@ -292,6 +336,7 @@ object HFileV3 {
       if (buf.size() >= blockSize) closeDataBlock()
     }
     closeDataBlock()
+    flushBloomChunk()
 
     val firstDataOffset = if (dataBlocks.nonEmpty) dataBlocks.head.offset else -1L
     val lastDataOffset = if (dataBlocks.nonEmpty) dataBlocks.last.offset else -1L
@@ -325,6 +370,9 @@ object HFileV3 {
     val avgV = if (entryCount == 0) 0 else (valLenSum / entryCount).toInt
     fiEntries += (("hfile.AVG_KEY_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgK)))
     fiEntries += (("hfile.AVG_VALUE_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgV)))
+    if (bloomChunks.nonEmpty)
+      fiEntries += (("BLOOM_FILTER_TYPE".getBytes(StandardCharsets.US_ASCII),
+        "ROW".getBytes(StandardCharsets.US_ASCII)))
     // FileInfoProto { repeated BytesBytesPair map_entry = 1 }; pairs
     // sorted by key bytes (HFileInfo is a sorted map)
     val fiBody = new ByteArrayOutputStream()
@@ -341,6 +389,30 @@ object HFileV3 {
     val fiBytes = fiPayload.toByteArray
     writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum)
     totalUncompressed += HeaderSize + fiBytes.length
+
+    // --- general bloom meta (load-on-open, after file info — the
+    // additionalLoadOnOpenData slot, HFileWriterImpl.java:716-719) ---
+    if (bloomChunks.nonEmpty) {
+      val bm = new ByteArrayOutputStream()
+      val bmd = new DataOutputStream(bm)
+      bmd.writeInt(HBloom.Version)
+      bmd.writeLong(bloomChunks.map(_._4.byteSize.toLong).sum)
+      bmd.writeInt(bloomChunks.head._4.hashCount)
+      bmd.writeInt(HBloom.HashTypeMurmur)
+      bmd.writeLong(bloomKeyCount)
+      bmd.writeLong(bloomChunks.map(_._4.maxKeys).sum)
+      bmd.writeInt(bloomChunks.size)
+      writeVLong(bmd, 0L) // null comparator = vint 0 (raw ROW keys)
+      for ((offset, onDisk, firstRow, _) <- bloomChunks) {
+        bmd.writeLong(offset)
+        bmd.writeInt(onDisk)
+        writeVLong(bmd, firstRow.length.toLong)
+        bmd.write(firstRow)
+      }
+      val bmBytes = bm.toByteArray
+      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum)
+      totalUncompressed += HeaderSize + bmBytes.length
+    }
 
     // --- trailer ---
     val pb = new ByteArrayOutputStream()
@@ -606,71 +678,133 @@ object HFileV3 {
     }
   }
 
-  /** Point lookup against one file — the reference's Get read path
-    * (HFileReaderImpl.blockSeek over the loaded index): binary-search
-    * the root index for the last block whose first key ≤ the row's
-    * lowest possible key, then read ONLY the block(s) that can hold the
-    * row (a row may span a block boundary — the writer splits at cell
-    * boundaries, not row boundaries). Cost per get: trailer + file-info
-    * + root-index + O(row-span) data blocks, independent of file size.
-    * Single-level-index files (graft's own exports). */
-  def getRow(pread: PRead, fileLen: Long, row: Array[Byte]): Seq[HCell] = {
-    val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
-    if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
-      return Seq.empty
-    val fi = readFileInfo(pread, trailer)
-    val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
-    val withTags = fi.contains("hfile.MAX_TAGS_LEN")
-    val entries = readRootIndex(pread, trailer)
-    // lowest possible key for `row`: compare by row only — an index
-    // key with the same row is "within" the row regardless of its
-    // (fam, qual, ts) suffix
-    def rowOfKey(k: Array[Byte]): Array[Byte] = {
+  /** Opened file for point reads — the reference's open-once Reader:
+    * trailer + file-info load eagerly, data index / bloom meta load
+    * lazily and amortize across gets, bloom chunk blocks cache by
+    * offset. `get` is the Get read path (HFileReaderImpl.blockSeek):
+    * ROW-bloom reject first (absent rows usually cost ONE cached bloom
+    * probe), then a seek-before binary search of the block index and
+    * reads of only the row's block span (a row may both start mid-block
+    * and span blocks — the writer splits at cell boundaries). */
+  final class HFileHandle(pread: PRead, fileLen: Long) {
+    val trailer: Trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
+    private val fi = readFileInfo(pread, trailer)
+    private val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
+    private val withTags = fi.contains("hfile.MAX_TAGS_LEN")
+    private lazy val index = readRootIndex(pread, trailer)
+
+    /** (hashCount, entries(offset, size, firstRow)) from BLMFMET2 —
+      * located by walking the load-on-open section (HFileInfo reads
+      * those blocks once at open; graft walks lazily on first get). */
+    private lazy val bloom: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] =
+      fi.get("BLOOM_FILTER_TYPE").map(new String(_, StandardCharsets.US_ASCII)) match {
+        case Some("ROW") =>
+          var pos = trailer.loadOnOpenOffset
+          val end = fileLen - TrailerSize
+          var found: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] = None
+          while (found.isEmpty && pos < end) {
+            val (blk, next) = readBlockAt(pread, pos)
+            if (blk.magic == "BLMFMET2") {
+              val in = new java.io.DataInputStream(
+                new java.io.ByteArrayInputStream(blk.payload))
+              require(in.readInt() == HBloom.Version, "bloom meta version")
+              in.readLong() // totalByteSize
+              val hashCount = in.readInt()
+              require(in.readInt() == HBloom.HashTypeMurmur, "bloom hash type")
+              in.readLong(); in.readLong() // keyCount, maxKeys
+              val numChunks = in.readInt()
+              val cmpLen = readVLong(in).toInt
+              in.skipBytes(cmpLen) // comparator name (vint 0 for ROW)
+              val entries = (0 until numChunks).map { _ =>
+                val off = in.readLong(); val sz = in.readInt()
+                val klen = readVLong(in).toInt
+                val key = new Array[Byte](klen)
+                in.readFully(key)
+                (off, sz, key)
+              }
+              found = Some((hashCount, entries))
+            }
+            pos = next
+          }
+          found
+        case _ => None
+      }
+
+    private val chunkCache =
+      scala.collection.mutable.Map.empty[Long, Array[Byte]]
+
+    private def bloomSaysPresent(row: Array[Byte]): Boolean = bloom match {
+      case None => true // no bloom: cannot rule out
+      case Some((hashCount, entries)) =>
+        // last chunk whose firstRow <= row (raw-byte index, ROW keys)
+        var lo = 0; var hi = entries.size - 1; var at = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (compareBytes(entries(mid)._3, row) <= 0) { at = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (at < 0) false
+        else {
+          val bits = chunkCache.getOrElseUpdate(entries(at)._1,
+            readBlockAt(pread, entries(at)._1)._1.payload)
+          HBloom.contains(row, bits, hashCount)
+        }
+    }
+
+    private def rowOfKey(k: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.wrap(k)
       val rl = bb.getShort & 0xffff
       java.util.Arrays.copyOfRange(k, 2, 2 + rl)
     }
-    // seek-before: the row may both start mid-block and span several
-    // whole blocks, so start at the block BEFORE the first block whose
-    // first-key row >= target (HBase's seekBefore(firstOnRow) shape)
-    var lo = 0; var hi = entries.size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (compareBytes(rowOfKey(entries(mid)._3), row) < 0) lo = mid + 1
-      else hi = mid
-    }
-    val start = math.max(0, lo - 1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[HCell]
-    var i = start
-    var done = false
-    while (i < entries.size && !done) {
-      // after the first block, continue only while the next block can
-      // still START within the target row
-      if (i > start && compareBytes(rowOfKey(entries(i)._3), row) > 0) {
-        done = true
-      } else {
-        val (blk, _) = readBlockAt(pread, entries(i)._1)
-        val bin = new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(blk.payload))
-        while (bin.available() > 0 && !done) {
-          val keyLen = bin.readInt(); val valLen = bin.readInt()
-          val key = new Array[Byte](keyLen); bin.readFully(key)
-          val value = new Array[Byte](valLen); bin.readFully(value)
-          if (withTags) {
-            val tl = bin.readShort() & 0xffff
-            if (tl > 0) bin.skipBytes(tl)
-          }
-          val mvcc = if (withMvcc) readVLong(bin) else 0L
-          val (r, f, q, ts, typ) = decodeKey(key)
-          val cmp = compareBytes(r, row)
-          if (cmp == 0) out += HCell(r, f, q, ts, typ, value, mvcc)
-          else if (cmp > 0) done = true
-        }
-        i += 1
+
+    def get(row: Array[Byte]): Seq[HCell] = {
+      if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
+        return Seq.empty
+      if (!bloomSaysPresent(row)) return Seq.empty
+      val entries = index
+      // seek-before: start at the block BEFORE the first block whose
+      // first-key row >= target (HBase's seekBefore(firstOnRow) shape)
+      var lo = 0; var hi = entries.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (compareBytes(rowOfKey(entries(mid)._3), row) < 0) lo = mid + 1
+        else hi = mid
       }
+      val start = math.max(0, lo - 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HCell]
+      var i = start
+      var done = false
+      while (i < entries.size && !done) {
+        if (i > start && compareBytes(rowOfKey(entries(i)._3), row) > 0) {
+          done = true
+        } else {
+          val (blk, _) = readBlockAt(pread, entries(i)._1)
+          val bin = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(blk.payload))
+          while (bin.available() > 0 && !done) {
+            val keyLen = bin.readInt(); val valLen = bin.readInt()
+            val key = new Array[Byte](keyLen); bin.readFully(key)
+            val value = new Array[Byte](valLen); bin.readFully(value)
+            if (withTags) {
+              val tl = bin.readShort() & 0xffff
+              if (tl > 0) bin.skipBytes(tl)
+            }
+            val mvcc = if (withMvcc) readVLong(bin) else 0L
+            val (r, f, q, ts, typ) = decodeKey(key)
+            val cmp = compareBytes(r, row)
+            if (cmp == 0) out += HCell(r, f, q, ts, typ, value, mvcc)
+            else if (cmp > 0) done = true
+          }
+          i += 1
+        }
+      }
+      out.toSeq
     }
-    out.toSeq
   }
+
+  /** One-shot point lookup (opens a throwaway [[HFileHandle]]). */
+  def getRow(pread: PRead, fileLen: Long, row: Array[Byte]): Seq[HCell] =
+    new HFileHandle(pread, fileLen).get(row)
 
   /** All raw blocks in file order (structural inspection for specs). */
   def readAllBlocks(bytes: Array[Byte]): Seq[RawBlock] = {

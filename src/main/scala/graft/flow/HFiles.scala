@@ -151,8 +151,10 @@ object HFiles {
         val pread: HFileV3.PRead = (off, n) => {
           val b = new Array[Byte](n); in.readFully(off, b); b
         }
+        // open once per file: index/bloom loads amortize across gets
+        val handle = new HFileV3.HFileHandle(pread, len)
         targetRows.sorted.iterator.flatMap { r =>
-          HFileV3.getRow(pread, len, r.getBytes("UTF-8")).map { c =>
+          handle.get(r.getBytes("UTF-8")).map { c =>
             Row(new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
               new String(c.qualifier, "UTF-8"), c.ts, codeToType(c.typ),
               new String(c.value, "UTF-8"))

@@ -66,12 +66,13 @@ class HFileSpec extends AnyFunSuite {
       "org.apache.hadoop.hbase.CellComparatorImpl")
     assert(trailer.compressionCodec == 2) // Compression.Algorithm.NONE
 
-    // block walk: DATA* ... IDXROOT2 (data) IDXROOT2 (meta) FILEINF2
+    // block walk: DATA* ... BLMFBLK2 (row bloom) IDXROOT2 (data)
+    // IDXROOT2 (meta) FILEINF2 BLMFMET2 (bloom meta)
     val blocks = HFileV3.readAllBlocks(bytes)
     val magics = blocks.map(_.magic)
     assert(magics.takeWhile(_ == "DATABLK*").size >= 2, "expected multiple data blocks")
     assert(magics.drop(magics.lastIndexOf("DATABLK*") + 1) ==
-      Seq("IDXROOT2", "IDXROOT2", "FILEINF2"))
+      Seq("BLMFBLK2", "IDXROOT2", "IDXROOT2", "FILEINF2", "BLMFMET2"))
     assert(blocks.head.offset == trailer.firstDataBlockOffset)
 
     // root index entries: one per data block, binary-searchable, and
@@ -89,9 +90,10 @@ class HFileSpec extends AnyFunSuite {
       case _ =>
     }
 
-    // file info carries the standard keys
+    // file info carries the standard keys + the bloom type
     val fi = HFileV3.readFileInfo(bytes, trailer)
     assert(fi.contains("hfile.LASTKEY") && fi.contains("hfile.AVG_KEY_LEN"))
+    assert(new String(fi("BLOOM_FILTER_TYPE"), UTF_8) == "ROW")
   }
 
   test("checksum: corrupting one payload byte is detected") {
@@ -177,7 +179,9 @@ class HFileSpec extends AnyFunSuite {
     val cells = (1 to 100).flatMap { i =>
       (1 to 4).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
     }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
-    val bytes = HFileV3.writeBytes(cells.iterator, blockSize = 1)
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 1, rowBloom = false)
+    val bytes = bos.toByteArray
     assert(HFileV3.readTrailer(bytes).dataIndexCount >= 300)
     var preads = 0
     val pread: HFileV3.PRead = (off, len) => {
@@ -203,6 +207,36 @@ class HFileSpec extends AnyFunSuite {
     val first = HFileV3.getRow(pread, bytes.length.toLong,
       "row-0001".getBytes(UTF_8))
     assert(first.size == 4)
+  }
+
+  test("row bloom: no false negatives; absent rows skip data blocks") {
+    val cells = (1 to 100).flatMap { i =>
+      (1 to 3).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
+    }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
+    val bytes = HFileV3.writeBytes(cells.iterator, blockSize = 256)
+    val trailer = HFileV3.readTrailer(bytes)
+    val dataOffsets = HFileV3.readRootIndex(bytes, trailer).map(_._1).toSet
+    val touched = scala.collection.mutable.Set.empty[Long]
+    val pread: HFileV3.PRead = (off, len) => {
+      touched += off
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+    val handle = new HFileV3.HFileHandle(pread, bytes.length.toLong)
+    // no false negatives: every present row must be found
+    (1 to 100).foreach { i =>
+      assert(handle.get(f"row-$i%04d".getBytes(UTF_8)).size == 3,
+        s"present row $i must pass the bloom")
+    }
+    // absent rows: the bloom (FP rate 1%) must reject nearly all
+    // WITHOUT a data-block read
+    var skipped = 0
+    (1 to 200).foreach { i =>
+      touched.clear()
+      val got = handle.get(f"nope-$i%05d".getBytes(UTF_8))
+      assert(got.isEmpty)
+      if (touched.forall(o => !dataOffsets.contains(o))) skipped += 1
+    }
+    assert(skipped >= 180, s"bloom rejected only $skipped/200 absent probes")
   }
 
   test("pointGet routes rows to region files and matches a filtered import") {
