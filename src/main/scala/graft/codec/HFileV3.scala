@@ -31,13 +31,16 @@ import java.util.zip.{CRC32, CRC32C}
   *    zero padding + int (major | minor<<24)
   *    (`FixedFileTrailer.java:202-215,727-729`).
   *
-  * Scope: compression NONE (Compression.Algorithm ordinal 2) and
-  * CRC32C checksums on the write side; the reader additionally accepts
-  * CRC32 and NULL checksum files, multi-level-index files (it walks the
-  * scanned section block-by-block, so index depth is irrelevant), and
-  * per-cell mvcc/tags when the FILE_INFO declares them — i.e. it reads
-  * default-configuration reference files that use no block compression
-  * or encoding.
+  * Scope: compression NONE or GZ (Compression.Algorithm ordinals 2/1;
+  * GZ = standard gzip per block, the Hadoop GzipCodec format), compound
+  * ROW blooms ([[HBloom]]), and CRC32C checksums on the write side; the
+  * reader additionally accepts CRC32 and NULL checksum files,
+  * multi-level-index files (it walks the scanned section
+  * block-by-block, so index depth is irrelevant), and per-cell
+  * mvcc/tags when the FILE_INFO declares them — i.e. it reads
+  * default-configuration reference files as well as GZ-compressed ones;
+  * only data-block *encodings* (PREFIX/DIFF/FAST_DIFF) are out of
+  * scope.
   */
 object HFileV3 {
 
@@ -71,6 +74,7 @@ object HFileV3 {
   private val MajorVersion = 3
   private val MinorVersion = 3 // HFileReaderImpl.MAX_MINOR_VERSION
   private val CompressionNone = 2 // Compression.Algorithm.NONE.ordinal()
+  private val CompressionGz = 1 // Compression.Algorithm.GZ.ordinal()
   private val ChecksumNull: Byte = 0
   private val ChecksumCrc32: Byte = 1
   private val ChecksumCrc32C: Byte = 2
@@ -207,18 +211,27 @@ object HFileV3 {
   private final case class BlockRecord(
       offset: Long, onDiskSizeWithHeader: Int, firstKey: Array[Byte])
 
-  /** Write one block: header + payload + per-chunk CRC32C checksums.
-    * Returns the on-disk size including header and checksums. */
+  /** Write one block: header + (optionally gzip-compressed) payload +
+    * per-chunk CRC32C checksums over the on-disk bytes. Returns the
+    * on-disk size including header and checksums. */
   private def writeBlock(out: CountingOutput, magic: Array[Byte],
       payload: Array[Byte], prevOffsetSameType: Long,
-      bytesPerChecksum: Int): Int = {
-    val onDiskDataSizeWithHeader = HeaderSize + payload.length
+      bytesPerChecksum: Int, gz: Boolean = false): Int = {
+    val onDisk =
+      if (!gz) payload
+      else {
+        val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(payload); g.finish(); g.close()
+        bos.toByteArray
+      }
+    val onDiskDataSizeWithHeader = HeaderSize + onDisk.length
     val nChunks =
       (onDiskDataSizeWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
     val checksumBytes = nChunks * 4
     val header = ByteBuffer.allocate(HeaderSize)
     header.put(magic)
-    header.putInt(payload.length + checksumBytes) // onDiskSizeWithoutHeader
+    header.putInt(onDisk.length + checksumBytes)  // onDiskSizeWithoutHeader
     header.putInt(payload.length)                 // uncompressedSizeWithoutHeader
     header.putLong(prevOffsetSameType)
     header.put(ChecksumCrc32C)
@@ -228,7 +241,7 @@ object HFileV3 {
 
     val body = new Array[Byte](onDiskDataSizeWithHeader)
     System.arraycopy(headerArr, 0, body, 0, HeaderSize)
-    System.arraycopy(payload, 0, body, HeaderSize, payload.length)
+    System.arraycopy(onDisk, 0, body, HeaderSize, onDisk.length)
 
     out.write(body)
     var chunk = 0
@@ -254,7 +267,7 @@ object HFileV3 {
     * count. */
   def write(out: OutputStream, cells: Iterator[HCell],
       blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
-      rowBloom: Boolean = true): Long = {
+      rowBloom: Boolean = true, gz: Boolean = false): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     val co = new CountingOutput(out)
     val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
@@ -280,7 +293,7 @@ object HFileV3 {
       bloomChunk.compact()
       val offset = co.pos
       val onDisk = writeBlock(co, MagicBloom, bloomChunk.bits,
-        prevBloomOffset, bytesPerChecksum)
+        prevBloomOffset, bytesPerChecksum, gz)
       prevBloomOffset = offset
       totalUncompressed += HeaderSize + bloomChunk.bits.length
       bloomChunks += ((offset, onDisk, bloomFirstRow, bloomChunk))
@@ -292,7 +305,7 @@ object HFileV3 {
     def closeDataBlock(): Unit = if (buf.size() > 0) {
       val payload = buf.toByteArray
       val offset = co.pos
-      val onDisk = writeBlock(co, MagicData, payload, prevDataOffset, bytesPerChecksum)
+      val onDisk = writeBlock(co, MagicData, payload, prevDataOffset, bytesPerChecksum, gz)
       dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
       prevDataOffset = offset
       totalUncompressed += HeaderSize + payload.length
@@ -352,11 +365,11 @@ object HFileV3 {
       idxDos.write(b.firstKey)
     }
     val rootPayload = idxBuf.toByteArray
-    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum)
+    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, gz)
     totalUncompressed += HeaderSize + rootPayload.length
 
     // --- meta index (empty single-level root) ---
-    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum)
+    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum, gz)
     totalUncompressed += HeaderSize
 
     // --- file info ---
@@ -387,7 +400,7 @@ object HFileV3 {
     writeVarint(fiPayload, fiBody.size().toLong) // writeDelimitedTo framing
     fiBody.writeTo(fiPayload)
     val fiBytes = fiPayload.toByteArray
-    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum)
+    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum, gz)
     totalUncompressed += HeaderSize + fiBytes.length
 
     // --- general bloom meta (load-on-open, after file info — the
@@ -410,7 +423,7 @@ object HFileV3 {
         bmd.write(firstRow)
       }
       val bmBytes = bm.toByteArray
-      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum)
+      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum, gz)
       totalUncompressed += HeaderSize + bmBytes.length
     }
 
@@ -427,7 +440,7 @@ object HFileV3 {
     pbVarintField(pb, 9, firstDataOffset)
     pbVarintField(pb, 10, lastDataOffset)
     pbBytesField(pb, 11, ComparatorName.getBytes(StandardCharsets.UTF_8))
-    pbVarintField(pb, 12, CompressionNone.toLong)
+    pbVarintField(pb, 12, (if (gz) CompressionGz else CompressionNone).toLong)
     val pbBytes = pb.toByteArray
     val trailer = new ByteArrayOutputStream()
     trailer.write(MagicTrailer)
@@ -494,6 +507,7 @@ object HFileV3 {
             case 8 => levels = v.toInt
             case 9 => firstData = v
             case 10 => lastData = v
+            case 12 => codec = v.toInt
             case _ => // 3,4,16: sizes/checksum we don't need
           }
         case 2 =>
@@ -560,10 +574,25 @@ object HFileV3 {
       }
     }
     val payloadLen = onDiskDataSizeWithHeader - HeaderSize
-    require(payloadLen == uncompressedSize,
-      "compressed blocks unsupported (compression must be NONE)")
-    val payload = java.util.Arrays.copyOfRange(
-      body, HeaderSize, onDiskDataSizeWithHeader)
+    val payload =
+      if (payloadLen == uncompressedSize)
+        java.util.Arrays.copyOfRange(body, HeaderSize, onDiskDataSizeWithHeader)
+      else if (payloadLen >= 2 && body(HeaderSize) == 0x1f.toByte &&
+          body(HeaderSize + 1) == 0x8b.toByte) {
+        // GZ algorithm (Hadoop GzipCodec = standard gzip per block)
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body, HeaderSize, payloadLen))
+        val outBuf = new Array[Byte](uncompressedSize)
+        var read = 0
+        while (read < uncompressedSize) {
+          val n = in.read(outBuf, read, uncompressedSize - read)
+          require(n > 0, "truncated gzip block")
+          read += n
+        }
+        require(in.read() < 0, "gzip block longer than declared")
+        outBuf
+      } else throw new IllegalArgumentException(
+        "unsupported block compression (NONE and GZ are supported)")
     (RawBlock(pos, new String(magic, StandardCharsets.US_ASCII),
       payload, totalOnDisk), pos + totalOnDisk)
   }

@@ -209,6 +209,33 @@ class HFileSpec extends AnyFunSuite {
     assert(first.size == 4)
   }
 
+  test("GZ-compressed blocks roundtrip; trailer records the codec") {
+    val cells = randomCells(400)
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 512, gz = true)
+    val bytes = bos.toByteArray
+    val plain = HFileV3.writeBytes(cells.iterator, blockSize = 512)
+    assert(bytes.length < plain.length, "gz file should be smaller")
+    val trailer = HFileV3.readTrailer(bytes)
+    assert(trailer.compressionCodec == 1, "GZ = Compression.Algorithm ordinal 1")
+    assert(trailer.entryCount == cells.size)
+    assert(HFileV3.readTrailer(plain).compressionCodec == 2)
+    val back = HFileV3.readCells(bytes).toSeq
+    assert(back.size == cells.size)
+    cells.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.row, b.row))
+      assert(java.util.Arrays.equals(a.value, b.value))
+      assert(a.ts == b.ts && a.typ == b.typ)
+    }
+    // gets work through compressed blocks + compressed bloom chunks
+    val handle = new HFileV3.HFileHandle(
+      (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len),
+      bytes.length.toLong)
+    val someRow = cells(cells.size / 2).row
+    assert(handle.get(someRow).nonEmpty)
+    assert(handle.get("zz-absent".getBytes(UTF_8)).isEmpty)
+  }
+
   test("row bloom: no false negatives; absent rows skip data blocks") {
     val cells = (1 to 100).flatMap { i =>
       (1 to 3).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
