@@ -57,7 +57,7 @@ object HFiles {
     * under `outPath` (`part-NNNNN.hfile`, row-range-disjoint and sorted
     * — exactly the layout a reference bulk-load expects). */
   def export(cells: DataFrame, numRegions: Int, outPath: String,
-      blockSize: Int = 65536): Unit = {
+      blockSize: Int = 65536, gz: Boolean = false): Unit = {
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(
@@ -84,7 +84,7 @@ object HFiles {
               typeToCode(r.getString(4)),
               Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
           }
-          HFileV3.write(out, hcells, blockSize)
+          HFileV3.write(out, hcells, blockSize, gz = gz)
           ()
         } finally out.close()
       }

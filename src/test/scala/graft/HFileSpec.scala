@@ -270,7 +270,8 @@ class HFileSpec extends AnyFunSuite {
     val spark = TestSession.spark
     val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
     val out = Queries.scratchDir("hfile_get_spec")
-    graft.flow.HFiles.export(cells, 4, s"$out/hf")
+    // gz on: gets and imports must work through compressed region files
+    graft.flow.HFiles.export(cells, 4, s"$out/hf", gz = true)
     val some = cells.select("row").distinct().orderBy("row").limit(7)
       .collect().map(_.getString(0)).toSeq
     val probe = some ++ Seq("zzzz-absent")
