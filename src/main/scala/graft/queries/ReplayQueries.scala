@@ -381,7 +381,10 @@ object ReplayQueries {
         // and let bench reps time the backup itself
         val walDir = q84WalOnce.getOrElseUpdate(
           (System.identityHashCode(s), dir), {
-            val out = graft.Queries.scratchDir("stream_backup_wal")
+            // per-sf slot: a session crossing sf dirs must not wipe the
+            // other sf's cached log
+            val out = graft.Queries.scratchDir(
+              "stream_backup_wal_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
             val wal = Fixtures.cellsEventsV(s, dir)
               .unionByName(WalMeta.markers(s,
                 Seq(("0000000000", WalMeta.BulkLoad, 9L, "bl-desc"))))
