@@ -405,6 +405,35 @@ object ReplayQueries {
         """SELECT row, family, qualifier, ts, type, COALESCE(value, '') AS value
           |FROM cells_events_v
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // ExportSnapshot (`hbase-mapreduce/.../snapshot/ExportSnapshot
+      // .java`): a snapshot's store files leave the cluster as HFile
+      // region files and a destination cluster clones a table from
+      // them — snapshot → byte-format export → import → put, read back
+      // through the destination's catalog. The declared result is the
+      // destination table's full cell stream = the source fixture.
+      "q85_export_snapshot",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        val out = graft.Queries.scratchDir("export_snap_q")
+        for (t <- Seq("q85src", "q85dst"))
+          if (GAdmin.tableExists(s, t)) GAdmin.deleteTable(s, t)
+        GAdmin.createTable(s, "q85src", s"$out/src", buckets = 4)
+        GAdmin.put(s, "q85src", Fixtures.cellsOrders(s, dir))
+        GAdmin.snapshot(s, "q85src", "snap1", s"$out/snaps")
+        graft.flow.HFiles.export(
+          s.read.parquet(s"$out/snaps/snap1"), 8, s"$out/hf")
+        val shipped = graft.flow.HFiles.importCells(s, s"$out/hf")
+        GAdmin.createTable(s, "q85dst", s"$out/dst", buckets = 4)
+        GAdmin.put(s, "q85dst", shipped)
+        GAdmin.table(s, "q85dst")
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, type, value FROM cells_orders
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }
