@@ -648,4 +648,51 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
   }
+
+  /** Detector-recall benchmark for the MinHash/LSH near-dup pass:
+    * plant deterministic variants of the `srcPred` docs at three
+    * severities — light (two appended tokens), medium (first half of
+    * the tokens), heavy (every third token replaced) — run the EXACT
+    * production detector over corpus ∪ variants, and report per-severity
+    * detection recall. This is the eval a pipeline owner runs before
+    * trusting a threshold: recall degrades with severity by
+    * construction (banding odds × the exact-jaccard cut), and the
+    * report quantifies where the detector's blind spot starts.
+    *
+    * Everything is deterministic (seeded variant rules, md5-derived
+    * signatures, exact rational jaccard cut), so the oracle replays the
+    * full pipeline bit-for-bit. Scale shape: the planted slice is
+    * bounded by `srcPred`; the detector pass is the audited e02 shape
+    * (banded candidates only); the recall join touches planted×3 rows. */
+  def dedupRecallBench(docs: DataFrame, srcPred: Column,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val src = base.filter(srcPred)
+    val toks = tokens(col("text"))
+    val light = src.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text"), lit(" zyx wvu")).as("text"))
+    // 3/4 length: shingle jaccard ≈ 0.75 > threshold, so medium
+    // detection measures the BANDING odds, not the exact cut
+    val keepN = greatest(lit(1), floor(size(toks) * lit(3) / lit(4.0)).cast("int"))
+    val medium = src.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
+    val heavy = src.select((col("doc_id") + lit(3000000L)).as("doc_id"),
+      concat_ws(" ", transform(toks,
+        (x, i) => when(i % 3 === 2, lit("zzz")).otherwise(x))).as("text"))
+    val corpus = base.unionByName(light).unionByName(medium).unionByName(heavy)
+    val pairs = minHashNearDups(corpus, k, bands, threshold).select("i", "j")
+    val planted = src.select(col("doc_id").as("src"))
+      .select(col("src"), explode(array(lit(1L), lit(2L), lit(3L))).as("sev"))
+    planted
+      .join(pairs,
+        col("i") === col("src") &&
+          col("j") === col("src") + col("sev") * lit(1000000L),
+        "left")
+      .groupBy("sev")
+      .agg(count(lit(1)).as("n_planted"), count(col("i")).as("n_detected"))
+      .withColumn("recall",
+        round(col("n_detected").cast("double") / col("n_planted"), 4))
+      .select("sev", "n_planted", "n_detected", "recall")
+  }
 }
