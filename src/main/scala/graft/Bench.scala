@@ -114,8 +114,21 @@ object Bench {
       f3(repResults(r).collect {
         case (n, v) if !repErrors(r).contains(n) => v }.sum))
       .mkString("[", ",", "]")
+    // the one-line record must stay small enough for the driver's
+    // stdout capture (r8 lesson: embedding all raw per-rep maps at
+    // 170 queries outgrew it and the record landed unparseable) —
+    // the LINE carries minima + rep totals + flaky/error lists only;
+    // the full per-rep maps go to a sidecar file for audits
     val repsJson = (0 until reps).map(r => jmap(repResults(r))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(minQ)},"rep_totals":$repTotals,"reps":$repsJson,"sf":"$sfDir"}""")
+    try {
+      val sidecar = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "dev/bench_raw_last.json"))
+      Option(sidecar.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(sidecar,
+        s"""{"sf":"$sfDir","n_reps":$reps,"load_sec":${f3(loadS)},"rep_totals":$repTotals,"reps":$repsJson}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(minQ)},"rep_totals":$repTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

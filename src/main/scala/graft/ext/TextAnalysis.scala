@@ -555,9 +555,17 @@ object TextAnalysis {
     * side); each query's terms are the distinct first `nQueryTerms`
     * tokens of its text.
     *
-    * score(q,d) = Σ_t FLOOR(1e6 · idf(t) · tf·(k1+1) /
-    *   (tf + k1·(1-b + b·dl/avgdl))), idf = ln(1+(N-df+½)/(df+½)) —
-    * per-term quantization before the integer sum makes the total
+    * score(q,d) = Σ_t FLOOR(idf_q(t)·1e3 · tf·(k1+1) /
+    *   (tf + k1·(1-b + b·dl/avgdl))) where
+    * idf_q = FLOOR(1e3·ln(1+(N-df+½)/(df+½)) + ½) — the ONLY
+    * engine-variant op (`ln`: JVM Math.log vs a DuckDB build's libm
+    * can differ by an ulp) is quantized to an integer FIRST, per TERM,
+    * at 1e-3 granularity with a centered round, so a last-ulp ln drift
+    * would have to land within ~1e-12 of a .5 boundary on one of the
+    * few hundred distinct query terms to flip anything; everything
+    * downstream of idf_q is IEEE mul/div/add on exactly-representable
+    * inputs with identical association on both engines — bit-exact.
+    * Per-term quantization before the integer sum also makes the total
     * independent of engine summation order, and the rank tie-break is
     * (score desc, doc_id asc): fully engine-stable (the e37/e61
     * contract).
@@ -594,11 +602,16 @@ object TextAnalysis {
     // expression association mirrors the oracle SQL exactly, and k1+1 /
     // 1-b stay RUNTIME double ops from the same decimal literals on
     // both engines (a Scala-side constant fold could round differently
-    // than DuckDB's) —
-    // ((1e6·idf)·(tf·(k1+1)))/(tf + k1·((1-b) + (b·dl)/avgdl))
+    // than DuckDB's). idf is integer-quantized FIRST (see scaladoc) so
+    // the transcendental never reaches the outer floor —
+    // ((idf_q·1e3)·(tf·(k1+1)))/(tf + k1·((1-b) + (b·dl)/avgdl))
+    val idfQ = floor(
+      lit(1000.0) *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) +
+        lit(0.5))
+      .cast("long")
     val contrib = floor(
-      lit(1e6) *
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      idfQ.cast("double") * lit(1000.0) *
         (col("tf") * (lit(k1) + lit(1.0))) /
         (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl"))))
       .cast("long")

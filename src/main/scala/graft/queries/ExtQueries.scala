@@ -1388,13 +1388,13 @@ object ExtQueries {
               |sc AS (
               |  SELECT q.query_id, tf.doc_id,
               |         SUM(CAST(FLOOR(
-              |           1000000.0
-              |           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              |           CAST(FLOOR(1000.0 * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) + 0.5) AS DOUBLE)
+              |           * 1000.0
               |           * (tf.tf * (1.2 + 1.0))
               |           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl))) AS BIGINT)) AS score_q
               |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
               |  GROUP BY q.query_id, tf.doc_id)
-              |SELECT query_id, rank, doc_id, score_q FROM (
+              |SELECT query_id, rank, doc_id, CAST(score_q AS BIGINT) AS score_q FROM (
               |  SELECT *, row_number() OVER (PARTITION BY query_id
               |    ORDER BY score_q DESC, doc_id) AS rank FROM sc)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
@@ -1422,8 +1422,8 @@ object ExtQueries {
               |sc AS (
               |  SELECT q.query_id, tf.doc_id,
               |         SUM(CAST(FLOOR(
-              |           1000000.0
-              |           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              |           CAST(FLOOR(1000.0 * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) + 0.5) AS DOUBLE)
+              |           * 1000.0
               |           * (tf.tf * (1.2 + 1.0))
               |           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl))) AS BIGINT)) AS score_q
               |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
