@@ -38,9 +38,11 @@ import java.util.zip.{CRC32, CRC32C}
   * multi-level-index files (it walks the scanned section
   * block-by-block, so index depth is irrelevant), and per-cell
   * mvcc/tags when the FILE_INFO declares them — i.e. it reads
-  * default-configuration reference files as well as GZ-compressed ones;
-  * only data-block *encodings* (PREFIX/DIFF/FAST_DIFF) are out of
-  * scope.
+  * default-configuration reference files as well as GZ-compressed ones.
+  * Data-block encodings (PREFIX / DIFF / FAST_DIFF / ROW_INDEX_V1 —
+  * "DATABLKE" blocks) are supported on BOTH sides via
+  * [[BlockEncoding]]; dictionary-compressed tags inside encoded blocks
+  * are the one rejected corner.
   */
 object HFileV3 {
 
@@ -59,6 +61,7 @@ object HFileV3 {
   val TypeDeleteFamily: Byte = 14
 
   private val MagicData = "DATABLK*".getBytes(StandardCharsets.US_ASCII)
+  private val MagicDataEncoded = "DATABLKE".getBytes(StandardCharsets.US_ASCII)
   private val MagicRootIdx = "IDXROOT2".getBytes(StandardCharsets.US_ASCII)
   private val MagicLeafIdx = "IDXLEAF2".getBytes(StandardCharsets.US_ASCII)
   private val MagicInterIdx = "IDXINTE2".getBytes(StandardCharsets.US_ASCII)
@@ -267,8 +270,10 @@ object HFileV3 {
     * count. */
   def write(out: OutputStream, cells: Iterator[HCell],
       blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
-      rowBloom: Boolean = true, gz: Boolean = false): Long = {
+      rowBloom: Boolean = true, gz: Boolean = false,
+      encoding: Int = BlockEncoding.IdNone): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
+    val encoded = encoding != BlockEncoding.IdNone
     val co = new CountingOutput(out)
     val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
     var prevDataOffset = -1L
@@ -280,6 +285,11 @@ object HFileV3 {
     var firstKeyOfBlock: Array[Byte] = null
     val buf = new ByteArrayOutputStream(blockSize + 4096)
     val dos = new DataOutputStream(buf)
+    // encoded path: cells accumulate per block and encode at close
+    // (the reference likewise encodes through the block writer's
+    // in-memory stream before the on-disk compress/checksum step)
+    val encCells = scala.collection.mutable.ArrayBuffer.empty[HCell]
+    var encUnencodedSize = 0
     // compound ROW bloom state (one key per distinct row)
     val bloomChunks = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Int, Array[Byte], HBloom.Chunk)] // offset, size, firstRow, chunk
@@ -302,14 +312,19 @@ object HFileV3 {
       bloomFirstRow = null
     }
 
-    def closeDataBlock(): Unit = if (buf.size() > 0) {
-      val payload = buf.toByteArray
+    def closeDataBlock(): Unit = if (buf.size() > 0 || encCells.nonEmpty) {
+      val payload =
+        if (encoded) BlockEncoding.encodePayload(encoding, encCells.toIndexedSeq)
+        else buf.toByteArray
       val offset = co.pos
-      val onDisk = writeBlock(co, MagicData, payload, prevDataOffset, bytesPerChecksum, gz)
+      val onDisk = writeBlock(co, if (encoded) MagicDataEncoded else MagicData,
+        payload, prevDataOffset, bytesPerChecksum, gz)
       dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
       prevDataOffset = offset
       totalUncompressed += HeaderSize + payload.length
       buf.reset()
+      encCells.clear()
+      encUnencodedSize = 0
       firstKeyOfBlock = null
     }
 
@@ -338,15 +353,23 @@ object HFileV3 {
       lastCell = c
       val key = cellKeyBytes(c)
       if (firstKeyOfBlock == null) firstKeyOfBlock = key
-      // NoneEncoder wire format (no tags, no mvcc on the write side)
-      dos.writeInt(key.length)
-      dos.writeInt(c.value.length)
-      dos.write(key)
-      dos.write(c.value)
+      if (encoded) {
+        // split on UNENCODED size like the reference's
+        // blockSizeWritten check — block boundaries are free
+        encCells += c
+        encUnencodedSize += 8 + key.length + c.value.length
+      } else {
+        // NoneEncoder wire format (no tags, no mvcc on the write side)
+        dos.writeInt(key.length)
+        dos.writeInt(c.value.length)
+        dos.write(key)
+        dos.write(c.value)
+      }
       keyLenSum += key.length
       valLenSum += c.value.length
       entryCount += 1
-      if (buf.size() >= blockSize) closeDataBlock()
+      if ((if (encoded) encUnencodedSize else buf.size()) >= blockSize)
+        closeDataBlock()
     }
     closeDataBlock()
     flushBloomChunk()
@@ -386,6 +409,9 @@ object HFileV3 {
     if (bloomChunks.nonEmpty)
       fiEntries += (("BLOOM_FILTER_TYPE".getBytes(StandardCharsets.US_ASCII),
         "ROW".getBytes(StandardCharsets.US_ASCII)))
+    if (encoded)
+      fiEntries += (("DATA_BLOCK_ENCODING".getBytes(StandardCharsets.US_ASCII),
+        BlockEncoding.nameOf(encoding).getBytes(StandardCharsets.US_ASCII)))
     // FileInfoProto { repeated BytesBytesPair map_entry = 1 }; pairs
     // sorted by key bytes (HFileInfo is a sorted map)
     val fiBody = new ByteArrayOutputStream()
@@ -659,6 +685,26 @@ object HFileV3 {
     (row, fam, qual, ts, typ)
   }
 
+  /** Per-file cell-decode settings, derived from FILE_INFO
+    * (MAX_MEMSTORE_TS_KEY / hfile.MAX_TAGS_LEN /
+    * hfile.TAGS_COMPRESSED — HFileWriterImpl:705,875,
+    * HFileInfo.java:76-79). */
+  private final case class DecodeCtx(withMvcc: Boolean, withTags: Boolean,
+      compressTags: Boolean)
+
+  private def decodeCtxOf(fi: Map[String, Array[Byte]]): DecodeCtx = DecodeCtx(
+    withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY"),
+    withTags = fi.contains("hfile.MAX_TAGS_LEN"),
+    compressTags = fi.get("hfile.TAGS_COMPRESSED").exists(b => b.nonEmpty && b(0) != 0))
+
+  /** Decode one DATA / ENCODED_DATA block's cells — the dispatch
+    * point between the NoneEncoder wire format and [[BlockEncoding]]'s
+    * DATABLKE formats. */
+  private def cellsOfDataBlock(blk: RawBlock, ctx: DecodeCtx): Iterator[HCell] =
+    if (blk.magic == "DATABLKE")
+      BlockEncoding.decodePayload(blk.payload, ctx.withMvcc, ctx.withTags, ctx.compressTags)
+    else cellsOfNoneBlock(blk.payload, ctx)
+
   /** Decode every cell of a complete in-memory v3 file, walking the
     * scanned section sequentially (LEAF_INDEX / BLOOM_CHUNK blocks from
     * multi-level reference files are skipped by magic, so index depth
@@ -673,9 +719,7 @@ object HFileV3 {
   def readCellsFrom(pread: PRead, fileLen: Long): Iterator[HCell] = {
     val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
     if (trailer.firstDataBlockOffset < 0) return Iterator.empty
-    val fi = readFileInfo(pread, trailer)
-    val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
-    val withTags = fi.contains("hfile.MAX_TAGS_LEN")
+    val ctx = decodeCtxOf(readFileInfo(pread, trailer))
     val endPos = trailer.loadOnOpenOffset
     val blocks = Iterator.unfold(trailer.firstDataBlockOffset) { p =>
       if (p >= endPos) None
@@ -684,27 +728,30 @@ object HFileV3 {
         Some((blk, next))
       }
     }
-    blocks.filter(_.magic == "DATABLK*").flatMap { blk =>
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
-      Iterator.continually {
-        if (in.available() <= 0) None
-        else {
-          val keyLen = in.readInt()
-          val valLen = in.readInt()
-          val key = new Array[Byte](keyLen)
-          in.readFully(key)
-          val value = new Array[Byte](valLen)
-          in.readFully(value)
-          if (withTags) {
-            val tagsLen = in.readShort() & 0xffff
-            if (tagsLen > 0) in.skipBytes(tagsLen) // tags carried but not modeled
-          }
-          val mvcc = if (withMvcc) readVLong(in) else 0L
-          val (row, fam, qual, ts, typ) = decodeKey(key)
-          Some(HCell(row, fam, qual, ts, typ, value, mvcc))
+    blocks.filter(b => b.magic == "DATABLK*" || b.magic == "DATABLKE")
+      .flatMap(cellsOfDataBlock(_, ctx))
+  }
+
+  private def cellsOfNoneBlock(payload: Array[Byte], ctx: DecodeCtx): Iterator[HCell] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    Iterator.continually {
+      if (in.available() <= 0) None
+      else {
+        val keyLen = in.readInt()
+        val valLen = in.readInt()
+        val key = new Array[Byte](keyLen)
+        in.readFully(key)
+        val value = new Array[Byte](valLen)
+        in.readFully(value)
+        if (ctx.withTags) {
+          val tagsLen = in.readShort() & 0xffff
+          if (tagsLen > 0) in.skipBytes(tagsLen) // tags carried but not modeled
         }
-      }.takeWhile(_.isDefined).map(_.get)
-    }
+        val mvcc = if (ctx.withMvcc) readVLong(in) else 0L
+        val (row, fam, qual, ts, typ) = decodeKey(key)
+        Some(HCell(row, fam, qual, ts, typ, value, mvcc))
+      }
+    }.takeWhile(_.isDefined).map(_.get)
   }
 
   /** Opened file for point reads — the reference's open-once Reader:
@@ -718,8 +765,7 @@ object HFileV3 {
   final class HFileHandle(pread: PRead, fileLen: Long) {
     val trailer: Trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
     private val fi = readFileInfo(pread, trailer)
-    private val withMvcc = fi.contains("MAX_MEMSTORE_TS_KEY")
-    private val withTags = fi.contains("hfile.MAX_TAGS_LEN")
+    private val ctx = decodeCtxOf(fi)
     private lazy val index = readRootIndex(pread, trailer)
 
     /** (hashCount, entries(offset, size, firstRow)) from BLMFMET2 —
@@ -808,20 +854,11 @@ object HFileV3 {
           done = true
         } else {
           val (blk, _) = readBlockAt(pread, entries(i)._1)
-          val bin = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(blk.payload))
-          while (bin.available() > 0 && !done) {
-            val keyLen = bin.readInt(); val valLen = bin.readInt()
-            val key = new Array[Byte](keyLen); bin.readFully(key)
-            val value = new Array[Byte](valLen); bin.readFully(value)
-            if (withTags) {
-              val tl = bin.readShort() & 0xffff
-              if (tl > 0) bin.skipBytes(tl)
-            }
-            val mvcc = if (withMvcc) readVLong(bin) else 0L
-            val (r, f, q, ts, typ) = decodeKey(key)
-            val cmp = compareBytes(r, row)
-            if (cmp == 0) out += HCell(r, f, q, ts, typ, value, mvcc)
+          val it = cellsOfDataBlock(blk, ctx)
+          while (it.hasNext && !done) {
+            val c = it.next()
+            val cmp = compareBytes(c.row, row)
+            if (cmp == 0) out += c
             else if (cmp > 0) done = true
           }
           i += 1

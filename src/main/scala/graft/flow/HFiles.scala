@@ -55,9 +55,14 @@ object HFiles {
 
   /** Write `cells` (canonical CellSet columns) as `numRegions` HFiles
     * under `outPath` (`part-NNNNN.hfile`, row-range-disjoint and sorted
-    * — exactly the layout a reference bulk-load expects). */
+    * — exactly the layout a reference bulk-load expects). `encoding`
+    * selects a data-block encoding ([[graft.codec.BlockEncoding]] ids:
+    * PREFIX/DIFF/FAST_DIFF/ROW_INDEX_V1) — FAST_DIFF being the common
+    * production default on reference clusters; the delta encoders
+    * require a single column family per export, like the reference's
+    * one-store-file-per-family layout. */
   def export(cells: DataFrame, numRegions: Int, outPath: String,
-      blockSize: Int = 65536, gz: Boolean = false): Unit = {
+      blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0): Unit = {
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(
@@ -84,7 +89,7 @@ object HFiles {
               typeToCode(r.getString(4)),
               Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
           }
-          HFileV3.write(out, hcells, blockSize, gz = gz)
+          HFileV3.write(out, hcells, blockSize, gz = gz, encoding = encoding)
           ()
         } finally out.close()
       }

@@ -192,6 +192,36 @@ object CodecQueries {
              |WHERE row IN ($keyList)
              |ORDER BY row, family, qualifier, ts, type, value""".stripMargin)
       }
+    ),
+    QDef(
+      // C07: HFile DATA-BLOCK ENCODINGS roundtrip — the reference's
+      // in-block key compression (DataBlockEncoding.java:37-43:
+      // PREFIX=2 / DIFF=3 / FAST_DIFF=4 / ROW_INDEX_V1=7, FAST_DIFF
+      // being the common production default). cells_orders exports
+      // once PER encoding (DATABLKE blocks, graft.codec.BlockEncoding)
+      // and each import must reproduce the cell stream exactly —
+      // byte-format migration coverage for encoded reference store
+      // files. Encoder-branch fidelity (ts diffs, SAME_VALUE elision,
+      // tags+mvcc interleave, multi-family rejection) is pinned by
+      // BlockEncodingSpec.
+      "c07_hfile_encodings",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c07_hfile_enc")
+        val cells = graft.model.Fixtures.cellsOrders(s, dir)
+        Seq("DIFF", "FAST_DIFF", "PREFIX", "ROW_INDEX_V1").map { name =>
+          graft.flow.HFiles.export(cells, 4, s"$out/$name",
+            encoding = graft.codec.BlockEncoding.idOf(name))
+          graft.flow.HFiles.importCells(s, s"$out/$name")
+            .withColumn("encoding", lit(name))
+        }.reduce(_ unionByName _)
+          .select("encoding", "row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("encoding", "row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT e.encoding, row, family, qualifier, ts, type, value
+          |FROM cells_orders
+          |CROSS JOIN (VALUES ('DIFF'), ('FAST_DIFF'), ('PREFIX'), ('ROW_INDEX_V1')) e(encoding)
+          |ORDER BY encoding, row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }
