@@ -1,0 +1,245 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import graft.codec.HFileV3.HCell
+
+/** The reference's WAL wire format ("PWAL") — a pure-JVM writer/reader
+  * pair so graft's WAL flows (S9 source, D7 WALPlayer, D9 incremental
+  * backup) can consume and produce a live cluster's actual log
+  * segments, not just graft's parquet log.
+  *
+  * Layout (AbstractProtobufWALReader.java:73-76,216-247,
+  * ProtobufLogWriter.java:142-159, WAL.proto:29-77,183):
+  *  - "PWAL" magic, then a varint-delimited WALHeader proto
+  *    (has_compression=1, has_tag_compression=3, writer_cls_name=4,
+  *    cell_codec_cls_name=5).
+  *  - Entries: varint-delimited WALKey proto (encoded_region_name=1,
+  *    table_name=2, log_sequence_number=3, write_time=4, scopes=6,
+  *    following_kv_count=7, cluster_ids=8, ...), then
+  *    following_kv_count cells, each a 4-byte big-endian length +
+  *    KeyValue bytes WITH tags (WALCellCodec.EnsureKvEncoder:
+  *    `putInt(serializedSize(true)); cell.write(out, true)`;
+  *    KeyValueUtil.createKeyValueFromInputStream).
+  *  - Optional trailer: WALTrailer proto bytes (currently empty), a
+  *    4-byte int = its serialized size, then "LAWP"
+  *    (PB_WAL_COMPLETE_MAGIC). The reader derives walEditsStopOffset
+  *    from the tail exactly like AbstractProtobufWALReader.
+  *
+  * Scope: uncompressed, unencrypted WALs (the default); compressed or
+  * encrypted headers are rejected explicitly. Unknown WALKey fields
+  * (scopes, cluster_ids, extended attributes) are skipped by wire
+  * type, so segments from a real cluster parse.
+  */
+object PWal {
+
+  /** One WAL entry: a WALKey + its WALEdit's cells. */
+  final case class WalEntry(
+      region: Array[Byte], table: Array[Byte], seq: Long, writeTime: Long,
+      cells: IndexedSeq[HCell])
+
+  private val Magic = "PWAL".getBytes(StandardCharsets.US_ASCII)
+  private val CompleteMagic = "LAWP".getBytes(StandardCharsets.US_ASCII)
+  /** The reference reader whitelists writer class names
+    * (AbstractProtobufWALReader.getWriterClsNames) — emit the standard
+    * one so a reference cluster accepts graft-written segments. */
+  private val WriterClsName = "org.apache.hadoop.hbase.regionserver.wal.ProtobufLogWriter"
+  private val CellCodecClsName = "org.apache.hadoop.hbase.regionserver.wal.WALCellCodec"
+
+  // --- minimal protobuf wire helpers ---
+
+  private def writeVarint(out: OutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def readVarint(bb: ByteBuffer): Long = {
+    var v = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = bb.get() & 0xff
+      v |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    v
+  }
+
+  private def pbVarintField(out: OutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, (field.toLong << 3) | 0)
+    writeVarint(out, v)
+  }
+
+  private def pbBytesField(out: OutputStream, field: Int, v: Array[Byte]): Unit = {
+    writeVarint(out, (field.toLong << 3) | 2)
+    writeVarint(out, v.length.toLong)
+    out.write(v, 0, v.length)
+  }
+
+  /** Skip one field of unknown semantics by wire type — how real
+    * segments with scopes / cluster_ids / attributes stay parseable. */
+  private def skipField(bb: ByteBuffer, wire: Int): Unit = wire match {
+    case 0 => readVarint(bb)
+    case 1 => bb.position(bb.position() + 8)
+    case 2 => val len = readVarint(bb).toInt; bb.position(bb.position() + len)
+    case 5 => bb.position(bb.position() + 4)
+    case w => throw new IllegalArgumentException(s"bad pb wire type $w")
+  }
+
+  // --- writer ---
+
+  /** Serialize `entries` as one complete PB WAL segment. Cells carry
+    * no tags on the write side (graft's model); `withTrailer=false`
+    * emulates an in-flight segment (writer crashed before close) —
+    * the reader handles both. Returns the entry count. */
+  def write(out: OutputStream, entries: Iterator[WalEntry],
+      withTrailer: Boolean = true): Long = {
+    out.write(Magic)
+    val hdr = new ByteArrayOutputStream()
+    pbVarintField(hdr, 1, 0L) // has_compression = false
+    pbVarintField(hdr, 3, 0L) // has_tag_compression = false
+    pbBytesField(hdr, 4, WriterClsName.getBytes(StandardCharsets.UTF_8))
+    pbBytesField(hdr, 5, CellCodecClsName.getBytes(StandardCharsets.UTF_8))
+    writeVarint(out, hdr.size().toLong)
+    hdr.writeTo(out)
+    var n = 0L
+    for (e <- entries) {
+      val key = new ByteArrayOutputStream()
+      pbBytesField(key, 1, e.region)
+      pbBytesField(key, 2, e.table)
+      pbVarintField(key, 3, e.seq)
+      pbVarintField(key, 4, e.writeTime)
+      pbVarintField(key, 7, e.cells.size.toLong)
+      writeVarint(out, key.size().toLong)
+      key.writeTo(out)
+      for (c <- e.cells) {
+        val keyBytes = HFileV3.cellKeyBytes(c)
+        val kvLen = 4 + 4 + keyBytes.length + c.value.length
+        val bb = ByteBuffer.allocate(4 + kvLen)
+        bb.putInt(kvLen)
+        bb.putInt(keyBytes.length)
+        bb.putInt(c.value.length)
+        bb.put(keyBytes)
+        bb.put(c.value)
+        out.write(bb.array())
+      }
+      n += 1
+    }
+    if (withTrailer) {
+      // WALTrailer is an empty message: zero proto bytes, size int 0
+      val t = ByteBuffer.allocate(4 + 4)
+      t.putInt(0)
+      t.put(CompleteMagic)
+      out.write(t.array())
+    }
+    n
+  }
+
+  def writeBytes(entries: Iterator[WalEntry], withTrailer: Boolean = true): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(bos, entries, withTrailer)
+    bos.toByteArray
+  }
+
+  // --- reader ---
+
+  /** Parse a complete segment held in `bytes`. Mirrors the reference's
+    * open sequence: magic, WALHeader (compression/encryption
+    * rejected), trailer probe from the tail for the edits stop
+    * offset, then WALKey+cells until that offset (or clean EOF for a
+    * trailer-less in-flight segment). */
+  def readBytes(bytes: Array[Byte]): Iterator[WalEntry] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(java.util.Arrays.equals(magic, Magic),
+      "not a PB WAL segment (bad PWAL magic)")
+    // header
+    val hdrLen = readVarint(bb).toInt
+    val hdrEnd = bb.position() + hdrLen
+    while (bb.position() < hdrEnd) {
+      val tag = readVarint(bb)
+      val field = (tag >> 3).toInt
+      val wire = (tag & 7).toInt
+      field match {
+        case 1 =>
+          require(readVarint(bb) == 0L, "compressed WAL segments are not supported")
+        case 2 =>
+          throw new IllegalArgumentException("encrypted WAL segments are not supported")
+        case 6 =>
+          require(readVarint(bb) == 0L, "value-compressed WAL segments are not supported")
+        case _ => skipField(bb, wire)
+      }
+    }
+    // trailer probe (AbstractProtobufWALReader.setTrailerIfPresent):
+    // last 4 bytes LAWP, int before it = trailer size
+    var stopOffset = bytes.length.toLong
+    if (bytes.length >= hdrEnd + 8) {
+      val tailMagic = java.util.Arrays.copyOfRange(bytes, bytes.length - 4, bytes.length)
+      if (java.util.Arrays.equals(tailMagic, CompleteMagic)) {
+        val tsz = ByteBuffer.wrap(bytes, bytes.length - 8, 4).getInt
+        if (tsz >= 0 && bytes.length - 8L - tsz >= hdrEnd)
+          stopOffset = bytes.length - 8L - tsz
+      }
+    }
+    Iterator.continually {
+      if (bb.position() >= stopOffset) None
+      else {
+        val keyLen = readVarint(bb).toInt
+        val keyEnd = bb.position() + keyLen
+        var region: Array[Byte] = Array.emptyByteArray
+        var table: Array[Byte] = Array.emptyByteArray
+        var seq = 0L
+        var writeTime = 0L
+        var kvCount = 0
+        while (bb.position() < keyEnd) {
+          val tag = readVarint(bb)
+          val field = (tag >> 3).toInt
+          val wire = (tag & 7).toInt
+          (field, wire) match {
+            case (1, 2) =>
+              val len = readVarint(bb).toInt
+              region = new Array[Byte](len); bb.get(region)
+            case (2, 2) =>
+              val len = readVarint(bb).toInt
+              table = new Array[Byte](len); bb.get(table)
+            case (3, 0) => seq = readVarint(bb)
+            case (4, 0) => writeTime = readVarint(bb)
+            case (7, 0) => kvCount = readVarint(bb).toInt
+            case _ => skipField(bb, wire) // scopes, cluster_ids, attrs…
+          }
+        }
+        val cells = (0 until kvCount).map { _ =>
+          val kvLen = bb.getInt
+          val kvEnd = bb.position() + kvLen
+          val kLen = bb.getInt
+          val vLen = bb.getInt
+          val key = new Array[Byte](kLen); bb.get(key)
+          val value = new Array[Byte](vLen); bb.get(value)
+          if (bb.position() < kvEnd) {
+            val tagsLen = bb.getShort & 0xffff // trailing tags section
+            bb.position(bb.position() + tagsLen)
+          }
+          require(bb.position() == kvEnd, "KeyValue length mismatch")
+          val kb = ByteBuffer.wrap(key)
+          val rowLen = kb.getShort & 0xffff
+          val row = new Array[Byte](rowLen); kb.get(row)
+          val famLen = kb.get() & 0xff
+          val fam = new Array[Byte](famLen); kb.get(fam)
+          val qual = new Array[Byte](kLen - 2 - rowLen - 1 - famLen - 8 - 1)
+          kb.get(qual)
+          val ts = kb.getLong
+          val typ = kb.get()
+          HCell(row, fam, qual, ts, typ, value)
+        }
+        Some(WalEntry(region, table, seq, writeTime, cells.toIndexedSeq))
+      }
+    }.takeWhile(_.isDefined).map(_.get)
+  }
+}

@@ -26,14 +26,14 @@ import graft.model.CellType
   */
 object HFiles {
 
-  private val typeToCode: Map[String, Byte] = Map(
+  private[graft] val typeToCode: Map[String, Byte] = Map(
     CellType.Put -> HFileV3.TypePut,
     CellType.Delete -> HFileV3.TypeDelete,
     CellType.DeleteFamilyVersion -> HFileV3.TypeDeleteFamilyVersion,
     CellType.DeleteColumn -> HFileV3.TypeDeleteColumn,
     CellType.DeleteFamily -> HFileV3.TypeDeleteFamily)
 
-  private val codeToType: Map[Byte, String] = typeToCode.map(_.swap)
+  private[graft] val codeToType: Map[Byte, String] = typeToCode.map(_.swap)
 
   /** KeyValue type-code rank for the within-(row,fam,qual,ts) sort:
     * CellComparatorImpl orders larger codes first (deletes before

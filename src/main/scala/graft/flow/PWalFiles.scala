@@ -1,0 +1,123 @@
+package graft.flow
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.{HFileV3, PWal}
+import graft.codec.HFileV3.HCell
+
+/** Distributed PB-WAL segment export / import — the byte-format twin
+  * of the parquet WAL log that S9/D7/D9 consume, so graft can replay a
+  * REAL cluster's log directory (WALPlayer.java:76 +
+  * WALInputFormat.java semantics) and produce segments a reference
+  * cluster's tooling reads back.
+  *
+  * Scale shape: export range-partitions the WAL frame on (ts, row) —
+  * segments are time-contiguous like a regionserver's rolled logs —
+  * and each task streams its partition through [[PWal.write]] straight
+  * onto the FileSystem. Import parallelizes one task per segment; a
+  * segment parses forward-only (the reference reader is one-way too),
+  * so memory per task is one entry, not one file.
+  */
+object PWalFiles {
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("wal_region", StringType, nullable = false),
+    StructField("wal_table", StringType, nullable = false),
+    StructField("wal_seq", LongType, nullable = false),
+    StructField("write_time", LongType, nullable = false),
+    StructField("row", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Write `wal` (canonical cell columns) as `numSegments` PB WAL
+    * segments under `outPath` (`wal-NNNNN.pwal`). Cells of one
+    * (ts, row) group share a WALKey — the reference's one-WALEdit-per-
+    * row-mutation shape; log_sequence_number is monotone per segment
+    * (startSeq + entry index) and write_time carries the entry ts. */
+  def export(wal: DataFrame, numSegments: Int, outPath: String,
+      table: String = "graft", withTrailer: Boolean = true): Unit = {
+    val ordered = wal
+      .repartitionByRange(numSegments, col("ts"), col("row"))
+      .sortWithinPartitions(
+        col("ts"), col("row"), col("family"), col("qualifier"), col("type"))
+      .select("row", "family", "qualifier", "ts", "type", "value")
+    val tableB = table
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val path = new Path(f"$outPath%s/wal-$pid%05d.pwal")
+        val fs = path.getFileSystem(new Configuration())
+        val out = fs.create(path, true)
+        try {
+          val region = f"region-$pid%05d".getBytes("UTF-8")
+          val tableBytes = tableB.getBytes("UTF-8")
+          var seqNo = pid.toLong * 1000000L
+          val entries = new Iterator[PWal.WalEntry] {
+            private var pending: Row = if (it.hasNext) it.next() else null
+            def hasNext: Boolean = pending != null
+            def next(): PWal.WalEntry = {
+              val ts = pending.getLong(3)
+              val rowKey = pending.getString(0)
+              val cells = scala.collection.mutable.ArrayBuffer.empty[HCell]
+              while (pending != null && pending.getLong(3) == ts &&
+                  pending.getString(0) == rowKey) {
+                cells += HCell(
+                  pending.getString(0).getBytes("UTF-8"),
+                  pending.getString(1).getBytes("UTF-8"),
+                  pending.getString(2).getBytes("UTF-8"),
+                  pending.getLong(3),
+                  HFiles.typeToCode(pending.getString(4)),
+                  Option(pending.getString(5)).getOrElse("").getBytes("UTF-8"))
+                pending = if (it.hasNext) it.next() else null
+              }
+              seqNo += 1L
+              PWal.WalEntry(region, tableBytes, seqNo, ts, cells.toIndexedSeq)
+            }
+          }
+          PWal.write(out, entries, withTrailer)
+          ()
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Read every segment under `dir` back into a WALKey-denormalized
+    * frame (one output row per cell, the key columns alongside) — the
+    * WALInputFormat twin. Feed the cell columns to Jobs.walPlayer /
+    * incrementalBackup exactly like the parquet WAL. */
+  def importEntries(spark: SparkSession, dir: String,
+      glob: String = "wal-*.pwal"): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (pathStr, len) =>
+        val path = new Path(pathStr)
+        val in = path.getFileSystem(new Configuration()).open(path)
+        // segments are single-digit MB by roll policy; a one-way parse
+        // over a streamed copy keeps the access pattern sequential
+        val bytes = new Array[Byte](len.toInt)
+        try in.readFully(0, bytes) finally in.close()
+        PWal.readBytes(bytes).flatMap { e =>
+          e.cells.map { c =>
+            Row(new String(e.region, "UTF-8"), new String(e.table, "UTF-8"),
+              e.seq, e.writeTime,
+              new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+              new String(c.qualifier, "UTF-8"), c.ts,
+              HFiles.codeToType(c.typ), new String(c.value, "UTF-8"))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, entrySchema)
+  }
+}

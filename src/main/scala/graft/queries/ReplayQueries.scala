@@ -36,6 +36,35 @@ object ReplayQueries {
           |ORDER BY row, qualifier, ts""".stripMargin))
     ),
     QDef(
+      // D7 at the BYTE level: the same replay as q37, but the WAL
+      // travels through the reference's actual wire format first —
+      // cells_events_v exports as PB WAL segments ("PWAL" magic +
+      // varint-delimited WALHeader/WALKey protos + length-prefixed
+      // KeyValue cells + "LAWP" trailer, codec/PWal.scala citing
+      // AbstractProtobufWALReader.java:73, ProtobufLogWriter.java:142)
+      // and WALPlayer replays the re-imported segments. Oracle = the
+      // q37 replay itself: byte-format encode∘decode must be identity
+      // over the log. Header/trailer/unknown-field fidelity is pinned
+      // by PWalSpec.
+      "q86_pwal_player",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("q86_pwal")
+        graft.flow.PWalFiles.export(
+          Fixtures.cellsEventsV(s, dir), 4, s"$out/wals")
+        Jobs.walPlayer(
+            graft.flow.PWalFiles.importEntries(s, s"$out/wals"),
+            timeRange = Some((2L, 4L)),
+            rowRemap = Some(r => concat(lit("t2:"), r)),
+            bulkLoadMode = true)
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "qualifier", "ts")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT 't2:' || row AS row, family, qualifier, ts, type, value
+          |FROM cells_events_v WHERE ts >= 2 AND ts < 4 AND type = 'Put'
+          |ORDER BY row, qualifier, ts""".stripMargin))
+    ),
+    QDef(
       "q38_backup_restore",
       // D9: full backup at watermark 2 + incremental (2,4], restored and
       // read through Resolve — the table AS OF ts 4 (point-in-time).
