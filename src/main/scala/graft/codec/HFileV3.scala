@@ -31,8 +31,11 @@ import java.util.zip.{CRC32, CRC32C}
   *    zero padding + int (major | minor<<24)
   *    (`FixedFileTrailer.java:202-215,727-729`).
   *
-  * Scope: compression NONE or GZ (Compression.Algorithm ordinals 2/1;
-  * GZ = standard gzip per block, the Hadoop GzipCodec format), compound
+  * Scope: block compression NONE / GZ / SNAPPY / LZ4 / ZSTD on both
+  * sides (Compression.Algorithm ordinals 2/1/3/4/6; GZ = the Hadoop
+  * GzipCodec stream, the others = Hadoop BlockCompressorStream framing
+  * over raw snappy / lz4-block / zstd-frame chunks, exactly what the
+  * hbase-compression codecs put on disk), compound
   * ROW blooms ([[HBloom]]), and CRC32C checksums on the write side; the
   * reader additionally accepts CRC32 and NULL checksum files,
   * multi-level-index files (it walks the scanned section
@@ -76,8 +79,14 @@ object HFileV3 {
   private val TrailerSize = 4096 // FixedFileTrailer.java:171 — v3 fixed size
   private val MajorVersion = 3
   private val MinorVersion = 3 // HFileReaderImpl.MAX_MINOR_VERSION
-  private val CompressionNone = 2 // Compression.Algorithm.NONE.ordinal()
-  private val CompressionGz = 1 // Compression.Algorithm.GZ.ordinal()
+  // Compression.Algorithm ordinals (Compression.java:149-…: LZO=0,
+  // GZ=1, NONE=2, SNAPPY=3, LZ4=4, BZIP2=5, ZSTD=6) — the trailer's
+  // compression_codec field stores the ordinal.
+  val CompressionGz = 1
+  val CompressionNone = 2
+  val CompressionSnappy = 3
+  val CompressionLz4 = 4
+  val CompressionZstd = 6
   private val ChecksumNull: Byte = 0
   private val ChecksumCrc32: Byte = 1
   private val ChecksumCrc32C: Byte = 2
@@ -214,20 +223,107 @@ object HFileV3 {
   private final case class BlockRecord(
       offset: Long, onDiskSizeWithHeader: Int, firstKey: Array[Byte])
 
-  /** Write one block: header + (optionally gzip-compressed) payload +
+  /** Hadoop BlockCompressorStream chunk size — the hbase-compression
+    * codecs' shared default (ZstdCodec.ZSTD_BUFFER_SIZE_DEFAULT etc.,
+    * 256 KiB): each raw chunk lands as [int rawLen][int compLen][comp
+    * bytes], possibly repeated, which is what a reference
+    * BlockDecompressorStream expects back. */
+  private val CompressChunk = 256 * 1024
+
+  private def compressPayload(codec: Int, payload: Array[Byte]): Array[Byte] = codec match {
+    case CompressionNone => payload
+    case CompressionGz =>
+      val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(payload); g.finish(); g.close()
+      bos.toByteArray
+    case CompressionSnappy | CompressionLz4 | CompressionZstd =>
+      // empty payload: BlockCompressorStream.finish() with no input
+      // writes nothing (the empty meta-index block stays 0 bytes)
+      if (payload.isEmpty) return payload
+      val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
+      val dos = new DataOutputStream(bos)
+      var off = 0
+      while (off < payload.length) {
+        val rawLen = math.min(CompressChunk, payload.length - off)
+        dos.writeInt(rawLen)
+        val comp = codec match {
+          case CompressionSnappy =>
+            val dst = new Array[Byte](
+              org.xerial.snappy.Snappy.maxCompressedLength(rawLen))
+            val n = org.xerial.snappy.Snappy.rawCompress(payload, off, rawLen, dst, 0)
+            java.util.Arrays.copyOf(dst, n)
+          case CompressionLz4 =>
+            val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+            val dst = new Array[Byte](c.maxCompressedLength(rawLen))
+            val n = c.compress(payload, off, rawLen, dst, 0, dst.length)
+            java.util.Arrays.copyOf(dst, n)
+          case _ =>
+            com.github.luben.zstd.Zstd.compress(
+              java.util.Arrays.copyOfRange(payload, off, off + rawLen), 3)
+        }
+        dos.writeInt(comp.length)
+        dos.write(comp)
+        off += rawLen
+      }
+      bos.toByteArray
+    case other =>
+      throw new IllegalArgumentException(s"unsupported compression ordinal $other")
+  }
+
+  private def decompressPayload(codec: Int, body: Array[Byte], off: Int, len: Int,
+      uncompressedSize: Int): Array[Byte] = codec match {
+    case CompressionGz =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body, off, len))
+      val outBuf = new Array[Byte](uncompressedSize)
+      var read = 0
+      while (read < uncompressedSize) {
+        val n = in.read(outBuf, read, uncompressedSize - read)
+        require(n > 0, "truncated gzip block")
+        read += n
+      }
+      require(in.read() < 0, "gzip block longer than declared")
+      outBuf
+    case CompressionSnappy | CompressionLz4 | CompressionZstd =>
+      val outBuf = new Array[Byte](uncompressedSize)
+      var outPos = 0
+      val bb = ByteBuffer.wrap(body, off, len).slice()
+      while (outPos < uncompressedSize) {
+        val rawLen = bb.getInt
+        var produced = 0
+        while (produced < rawLen) {
+          val compLen = bb.getInt
+          val srcOff = off + bb.position()
+          val n = codec match {
+            case CompressionSnappy =>
+              org.xerial.snappy.Snappy.rawUncompress(body, srcOff, compLen, outBuf, outPos)
+            case CompressionLz4 =>
+              net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+                .decompress(body, srcOff, compLen, outBuf, outPos)
+            case _ =>
+              com.github.luben.zstd.Zstd.decompressByteArray(
+                outBuf, outPos, uncompressedSize - outPos,
+                body, srcOff, compLen).toInt
+          }
+          require(n > 0 || rawLen == 0, "empty compressed chunk")
+          bb.position(bb.position() + compLen)
+          produced += n
+          outPos += n
+        }
+      }
+      outBuf
+    case other =>
+      throw new IllegalArgumentException(s"unsupported compression ordinal $other")
+  }
+
+  /** Write one block: header + (optionally compressed) payload +
     * per-chunk CRC32C checksums over the on-disk bytes. Returns the
     * on-disk size including header and checksums. */
   private def writeBlock(out: CountingOutput, magic: Array[Byte],
       payload: Array[Byte], prevOffsetSameType: Long,
-      bytesPerChecksum: Int, gz: Boolean = false): Int = {
-    val onDisk =
-      if (!gz) payload
-      else {
-        val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
-        val g = new java.util.zip.GZIPOutputStream(bos)
-        g.write(payload); g.finish(); g.close()
-        bos.toByteArray
-      }
+      bytesPerChecksum: Int, codec: Int = CompressionNone): Int = {
+    val onDisk = compressPayload(codec, payload)
     val onDiskDataSizeWithHeader = HeaderSize + onDisk.length
     val nChunks =
       (onDiskDataSizeWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
@@ -271,8 +367,12 @@ object HFileV3 {
   def write(out: OutputStream, cells: Iterator[HCell],
       blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
       rowBloom: Boolean = true, gz: Boolean = false,
-      encoding: Int = BlockEncoding.IdNone): Long = {
+      encoding: Int = BlockEncoding.IdNone,
+      compression: Int = CompressionNone): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
+    require(!(gz && compression != CompressionNone && compression != CompressionGz),
+      "pass either gz=true or a compression ordinal, not both")
+    val codec = if (gz) CompressionGz else compression
     val encoded = encoding != BlockEncoding.IdNone
     val co = new CountingOutput(out)
     val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
@@ -303,7 +403,7 @@ object HFileV3 {
       bloomChunk.compact()
       val offset = co.pos
       val onDisk = writeBlock(co, MagicBloom, bloomChunk.bits,
-        prevBloomOffset, bytesPerChecksum, gz)
+        prevBloomOffset, bytesPerChecksum, codec)
       prevBloomOffset = offset
       totalUncompressed += HeaderSize + bloomChunk.bits.length
       bloomChunks += ((offset, onDisk, bloomFirstRow, bloomChunk))
@@ -318,7 +418,7 @@ object HFileV3 {
         else buf.toByteArray
       val offset = co.pos
       val onDisk = writeBlock(co, if (encoded) MagicDataEncoded else MagicData,
-        payload, prevDataOffset, bytesPerChecksum, gz)
+        payload, prevDataOffset, bytesPerChecksum, codec)
       dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
       prevDataOffset = offset
       totalUncompressed += HeaderSize + payload.length
@@ -388,11 +488,11 @@ object HFileV3 {
       idxDos.write(b.firstKey)
     }
     val rootPayload = idxBuf.toByteArray
-    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, gz)
+    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, codec)
     totalUncompressed += HeaderSize + rootPayload.length
 
     // --- meta index (empty single-level root) ---
-    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum, gz)
+    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum, codec)
     totalUncompressed += HeaderSize
 
     // --- file info ---
@@ -426,7 +526,7 @@ object HFileV3 {
     writeVarint(fiPayload, fiBody.size().toLong) // writeDelimitedTo framing
     fiBody.writeTo(fiPayload)
     val fiBytes = fiPayload.toByteArray
-    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum, gz)
+    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum, codec)
     totalUncompressed += HeaderSize + fiBytes.length
 
     // --- general bloom meta (load-on-open, after file info — the
@@ -449,7 +549,7 @@ object HFileV3 {
         bmd.write(firstRow)
       }
       val bmBytes = bm.toByteArray
-      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum, gz)
+      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum, codec)
       totalUncompressed += HeaderSize + bmBytes.length
     }
 
@@ -466,7 +566,7 @@ object HFileV3 {
     pbVarintField(pb, 9, firstDataOffset)
     pbVarintField(pb, 10, lastDataOffset)
     pbBytesField(pb, 11, ComparatorName.getBytes(StandardCharsets.UTF_8))
-    pbVarintField(pb, 12, (if (gz) CompressionGz else CompressionNone).toLong)
+    pbVarintField(pb, 12, codec.toLong)
     val pbBytes = pb.toByteArray
     val trailer = new ByteArrayOutputStream()
     trailer.write(MagicTrailer)
@@ -566,9 +666,12 @@ object HFileV3 {
   private def preadOf(bytes: Array[Byte]): PRead = (off, len) =>
     java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
 
-  /** Read one block at `pos`, verifying checksums. Returns the block
-    * and the position just after it. */
-  private def readBlockAt(pread: PRead, pos: Long): (RawBlock, Long) = {
+  /** Read one block at `pos`, verifying checksums. `codec` is the
+    * trailer's compression ordinal — blocks do not self-describe their
+    * codec, exactly like the reference (HFileBlock.FSReaderImpl gets
+    * it from the reader context). Returns the block and the position
+    * just after it. */
+  private def readBlockAt(pread: PRead, pos: Long, codec: Int): (RawBlock, Long) = {
     val bytes = pread(pos, HeaderSize)
     val bb = ByteBuffer.wrap(bytes, 0, HeaderSize).slice()
     val magic = new Array[Byte](8)
@@ -601,31 +704,18 @@ object HFileV3 {
     }
     val payloadLen = onDiskDataSizeWithHeader - HeaderSize
     val payload =
-      if (payloadLen == uncompressedSize)
+      if (codec == CompressionNone) {
+        require(payloadLen == uncompressedSize,
+          "NONE-codec block with payload size != uncompressed size")
         java.util.Arrays.copyOfRange(body, HeaderSize, onDiskDataSizeWithHeader)
-      else if (payloadLen >= 2 && body(HeaderSize) == 0x1f.toByte &&
-          body(HeaderSize + 1) == 0x8b.toByte) {
-        // GZ algorithm (Hadoop GzipCodec = standard gzip per block)
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(body, HeaderSize, payloadLen))
-        val outBuf = new Array[Byte](uncompressedSize)
-        var read = 0
-        while (read < uncompressedSize) {
-          val n = in.read(outBuf, read, uncompressedSize - read)
-          require(n > 0, "truncated gzip block")
-          read += n
-        }
-        require(in.read() < 0, "gzip block longer than declared")
-        outBuf
-      } else throw new IllegalArgumentException(
-        "unsupported block compression (NONE and GZ are supported)")
+      } else decompressPayload(codec, body, HeaderSize, payloadLen, uncompressedSize)
     (RawBlock(pos, new String(magic, StandardCharsets.US_ASCII),
       payload, totalOnDisk), pos + totalOnDisk)
   }
 
   /** File-info map (key string → bytes) from the FILE_INFO block. */
   def readFileInfo(pread: PRead, trailer: Trailer): Map[String, Array[Byte]] = {
-    val (blk, _) = readBlockAt(pread, trailer.fileInfoOffset)
+    val (blk, _) = readBlockAt(pread, trailer.fileInfoOffset, trailer.compressionCodec)
     require(blk.magic == "FILEINF2", s"expected FILEINF2, got ${blk.magic}")
     val bb = ByteBuffer.wrap(blk.payload)
     val pbm = new Array[Byte](4)
@@ -657,7 +747,7 @@ object HFileV3 {
     readRootIndex(preadOf(bytes), trailer)
 
   def readRootIndex(pread: PRead, trailer: Trailer): Seq[(Long, Int, Array[Byte])] = {
-    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset)
+    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset, trailer.compressionCodec)
     require(blk.magic == "IDXROOT2", s"expected IDXROOT2, got ${blk.magic}")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
     (0 until trailer.dataIndexCount).map { _ =>
@@ -724,7 +814,7 @@ object HFileV3 {
     val blocks = Iterator.unfold(trailer.firstDataBlockOffset) { p =>
       if (p >= endPos) None
       else {
-        val (blk, next) = readBlockAt(pread, p)
+        val (blk, next) = readBlockAt(pread, p, trailer.compressionCodec)
         Some((blk, next))
       }
     }
@@ -778,7 +868,7 @@ object HFileV3 {
           val end = fileLen - TrailerSize
           var found: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] = None
           while (found.isEmpty && pos < end) {
-            val (blk, next) = readBlockAt(pread, pos)
+            val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec)
             if (blk.magic == "BLMFMET2") {
               val in = new java.io.DataInputStream(
                 new java.io.ByteArrayInputStream(blk.payload))
@@ -821,7 +911,7 @@ object HFileV3 {
         if (at < 0) false
         else {
           val bits = chunkCache.getOrElseUpdate(entries(at)._1,
-            readBlockAt(pread, entries(at)._1)._1.payload)
+            readBlockAt(pread, entries(at)._1, trailer.compressionCodec)._1.payload)
           HBloom.contains(row, bits, hashCount)
         }
     }
@@ -853,7 +943,7 @@ object HFileV3 {
         if (i > start && compareBytes(rowOfKey(entries(i)._3), row) > 0) {
           done = true
         } else {
-          val (blk, _) = readBlockAt(pread, entries(i)._1)
+          val (blk, _) = readBlockAt(pread, entries(i)._1, trailer.compressionCodec)
           val it = cellsOfDataBlock(blk, ctx)
           while (it.hasNext && !done) {
             val c = it.next()
@@ -875,11 +965,14 @@ object HFileV3 {
   /** All raw blocks in file order (structural inspection for specs). */
   def readAllBlocks(bytes: Array[Byte]): Seq[RawBlock] = {
     val pread = preadOf(bytes)
+    val codec = readTrailer(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - TrailerSize, bytes.length))
+      .compressionCodec
     val blocks = scala.collection.mutable.ArrayBuffer.empty[RawBlock]
     var pos = 0L
     val end = bytes.length - TrailerSize
     while (pos < end) {
-      val (blk, next) = readBlockAt(pread, pos)
+      val (blk, next) = readBlockAt(pread, pos, codec)
       blocks += blk
       pos = next
     }

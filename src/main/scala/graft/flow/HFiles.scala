@@ -62,7 +62,8 @@ object HFiles {
     * require a single column family per export, like the reference's
     * one-store-file-per-family layout. */
   def export(cells: DataFrame, numRegions: Int, outPath: String,
-      blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0): Unit = {
+      blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0,
+      compression: Int = HFileV3.CompressionNone): Unit = {
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(
@@ -89,7 +90,8 @@ object HFiles {
               typeToCode(r.getString(4)),
               Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
           }
-          HFileV3.write(out, hcells, blockSize, gz = gz, encoding = encoding)
+          HFileV3.write(out, hcells, blockSize, gz = gz, encoding = encoding,
+            compression = compression)
           ()
         } finally out.close()
       }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.QDef
 import graft.codec.CodecFunctions._
+import graft.codec.HFileV3
 import graft.model.Tables
 
 /** C01–C02: ordered-bytes codec parity (SURVEY.md §1.2/§4 —
@@ -222,6 +223,40 @@ object CodecQueries {
           |FROM cells_orders
           |CROSS JOIN (VALUES ('DIFF'), ('FAST_DIFF'), ('PREFIX'), ('ROW_INDEX_V1')) e(encoding)
           |ORDER BY encoding, row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C08: HFile BLOCK COMPRESSION roundtrip beyond GZ — SNAPPY /
+      // LZ4 / ZSTD (Compression.java ordinals 3/4/6), the codecs
+      // production reference clusters actually run. On-disk form is
+      // Hadoop BlockCompressorStream framing ([int rawLen][int
+      // compLen][chunk]…) over raw snappy / lz4-block / zstd-frame
+      // chunks via the hbase-compression modules' formats
+      // (HFileV3.compressPayload). ZSTD composes with FAST_DIFF here
+      // — compressed encoded blocks, the realistic migration shape.
+      "c08_hfile_compressions",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c08_hfile_comp")
+        val cells = graft.model.Fixtures.cellsOrders(s, dir)
+        Seq(
+          "LZ4" -> (HFileV3.CompressionLz4, 0),
+          "SNAPPY" -> (HFileV3.CompressionSnappy, 0),
+          "ZSTD" -> (HFileV3.CompressionZstd, 0),
+          "ZSTD_FAST_DIFF" ->
+            (HFileV3.CompressionZstd, graft.codec.BlockEncoding.IdFastDiff)
+        ).map { case (name, (codec, enc)) =>
+          graft.flow.HFiles.export(cells, 4, s"$out/$name",
+            compression = codec, encoding = enc)
+          graft.flow.HFiles.importCells(s, s"$out/$name")
+            .withColumn("codec", lit(name))
+        }.reduce(_ unionByName _)
+          .select("codec", "row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("codec", "row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT e.codec, row, family, qualifier, ts, type, value
+          |FROM cells_orders
+          |CROSS JOIN (VALUES ('LZ4'), ('SNAPPY'), ('ZSTD'), ('ZSTD_FAST_DIFF')) e(codec)
+          |ORDER BY codec, row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }

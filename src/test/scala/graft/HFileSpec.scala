@@ -236,6 +236,49 @@ class HFileSpec extends AnyFunSuite {
     assert(handle.get("zz-absent".getBytes(UTF_8)).isEmpty)
   }
 
+  test("SNAPPY / LZ4 / ZSTD blocks roundtrip; trailer ordinals; gets work") {
+    val cells = randomCells(400)
+    val plain = HFileV3.writeBytes(cells.iterator, blockSize = 512)
+    for ((codec, ordinal) <- Seq(
+        HFileV3.CompressionSnappy -> 3,
+        HFileV3.CompressionLz4 -> 4,
+        HFileV3.CompressionZstd -> 6)) {
+      val bos = new ByteArrayOutputStream()
+      HFileV3.write(bos, cells.iterator, blockSize = 512, compression = codec)
+      val bytes = bos.toByteArray
+      assert(bytes.length < plain.length, s"codec $ordinal file should be smaller")
+      val trailer = HFileV3.readTrailer(bytes)
+      assert(trailer.compressionCodec == ordinal)
+      val back = HFileV3.readCells(bytes).toSeq
+      assert(back.size == cells.size)
+      cells.zip(back).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.row, b.row))
+        assert(java.util.Arrays.equals(a.value, b.value))
+        assert(a.ts == b.ts && a.typ == b.typ)
+      }
+      val handle = new HFileV3.HFileHandle(
+        (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len),
+        bytes.length.toLong)
+      assert(handle.get(cells(cells.size / 2).row).nonEmpty)
+      assert(handle.get("zz-absent".getBytes(UTF_8)).isEmpty)
+    }
+  }
+
+  test("multi-chunk BlockCompressorStream framing: payload > one 256 KiB chunk") {
+    // values sized so one block's payload exceeds the compress chunk —
+    // the framing loops [rawLen][compLen][chunk]… like Hadoop's stream
+    val big = "x" * 9000
+    val cells = (0 until 80).map(i => cell(f"r$i%04d", "q", big + i))
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 1 << 20,
+      compression = HFileV3.CompressionLz4)
+    val back = HFileV3.readCells(bos.toByteArray).toSeq
+    assert(back.size == cells.size)
+    cells.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.value, b.value))
+    }
+  }
+
   test("row bloom: no false negatives; absent rows skip data blocks") {
     val cells = (1 to 100).flatMap { i =>
       (1 to 3).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
