@@ -183,6 +183,14 @@ object HFiles {
     val files = Option(fs.globStatus(new Path(dir, glob)))
       .getOrElse(Array.empty)
       .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    importFiles(spark, files)
+  }
+
+  /** [[importCells]] over an explicit (path, length) list — the
+    * manifest-driven path (SnapshotShip reads the file list from
+    * `data.manifest`, never from a glob). */
+  def importFiles(spark: SparkSession,
+      files: Seq[(String, Long)]): DataFrame = {
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { case (pathStr, len) =>

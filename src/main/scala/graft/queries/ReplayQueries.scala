@@ -440,8 +440,15 @@ object ReplayQueries {
       // .java`): a snapshot's store files leave the cluster as HFile
       // region files and a destination cluster clones a table from
       // them — snapshot → byte-format export → import → put, read back
-      // through the destination's catalog. The declared result is the
-      // destination table's full cell stream = the source fixture.
+      // through the destination's catalog. Since r9 the shipped tree
+      // is the reference's FULL snapshot layout (SnapshotShip):
+      // `.hbase-snapshot/<name>/{.snapshotinfo,data.manifest}` (raw
+      // SnapshotDescription / SnapshotDataManifest protos,
+      // SnapshotManifest.java:75,575) + `archive/data/<ns>/<table>/
+      // <region>/<family>/<storefile>`; the destination enumerates
+      // store files FROM the manifest with sizes verified, never by
+      // glob. The declared result is the destination table's full cell
+      // stream = the source fixture.
       "q85_export_snapshot",
       (s, dir) => {
         import graft.admin.GAdmin
@@ -451,9 +458,11 @@ object ReplayQueries {
         GAdmin.createTable(s, "q85src", s"$out/src", buckets = 4)
         GAdmin.put(s, "q85src", Fixtures.cellsOrders(s, dir))
         GAdmin.snapshot(s, "q85src", "snap1", s"$out/snaps")
-        graft.flow.HFiles.export(
-          s.read.parquet(s"$out/snaps/snap1"), 8, s"$out/hf")
-        val shipped = graft.flow.HFiles.importCells(s, s"$out/hf")
+        graft.flow.SnapshotShip.exportSnapshot(
+          s.read.parquet(s"$out/snaps/snap1"), 8, s"$out/shipped",
+          "snap1", "q85src")
+        val shipped = graft.flow.SnapshotShip.importSnapshot(
+          s, s"$out/shipped", "snap1")
         GAdmin.createTable(s, "q85dst", s"$out/dst", buckets = 4)
         GAdmin.put(s, "q85dst", shipped)
         GAdmin.table(s, "q85dst")
