@@ -180,6 +180,53 @@ object HFileV3 {
     v
   }
 
+  /** Serialized byte count of a Hadoop vlong. */
+  private def vlongSize(v: Long): Int = {
+    if (v >= -112 && v <= 127) return 1
+    var i = if (v < 0) ~v else v
+    var n = 1
+    while (i != 0) { i >>>= 8; n += 1 }
+    n
+  }
+
+  /** Non-root index block payload (NoOpIndexBlockEncoder.writeNonRoot):
+    * int numEntries, numEntries secondary-index ints (entry offsets
+    * within the entries area), one extra int (total entries-area
+    * size), then {long offset, int onDiskSize, raw key} per entry —
+    * key lengths derive from consecutive secondary-index values. */
+  private def nonRootIndexPayload(entries: Seq[BlockRecord]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    dos.writeInt(entries.size)
+    var off = 0
+    for (e <- entries) { dos.writeInt(off); off += 12 + e.firstKey.length }
+    dos.writeInt(off)
+    for (e <- entries) {
+      dos.writeLong(e.offset)
+      dos.writeInt(e.onDiskSizeWithHeader)
+      dos.write(e.firstKey)
+    }
+    bos.toByteArray
+  }
+
+  /** Parse a non-root (leaf / intermediate) index block payload. */
+  private def parseNonRootIndex(payload: Array[Byte]): IndexedSeq[(Long, Int, Array[Byte])] = {
+    val bb = ByteBuffer.wrap(payload)
+    val n = bb.getInt
+    val sec = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { sec(i) = bb.getInt; i += 1 }
+    val base = bb.position()
+    (0 until n).map { j =>
+      bb.position(base + sec(j))
+      val off = bb.getLong
+      val sz = bb.getInt
+      val key = new Array[Byte](sec(j + 1) - sec(j) - 12)
+      bb.get(key)
+      (off, sz, key)
+    }
+  }
+
   private def pbVarintField(out: OutputStream, field: Int, v: Long): Unit = {
     writeVarint(out, (field << 3) | 0) // wire type 0
     writeVarint(out, v)
@@ -368,7 +415,8 @@ object HFileV3 {
       blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
       rowBloom: Boolean = true, gz: Boolean = false,
       encoding: Int = BlockEncoding.IdNone,
-      compression: Int = CompressionNone): Long = {
+      compression: Int = CompressionNone,
+      indexMaxChunk: Int = 128 * 1024): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
@@ -412,6 +460,30 @@ object HFileV3 {
       bloomFirstRow = null
     }
 
+    // multi-level index state (HFileBlockIndex.BlockIndexWriter):
+    // data-block entries accumulate in an inline leaf chunk; when its
+    // NON-ROOT serialized size passes indexMaxChunk the chunk lands
+    // inline as an IDXLEAF2 block and becomes one entry of the next
+    // level up. Small files never flush a leaf and stay single-level.
+    val curLeaf = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
+    var curLeafSize = 8 // int numEntries + the extra secondary-index int
+    val leafBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
+    val leafSubCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prevLeafOffset = -1L
+
+    def flushLeafChunk(): Unit = if (curLeaf.nonEmpty) {
+      val payload = nonRootIndexPayload(curLeaf.toSeq)
+      val offset = co.pos
+      val onDisk = writeBlock(co, MagicLeafIdx, payload,
+        prevLeafOffset, bytesPerChecksum, codec)
+      prevLeafOffset = offset
+      totalUncompressed += HeaderSize + payload.length
+      leafBlocks += BlockRecord(offset, onDisk, curLeaf.head.firstKey)
+      leafSubCounts += curLeaf.size.toLong
+      curLeaf.clear()
+      curLeafSize = 8
+    }
+
     def closeDataBlock(): Unit = if (buf.size() > 0 || encCells.nonEmpty) {
       val payload =
         if (encoded) BlockEncoding.encodePayload(encoding, encCells.toIndexedSeq)
@@ -420,12 +492,15 @@ object HFileV3 {
       val onDisk = writeBlock(co, if (encoded) MagicDataEncoded else MagicData,
         payload, prevDataOffset, bytesPerChecksum, codec)
       dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
+      curLeaf += BlockRecord(offset, onDisk, firstKeyOfBlock)
+      curLeafSize += 4 + 12 + firstKeyOfBlock.length // secondary-index int + entry
       prevDataOffset = offset
       totalUncompressed += HeaderSize + payload.length
       buf.reset()
       encCells.clear()
       encUnencodedSize = 0
       firstKeyOfBlock = null
+      if (curLeafSize >= indexMaxChunk) flushLeafChunk()
     }
 
     for (c <- cells) {
@@ -477,16 +552,70 @@ object HFileV3 {
     val firstDataOffset = if (dataBlocks.nonEmpty) dataBlocks.head.offset else -1L
     val lastDataOffset = if (dataBlocks.nonEmpty) dataBlocks.last.offset else -1L
 
-    // --- root data index (single level) ---
+    // --- data index: single-level root, or leaf chunks + optional
+    // intermediate levels + root (HFileBlockIndex.writeIndexBlocks) ---
+    def rootFormatSize(entries: Seq[BlockRecord]): Int =
+      entries.map(e => 8 + 4 + vlongSize(e.firstKey.length) + e.firstKey.length).sum
+    var numLevels = 1
+    var rootEntries: Seq[BlockRecord] = dataBlocks.toSeq
+    var midKeyMeta: Array[Byte] = null
+    if (leafBlocks.nonEmpty) {
+      flushLeafChunk() // the tail leaf
+      rootEntries = leafBlocks.toSeq
+      numLevels = 2
+      // mid-key metadata: the leaf holding the middle data block +
+      // the in-leaf index of that block (getMidKeyMetadata)
+      val totalSub = leafSubCounts.sum
+      val midSub = (totalSub - 1) / 2
+      var acc = 0L
+      var leafIdx = 0
+      while (acc + leafSubCounts(leafIdx) <= midSub) {
+        acc += leafSubCounts(leafIdx); leafIdx += 1
+      }
+      val mm = ByteBuffer.allocate(16)
+      mm.putLong(leafBlocks(leafIdx).offset)
+      mm.putInt(leafBlocks(leafIdx).onDiskSizeWithHeader)
+      mm.putInt((midSub - acc).toInt)
+      midKeyMeta = mm.array()
+      // intermediate levels until the root fits (min 16 entries —
+      // the HBASE-16288 floor)
+      while (rootFormatSize(rootEntries) > indexMaxChunk &&
+          rootEntries.size > 16 && numLevels < 16) {
+        val parent = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
+        val chunk = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
+        var chunkSize = 8
+        var prevInterOffset = -1L
+        def flushInter(): Unit = if (chunk.nonEmpty) {
+          val payload = nonRootIndexPayload(chunk.toSeq)
+          val offset = co.pos
+          val onDisk = writeBlock(co, MagicInterIdx, payload,
+            prevInterOffset, bytesPerChecksum, codec)
+          prevInterOffset = offset
+          totalUncompressed += HeaderSize + payload.length
+          parent += BlockRecord(offset, onDisk, chunk.head.firstKey)
+          chunk.clear()
+          chunkSize = 8
+        }
+        for ((e, i) <- rootEntries.zipWithIndex) {
+          chunk += e
+          chunkSize += 4 + 12 + e.firstKey.length
+          if (i >= 16 && chunkSize >= indexMaxChunk) flushInter()
+        }
+        flushInter()
+        rootEntries = parent.toSeq
+        numLevels += 1
+      }
+    }
     val rootIndexOffset = co.pos
     val idxBuf = new ByteArrayOutputStream()
     val idxDos = new DataOutputStream(idxBuf)
-    for (b <- dataBlocks) {
+    for (b <- rootEntries) {
       idxDos.writeLong(b.offset)
       idxDos.writeInt(b.onDiskSizeWithHeader)
       writeVLong(idxDos, b.firstKey.length.toLong) // Bytes.writeByteArray
       idxDos.write(b.firstKey)
     }
+    if (midKeyMeta != null) idxDos.write(midKeyMeta)
     val rootPayload = idxBuf.toByteArray
     writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, codec)
     totalUncompressed += HeaderSize + rootPayload.length
@@ -559,10 +688,10 @@ object HFileV3 {
     pbVarintField(pb, 2, rootIndexOffset) // load_on_open_data_offset
     pbVarintField(pb, 3, (HeaderSize + rootPayload.length).toLong) // uncompr. index size
     pbVarintField(pb, 4, totalUncompressed)
-    pbVarintField(pb, 5, dataBlocks.size.toLong) // data_index_count
+    pbVarintField(pb, 5, rootEntries.size.toLong) // data_index_count (root level)
     pbVarintField(pb, 6, 0L)                     // meta_index_count
     pbVarintField(pb, 7, entryCount)
-    pbVarintField(pb, 8, 1L)                     // num_data_index_levels
+    pbVarintField(pb, 8, numLevels.toLong)       // num_data_index_levels
     pbVarintField(pb, 9, firstDataOffset)
     pbVarintField(pb, 10, lastDataOffset)
     pbBytesField(pb, 11, ComparatorName.getBytes(StandardCharsets.UTF_8))
@@ -922,28 +1051,48 @@ object HFileV3 {
       java.util.Arrays.copyOfRange(k, 2, 2 + rl)
     }
 
-    def get(row: Array[Byte]): Seq[HCell] = {
-      if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
-        return Seq.empty
-      if (!bloomSaysPresent(row)) return Seq.empty
-      val entries = index
-      // seek-before: start at the block BEFORE the first block whose
-      // first-key row >= target (HBase's seekBefore(firstOnRow) shape)
+    /** Seek-before within one index level: the entry BEFORE the first
+      * whose first-key row >= target (HBase's seekBefore(firstOnRow)
+      * shape). */
+    private def seekBefore(entries: IndexedSeq[(Long, Int, Array[Byte])],
+        row: Array[Byte]): Int = {
       var lo = 0; var hi = entries.size
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (compareBytes(rowOfKey(entries(mid)._3), row) < 0) lo = mid + 1
         else hi = mid
       }
-      val start = math.max(0, lo - 1)
+      math.max(0, lo - 1)
+    }
+
+    def get(row: Array[Byte]): Seq[HCell] = {
+      if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
+        return Seq.empty
+      if (!bloomSaysPresent(row)) return Seq.empty
+      // descend the index: root → (intermediate…) → leaf → data-block
+      // offset. Single-level files descend zero times; a multi-level
+      // file (graft-written past indexMaxChunk, or any reference
+      // 10 GB-norm region file) costs one block read per extra level.
+      var entries: IndexedSeq[(Long, Int, Array[Byte])] = index.toIndexedSeq
+      var level = trailer.numDataIndexLevels
+      var startOffset = entries(seekBefore(entries, row))._1
+      while (level > 1) {
+        val (blk, _) = readBlockAt(pread, startOffset, trailer.compressionCodec)
+        require(blk.magic == "IDXLEAF2" || blk.magic == "IDXINTE2",
+          s"expected index block at level $level, got ${blk.magic}")
+        entries = parseNonRootIndex(blk.payload)
+        startOffset = entries(seekBefore(entries, row))._1
+        level -= 1
+      }
+      // forward walk from the seek target: data blocks decode, inline
+      // leaf/bloom blocks skip by magic, done when a cell's row passes
+      // the target (a row may start mid-block and span blocks)
       val out = scala.collection.mutable.ArrayBuffer.empty[HCell]
-      var i = start
+      var pos = startOffset
       var done = false
-      while (i < entries.size && !done) {
-        if (i > start && compareBytes(rowOfKey(entries(i)._3), row) > 0) {
-          done = true
-        } else {
-          val (blk, _) = readBlockAt(pread, entries(i)._1, trailer.compressionCodec)
+      while (pos < trailer.loadOnOpenOffset && !done) {
+        val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec)
+        if (blk.magic == "DATABLK*" || blk.magic == "DATABLKE") {
           val it = cellsOfDataBlock(blk, ctx)
           while (it.hasNext && !done) {
             val c = it.next()
@@ -951,8 +1100,8 @@ object HFileV3 {
             if (cmp == 0) out += c
             else if (cmp > 0) done = true
           }
-          i += 1
         }
+        pos = next
       }
       out.toSeq
     }

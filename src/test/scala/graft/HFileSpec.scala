@@ -279,6 +279,82 @@ class HFileSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-level index write: leaf + intermediate levels, gets still exact") {
+    // tiny index chunks force depth: leaf chunks flush inline
+    // (IDXLEAF2), then intermediate levels (IDXINTE2) build until the
+    // root fits — HFileBlockIndex.writeIndexBlocks' loop
+    val cells = (0 until 3000).map(i =>
+      cell(f"row-$i%06d", "q", s"v$i", ts = 1L))
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256,
+      indexMaxChunk = 200)
+    val bytes = bos.toByteArray
+    val trailer = HFileV3.readTrailer(bytes)
+    assert(trailer.numDataIndexLevels >= 3,
+      s"expected >=3 levels, got ${trailer.numDataIndexLevels}")
+    val magics = HFileV3.readAllBlocks(bytes).map(_.magic).toSet
+    assert(magics.contains("IDXLEAF2") && magics.contains("IDXINTE2"))
+    // root entry count is the ROOT level's, far below the block count
+    assert(trailer.dataIndexCount < 100 && trailer.dataIndexCount > 0)
+    // sequential scan unaffected
+    val back = HFileV3.readCells(bytes).toSeq
+    assert(back.size == cells.size)
+    assert(back.map(c => new String(c.row, UTF_8)) ==
+      cells.map(c => new String(c.row, UTF_8)))
+    // point-gets descend root → intermediate → leaf → data
+    val pread: HFileV3.PRead =
+      (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    val handle = new HFileV3.HFileHandle(pread, bytes.length.toLong)
+    for (i <- Seq(0, 1, 1499, 2998, 2999)) {
+      val got = handle.get(f"row-$i%06d".getBytes(UTF_8))
+      assert(got.size == 1 && new String(got.head.value, UTF_8) == s"v$i")
+    }
+    assert(handle.get("row-999999".getBytes(UTF_8)).isEmpty)
+    assert(handle.get("a-before-all".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("multi-level index: root carries mid-key metadata after the entries") {
+    val cells = (0 until 1200).map(i => cell(f"r$i%05d", "q", "v"))
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256, indexMaxChunk = 300,
+      rowBloom = false)
+    val bytes = bos.toByteArray
+    val trailer = HFileV3.readTrailer(bytes)
+    assert(trailer.numDataIndexLevels >= 2)
+    // the root payload = entries + 16 bytes {long leafOff, int leafSize,
+    // int subEntryIndex} (BlockIndexChunkImpl.getMidKeyMetadata) —
+    // readRootIndex must stop at dataIndexCount and ignore the tail
+    val idx = HFileV3.readRootIndex(bytes, trailer)
+    assert(idx.size == trailer.dataIndexCount)
+    // mid-key leaf offset points at a real IDXLEAF2 block
+    val blocks = HFileV3.readAllBlocks(bytes)
+    val rootBlk = blocks.filter(_.magic == "IDXROOT2").head
+    val bb = ByteBuffer.wrap(rootBlk.payload)
+    // skip the entries to reach the metadata
+    for (_ <- 0 until trailer.dataIndexCount) {
+      bb.getLong; bb.getInt
+      val klen = bb.get() // vint: all keys here are short, 1-byte vints
+      bb.position(bb.position() + klen)
+    }
+    val midLeafOff = bb.getLong
+    assert(blocks.exists(b => b.offset == midLeafOff && b.magic == "IDXLEAF2"))
+  }
+
+  test("multi-level index composes with GZ compression and encodings") {
+    val cells = (0 until 1500).map(i => cell(f"k$i%05d", "q", s"value-$i"))
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256, indexMaxChunk = 250,
+      gz = true, encoding = graft.codec.BlockEncoding.IdFastDiff)
+    val bytes = bos.toByteArray
+    assert(HFileV3.readTrailer(bytes).numDataIndexLevels >= 2)
+    assert(HFileV3.readCells(bytes).size == cells.size)
+    val handle = new HFileV3.HFileHandle(
+      (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len),
+      bytes.length.toLong)
+    val got = handle.get("k00777".getBytes(UTF_8))
+    assert(got.size == 1 && new String(got.head.value, UTF_8) == "value-777")
+  }
+
   test("row bloom: no false negatives; absent rows skip data blocks") {
     val cells = (1 to 100).flatMap { i =>
       (1 to 3).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
