@@ -411,12 +411,30 @@ object HFileV3 {
     * BLMFBLK2 blocks with a BLMFMET2 load-on-open meta — byte-faithful
     * CompoundBloomFilterWriter output ([[HBloom]]). Returns the cell
     * count. */
+  /** ROWCOL bloom key for one cell (RowColBloomHashKey.java:28-46 —
+    * "KeyValue serialization format with empty column family"):
+    * 2B rowLen, row, 1B famLen=0, qualifier, 8B LATEST_TIMESTAMP
+    * (Long.MaxValue), 1B Type.Maximum (0xff). The probe side builds
+    * the identical bytes (createFirstOnRow with empty family,
+    * StoreFileReader.java:241). */
+  private[graft] def rowColBloomKey(row: Array[Byte], qualifier: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(2 + row.length + 1 + qualifier.length + 9)
+    bb.putShort(row.length.toShort)
+    bb.put(row)
+    bb.put(0.toByte)
+    bb.put(qualifier)
+    bb.putLong(Long.MaxValue)
+    bb.put(0xff.toByte)
+    bb.array()
+  }
+
   def write(out: OutputStream, cells: Iterator[HCell],
       blockSize: Int = 65536, bytesPerChecksum: Int = 16384,
       rowBloom: Boolean = true, gz: Boolean = false,
       encoding: Int = BlockEncoding.IdNone,
       compression: Int = CompressionNone,
-      indexMaxChunk: Int = 128 * 1024): Long = {
+      indexMaxChunk: Int = 128 * 1024,
+      rowColBloom: Boolean = false): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
@@ -508,15 +526,22 @@ object HFileV3 {
         throw new IllegalArgumentException(
           s"cells out of order: ${new String(lastCell.row, StandardCharsets.UTF_8)} > " +
             new String(c.row, StandardCharsets.UTF_8))
-      if (rowBloom &&
-          (lastCell == null || compareBytes(lastCell.row, c.row) != 0)) {
+      val isNewBloomKey =
+        if (!rowBloom) false
+        else if (rowColBloom)
+          lastCell == null || compareBytes(lastCell.row, c.row) != 0 ||
+            compareBytes(lastCell.qualifier, c.qualifier) != 0
+        else lastCell == null || compareBytes(lastCell.row, c.row) != 0
+      if (isNewBloomKey) {
+        val bloomKey =
+          if (rowColBloom) rowColBloomKey(c.row, c.qualifier) else c.row
         if (bloomChunk == null) {
           bloomChunk =
             if (bloomPrev != null) bloomPrev.createAnother()
             else HBloom.createBySize()
-          bloomFirstRow = c.row
+          bloomFirstRow = bloomKey
         }
-        bloomChunk.add(c.row)
+        bloomChunk.add(bloomKey)
         bloomKeyCount += 1
         if (bloomChunk.keyCount >= bloomChunk.maxKeys) {
           // chunk full: flush inline (blooms may interleave with data
@@ -635,9 +660,17 @@ object HFileV3 {
     val avgV = if (entryCount == 0) 0 else (valLenSum / entryCount).toInt
     fiEntries += (("hfile.AVG_KEY_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgK)))
     fiEntries += (("hfile.AVG_VALUE_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgV)))
-    if (bloomChunks.nonEmpty)
+    if (bloomChunks.nonEmpty) {
       fiEntries += (("BLOOM_FILTER_TYPE".getBytes(StandardCharsets.US_ASCII),
-        "ROW".getBytes(StandardCharsets.US_ASCII)))
+        (if (rowColBloom) "ROWCOL" else "ROW")
+          .getBytes(StandardCharsets.US_ASCII)))
+      // LAST_BLOOM_KEY (BloomContext.addLastBloomKey /
+      // RowColBloomContext.java:44): the last bloom key written
+      if (lastCell != null)
+        fiEntries += (("LAST_BLOOM_KEY".getBytes(StandardCharsets.US_ASCII),
+          if (rowColBloom) rowColBloomKey(lastCell.row, lastCell.qualifier)
+          else lastCell.row))
+    }
     if (encoded)
       fiEntries += (("DATA_BLOCK_ENCODING".getBytes(StandardCharsets.US_ASCII),
         BlockEncoding.nameOf(encoding).getBytes(StandardCharsets.US_ASCII)))
@@ -670,7 +703,15 @@ object HFileV3 {
       bmd.writeLong(bloomKeyCount)
       bmd.writeLong(bloomChunks.map(_._4.maxKeys).sum)
       bmd.writeInt(bloomChunks.size)
-      writeVLong(bmd, 0L) // null comparator = vint 0 (raw ROW keys)
+      if (rowColBloom) {
+        // ROWCOL chunks index by CELL keys: the meta names the
+        // comparator class (CompoundBloomFilterWriter.MetaWriter:254)
+        val cmp = ComparatorName.getBytes(StandardCharsets.UTF_8)
+        writeVLong(bmd, cmp.length.toLong)
+        bmd.write(cmp)
+      } else {
+        writeVLong(bmd, 0L) // null comparator = vint 0 (raw ROW keys)
+      }
       for ((offset, onDisk, firstRow, _) <- bloomChunks) {
         bmd.writeLong(offset)
         bmd.writeInt(onDisk)
@@ -987,12 +1028,16 @@ object HFileV3 {
     private val ctx = decodeCtxOf(fi)
     private lazy val index = readRootIndex(pread, trailer)
 
-    /** (hashCount, entries(offset, size, firstRow)) from BLMFMET2 —
+    private val bloomType: Option[String] =
+      fi.get("BLOOM_FILTER_TYPE").map(new String(_, StandardCharsets.US_ASCII))
+
+    /** (hashCount, entries(offset, size, firstKey)) from BLMFMET2 —
       * located by walking the load-on-open section (HFileInfo reads
-      * those blocks once at open; graft walks lazily on first get). */
+      * those blocks once at open; graft walks lazily on first get).
+      * Keys are raw rows (ROW) or serialized rowcol keys (ROWCOL). */
     private lazy val bloom: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] =
-      fi.get("BLOOM_FILTER_TYPE").map(new String(_, StandardCharsets.US_ASCII)) match {
-        case Some("ROW") =>
+      bloomType match {
+        case Some("ROW") | Some("ROWCOL") =>
           var pos = trailer.loadOnOpenOffset
           val end = fileLen - TrailerSize
           var found: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] = None
@@ -1027,22 +1072,54 @@ object HFileV3 {
     private val chunkCache =
       scala.collection.mutable.Map.empty[Long, Array[Byte]]
 
-    private def bloomSaysPresent(row: Array[Byte]): Boolean = bloom match {
+    /** (row, qualifier) of a serialized rowcol bloom key (famLen=0). */
+    private def rowQualOfBloomKey(k: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val rl = ((k(0) & 0xff) << 8) | (k(1) & 0xff)
+      (java.util.Arrays.copyOfRange(k, 2, 2 + rl),
+        java.util.Arrays.copyOfRange(k, 2 + rl + 1, k.length - 9))
+    }
+
+    /** Probe the compound bloom with `key`, locating the chunk by the
+      * given first-key ordering (raw rows for ROW; rowcol cell order
+      * for ROWCOL — ts/type are constants in those keys). */
+    private def bloomProbe(key: Array[Byte],
+        cmp: (Array[Byte], Array[Byte]) => Int): Boolean = bloom match {
       case None => true // no bloom: cannot rule out
       case Some((hashCount, entries)) =>
-        // last chunk whose firstRow <= row (raw-byte index, ROW keys)
+        // last chunk whose firstKey <= key
         var lo = 0; var hi = entries.size - 1; var at = -1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
-          if (compareBytes(entries(mid)._3, row) <= 0) { at = mid; lo = mid + 1 }
+          if (cmp(entries(mid)._3, key) <= 0) { at = mid; lo = mid + 1 }
           else hi = mid - 1
         }
         if (at < 0) false
         else {
           val bits = chunkCache.getOrElseUpdate(entries(at)._1,
             readBlockAt(pread, entries(at)._1, trailer.compressionCodec)._1.payload)
-          HBloom.contains(row, bits, hashCount)
+          HBloom.contains(key, bits, hashCount)
         }
+    }
+
+    private def bloomSaysPresent(row: Array[Byte]): Boolean = bloomType match {
+      case Some("ROW") => bloomProbe(row, compareBytes)
+      case _ => true // ROWCOL can't serve a row-only probe
+    }
+
+    /** ROWCOL reject for a (row, qualifier) get
+      * (StoreFileReader.passesGeneralRowColBloomFilter): both bloom
+      * flavors can rule the probe out — ROW by the row alone. */
+    private def bloomSaysPresentRowCol(row: Array[Byte],
+        qualifier: Array[Byte]): Boolean = bloomType match {
+      case Some("ROW") => bloomProbe(row, compareBytes)
+      case Some("ROWCOL") =>
+        bloomProbe(rowColBloomKey(row, qualifier), (a, b) => {
+          val (ra, qa) = rowQualOfBloomKey(a)
+          val (rb, qb) = rowQualOfBloomKey(b)
+          val r = compareBytes(ra, rb)
+          if (r != 0) r else compareBytes(qa, qb)
+        })
+      case _ => true
     }
 
     private def rowOfKey(k: Array[Byte]): Array[Byte] = {
@@ -1065,10 +1142,24 @@ object HFileV3 {
       math.max(0, lo - 1)
     }
 
-    def get(row: Array[Byte]): Seq[HCell] = {
+    def get(row: Array[Byte]): Seq[HCell] = getImpl(row, None)
+
+    /** Single-column get — the probe shape that unlocks ROWCOL bloom
+      * rejects (StoreFileReader.passesBloomFilter with one column):
+      * an absent (row, qualifier) usually costs ONE cached bloom
+      * probe even when the row itself exists. */
+    def get(row: Array[Byte], qualifier: Array[Byte]): Seq[HCell] =
+      getImpl(row, Some(qualifier))
+
+    private def getImpl(row: Array[Byte],
+        qualifier: Option[Array[Byte]]): Seq[HCell] = {
       if (trailer.firstDataBlockOffset < 0 || trailer.dataIndexCount == 0)
         return Seq.empty
-      if (!bloomSaysPresent(row)) return Seq.empty
+      val pass = qualifier match {
+        case Some(q) => bloomSaysPresentRowCol(row, q)
+        case None => bloomSaysPresent(row)
+      }
+      if (!pass) return Seq.empty
       // descend the index: root → (intermediate…) → leaf → data-block
       // offset. Single-level files descend zero times; a multi-level
       // file (graft-written past indexMaxChunk, or any reference
@@ -1097,8 +1188,10 @@ object HFileV3 {
           while (it.hasNext && !done) {
             val c = it.next()
             val cmp = compareBytes(c.row, row)
-            if (cmp == 0) out += c
-            else if (cmp > 0) done = true
+            if (cmp == 0) {
+              if (qualifier.forall(q => compareBytes(c.qualifier, q) == 0))
+                out += c
+            } else if (cmp > 0) done = true
           }
         }
         pos = next

@@ -63,7 +63,8 @@ object HFiles {
     * one-store-file-per-family layout. */
   def export(cells: DataFrame, numRegions: Int, outPath: String,
       blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0,
-      compression: Int = HFileV3.CompressionNone): Unit = {
+      compression: Int = HFileV3.CompressionNone,
+      rowColBloom: Boolean = false): Unit = {
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(
@@ -91,7 +92,7 @@ object HFiles {
               Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
           }
           HFileV3.write(out, hcells, blockSize, gz = gz, encoding = encoding,
-            compression = compression)
+            compression = compression, rowColBloom = rowColBloom)
           ()
         } finally out.close()
       }
@@ -106,7 +107,8 @@ object HFiles {
     * file then binary-searches the block index and reads ONLY the
     * row's block(s) ([[HFileV3.getRow]]). Absent rows cost an index
     * probe, never a scan. */
-  def pointGet(spark: SparkSession, dir: String, rows: Seq[String]): DataFrame = {
+  def pointGet(spark: SparkSession, dir: String, rows: Seq[String],
+      qualifier: Option[String] = None): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
       .getOrElse(Array.empty)
@@ -161,7 +163,11 @@ object HFiles {
         // open once per file: index/bloom loads amortize across gets
         val handle = new HFileV3.HFileHandle(pread, len)
         targetRows.sorted.iterator.flatMap { r =>
-          handle.get(r.getBytes("UTF-8")).map { c =>
+          val cells = qualifier match {
+            case Some(q) => handle.get(r.getBytes("UTF-8"), q.getBytes("UTF-8"))
+            case None => handle.get(r.getBytes("UTF-8"))
+          }
+          cells.map { c =>
             Row(new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
               new String(c.qualifier, "UTF-8"), c.ts, codeToType(c.typ),
               new String(c.value, "UTF-8"))

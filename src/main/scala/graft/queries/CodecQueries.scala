@@ -257,6 +257,37 @@ object CodecQueries {
           |FROM cells_orders
           |CROSS JOIN (VALUES ('LZ4'), ('SNAPPY'), ('ZSTD'), ('ZSTD_FAST_DIFF')) e(codec)
           |ORDER BY codec, row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C09: single-COLUMN gets through ROWCOL compound blooms — the
+      // probe shape StoreFileReader.passesBloomFilter serves with one
+      // column (StoreFileReader.java:233-243): files carry ROWCOL
+      // bloom chunks (keys = 2B rowLen,row,famLen 0,qual,LATEST
+      // ts,Type.Maximum — RowColBloomHashKey.java:28), and a get for
+      // an ABSENT qualifier on a PRESENT row is rejected by the bloom
+      // without a data-block read (pread savings pinned in
+      // HFileSpec's ROWCOL case). Probes o_totalprice on 40 rows plus
+      // a no-such-qualifier sweep that must return zero rows.
+      "c09_hfile_rowcol_get",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c09_hfile_rowcol")
+        graft.flow.HFiles.export(
+          graft.model.Fixtures.cellsOrders(s, dir), 8, s"$out/hf",
+          rowColBloom = true)
+        val keys = (1L to 40L).map(k => f"$k%010d")
+        graft.flow.HFiles.pointGet(s, s"$out/hf", keys,
+            qualifier = Some("o_totalprice"))
+          .unionByName(graft.flow.HFiles.pointGet(s, s"$out/hf", keys,
+            qualifier = Some("no_such_qual")))
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some {
+        val keyList = (1L to 40L).map(k => f"'$k%010d'").mkString(", ")
+        graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+          s"""SELECT row, family, qualifier, ts, type, value FROM cells_orders
+             |WHERE row IN ($keyList) AND qualifier = 'o_totalprice'
+             |ORDER BY row, family, qualifier, ts, type, value""".stripMargin)
+      }
     )
   )
 }

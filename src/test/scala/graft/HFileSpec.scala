@@ -385,6 +385,58 @@ class HFileSpec extends AnyFunSuite {
     assert(skipped >= 180, s"bloom rejected only $skipped/200 absent probes")
   }
 
+  test("ROWCOL bloom: byte format, qualifier-get rejects skip data blocks") {
+    // rows all EXIST but carry only q1..q3 — the case ROW blooms can't
+    // help with and ROWCOL exists for (StoreFileReader.java:233-243)
+    val cells = (1 to 100).flatMap { i =>
+      (1 to 3).map(q => cell(f"row-$i%04d", s"q$q", s"v$i-$q"))
+    }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256, rowColBloom = true)
+    val bytes = bos.toByteArray
+    val trailer = HFileV3.readTrailer(bytes)
+    val fi = HFileV3.readFileInfo(bytes, trailer)
+    assert(new String(fi("BLOOM_FILTER_TYPE"), UTF_8) == "ROWCOL")
+    // LAST_BLOOM_KEY is the serialized rowcol key of the last cell:
+    // 2B rowLen, row, famLen 0, qual, LATEST ts, Type.Maximum
+    val lastKey = fi("LAST_BLOOM_KEY")
+    val rl = ((lastKey(0) & 0xff) << 8) | (lastKey(1) & 0xff)
+    assert(new String(lastKey, 2, rl, UTF_8) == "row-0100")
+    assert(lastKey(2 + rl) == 0, "family length byte must be 0")
+    assert(lastKey.last == 0xff.toByte, "type byte must be Maximum")
+    // bloom meta names the cell comparator (vint-framed class name)
+    val metaBlk = HFileV3.readAllBlocks(bytes).filter(_.magic == "BLMFMET2").head
+    assert(new String(metaBlk.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("org.apache.hadoop.hbase.CellComparatorImpl"))
+
+    val dataOffsets = HFileV3.readRootIndex(bytes, trailer).map(_._1).toSet
+    val touched = scala.collection.mutable.Set.empty[Long]
+    val pread: HFileV3.PRead = (off, len) => {
+      touched += off
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+    val handle = new HFileV3.HFileHandle(pread, bytes.length.toLong)
+    // no false negatives on present (row, qualifier) pairs
+    (1 to 100).foreach { i =>
+      val got = handle.get(f"row-$i%04d".getBytes(UTF_8), "q2".getBytes(UTF_8))
+      assert(got.size == 1 && new String(got.head.value, UTF_8) == s"v$i-2")
+    }
+    // absent QUALIFIER on a present row: ROWCOL must reject nearly all
+    // without touching a data block — the pread saving ROW can't give
+    var skipped = 0
+    (1 to 200).foreach { i =>
+      touched.clear()
+      val got = handle.get(f"row-${(i % 100) + 1}%04d".getBytes(UTF_8),
+        s"qq$i".getBytes(UTF_8))
+      assert(got.isEmpty)
+      if (touched.forall(o => !dataOffsets.contains(o))) skipped += 1
+    }
+    assert(skipped >= 180, s"ROWCOL rejected only $skipped/200 absent-qual probes")
+    // row-only gets still work on a ROWCOL file (bloom just can't help)
+    assert(handle.get("row-0050".getBytes(UTF_8)).size == 3)
+    assert(handle.get("nope-1".getBytes(UTF_8)).isEmpty)
+  }
+
   test("pointGet routes rows to region files and matches a filtered import") {
     val spark = TestSession.spark
     val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
