@@ -29,7 +29,13 @@ import java.nio.charset.StandardCharsets
   */
 object SnapshotManifestCodec {
 
-  final case class StoreFileRef(name: String, fileSize: Long)
+  /** A split-daughter half-file pointer (FS.proto `Reference`:
+    * splitkey = the serialized first-on-row cell key of the split row,
+    * range TOP(0) = keys >= split, BOTTOM(1) = keys < split —
+    * HalfStoreFileReader.java:43-61). */
+  final case class RefHalf(splitRow: Array[Byte], top: Boolean)
+  final case class StoreFileRef(name: String, fileSize: Long,
+      reference: Option[RefHalf] = None)
   final case class FamilyFiles(family: Array[Byte], files: Seq[StoreFileRef])
   final case class RegionManifest(
       regionId: Long, startKey: Array[Byte], endKey: Array[Byte],
@@ -152,6 +158,9 @@ object SnapshotManifestCodec {
         for (sf <- ff.files) {
           val sfb = new ByteArrayOutputStream()
           sField(sfb, 1, sf.name)
+          sf.reference.foreach { r =>
+            bField(sfb, 2, referenceProto(r))
+          }
           vField(sfb, 3, sf.fileSize)
           bField(f, 2, sfb.toByteArray)
         }
@@ -237,6 +246,7 @@ object SnapshotManifestCodec {
                       val sfLen = readVarintOf(rb).toInt
                       val sfEnd = rb.position() + sfLen
                       var fname = ""; var fsize = 0L
+                      var ref: Option[RefHalf] = None
                       while (rb.position() < sfEnd) {
                         val t4 = readVarintOf(rb)
                         ((t4 >> 3).toInt, (t4 & 7).toInt) match {
@@ -244,11 +254,15 @@ object SnapshotManifestCodec {
                             val l = readVarintOf(rb).toInt
                             val b = new Array[Byte](l); rb.get(b)
                             fname = new String(b, StandardCharsets.UTF_8)
+                          case (2, 2) =>
+                            val l = readVarintOf(rb).toInt
+                            val b = new Array[Byte](l); rb.get(b)
+                            ref = Some(parseReferenceProto(b))
                           case (3, 0) => fsize = readVarintOf(rb)
                           case (_, w) => skipField(rb, w)
                         }
                       }
-                      files += StoreFileRef(fname, fsize)
+                      files += StoreFileRef(fname, fsize, ref)
                     case (_, w) => skipField(rb, w)
                   }
                 }
@@ -264,4 +278,80 @@ object SnapshotManifestCodec {
   }
 
   private def readVarintOf(bb: ByteBuffer): Long = readVarint(bb)
+
+  // --- split-daughter Reference files (io/Reference.java, FS.proto:38) ---
+
+  /** Serialized first-on-row cell key of the split row — what the
+    * reference stores as `splitkey` (Reference.java:59-61: "first
+    * possible entry on a row: empty column, LATEST_TIMESTAMP"):
+    * 2B rowLen, row, 1B famLen=0, 8B Long.MaxValue, 1B Type.Maximum. */
+  def splitKeyBytes(splitRow: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(2 + splitRow.length + 1 + 9)
+    bb.putShort(splitRow.length.toShort)
+    bb.put(splitRow)
+    bb.put(0.toByte)
+    bb.putLong(Long.MaxValue)
+    bb.put(0xff.toByte)
+    bb.array()
+  }
+
+  private def rowOfSplitKey(k: Array[Byte]): Array[Byte] = {
+    val rl = ((k(0) & 0xff) << 8) | (k(1) & 0xff)
+    java.util.Arrays.copyOfRange(k, 2, 2 + rl)
+  }
+
+  /** Raw Reference proto bytes: splitkey=1, range=2 (TOP=0, BOTTOM=1). */
+  private def referenceProto(r: RefHalf): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    bField(out, 1, splitKeyBytes(r.splitRow))
+    vField(out, 2, if (r.top) 0L else 1L)
+    out.toByteArray
+  }
+
+  private def parseReferenceProto(bytes: Array[Byte]): RefHalf = {
+    val bb = ByteBuffer.wrap(bytes)
+    var splitRow = Array.emptyByteArray
+    var top = true
+    while (bb.hasRemaining) {
+      val tag = readVarint(bb)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val l = readVarint(bb).toInt
+          val b = new Array[Byte](l); bb.get(b)
+          splitRow = rowOfSplitKey(b)
+        case (2, 0) => top = readVarint(bb) == 0L
+        case (_, w) => skipField(bb, w)
+      }
+    }
+    RefHalf(splitRow, top)
+  }
+
+  /** Standalone on-disk reference file ("PBUF" magic + raw proto —
+    * Reference.toByteArray prepends the pb magic): the form living in
+    * a live daughter region's family dir as `<hfile>.<parentRegion>`. */
+  def encodeReferenceFile(r: RefHalf): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("PBUF".getBytes(StandardCharsets.US_ASCII), 0, 4)
+    val p = referenceProto(r)
+    out.write(p, 0, p.length)
+    out.toByteArray
+  }
+
+  def decodeReferenceFile(bytes: Array[Byte]): RefHalf = {
+    require(bytes.length > 4 && new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "PBUF",
+      "not a Reference file (missing PBUF magic)")
+    parseReferenceProto(java.util.Arrays.copyOfRange(bytes, 4, bytes.length))
+  }
+
+  /** HFileLink name parse (`HFileLink.LINK_NAME_PATTERN`:
+    * `[ns=]table=encodedRegion-hfile`) → (ns, table, region, hfile). */
+  private val LinkName =
+    "^(?:([_\\p{Digit}\\p{IsAlphabetic}]+)=)?([_\\p{Digit}\\p{IsAlphabetic}][_.\\p{Digit}\\p{IsAlphabetic}-]*)=([0-9a-f]+)-([^=]+)$".r
+
+  def parseLinkName(name: String): Option[(String, String, String, String)] =
+    name match {
+      case LinkName(ns, table, region, hfile) =>
+        Some((Option(ns).getOrElse("default"), table, region, hfile))
+      case _ => None
+    }
 }

@@ -196,10 +196,29 @@ object HFiles {
     * manifest-driven path (SnapshotShip reads the file list from
     * `data.manifest`, never from a glob). */
   def importFiles(spark: SparkSession,
-      files: Seq[(String, Long)]): DataFrame = {
+      files: Seq[(String, Long)]): DataFrame =
+    importFilesFiltered(spark, files.map { case (p, l) => (p, l, None) })
+
+  /** [[importFiles]] with an optional split-half filter per file —
+    * the HalfStoreFileReader twin (Reference semantics: BOTTOM = rows
+    * strictly below the split row, TOP = the split row and up), so a
+    * snapshot taken after region splits imports without rewriting the
+    * parent files. */
+  def importFilesFiltered(spark: SparkSession,
+      files: Seq[(String, Long, Option[(Array[Byte], Boolean)])]): DataFrame = {
+    def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
-      .flatMap { case (pathStr, len) =>
+      .flatMap { case (pathStr, len, half) =>
         val path = new Path(pathStr)
         val in = path.getFileSystem(new Configuration()).open(path)
         Option(TaskContext.get()).foreach(
@@ -209,7 +228,14 @@ object HFiles {
           in.readFully(off, buf)
           buf
         }
-        HFileV3.readCellsFrom(pread, len).map { c =>
+        val cells = HFileV3.readCellsFrom(pread, len)
+        val scoped = half match {
+          case Some((splitRow, top)) =>
+            if (top) cells.filter(c => cmpB(c.row, splitRow) >= 0)
+            else cells.filter(c => cmpB(c.row, splitRow) < 0)
+          case None => cells
+        }
+        scoped.map { c =>
           Row(
             new String(c.row, "UTF-8"),
             new String(c.family, "UTF-8"),

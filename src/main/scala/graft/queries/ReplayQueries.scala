@@ -472,6 +472,33 @@ object ReplayQueries {
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT row, family, qualifier, ts, type, value FROM cells_orders
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // Snapshot of a SPLIT table: every region becomes two daughters
+      // whose store files are half-file REFERENCES (FS.proto Reference
+      // TOP/BOTTOM around the parent file's mid-block row,
+      // HalfStoreFileReader.java:43-61) through HFileLink names
+      // (`ns=table=region-hfile`, HFileLink.java:70) back to the
+      // parent's archive file — the layout a reference cluster's
+      // snapshot holds after splits, before daughter compactions. No
+      // cell is rewritten; the manifest-driven import resolves links,
+      // applies the half filters, and must reproduce the table exactly
+      // (bottom ∪ top = parent, disjoint at the split row).
+      "q87_split_snapshot",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("split_snap_q")
+        graft.flow.SnapshotShip.exportSnapshot(
+          Fixtures.cellsOrders(s, dir), 4, s"$out/shipped",
+          "snapP", "q87src")
+        graft.flow.SnapshotShip.splitSnapshot(
+          s, s"$out/shipped", "snapP", "snapD")
+        graft.flow.SnapshotShip.importSnapshot(s, s"$out/shipped", "snapD")
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, type, value FROM cells_orders
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }

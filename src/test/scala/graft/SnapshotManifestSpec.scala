@@ -67,6 +67,36 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(families.size == 2 && regions.size == 2)
   }
 
+  test("Reference half-files roundtrip: proto field, PBUF file form, link names") {
+    val half = SM.RefHalf("0000005000".getBytes(UTF_8), top = true)
+    // manifest StoreFile.reference field
+    val s = snap.copy(regions = Seq(
+      SM.RegionManifest(9L, Array.emptyByteArray, Array.emptyByteArray,
+        Seq(SM.FamilyFiles("d".getBytes(UTF_8),
+          Seq(SM.StoreFileRef("ns1=orders=0000000a-sf-00000", 123L, Some(half))))))))
+    val (_, regions) = SM.decodeDataManifest(SM.encodeDataManifest(s))
+    val got = regions.head.families.head.files.head
+    assert(got.name == "ns1=orders=0000000a-sf-00000")
+    assert(got.reference.isDefined)
+    assert(new String(got.reference.get.splitRow, UTF_8) == "0000005000")
+    assert(got.reference.get.top)
+    // standalone .ref file form: PBUF magic + proto; splitkey is the
+    // first-on-row cell key (famLen 0, LATEST ts, Type.Maximum)
+    val fileBytes = SM.encodeReferenceFile(SM.RefHalf("rowX".getBytes(UTF_8), top = false))
+    assert(new String(fileBytes.take(4), UTF_8) == "PBUF")
+    val back = SM.decodeReferenceFile(fileBytes)
+    assert(new String(back.splitRow, UTF_8) == "rowX" && !back.top)
+    val sk = SM.splitKeyBytes("rowX".getBytes(UTF_8))
+    assert(sk(2 + 4) == 0 && sk.last == 0xff.toByte)
+    // link-name parse (HFileLink.LINK_NAME_PATTERN shapes)
+    assert(SM.parseLinkName("ns1=orders=0000000a-sf-00000")
+      .contains(("ns1", "orders", "0000000a", "sf-00000")))
+    assert(SM.parseLinkName("orders=deadbeef-abc")
+      .contains(("default", "orders", "deadbeef", "abc")))
+    assert(SM.parseLinkName("plain-store-file").isEmpty)
+    assert(SM.parseLinkName("sf-00000").isEmpty)
+  }
+
   test("a default-namespace table encodes as namespace 'default'") {
     val s = snap.copy(table = "orders")
     val (_, table, _, _) = SM.decodeDescription(SM.encodeDescription(s))
