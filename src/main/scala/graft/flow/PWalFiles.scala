@@ -89,6 +89,47 @@ object PWalFiles {
     }
   }
 
+  private final case class PWalCellRow(
+      wal_region: String, wal_table: String, wal_seq: Long, write_time: Long,
+      row: String, family: String, qualifier: String, ts: Long,
+      cell_type: String, value: String)
+
+  /** Streaming CDC source over a PB WAL segment DIRECTORY — tail a
+    * real cluster's log dir live (the ReplicationSource shape, S9's
+    * byte-format form): Structured Streaming's binaryFile source
+    * delivers each newly-rolled segment whole, and the micro-batch
+    * parses it through [[PWal.readBytes]] into the WALKey-denormalized
+    * cell frame. Segments are rolled-file-sized (single-digit MB by
+    * policy), so one in-flight segment per task is the working set —
+    * the same budget the reference's WAL reader holds. */
+  def streamEntries(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq( // the binaryFile source's fixed schema
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "wal-*.pwal")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        PWal.readBytes(bytes).flatMap { e =>
+          e.cells.map { c =>
+            PWalCellRow(new String(e.region, "UTF-8"), new String(e.table, "UTF-8"),
+              e.seq, e.writeTime,
+              new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+              new String(c.qualifier, "UTF-8"), c.ts,
+              HFiles.codeToType(c.typ), new String(c.value, "UTF-8"))
+          }
+        }
+      }
+      .withColumnRenamed("cell_type", "type")
+  }
+
   /** Read every segment under `dir` back into a WALKey-denormalized
     * frame (one output row per cell, the key columns alongside) — the
     * WALInputFormat twin. Feed the cell columns to Jobs.walPlayer /

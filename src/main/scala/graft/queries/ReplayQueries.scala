@@ -424,8 +424,12 @@ object ReplayQueries {
         val stream = s.readStream
           .schema(Fixtures.cellsEventsV(s, dir).schema)
           .option("maxFilesPerTrigger", "1").parquet(walDir)
+        // production-shaped store files: FAST_DIFF blocks under ZSTD —
+        // the encoding/compression pair a real cluster's backups carry
         WalStream.hfileBackupSink(stream, s"$out/bk", numRegions = 4,
-          queryName = "q84sink")
+          queryName = "q84sink",
+          encoding = graft.codec.BlockEncoding.IdFastDiff,
+          compression = graft.codec.HFileV3.CompressionZstd)
         graft.flow.HFiles
           .importCells(s, s"$out/bk", glob = "epoch=*/part-*.hfile")
           .orderBy("row", "family", "qualifier", "ts", "type", "value")
@@ -471,6 +475,30 @@ object ReplayQueries {
       },
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT row, family, qualifier, ts, type, value FROM cells_orders
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // S9's byte-format STREAMING form: tail a PB WAL segment
+      // directory live (PWalFiles.streamEntries — the
+      // ReplicationSource shape over the real wire format): segments
+      // arrive one per micro-batch (maxFilesPerTrigger=1), each parses
+      // whole through PWal.readBytes, and the bounded AvailableNow run
+      // must reproduce the full log's data slice — CDC from a real
+      // cluster's log dir with no parquet intermediary.
+      "q88_pwal_stream",
+      (s, dir) => {
+        import graft.stream.WalStream
+        val out = graft.Queries.scratchDir("q88_pwal_stream")
+        graft.flow.PWalFiles.export(
+          Fixtures.cellsEventsV(s, dir), 3, s"$out/wals")
+        val stream = graft.flow.PWalFiles.streamEntries(s, s"$out/wals")
+          .select("row", "family", "qualifier", "ts", "type", "value")
+        WalStream.runAvailableNow(stream, "q88pwal", mode = "append")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT row, family, qualifier, ts, type, COALESCE(value, '') AS value
+          |FROM cells_events_v
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     ),
     QDef(

@@ -215,7 +215,7 @@ object WalStream {
     * (WALEdit.METAFAMILY contract), exactly like applyBatch.
     * Runs the bounded AvailableNow form, like [[runAvailableNow]]. */
   def hfileBackupSink(cells: DataFrame, outDir: String, numRegions: Int,
-      queryName: String): Unit = {
+      queryName: String, encoding: Int = 0, compression: Int = 2): Unit = {
     val spark = cells.sparkSession
     val ckBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
       else sys.props("java.io.tmpdir")
@@ -227,7 +227,8 @@ object WalStream {
         val fs = p.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        graft.flow.HFiles.export(WalMeta.dataOnly(batch), numRegions, dir)
+        graft.flow.HFiles.export(WalMeta.dataOnly(batch), numRegions, dir,
+          encoding = encoding, compression = compression)
       }
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow())
