@@ -97,37 +97,75 @@ object PWal {
   /** Serialize `entries` as one complete PB WAL segment. Cells carry
     * no tags on the write side (graft's model); `withTrailer=false`
     * emulates an in-flight segment (writer crashed before close) —
-    * the reader handles both. Returns the entry count. */
+    * the reader handles both. With `compressed=true` the segment uses
+    * the reference's WAL dictionary compression ([[WalCompression]]):
+    * WALKey region/table and every cell's row/family/qualifier code
+    * through the shared LRU dictionaries
+    * (WALCellCodec.CompressedKvEncoder). Returns the entry count. */
   def write(out: OutputStream, entries: Iterator[WalEntry],
-      withTrailer: Boolean = true): Long = {
+      withTrailer: Boolean = true, compressed: Boolean = false): Long = {
     out.write(Magic)
     val hdr = new ByteArrayOutputStream()
-    pbVarintField(hdr, 1, 0L) // has_compression = false
+    pbVarintField(hdr, 1, if (compressed) 1L else 0L)
     pbVarintField(hdr, 3, 0L) // has_tag_compression = false
     pbBytesField(hdr, 4, WriterClsName.getBytes(StandardCharsets.UTF_8))
     pbBytesField(hdr, 5, CellCodecClsName.getBytes(StandardCharsets.UTF_8))
     writeVarint(out, hdr.size().toLong)
     hdr.writeTo(out)
+    val ctx = if (compressed) new WalCompression.Ctx else null
     var n = 0L
     for (e <- entries) {
       val key = new ByteArrayOutputStream()
-      pbBytesField(key, 1, e.region)
-      pbBytesField(key, 2, e.table)
+      if (compressed) {
+        val rb = new ByteArrayOutputStream()
+        WalCompression.writeCoded(rb, e.region, ctx.region)
+        pbBytesField(key, 1, rb.toByteArray)
+        val tb = new ByteArrayOutputStream()
+        WalCompression.writeCoded(tb, e.table, ctx.table)
+        pbBytesField(key, 2, tb.toByteArray)
+      } else {
+        pbBytesField(key, 1, e.region)
+        pbBytesField(key, 2, e.table)
+      }
       pbVarintField(key, 3, e.seq)
       pbVarintField(key, 4, e.writeTime)
       pbVarintField(key, 7, e.cells.size.toLong)
       writeVarint(out, key.size().toLong)
       key.writeTo(out)
       for (c <- e.cells) {
-        val keyBytes = HFileV3.cellKeyBytes(c)
-        val kvLen = 4 + 4 + keyBytes.length + c.value.length
-        val bb = ByteBuffer.allocate(4 + kvLen)
-        bb.putInt(kvLen)
-        bb.putInt(keyBytes.length)
-        bb.putInt(c.value.length)
-        bb.put(keyBytes)
-        bb.put(c.value)
-        out.write(bb.array())
+        if (compressed) {
+          // CompressedKvEncoder: varint klen/vlen/tagslen, dict-coded
+          // row/family/qualifier, 8B ts, type byte, raw value
+          val cell = new ByteArrayOutputStream()
+          def vint(v: Int): Unit = {
+            var x = v
+            while ((x & ~0x7f) != 0) { cell.write((x & 0x7f) | 0x80); x >>>= 7 }
+            cell.write(x)
+          }
+          val kLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 9
+          vint(kLen)
+          vint(c.value.length)
+          vint(0) // tags
+          WalCompression.writeCoded(cell, c.row, ctx.row)
+          WalCompression.writeCoded(cell, c.family, ctx.family)
+          WalCompression.writeCoded(cell, c.qualifier, ctx.qualifier)
+          val tb = ByteBuffer.allocate(9)
+          tb.putLong(c.ts)
+          tb.put(c.typ)
+          cell.write(tb.array(), 0, 9)
+          cell.write(c.value, 0, c.value.length)
+          cell.writeTo(out)
+        } else {
+          val keyBytes = HFileV3.cellKeyBytes(c)
+          val kvLen = 4 + 4 + keyBytes.length + c.value.length
+          val bb = ByteBuffer.allocate(4 + kvLen)
+          bb.putInt(kvLen)
+          bb.putInt(keyBytes.length)
+          bb.putInt(c.value.length)
+          bb.put(keyBytes)
+          bb.put(c.value)
+          out.write(bb.array())
+        }
       }
       n += 1
     }
@@ -147,6 +185,14 @@ object PWal {
     bos.toByteArray
   }
 
+  /** [[writeBytes]] with the compression knob exposed. */
+  def writeBytes2(entries: Iterator[WalEntry], withTrailer: Boolean = true,
+      compressed: Boolean = false): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(bos, entries, withTrailer, compressed)
+    bos.toByteArray
+  }
+
   // --- reader ---
 
   /** Parse a complete segment held in `bytes`. Mirrors the reference's
@@ -163,20 +209,23 @@ object PWal {
     // header
     val hdrLen = readVarint(bb).toInt
     val hdrEnd = bb.position() + hdrLen
+    var compressed = false
     while (bb.position() < hdrEnd) {
       val tag = readVarint(bb)
       val field = (tag >> 3).toInt
       val wire = (tag & 7).toInt
       field match {
-        case 1 =>
-          require(readVarint(bb) == 0L, "compressed WAL segments are not supported")
+        case 1 => compressed = readVarint(bb) != 0L
         case 2 =>
           throw new IllegalArgumentException("encrypted WAL segments are not supported")
+        case 3 =>
+          require(readVarint(bb) == 0L, "tag-compressed WAL segments are not supported")
         case 6 =>
           require(readVarint(bb) == 0L, "value-compressed WAL segments are not supported")
         case _ => skipField(bb, wire)
       }
     }
+    val ctx = if (compressed) new WalCompression.Ctx else null
     // trailer probe (AbstractProtobufWALReader.setTrailerIfPresent):
     // last 4 bytes LAWP, int before it = trailer size
     var stopOffset = bytes.length.toLong
@@ -205,38 +254,103 @@ object PWal {
           (field, wire) match {
             case (1, 2) =>
               val len = readVarint(bb).toInt
-              region = new Array[Byte](len); bb.get(region)
+              if (compressed) {
+                val sub = bb.duplicate(); sub.limit(bb.position() + len)
+                region = WalCompression.readCoded(sub, ctx.region)
+                bb.position(bb.position() + len)
+              } else {
+                region = new Array[Byte](len); bb.get(region)
+              }
             case (2, 2) =>
               val len = readVarint(bb).toInt
-              table = new Array[Byte](len); bb.get(table)
+              if (compressed) {
+                val sub = bb.duplicate(); sub.limit(bb.position() + len)
+                table = WalCompression.readCoded(sub, ctx.table)
+                bb.position(bb.position() + len)
+              } else {
+                table = new Array[Byte](len); bb.get(table)
+              }
             case (3, 0) => seq = readVarint(bb)
             case (4, 0) => writeTime = readVarint(bb)
             case (7, 0) => kvCount = readVarint(bb).toInt
-            case _ => skipField(bb, wire) // scopes, cluster_ids, attrs…
+            case (6, 2) if compressed =>
+              // scopes run their family through the SHARED FAMILY dict
+              // (WALKeyImpl.java:542) — must parse, or the dictionaries
+              // desynchronize after the first scope entry
+              val len = readVarint(bb).toInt
+              val end = bb.position() + len
+              while (bb.position() < end) {
+                val t2 = readVarint(bb)
+                ((t2 >> 3).toInt, (t2 & 7).toInt) match {
+                  case (1, 2) =>
+                    val fl = readVarint(bb).toInt
+                    val sub = bb.duplicate(); sub.limit(bb.position() + fl)
+                    WalCompression.readCoded(sub, ctx.family)
+                    bb.position(bb.position() + fl)
+                  case (_, w) => skipField(bb, w)
+                }
+              }
+            case (12, 2) if compressed =>
+              // extended-attribute values go through the TABLE dict
+              // (WALKeyImpl.java:550)
+              val len = readVarint(bb).toInt
+              val end = bb.position() + len
+              while (bb.position() < end) {
+                val t2 = readVarint(bb)
+                ((t2 >> 3).toInt, (t2 & 7).toInt) match {
+                  case (2, 2) =>
+                    val vl = readVarint(bb).toInt
+                    val sub = bb.duplicate(); sub.limit(bb.position() + vl)
+                    WalCompression.readCoded(sub, ctx.table)
+                    bb.position(bb.position() + vl)
+                  case (_, w) => skipField(bb, w)
+                }
+              }
+            case _ => skipField(bb, wire) // cluster_ids, …
           }
         }
         val cells = (0 until kvCount).map { _ =>
-          val kvLen = bb.getInt
-          val kvEnd = bb.position() + kvLen
-          val kLen = bb.getInt
-          val vLen = bb.getInt
-          val key = new Array[Byte](kLen); bb.get(key)
-          val value = new Array[Byte](vLen); bb.get(value)
-          if (bb.position() < kvEnd) {
-            val tagsLen = bb.getShort & 0xffff // trailing tags section
-            bb.position(bb.position() + tagsLen)
+          if (compressed) {
+            // CompressedKvDecoder (WALCellCodec.java:291-352)
+            def vint(): Int = {
+              var v = 0; var shift = 0; var b = 0
+              do { b = bb.get() & 0xff; v |= (b & 0x7f) << shift; shift += 7 } while ((b & 0x80) != 0)
+              v
+            }
+            vint() // key length (reconstructable; parsed for position only)
+            val vLen = vint()
+            val tagsLen = vint()
+            val row = WalCompression.readCoded(bb, ctx.row)
+            val fam = WalCompression.readCoded(bb, ctx.family)
+            val qual = WalCompression.readCoded(bb, ctx.qualifier)
+            val ts = bb.getLong
+            val typ = bb.get()
+            val value = new Array[Byte](vLen); bb.get(value)
+            if (tagsLen > 0) bb.position(bb.position() + tagsLen)
+            HCell(row, fam, qual, ts, typ, value)
+          } else {
+            val kvLen = bb.getInt
+            val kvEnd = bb.position() + kvLen
+            val kLen = bb.getInt
+            val vLen = bb.getInt
+            val key = new Array[Byte](kLen); bb.get(key)
+            val value = new Array[Byte](vLen); bb.get(value)
+            if (bb.position() < kvEnd) {
+              val tagsLen = bb.getShort & 0xffff // trailing tags section
+              bb.position(bb.position() + tagsLen)
+            }
+            require(bb.position() == kvEnd, "KeyValue length mismatch")
+            val kb = ByteBuffer.wrap(key)
+            val rowLen = kb.getShort & 0xffff
+            val row = new Array[Byte](rowLen); kb.get(row)
+            val famLen = kb.get() & 0xff
+            val fam = new Array[Byte](famLen); kb.get(fam)
+            val qual = new Array[Byte](kLen - 2 - rowLen - 1 - famLen - 8 - 1)
+            kb.get(qual)
+            val ts = kb.getLong
+            val typ = kb.get()
+            HCell(row, fam, qual, ts, typ, value)
           }
-          require(bb.position() == kvEnd, "KeyValue length mismatch")
-          val kb = ByteBuffer.wrap(key)
-          val rowLen = kb.getShort & 0xffff
-          val row = new Array[Byte](rowLen); kb.get(row)
-          val famLen = kb.get() & 0xff
-          val fam = new Array[Byte](famLen); kb.get(fam)
-          val qual = new Array[Byte](kLen - 2 - rowLen - 1 - famLen - 8 - 1)
-          kb.get(qual)
-          val ts = kb.getLong
-          val typ = kb.get()
-          HCell(row, fam, qual, ts, typ, value)
         }
         Some(WalEntry(region, table, seq, writeTime, cells.toIndexedSeq))
       }

@@ -43,7 +43,8 @@ object PWalFiles {
     * row-mutation shape; log_sequence_number is monotone per segment
     * (startSeq + entry index) and write_time carries the entry ts. */
   def export(wal: DataFrame, numSegments: Int, outPath: String,
-      table: String = "graft", withTrailer: Boolean = true): Unit = {
+      table: String = "graft", withTrailer: Boolean = true,
+      compressed: Boolean = false): Unit = {
     val ordered = wal
       .repartitionByRange(numSegments, col("ts"), col("row"))
       .sortWithinPartitions(
@@ -82,7 +83,7 @@ object PWalFiles {
               PWal.WalEntry(region, tableBytes, seqNo, ts, cells.toIndexedSeq)
             }
           }
-          PWal.write(out, entries, withTrailer)
+          PWal.write(out, entries, withTrailer, compressed)
           ()
         } finally out.close()
       }

@@ -478,6 +478,34 @@ object ReplayQueries {
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     ),
     QDef(
+      // q86's replay with WAL DICTIONARY COMPRESSION on
+      // (hbase.regionserver.wal.enablecompression — codec/
+      // WalCompression.scala citing LRUDictionary.java:78-126,
+      // WALCellCodec.java:169-180,291-374): WALKey region/table and
+      // every cell's row/family/qualifier code through five shared
+      // LRU dictionaries with index recycling; writer find-hits and
+      // reader gets both touch the LRU so the two ends stay
+      // synchronized across evictions. Same WALPlayer oracle as q86.
+      "q89_pwal_compressed",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("q89_pwal_comp")
+        graft.flow.PWalFiles.export(
+          Fixtures.cellsEventsV(s, dir), 4, s"$out/wals",
+          compressed = true)
+        Jobs.walPlayer(
+            graft.flow.PWalFiles.importEntries(s, s"$out/wals"),
+            timeRange = Some((2L, 4L)),
+            rowRemap = Some(r => concat(lit("t2:"), r)),
+            bulkLoadMode = true)
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "qualifier", "ts")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT 't2:' || row AS row, family, qualifier, ts, type, value
+          |FROM cells_events_v WHERE ts >= 2 AND ts < 4 AND type = 'Put'
+          |ORDER BY row, qualifier, ts""".stripMargin))
+    ),
+    QDef(
       // S9's byte-format STREAMING form: tail a PB WAL segment
       // directory live (PWalFiles.streamEntries — the
       // ReplicationSource shape over the real wire format): segments
