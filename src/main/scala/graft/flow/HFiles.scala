@@ -64,12 +64,25 @@ object HFiles {
   def export(cells: DataFrame, numRegions: Int, outPath: String,
       blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0,
       compression: Int = HFileV3.CompressionNone,
-      rowColBloom: Boolean = false): Unit = {
+      rowColBloom: Boolean = false, perFamily: Boolean = false): Unit = {
+    // perFamily: ONE STORE FILE PER COLUMN FAMILY per region — the
+    // reference's actual store layout (a Store is per-family;
+    // HFileOutputFormat2 opens one writer per family). Sorting puts
+    // the family FIRST within the region's row range, so each
+    // family's run is itself comparator-sorted and streams through
+    // its own writer; multi-family tables then match the reference
+    // layout exactly (and the delta encodings' one-family-per-file
+    // requirement holds by construction).
+    val sortCols =
+      if (perFamily)
+        Seq(col("family"), col("row"), col("qualifier"),
+          col("ts").desc, typeRank.desc)
+      else
+        Seq(col("row"), col("family"), col("qualifier"),
+          col("ts").desc, typeRank.desc)
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
-      .sortWithinPartitions(
-        col("row"), col("family"), col("qualifier"),
-        col("ts").desc, typeRank.desc)
+      .sortWithinPartitions(sortCols: _*)
       .select("row", "family", "qualifier", "ts", "type", "value")
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -78,23 +91,46 @@ object HFiles {
         // a deployment threads the cluster conf via spark-defaults
         // (spark.hadoop.*), which Configuration() picks up from the
         // classpath resources.
-        val path = new Path(f"$outPath%s/part-$pid%05d.hfile")
-        val fs = path.getFileSystem(new Configuration())
-        val out = fs.create(path, true)
-        try {
-          val hcells = it.map { r =>
-            HCell(
-              r.getString(0).getBytes("UTF-8"),
-              r.getString(1).getBytes("UTF-8"),
-              r.getString(2).getBytes("UTF-8"),
-              r.getLong(3),
-              typeToCode(r.getString(4)),
-              Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+        val fs = new Path(outPath).getFileSystem(new Configuration())
+        def toCell(r: Row): HCell = HCell(
+          r.getString(0).getBytes("UTF-8"),
+          r.getString(1).getBytes("UTF-8"),
+          r.getString(2).getBytes("UTF-8"),
+          r.getLong(3),
+          typeToCode(r.getString(4)),
+          Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+        if (!perFamily) {
+          val path = new Path(f"$outPath%s/part-$pid%05d.hfile")
+          val out = fs.create(path, true)
+          try {
+            HFileV3.write(out, it.map(toCell), blockSize, gz = gz,
+              encoding = encoding, compression = compression,
+              rowColBloom = rowColBloom)
+            ()
+          } finally out.close()
+        } else {
+          // consume one family run at a time; each run is sorted and
+          // streams straight through its own file writer
+          val bufIt = it.buffered
+          while (bufIt.hasNext) {
+            val fam = bufIt.head.getString(1)
+            val path = new Path(f"$outPath%s/part-$pid%05d-$fam%s.hfile")
+            val out = fs.create(path, true)
+            try {
+              // (named bufIt: `buffered` inside the anonymous Iterator
+              // would resolve to ITS OWN inherited .buffered method)
+              val run = new Iterator[HCell] {
+                def hasNext: Boolean =
+                  bufIt.hasNext && bufIt.head.getString(1) == fam
+                def next(): HCell = toCell(bufIt.next())
+              }
+              HFileV3.write(out, run, blockSize, gz = gz,
+                encoding = encoding, compression = compression,
+                rowColBloom = rowColBloom)
+              ()
+            } finally out.close()
           }
-          HFileV3.write(out, hcells, blockSize, gz = gz, encoding = encoding,
-            compression = compression, rowColBloom = rowColBloom)
-          ()
-        } finally out.close()
+        }
       }
     }
   }

@@ -45,19 +45,18 @@ object SnapshotShip {
     * and writes the manifest pair. */
   def exportSnapshot(cells: DataFrame, numRegions: Int, destRoot: String,
       snapshotName: String, table: String,
-      creationTime: Long = 0L): Unit = {
+      creationTime: Long = 0L, perFamily: Boolean = false): Unit = {
     val (ns, qual) = split(table)
     val spark = cells.sparkSession
     val tmp = s"$destRoot/.tmp-$snapshotName"
-    HFiles.export(cells, numRegions, tmp)
+    HFiles.export(cells, numRegions, tmp, perFamily = perFamily)
     val fs = new Path(destRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = Option(fs.globStatus(new Path(tmp, "part-*.hfile")))
       .getOrElse(Array.empty).sortBy(_.getPath.getName)
     // families come from the table's cells — a bounded set (schema-like)
     val families = cells.select("family").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    // region boundaries from the store files themselves: 3 preads each
-    val firstRows = parts.map { st =>
+    def firstRowOf(st: org.apache.hadoop.fs.FileStatus): Array[Byte] = {
       val in = fs.open(st.getPath)
       try {
         val pread: HFileV3.PRead = (off, n) => {
@@ -73,28 +72,55 @@ object SnapshotShip {
         }
       } finally in.close()
     }
-    val regions = parts.zipWithIndex.map { case (st, i) =>
-      val regionName = regionNameOf(i)
-      val sfName = f"sf-$i%05d"
-      val famDirs = families.map { fam =>
-        val famDir = new Path(s"$destRoot/archive/data/$ns/$qual/$regionName/$fam")
-        fs.mkdirs(famDir)
-        famDir
+    // part-PPPPP[.hfile] or part-PPPPP-FAM.hfile → (pid, familyOpt)
+    val PartName = "part-(\\d{5})(?:-(.+))?\\.hfile".r
+    val byRegion = parts.map { st =>
+      st.getPath.getName match {
+        case PartName(pid, fam) => (pid.toInt, Option(fam), st)
+        case other => throw new IllegalStateException(s"unexpected part $other")
       }
-      // the one physical file lives under the FIRST family dir; other
-      // families reference the same name (graft region files are
-      // multi-family; single-family tables match the reference 1:1)
-      val target = new Path(famDirs.head, sfName)
-      fs.rename(st.getPath, target)
-      val size = fs.getFileStatus(target).getLen
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    // region boundaries: the min first-row across the region's files
+    // (with per-family files, one file's first row is its family's)
+    val regionStarts = byRegion.map { case (_, f) =>
+      f.map(t => firstRowOf(t._3))
+        .minBy(b => new String(b, StandardCharsets.ISO_8859_1))
+    }
+    val regions = byRegion.zipWithIndex.map { case ((_, regionParts), i) =>
+      val regionName = regionNameOf(i)
+      val famFiles: Seq[(String, String, Long)] = regionParts.toSeq.map {
+        case (_, famOpt, st) =>
+          val fam = famOpt.getOrElse(families.head)
+          val sfName = famOpt.fold(f"sf-$i%05d")(f => f"sf-$i%05d-$f")
+          val famDir = new Path(s"$destRoot/archive/data/$ns/$qual/$regionName/$fam")
+          fs.mkdirs(famDir)
+          val target = new Path(famDir, sfName)
+          fs.rename(st.getPath, target)
+          (fam, sfName, fs.getFileStatus(target).getLen)
+      }
+      // remaining family dirs exist even when empty (reference layout)
+      families.foreach(f => fs.mkdirs(
+        new Path(s"$destRoot/archive/data/$ns/$qual/$regionName/$f")))
+      val familyManifests =
+        if (perFamily)
+          famFiles.sortBy(_._1).map { case (fam, sfName, size) =>
+            SM.FamilyFiles(fam.getBytes(StandardCharsets.UTF_8),
+              Seq(SM.StoreFileRef(sfName, size)))
+          }
+        else {
+          // single multi-family region file: every family lists the
+          // shared name (single-family tables match the reference 1:1)
+          val (_, sfName, size) = famFiles.head
+          families.map(f =>
+            SM.FamilyFiles(f.getBytes(StandardCharsets.UTF_8),
+              Seq(SM.StoreFileRef(sfName, size))))
+        }
       SM.RegionManifest(
         regionId = creationTime + i,
-        startKey = if (i == 0) Array.emptyByteArray else firstRows(i),
-        endKey = if (i == parts.length - 1) Array.emptyByteArray
-          else firstRows(i + 1),
-        families = families.map(f =>
-          SM.FamilyFiles(f.getBytes(StandardCharsets.UTF_8),
-            Seq(SM.StoreFileRef(sfName, size)))))
+        startKey = if (i == 0) Array.emptyByteArray else regionStarts(i),
+        endKey = if (i == byRegion.size - 1) Array.emptyByteArray
+          else regionStarts(i + 1),
+        families = familyManifests)
     }.toSeq
     fs.delete(new Path(tmp), true)
     val snap = SM.Snapshot(snapshotName, table, creationTime,
@@ -140,9 +166,14 @@ object SnapshotShip {
     // both resolve here, like the reference's StoreFileInfo open path.
     val files = regions.zipWithIndex.flatMap { case (r, i) =>
       val regionName = regionNameOf(i)
-      r.families.headOption.toSeq.flatMap { ff =>
+      // every family's files, deduped by name per region: per-family
+      // layouts list distinct files each under its own family; the
+      // multi-family single-file layout lists ONE shared name under
+      // every family and the physical file lives under the first
+      val seen = scala.collection.mutable.Set.empty[String]
+      r.families.flatMap { ff =>
         val fam = new String(ff.family, StandardCharsets.UTF_8)
-        ff.files.map { sf =>
+        ff.files.filter(sf => seen.add(sf.name)).map { sf =>
           val p = SM.parseLinkName(sf.name) match {
             case Some((lns, ltable, lregion, lhfile)) =>
               new Path(s"$destRoot/archive/data/$lns/$ltable/$lregion/$fam/$lhfile")
@@ -189,9 +220,9 @@ object SnapshotShip {
       val sf = r.families.head.files.head
       val path = new Path(
         s"$destRoot/archive/data/$ns/$qual/$parentRegion/$fam/${sf.name}")
-      // split row = the parent file's middle block first-row (the
-      // reference splits at the store's midkey — HFileBlockIndex
-      // mid-key metadata's purpose)
+      // split row = the parent's largest-store middle block first-row
+      // (the reference splits a region at ONE point for all stores —
+      // the biggest store's midkey, HFileBlockIndex mid-key metadata)
       val in = fs.open(path)
       val midRow = try {
         val len = fs.getFileStatus(path).getLen
@@ -204,14 +235,17 @@ object SnapshotShip {
         val rl = ((k(0) & 0xff) << 8) | (k(1) & 0xff)
         java.util.Arrays.copyOfRange(k, 2, 2 + rl)
       } finally in.close()
-      val linkName = s"$ns=$qual=$parentRegion-${sf.name}"
       Seq(false, true).zipWithIndex.map { case (top, d) =>
         SM.RegionManifest(
           regionId = ct + i * 2 + d,
           startKey = if (top) midRow else r.startKey,
           endKey = if (top) r.endKey else midRow,
+          // every parent store file becomes a half-reference link in
+          // the daughter, family by family (dedupe-by-name on import
+          // handles the shared-name multi-family layout)
           families = r.families.map(ffam => SM.FamilyFiles(ffam.family,
-            Seq(SM.StoreFileRef(linkName, sf.fileSize,
+            ffam.files.map(psf => SM.StoreFileRef(
+              s"$ns=$qual=$parentRegion-${psf.name}", psf.fileSize,
               Some(SM.RefHalf(midRow, top)))))))
       }
     }

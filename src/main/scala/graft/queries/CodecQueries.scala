@@ -288,6 +288,38 @@ object CodecQueries {
              |WHERE row IN ($keyList) AND qualifier = 'o_totalprice'
              |ORDER BY row, family, qualifier, ts, type, value""".stripMargin)
       }
+    ),
+    QDef(
+      // C10: PER-FAMILY store files + split references on a
+      // MULTI-family table — the reference's actual store layout (a
+      // Store is per column family; HFileOutputFormat2 opens one
+      // writer per family): the snapshot tree holds one comparator-
+      // sorted file per (region, family), the split snapshot turns
+      // every one of them into TOP/BOTTOM half-references, and the
+      // manifest-driven import reassembles the table exactly. The
+      // second family 'm' carries UPPER(value) so family separation
+      // is observable, not cosmetic.
+      "c10_perfamily_snapshot",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c10_perfam")
+        val base = graft.model.Fixtures.cellsOrders(s, dir)
+        val cells = base.unionByName(
+          base.withColumn("family", lit("m"))
+            .withColumn("value", upper(col("value"))))
+        graft.flow.SnapshotShip.exportSnapshot(cells, 4, s"$out/ship",
+          "snapF", "c10tbl", perFamily = true)
+        graft.flow.SnapshotShip.splitSnapshot(s, s"$out/ship", "snapF", "snapG")
+        graft.flow.SnapshotShip.importSnapshot(s, s"$out/ship", "snapG")
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, type, value FROM (
+          |  SELECT row, family, qualifier, ts, type, value FROM cells_orders
+          |  UNION ALL
+          |  SELECT row, 'm' AS family, qualifier, ts, type, UPPER(value) AS value
+          |  FROM cells_orders)
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }
