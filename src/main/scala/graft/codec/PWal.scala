@@ -103,16 +103,27 @@ object PWal {
     * through the shared LRU dictionaries
     * (WALCellCodec.CompressedKvEncoder). Returns the entry count. */
   def write(out: OutputStream, entries: Iterator[WalEntry],
-      withTrailer: Boolean = true, compressed: Boolean = false): Long = {
+      withTrailer: Boolean = true, compressed: Boolean = false,
+      valueCompression: Int = 0): Long = {
+    require(valueCompression == 0 || compressed,
+      "WAL value compression is a sub-feature of WAL compression " +
+        "(WALHeader.has_value_compression implies has_compression)")
     out.write(Magic)
     val hdr = new ByteArrayOutputStream()
     pbVarintField(hdr, 1, if (compressed) 1L else 0L)
     pbVarintField(hdr, 3, 0L) // has_tag_compression = false
     pbBytesField(hdr, 4, WriterClsName.getBytes(StandardCharsets.UTF_8))
     pbBytesField(hdr, 5, CellCodecClsName.getBytes(StandardCharsets.UTF_8))
+    if (valueCompression != 0) {
+      pbVarintField(hdr, 6, 1L) // has_value_compression
+      pbVarintField(hdr, 7, valueCompression.toLong)
+    }
     writeVarint(out, hdr.size().toLong)
     hdr.writeTo(out)
     val ctx = if (compressed) new WalCompression.Ctx else null
+    val valueComp =
+      if (valueCompression != 0) new WalCompression.ValueCompressor(valueCompression)
+      else null
     var n = 0L
     for (e <- entries) {
       val key = new ByteArrayOutputStream()
@@ -153,7 +164,17 @@ object PWal {
           tb.putLong(c.ts)
           tb.put(c.typ)
           cell.write(tb.array(), 0, 9)
-          cell.write(c.value, 0, c.value.length)
+          if (valueComp != null) {
+            // writeCompressedValue: varint segment length + the bytes
+            // the shared stream flushed for this value
+            val seg = valueComp.compress(c.value)
+            var x = seg.length
+            while ((x & ~0x7f) != 0) { cell.write((x & 0x7f) | 0x80); x >>>= 7 }
+            cell.write(x)
+            cell.write(seg, 0, seg.length)
+          } else {
+            cell.write(c.value, 0, c.value.length)
+          }
           cell.writeTo(out)
         } else {
           val keyBytes = HFileV3.cellKeyBytes(c)
@@ -185,11 +206,11 @@ object PWal {
     bos.toByteArray
   }
 
-  /** [[writeBytes]] with the compression knob exposed. */
+  /** [[writeBytes]] with the compression knobs exposed. */
   def writeBytes2(entries: Iterator[WalEntry], withTrailer: Boolean = true,
-      compressed: Boolean = false): Array[Byte] = {
+      compressed: Boolean = false, valueCompression: Int = 0): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    write(bos, entries, withTrailer, compressed)
+    write(bos, entries, withTrailer, compressed, valueCompression)
     bos.toByteArray
   }
 
@@ -210,6 +231,8 @@ object PWal {
     val hdrLen = readVarint(bb).toInt
     val hdrEnd = bb.position() + hdrLen
     var compressed = false
+    var valueCompression = 0
+    var hasValueCompression = false
     while (bb.position() < hdrEnd) {
       val tag = readVarint(bb)
       val field = (tag >> 3).toInt
@@ -220,12 +243,15 @@ object PWal {
           throw new IllegalArgumentException("encrypted WAL segments are not supported")
         case 3 =>
           require(readVarint(bb) == 0L, "tag-compressed WAL segments are not supported")
-        case 6 =>
-          require(readVarint(bb) == 0L, "value-compressed WAL segments are not supported")
+        case 6 => hasValueCompression = readVarint(bb) != 0L
+        case 7 => valueCompression = readVarint(bb).toInt
         case _ => skipField(bb, wire)
       }
     }
     val ctx = if (compressed) new WalCompression.Ctx else null
+    val valueDecomp =
+      if (hasValueCompression) new WalCompression.ValueDecompressor(valueCompression)
+      else null
     // trailer probe (AbstractProtobufWALReader.setTrailerIfPresent):
     // last 4 bytes LAWP, int before it = trailer size
     var stopOffset = bytes.length.toLong
@@ -325,7 +351,18 @@ object PWal {
             val qual = WalCompression.readCoded(bb, ctx.qualifier)
             val ts = bb.getLong
             val typ = bb.get()
-            val value = new Array[Byte](vLen); bb.get(value)
+            val value =
+              if (valueDecomp != null) {
+                // readCompressedValue: varint segment length, feed the
+                // continuous stream, pull exactly vLen bytes
+                val segLen = vint()
+                valueDecomp.addSegment(bb.array(),
+                  bb.arrayOffset() + bb.position(), segLen)
+                bb.position(bb.position() + segLen)
+                valueDecomp.read(vLen)
+              } else {
+                val v = new Array[Byte](vLen); bb.get(v); v
+              }
             if (tagsLen > 0) bb.position(bb.position() + tagsLen)
             HCell(row, fam, qual, ts, typ, value)
           } else {

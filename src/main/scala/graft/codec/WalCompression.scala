@@ -134,4 +134,132 @@ object WalCompression {
       dict.get(idx)
     }
   }
+
+  // ------------------------------------------------------------------
+  // WAL value compression (CompressionContext.ValueCompressor:73-107)
+  // ------------------------------------------------------------------
+
+  /** Write side: ONE compression stream spans every value in the WAL;
+    * each cell stores the bytes the stream FLUSHED for its value
+    * (varint length + segment). GZ gets true cross-value dictionary
+    * compression (sync-flush deflate); SNAPPY/LZ4/ZSTD flush one
+    * self-contained BlockCompressorStream frame per value. */
+  final class ValueCompressor(algo: Int) {
+    private val baos = new ByteArrayOutputStream()
+    private lazy val gz = new java.util.zip.GZIPOutputStream(baos, true) // syncFlush
+    def compress(value: Array[Byte]): Array[Byte] = {
+      if (algo == HFileV3.CompressionGz) {
+        gz.write(value)
+        gz.flush()
+      } else {
+        // [int rawLen][int compLen][chunk] — one frame per value
+        val dos = new java.io.DataOutputStream(baos)
+        dos.writeInt(value.length)
+        val comp = algo match {
+          case HFileV3.CompressionSnappy =>
+            val dst = new Array[Byte](
+              org.xerial.snappy.Snappy.maxCompressedLength(value.length))
+            val n = org.xerial.snappy.Snappy.rawCompress(value, 0, value.length, dst, 0)
+            java.util.Arrays.copyOf(dst, n)
+          case HFileV3.CompressionLz4 =>
+            val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+            val dst = new Array[Byte](c.maxCompressedLength(value.length))
+            val n = c.compress(value, 0, value.length, dst, 0, dst.length)
+            java.util.Arrays.copyOf(dst, n)
+          case HFileV3.CompressionZstd =>
+            com.github.luben.zstd.Zstd.compress(value, 3)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported WAL value codec $other")
+        }
+        dos.writeInt(comp.length)
+        dos.write(comp)
+      }
+      val seg = baos.toByteArray
+      baos.reset()
+      seg
+    }
+  }
+
+  /** Read side: the continuous-stream twin — compressed segments feed
+    * in arrival order and each value pulls exactly its length out, so
+    * segment boundaries never need to align with codec frames (a
+    * reference writer may buffer one value's bytes into the next
+    * segment). GZ runs a persistent raw-deflate Inflater (gzip header
+    * stripped at stream start); the block codecs parse
+    * [rawLen][compLen][chunk] frames from the concatenated bytes. */
+  final class ValueDecompressor(algo: Int) {
+    private val pending = new ByteArrayOutputStream() // compressed, unconsumed
+    private val ready = new ByteArrayOutputStream() // decompressed, unserved
+    private var served = 0
+    private val inflater = new java.util.zip.Inflater(true)
+    private var gzHeaderStripped = false
+
+    def addSegment(seg: Array[Byte], off: Int, len: Int): Unit =
+      pending.write(seg, off, len)
+
+    /** Pull exactly `n` decompressed bytes. */
+    def read(n: Int): Array[Byte] = {
+      while (ready.size() - served < n) decodeMore()
+      val all = ready.toByteArray
+      val out = java.util.Arrays.copyOfRange(all, served, served + n)
+      served += n
+      if (served > (1 << 20)) { // compact the served prefix
+        val rest = java.util.Arrays.copyOfRange(all, served, all.length)
+        ready.reset(); ready.write(rest, 0, rest.length); served = 0
+      }
+      out
+    }
+
+    private def decodeMore(): Unit = {
+      val buf = pending.toByteArray
+      require(buf.nonEmpty, "value decompressor starved (truncated WAL?)")
+      if (algo == HFileV3.CompressionGz) {
+        var off = 0
+        if (!gzHeaderStripped) {
+          require(buf.length >= 10 && (buf(0) & 0xff) == 0x1f && (buf(1) & 0xff) == 0x8b,
+            "missing gzip header in value stream")
+          require((buf(3) & 0xfe) == 0, "gzip extra header fields unsupported")
+          off = 10
+          gzHeaderStripped = true
+        }
+        inflater.setInput(buf, off, buf.length - off)
+        val tmp = new Array[Byte](8192)
+        var produced = 0
+        var n = inflater.inflate(tmp)
+        while (n > 0) { ready.write(tmp, 0, n); produced += n; n = inflater.inflate(tmp) }
+        require(produced > 0, "deflate made no progress (truncated WAL value stream?)")
+        pending.reset() // inflater holds any remainder internally? No —
+        // Inflater consumes what it can; unconsumed input remains in its
+        // buffer reference, so keep only what it did not consume:
+        val rem = inflater.getRemaining
+        if (rem > 0) pending.write(buf, buf.length - rem, rem)
+      } else {
+        // need at least one complete [rawLen][compLen][chunk] frame
+        val bb = ByteBuffer.wrap(buf)
+        require(bb.remaining() >= 8, "truncated value frame header")
+        val rawLen = bb.getInt
+        val compLen = bb.getInt
+        require(bb.remaining() >= compLen, "truncated value frame body")
+        val outBuf = new Array[Byte](rawLen)
+        val srcOff = bb.position()
+        val n = algo match {
+          case HFileV3.CompressionSnappy =>
+            org.xerial.snappy.Snappy.rawUncompress(buf, srcOff, compLen, outBuf, 0)
+          case HFileV3.CompressionLz4 =>
+            net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+              .decompress(buf, srcOff, compLen, outBuf, 0)
+          case HFileV3.CompressionZstd =>
+            com.github.luben.zstd.Zstd.decompressByteArray(
+              outBuf, 0, rawLen, buf, srcOff, compLen).toInt
+          case other =>
+            throw new IllegalArgumentException(s"unsupported WAL value codec $other")
+        }
+        require(n == rawLen, s"value frame decoded $n of $rawLen bytes")
+        ready.write(outBuf, 0, rawLen)
+        val restOff = srcOff + compLen
+        pending.reset()
+        if (restOff < buf.length) pending.write(buf, restOff, buf.length - restOff)
+      }
+    }
+  }
 }

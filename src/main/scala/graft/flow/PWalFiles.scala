@@ -44,7 +44,7 @@ object PWalFiles {
     * (startSeq + entry index) and write_time carries the entry ts. */
   def export(wal: DataFrame, numSegments: Int, outPath: String,
       table: String = "graft", withTrailer: Boolean = true,
-      compressed: Boolean = false): Unit = {
+      compressed: Boolean = false, valueCompression: Int = 0): Unit = {
     val ordered = wal
       .repartitionByRange(numSegments, col("ts"), col("row"))
       .sortWithinPartitions(
@@ -83,7 +83,7 @@ object PWalFiles {
               PWal.WalEntry(region, tableBytes, seqNo, ts, cells.toIndexedSeq)
             }
           }
-          PWal.write(out, entries, withTrailer, compressed)
+          PWal.write(out, entries, withTrailer, compressed, valueCompression)
           ()
         } finally out.close()
       }

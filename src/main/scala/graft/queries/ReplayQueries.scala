@@ -485,13 +485,17 @@ object ReplayQueries {
       // every cell's row/family/qualifier code through five shared
       // LRU dictionaries with index recycling; writer find-hits and
       // reader gets both touch the LRU so the two ends stay
-      // synchronized across evictions. Same WALPlayer oracle as q86.
+      // synchronized across evictions — PLUS value compression
+      // (HBASE-25869: one gz stream spans every value, per-cell
+      // flushed segments, cross-value back-references). Same
+      // WALPlayer oracle as q86.
       "q89_pwal_compressed",
       (s, dir) => {
         val out = graft.Queries.scratchDir("q89_pwal_comp")
         graft.flow.PWalFiles.export(
           Fixtures.cellsEventsV(s, dir), 4, s"$out/wals",
-          compressed = true)
+          compressed = true,
+          valueCompression = graft.codec.HFileV3.CompressionGz)
         Jobs.walPlayer(
             graft.flow.PWalFiles.importEntries(s, s"$out/wals"),
             timeRange = Some((2L, 4L)),
