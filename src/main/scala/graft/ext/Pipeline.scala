@@ -596,10 +596,13 @@ object Pipeline {
     val rCnt = toks.groupBy("b").agg(count(lit(1)).as("cr"))
     val tots = tCnt.agg(sum(col("ct")).as("tt"))
       .crossJoin(rCnt.agg(sum(col("cr")).as("rt")))
-    val term = floor(
-      (log(col("ct").cast("double") + 1) - log(col("tt").cast("double") + buckets)
-        - log(col("cr").cast("double") + 1) + log(col("rt").cast("double") + buckets))
-        * 1000000).cast("long")
+    def lnQ1k(c: org.apache.spark.sql.Column) =
+      floor(lit(1000.0) * log(c.cast("double")) + lit(0.5)).cast("long")
+    // each ln is integer-quantized FIRST (the r8-verdict e76 contract:
+    // the engine-variant transcendental never reaches an outer floor);
+    // the four-term combination is then exact integer arithmetic
+    val term = (lnQ1k(col("ct") + lit(1)) - lnQ1k(col("tt") + lit(buckets))
+      - lnQ1k(col("cr") + lit(1)) + lnQ1k(col("rt") + lit(buckets))) * lit(1000L)
     val scored = toks
       .filter(!col("__t"))
       .join(broadcast(tCnt), Seq("b"), "left")

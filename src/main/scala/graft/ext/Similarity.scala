@@ -23,6 +23,12 @@ import graft.functions.VectorFunctions.{dot_fold, l2_norm}
   */
 object Similarity {
 
+  /** ln quantized to an integer at 1e-3 with a centered round — the
+    * engine-drift guard shared with TextAnalysis (r8-verdict e76 fix):
+    * the transcendental never reaches an outer FLOOR. */
+  private def lnQ1k(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lit(1000.0) * log(c.cast("double")) + lit(0.5)).cast("long")
+
   /** Cosine similarity of two array<float/double> columns as
     * sequential double folds (deterministic across engines). */
   def cosine(a: Column, b: Column): Column =
@@ -838,8 +844,7 @@ object Similarity {
       .join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(ncl))
       .withColumn("score_q",
-        floor(col("tf") * (log(col("ncl").cast("double") + 1)
-          - log(col("df").cast("double") + 1)) * 1000000).cast("long"))
+        col("tf") * (lnQ1k(col("ncl") + lit(1)) - lnQ1k(col("df") + lit(1))) * lit(1000L))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("cluster"), col("rank"), col("tok"), col("score_q"))

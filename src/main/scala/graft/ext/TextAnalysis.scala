@@ -133,6 +133,17 @@ object TextAnalysis {
     * layout or engine summation order (the same quantization contract
     * as the IVF centroid trainer). 1e-6 is far below any quality
     * signal. */
+  /** ln quantized to an integer at 1e-3 granularity with a centered
+    * round — the engine-drift guard (same contract as [[bm25TopK]]'s
+    * idf_q, the r8-verdict fix): the ONLY op two engines may compute
+    * differently (ln, by an ulp) is pinned to an integer FIRST, and
+    * everything downstream is exact integer arithmetic. A drift flip
+    * would need the true value within ~1e-12 of a .5 boundary at 1e-3
+    * scale, and the trial count is distinct-COUNT-sized (vocabulary),
+    * not token-stream-sized. */
+  private def lnQ(c: Column): Column =
+    floor(lit(1000.0) * log(c.cast("double")) + lit(0.5)).cast("long")
+
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
@@ -145,8 +156,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(floor((log(col("cnt").cast("double")) - log(col("tot").cast("double"))) * 1000000)
-          .cast("long")).as("__s"))
+        sum((lnQ(col("cnt")) - lnQ(col("tot"))) * lit(1000L)).as("__s"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("__s").cast("double") / (col("n_tokens") * 1000000.0), 4).as("avg_logp"))
   }
@@ -181,8 +191,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum(floor((log(col("c2").cast("double")) - log(col("c1").cast("double"))) * 1000000)
-          .cast("long")).as("__s"))
+        sum((lnQ(col("c2")) - lnQ(col("c1"))) * lit(1000L)).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s").cast("double") / (col("n_bigrams") * 1000000.0), 4).as("avg_logp"))
   }
@@ -255,8 +264,7 @@ object TextAnalysis {
       .join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score_q",
-        floor(col("tf") * (log(col("n_docs").cast("double") + 1)
-          - log(col("df").cast("double") + 1)) * 1000000).cast("long"))
+        col("tf") * (lnQ(col("n_docs") + lit(1)) - lnQ(col("df") + lit(1))) * lit(1000L))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("tok"), col("score_q"))
@@ -486,8 +494,7 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("win"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(floor((log(col("cnt").cast("double")) - log(col("tot").cast("double"))) * 1000000)
-          .cast("long")).as("__s"))
+        sum((lnQ(col("cnt")) - lnQ(col("tot"))) * lit(1000L)).as("__s"))
       .withColumn("win_logp",
         round(col("__s").cast("double") / (col("n_tokens") * 1000000.0), 4))
     val worst = Window.partitionBy(col("doc_id"))

@@ -976,9 +976,9 @@ object ExtQueries {
               |n AS (SELECT COUNT(*) AS n_docs FROM documents)
               |SELECT doc_id, rank, tok, score_q FROM (
               |  SELECT tf.doc_id, tf.tok,
-              |         CAST(FLOOR(tf.tf * (ln(n.n_docs + 1.0) - ln(df.df + 1.0)) * 1000000) AS BIGINT) AS score_q,
+              |         tf.tf * (CAST(FLOOR(1000.0 * ln(n.n_docs + 1.0) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(df.df + 1.0) + 0.5) AS BIGINT)) * 1000 AS score_q,
               |         row_number() OVER (PARTITION BY tf.doc_id
-              |           ORDER BY CAST(FLOOR(tf.tf * (ln(n.n_docs + 1.0) - ln(df.df + 1.0)) * 1000000) AS BIGINT) DESC,
+              |           ORDER BY tf.tf * (CAST(FLOOR(1000.0 * ln(n.n_docs + 1.0) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(df.df + 1.0) + 0.5) AS BIGINT)) * 1000 DESC,
               |                    tf.tok) AS rank
               |  FROM tf JOIN df USING (tok) CROSS JOIN n
               |) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
@@ -998,7 +998,7 @@ object ExtQueries {
               |tt AS (SELECT SUM(cnt) AS tot FROM v),
               |sc AS (
               |  SELECT p.doc_id,
-              |         ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |         ROUND(SUM((CAST(FLOOR(1000.0 * ln(CAST(v.cnt AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(CAST(tt.tot AS DOUBLE)) + 0.5) AS BIGINT)) * 1000)
               |               / (COUNT(*) * 1000000.0), 4) AS avg_logp
               |  FROM p JOIN v USING (tok) CROSS JOIN tt GROUP BY p.doc_id)
               |SELECT doc_id, avg_logp,
@@ -1194,7 +1194,7 @@ object ExtQueries {
               |nc AS (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS ncl FROM tf),
               |sc AS (
               |  SELECT cluster, tok, tf,
-              |         CAST(FLOOR(tf * (ln(ncl + CAST(1 AS DOUBLE)) - ln(df + CAST(1 AS DOUBLE))) * 1000000) AS BIGINT) AS score_q
+              |         tf * (CAST(FLOOR(1000.0 * ln(ncl + CAST(1 AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(df + CAST(1 AS DOUBLE)) + 0.5) AS BIGINT)) * 1000 AS score_q
               |  FROM tf JOIN dfx USING (tok) CROSS JOIN nc)
               |SELECT cluster, rank, tok, score_q FROM (
               |  SELECT cluster, tok, score_q,

@@ -234,7 +234,7 @@ object PipelineQueries {
               |  SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok
               |), tt AS (SELECT SUM(cnt) AS tot FROM v)
               |SELECT p.doc_id, COUNT(*) AS n_tokens,
-              |       ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |       ROUND(SUM((CAST(FLOOR(1000.0 * ln(CAST(v.cnt AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(CAST(tt.tot AS DOUBLE)) + 0.5) AS BIGINT)) * 1000)
               |             / (COUNT(*) * 1000000.0), 4) AS avg_logp
               |FROM p JOIN v USING (tok) CROSS JOIN tt
               |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)
@@ -253,7 +253,7 @@ object PipelineQueries {
               |), b AS (SELECT bg, COUNT(*) AS c2 FROM g2 GROUP BY bg),
               |u AS (SELECT w1, COUNT(*) AS c1 FROM g2 GROUP BY w1)
               |SELECT doc_id, COUNT(*) AS n_bigrams,
-              |       ROUND(SUM(CAST(FLOOR((ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) * 1000000) AS BIGINT))
+              |       ROUND(SUM((CAST(FLOOR(1000.0 * ln(CAST(c2 AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(CAST(c1 AS DOUBLE)) + 0.5) AS BIGINT)) * 1000)
               |             / (COUNT(*) * 1000000.0), 4) AS avg_logp
               |FROM g2 JOIN b USING (bg) JOIN u USING (w1)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
@@ -496,7 +496,7 @@ object PipelineQueries {
               |tt AS (SELECT SUM(cnt) AS tot FROM v),
               |ws AS (
               |  SELECT p.doc_id, win, COUNT(*) AS n_tokens,
-              |         ROUND(SUM(CAST(FLOOR((ln(CAST(cnt AS DOUBLE)) - ln(CAST(tot AS DOUBLE))) * 1000000) AS BIGINT))
+              |         ROUND(SUM((CAST(FLOOR(1000.0 * ln(CAST(cnt AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(CAST(tot AS DOUBLE)) + 0.5) AS BIGINT)) * 1000)
               |               / (COUNT(*) * 1000000.0), 4) AS win_logp
               |  FROM p JOIN v USING (tok) CROSS JOIN tt GROUP BY 1, 2),
               |r AS (
@@ -750,7 +750,7 @@ object PipelineQueries {
            |tt AS (SELECT SUM(cnt) AS tot FROM v),
            |sc AS (
            |  SELECT tkn.doc_id,
-           |         ROUND(SUM(CAST(FLOOR((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT))
+           |         ROUND(SUM((CAST(FLOOR(1000.0 * ln(CAST(v.cnt AS DOUBLE)) + 0.5) AS BIGINT) - CAST(FLOOR(1000.0 * ln(CAST(tt.tot AS DOUBLE)) + 0.5) AS BIGINT)) * 1000)
            |               / (COUNT(*) * 1000000.0), 4) AS avg_logp
            |  FROM tkn JOIN v USING (tok) CROSS JOIN tt GROUP BY tkn.doc_id),
            |b AS (
@@ -797,10 +797,10 @@ object PipelineQueries {
               |rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS rt FROM rc),
               |s AS (
               |  SELECT tk.doc_id, COUNT(*) AS n_tokens,
-              |         CAST(SUM(CAST(FLOOR((ln(COALESCE(ct, 0) + CAST(1 AS DOUBLE))
-              |           - ln(tt + CAST(256 AS DOUBLE))
-              |           - ln(cr + CAST(1 AS DOUBLE))
-              |           + ln(rt + CAST(256 AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT) AS logw_q
+              |         CAST(SUM((CAST(FLOOR(1000.0 * ln(COALESCE(ct, 0) + CAST(1 AS DOUBLE)) + 0.5) AS BIGINT)
+              |           - CAST(FLOOR(1000.0 * ln(tt + CAST(256 AS DOUBLE)) + 0.5) AS BIGINT)
+              |           - CAST(FLOOR(1000.0 * ln(cr + CAST(1 AS DOUBLE)) + 0.5) AS BIGINT)
+              |           + CAST(FLOOR(1000.0 * ln(rt + CAST(256 AS DOUBLE)) + 0.5) AS BIGINT)) * 1000) AS BIGINT) AS logw_q
               |  FROM tk LEFT JOIN tc USING (b) JOIN rc USING (b)
               |       CROSS JOIN tt CROSS JOIN rt
               |  WHERE NOT is_t GROUP BY tk.doc_id)
