@@ -45,7 +45,10 @@ import java.util.zip.{CRC32, CRC32C}
   * Data-block encodings (PREFIX / DIFF / FAST_DIFF / ROW_INDEX_V1 —
   * "DATABLKE" blocks) are supported on BOTH sides via
   * [[BlockEncoding]]; dictionary-compressed tags inside encoded blocks
-  * are the one rejected corner.
+  * are the one rejected corner. Transparent block encryption
+  * (AES-128-CTR frames + trailer-wrapped per-file data keys,
+  * [[HCrypto]]) is supported on both sides and composes with any
+  * compression/encoding.
   */
 object HFileV3 {
 
@@ -364,13 +367,34 @@ object HFileV3 {
       throw new IllegalArgumentException(s"unsupported compression ordinal $other")
   }
 
-  /** Write one block: header + (optionally compressed) payload +
-    * per-chunk CRC32C checksums over the on-disk bytes. Returns the
-    * on-disk size including header and checksums. */
+  /** Write one block: header + (optionally compressed, then optionally
+    * encrypted) payload + per-chunk CRC32C checksums over the on-disk
+    * bytes. `crypto` = (dataKey, mutable ivState): the on-disk payload
+    * becomes [1B ivLen][iv][AES-CTR ciphertext] with compression
+    * applied BEFORE encryption and the header left plaintext
+    * (HFileBlockDefaultEncodingContext.compressAfterEncoding). Returns
+    * the on-disk size including header and checksums. */
   private def writeBlock(out: CountingOutput, magic: Array[Byte],
       payload: Array[Byte], prevOffsetSameType: Long,
-      bytesPerChecksum: Int, codec: Int = CompressionNone): Int = {
-    val onDisk = compressPayload(codec, payload)
+      bytesPerChecksum: Int, codec: Int = CompressionNone,
+      crypto: Option[(Array[Byte], Array[Byte])] = None): Int = {
+    val plainOnDisk = compressPayload(codec, payload)
+    val onDisk = crypto match {
+      case None => plainOnDisk
+      case Some((key, iv)) =>
+        if (plainOnDisk.isEmpty) Array[Byte](0)
+        else {
+          val framed = new ByteArrayOutputStream(plainOnDisk.length + 17)
+          framed.write(iv.length)
+          framed.write(iv, 0, iv.length)
+          val ct = HCrypto.ctr(key, iv, plainOnDisk)
+          framed.write(ct, 0, ct.length)
+          // reference increments by 1 + cryptoStream.size/16 where the
+          // stream holds header + frame at that point
+          HCrypto.incrementIv(iv, 1 + (HeaderSize + framed.size()) / 16)
+          framed.toByteArray
+        }
+    }
     val onDiskDataSizeWithHeader = HeaderSize + onDisk.length
     val nChunks =
       (onDiskDataSizeWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
@@ -434,11 +458,19 @@ object HFileV3 {
       encoding: Int = BlockEncoding.IdNone,
       compression: Int = CompressionNone,
       indexMaxChunk: Int = 128 * 1024,
-      rowColBloom: Boolean = false): Long = {
+      rowColBloom: Boolean = false,
+      encryption: Option[HCrypto.Ctx] = None): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
     val codec = if (gz) CompressionGz else compression
+    // per-file random starting IV, advancing per block (the reference
+    // draws Bytes.secureRandom once at encoding-context init)
+    val crypto: Option[(Array[Byte], Array[Byte])] = encryption.map { e =>
+      val iv = new Array[Byte](HCrypto.IvLength)
+      new java.security.SecureRandom().nextBytes(iv)
+      (e.key, iv)
+    }
     val encoded = encoding != BlockEncoding.IdNone
     val co = new CountingOutput(out)
     val dataBlocks = scala.collection.mutable.ArrayBuffer.empty[BlockRecord]
@@ -469,7 +501,7 @@ object HFileV3 {
       bloomChunk.compact()
       val offset = co.pos
       val onDisk = writeBlock(co, MagicBloom, bloomChunk.bits,
-        prevBloomOffset, bytesPerChecksum, codec)
+        prevBloomOffset, bytesPerChecksum, codec, crypto)
       prevBloomOffset = offset
       totalUncompressed += HeaderSize + bloomChunk.bits.length
       bloomChunks += ((offset, onDisk, bloomFirstRow, bloomChunk))
@@ -493,7 +525,7 @@ object HFileV3 {
       val payload = nonRootIndexPayload(curLeaf.toSeq)
       val offset = co.pos
       val onDisk = writeBlock(co, MagicLeafIdx, payload,
-        prevLeafOffset, bytesPerChecksum, codec)
+        prevLeafOffset, bytesPerChecksum, codec, crypto)
       prevLeafOffset = offset
       totalUncompressed += HeaderSize + payload.length
       leafBlocks += BlockRecord(offset, onDisk, curLeaf.head.firstKey)
@@ -508,7 +540,7 @@ object HFileV3 {
         else buf.toByteArray
       val offset = co.pos
       val onDisk = writeBlock(co, if (encoded) MagicDataEncoded else MagicData,
-        payload, prevDataOffset, bytesPerChecksum, codec)
+        payload, prevDataOffset, bytesPerChecksum, codec, crypto)
       dataBlocks += BlockRecord(offset, onDisk, firstKeyOfBlock)
       curLeaf += BlockRecord(offset, onDisk, firstKeyOfBlock)
       curLeafSize += 4 + 12 + firstKeyOfBlock.length // secondary-index int + entry
@@ -614,7 +646,7 @@ object HFileV3 {
           val payload = nonRootIndexPayload(chunk.toSeq)
           val offset = co.pos
           val onDisk = writeBlock(co, MagicInterIdx, payload,
-            prevInterOffset, bytesPerChecksum, codec)
+            prevInterOffset, bytesPerChecksum, codec, crypto)
           prevInterOffset = offset
           totalUncompressed += HeaderSize + payload.length
           parent += BlockRecord(offset, onDisk, chunk.head.firstKey)
@@ -642,11 +674,11 @@ object HFileV3 {
     }
     if (midKeyMeta != null) idxDos.write(midKeyMeta)
     val rootPayload = idxBuf.toByteArray
-    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, codec)
+    writeBlock(co, MagicRootIdx, rootPayload, -1L, bytesPerChecksum, codec, crypto)
     totalUncompressed += HeaderSize + rootPayload.length
 
     // --- meta index (empty single-level root) ---
-    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum, codec)
+    writeBlock(co, MagicRootIdx, Array.emptyByteArray, rootIndexOffset, bytesPerChecksum, codec, crypto)
     totalUncompressed += HeaderSize
 
     // --- file info ---
@@ -688,7 +720,7 @@ object HFileV3 {
     writeVarint(fiPayload, fiBody.size().toLong) // writeDelimitedTo framing
     fiBody.writeTo(fiPayload)
     val fiBytes = fiPayload.toByteArray
-    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum, codec)
+    writeBlock(co, MagicFileInfo, fiBytes, -1L, bytesPerChecksum, codec, crypto)
     totalUncompressed += HeaderSize + fiBytes.length
 
     // --- general bloom meta (load-on-open, after file info — the
@@ -719,7 +751,7 @@ object HFileV3 {
         bmd.write(firstRow)
       }
       val bmBytes = bm.toByteArray
-      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum, codec)
+      writeBlock(co, MagicBloomMeta, bmBytes, -1L, bytesPerChecksum, codec, crypto)
       totalUncompressed += HeaderSize + bmBytes.length
     }
 
@@ -737,6 +769,10 @@ object HFileV3 {
     pbVarintField(pb, 10, lastDataOffset)
     pbBytesField(pb, 11, ComparatorName.getBytes(StandardCharsets.UTF_8))
     pbVarintField(pb, 12, codec.toLong)
+    // encryption_key (field 13): the per-file data key wrapped under
+    // the subject master key (HFileWriterImpl.finishClose)
+    for (e <- encryption)
+      pbBytesField(pb, 13, HCrypto.wrapKey(e.subject, e.key))
     val pbBytes = pb.toByteArray
     val trailer = new ByteArrayOutputStream()
     trailer.write(MagicTrailer)
@@ -767,7 +803,8 @@ object HFileV3 {
       dataIndexCount: Int, metaIndexCount: Int, numDataIndexLevels: Int,
       firstDataBlockOffset: Long, lastDataBlockOffset: Long,
       comparatorClassName: String, compressionCodec: Int,
-      majorVersion: Int, minorVersion: Int)
+      majorVersion: Int, minorVersion: Int,
+      encryptionKey: Option[Array[Byte]] = None)
 
   /** Parse the fixed trailer from the last [[TrailerSize]] bytes. */
   def readTrailer(tail: Array[Byte]): Trailer = {
@@ -786,6 +823,7 @@ object HFileV3 {
     var dataIdxCount = 0; var metaIdxCount = 0; var levels = 1
     var firstData = -1L; var lastData = -1L
     var comparator = ""; var codec = CompressionNone
+    var encKey: Option[Array[Byte]] = None
     val end = t.position() + pbLen
     while (t.position() < end) {
       val tag = readVarint(t)
@@ -812,7 +850,8 @@ object HFileV3 {
           t.get(b)
           field match {
             case 11 => comparator = new String(b, StandardCharsets.UTF_8)
-            case _ => // encryption_key / namespaces — unsupported, ignored
+            case 13 => encKey = Some(b) // wrapped per-file data key
+            case _ => // key namespaces — unsupported, ignored
           }
         case 5 => t.getInt
         case 1 => t.getLong
@@ -820,8 +859,15 @@ object HFileV3 {
       }
     }
     Trailer(fileInfoOffset, loadOnOpen, entryCount, dataIdxCount, metaIdxCount,
-      levels, firstData, lastData, comparator, codec, major, minor)
+      levels, firstData, lastData, comparator, codec, major, minor, encKey)
   }
+
+  /** Unwrap the trailer's per-file data key under `subject` (None for
+    * unencrypted files) — resolve once per file, pass to every
+    * [[readBlockAt]]. */
+  def dataKeyOf(trailer: Trailer,
+      subject: String = HCrypto.DefaultSubject): Option[Array[Byte]] =
+    trailer.encryptionKey.map(HCrypto.unwrapKey(subject, _))
 
   final case class RawBlock(offset: Long, magic: String, payload: Array[Byte],
       onDiskSizeWithHeader: Int)
@@ -841,7 +887,8 @@ object HFileV3 {
     * codec, exactly like the reference (HFileBlock.FSReaderImpl gets
     * it from the reader context). Returns the block and the position
     * just after it. */
-  private def readBlockAt(pread: PRead, pos: Long, codec: Int): (RawBlock, Long) = {
+  private def readBlockAt(pread: PRead, pos: Long, codec: Int,
+      key: Option[Array[Byte]] = None): (RawBlock, Long) = {
     val bytes = pread(pos, HeaderSize)
     val bb = ByteBuffer.wrap(bytes, 0, HeaderSize).slice()
     val magic = new Array[Byte](8)
@@ -873,19 +920,41 @@ object HFileV3 {
       }
     }
     val payloadLen = onDiskDataSizeWithHeader - HeaderSize
-    val payload =
-      if (codec == CompressionNone) {
-        require(payloadLen == uncompressedSize,
-          "NONE-codec block with payload size != uncompressed size")
-        java.util.Arrays.copyOfRange(body, HeaderSize, onDiskDataSizeWithHeader)
-      } else decompressPayload(codec, body, HeaderSize, payloadLen, uncompressedSize)
+    val payload = key match {
+      case Some(k) =>
+        // encrypted frame: [1B ivLen][iv][AES-CTR((compressed) payload)]
+        require(payloadLen >= 1, "encrypted block with empty frame")
+        val ivLen = body(HeaderSize) & 0xff
+        require(payloadLen >= 1 + ivLen, "encrypted block frame truncated")
+        val plain =
+          if (payloadLen == 1 && ivLen == 0) Array.emptyByteArray
+          else {
+            val iv = java.util.Arrays.copyOfRange(
+              body, HeaderSize + 1, HeaderSize + 1 + ivLen)
+            HCrypto.ctr(k, iv, body, HeaderSize + 1 + ivLen,
+              payloadLen - 1 - ivLen)
+          }
+        if (codec == CompressionNone) {
+          require(plain.length == uncompressedSize,
+            "decrypted block size != declared uncompressed size")
+          plain
+        } else decompressPayload(codec, plain, 0, plain.length, uncompressedSize)
+      case None =>
+        if (codec == CompressionNone) {
+          require(payloadLen == uncompressedSize,
+            "NONE-codec block with payload size != uncompressed size")
+          java.util.Arrays.copyOfRange(body, HeaderSize, onDiskDataSizeWithHeader)
+        } else decompressPayload(codec, body, HeaderSize, payloadLen, uncompressedSize)
+    }
     (RawBlock(pos, new String(magic, StandardCharsets.US_ASCII),
       payload, totalOnDisk), pos + totalOnDisk)
   }
 
   /** File-info map (key string → bytes) from the FILE_INFO block. */
-  def readFileInfo(pread: PRead, trailer: Trailer): Map[String, Array[Byte]] = {
-    val (blk, _) = readBlockAt(pread, trailer.fileInfoOffset, trailer.compressionCodec)
+  def readFileInfo(pread: PRead, trailer: Trailer,
+      subject: String = HCrypto.DefaultSubject): Map[String, Array[Byte]] = {
+    val (blk, _) = readBlockAt(pread, trailer.fileInfoOffset,
+      trailer.compressionCodec, dataKeyOf(trailer, subject))
     require(blk.magic == "FILEINF2", s"expected FILEINF2, got ${blk.magic}")
     val bb = ByteBuffer.wrap(blk.payload)
     val pbm = new Array[Byte](4)
@@ -916,8 +985,10 @@ object HFileV3 {
   def readRootIndex(bytes: Array[Byte], trailer: Trailer): Seq[(Long, Int, Array[Byte])] =
     readRootIndex(preadOf(bytes), trailer)
 
-  def readRootIndex(pread: PRead, trailer: Trailer): Seq[(Long, Int, Array[Byte])] = {
-    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset, trailer.compressionCodec)
+  def readRootIndex(pread: PRead, trailer: Trailer,
+      subject: String = HCrypto.DefaultSubject): Seq[(Long, Int, Array[Byte])] = {
+    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset,
+      trailer.compressionCodec, dataKeyOf(trailer, subject))
     require(blk.magic == "IDXROOT2", s"expected IDXROOT2, got ${blk.magic}")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blk.payload))
     (0 until trailer.dataIndexCount).map { _ =>
@@ -971,20 +1042,23 @@ object HFileV3 {
     * never matters). mvcc / tags presence comes from FILE_INFO
     * (MAX_MEMSTORE_TS_KEY / hfile.MAX_TAGS_LEN — HFileWriterImpl:705,
     * HFileInfo.java:79). */
-  def readCells(bytes: Array[Byte]): Iterator[HCell] =
-    readCellsFrom(preadOf(bytes), bytes.length.toLong)
+  def readCells(bytes: Array[Byte],
+      subject: String = HCrypto.DefaultSubject): Iterator[HCell] =
+    readCellsFrom(preadOf(bytes), bytes.length.toLong, subject)
 
   /** Streaming decode against a positional reader — the executor-side
     * import path: at most one block is resident at a time. */
-  def readCellsFrom(pread: PRead, fileLen: Long): Iterator[HCell] = {
+  def readCellsFrom(pread: PRead, fileLen: Long,
+      subject: String = HCrypto.DefaultSubject): Iterator[HCell] = {
     val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
     if (trailer.firstDataBlockOffset < 0) return Iterator.empty
-    val ctx = decodeCtxOf(readFileInfo(pread, trailer))
+    val key = dataKeyOf(trailer, subject)
+    val ctx = decodeCtxOf(readFileInfo(pread, trailer, subject))
     val endPos = trailer.loadOnOpenOffset
     val blocks = Iterator.unfold(trailer.firstDataBlockOffset) { p =>
       if (p >= endPos) None
       else {
-        val (blk, next) = readBlockAt(pread, p, trailer.compressionCodec)
+        val (blk, next) = readBlockAt(pread, p, trailer.compressionCodec, key)
         Some((blk, next))
       }
     }
@@ -1022,11 +1096,13 @@ object HFileV3 {
     * probe), then a seek-before binary search of the block index and
     * reads of only the row's block span (a row may both start mid-block
     * and span blocks — the writer splits at cell boundaries). */
-  final class HFileHandle(pread: PRead, fileLen: Long) {
+  final class HFileHandle(pread: PRead, fileLen: Long,
+      subject: String = HCrypto.DefaultSubject) {
     val trailer: Trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
-    private val fi = readFileInfo(pread, trailer)
+    private val dataKey = dataKeyOf(trailer, subject)
+    private val fi = readFileInfo(pread, trailer, subject)
     private val ctx = decodeCtxOf(fi)
-    private lazy val index = readRootIndex(pread, trailer)
+    private lazy val index = readRootIndex(pread, trailer, subject)
 
     private val bloomType: Option[String] =
       fi.get("BLOOM_FILTER_TYPE").map(new String(_, StandardCharsets.US_ASCII))
@@ -1042,7 +1118,7 @@ object HFileV3 {
           val end = fileLen - TrailerSize
           var found: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] = None
           while (found.isEmpty && pos < end) {
-            val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec)
+            val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec, dataKey)
             if (blk.magic == "BLMFMET2") {
               val in = new java.io.DataInputStream(
                 new java.io.ByteArrayInputStream(blk.payload))
@@ -1096,7 +1172,8 @@ object HFileV3 {
         if (at < 0) false
         else {
           val bits = chunkCache.getOrElseUpdate(entries(at)._1,
-            readBlockAt(pread, entries(at)._1, trailer.compressionCodec)._1.payload)
+            readBlockAt(pread, entries(at)._1, trailer.compressionCodec,
+              dataKey)._1.payload)
           HBloom.contains(key, bits, hashCount)
         }
     }
@@ -1168,7 +1245,8 @@ object HFileV3 {
       var level = trailer.numDataIndexLevels
       var startOffset = entries(seekBefore(entries, row))._1
       while (level > 1) {
-        val (blk, _) = readBlockAt(pread, startOffset, trailer.compressionCodec)
+        val (blk, _) = readBlockAt(pread, startOffset,
+          trailer.compressionCodec, dataKey)
         require(blk.magic == "IDXLEAF2" || blk.magic == "IDXINTE2",
           s"expected index block at level $level, got ${blk.magic}")
         entries = parseNonRootIndex(blk.payload)
@@ -1182,7 +1260,7 @@ object HFileV3 {
       var pos = startOffset
       var done = false
       while (pos < trailer.loadOnOpenOffset && !done) {
-        val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec)
+        val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec, dataKey)
         if (blk.magic == "DATABLK*" || blk.magic == "DATABLKE") {
           val it = cellsOfDataBlock(blk, ctx)
           while (it.hasNext && !done) {
@@ -1205,16 +1283,17 @@ object HFileV3 {
     new HFileHandle(pread, fileLen).get(row)
 
   /** All raw blocks in file order (structural inspection for specs). */
-  def readAllBlocks(bytes: Array[Byte]): Seq[RawBlock] = {
+  def readAllBlocks(bytes: Array[Byte],
+      subject: String = HCrypto.DefaultSubject): Seq[RawBlock] = {
     val pread = preadOf(bytes)
-    val codec = readTrailer(
+    val trailer = readTrailer(
       java.util.Arrays.copyOfRange(bytes, bytes.length - TrailerSize, bytes.length))
-      .compressionCodec
+    val key = dataKeyOf(trailer, subject)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[RawBlock]
     var pos = 0L
     val end = bytes.length - TrailerSize
     while (pos < end) {
-      val (blk, next) = readBlockAt(pread, pos, codec)
+      val (blk, next) = readBlockAt(pread, pos, trailer.compressionCodec, key)
       blocks += blk
       pos = next
     }

@@ -94,7 +94,8 @@ object Dedup {
     * oracle's sh CTE likewise has no rows for them) without a filter
     * BELOW the projection, which would break subexpression reuse and
     * recompute the whole shingle pipeline per reference (~6x). */
-  private[ext] def bandRows(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[ext] def bandRows(docs: DataFrame, k: Int, bands: Int,
+      n: Int = 3): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands): a truncated band " +
         "layout silently weakens (or with r=0 empties) the LSH guarantee")
@@ -103,15 +104,15 @@ object Dedup {
     val bandSig = array((0 until bands).map { b =>
       concat_ws("-", (b * r until (b + 1) * r).map(i => col("sigs")(i).cast("string")): _*)
     }: _*)
-    shingleArrays(docs)
+    shingleArrays(docs, n)
       .select(col("doc_id"), col("shs"), sigs.as("sigs"))
       .select(col("doc_id"), col("shs"), posexplode(bandSig).as(Seq("band", "sig")))
       .filter(col("sig") =!= "")
   }
 
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val rows = bandRows(docs, k, bands)
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val rows = bandRows(docs, k, bands, n)
     val a = rows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val b = rows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
     val (_, jac) = arrayJaccard(col("shi"), col("shj"))
@@ -127,6 +128,21 @@ object Dedup {
       .filter(col("jac0") >= threshold)
       .groupBy("i", "j").agg(round(min(col("jac0")), 4).as("jaccard"))
   }
+
+  /** Heavy-edit-robust near-dup: the same banded MinHash pipeline over
+    * UNIGRAM features (n=1) with a wide low-r band layout (k=32,
+    * bands=16 → r=2; S-curve midpoint ≈ 0.25) and a bag-of-words
+    * Jaccard verify at 0.5. Closes the shingle detector's structural
+    * blind spot: an every-third-token rewrite kills EVERY 3-gram
+    * shingle (Jaccard 0 at shingle level — e79 measures heavy recall
+    * 0 for the production detector by construction) while the distinct
+    * TOKEN set survives mostly intact. The low-r banding is the
+    * recall-over-precision configuration — candidate volume rises, and
+    * precision is restored by the exact token-set Jaccard verify, the
+    * same candidates-only scale shape as [[minHashNearDups]]. */
+  def robustNearDups(docs: DataFrame, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    minHashNearDups(docs, k, bands, threshold, n = 1)
 
   /** Incremental (cross-corpus) near-dup: MinHash+LSH matches of a NEW
     * document batch against an EXISTING corpus — the continuous-ingest
@@ -665,7 +681,8 @@ object Dedup {
     * bounded by `srcPred`; the detector pass is the audited e02 shape
     * (banded candidates only); the recall join touches planted×3 rows. */
   def dedupRecallBench(docs: DataFrame, srcPred: Column,
-      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      n: Int = 3): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
     val src = base.filter(srcPred)
@@ -681,7 +698,7 @@ object Dedup {
       concat_ws(" ", transform(toks,
         (x, i) => when(i % 3 === 2, lit("zzz")).otherwise(x))).as("text"))
     val corpus = base.unionByName(light).unionByName(medium).unionByName(heavy)
-    val pairs = minHashNearDups(corpus, k, bands, threshold).select("i", "j")
+    val pairs = minHashNearDups(corpus, k, bands, threshold, n).select("i", "j")
     val planted = src.select(col("doc_id").as("src"))
       .select(col("src"), explode(array(lit(1L), lit(2L), lit(3L))).as("sev"))
     planted

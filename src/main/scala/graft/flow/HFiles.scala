@@ -64,7 +64,8 @@ object HFiles {
   def export(cells: DataFrame, numRegions: Int, outPath: String,
       blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0,
       compression: Int = HFileV3.CompressionNone,
-      rowColBloom: Boolean = false, perFamily: Boolean = false): Unit = {
+      rowColBloom: Boolean = false, perFamily: Boolean = false,
+      encryptSubject: Option[String] = None): Unit = {
     // perFamily: ONE STORE FILE PER COLUMN FAMILY per region — the
     // reference's actual store layout (a Store is per-family;
     // HFileOutputFormat2 opens one writer per family). Sorting puts
@@ -105,7 +106,8 @@ object HFiles {
           try {
             HFileV3.write(out, it.map(toCell), blockSize, gz = gz,
               encoding = encoding, compression = compression,
-              rowColBloom = rowColBloom)
+              rowColBloom = rowColBloom,
+              encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
             ()
           } finally out.close()
         } else {
@@ -126,7 +128,8 @@ object HFiles {
               }
               HFileV3.write(out, run, blockSize, gz = gz,
                 encoding = encoding, compression = compression,
-                rowColBloom = rowColBloom)
+                rowColBloom = rowColBloom,
+                encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
               ()
             } finally out.close()
           }

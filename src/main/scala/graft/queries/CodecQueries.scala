@@ -320,6 +320,41 @@ object CodecQueries {
           |  SELECT row, 'm' AS family, qualifier, ts, type, UPPER(value) AS value
           |  FROM cells_orders)
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C11: HFile TRANSPARENT ENCRYPTION roundtrip — the reference's
+      // encryption-at-rest (HFileBlockDefaultEncodingContext block
+      // frames, EncryptionUtil trailer-wrapped per-file AES-128 data
+      // keys; graft.codec.HCrypto). Exported twice: AES over plain
+      // NONE blocks, and AES over ZSTD∘FAST_DIFF — compressed encoded
+      // encrypted blocks, the full production composition (compression
+      // runs before encryption, so the 12x ZSTD ratio survives). Both
+      // imports must reproduce the cell stream exactly; gets against
+      // the encrypted files and ciphertext-opacity/tamper cases are
+      // pinned by HFileCryptoSpec.
+      "c11_hfile_encryption",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c11_hfile_enc")
+        val cells = graft.model.Fixtures.cellsOrders(s, dir)
+        Seq(
+          "AES" -> (HFileV3.CompressionNone, 0),
+          "AES_ZSTD_FAST_DIFF" ->
+            (HFileV3.CompressionZstd, graft.codec.BlockEncoding.IdFastDiff)
+        ).map { case (name, (codec, enc)) =>
+          graft.flow.HFiles.export(cells, 4, s"$out/$name",
+            compression = codec, encoding = enc,
+            encryptSubject = Some(graft.codec.HCrypto.DefaultSubject))
+          graft.flow.HFiles.importCells(s, s"$out/$name")
+            .withColumn("mode", lit(name))
+        }.reduce(_ unionByName _)
+          .select("mode", "row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("mode", "row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT e.mode, row, family, qualifier, ts, type, value
+          |FROM cells_orders
+          |CROSS JOIN (VALUES ('AES'), ('AES_ZSTD_FAST_DIFF')) e(mode)
+          |ORDER BY mode, row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }

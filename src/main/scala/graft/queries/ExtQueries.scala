@@ -1549,6 +1549,58 @@ object ExtQueries {
               |FROM pl LEFT JOIN pairs p
               |  ON p.i = pl.src AND p.j = pl.src + pl.sev * 1000000
               |GROUP BY sev ORDER BY sev""".stripMargin)
+    ),
+    QDef(
+      // Robust-detector recall benchmark (Dedup.robustNearDups
+      // scaladoc): the SAME planted-variant harness as e79, run
+      // against the unigram k=32/b=16/r=2 detector. e79 proves the
+      // production 3-gram detector is structurally blind to
+      // every-third-token rewrites (heavy recall 0 — all shingles
+      // die); this gate proves the robust configuration closes that
+      // hole (heavy recall recovers because the distinct-token set
+      // survives the rewrite). Together they are the eval a pipeline
+      // owner uses to pick a detector per contamination model.
+      "e80_robust_dedup_recall",
+      (s, dir) =>
+        Dedup.dedupRecallBench(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            srcPred = col("doc_id") % 40 === 0,
+            k = 32, bands = 16, threshold = 0.5, n = 1)
+          .orderBy("sev"),
+      Some(s"""WITH srcd AS (SELECT doc_id, $toks AS toks, text FROM documents
+              |              WHERE text IS NOT NULL AND doc_id % 40 = 0),
+              |corpus AS (
+              |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+              |  UNION ALL SELECT doc_id + 1000000, text || ' zyx wvu' FROM srcd
+              |  UNION ALL SELECT doc_id + 2000000,
+              |    array_to_string(list_slice(toks, 1,
+              |      GREATEST(1, CAST(FLOOR(len(toks) * 3 / 4.0) AS INT))), ' ') FROM srcd
+              |  UNION ALL SELECT doc_id + 3000000,
+              |    array_to_string(list_transform(range(len(toks)),
+              |      i -> CASE WHEN (i % 3) = 2 THEN 'zzz' ELSE toks[i + 1] END), ' ') FROM srcd),
+              |sh AS (
+              |  SELECT DISTINCT doc_id, unnest(toks) AS sh
+              |  FROM (SELECT doc_id, $toks AS toks FROM corpus)),
+              |hs AS (SELECT doc_id, g.i AS i, min(${Sql.hash48("sh", "CAST(g.i AS VARCHAR)")}) AS minh
+              |       FROM sh, generate_series(0, 31) g(i) GROUP BY doc_id, g.i),
+              |bk AS (SELECT doc_id, (i // 2) AS band,
+              |       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY i) AS sig FROM hs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bk a
+              |         JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT c.i, c.j, COUNT(*) AS m FROM cand c
+              |          JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.sh = b.sh
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT i, j FROM inter JOIN sz si ON si.doc_id = i
+              |          JOIN sz sj ON sj.doc_id = j
+              |          WHERE m * 1.0 / (si.n + sj.n - m) >= 0.5),
+              |pl AS (SELECT doc_id AS src, CAST(g.sev AS BIGINT) AS sev
+              |       FROM srcd, (VALUES (1), (2), (3)) g(sev))
+              |SELECT sev, COUNT(*) AS n_planted, COUNT(p.i) AS n_detected,
+              |       ROUND(CAST(COUNT(p.i) AS DOUBLE) / COUNT(*), 4) AS recall
+              |FROM pl LEFT JOIN pairs p
+              |  ON p.i = pl.src AND p.j = pl.src + pl.sev * 1000000
+              |GROUP BY sev ORDER BY sev""".stripMargin)
     )
   )
 }
