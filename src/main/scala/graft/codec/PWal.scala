@@ -28,8 +28,11 @@ import graft.codec.HFileV3.HCell
   *    (PB_WAL_COMPLETE_MAGIC). The reader derives walEditsStopOffset
   *    from the tail exactly like AbstractProtobufWALReader.
   *
-  * Scope: uncompressed, unencrypted WALs (the default); compressed or
-  * encrypted headers are rejected explicitly. Unknown WALKey fields
+  * Scope: plain, dictionary-compressed ([[WalCompression]]), and
+  * encrypted (SecureProtobufLogWriter / SecureWALCellCodec — per-cell
+  * AES-CTR frames under a trailer-style WrappedKey in header field 2,
+  * [[HCrypto]]) segments, both sides; encryption and compression are
+  * mutually exclusive like the reference. Unknown WALKey fields
   * (scopes, cluster_ids, extended attributes) are skipped by wire
   * type, so segments from a real cluster parse.
   */
@@ -42,11 +45,16 @@ object PWal {
 
   private val Magic = "PWAL".getBytes(StandardCharsets.US_ASCII)
   private val CompleteMagic = "LAWP".getBytes(StandardCharsets.US_ASCII)
-  /** The reference reader whitelists writer class names
-    * (AbstractProtobufWALReader.getWriterClsNames) — emit the standard
-    * one so a reference cluster accepts graft-written segments. */
-  private val WriterClsName = "org.apache.hadoop.hbase.regionserver.wal.ProtobufLogWriter"
+  /** The reference reader whitelists writer class SIMPLE names — not
+    * FQCNs (AbstractProtobufWALReader.java:85-87 builds the list from
+    * `class.getSimpleName()`, and AbstractProtobufLogWriter
+    * .getWriterClassName emits the short form for hbase-1.x compat) —
+    * emit exactly those so a reference cluster accepts graft segments. */
+  private val WriterClsName = "ProtobufLogWriter"
+  private val SecureWriterClsName = "SecureProtobufLogWriter"
   private val CellCodecClsName = "org.apache.hadoop.hbase.regionserver.wal.WALCellCodec"
+  private val SecureCellCodecClsName =
+    "org.apache.hadoop.hbase.regionserver.wal.SecureWALCellCodec"
 
   // --- minimal protobuf wire helpers ---
 
@@ -101,19 +109,46 @@ object PWal {
     * the reference's WAL dictionary compression ([[WalCompression]]):
     * WALKey region/table and every cell's row/family/qualifier code
     * through the shared LRU dictionaries
-    * (WALCellCodec.CompressedKvEncoder). Returns the entry count. */
+    * (WALCellCodec.CompressedKvEncoder). With `encryptSubject` set the
+    * segment is a SecureProtobufLogWriter twin: WALHeader field 2
+    * carries the per-segment data key wrapped under the subject's
+    * master key (same WrappedKey proto as HFile trailers —
+    * AbstractProtobufLogWriter.buildSecureWALHeader), the cell codec
+    * becomes SecureWALCellCodec, and every cell is an independently
+    * IV-framed AES-CTR unit; the reference does not compose WAL
+    * encryption with dictionary compression
+    * (AbstractProtobufWALReader.initWALCellCodec zeroes the
+    * compression context when the secure codec is named) and neither
+    * does graft. Returns the entry count. */
   def write(out: OutputStream, entries: Iterator[WalEntry],
       withTrailer: Boolean = true, compressed: Boolean = false,
-      valueCompression: Int = 0): Long = {
+      valueCompression: Int = 0,
+      encryptSubject: Option[String] = None): Long = {
     require(valueCompression == 0 || compressed,
       "WAL value compression is a sub-feature of WAL compression " +
         "(WALHeader.has_value_compression implies has_compression)")
+    require(encryptSubject.isEmpty || !compressed,
+      "WAL encryption does not compose with WAL compression " +
+        "(AbstractProtobufWALReader forces compression off for the secure codec)")
+    val secure: Option[(Array[Byte], Array[Byte])] = encryptSubject.map { _ =>
+      val key = new Array[Byte](16)
+      val iv = new Array[Byte](HCrypto.IvLength)
+      val rnd = new java.security.SecureRandom()
+      rnd.nextBytes(key); rnd.nextBytes(iv)
+      (key, iv) // iv = the EncryptedKvEncoder ThreadLocal, advanced per cell
+    }
     out.write(Magic)
     val hdr = new ByteArrayOutputStream()
     pbVarintField(hdr, 1, if (compressed) 1L else 0L)
+    for ((key, _) <- secure)
+      pbBytesField(hdr, 2, HCrypto.wrapKey(encryptSubject.get, key))
     pbVarintField(hdr, 3, 0L) // has_tag_compression = false
-    pbBytesField(hdr, 4, WriterClsName.getBytes(StandardCharsets.UTF_8))
-    pbBytesField(hdr, 5, CellCodecClsName.getBytes(StandardCharsets.UTF_8))
+    pbBytesField(hdr, 4,
+      (if (secure.isDefined) SecureWriterClsName else WriterClsName)
+        .getBytes(StandardCharsets.UTF_8))
+    pbBytesField(hdr, 5,
+      (if (secure.isDefined) SecureCellCodecClsName else CellCodecClsName)
+        .getBytes(StandardCharsets.UTF_8))
     if (valueCompression != 0) {
       pbVarintField(hdr, 6, 1L) // has_value_compression
       pbVarintField(hdr, 7, valueCompression.toLong)
@@ -144,7 +179,39 @@ object PWal {
       writeVarint(out, key.size().toLong)
       key.writeTo(out)
       for (c <- e.cells) {
-        if (compressed) {
+        if (secure.isDefined) {
+          // SecureWALCellCodec.EncryptedKvEncoder.write: per-cell
+          // [vint ivLen][iv][vint cipherLen][AES-CTR(plain body)],
+          // body = vint keyLen / vint vLen / vint tagsLen, then
+          // vint-len row / family / qualifier, 8B BE ts, type byte,
+          // value (+ tags); IV advances 1 + cipherLen/16 per cell
+          val (key, iv) = secure.get
+          val body = new ByteArrayOutputStream()
+          def vint(v: Int): Unit = {
+            var x = v
+            while ((x & ~0x7f) != 0) { body.write((x & 0x7f) | 0x80); x >>>= 7 }
+            body.write(x)
+          }
+          val kLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 9
+          vint(kLen)
+          vint(c.value.length)
+          vint(0) // tags
+          vint(c.row.length); body.write(c.row, 0, c.row.length)
+          vint(c.family.length); body.write(c.family, 0, c.family.length)
+          vint(c.qualifier.length); body.write(c.qualifier, 0, c.qualifier.length)
+          val tb = ByteBuffer.allocate(9)
+          tb.putLong(c.ts)
+          tb.put(c.typ)
+          body.write(tb.array(), 0, 9)
+          body.write(c.value, 0, c.value.length)
+          val cellIv = iv.clone()
+          val cipher = HCrypto.ctr(key, cellIv, body.toByteArray)
+          HCrypto.incrementIv(iv, 1 + cipher.length / 16)
+          writeVarint(out, cellIv.length.toLong)
+          out.write(cellIv)
+          writeVarint(out, cipher.length.toLong)
+          out.write(cipher, 0, cipher.length)
+        } else if (compressed) {
           // CompressedKvEncoder: varint klen/vlen/tagslen, dict-coded
           // row/family/qualifier, 8B ts, type byte, raw value
           val cell = new ByteArrayOutputStream()
@@ -206,22 +273,27 @@ object PWal {
     bos.toByteArray
   }
 
-  /** [[writeBytes]] with the compression knobs exposed. */
+  /** [[writeBytes]] with the compression/encryption knobs exposed. */
   def writeBytes2(entries: Iterator[WalEntry], withTrailer: Boolean = true,
-      compressed: Boolean = false, valueCompression: Int = 0): Array[Byte] = {
+      compressed: Boolean = false, valueCompression: Int = 0,
+      encryptSubject: Option[String] = None): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    write(bos, entries, withTrailer, compressed, valueCompression)
+    write(bos, entries, withTrailer, compressed, valueCompression, encryptSubject)
     bos.toByteArray
   }
 
   // --- reader ---
 
   /** Parse a complete segment held in `bytes`. Mirrors the reference's
-    * open sequence: magic, WALHeader (compression/encryption
-    * rejected), trailer probe from the tail for the edits stop
-    * offset, then WALKey+cells until that offset (or clean EOF for a
-    * trailer-less in-flight segment). */
-  def readBytes(bytes: Array[Byte]): Iterator[WalEntry] = {
+    * open sequence: magic, WALHeader, trailer probe from the tail for
+    * the edits stop offset, then WALKey+cells until that offset (or
+    * clean EOF for a trailer-less in-flight segment). An encrypted
+    * header (field 2) unwraps the per-segment data key under `subject`
+    * and switches the cell decode to the SecureWALCellCodec frame;
+    * like the reference, the secure codec forces the compression
+    * context off (AbstractProtobufWALReader.initWALCellCodec). */
+  def readBytes(bytes: Array[Byte],
+      subject: String = HCrypto.DefaultSubject): Iterator[WalEntry] = {
     val bb = ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](4)
     bb.get(magic)
@@ -233,6 +305,7 @@ object PWal {
     var compressed = false
     var valueCompression = 0
     var hasValueCompression = false
+    var dataKey: Option[Array[Byte]] = None
     while (bb.position() < hdrEnd) {
       val tag = readVarint(bb)
       val field = (tag >> 3).toInt
@@ -240,13 +313,20 @@ object PWal {
       field match {
         case 1 => compressed = readVarint(bb) != 0L
         case 2 =>
-          throw new IllegalArgumentException("encrypted WAL segments are not supported")
+          val len = readVarint(bb).toInt
+          val wrapped = new Array[Byte](len)
+          bb.get(wrapped)
+          dataKey = Some(HCrypto.unwrapKey(subject, wrapped))
         case 3 =>
           require(readVarint(bb) == 0L, "tag-compressed WAL segments are not supported")
         case 6 => hasValueCompression = readVarint(bb) != 0L
         case 7 => valueCompression = readVarint(bb).toInt
         case _ => skipField(bb, wire)
       }
+    }
+    if (dataKey.isDefined) { // secure codec: no compression context
+      compressed = false
+      hasValueCompression = false
     }
     val ctx = if (compressed) new WalCompression.Ctx else null
     val valueDecomp =
@@ -336,7 +416,36 @@ object PWal {
           }
         }
         val cells = (0 until kvCount).map { _ =>
-          if (compressed) {
+          if (dataKey.isDefined) {
+            // SecureWALCellCodec.EncryptedKvDecoder.parseCell: read the
+            // per-cell IV frame, decrypt, then parse the vint body
+            val ivLen = readVarint(bb).toInt
+            require(ivLen == HCrypto.IvLength,
+              s"incorrect WAL cell IV length: expected ${HCrypto.IvLength}, have $ivLen")
+            val iv = new Array[Byte](ivLen)
+            bb.get(iv)
+            val cipherLen = readVarint(bb).toInt
+            val plain = HCrypto.ctr(dataKey.get, iv, bytes,
+              bb.arrayOffset() + bb.position(), cipherLen)
+            bb.position(bb.position() + cipherLen)
+            val cb = ByteBuffer.wrap(plain)
+            def vint(): Int = {
+              var v = 0; var shift = 0; var b = 0
+              do { b = cb.get() & 0xff; v |= (b & 0x7f) << shift; shift += 7 } while ((b & 0x80) != 0)
+              v
+            }
+            vint() // key length (reconstructable)
+            val vLen = vint()
+            val tagsLen = vint()
+            val row = new Array[Byte](vint()); cb.get(row)
+            val fam = new Array[Byte](vint()); cb.get(fam)
+            val qual = new Array[Byte](vint()); cb.get(qual)
+            val ts = cb.getLong
+            val typ = cb.get()
+            val value = new Array[Byte](vLen); cb.get(value)
+            if (tagsLen > 0) cb.position(cb.position() + tagsLen)
+            HCell(row, fam, qual, ts, typ, value)
+          } else if (compressed) {
             // CompressedKvDecoder (WALCellCodec.java:291-352)
             def vint(): Int = {
               var v = 0; var shift = 0; var b = 0

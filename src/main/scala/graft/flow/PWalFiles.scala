@@ -44,7 +44,8 @@ object PWalFiles {
     * (startSeq + entry index) and write_time carries the entry ts. */
   def export(wal: DataFrame, numSegments: Int, outPath: String,
       table: String = "graft", withTrailer: Boolean = true,
-      compressed: Boolean = false, valueCompression: Int = 0): Unit = {
+      compressed: Boolean = false, valueCompression: Int = 0,
+      encryptSubject: Option[String] = None): Unit = {
     val ordered = wal
       .repartitionByRange(numSegments, col("ts"), col("row"))
       .sortWithinPartitions(
@@ -83,7 +84,8 @@ object PWalFiles {
               PWal.WalEntry(region, tableBytes, seqNo, ts, cells.toIndexedSeq)
             }
           }
-          PWal.write(out, entries, withTrailer, compressed, valueCompression)
+          PWal.write(out, entries, withTrailer, compressed, valueCompression,
+            encryptSubject)
           ()
         } finally out.close()
       }
@@ -136,7 +138,8 @@ object PWalFiles {
     * WALInputFormat twin. Feed the cell columns to Jobs.walPlayer /
     * incrementalBackup exactly like the parquet WAL. */
   def importEntries(spark: SparkSession, dir: String,
-      glob: String = "wal-*.pwal"): DataFrame = {
+      glob: String = "wal-*.pwal",
+      subject: String = graft.codec.HCrypto.DefaultSubject): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(new Path(dir, glob)))
       .getOrElse(Array.empty)
@@ -150,7 +153,7 @@ object PWalFiles {
         // over a streamed copy keeps the access pattern sequential
         val bytes = new Array[Byte](len.toInt)
         try in.readFully(0, bytes) finally in.close()
-        PWal.readBytes(bytes).flatMap { e =>
+        PWal.readBytes(bytes, subject).flatMap { e =>
           e.cells.map { c =>
             Row(new String(e.region, "UTF-8"), new String(e.table, "UTF-8"),
               e.seq, e.writeTime,

@@ -559,6 +559,37 @@ object ReplayQueries {
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT row, family, qualifier, ts, type, value FROM cells_orders
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // ENCRYPTED WAL segments (SecureProtobufLogWriter /
+      // SecureWALCellCodec — AbstractProtobufLogWriter
+      // .buildSecureWALHeader, SecureWALCellCodec.java:63-231): the
+      // q86 replay with every cell an independently IV-framed AES-CTR
+      // unit and the per-segment data key wrapped in WALHeader field 2
+      // under the subject's master key (same WrappedKey proto as c11's
+      // HFile trailers). The read side unwraps from the header alone —
+      // importEntries is byte-format-agnostic across plain, compressed
+      // (q89) and encrypted segments in the same directory tree.
+      // Opacity / wrong-subject / no-compression-composition cases are
+      // pinned by PWalCryptoSpec.
+      "q90_pwal_encrypted",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("q90_pwal_enc")
+        graft.flow.PWalFiles.export(
+          Fixtures.cellsEventsV(s, dir), 4, s"$out/wals",
+          encryptSubject = Some(graft.codec.HCrypto.DefaultSubject))
+        Jobs.walPlayer(
+            graft.flow.PWalFiles.importEntries(s, s"$out/wals"),
+            timeRange = Some((2L, 4L)),
+            rowRemap = Some(r => concat(lit("enc:"), r)),
+            bulkLoadMode = true)
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "qualifier", "ts")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT 'enc:' || row AS row, family, qualifier, ts, type, value
+          |FROM cells_events_v WHERE ts >= 2 AND ts < 4 AND type = 'Put'
+          |ORDER BY row, qualifier, ts""".stripMargin))
     )
   )
 }
