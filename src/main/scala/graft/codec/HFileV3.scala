@@ -57,7 +57,35 @@ object HFileV3 {
     * DeleteColumn=12, DeleteFamily=14). */
   final case class HCell(
       row: Array[Byte], family: Array[Byte], qualifier: Array[Byte],
-      ts: Long, typ: Byte, value: Array[Byte], mvcc: Long = 0L)
+      ts: Long, typ: Byte, value: Array[Byte], mvcc: Long = 0L,
+      tags: Array[Byte] = Array.emptyByteArray)
+
+  /** Serialize tags the KeyValue way: repeated
+    * [2B BE tagLen][1B type][data], tagLen counting type + data
+    * (ArrayBackedTag / TagUtil.fromList). */
+  def tagBytes(tags: Seq[(Byte, Array[Byte])]): Array[Byte] = {
+    val out = ByteBuffer.allocate(tags.map(3 + _._2.length).sum)
+    for ((typ, data) <- tags) {
+      out.putShort((1 + data.length).toShort)
+      out.put(typ)
+      out.put(data)
+    }
+    out.array()
+  }
+
+  /** Parse a cell's tag section back to (type, data) pairs. */
+  def parseTags(tags: Array[Byte]): Seq[(Byte, Array[Byte])] = {
+    val bb = ByteBuffer.wrap(tags)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Byte, Array[Byte])]
+    while (bb.remaining() >= 3) {
+      val len = bb.getShort & 0xffff
+      val typ = bb.get()
+      val data = new Array[Byte](len - 1)
+      bb.get(data)
+      out += ((typ, data))
+    }
+    out.toSeq
+  }
 
   // --- public KeyValue type codes ---
   val TypePut: Byte = 4
@@ -79,7 +107,7 @@ object HFileV3 {
   private val PbMagic = "PBUF".getBytes(StandardCharsets.US_ASCII)
 
   private val HeaderSize = 33
-  private val TrailerSize = 4096 // FixedFileTrailer.java:171 — v3 fixed size
+  private[graft] val TrailerSize = 4096 // FixedFileTrailer.java:171 — v3 fixed size
   private val MajorVersion = 3
   private val MinorVersion = 3 // HFileReaderImpl.MAX_MINOR_VERSION
   // Compression.Algorithm ordinals (Compression.java:149-…: LZO=0,
@@ -459,10 +487,14 @@ object HFileV3 {
       compression: Int = CompressionNone,
       indexMaxChunk: Int = 128 * 1024,
       rowColBloom: Boolean = false,
-      encryption: Option[HCrypto.Ctx] = None): Long = {
+      encryption: Option[HCrypto.Ctx] = None,
+      withTags: Boolean = false,
+      extraFileInfo: => Seq[(String, Array[Byte])] = Nil): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
+    require(!withTags || encoding == BlockEncoding.IdNone,
+      "tagged cells are written NONE-encoded (encoded tag write unimplemented)")
     val codec = if (gz) CompressionGz else compression
     // per-file random starting IV, advancing per block (the reference
     // draws Bytes.secureRandom once at encoding-context init)
@@ -479,6 +511,7 @@ object HFileV3 {
     var totalUncompressed = 0L
     var keyLenSum = 0L
     var valLenSum = 0L
+    var maxTagsLen = 0
     var lastCell: HCell = null
     var firstKeyOfBlock: Array[Byte] = null
     val buf = new ByteArrayOutputStream(blockSize + 4096)
@@ -591,11 +624,17 @@ object HFileV3 {
         encCells += c
         encUnencodedSize += 8 + key.length + c.value.length
       } else {
-        // NoneEncoder wire format (no tags, no mvcc on the write side)
+        // NoneEncoder wire format (no mvcc on the write side; tags iff
+        // the file declares them — KeyValue trailing tag section)
         dos.writeInt(key.length)
         dos.writeInt(c.value.length)
         dos.write(key)
         dos.write(c.value)
+        if (withTags) {
+          dos.writeShort(c.tags.length)
+          dos.write(c.tags)
+          if (c.tags.length > maxTagsLen) maxTagsLen = c.tags.length
+        }
       }
       keyLenSum += key.length
       valLenSum += c.value.length
@@ -692,6 +731,16 @@ object HFileV3 {
     val avgV = if (entryCount == 0) 0 else (valLenSum / entryCount).toInt
     fiEntries += (("hfile.AVG_KEY_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgK)))
     fiEntries += (("hfile.AVG_VALUE_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgV)))
+    if (withTags) {
+      // HFileWriterImpl.finishFileInfo when isIncludesTags: the reader
+      // keys per-cell tag parsing off MAX_TAGS_LEN's presence
+      fiEntries += (("hfile.MAX_TAGS_LEN".getBytes(StandardCharsets.US_ASCII),
+        i32(maxTagsLen)))
+      fiEntries += (("hfile.TAGS_COMPRESSED".getBytes(StandardCharsets.US_ASCII),
+        Array[Byte](0)))
+    }
+    for ((k, v) <- extraFileInfo)
+      fiEntries += ((k.getBytes(StandardCharsets.US_ASCII), v))
     if (bloomChunks.nonEmpty) {
       fiEntries += (("BLOOM_FILTER_TYPE".getBytes(StandardCharsets.US_ASCII),
         (if (rowColBloom) "ROWCOL" else "ROW")
@@ -1077,13 +1126,17 @@ object HFileV3 {
         in.readFully(key)
         val value = new Array[Byte](valLen)
         in.readFully(value)
+        var tags = Array.emptyByteArray
         if (ctx.withTags) {
           val tagsLen = in.readShort() & 0xffff
-          if (tagsLen > 0) in.skipBytes(tagsLen) // tags carried but not modeled
+          if (tagsLen > 0) {
+            tags = new Array[Byte](tagsLen)
+            in.readFully(tags)
+          }
         }
         val mvcc = if (ctx.withMvcc) readVLong(in) else 0L
         val (row, fam, qual, ts, typ) = decodeKey(key)
-        Some(HCell(row, fam, qual, ts, typ, value, mvcc))
+        Some(HCell(row, fam, qual, ts, typ, value, mvcc, tags))
       }
     }.takeWhile(_.isDefined).map(_.get)
   }

@@ -1,0 +1,321 @@
+package graft.flow
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.HFileV3
+import graft.codec.HFileV3.HCell
+
+/** MOB store files at the BYTE level — the reference's medium-object
+  * layout (hbase-server mob/), so a MOB-enabled table's actual store
+  * files migrate in and out of graft:
+  *
+  *  - Oversized Put values live in separate MOB HFiles under
+  *    `mobdir/data/<ns>/<table>/<mobRegion>/<family>/` (MobUtils
+  *    .getMobFamilyPath:434-446); the main store file keeps a REF cell
+  *    whose value is `[4B BE real value length][mob file name]`
+  *    (MobUtils.createMobRefCell:528-533, getMobFileName:683) tagged
+  *    with MOB_REFERENCE_TAG_TYPE(5) (empty payload — MobConstants
+  *    .MOB_REF_TAG) and MOB_TABLE_NAME_TAG_TYPE(6) = source table
+  *    (TagType.java:33-34), which is what snapshot clones use to find
+  *    the original mob directory.
+  *  - Mob file names are `md5hex(startKey)[32] + yyyymmdd[8] +
+  *    uuid32hex + "_" + regionName` (MobFileName.java:40-67); mob
+  *    files carry MOB_CELLS_COUNT in FILE_INFO (HStoreFile /
+  *    StoreFileWriter.appendMobMetadata).
+  *  - The mob cell inside the mob file has the SAME key as the ref
+  *    cell (row/family/qualifier/ts) with the full value — resolution
+  *    is a key-equality lookup in the named file (HMobStore
+  *    .resolve).
+  *
+  * Scale shape: the main export is the standard region-range layout
+  * (one task per region file); the mob export groups big values by
+  * (family, day, row-hash bucket) — the reference's per-day mob
+  * partitioning plus a bucket knob so one hot day still spreads over
+  * many files — and both sides derive the mob FILE NAME from those
+  * three columns alone, so ref cells and mob files agree with no
+  * cross-job coordination and no driver state. Import resolves refs
+  * with one shuffle: ref cells join mob cells on (file, cell key) —
+  * there is no per-ref random read, unlike the reference's
+  * cache-missing point reads.
+  */
+object MobFiles {
+
+  val MobRefTagType: Byte = 5
+  val MobTableNameTagType: Byte = 6
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Deterministic MobFileName twin: both the mob export and the main
+    * export's ref cells compute it from (table, family, day, bucket)
+    * alone. Shape parity with MobFileName.java:61-67 — 32-hex start
+    * digest + 8-char date + 32-hex uuid + "_" + region name. */
+  def mobFileName(table: String, family: String, dt: String, bucket: Long): String =
+    md5hex(s"$family:$dt:$bucket") + dt +
+      md5hex(s"uuid:$table:$family:$dt:$bucket") + "_" + mobRegionName(table)
+
+  /** The `.mob` pseudo-region's encoded name (MobUtils
+    * .getMobRegionInfo — one fixed region holds the whole mob dir). */
+  def mobRegionName(table: String): String = md5hex(s"$table.mob")
+
+  def mobFamilyDir(outPath: String, table: String, family: String): String =
+    s"$outPath/mobdir/data/default/$table/${mobRegionName(table)}/$family"
+
+  /** yyyymmdd of the cell timestamp (the reference partitions mob
+    * files by day — MobFileName's date is the flush day). */
+  private val DtFormat = "yyyyMMdd"
+
+  private def typeRank = {
+    val pairs = HFiles.typeToCode.toSeq
+    pairs.foldLeft(lit(0)) { case (acc, (name, code)) =>
+      when(col("type") === name, lit(code.toInt)).otherwise(acc)
+    }
+  }
+
+  private def withMobCols(cells: DataFrame, threshold: Int, numMobBuckets: Int): DataFrame =
+    cells
+      .withColumn("dt", date_format(timestamp_millis(col("ts")), DtFormat))
+      .withColumn("bucket", pmod(xxhash64(col("row")), lit(numMobBuckets.toLong)))
+      .withColumn("is_mob",
+        col("type") === graft.model.CellType.Put &&
+          length(coalesce(col("value"), lit(""))) > threshold)
+
+  /** Export `cells` as a MOB-enabled table: region store files under
+    * `outPath/main/` with ref cells for every Put value longer than
+    * `threshold` bytes, and the big values in mob HFiles under
+    * `outPath/mobdir/...` — the byte-for-byte layout a reference
+    * cluster's MOB table ships with. */
+  def export(cells: DataFrame, threshold: Int, numRegions: Int,
+      outPath: String, table: String = "graft",
+      numMobBuckets: Int = 4, blockSize: Int = 65536): Unit = {
+    val tagged = withMobCols(cells, threshold, numMobBuckets)
+
+    // --- mob files: one HFile per (family, day, bucket) run ---
+    val tableB = table
+    tagged.filter(col("is_mob"))
+      .repartition(math.max(numRegions, 1), col("family"), col("dt"), col("bucket"))
+      .sortWithinPartitions(col("family"), col("dt"), col("bucket"),
+        col("row"), col("qualifier"), col("ts").desc, typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value", "dt", "bucket")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val bufIt = it.buffered
+          while (bufIt.hasNext) {
+            val fam = bufIt.head.getString(1)
+            val dt = bufIt.head.getString(6)
+            val bucket = bufIt.head.getLong(7)
+            val fname = mobFileName(tableB, fam, dt, bucket)
+            var nWritten = 0L
+            val run = new Iterator[HCell] {
+              def hasNext: Boolean = bufIt.hasNext &&
+                bufIt.head.getString(1) == fam &&
+                bufIt.head.getString(6) == dt &&
+                bufIt.head.getLong(7) == bucket
+              def next(): HCell = {
+                val r = bufIt.next()
+                nWritten += 1
+                HCell(r.getString(0).getBytes("UTF-8"),
+                  r.getString(1).getBytes("UTF-8"),
+                  r.getString(2).getBytes("UTF-8"),
+                  r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                  Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+              }
+            }
+            val path = new Path(s"${mobFamilyDir(outPath, tableB, fam)}/$fname")
+            val out = fs.create(path, true)
+            try {
+              // extraFileInfo is by-name: FILE_INFO serializes after
+              // the data stream is consumed, so `count` is final by
+              // then (StoreFileWriter.appendMobMetadata at close) —
+              // the run streams, never buffers
+              HFileV3.write(out, run, blockSize,
+                extraFileInfo = Seq("MOB_CELLS_COUNT" ->
+                  ByteBuffer.allocate(8).putLong(nWritten).array()))
+              ()
+            } finally out.close()
+          }
+        }
+      }
+
+    // --- main store files: ref cells in place of big values ---
+    tagged
+      .repartitionByRange(numRegions, col("row"))
+      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+        col("ts").desc, typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value", "dt",
+        "bucket", "is_mob")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = TaskContext.getPartitionId()
+          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val refTags = HFileV3.tagBytes(Seq(
+            (MobRefTagType, Array.emptyByteArray),
+            (MobTableNameTagType, tableB.getBytes("UTF-8"))))
+          def toCell(r: Row): HCell = {
+            val value = Option(r.getString(5)).getOrElse("").getBytes("UTF-8")
+            if (r.getBoolean(8)) {
+              val fname =
+                mobFileName(tableB, r.getString(1), r.getString(6), r.getLong(7))
+                  .getBytes("UTF-8")
+              val ref = ByteBuffer.allocate(4 + fname.length)
+              ref.putInt(value.length)
+              ref.put(fname)
+              HCell(r.getString(0).getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"),
+                r.getString(2).getBytes("UTF-8"),
+                r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                ref.array(), tags = refTags)
+            } else
+              HCell(r.getString(0).getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"),
+                r.getString(2).getBytes("UTF-8"),
+                r.getLong(3), HFiles.typeToCode(r.getString(4)), value)
+          }
+          val path = new Path(f"$outPath%s/main/part-$pid%05d.hfile")
+          val out = fs.create(path, true)
+          try {
+            HFileV3.write(out, it.map(toCell), blockSize, withTags = true)
+            ()
+          } finally out.close()
+        }
+      }
+  }
+
+  private val refSchema = StructType(Seq(
+    StructField("mob_file", StringType, nullable = false),
+    StructField("row", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("mob_len", IntegerType, nullable = false)))
+
+  private val mobCellSchema = StructType(Seq(
+    StructField("mob_file", StringType, nullable = false),
+    StructField("row", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  private def isRef(c: HCell): Boolean =
+    HFileV3.parseTags(c.tags).exists(_._1 == MobRefTagType)
+
+  /** Read a MOB table layout back as the resolved cell stream: main
+    * store files' plain cells pass through; ref cells join their named
+    * mob file's cells on the full cell key and must match the declared
+    * length (MobUtils.hasValidMobRefCellValue / getMobValueLength) —
+    * a dangling ref or length mismatch is surfaced, not silently
+    * dropped, like HMobStore's MOB cell miss counter. */
+  def importResolved(spark: SparkSession, outPath: String,
+      table: String = "graft"): DataFrame = {
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def list(glob: String): Seq[(String, Long)] =
+      Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
+        .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val mainFiles = list(s"$outPath/main/part-*.hfile")
+    val mobFiles = list(s"$outPath/mobdir/data/default/$table/*/*/*")
+
+    def openCells(pathStr: String, len: Long): Iterator[HCell] = {
+      val path = new Path(pathStr)
+      val in = path.getFileSystem(new Configuration()).open(path)
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => in.close()))
+      HFileV3.readCellsFrom((off, n) => {
+        val buf = new Array[Byte](n); in.readFully(off, buf); buf
+      }, len)
+    }
+
+    val mainRdd = spark.sparkContext
+      .parallelize(mainFiles, math.max(mainFiles.size, 1))
+      .flatMap { case (p, l) => openCells(p, l).map(c => (c, isRef(c))) }
+
+    val plain = spark.createDataFrame(
+      mainRdd.filter(!_._2).map { case (c, _) =>
+        Row(new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+          new String(c.qualifier, "UTF-8"), c.ts,
+          HFiles.codeToType(c.typ), new String(c.value, "UTF-8"))
+      }, HFiles.cellSchema)
+
+    val refs = spark.createDataFrame(
+      mainRdd.filter(_._2).map { case (c, _) =>
+        val bb = ByteBuffer.wrap(c.value)
+        require(c.value.length > 4, "mob ref cell with no file name")
+        val mobLen = bb.getInt
+        val fname = new String(c.value, 4, c.value.length - 4, "UTF-8")
+        Row(fname, new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+          new String(c.qualifier, "UTF-8"), c.ts,
+          HFiles.codeToType(c.typ), mobLen)
+      }, refSchema)
+
+    val mobCells = spark.createDataFrame(
+      spark.sparkContext.parallelize(mobFiles, math.max(mobFiles.size, 1))
+        .flatMap { case (p, l) =>
+          val fname = new Path(p).getName
+          openCells(p, l).map { c =>
+            Row(fname, new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+              new String(c.qualifier, "UTF-8"), c.ts, new String(c.value, "UTF-8"))
+          }
+        }, mobCellSchema)
+
+    val resolved = refs
+      .join(mobCells, Seq("mob_file", "row", "family", "qualifier", "ts"), "left")
+      .withColumn("ok",
+        col("value").isNotNull && length(col("value")) === col("mob_len"))
+    // surface dangling refs / length mismatches as an explicit error
+    // value rather than dropping the row — identity gates catch it
+    // `mob` = resolved THROUGH a mob file (provenance, not a recompute
+    // of the threshold rule): a broken split that never wrote refs
+    // shows up as mob=false rows the oracle expects mob=true for
+    resolved
+      .select(col("row"), col("family"), col("qualifier"), col("ts"),
+        col("type"),
+        when(col("ok"), col("value"))
+          .otherwise(concat(lit("!MOB-MISS:"), col("mob_file"))).as("value"),
+        lit(true).as("mob"))
+      .unionByName(plain.withColumn("mob", lit(false)))
+  }
+
+  /** Ref-side audit frame: one row per mob file with its ref count and
+    * declared MOB_CELLS_COUNT — the consistency check hbck's mob
+    * checker performs. */
+  def mobFileAudit(spark: SparkSession, outPath: String,
+      table: String = "graft"): DataFrame = {
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mobFiles =
+      Option(fs.globStatus(new Path(s"$outPath/mobdir/data/default/$table/*/*/*")))
+        .getOrElse(Array.empty)
+        .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val rows = mobFiles.map { case (p, l) =>
+      val path = new Path(p)
+      val in = path.getFileSystem(new Configuration()).open(path)
+      try {
+        val pread: HFileV3.PRead = (off, n) => {
+          val buf = new Array[Byte](n); in.readFully(off, buf); buf
+        }
+        val trailer = HFileV3.readTrailer(
+          pread(l - HFileV3.TrailerSize, HFileV3.TrailerSize))
+        val fi = HFileV3.readFileInfo(pread, trailer)
+        val declared = fi.get("MOB_CELLS_COUNT")
+          .map(b => ByteBuffer.wrap(b).getLong).getOrElse(-1L)
+        Row(path.getName, trailer.entryCount, declared)
+      } finally in.close()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(rows.size, 1)),
+      StructType(Seq(
+        StructField("mob_file", StringType, nullable = false),
+        StructField("n_cells", LongType, nullable = false),
+        StructField("declared_count", LongType, nullable = false))))
+  }
+}

@@ -355,6 +355,35 @@ object CodecQueries {
           |FROM cells_orders
           |CROSS JOIN (VALUES ('AES'), ('AES_ZSTD_FAST_DIFF')) e(mode)
           |ORDER BY mode, row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C12: MOB store layout at the byte level (hbase-server mob/ —
+      // MobUtils.createMobRefCell:528, MobFileName.java:40-67,
+      // TagType.java:33-34): Put values over the 30-byte threshold land
+      // in mob HFiles under mobdir/data/<ns>/<table>/<mobRegion>/<fam>/
+      // with MobFileName-shaped names and MOB_CELLS_COUNT file info;
+      // the main store files keep tagged ref cells whose value is
+      // [4B real length][mob file name]. Import resolves refs by
+      // joining the named mob files on the full cell key — the `mob`
+      // column is PROVENANCE (resolved through a mob file), which the
+      // oracle recomputes from the threshold rule, so a split that
+      // silently kept values inline fails the gate. Tag wire format,
+      // name shape, audit counts and dangling-ref surfacing are pinned
+      // by HFileMobSpec.
+      "c12_mob_hfiles",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c12_mob")
+        graft.flow.MobFiles.export(
+          graft.model.Fixtures.cellsOrders(s, dir),
+          threshold = 30, numRegions = 8, outPath = out, table = "orders")
+        graft.flow.MobFiles.importResolved(s, out, table = "orders")
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, type, value,
+          |       (type = 'Put' AND length(COALESCE(value, '')) > 30) AS mob
+          |FROM cells_orders
+          |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.codec.HFileV3
+import graft.codec.HFileV3.HCell
+import graft.flow.MobFiles
+
+/** MOB byte-format contract ([[graft.flow.MobFiles]] + HFileV3 tags):
+  * KeyValue tag wire roundtrip, MobFileName shape, ref-cell value
+  * layout and tag types, mob-dir layout, resolved-import identity on a
+  * real fixture, MOB_CELLS_COUNT audit, and dangling-ref surfacing.
+  */
+class HFileMobSpec extends SparkSpec {
+
+  test("tag wire format roundtrips; tagged cells survive write/read") {
+    val tags = HFileV3.tagBytes(Seq(
+      (MobFiles.MobRefTagType, Array.emptyByteArray),
+      (MobFiles.MobTableNameTagType, "tbl".getBytes(UTF_8))))
+    val parsed = HFileV3.parseTags(tags)
+    assert(parsed.map(_._1) == Seq(5.toByte, 6.toByte))
+    assert(parsed(0)._2.isEmpty)
+    assert(new String(parsed(1)._2, UTF_8) == "tbl")
+
+    val cells = (0 until 50).map { i =>
+      HCell(f"r$i%04d".getBytes(UTF_8), "d".getBytes(UTF_8),
+        "q".getBytes(UTF_8), 1L, HFileV3.TypePut,
+        s"v$i".getBytes(UTF_8),
+        tags = if (i % 3 == 0) tags else Array.emptyByteArray)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256, withTags = true)
+    val back = HFileV3.readCells(bos.toByteArray).toSeq
+    assert(back.size == cells.size)
+    cells.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.tags, b.tags))
+      assert(java.util.Arrays.equals(a.value, b.value))
+    }
+    // a file declaring tags parses even when every section is empty
+    val bos2 = new java.io.ByteArrayOutputStream()
+    HFileV3.write(bos2, cells.map(_.copy(tags = Array.emptyByteArray)).iterator,
+      blockSize = 256, withTags = true)
+    assert(HFileV3.readCells(bos2.toByteArray).size == cells.size)
+  }
+
+  test("mob file names have the MobFileName shape") {
+    // md5hex(startKey)[32] + yyyymmdd[8] + uuid[32] + "_" + regionName
+    val n = MobFiles.mobFileName("t1", "d", "19700101", 3L)
+    val (prefix, region) = n.splitAt(n.indexOf('_'))
+    assert(prefix.length == 72)
+    assert(prefix.slice(32, 40) == "19700101")
+    assert(prefix.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(region == "_" + MobFiles.mobRegionName("t1"))
+    // deterministic, and distinct across buckets/families/days
+    assert(n == MobFiles.mobFileName("t1", "d", "19700101", 3L))
+    assert(n != MobFiles.mobFileName("t1", "d", "19700101", 4L))
+    assert(n != MobFiles.mobFileName("t1", "m", "19700101", 3L))
+  }
+
+  test("export splits at the threshold; import resolves to identity") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobspec").toString
+    val cells = (0 until 400).map { i =>
+      val v = if (i % 5 == 0) "X" * (40 + i % 20) else s"small-$i"
+      (f"r$i%05d", "d", "q0", 1L, "Put", v)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 3, outPath = out,
+      table = "t1", numMobBuckets = 2)
+
+    // main files hold ref cells whose value is [4B len][file name]
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mainFiles = fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/main/part-*.hfile"))
+    assert(mainFiles.nonEmpty)
+    val mainCells = mainFiles.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      try in.readFully(0, bytes) finally in.close()
+      HFileV3.readCells(bytes).toSeq
+    }
+    val refs = mainCells.filter(c =>
+      HFileV3.parseTags(c.tags).exists(_._1 == MobFiles.MobRefTagType))
+    assert(refs.length == 80) // every i % 5 == 0
+    refs.foreach { c =>
+      val bb = ByteBuffer.wrap(c.value)
+      val len = bb.getInt
+      assert(len > 30)
+      val fname = new String(c.value, 4, c.value.length - 4, UTF_8)
+      assert(fname.indexOf('_') == 72)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${MobFiles.mobFamilyDir(out, "t1", "d")}/$fname")))
+      // the table-name tag a snapshot clone would use
+      val tbl = HFileV3.parseTags(c.tags)
+        .find(_._1 == MobFiles.MobTableNameTagType).get._2
+      assert(new String(tbl, UTF_8) == "t1")
+    }
+
+    // resolved import = identity, with mob provenance only on big values
+    val resolved = MobFiles.importResolved(spark, out, table = "t1")
+    assert(resolved.count() == 400)
+    assert(resolved.filter(col("mob")).count() == 80)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() == 0)
+    val got = resolved.select("row", "value").as[(String, String)].collect().toMap
+    assert(got("r00000") == "X" * 40)
+    assert(got("r00001") == "small-1")
+
+    // audit: declared MOB_CELLS_COUNT matches actual cells per file
+    val audit = MobFiles.mobFileAudit(spark, out, table = "t1").collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    assert(audit.map(_.getLong(1)).sum == 80L)
+
+    // dangling ref: delete one mob file -> its refs surface as misses
+    val victim = audit.head.getString(0)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${MobFiles.mobFamilyDir(out, "t1", "d")}/$victim"), false)
+    val broken = MobFiles.importResolved(spark, out, table = "t1")
+    assert(broken.filter(col("value").startsWith("!MOB-MISS")).count() ==
+      audit.head.getLong(1))
+  }
+}
