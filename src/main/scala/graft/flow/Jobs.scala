@@ -245,6 +245,55 @@ object Jobs {
   def incrementalBackup(wal: DataFrame, fromTs: Long, toTs: Long): DataFrame =
     wal.filter(col("ts") > fromTs && col("ts") <= toTs)
 
+  /** D9 backup image merge (hbase-backup/.../mapreduce/
+    * MapReduceBackupMergeJob.java:61): collapse a chain of k incremental
+    * backup images into ONE image so restore chains stay bounded — the
+    * reference replays every image's store files through
+    * MapReduceHFileSplitterJob into a single new image keyed by the most
+    * recent backup id, then deletes the superseded images.
+    *
+    * graft additionally applies the compaction retention the judge of a
+    * merged chain can safely apply (the same trade q62's majorCompact
+    * makes): a Put masked by a tombstone WITHIN the merged range can
+    * never be visible again over any (full ∪ merged) restore — the
+    * masking marker itself is retained, so it keeps masking the full
+    * image too — and Put versions beyond `maxVersions` per column can
+    * never win the version gate, because the backup watermark protocol
+    * makes per-coordinate ts ranges disjoint and ordered (full ≤ W0 <
+    * every incremental ts), so the merged top-k are globally top-k.
+    * What is lost is exactly what major compaction loses: time-travel
+    * (KEEP_DELETED_CELLS) reads below the merged range's tombstones.
+    *
+    * ALL delete markers are retained verbatim (unlike majorCompact):
+    * they must keep masking the FULL image at restore — dropping them
+    * would resurrect pre-watermark versions. Scale: one broadcastable
+    * mask subplan (tombstones are a tiny fraction) + one rank window
+    * co-partitioned with the store layout — the same plan as resolve.
+    *
+    * Invariant (CompactionSpec + q91): for any reader maxVersions ≤ the
+    * merge `maxVersions`,
+    *   Resolve.latest(restore(full, Seq(merge(incs)))) ≡
+    *   Resolve.latest(restore(full, incs)).
+    */
+  def mergeBackupImages(incrementals: Seq[DataFrame],
+      maxVersions: Int = Int.MaxValue): DataFrame = {
+    require(incrementals.nonEmpty, "nothing to merge")
+    import graft.model.CellType
+    val all = incrementals.reduce(_ unionByName _)
+    val tombs = all.filter(col("type") =!= CellType.Put)
+    val live = graft.read.Resolve.maskTombstones(all)
+    val gated =
+      if (maxVersions == Int.MaxValue) live
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("row"), col("family"), col("qualifier"))
+          .orderBy(col("ts").desc)
+        live.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxVersions).drop("__rn")
+      }
+    gated.unionByName(tombs)
+  }
+
   /** D9 restore (RestoreTablesClient): replay the full image plus the
     * incremental chain, newest-wins. Because cells are identified by
     * their full coordinate, restore is a plain union — version/tombstone

@@ -87,6 +87,35 @@ object ReplayQueries {
           |) WHERE rn <= 1 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
     ),
     QDef(
+      // D9 backup merge (MapReduceBackupMergeJob.java:61): a 3-image
+      // incremental chain — (2,3], (3,4], (4,5] over the full@2 — merges
+      // into ONE image (retention: merged-range tombstone masking +
+      // version trim to the reader's maxVersions, all markers retained),
+      // and restore(full, merged) read through Resolve must equal the
+      // unmerged point-in-time restore AS OF ts 5 — which is what the
+      // oracle computes directly over the unmerged cell set.
+      "q91_backup_merge",
+      (s, dir) => {
+        val wal = Fixtures.cellsEventsV(s, dir)
+        val full = Jobs.fullBackup(wal, 2L)
+        val merged = Jobs.mergeBackupImages(Seq(
+          Jobs.incrementalBackup(wal, 2L, 3L),
+          Jobs.incrementalBackup(wal, 3L, 4L),
+          Jobs.incrementalBackup(wal, 4L, 5L)), maxVersions = 2)
+        Resolve.latest(Jobs.restore(full, Seq(merged)), maxVersions = 2)
+          .select("row", "family", "qualifier", "ts", "value")
+          .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
+      },
+      Some(Cte.withCtes(
+        Cte.cellsEventsV,
+        "restore_cells AS (SELECT * FROM cells_events_v WHERE ts <= 5)",
+        Cte.liveView("restore_cells", "live_restore"))(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |  FROM live_restore
+          |) WHERE rn <= 2 ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       "q39_stateful_sessions",
       // Typed per-key state walk (flatMapSortedGroups); the streaming
       // flatMapGroupsWithState twin is equivalence-tested in StreamSpec.

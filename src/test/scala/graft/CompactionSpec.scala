@@ -83,6 +83,40 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("backup merge: restore(full, merged) ≡ restore(full, chain) and superseded versions drop") {
+    // full@2, incrementals (2,3], (3,4], (4,5] over the fixture store
+    val full = Jobs.fullBackup(store, 2L)
+    val incs = Seq(
+      Jobs.incrementalBackup(store, 2L, 3L),
+      Jobs.incrementalBackup(store, 3L, 4L),
+      Jobs.incrementalBackup(store, 4L, 5L))
+    for (mv <- Seq(1, 2)) {
+      val merged = Jobs.mergeBackupImages(incs, maxVersions = mv)
+      val viaMerged = graft.read.Resolve.latest(
+        Jobs.restore(full, Seq(merged)), maxVersions = mv)
+      val viaChain = graft.read.Resolve.latest(
+        Jobs.restore(full, incs), maxVersions = mv)
+      assert(rows(viaMerged.orderBy("row", "family", "qualifier", "ts")) ===
+        rows(viaChain.orderBy("row", "family", "qualifier", "ts")),
+        s"merged restore diverged at maxVersions=$mv")
+    }
+    // retention: the merged image is SMALLER than the plain union (the
+    // q62 trade — superseded versions physically drop) ...
+    val union = incs.reduce(_ unionByName _)
+    val merged1 = Jobs.mergeBackupImages(incs, maxVersions = 1)
+    assert(merged1.count() < union.count())
+    // ... no surviving Put is masked by a merged-range tombstone or
+    // beyond the version rank ...
+    val livePuts = merged1.filter(col("type") === CellType.Put)
+    assert(livePuts.count() ===
+      graft.read.Resolve.maskTombstones(merged1)
+        .groupBy("row", "family", "qualifier").count().count())
+    // ... and EVERY delete marker is retained verbatim (unlike
+    // majorCompact): markers must keep masking the full image
+    assert(merged1.filter(col("type") =!= CellType.Put).count() ===
+      union.filter(col("type") =!= CellType.Put).count())
+  }
+
   test("compaction physically drops markers, masked cells, and expired versions") {
     val df = Seq(
       GCell("r1", "d", "a", 1, CellType.Put, "old"),
