@@ -489,8 +489,13 @@ object HFileV3 {
       rowColBloom: Boolean = false,
       encryption: Option[HCrypto.Ctx] = None,
       withTags: Boolean = false,
+      rowPrefixBloom: Option[Int] = None,
       extraFileInfo: => Seq[(String, Array[Byte])] = Nil): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
+    require(!(rowColBloom && rowPrefixBloom.isDefined),
+      "ROWCOL and ROWPREFIX_FIXED_LENGTH blooms are mutually exclusive")
+    rowPrefixBloom.foreach(n =>
+      require(n > 0, s"rowprefix bloom length must be positive: $n"))
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
     require(!withTags || encoding == BlockEncoding.IdNone,
@@ -591,15 +596,27 @@ object HFileV3 {
         throw new IllegalArgumentException(
           s"cells out of order: ${new String(lastCell.row, StandardCharsets.UTF_8)} > " +
             new String(c.row, StandardCharsets.UTF_8))
+      // ROWPREFIX_FIXED_LENGTH key: the row's first min(n, rowLen)
+      // bytes (RowPrefixFixedLengthBloomContext.java:55 —
+      // getRowPrefixCell truncates with Math.min)
+      def prefixKey(row: Array[Byte]): Array[Byte] = {
+        val n = rowPrefixBloom.get
+        if (row.length <= n) row else java.util.Arrays.copyOf(row, n)
+      }
       val isNewBloomKey =
         if (!rowBloom) false
         else if (rowColBloom)
           lastCell == null || compareBytes(lastCell.row, c.row) != 0 ||
             compareBytes(lastCell.qualifier, c.qualifier) != 0
+        else if (rowPrefixBloom.isDefined)
+          lastCell == null ||
+            compareBytes(prefixKey(lastCell.row), prefixKey(c.row)) != 0
         else lastCell == null || compareBytes(lastCell.row, c.row) != 0
       if (isNewBloomKey) {
         val bloomKey =
-          if (rowColBloom) rowColBloomKey(c.row, c.qualifier) else c.row
+          if (rowColBloom) rowColBloomKey(c.row, c.qualifier)
+          else if (rowPrefixBloom.isDefined) prefixKey(c.row)
+          else c.row
         if (bloomChunk == null) {
           bloomChunk =
             if (bloomPrev != null) bloomPrev.createAnother()
@@ -743,14 +760,25 @@ object HFileV3 {
       fiEntries += ((k.getBytes(StandardCharsets.US_ASCII), v))
     if (bloomChunks.nonEmpty) {
       fiEntries += (("BLOOM_FILTER_TYPE".getBytes(StandardCharsets.US_ASCII),
-        (if (rowColBloom) "ROWCOL" else "ROW")
-          .getBytes(StandardCharsets.US_ASCII)))
+        (if (rowColBloom) "ROWCOL"
+         else if (rowPrefixBloom.isDefined) "ROWPREFIX_FIXED_LENGTH"
+         else "ROW").getBytes(StandardCharsets.US_ASCII)))
+      // BLOOM_FILTER_PARAM: the prefix length as a 4-byte big-endian
+      // int (BloomFilterUtil.getBloomFilterParam → Bytes.toBytes(int);
+      // read back by StoreFileReader.loadFileInfo's Bytes.toInt)
+      for (n <- rowPrefixBloom)
+        fiEntries += (("BLOOM_FILTER_PARAM".getBytes(StandardCharsets.US_ASCII),
+          ByteBuffer.allocate(4).putInt(n).array()))
       // LAST_BLOOM_KEY (BloomContext.addLastBloomKey /
       // RowColBloomContext.java:44): the last bloom key written
       if (lastCell != null)
         fiEntries += (("LAST_BLOOM_KEY".getBytes(StandardCharsets.US_ASCII),
           if (rowColBloom) rowColBloomKey(lastCell.row, lastCell.qualifier)
-          else lastCell.row))
+          else if (rowPrefixBloom.isDefined) {
+            val n = rowPrefixBloom.get
+            if (lastCell.row.length <= n) lastCell.row
+            else java.util.Arrays.copyOf(lastCell.row, n)
+          } else lastCell.row))
     }
     if (encoded)
       fiEntries += (("DATA_BLOCK_ENCODING".getBytes(StandardCharsets.US_ASCII),
@@ -1160,13 +1188,21 @@ object HFileV3 {
     private val bloomType: Option[String] =
       fi.get("BLOOM_FILTER_TYPE").map(new String(_, StandardCharsets.US_ASCII))
 
+    /** ROWPREFIX_FIXED_LENGTH's fixed prefix length
+      * (StoreFileReader.loadFileInfo: Bytes.toInt of
+      * BLOOM_FILTER_PARAM). */
+    private val bloomPrefixLen: Option[Int] =
+      if (bloomType.contains("ROWPREFIX_FIXED_LENGTH"))
+        fi.get("BLOOM_FILTER_PARAM").map(ByteBuffer.wrap(_).getInt)
+      else None
+
     /** (hashCount, entries(offset, size, firstKey)) from BLMFMET2 —
       * located by walking the load-on-open section (HFileInfo reads
       * those blocks once at open; graft walks lazily on first get).
       * Keys are raw rows (ROW) or serialized rowcol keys (ROWCOL). */
     private lazy val bloom: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] =
       bloomType match {
-        case Some("ROW") | Some("ROWCOL") =>
+        case Some("ROW") | Some("ROWCOL") | Some("ROWPREFIX_FIXED_LENGTH") =>
           var pos = trailer.loadOnOpenOffset
           val end = fileLen - TrailerSize
           var found: Option[(Int, IndexedSeq[(Long, Int, Array[Byte])])] = None
@@ -1233,15 +1269,38 @@ object HFileV3 {
 
     private def bloomSaysPresent(row: Array[Byte]): Boolean = bloomType match {
       case Some("ROW") => bloomProbe(row, compareBytes)
+      case Some("ROWPREFIX_FIXED_LENGTH") =>
+        // Get probe: key = the row's first min(n, rowLen) bytes
+        // (StoreFileReader.passesGeneralRowPrefixBloomFilter:342-343)
+        bloomPrefixLen.forall(n => bloomProbe(
+          if (row.length <= n) row else java.util.Arrays.copyOf(row, n),
+          compareBytes))
       case _ => true // ROWCOL can't serve a row-only probe
     }
+
+    /** Prefix-scan reject (StoreFileReader
+      * .passesGeneralRowPrefixBloomFilter:344-356): a scan whose
+      * start/stop rows share at least the fixed prefix length probes
+      * with that prefix; shorter common prefixes cannot use the bloom
+      * (returns true). The S4 prefix-scan shape calls this before
+      * opening a scanner over the file. */
+    def mightContainPrefix(prefix: Array[Byte]): Boolean =
+      (bloomType, bloomPrefixLen) match {
+        case (Some("ROWPREFIX_FIXED_LENGTH"), Some(n)) =>
+          if (prefix.length < n) true // common prefix shorter than n
+          else bloomProbe(
+            if (prefix.length == n) prefix
+            else java.util.Arrays.copyOf(prefix, n), compareBytes)
+        case _ => true
+      }
 
     /** ROWCOL reject for a (row, qualifier) get
       * (StoreFileReader.passesGeneralRowColBloomFilter): both bloom
       * flavors can rule the probe out — ROW by the row alone. */
     private def bloomSaysPresentRowCol(row: Array[Byte],
         qualifier: Array[Byte]): Boolean = bloomType match {
-      case Some("ROW") => bloomProbe(row, compareBytes)
+      case Some("ROW") | Some("ROWPREFIX_FIXED_LENGTH") =>
+        bloomSaysPresent(row)
       case Some("ROWCOL") =>
         bloomProbe(rowColBloomKey(row, qualifier), (a, b) => {
           val (ra, qa) = rowQualOfBloomKey(a)

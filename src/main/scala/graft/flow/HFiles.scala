@@ -65,7 +65,8 @@ object HFiles {
       blockSize: Int = 65536, gz: Boolean = false, encoding: Int = 0,
       compression: Int = HFileV3.CompressionNone,
       rowColBloom: Boolean = false, perFamily: Boolean = false,
-      encryptSubject: Option[String] = None): Unit = {
+      encryptSubject: Option[String] = None,
+      rowPrefixBloom: Option[Int] = None): Unit = {
     // perFamily: ONE STORE FILE PER COLUMN FAMILY per region — the
     // reference's actual store layout (a Store is per-family;
     // HFileOutputFormat2 opens one writer per family). Sorting puts
@@ -106,7 +107,7 @@ object HFiles {
           try {
             HFileV3.write(out, it.map(toCell), blockSize, gz = gz,
               encoding = encoding, compression = compression,
-              rowColBloom = rowColBloom,
+              rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
               encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
             ()
           } finally out.close()
@@ -128,7 +129,7 @@ object HFiles {
               }
               HFileV3.write(out, run, blockSize, gz = gz,
                 encoding = encoding, compression = compression,
-                rowColBloom = rowColBloom,
+                rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
                 encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
               ()
             } finally out.close()

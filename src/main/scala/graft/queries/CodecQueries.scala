@@ -322,6 +322,39 @@ object CodecQueries {
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
     ),
     QDef(
+      // C13: gets through ROWPREFIX_FIXED_LENGTH compound blooms — the
+      // third bloom flavor (BloomType.java:39;
+      // RowPrefixFixedLengthBloomContext truncates each row to its
+      // first N bytes, StoreFileReader
+      // .passesGeneralRowPrefixBloomFilter probes with the same
+      // truncation): files carry prefix-keyed chunks +
+      // BLOOM_FILTER_PARAM (4-byte BE prefix length) in FileInfo, and
+      // a get (or prefix scan) whose 8-byte key prefix names no
+      // present prefix group is rejected from the cached bloom without
+      // a data-block read (pread savings pinned in HFileSpec). Probes
+      // the c06 key set: present low keys share live prefix groups,
+      // the absent 9999999999 key's prefix group is absent → bloom
+      // reject.
+      "c13_hfile_rowprefix_bloom",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c13_hfile_rowprefix")
+        graft.flow.HFiles.export(
+          graft.model.Fixtures.cellsOrders(s, dir), 8, s"$out/hf",
+          rowPrefixBloom = Some(8))
+        val keys = ((1L to 40L) :+ 9999999999L).map(k => f"$k%010d")
+        graft.flow.HFiles.pointGet(s, s"$out/hf", keys)
+          .orderBy("row", "family", "qualifier", "ts", "type", "value")
+      },
+      Some {
+        val keyList = ((1L to 40L) :+ 9999999999L)
+          .map(k => f"'$k%010d'").mkString(", ")
+        graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
+          s"""SELECT row, family, qualifier, ts, type, value FROM cells_orders
+             |WHERE row IN ($keyList)
+             |ORDER BY row, family, qualifier, ts, type, value""".stripMargin)
+      }
+    ),
+    QDef(
       // C11: HFile TRANSPARENT ENCRYPTION roundtrip — the reference's
       // encryption-at-rest (HFileBlockDefaultEncodingContext block
       // frames, EncryptionUtil trailer-wrapped per-file AES-128 data

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object BucketedStore {
 
+  /** "ROWPREFIX:<n>" bloom-type spec (ColumnFamilyDescriptor
+    * BLOOMFILTER => 'ROWPREFIX_FIXED_LENGTH' +
+    * RowPrefixFixedLengthBloomContext's prefix length). */
+  private val RowPrefixRe = "ROWPREFIX:(\\d+)".r
+
   /** Write a cell set as a bucketed table. `buckets` plays the role of
     * the region count (SimpleTotalOrderPartitioner/HRegionPartitioner
     * pick splits the same way, SURVEY §2.7 D11).
@@ -52,6 +57,19 @@ object BucketedStore {
           concat(col("row"), lit("\u0000"), col("qualifier"))),
           Map("parquet.bloom.filter.enabled#__rowcol" -> "true",
             "parquet.bloom.filter.expected.ndv#__rowcol" -> (bloomNdv * 4).toString))
+      case RowPrefixRe(n) =>
+        // BloomType.ROWPREFIX_FIXED_LENGTH (BloomType.java:39;
+        // RowPrefixFixedLengthBloomContext truncates the row to the
+        // first N bytes): the bloom key is a derived fixed-length
+        // prefix column, so a PREFIX SCAN (the S4 shape) can reject a
+        // file whose row range covers the prefix but which holds no
+        // row of it — the case neither min/max pruning (covering
+        // range) nor the ROW bloom (exact keys only) can reject.
+        // Prefix cardinality is keys/prefix-group sized, so size the
+        // bloom to bloomNdv (an over-estimate just lowers FP rate).
+        (cells.withColumn("__rowprefix", substring(col("row"), 1, n.toInt)),
+          Map("parquet.bloom.filter.enabled#__rowprefix" -> "true",
+            "parquet.bloom.filter.expected.ndv#__rowprefix" -> bloomNdv.toString))
       case other =>
         throw new IllegalArgumentException(s"unknown bloom type: $other")
     }
@@ -74,13 +92,24 @@ object BucketedStore {
   def rowColPred(row: String, qualifier: String): Column =
     col("__rowcol") === s"$row\u0000$qualifier"
 
+  /** Prefix-scan probe predicate for a ROWPREFIX:<n> store: the
+    * equality on the derived fixed-length prefix column pushes to ITS
+    * parquet bloom (StoreFileReader
+    * .passesGeneralRowPrefixBloomFilter's probe key), while the
+    * startsWith on `row` keeps min/max pruning and the exact scan
+    * semantics. `prefix` must be exactly the store's fixed length —
+    * shorter prefixes can't use the bloom (probe with startsWith
+    * alone, as the reference returns true there). */
+  def rowPrefixPred(prefix: String): Column =
+    col("__rowprefix") === prefix && col("row").startsWith(prefix)
+
   /** Read back the canonical cell view (derived bloom-key columns
     * dropped). */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.table(table).drop("__rowcol")
+    spark.table(table).drop("__rowcol").drop("__rowprefix")
 
   /** Raw table read including derived bloom-key columns (for probes
-    * via [[rowColPred]]). */
+    * via [[rowColPred]] / [[rowPrefixPred]]). */
   def readRaw(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }

@@ -114,4 +114,55 @@ class BucketedStoreSpec extends SparkSpec {
       } finally reader.close()
     }
   }
+
+  test("ROWPREFIX stores carry the fixed-prefix bloom and answer prefix scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("bstore_rp").toString
+    // many distinct 16-byte prefixes per file — past the dictionary
+    // page limit so the bloom materializes (same fallback condition
+    // the ROW test documents); each prefix group holds 2 rows — the
+    // S4 prefix-scan workload shape
+    // coalesce(1): one writer task → one file per bucket → the
+    // per-file prefix dictionary exceeds parquet's 1 MB dict page and
+    // falls back to plain (a repeated-value column only falls back on
+    // dict SIZE, unlike the unique-key ROW case above) — exactly the
+    // 100 TB condition where a store file holds millions of prefixes
+    val wide = spark.range(400000).selectExpr(
+      "concat(lpad(cast(id div 2 as string), 16, '0'), '-', cast(id % 2 as string)) as row",
+      "'d' as family", "'q' as qualifier", "1L as ts",
+      "'Put' as type", "cast(id as string) as value").coalesce(1)
+    BucketedStore.write(wide, "bs_rp", s"$tmp/rp", buckets = 2,
+      bloomNdv = 200000L, bloom = "ROWPREFIX:16")
+    assert(!BucketedStore.read(spark, "bs_rp").columns.contains("__rowprefix"))
+    // present prefix: the whole group comes back
+    val probe = BucketedStore.readRaw(spark, "bs_rp")
+      .filter(BucketedStore.rowPrefixPred("0000000000000042"))
+    assert(probe.count() === 2)
+    // absent prefix inside the covering row range: zero rows
+    assert(BucketedStore.readRaw(spark, "bs_rp")
+      .filter(BucketedStore.rowPrefixPred("0000000000299999")).count() === 0)
+    // the prefix equality reaches the parquet scan (bloom-eligible)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("__rowprefix"),
+      s"rowprefix probe must push down:\n$plan")
+    val files = new java.io.File(s"$tmp/rp").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val rpCols = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "__rowprefix")
+        assert(rpCols.nonEmpty)
+        rpCols.foreach { c =>
+          assert(c.getBloomFilterOffset >= 0,
+            s"${f.getName}: __rowprefix column has no bloom filter")
+        }
+      } finally reader.close()
+    }
+  }
 }

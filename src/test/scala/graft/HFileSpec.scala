@@ -437,6 +437,61 @@ class HFileSpec extends AnyFunSuite {
     assert(handle.get("nope-1".getBytes(UTF_8)).isEmpty)
   }
 
+  test("ROWPREFIX_FIXED_LENGTH bloom: byte format, absent-prefix gets skip data blocks") {
+    // rows group by a 7-byte fixed prefix (grp-NNN); the bloom keys
+    // the PREFIX (BloomType.java:39, RowPrefixFixedLengthBloomContext
+    // .java:55), so a get in an ABSENT group rejects without data
+    // I/O even though the file's [first,last] row range covers it —
+    // the S4 prefix-scan workload's skip
+    val cells = (1 to 40).flatMap { g =>
+      (1 to 5).map(i => cell(f"grp-$g%03d-item-$i%02d", "q1", s"v$g-$i"))
+    }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
+    val bos = new ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator, blockSize = 256,
+      rowPrefixBloom = Some(7))
+    val bytes = bos.toByteArray
+    val trailer = HFileV3.readTrailer(bytes)
+    val fi = HFileV3.readFileInfo(bytes, trailer)
+    assert(new String(fi("BLOOM_FILTER_TYPE"), UTF_8) == "ROWPREFIX_FIXED_LENGTH")
+    // BLOOM_FILTER_PARAM = 4-byte big-endian prefix length
+    // (StoreFileReader.loadFileInfo's Bytes.toInt)
+    assert(java.nio.ByteBuffer.wrap(fi("BLOOM_FILTER_PARAM")).getInt == 7)
+    // LAST_BLOOM_KEY is the last PREFIX, not the last row
+    assert(new String(fi("LAST_BLOOM_KEY"), UTF_8) == "grp-040")
+
+    val dataOffsets = HFileV3.readRootIndex(bytes, trailer).map(_._1).toSet
+    val touched = scala.collection.mutable.Set.empty[Long]
+    val pread: HFileV3.PRead = (off, len) => {
+      touched += off
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+    val handle = new HFileV3.HFileHandle(pread, bytes.length.toLong)
+    // no false negatives: every present row passes its prefix probe
+    (1 to 40).foreach { g =>
+      assert(handle.get(f"grp-$g%03d-item-03".getBytes(UTF_8)).size == 1,
+        s"present group $g must pass")
+    }
+    // absent row in a PRESENT group: bloom passes (prefix exists),
+    // the data read finds nothing — correctness over savings
+    assert(handle.get("grp-020-item-99".getBytes(UTF_8)).isEmpty)
+    // rows in ABSENT groups: the prefix probe must reject nearly all
+    // without a data-block read, even though [first,last] covers them
+    var skipped = 0
+    (100 to 299).foreach { g =>
+      touched.clear()
+      val got = handle.get(f"grp-$g%03d-item-01".getBytes(UTF_8))
+      assert(got.isEmpty)
+      if (touched.forall(o => !dataOffsets.contains(o))) skipped += 1
+    }
+    assert(skipped >= 180, s"prefix bloom rejected only $skipped/200 absent-group probes")
+    // prefix-scan probe surface: present prefix passes, absent rejects,
+    // a shorter-than-N prefix cannot use the bloom (reference returns
+    // true when commonLength < prefixLength)
+    assert(handle.mightContainPrefix("grp-020".getBytes(UTF_8)))
+    assert(!handle.mightContainPrefix("grp-200".getBytes(UTF_8)))
+    assert(handle.mightContainPrefix("grp-2".getBytes(UTF_8)))
+  }
+
   test("pointGet routes rows to region files and matches a filtered import") {
     val spark = TestSession.spark
     val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
