@@ -326,6 +326,30 @@ object CodecFunctions {
   def ordered_decode_blob_var(c: Column, desc: Boolean = false): Column  = decN(c, "blobvar", desc)
   def ordered_decode_blob_copy(c: Column, desc: Boolean = false): Column = decN(c, "blobcopy", desc)
 
+  // narrow fixed-width + blob variants in the LAYOUT-FAITHFUL hb wire
+  // mode (OrderedBytes.java encodeInt8/16/32, encodeFloat32,
+  // encodeBlobVar/Copy — headers 0x29-0x2b, 0x30, 0x37/0x38) — keys
+  // interchange with reference-client composite encodings
+  private def encNHb(c: Column, kind: String, desc: Boolean): Column =
+    colshim.column(OrderedEncodeNarrow(colshim.expression(c), kind, desc, hb = true))
+  private def decNHb(c: Column, kind: String, desc: Boolean): Column =
+    colshim.column(OrderedDecodeNarrow(colshim.expression(c), kind, desc, hb = true))
+
+  def ordered_encode_int32_hb(c: Column, desc: Boolean = false): Column   = encNHb(c, "int32", desc)
+  def ordered_encode_int16_hb(c: Column, desc: Boolean = false): Column   = encNHb(c, "int16", desc)
+  def ordered_encode_int8_hb(c: Column, desc: Boolean = false): Column    = encNHb(c, "int8", desc)
+  def ordered_encode_float32_hb(c: Column, desc: Boolean = false): Column = encNHb(c, "float32", desc)
+  def ordered_encode_blob_var_hb(c: Column, desc: Boolean = false): Column  = encNHb(c, "blobvar", desc)
+  /** NOT self-terminating ascending — last composite field only. */
+  def ordered_encode_blob_copy_hb(c: Column, desc: Boolean = false): Column = encNHb(c, "blobcopy", desc)
+
+  def ordered_decode_int32_hb(c: Column, desc: Boolean = false): Column   = decNHb(c, "int32", desc)
+  def ordered_decode_int16_hb(c: Column, desc: Boolean = false): Column   = decNHb(c, "int16", desc)
+  def ordered_decode_int8_hb(c: Column, desc: Boolean = false): Column    = decNHb(c, "int8", desc)
+  def ordered_decode_float32_hb(c: Column, desc: Boolean = false): Column = decNHb(c, "float32", desc)
+  def ordered_decode_blob_var_hb(c: Column, desc: Boolean = false): Column  = decNHb(c, "blobvar", desc)
+  def ordered_decode_blob_copy_hb(c: Column, desc: Boolean = false): Column = decNHb(c, "blobcopy", desc)
+
   /** Composite ascending row key — the all-ASC special case of
     * [[ordered_struct]] (self-terminating ⇒ prefix-free ⇒ lex order of
     * the concat = tuple order), the reference's `Struct` composition. */

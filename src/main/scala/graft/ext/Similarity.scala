@@ -948,6 +948,19 @@ object Similarity {
     val dense = bruteTopK(emb, densePred, kEach)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("dense_rank"))
+    rrfFuseFrames(lex, dense, kOut, c)
+  }
+
+  /** RRF over PRECOMPUTED ranking frames — the entry point for callers
+    * that already hold (or landed) the per-retriever rankings (the
+    * e13/e26 shared-artifact pattern: retrieval lists are reusable
+    * artifacts; fusing N retrievers should not recompute retriever 1
+    * N times, and a bench rep should not pay both retrievals per
+    * fusion). `lex` = (query_id, doc_id, lex_rank); `dense` =
+    * (query_id, doc_id, dense_rank). Frames are (queries × k)-bounded,
+    * so everything here is tiny regardless of corpus size. */
+  def rrfFuseFrames(lex: DataFrame, dense: DataFrame,
+      kOut: Int = 5, c: Int = 60): DataFrame = {
     val fused = lex
       .join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_q",

@@ -273,36 +273,57 @@ object TextAnalysis {
   /** CCNet-style perplexity bucketing: split the corpus into
     * head/middle/tail terciles of the LM quality score
     * ([[unigramLogProb]] — highest avg log-prob = most "fluent" =
-    * head, the CCNet convention). Two paths:
+    * head, the CCNet convention). Three paths, scale-safe by DEFAULT:
+    *   - default (`thresholds = None`, `exactNtile = false`): derive
+    *     the two tercile cutoffs with one mergeable
+    *     `approx_percentile` aggregate over the per-doc score frame
+    *     (CCNet itself thresholds against sample-derived cutoffs),
+    *     broadcast the 1-row cutoffs, bucket map-side. No global sort
+    *     at ANY corpus size — a naive caller cannot hit a
+    *     single-partition window (PlanShapeSpec pins it).
     *   - `thresholds = Some((headMin, midMin))`: map-side bucketing
-    *     against precomputed score cutoffs — the 100 TB path (CCNet
-    *     itself derives cutoffs from a sample, so an
-    *     `approx_percentile` over a fraction of the corpus feeds this
-    *     argument at scale; no global sort ever happens).
-    *   - `thresholds = None`: exact rank terciles via one ntile window
+    *     against caller-precomputed cutoffs (e.g. from a sampled
+    *     profiling pass over a 100 TB corpus).
+    *   - `exactNtile = true`: exact rank terciles via one ntile window
     *     over the PER-DOC score frame (already aggregated — corpus
-    *     text never reaches the sort). The deterministic
-    *     (avg_logp desc, doc_id) ordering makes the split
-    *     engine-reproducible, which is what the declared oracle pins.
+    *     text never reaches the sort). Deliberately opt-in: the window
+    *     is corpus-doc-count-sized and single-partition. The
+    *     deterministic (avg_logp desc, doc_id) ordering makes the
+    *     split engine-reproducible, which is what the declared e38
+    *     oracle pins.
     */
   def pplBuckets(docs: DataFrame,
-      thresholds: Option[(Double, Double)] = None): DataFrame = {
+      thresholds: Option[(Double, Double)] = None,
+      exactNtile: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!(exactNtile && thresholds.isDefined),
+      "pass either thresholds or exactNtile, not both")
     val scored = unigramLogProb(docs).select(col("doc_id"), col("avg_logp"))
-    thresholds match {
+    if (exactNtile) {
+      val w = Window.orderBy(col("avg_logp").desc, col("doc_id"))
+      scored
+        .withColumn("__t", ntile(3).over(w))
+        .withColumn("ppl_bucket",
+          when(col("__t") === 1, "head")
+            .when(col("__t") === 2, "middle").otherwise("tail"))
+        .drop("__t")
+    } else thresholds match {
       case Some((headMin, midMin)) =>
         scored.withColumn("ppl_bucket",
           when(col("avg_logp") >= headMin, "head")
             .when(col("avg_logp") >= midMin, "middle")
             .otherwise("tail"))
       case None =>
-        val w = Window.orderBy(col("avg_logp").desc, col("doc_id"))
-        scored
-          .withColumn("__t", ntile(3).over(w))
+        // self-derived cutoffs: head = top third, middle = next third
+        val cuts = scored.agg(
+          expr("approx_percentile(avg_logp, 2.0/3.0)").as("__head_min"),
+          expr("approx_percentile(avg_logp, 1.0/3.0)").as("__mid_min"))
+        scored.crossJoin(broadcast(cuts))
           .withColumn("ppl_bucket",
-            when(col("__t") === 1, "head")
-              .when(col("__t") === 2, "middle").otherwise("tail"))
-          .drop("__t")
+            when(col("avg_logp") >= col("__head_min"), "head")
+              .when(col("avg_logp") >= col("__mid_min"), "middle")
+              .otherwise("tail"))
+          .drop("__head_min", "__mid_min")
     }
   }
 

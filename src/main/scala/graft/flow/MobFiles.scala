@@ -286,6 +286,73 @@ object MobFiles {
       .unionByName(plain.withColumn("mob", lit(false)))
   }
 
+  /** ExpiredMobFileCleaner twin (mob/ExpiredMobFileCleaner.java:55;
+    * MobUtils.cleanExpiredMobFiles:286-320): a mob file's name carries
+    * its flush DAY, so once the family TTL puts that whole day beyond
+    * the cutoff, every value inside is unreadable and the file deletes
+    * WHOLESALE — no file is opened. Exactly like the reference, only
+    * files strictly OLDER than the cutoff day go (the cutoff day
+    * itself may hold still-live evening cells). Refs naming a deleted
+    * file are themselves TTL-expired, so no resolved read under the
+    * same descriptor can dereference them (HFileMobSpec pins it).
+    * Returns the deleted file names. */
+  def expiredMobFileCleaner(spark: SparkSession, outPath: String,
+      table: String, cutoffDay: String): Seq[String] = {
+    require(cutoffDay.matches("\\d{8}"), s"cutoffDay must be yyyyMMdd: $cutoffDay")
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      Option(fs.globStatus(new Path(s"$outPath/mobdir/data/default/$table/*/*/*")))
+        .getOrElse(Array.empty).map(_.getPath).toSeq
+    // MobFileName layout: md5hex(startKey)[32] + yyyymmdd[8] + ...
+    val expired = files.filter { p =>
+      val n = p.getName
+      n.length > 40 && n.substring(32, 40) < cutoffDay
+    }
+    expired.foreach(fs.delete(_, false))
+    expired.map(_.getName).sorted
+  }
+
+  /** MobFileCleanerChore's unused-file sweep
+    * (MobFileCleanerChore.java / MobUtils.removeMobFiles): after a
+    * mob-aware compaction rewrote the main store, mob files no main
+    * store file references anymore are garbage — enumerate the
+    * referenced file names FROM the ref cells (one pass over the main
+    * files' ref values, never the blobs) and delete the rest.
+    * Returns the deleted file names. */
+  def sweepUnreferencedMobFiles(spark: SparkSession, outPath: String,
+      table: String = "graft"): Seq[String] = {
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def list(glob: String): Seq[(String, Long)] =
+      Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
+        .map(s => (s.getPath.toString, s.getLen)).toSeq
+    val mainFiles = list(s"$outPath/main/part-*.hfile")
+    // referenced-name set: file-count bounded (one name per mob file,
+    // not per cell) — safe to collect
+    val referenced = spark.sparkContext
+      .parallelize(mainFiles, math.max(mainFiles.size, 1))
+      .flatMap { case (p, l) =>
+        val path = new Path(p)
+        val in = path.getFileSystem(new Configuration()).open(path)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        openCellsOf(in, l).filter(isRef).map(c =>
+          new String(c.value, 4, c.value.length - 4, "UTF-8"))
+      }
+      .distinct().collect().toSet
+    val unreferenced = Option(
+        fs.globStatus(new Path(s"$outPath/mobdir/data/default/$table/*/*/*")))
+      .getOrElse(Array.empty).map(_.getPath).toSeq
+      .filterNot(p => referenced(p.getName))
+    unreferenced.foreach(fs.delete(_, false))
+    unreferenced.map(_.getName).sorted
+  }
+
+  private def openCellsOf(in: org.apache.hadoop.fs.FSDataInputStream,
+      len: Long): Iterator[HCell] =
+    HFileV3.readCellsFrom((off, n) => {
+      val buf = new Array[Byte](n); in.readFully(off, buf); buf
+    }, len)
+
   /** Ref-side audit frame: one row per mob file with its ref count and
     * declared MOB_CELLS_COUNT — the consistency check hbck's mob
     * checker performs. */

@@ -146,6 +146,52 @@ object CodecQueries {
              |FROM lineitem ORDER BY rank""".stripMargin)
     ),
     QDef(
+      // C14: c03's NARROW types in the LAYOUT-FAITHFUL hb wire mode
+      // (OrderedBytes.java encodeInt8:1022, encodeInt16:960,
+      // encodeInt32:981, encodeFloat32:1091, blobVar :150-160 — the
+      // exact header-byte layout a reference client's Struct-encoded
+      // composite row keys carry): roundtrip per narrow type AND
+      // total-order parity of a mixed composite key (DESC int16,
+      // int32, equal-length blobVar, int64, float32) ranked by the
+      // raw wire bytes. Byte-for-byte goldens are pinned in CodecSpec;
+      // this query pins that REAL composite keys in the reference
+      // layout sort and decode exactly like the values.
+      "c14_hb_narrow_sort",
+      (s, dir) => {
+        val l = Tables.load(s, s"$dir/lineitem.parquet")
+        val key = concat(
+          ordered_encode_int16_hb(col("l_quantity").cast("smallint"), desc = true),
+          ordered_encode_int32_hb(col("l_linenumber").cast("int")),
+          ordered_encode_blob_var_hb(encode(col("l_returnflag"), "UTF-8")),
+          ordered_encode_hb(col("l_orderkey")),
+          ordered_encode_float32_hb(col("l_discount").cast("float")))
+        l.select(
+            col("l_orderkey"), col("l_linenumber"),
+            ordered_decode_int32_hb(
+              ordered_encode_int32_hb(col("l_linenumber").cast("int"))).as("dec_i32"),
+            ordered_decode_int16_hb(
+              ordered_encode_int16_hb(col("l_quantity").cast("smallint"))).cast("int").as("dec_i16"),
+            ordered_decode_int8_hb(
+              ordered_encode_int8_hb(col("l_linenumber").cast("tinyint"))).cast("int").as("dec_i8"),
+            ordered_decode_float32_hb(
+              ordered_encode_float32_hb(col("l_discount").cast("float"), desc = true),
+              desc = true).as("dec_f32"),
+            decode(ordered_decode_blob_var_hb(
+              ordered_encode_blob_var_hb(encode(col("l_returnflag"), "UTF-8"))), "UTF-8")
+              .as("dec_blob"),
+            row_number().over(Window.orderBy(key)).as("rank"))
+          .orderBy("rank")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_linenumber AS dec_i32,
+             |       CAST(CAST(l_quantity AS SMALLINT) AS INT) AS dec_i16,
+             |       CAST(CAST(l_linenumber AS TINYINT) AS INT) AS dec_i8,
+             |       CAST(l_discount AS REAL) AS dec_f32,
+             |       l_returnflag AS dec_blob,
+             |       row_number() OVER (ORDER BY l_quantity DESC, l_linenumber, l_returnflag, l_orderkey, CAST(l_discount AS REAL)) AS rank
+             |FROM lineitem ORDER BY rank""".stripMargin)
+    ),
+    QDef(
       // C05: HFile v3 BYTE-FORMAT roundtrip (HFileWriterImpl.java:652,
       // HFileReaderImpl, FixedFileTrailer.java:202) — the store-file
       // twin of the c04 key codec. cells_orders is range-partitioned

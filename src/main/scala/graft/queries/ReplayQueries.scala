@@ -206,6 +206,58 @@ object ReplayQueries {
           |FROM cells_orders""".stripMargin))
     ),
     QDef(
+      // MOB-aware major compaction (DefaultMobStoreCompactor.java:60 +
+      // MobFileCleanerChore's unused-file sweep): compact the split
+      // store under the descriptor (maxVersions=1, TTL floor 2) — the
+      // rewrite drops masked/over-limit/expired REF cells, and the mob
+      // side keeps exactly the blobs a surviving ref still names. The
+      // declared row proves all three claims at once: the read-back
+      // through the compacted (main, mob) pair equals the ORIGINAL
+      // store's resolve (mismatches=0 — compaction invisible), the
+      // accounting columns pin the main-store shrink, and
+      // mob_before/mob_after pin that the dangling blob set — blobs
+      // only non-surviving cells referenced — is exactly what the
+      // sweep dropped (the oracle recomputes both counts analytically).
+      "q92_mob_compact",
+      (s, dir) => {
+        import graft.write.MobStore
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val (main, mob) = MobStore.split(cells, threshold = 10)
+        val (cMain, cMob) = MobStore.compact(main, mob,
+          maxVersions = 1, ttlCutoff = Some(2L))
+        val expect = Jobs.majorCompact(cells, maxVersions = 1,
+          ttlCutoff = Some(2L))
+        val mismatches = MobStore.read(cMain, cMob).alias("b")
+          .join(expect.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        cMain.agg(
+          count(lit(1)).as("n_cells"),
+          count(when(col("value").startsWith(MobStore.RefPrefix), 1))
+            .as("mob_cells"))
+          .crossJoin(mob.agg(count(lit(1)).as("mob_before")))
+          .crossJoin(cMob.agg(count(lit(1)).as("mob_after")))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV,
+        """__mc_live AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |    FROM live_events WHERE ts >= 2
+          |  ) WHERE rn <= 1)""".stripMargin)(
+        """SELECT
+          |  (SELECT COUNT(*) FROM __mc_live) AS n_cells,
+          |  (SELECT COUNT(*) FROM __mc_live
+          |   WHERE octet_length(encode(value)) >= 10) AS mob_cells,
+          |  (SELECT COUNT(DISTINCT value) FROM cells_events_v
+          |   WHERE type = 'Put' AND value IS NOT NULL
+          |     AND octet_length(encode(value)) >= 10) AS mob_before,
+          |  (SELECT COUNT(DISTINCT value) FROM __mc_live
+          |   WHERE octet_length(encode(value)) >= 10) AS mob_after,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the

@@ -20,19 +20,28 @@ import org.apache.spark.sql.DataFrame
 object ReplicationAdmin {
 
   final case class Peer(id: String, tableCfs: Map[String, Seq[String]],
-      enabled: Boolean)
+      enabled: Boolean, bandwidth: Long = 0L)
 
   private val peers =
     new java.util.concurrent.ConcurrentHashMap[String, Peer]()
 
   /** ReplicationException twin on duplicate ids, as addReplicationPeer
-    * throws. */
+    * throws. `bandwidth` is ReplicationPeerConfig.getBandwidth —
+    * bytes per second the peer's shipper may push; <= 0 disables
+    * throttling (ReplicationThrottler.java:36-41). */
   def addPeer(id: String, tableCfs: Map[String, Seq[String]] = Map.empty,
-      enabled: Boolean = true): Unit = {
+      enabled: Boolean = true, bandwidth: Long = 0L): Unit = {
     require(id.nonEmpty && !id.contains("-"),
       s"illegal peer id '$id' (the reference rejects '-' in peer ids)")
-    val prev = peers.putIfAbsent(id, Peer(id, tableCfs, enabled))
+    val prev = peers.putIfAbsent(id, Peer(id, tableCfs, enabled, bandwidth))
     require(prev == null, s"peer $id already exists")
+  }
+
+  /** Update a peer's bandwidth (Admin.updateReplicationPeerConfig). */
+  def setPeerBandwidth(id: String, bandwidth: Long): Unit = {
+    val updated = peers.computeIfPresent(id,
+      (_, p) => p.copy(bandwidth = bandwidth))
+    require(updated != null, s"no such peer $id")
   }
 
   def removePeer(id: String): Unit = {
@@ -81,6 +90,52 @@ object ReplicationAdmin {
     peers.values.asScala.toSeq.sortBy(_.id).flatMap { p =>
       scopeOf(p, table).map(fams => p.id -> WalStream.scoped(stream, fams))
     }.toMap
+  }
+
+  /** Deterministic micro-batch ADMISSION TRACE for one peer's serial
+    * shipper — the ReplicationThrottler twin
+    * (replication/regionserver/ReplicationThrottler.java:62-98 —
+    * per-100ms-cycle push budget with multi-cycle amortization of
+    * oversized pushes; bandwidth from ReplicationPeerConfig
+    * .getBandwidth) composed from the existing deterministic
+    * token bucket ([[graft.admin.RateLimiter]], AVERAGE refill = the
+    * throttler's proportional budget, clock INJECTED so the trace is
+    * spec-exact, never wall-clock).
+    *
+    * `batches` = (batchId, arrivalMs, sizeBytes) in arrival order (the
+    * shipper is serial — ST3's ordering contract). Returns
+    * (batchId, admitMs, sleptMs): each batch ships once the bucket
+    * holds its size; a batch LARGER than one cycle's budget admits at
+    * a full bucket and drives the balance negative, delaying
+    * successors — exactly the reference's "sleep following cycles to
+    * amortize" (:69-81). bandwidth <= 0 admits everything on arrival.
+    */
+  def admissionTrace(peerId: String,
+      batches: Seq[(Long, Long, Long)],
+      cycleMs: Long = 100L): Seq[(Long, Long, Long)] = {
+    val p = peers.get(peerId)
+    require(p != null, s"no such peer $peerId")
+    // per-cycle budget, like the reference's `bandwidth (per cycle =
+    // 100ms)` derived from bytes/sec
+    val perCycle = p.bandwidth * cycleMs / 1000L
+    if (p.bandwidth <= 0L) batches.map { case (id, at, _) => (id, at, 0L) }
+    else {
+      require(perCycle > 0, s"bandwidth too small for a $cycleMs ms cycle")
+      val rl = new graft.admin.RateLimiter(perCycle, cycleMs,
+        fixedInterval = false)
+      var clock = Long.MinValue
+      batches.map { case (id, at, size) =>
+        clock = math.max(clock, at) // serial: wait out the predecessor
+        val need = math.min(size, perCycle) // oversized: admit at full
+        val wait = rl.waitInterval(clock, need)
+        require(wait != Long.MaxValue)
+        val admit = clock + wait
+        rl.canExecute(admit, need) // refill at the admit instant
+        rl.consume(size) // may go negative — amortizes into successors
+        clock = admit
+        (id, admit, admit - at)
+      }
+    }
   }
 
   /** Test/lifecycle hook: drop every peer (a fresh cluster state). */

@@ -62,6 +62,34 @@ object MobStore {
     (main, mob)
   }
 
+  /** MOB-aware major compaction (DefaultMobStoreCompactor.java:60 —
+    * the mob store's compactor rewrites the main store under the
+    * family descriptor and carries only still-referenced mob values
+    * into the new mob files; MobFileCleanerChore then drops the
+    * now-unreferenced ones): graft compacts the REF-BEARING main
+    * store exactly like [[graft.flow.Jobs.majorCompact]] (ref cells
+    * are plain cells there — masking and version ranking act on
+    * coordinates, never on blob bytes, so the blobs don't travel
+    * through the compaction shuffle at all), then keeps exactly the
+    * blobs some SURVIVING ref still names. Returns
+    * (compactedMain, survivingMob).
+    *
+    * Scale: the surviving-ref set is a distinct on a 32-hex column of
+    * the compacted main — broadcastable against the (already small)
+    * content-addressed mob table; the blob payloads move only in the
+    * left-semi's probe side, i.e. never.
+    */
+  def compact(main: DataFrame, mob: DataFrame, maxVersions: Int = 1,
+      ttlCutoff: Option[Long] = None, minVersions: Int = 0): (DataFrame, DataFrame) = {
+    val compacted = graft.flow.Jobs.majorCompact(main, maxVersions,
+      ttlCutoff = ttlCutoff, minVersions = minVersions)
+    val liveRefs = compacted
+      .filter(col("value").startsWith(RefPrefix))
+      .select(substring(col("value"), RefPrefix.length + 1, 32).as("ref"))
+      .distinct()
+    (compacted, mob.join(liveRefs, Seq("ref"), "left_semi"))
+  }
+
   /** Transparent read: stitch MOB refs back to their blobs, and strip
     * one escape prefix from escaped inline values. Cells without a ref
     * pass through untouched (null join key — never matches, no blob

@@ -280,6 +280,47 @@ class CodecSpec extends AnyFunSuite {
       OBytesHb.encodeLong(5L, false).map(b => (~b).toByte)))
   }
 
+  test("OBytesHb narrow-type goldens: int8/16/32 and float32 wire bytes") {
+    import graft.codec.OBytesHb
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString(" ")
+    // int8/16/32: header 0x29/0x2a/0x2b + sign-flipped BE payload
+    // (OrderedBytes.java encodeInt8:1022, encodeInt16:960,
+    // encodeInt32:981)
+    assert(hex(OBytesHb.encodeByte(Byte.MinValue, false)) === "29 00")
+    assert(hex(OBytesHb.encodeByte(-1, false)) === "29 7f")
+    assert(hex(OBytesHb.encodeByte(Byte.MaxValue, false)) === "29 ff")
+    assert(hex(OBytesHb.encodeShort(258, false)) === "2a 81 02")
+    assert(hex(OBytesHb.encodeShort(Short.MinValue, false)) === "2a 00 00")
+    assert(hex(OBytesHb.encodeInt(-2, false)) === "2b 7f ff ff fe")
+    assert(hex(OBytesHb.encodeInt(Int.MaxValue, false)) === "2b ff ff ff ff")
+    // float32: header 0x30 + IEEE bits with `j ^= (j >> 31) |
+    // MIN_VALUE` (encodeFloat32:1091) — positives flip the sign bit,
+    // negatives flip every bit
+    assert(hex(OBytesHb.encodeFloat(1.0f, false)) === "30 bf 80 00 00")
+    assert(hex(OBytesHb.encodeFloat(-1.0f, false)) === "30 40 7f ff ff")
+    assert(hex(OBytesHb.encodeFloat(0.0f, false)) === "30 80 00 00 00")
+    // roundtrip + total order across the full narrow domains
+    val bytes = Seq(Byte.MinValue, -1, 0, 1, Byte.MaxValue).map(_.toByte)
+    assert(bytes.map(v => OBytesHb.decodeByte(OBytesHb.encodeByte(v, false), false)) === bytes)
+    val shorts = Seq(Short.MinValue, -258, -1, 0, 1, 258, Short.MaxValue).map(_.toShort)
+    assert(shorts.map(v => OBytesHb.decodeShort(OBytesHb.encodeShort(v, false), false)) === shorts)
+    val ints = Seq(Int.MinValue, -65537, -1, 0, 1, 65537, Int.MaxValue)
+    assert(ints.map(v => OBytesHb.decodeInt(OBytesHb.encodeInt(v, false), false)) === ints)
+    val floats = Seq(Float.NegativeInfinity, -1.5f, -Float.MinPositiveValue,
+      0.0f, Float.MinPositiveValue, 1.5f, Float.PositiveInfinity)
+    assert(floats.map(v => OBytesHb.decodeFloat(OBytesHb.encodeFloat(v, false), false)) === floats)
+    def sortedByBytes[T](vs: Seq[T], enc: T => Array[Byte]): Seq[T] =
+      vs.sortWith((a, b) => OBytes.compare(enc(a), enc(b)) < 0)
+    assert(sortedByBytes[Int](ints.reverse, v => OBytesHb.encodeInt(v, false)) === ints)
+    assert(sortedByBytes[Float](floats.reverse, v => OBytesHb.encodeFloat(v, false)) === floats)
+    // DESC = whole-field complement for every narrow type
+    for (v <- ints)
+      assert(java.util.Arrays.equals(OBytesHb.encodeInt(v, true),
+        OBytesHb.encodeInt(v, false).map(b => (~b).toByte)))
+    assert(java.util.Arrays.equals(OBytesHb.encodeFloat(2.5f, true),
+      OBytesHb.encodeFloat(2.5f, false).map(b => (~b).toByte)))
+  }
+
   test("order parity across wire formats: OBytes and OBytesHb sort identically") {
     import graft.codec.{OBytesHb, OrderedCodec}
     val codecs: Seq[OrderedCodec] = Seq(OBytes, OBytesHb)

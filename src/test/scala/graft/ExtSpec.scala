@@ -1061,7 +1061,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("pplBuckets: ntile path splits terciles; thresholds path agrees map-side") {
-    val exact = TextAnalysis.pplBuckets(docs).cache()
+    val exact = TextAnalysis.pplBuckets(docs, exactNtile = true).cache()
     val n = exact.count()
     val byB = exact.groupBy("ppl_bucket").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1081,6 +1081,20 @@ class ExtSpec extends SparkSpec {
       .join(exact, Seq("avg_logp")).count()
     assert(diff <= tieDocs, s"$diff bucket mismatches exceed $tieDocs boundary ties")
     assert(n === docs.filter(length(col("text")) > 0).count())
+    // DEFAULT path (scale-safe self-derived cutoffs): all three
+    // buckets populated, roughly tercile-sized (approx_percentile
+    // tolerance), deterministic across invocations
+    val dflt = TextAnalysis.pplBuckets(docs).cache()
+    val dByB = dflt.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(dByB.keySet))
+    assert(dByB.values.min >= n / 5, s"default terciles too skewed: $dByB")
+    val dflt2 = TextAnalysis.pplBuckets(docs)
+    assert(dflt.alias("a").join(dflt2.alias("b"), Seq("doc_id"))
+      .filter(col("a.ppl_bucket") =!= col("b.ppl_bucket")).count() === 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pplBuckets(docs, Some((0.0, -1.0)), exactNtile = true)
+    }
   }
 
   test("canonicalKeep keeps exactly the best-quality member per group") {

@@ -121,4 +121,83 @@ class HFileMobSpec extends SparkSpec {
     assert(broken.filter(col("value").startsWith("!MOB-MISS")).count() ==
       audit.head.getLong(1))
   }
+
+  test("expired mob cleaner drops whole pre-cutoff days; TTL'd reads never miss") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobexp").toString
+    // two flush days: day0 (epoch ms ~0) and day2 (epoch + 2 days)
+    val day2Ms = 2L * 86400000L
+    val cells = (0 until 200).map { i =>
+      val ts = if (i < 100) 1000L + i else day2Ms + i
+      (f"r$i%05d", "d", "q0", ts, "Put", "X" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "t2", numMobBuckets = 2)
+    val before = MobFiles.mobFileAudit(spark, out, table = "t2").collect()
+    val day0Files = before.map(_.getString(0)).filter(n =>
+      n.substring(32, 40) == "19700101")
+    assert(day0Files.nonEmpty && day0Files.length < before.length)
+
+    // cutoff between the days: every 19700101 file goes, 19700103 stays
+    val deleted = MobFiles.expiredMobFileCleaner(spark, out, "t2", "19700102")
+    assert(deleted.sorted == day0Files.toSeq.sorted)
+    val after = MobFiles.mobFileAudit(spark, out, table = "t2").collect()
+    assert(after.length == before.length - day0Files.length)
+
+    // a TTL'd read under the same cutoff never dereferences the
+    // deleted files: refs to them are themselves expired
+    val live = MobFiles.importResolved(spark, out, table = "t2")
+      .filter(col("ts") >= day2Ms)
+    assert(live.count() == 100)
+    assert(live.filter(col("value").startsWith("!MOB-MISS")).count() == 0)
+    // idempotent: nothing left before the cutoff
+    assert(MobFiles.expiredMobFileCleaner(spark, out, "t2", "19700102").isEmpty)
+  }
+
+  test("unreferenced-mob sweep keeps exactly the files live refs name") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobsweep").toString
+    // two days so the dropped half's mob files become fully
+    // unreferenced (mob files are (family, day, bucket)-scoped)
+    val day2Ms = 2L * 86400000L
+    val cells = (0 until 200).map { i =>
+      val ts = if (i < 100) 1000L + i else day2Ms + i
+      (f"r$i%05d", "d", "q0", ts, "Put", "X" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "t3", numMobBuckets = 4)
+    // nothing dangles yet: the sweep is a no-op
+    assert(MobFiles.sweepUnreferencedMobFiles(spark, out, "t3").isEmpty)
+
+    // simulate a compaction that rewrote the main store without the
+    // day-0 rows (their Puts masked): re-export the surviving half
+    // over the same mob dir — its refs name a subset of the mob files
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors = cells.filter(col("row") >= "r00100")
+    // re-write ONLY the main store (keep the mob dir): export to a tmp
+    // tree and move its main/ over ours
+    val tmp2 = java.nio.file.Files.createTempDirectory("mobsweep2").toString
+    MobFiles.export(survivors, threshold = 30, numRegions = 2,
+      outPath = tmp2, table = "t3", numMobBuckets = 4)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/main"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp2/main"),
+      new org.apache.hadoop.fs.Path(s"$out/main"))
+
+    val beforeNames = MobFiles.mobFileAudit(spark, out, table = "t3")
+      .collect().map(_.getString(0)).toSet
+    val day0Names = beforeNames.filter(_.substring(32, 40) == "19700101")
+    assert(day0Names.nonEmpty)
+    val swept = MobFiles.sweepUnreferencedMobFiles(spark, out, "t3")
+    // exactly the day-0 files dangle: deterministic (family, day,
+    // bucket) names mean the survivors' re-export referenced the same
+    // day-2 names the original wrote
+    assert(swept.toSet == day0Names)
+    val keptNames = MobFiles.mobFileAudit(spark, out, table = "t3")
+      .collect().map(_.getString(0)).toSet
+    assert(keptNames == beforeNames -- day0Names)
+    val resolved = MobFiles.importResolved(spark, out, table = "t3")
+    assert(resolved.count() == 100)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() == 0)
+  }
 }

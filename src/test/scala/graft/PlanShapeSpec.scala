@@ -118,6 +118,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pplBuckets default plan has no single-partition window") {
+    // the r9 verdict's one default-path scale flag: the exact-ntile
+    // global sort must be OPT-IN only — the default derives cutoffs
+    // with a mergeable approx_percentile and buckets map-side
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val phys = unwrap(
+      TextAnalysis.pplBuckets(docs).queryExecution.executedPlan)
+    val unbounded = phys.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unbounded.isEmpty,
+      s"default pplBuckets must not window partition-less:\n$phys")
+    // the opt-in exact path IS the one-partition ntile (the oracle twin)
+    val exact = unwrap(TextAnalysis.pplBuckets(docs, exactNtile = true)
+      .queryExecution.executedPlan)
+    assert(exact.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.nonEmpty)
+  }
+
   test("bm25 prunes the postings stream with broadcasts only; no corpus sort-merge") {
     val p = plan(TextAnalysis.bm25TopK(docs, col("doc_id") % 50 === 0))
     assert(count(p, "SortMergeJoin") === 0, s"no corpus-stream sort-merge:\n$p")

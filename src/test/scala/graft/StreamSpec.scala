@@ -327,6 +327,50 @@ class StreamSpec extends SparkSpec {
     } finally ReplicationAdmin.removeAllPeers()
   }
 
+  test("peer bandwidth throttle: admission trace matches the clock-injected limiter") {
+    import graft.stream.ReplicationAdmin
+    ReplicationAdmin.removeAllPeers()
+    try {
+      // 10 KB/s peer → 1000 bytes per 100 ms cycle (the reference's
+      // ReplicationThrottler budget shape); an unthrottled control
+      ReplicationAdmin.addPeer("slow", bandwidth = 10000L)
+      ReplicationAdmin.addPeer("fast")
+      // batches: (id, arrivalMs, sizeBytes) from one serial shipper
+      val batches = Seq(
+        (1L, 0L, 600L),    // fresh bucket: ships on arrival
+        (2L, 0L, 600L),    // only 400 left → waits 20 ms (200B @ 10B/ms)
+        (3L, 10L, 400L),   // queued behind #2, then 40 ms for 400B
+        (4L, 500L, 5000L), // OVERSIZED (5 cycles) — admits at full bucket,
+                           // drives the balance 4000B negative
+        (5L, 510L, 100L)   // pays the amortization: ~410 ms behind #4
+      )
+      val trace = ReplicationAdmin.admissionTrace("slow", batches)
+      assert(trace.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+      val admit = trace.map(t => t._1 -> t._2).toMap
+      assert(admit(1L) === 0L)
+      assert(admit(2L) === 20L)  // waitInterval(600 @ avail 400) = 20 ms
+      assert(admit(3L) === 60L)  // 20 + 40 ms for the next 400 bytes
+      // #4: bucket refills to full 1000 by t=160; arrival 500 → ships
+      // at 500 (full bucket), consumes 5000 → avail -4000
+      assert(admit(4L) === 500L)
+      // #5 needs avail ≥ 100 from -4000: 4100 bytes = 410 ms after 500
+      assert(admit(5L) === 910L)
+      // sleeps are admit - arrival, serial order preserved
+      assert(trace.map(_._3) === Seq(0L, 20L, 50L, 0L, 400L))
+      assert(trace.map(_._2) === trace.map(_._2).sorted)
+
+      // the unthrottled peer ships every batch on arrival
+      assert(ReplicationAdmin.admissionTrace("fast", batches) ===
+        batches.map { case (id, at, _) => (id, at, 0L) })
+      // live-reconfig (updateReplicationPeerConfig): a 10× bandwidth
+      // gives a 10 KB cycle budget — every batch here fits the fresh
+      // bucket's refill and ships with at most the tiny residual wait
+      ReplicationAdmin.setPeerBandwidth("slow", 100000L)
+      val fast10 = ReplicationAdmin.admissionTrace("slow", batches)
+      assert(fast10.map(_._3).sum < trace.map(_._3).sum / 10)
+    } finally ReplicationAdmin.removeAllPeers()
+  }
+
   test("streaming HFile backup sink: epochs land as byte-format files, markers excluded, redelivery idempotent") {
     import graft.stream.{WalMeta, WalStream}
     import spark.implicits._
