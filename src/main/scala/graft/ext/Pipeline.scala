@@ -550,10 +550,16 @@ object Pipeline {
     * Plan: two map-side signal projections + the e25 vocab broadcast +
     * one md5 keeper window (partitioned by fingerprint — bounded by
     * the dup factor) joined on doc_id; the only global exchange is
-    * e38's already-aggregated tercile frame. */
-  def ccnetVerdict(docs: DataFrame, lang: String = "en"): DataFrame = {
+    * e38's already-aggregated tercile frame.
+    *
+    * `exactNtile` mirrors [[TextAnalysis.pplBuckets]]'s knob: the
+    * default buckets on scale-safe approx-percentile cutoffs; the
+    * declared e63 oracle pins exact rank terciles, so the declared
+    * query passes true. */
+  def ccnetVerdict(docs: DataFrame, lang: String = "en",
+      exactNtile: Boolean = false): DataFrame = {
     val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
-    val ppl = TextAnalysis.pplBuckets(docs)
+    val ppl = TextAnalysis.pplBuckets(docs, exactNtile = exactNtile)
       .select(col("doc_id"), col("avg_logp"), col("ppl_bucket"))
     val keeper = Dedup.keeperFlag(docs,
         md5(TextHash.normText(col("text"))), "is_keeper")

@@ -274,6 +274,19 @@ object Jobs {
     * merge `maxVersions`,
     *   Resolve.latest(restore(full, Seq(merge(incs)))) ≡
     *   Resolve.latest(restore(full, incs)).
+    * The version trim is a DIVERGENCE from the reference merge (which
+    * only splits/replays store files) whenever `maxVersions <
+    * Int.MaxValue` and the reader gates BEFORE version counting:
+    * KEEP_DELETED_CELLS time-travel below the merged tombstones, AND
+    * any time-ranged or cellFilter'd read at the merged recovery point
+    * (Resolve.latest applies timeRange/cellFilter before the version
+    * gate, so a Put the merge's UNfiltered gate dropped can be the
+    * filtered read's top-k winner). Callers needing those read shapes
+    * must merge with the default maxVersions = Int.MaxValue (pure
+    * tombstone retention — always equivalent) and trim in an explicit
+    * separate step. The trim's correctness for plain reads also
+    * assumes the backup watermark protocol's disjoint ordered ts
+    * ranges across the input images.
     */
   def mergeBackupImages(incrementals: Seq[DataFrame],
       maxVersions: Int = Int.MaxValue): DataFrame = {
@@ -292,6 +305,34 @@ object Jobs {
           .filter(col("__rn") <= maxVersions).drop("__rn")
       }
     gated.unionByName(tombs)
+  }
+
+  /** [[mergeBackupImages]] landed durably — the deployment shape. The
+    * reference merge job WRITES the merged image to the backup
+    * filesystem and deletes the superseded ones
+    * (MapReduceBackupMergeJob.java:61 ff — the merged HFiles land
+    * under the most recent backup id before any restore reads them);
+    * a merged image is a durable artifact, not a view. Landing also
+    * severs the lineage: the lazy merge frame is a union + 4-leg
+    * tombstone mask + rank window, and every downstream mask leg of
+    * restore/Resolve would re-evaluate that whole subplan — a
+    * multiplier that grows with input size (the q62/q68/q71
+    * precedent). Returns the read-back of the written store. */
+  def mergeBackupImagesLanded(spark: org.apache.spark.sql.SparkSession,
+      incrementals: Seq[DataFrame], table: String, path: String,
+      maxVersions: Int = Int.MaxValue, buckets: Int = 8): DataFrame = {
+    // Stage the input chain as flat files first: the reference merge
+    // reads its input images FROM the backup filesystem (durable HFile
+    // sets), so the mask/window legs inside the merge scan cheap flat
+    // storage instead of re-evaluating each image's upstream lineage
+    // once per leg (the q91 multiplier).
+    val staging = s"$path.staging"
+    incrementals.reduce(_ unionByName _)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    graft.write.BucketedStore.write(
+      mergeBackupImages(Seq(spark.read.parquet(staging)), maxVersions),
+      table, path, buckets)
+    graft.write.BucketedStore.read(spark, table)
   }
 
   /** D9 restore (RestoreTablesClient): replay the full image plus the

@@ -736,7 +736,8 @@ object PipelineQueries {
       // keep (Pipeline.ccnetVerdict scaladoc). The oracle recomposes
       // the e08/e38/e01 oracle fragments over the same doc set.
       "e63_ccnet_verdict",
-      (s, dir) => Pipeline.ccnetVerdict(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.ccnetVerdict(docs(s, dir), exactNtile = true)
+        .orderBy("doc_id"),
       Some {
         val profiles = graft.ext.TextAnalysis.profiles
         val scores = profiles.map { case (l, ts) =>

@@ -91,17 +91,23 @@ object ReplayQueries {
       // incremental chain — (2,3], (3,4], (4,5] over the full@2 — merges
       // into ONE image (retention: merged-range tombstone masking +
       // version trim to the reader's maxVersions, all markers retained),
-      // and restore(full, merged) read through Resolve must equal the
-      // unmerged point-in-time restore AS OF ts 5 — which is what the
-      // oracle computes directly over the unmerged cell set.
+      // LANDED durably (the reference writes the merged image to the
+      // backup filesystem before any restore reads it — and the durable
+      // boundary stops restore's mask legs from re-evaluating the whole
+      // merge subplan), and restore(full, merged) read through Resolve
+      // must equal the unmerged point-in-time restore AS OF ts 5 —
+      // which is what the oracle computes directly over the unmerged
+      // cell set.
       "q91_backup_merge",
       (s, dir) => {
         val wal = Fixtures.cellsEventsV(s, dir)
         val full = Jobs.fullBackup(wal, 2L)
-        val merged = Jobs.mergeBackupImages(Seq(
+        val tmp = graft.Queries.scratchDir("q91_merge")
+        val merged = Jobs.mergeBackupImagesLanded(s, Seq(
           Jobs.incrementalBackup(wal, 2L, 3L),
           Jobs.incrementalBackup(wal, 3L, 4L),
-          Jobs.incrementalBackup(wal, 4L, 5L)), maxVersions = 2)
+          Jobs.incrementalBackup(wal, 4L, 5L)),
+          "q91_merged_img", s"$tmp/store", maxVersions = 2)
         Resolve.latest(Jobs.restore(full, Seq(merged)), maxVersions = 2)
           .select("row", "family", "qualifier", "ts", "value")
           .orderBy(col("row"), col("family"), col("qualifier"), col("ts").desc)
