@@ -303,10 +303,16 @@ object MobFiles {
     val files =
       Option(fs.globStatus(new Path(s"$outPath/mobdir/data/default/$table/*/*/*")))
         .getOrElse(Array.empty).map(_.getPath).toSeq
-    // MobFileName layout: md5hex(startKey)[32] + yyyymmdd[8] + ...
+    // MobFileName layout: md5hex(startKey)[32] + yyyymmdd[8] + uuid —
+    // validate the FULL shape (32 hex chars then 8 digits) before
+    // treating a file as expirable, so a stray non-mob file in the
+    // mob dir can never be deleted by a lexicographic accident.
+    val mobName = "(?i)[0-9a-f]{32}(\\d{8}).+".r
     val expired = files.filter { p =>
-      val n = p.getName
-      n.length > 40 && n.substring(32, 40) < cutoffDay
+      p.getName match {
+        case mobName(day) => day < cutoffDay
+        case _ => false
+      }
     }
     expired.foreach(fs.delete(_, false))
     expired.map(_.getName).sorted
@@ -326,13 +332,27 @@ object MobFiles {
       Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
         .map(s => (s.getPath.toString, s.getLen)).toSeq
     val mainFiles = list(s"$outPath/main/part-*.hfile")
+    // Ship the DRIVER's Hadoop settings to the executor-side opens
+    // (credentials, endpoints — a fresh Configuration() would silently
+    // drop them on non-default filesystems). Entries only; the
+    // executor rebuilds the Configuration. Any read error fails the
+    // job BEFORE the delete below — the sweep fails closed.
+    val confEntries = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    val bconf = spark.sparkContext.broadcast(confEntries)
     // referenced-name set: file-count bounded (one name per mob file,
     // not per cell) — safe to collect
     val referenced = spark.sparkContext
       .parallelize(mainFiles, math.max(mainFiles.size, 1))
       .flatMap { case (p, l) =>
+        val conf = new Configuration()
+        bconf.value.foreach { case (k, v) => conf.set(k, v) }
         val path = new Path(p)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(conf).open(path)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
         openCellsOf(in, l).filter(isRef).map(c =>

@@ -22,9 +22,14 @@ object ExtQueries {
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** e77's landed retrieval lists, one per (session, sf) — see the
-    * query's comment. */
+    * query's comment. Sessions are tagged with a UUID held in a weak
+    * identity map (not identityHashCode, which can collide or be
+    * reused after GC), and the tag lands in the scratch path so two
+    * live sessions never race on one dir. */
+  private val e77SessionTag = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
   private val e77RanksOnce =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val norm = Sql.normText("text")
   private val toks = Sql.tokens("text")
 
@@ -1419,10 +1424,12 @@ object ExtQueries {
       // rrfFuseFrames, not both upstream retrievals.
       "e77_rrf_fusion",
       (s, dir) => {
+        val tag = e77SessionTag.computeIfAbsent(
+          s, _ => java.util.UUID.randomUUID().toString.take(8))
         val ranksDir = e77RanksOnce.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (tag, dir), {
             val out = graft.Queries.scratchDir(
-              "e77_ranks_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+              s"e77_ranks_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
             TextAnalysis.bm25TopK(
                 graft.model.Tables.load(s, s"$dir/documents.parquet"),
                 col("doc_id") % 50 === 0, k = 20)

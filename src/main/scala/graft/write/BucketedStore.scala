@@ -97,11 +97,18 @@ object BucketedStore {
     * parquet bloom (StoreFileReader
     * .passesGeneralRowPrefixBloomFilter's probe key), while the
     * startsWith on `row` keeps min/max pruning and the exact scan
-    * semantics. `prefix` must be exactly the store's fixed length —
-    * shorter prefixes can't use the bloom (probe with startsWith
-    * alone, as the reference returns true there). */
-  def rowPrefixPred(prefix: String): Column =
-    col("__rowprefix") === prefix && col("row").startsWith(prefix)
+    * semantics. The bloom leg only applies when `prefix` is exactly
+    * the store's fixed length `n`; any other length falls through to
+    * the startsWith-only predicate — the reference's "bloom unusable
+    * => scan" rule (RowPrefixFixedLengthBloomContext returns true for
+    * keys shorter than the fixed length) — instead of an equality on
+    * the derived column that would silently drop every longer-prefix
+    * row. Pass the store's `n`; callers that don't know it get the
+    * safe fall-through by default (`n = -1` never matches). */
+  def rowPrefixPred(prefix: String, n: Int = -1): Column =
+    if (prefix.length == n)
+      col("__rowprefix") === prefix && col("row").startsWith(prefix)
+    else col("row").startsWith(prefix)
 
   /** Read back the canonical cell view (derived bloom-key columns
     * dropped). */

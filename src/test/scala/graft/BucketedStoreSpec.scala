@@ -135,15 +135,27 @@ class BucketedStoreSpec extends SparkSpec {
     assert(!BucketedStore.read(spark, "bs_rp").columns.contains("__rowprefix"))
     // present prefix: the whole group comes back
     val probe = BucketedStore.readRaw(spark, "bs_rp")
-      .filter(BucketedStore.rowPrefixPred("0000000000000042"))
+      .filter(BucketedStore.rowPrefixPred("0000000000000042", n = 16))
     assert(probe.count() === 2)
     // absent prefix inside the covering row range: zero rows
     assert(BucketedStore.readRaw(spark, "bs_rp")
-      .filter(BucketedStore.rowPrefixPred("0000000000299999")).count() === 0)
+      .filter(BucketedStore.rowPrefixPred("0000000000299999", n = 16)).count() === 0)
     // the prefix equality reaches the parquet scan (bloom-eligible)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("__rowprefix"),
       s"rowprefix probe must push down:\n$plan")
+    // length-mismatched probe: the bloom is unusable (reference rule:
+    // RowPrefixFixedLengthBloomContext passes short keys through), so
+    // the predicate must fall back to startsWith alone and still
+    // return every matching row — not silently zero via the derived
+    // column equality. A LONGER probe (17 > n=16) matches exactly the
+    // one full row key it names.
+    assert(BucketedStore.readRaw(spark, "bs_rp")
+      .filter(BucketedStore.rowPrefixPred("000000000000004", n = 16))
+      .count() === 20) // 15-char prefix covers ids 80..99 -> 20 rows
+    assert(BucketedStore.readRaw(spark, "bs_rp")
+      .filter(BucketedStore.rowPrefixPred("0000000000000042-", n = 16))
+      .count() === 2)
     val files = new java.io.File(s"$tmp/rp").listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
     assert(files.nonEmpty)
