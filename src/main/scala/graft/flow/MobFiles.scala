@@ -219,6 +219,31 @@ object MobFiles {
     * dropped, like HMobStore's MOB cell miss counter. */
   def importResolved(spark: SparkSession, outPath: String,
       table: String = "graft"): DataFrame = {
+    val (plain, refs, mobCells) = layoutFrames(spark, outPath, table)
+    val resolved = refs
+      .join(mobCells, Seq("mob_file", "row", "family", "qualifier", "ts"), "left")
+      .withColumn("ok",
+        col("value").isNotNull && length(col("value")) === col("mob_len"))
+    // surface dangling refs / length mismatches as an explicit error
+    // value rather than dropping the row — identity gates catch it
+    // `mob` = resolved THROUGH a mob file (provenance, not a recompute
+    // of the threshold rule): a broken split that never wrote refs
+    // shows up as mob=false rows the oracle expects mob=true for
+    resolved
+      .select(col("row"), col("family"), col("qualifier"), col("ts"),
+        col("type"),
+        when(col("ok"), col("value"))
+          .otherwise(concat(lit("!MOB-MISS:"), col("mob_file"))).as("value"),
+        lit(true).as("mob"))
+      .unionByName(plain.withColumn("mob", lit(false)))
+  }
+
+  /** Load a MOB table layout as its three constituent frames:
+    * (plain main cells, ref cells with their named mob file + declared
+    * length, mob cells keyed by file) — shared by [[importResolved]]
+    * and [[compactMobGenerations]]. */
+  private def layoutFrames(spark: SparkSession, outPath: String,
+      table: String): (DataFrame, DataFrame, DataFrame) = {
     val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def list(glob: String): Seq[(String, Long)] =
       Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
@@ -268,22 +293,191 @@ object MobFiles {
           }
         }, mobCellSchema)
 
-    val resolved = refs
+    (plain, refs, mobCells)
+  }
+
+  /** Consolidated-generation mob file name: the reference's compactor
+    * emits fresh MobFileNames for its output partition (a new uuid per
+    * compaction — DefaultMobStoreCompactor/MobFileName.create); graft
+    * derives it deterministically from (table, family, partition
+    * date) with a "gen" seed disjoint from [[mobFileName]]'s bucket
+    * seeds, so output names never collide with any flush-generation
+    * file and a re-run rewrites the same consolidated files in place
+    * (idempotent). */
+  def genMobFileName(table: String, family: String, dt: String): String =
+    md5hex(s"$family:$dt:gen") + dt +
+      md5hex(s"uuid:gen:$table:$family:$dt") + "_" + mobRegionName(table)
+
+  /** MOB generation compaction — the half of
+    * DefaultMobStoreCompactor.java:60 ff that [[graft.write.MobStore
+    * .compact]]'s logical twin doesn't cover: REWRITE the surviving
+    * blobs into fresh CONSOLIDATED mob files (many small per-day
+    * flush files → one file per (family, policy partition), the
+    * MobCompactPartitionPolicy DAILY/WEEKLY/MONTHLY calendar from
+    * MobUtils.fillPartitionId), repoint every main-store ref cell at
+    * the new generation, swap the rewritten main store in atomically,
+    * and leave the superseded generation for
+    * [[sweepUnreferencedMobFiles]] to drop. The partition date comes
+    * from each ref's mob FILE NAME (chars 33-40 — the flush day the
+    * reference partitions by), never from cell timestamps.
+    *
+    * Fails closed: any dangling ref or blob/length mismatch aborts
+    * before a single byte is written. The main-store swap is
+    * write-complete-then-rename (main.next → main, old kept as
+    * main.old until the new directory is in place), the same
+    * commit-by-rename the reference's bulk-load swap performs.
+    *
+    * Scale: blobs shuffle ONCE, keyed by (family, partition) — the
+    * consolidation key — and stream through the HFile writer per run;
+    * the main rewrite is the standard region-range layout. Nothing is
+    * collected to the driver.
+    *
+    * Returns the new generation's mob file names. */
+  def compactMobGenerations(spark: SparkSession, outPath: String,
+      table: String = "graft", policy: String = "MONTHLY",
+      blockSize: Int = 65536): Seq[String] = {
+    val (plain, refs, mobCells) = layoutFrames(spark, outPath, table)
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def list(glob: String): Seq[String] =
+      Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
+        .map(_.getPath.toString).toSeq
+    val nRegions = math.max(list(s"$outPath/main/part-*.hfile").size, 1)
+    val nOldMob =
+      math.max(list(s"$outPath/mobdir/data/default/$table/*/*/*").size, 1)
+
+    val day = substring(col("mob_file"), 33, 8)
+    val gdt = policy.toUpperCase match {
+      case "DAILY" => day
+      case "MONTHLY" => concat(substring(col("mob_file"), 33, 6), lit("01"))
+      case "WEEKLY" =>
+        date_format(date_trunc("week", to_date(day, "yyyyMMdd")), "yyyyMMdd")
+      case other =>
+        throw new IllegalArgumentException(s"unknown policy: $other")
+    }
+
+    // resolve every surviving ref against its named file; abort on any
+    // dangling ref BEFORE writing anything
+    val joined = refs
       .join(mobCells, Seq("mob_file", "row", "family", "qualifier", "ts"), "left")
-      .withColumn("ok",
-        col("value").isNotNull && length(col("value")) === col("mob_len"))
-    // surface dangling refs / length mismatches as an explicit error
-    // value rather than dropping the row — identity gates catch it
-    // `mob` = resolved THROUGH a mob file (provenance, not a recompute
-    // of the threshold rule): a broken split that never wrote refs
-    // shows up as mob=false rows the oracle expects mob=true for
-    resolved
-      .select(col("row"), col("family"), col("qualifier"), col("ts"),
-        col("type"),
-        when(col("ok"), col("value"))
-          .otherwise(concat(lit("!MOB-MISS:"), col("mob_file"))).as("value"),
-        lit(true).as("mob"))
-      .unionByName(plain.withColumn("mob", lit(false)))
+      .withColumn("gdt", gdt)
+    val dangling = joined
+      .filter(col("value").isNull || length(col("value")) =!= col("mob_len"))
+      .count()
+    require(dangling == 0L,
+      s"$dangling dangling/mismatched mob refs — compaction aborted")
+
+    val tableB = table
+    val blockB = blockSize
+
+    // new generation's names, resolved BEFORE any write: every frame
+    // here lazily re-reads the ORIGINAL main files, which the swap
+    // below retires
+    val newNames = joined.select("family", "gdt").distinct().collect()
+      .map(r => genMobFileName(tableB, r.getString(0), r.getString(1)))
+      .toSeq.sorted
+
+    // --- new consolidated mob files: one per (family, gdt) run ---
+    joined
+      .repartition(nOldMob, col("family"), col("gdt"))
+      .sortWithinPartitions(col("family"), col("gdt"),
+        col("row"), col("qualifier"), col("ts").desc, typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value", "gdt")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val bufIt = it.buffered
+          while (bufIt.hasNext) {
+            val fam = bufIt.head.getString(1)
+            val dt = bufIt.head.getString(6)
+            val fname = genMobFileName(tableB, fam, dt)
+            var nWritten = 0L
+            val run = new Iterator[HCell] {
+              def hasNext: Boolean = bufIt.hasNext &&
+                bufIt.head.getString(1) == fam && bufIt.head.getString(6) == dt
+              def next(): HCell = {
+                val r = bufIt.next()
+                nWritten += 1
+                HCell(r.getString(0).getBytes("UTF-8"),
+                  r.getString(1).getBytes("UTF-8"),
+                  r.getString(2).getBytes("UTF-8"),
+                  r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                  Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+              }
+            }
+            val path = new Path(s"${mobFamilyDir(outPath, tableB, fam)}/$fname")
+            val out = fs.create(path, true)
+            try {
+              HFileV3.write(out, run, blockB,
+                extraFileInfo = Seq("MOB_CELLS_COUNT" ->
+                  ByteBuffer.allocate(8).putLong(nWritten).array()))
+              ()
+            } finally out.close()
+          }
+        }
+      }
+
+    // --- rewritten main store: refs repointed at the new generation ---
+    val mainAll = plain
+      .withColumn("is_ref", lit(false))
+      .withColumn("mob_len", lit(0))
+      .withColumn("gdt", lit(""))
+      .unionByName(refs
+        .withColumn("is_ref", lit(true))
+        .withColumn("gdt", gdt)
+        .select(col("row"), col("family"), col("qualifier"), col("ts"),
+          col("type"), lit(null).cast("string").as("value"),
+          col("is_ref"), col("mob_len"), col("gdt")))
+    val nextDir = new Path(s"$outPath/main.next")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    mainAll
+      .repartitionByRange(nRegions, col("row"))
+      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+        col("ts").desc, typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value",
+        "is_ref", "mob_len", "gdt")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = TaskContext.getPartitionId()
+          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val refTags = HFileV3.tagBytes(Seq(
+            (MobRefTagType, Array.emptyByteArray),
+            (MobTableNameTagType, tableB.getBytes("UTF-8"))))
+          def toCell(r: Row): HCell =
+            if (r.getBoolean(6)) {
+              val fname = genMobFileName(tableB, r.getString(1), r.getString(8))
+                .getBytes("UTF-8")
+              val ref = ByteBuffer.allocate(4 + fname.length)
+              ref.putInt(r.getInt(7))
+              ref.put(fname)
+              HCell(r.getString(0).getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"),
+                r.getString(2).getBytes("UTF-8"),
+                r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                ref.array(), tags = refTags)
+            } else
+              HCell(r.getString(0).getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"),
+                r.getString(2).getBytes("UTF-8"),
+                r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+          val path = new Path(f"$outPath%s/main.next/part-$pid%05d.hfile")
+          val out = fs.create(path, true)
+          try {
+            HFileV3.write(out, it.map(toCell), blockB, withTags = true)
+            ()
+          } finally out.close()
+        }
+      }
+
+    // commit-by-rename: the new store appears whole or not at all
+    val mainDir = new Path(s"$outPath/main")
+    val oldDir = new Path(s"$outPath/main.old")
+    if (fs.exists(oldDir)) fs.delete(oldDir, true)
+    require(fs.rename(mainDir, oldDir), s"could not retire $mainDir")
+    require(fs.rename(nextDir, mainDir), s"could not commit $nextDir")
+    fs.delete(oldDir, true)
+
+    newNames
   }
 
   /** ExpiredMobFileCleaner twin (mob/ExpiredMobFileCleaner.java:55;

@@ -264,6 +264,66 @@ object ReplayQueries {
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
     ),
     QDef(
+      // MOB GENERATION compaction (DefaultMobStoreCompactor.java:60 ff
+      // + MobCompactPartitionPolicy): a MOB table flushed daily
+      // (numMobBuckets=1, ts scaled to days so each logical tick is a
+      // flush day) accumulates one mob file per (family, day);
+      // compactMobGenerations(MONTHLY) rewrites every surviving blob
+      // into ONE consolidated file per (family, month), repoints the
+      // refs atomically, and the existing unreferenced-file sweep
+      // drops the whole superseded generation. The declared row pins
+      // all of it: read-back identity (mismatches=0), blob byte totals
+      // preserved across the rewrite, file count strictly dropping
+      // (files_before = per-day files > files_after = per-month), and
+      // swept_old = exactly the old generation.
+      "q93_mob_generations",
+      (s, dir) => {
+        import graft.flow.MobFiles
+        val cells = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+          .withColumn("ts", col("ts") * lit(86400000L))
+        val out = graft.Queries.scratchDir("q93_mob_gen")
+        MobFiles.export(cells, threshold = 8, numRegions = 8,
+          outPath = out, table = "events", numMobBuckets = 1)
+        val before = MobFiles.mobFileAudit(s, out, "events").count()
+        MobFiles.compactMobGenerations(s, out, table = "events",
+          policy = "MONTHLY")
+        val swept = MobFiles.sweepUnreferencedMobFiles(s, out, "events")
+        val after = MobFiles.mobFileAudit(s, out, "events").count()
+        val resolved = MobFiles.importResolved(s, out, "events")
+        val mismatches = resolved
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .alias("b")
+          .join(cells.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        resolved.agg(
+          count(lit(1)).as("n_cells"),
+          count(when(col("mob"), 1)).as("mob_cells"),
+          sum(when(col("mob"), length(col("value")))).cast("long")
+            .as("blob_bytes"))
+          .withColumn("files_before", lit(before))
+          .withColumn("files_after", lit(after))
+          .withColumn("swept_old", lit(swept.size.toLong))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__mob AS (
+          |  SELECT family, ts, value FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL AND length(value) > 8
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT COUNT(*) FROM cells_events_v
+          |   WHERE type = 'Put' AND value IS NOT NULL) AS n_cells,
+          |  (SELECT COUNT(*) FROM __mob) AS mob_cells,
+          |  (SELECT CAST(SUM(length(value)) AS BIGINT) FROM __mob) AS blob_bytes,
+          |  (SELECT COUNT(DISTINCT family || ':' || ts) FROM __mob) AS files_before,
+          |  (SELECT COUNT(DISTINCT family) FROM __mob) AS files_after,
+          |  (SELECT COUNT(DISTINCT family || ':' || ts) FROM __mob) AS swept_old,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the

@@ -138,6 +138,103 @@ object ReplicationAdmin {
     }
   }
 
+  /** LIVE per-peer shipper throttle — the stateful half of
+    * [[admissionTrace]], holding the same token bucket across a
+    * stream's micro-batches (ReplicationThrottler is a field of the
+    * shipper, one per peer source — ReplicationSourceShipper.java
+    * calls `throttler.getNextSleepInterval(size)` then sleeps before
+    * every push). Clock and sleeper are injectable so StreamSpec can
+    * pin the REAL sink's admissions against the deterministic trace;
+    * production uses wall clock + Thread.sleep. `bandwidth <= 0`
+    * admits everything immediately (ReplicationThrottler.java:36-41).
+    * Serial by contract (one shipper per peer — ST3), synchronized
+    * anyway so a misuse can't corrupt the bucket. */
+  final class PeerThrottle(val bandwidth: Long, val cycleMs: Long = 100L,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      sleeper: Long => Unit = ms => Thread.sleep(ms)) {
+    private val perCycle = bandwidth * cycleMs / 1000L
+    private val rl =
+      if (bandwidth <= 0L) None
+      else {
+        require(perCycle > 0, s"bandwidth too small for a $cycleMs ms cycle")
+        Some(new graft.admin.RateLimiter(perCycle, cycleMs,
+          fixedInterval = false))
+      }
+    private var clock = Long.MinValue
+    /** (arrivalMs, admitMs, sizeBytes) per admitted batch, in ship
+      * order — the live counterpart of [[admissionTrace]]'s rows. */
+    val admissions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+
+    /** Block (via the sleeper) until the bucket admits `sizeBytes`,
+      * then consume them; returns the slept milliseconds. Oversized
+      * batches admit at a full bucket and drive the balance negative,
+      * amortizing into successors — exactly the trace's rule. */
+    def admit(sizeBytes: Long): Long = synchronized {
+      val at = nowMs()
+      clock = math.max(clock, at)
+      rl match {
+        case None =>
+          admissions += ((at, clock, sizeBytes)); clock - at
+        case Some(r) =>
+          val need = math.min(sizeBytes, perCycle)
+          val wait = r.waitInterval(clock, need)
+          require(wait != Long.MaxValue)
+          if (wait > 0) sleeper(wait)
+          val admitAt = clock + wait
+          r.canExecute(admitAt, need)
+          r.consume(sizeBytes)
+          clock = admitAt
+          admissions += ((at, admitAt, sizeBytes))
+          admitAt - at
+      }
+    }
+  }
+
+  /** Wire size of one shipped micro-batch — the deterministic stand-in
+    * for the reference's per-entry serialized size
+    * (ReplicationSourceWALReader tracks entry batch size in bytes):
+    * string coordinate/value bytes + 8 (ts) + 1 (type tag). */
+  private def batchSizeBytes(batch: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    batch.agg(coalesce(sum(
+        (length(col("row")) + length(col("family")) +
+          length(col("qualifier")) +
+          coalesce(length(col("value")), lit(0)) + lit(9))
+          .cast("long")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** One peer's THROTTLED exactly-once sink: [[WalStream.applySink]]'s
+    * idempotent per-batch apply with the peer's bandwidth enforced
+    * before each push, mirroring ReplicationSourceShipper's
+    * per-batch `throttler.getNextSleepInterval` + sleep + `addPushSize`
+    * (ReplicationThrottler.java:62-98). The throttle is consulted on
+    * the SHIPPED batch (markers included — they travel the wire; the
+    * apply itself still drops them, ReplicationSink's isMetaEdit
+    * guard). A peer with bandwidth <= 0 ships unthrottled and
+    * byte-identically to plain applySink. `throttle` is injectable for
+    * the spec; by default the peer's CURRENT bandwidth builds one
+    * bucket held for the stream's lifetime (the reference rebuilds the
+    * throttler on peer-config refresh — callers restart the sink on
+    * updateReplicationPeerConfig the same way). */
+  def shippedSink(peerId: String, cellStream: DataFrame,
+      checkpointDir: String, outDir: String,
+      seqCol: Option[String] = None,
+      throttle: Option[PeerThrottle] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val p = peers.get(peerId)
+    require(p != null, s"no such peer $peerId")
+    val th = throttle.getOrElse(new PeerThrottle(p.bandwidth))
+    cellStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        th.admit(batchSizeBytes(batch))
+        WalStream.applyBatch(batch, seqCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Test/lifecycle hook: drop every peer (a fresh cluster state). */
   def removeAllPeers(): Unit = peers.clear()
 }

@@ -200,4 +200,50 @@ class HFileMobSpec extends SparkSpec {
     assert(resolved.count() == 100)
     assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() == 0)
   }
+
+  test("generation compaction consolidates per policy partition, repoints refs, re-runs idempotently") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobgen").toString
+    val dayMs = 86400000L
+    // 10 flush days spanning two ISO weeks (1970-01-05 Mon .. 01-14),
+    // 2 row-hash buckets -> up to 20 daily files; every value is mob
+    val cells = (0 until 200).map { i =>
+      (f"r$i%05d", "d", "q0", (4 + i % 10) * dayMs, "Put", "B" * (35 + i % 7))
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 3, outPath = out,
+      table = "tg", numMobBuckets = 2)
+    val before = MobFiles.mobFileAudit(spark, out, table = "tg").collect()
+    assert(before.length > 2)
+
+    val newFiles = MobFiles.compactMobGenerations(spark, out, table = "tg",
+      policy = "WEEKLY")
+    // two ISO weeks -> two consolidated files, names carry the Monday
+    assert(newFiles.size === 2)
+    assert(newFiles.forall(n => n.substring(32, 40) == "19700105" ||
+      n.substring(32, 40) == "19700112"))
+    val swept = MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tg")
+    assert(swept.toSet === before.map(_.getString(0)).toSet,
+      "exactly the old generation is unreferenced after the repoint")
+
+    // audit consistency + identity through the new generation
+    val audit = MobFiles.mobFileAudit(spark, out, table = "tg").collect()
+    assert(audit.map(_.getString(0)).sorted.toSeq === newFiles)
+    audit.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    assert(audit.map(_.getLong(1)).sum == 200L)
+    val resolved = MobFiles.importResolved(spark, out, table = "tg")
+    assert(resolved.filter(col("mob")).count() === 200)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+    assert(resolved.select("row", "value").as[(String, String)].collect()
+      .toMap === cells.select("row", "value").as[(String, String)]
+      .collect().toMap)
+
+    // a second run consumes the consolidated generation and rewrites
+    // the SAME names in place — nothing new to sweep
+    val again = MobFiles.compactMobGenerations(spark, out, table = "tg",
+      policy = "WEEKLY")
+    assert(again === newFiles)
+    assert(MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tg").isEmpty)
+    assert(MobFiles.importResolved(spark, out, table = "tg")
+      .filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+  }
 }

@@ -371,6 +371,68 @@ class StreamSpec extends SparkSpec {
     } finally ReplicationAdmin.removeAllPeers()
   }
 
+  test("live shipper throttle: real micro-batch admissions match the deterministic trace; unthrottled peer identical") {
+    import graft.stream.ReplicationAdmin
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    ReplicationAdmin.removeAllPeers()
+    try {
+      ReplicationAdmin.addPeer("thr", bandwidth = 10000L) // 1000 B/cycle
+      ReplicationAdmin.addPeer("ctl")                     // unthrottled
+      val out = graft.Queries.scratchDir("ship_throttle")
+      // 3 one-file micro-batches, each ~1320 wire bytes (> one cycle's
+      // 1000 B budget → every batch is the oversized amortizing case)
+      def mk(i: Int) = Seq.tabulate(20)(j =>
+          (f"r$i%02d$j%02d", "d", "q", 1L, "Put", "v" * 50))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      (0 until 3).foreach(i =>
+        mk(i).coalesce(1).write.mode("append").parquet(s"$out/wal"))
+      def src = spark.readStream.schema(mk(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/wal")
+
+      // scripted arrival clock + recording sleeper: the REAL sink runs,
+      // but admission time is deterministic and wall-clock-free
+      val script = Seq(0L, 5L, 10L)
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val th = new ReplicationAdmin.PeerThrottle(10000L,
+        nowMs = () =>
+          script(math.min(calls.getAndIncrement(), script.size - 1)),
+        sleeper = _ => ())
+      val q1 = ReplicationAdmin.shippedSink("thr", src, s"$out/ck1",
+          s"$out/thr", throttle = Some(th))
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val q2 = ReplicationAdmin.shippedSink("ctl", src, s"$out/ck2",
+          s"$out/ctl")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+
+      // the live bucket's admissions ARE the deterministic trace over
+      // the same (id, arrival, size) batch list
+      val live = th.admissions.toSeq
+      assert(live.size === 3)
+      assert(live.forall(_._3 > 1000L), s"batches must exceed one cycle: $live")
+      val batches = live.zipWithIndex.map {
+        case ((at, _, sz), i) => (i.toLong, at, sz)
+      }
+      val trace = ReplicationAdmin.admissionTrace("thr", batches)
+      assert(live.map(_._2) === trace.map(_._2), "admit instants diverge")
+      assert(live.map(t => t._2 - t._1) === trace.map(_._3), "sleeps diverge")
+      assert(live.map(t => t._2 - t._1).exists(_ > 0), "nothing throttled")
+
+      // unthrottled control peer applies the identical cell set
+      val thrRows = spark.read.parquet(s"$out/thr").drop("batch_id")
+      val ctlRows = spark.read.parquet(s"$out/ctl").drop("batch_id")
+      assert(thrRows.count() === 60 && ctlRows.count() === 60)
+      assert(thrRows.exceptAll(ctlRows).isEmpty &&
+        ctlRows.exceptAll(thrRows).isEmpty)
+      // and an unthrottled PeerThrottle admits on arrival (no sleeps)
+      val free = new ReplicationAdmin.PeerThrottle(0L,
+        nowMs = () => 7L, sleeper = _ => fail("unthrottled peer slept"))
+      assert(free.admit(999999L) === 0L)
+    } finally ReplicationAdmin.removeAllPeers()
+  }
+
   test("streaming HFile backup sink: epochs land as byte-format files, markers excluded, redelivery idempotent") {
     import graft.stream.{WalMeta, WalStream}
     import spark.implicits._
