@@ -492,6 +492,57 @@ class HFileSpec extends AnyFunSuite {
     assert(handle.mightContainPrefix("grp-2".getBytes(UTF_8)))
   }
 
+  test("ROWPREFIX vs ROW bloom: absent-prefix scans reject from the CACHED bloom; ROW blooms can't reject them at all") {
+    // the c13 win, quantified the way c09's ROWCOL test did: the SAME
+    // data written under both bloom types, swept with the S4
+    // prefix-scan probe. A ROW bloom keys exact rows, so every
+    // absent-prefix probe falls through to a scan; the prefix bloom
+    // rejects nearly all of them, and — once its meta + chunk blocks
+    // are cached from the first probe — with ZERO further preads.
+    val cells = (1 to 40).flatMap { g =>
+      (1 to 5).map(i => cell(f"grp-$g%03d-item-$i%02d", "q1", s"v$g-$i"))
+    }.sortWith((a, b) => HFileV3.compareCells(a, b) < 0)
+    def fileWith(prefix: Option[Int]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      HFileV3.write(bos, cells.iterator, blockSize = 256,
+        rowPrefixBloom = prefix)
+      bos.toByteArray
+    }
+    val pfxBytes = fileWith(Some(7))
+    val rowBytes = fileWith(None)
+
+    var pfxReads = 0
+    val pfxHandle = new HFileV3.HFileHandle((off, len) => {
+      pfxReads += 1
+      java.util.Arrays.copyOfRange(pfxBytes, off.toInt, off.toInt + len)
+    }, pfxBytes.length.toLong)
+    val rowHandle = new HFileV3.HFileHandle(
+      (off, len) =>
+        java.util.Arrays.copyOfRange(rowBytes, off.toInt, off.toInt + len),
+      rowBytes.length.toLong)
+
+    // warm probe loads trailer+file-info+bloom meta+the chunk once
+    assert(!pfxHandle.mightContainPrefix("grp-100".getBytes(UTF_8)))
+    val warmReads = pfxReads
+    var rejected = 0
+    (101 to 300).foreach { g =>
+      val p = f"grp-$g%03d".getBytes(UTF_8)
+      if (!pfxHandle.mightContainPrefix(p)) rejected += 1
+      // the ROW bloom can NEVER reject a prefix probe — each of these
+      // 200 absent-prefix scans has to open the file's data
+      assert(rowHandle.mightContainPrefix(p),
+        "ROW bloom must fall through on prefix probes")
+    }
+    assert(rejected >= 190, s"prefix bloom rejected only $rejected/200")
+    assert(pfxReads == warmReads,
+      s"cached bloom must serve the sweep with zero preads " +
+        s"(saw ${pfxReads - warmReads} extra)")
+    // present prefixes still pass (no false negatives)
+    (1 to 40).foreach { g =>
+      assert(pfxHandle.mightContainPrefix(f"grp-$g%03d".getBytes(UTF_8)))
+    }
+  }
+
   test("pointGet routes rows to region files and matches a filtered import") {
     val spark = TestSession.spark
     val cells = graft.model.Fixtures.cellsOrders(spark, "/root/testdata/sf0.001")
