@@ -1,6 +1,5 @@
 package graft.flow
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -86,14 +85,11 @@ object HFiles {
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(sortCols: _*)
       .select("row", "family", "qualifier", "ts", "type", "value")
+    val bconf = ShippedConf.broadcast(cells.sparkSession)
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        // Executor-local default conf resolves file:// in the harness;
-        // a deployment threads the cluster conf via spark-defaults
-        // (spark.hadoop.*), which Configuration() picks up from the
-        // classpath resources.
-        val fs = new Path(outPath).getFileSystem(new Configuration())
+        val fs = new Path(outPath).getFileSystem(bconf.value.conf)
         def toCell(r: Row): HCell = HCell(
           r.getString(0).getBytes("UTF-8"),
           r.getString(1).getBytes("UTF-8"),
@@ -190,11 +186,12 @@ object HFiles {
       val mine = targets.filter(r => cmp(r, lo) >= 0 && cmp(r, hi) <= 0)
       if (mine.isEmpty) None else Some((p, len, mine.map(new String(_, "UTF-8"))))
     }
+    val bconf = ShippedConf.broadcast(spark)
     val rdd = spark.sparkContext
       .parallelize(assignments, math.max(assignments.size, 1))
       .flatMap { case (pathStr, len, targetRows) =>
         val path = new Path(pathStr)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
         val pread: HFileV3.PRead = (off, n) => {
@@ -256,11 +253,12 @@ object HFiles {
       }
       a.length - b.length
     }
+    val bconf = ShippedConf.broadcast(spark)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { case (pathStr, len, half) =>
         val path = new Path(pathStr)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
         val pread: HFileV3.PRead = (off, n) => {

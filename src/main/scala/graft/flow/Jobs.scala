@@ -332,6 +332,12 @@ object Jobs {
     graft.write.BucketedStore.write(
       mergeBackupImages(Seq(spark.read.parquet(staging)), maxVersions),
       table, path, buckets)
+    // the staging copy is scratch — the merged image is durable in the
+    // bucketed store; leaving it would leak a full parquet copy of the
+    // chain per merge
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stagingPath, true)
     graft.write.BucketedStore.read(spark, table)
   }
 

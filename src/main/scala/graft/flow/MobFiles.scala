@@ -3,7 +3,6 @@ package graft.flow
 import java.nio.ByteBuffer
 import java.security.MessageDigest
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -101,6 +100,7 @@ object MobFiles {
 
     // --- mob files: one HFile per (family, day, bucket) run ---
     val tableB = table
+    val bconf = ShippedConf.broadcast(cells.sparkSession)
     tagged.filter(col("is_mob"))
       .repartition(math.max(numRegions, 1), col("family"), col("dt"), col("bucket"))
       .sortWithinPartitions(col("family"), col("dt"), col("bucket"),
@@ -108,7 +108,7 @@ object MobFiles {
       .select("row", "family", "qualifier", "ts", "type", "value", "dt", "bucket")
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val fs = new Path(outPath).getFileSystem(bconf.value.conf)
           val bufIt = it.buffered
           while (bufIt.hasNext) {
             val fam = bufIt.head.getString(1)
@@ -157,7 +157,7 @@ object MobFiles {
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val pid = TaskContext.getPartitionId()
-          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val fs = new Path(outPath).getFileSystem(bconf.value.conf)
           val refTags = HFileV3.tagBytes(Seq(
             (MobRefTagType, Array.emptyByteArray),
             (MobTableNameTagType, tableB.getBytes("UTF-8"))))
@@ -245,15 +245,17 @@ object MobFiles {
   private def layoutFrames(spark: SparkSession, outPath: String,
       table: String): (DataFrame, DataFrame, DataFrame) = {
     val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMainDir(fs, outPath)
     def list(glob: String): Seq[(String, Long)] =
       Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
         .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
     val mainFiles = list(s"$outPath/main/part-*.hfile")
     val mobFiles = list(s"$outPath/mobdir/data/default/$table/*/*/*")
 
+    val bconf = ShippedConf.broadcast(spark)
     def openCells(pathStr: String, len: Long): Iterator[HCell] = {
       val path = new Path(pathStr)
-      val in = path.getFileSystem(new Configuration()).open(path)
+      val in = path.getFileSystem(bconf.value.conf).open(path)
       Option(TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => in.close()))
       HFileV3.readCellsFrom((off, n) => {
@@ -303,10 +305,24 @@ object MobFiles {
     * date) with a "gen" seed disjoint from [[mobFileName]]'s bucket
     * seeds, so output names never collide with any flush-generation
     * file and a re-run rewrites the same consolidated files in place
-    * (idempotent). */
-  def genMobFileName(table: String, family: String, dt: String): String =
-    md5hex(s"$family:$dt:gen") + dt +
-      md5hex(s"uuid:gen:$table:$family:$dt") + "_" + mobRegionName(table)
+    * (idempotent).
+    *
+    * The name's DATE field is `latestDay` — the LATEST constituent
+    * flush day in the partition, not the partition floor. The
+    * reference dates compaction output by the latest put timestamp
+    * (DefaultMobStoreCompactor.java:656 `new Date(fd.latestPutTs)`)
+    * precisely so TTL expiry, which deletes by file-name date
+    * ([[expiredMobFileCleaner]] / MobUtils.isMobFileExpired), never
+    * drops a consolidated file that still holds unexpired cells: a
+    * MONTHLY file dated the 1st would be deleted by a mid-month
+    * cutoff while containing blobs flushed after it, leaving dangling
+    * refs in the main store. The partition key `gdt` seeds the hash
+    * fields (grouping identity); `latestDay` fills the date chars
+    * 33-40 the cleaner reads. */
+  def genMobFileName(table: String, family: String, gdt: String,
+      latestDay: String): String =
+    md5hex(s"$family:$gdt:gen") + latestDay +
+      md5hex(s"uuid:gen:$table:$family:$gdt") + "_" + mobRegionName(table)
 
   /** MOB generation compaction — the half of
     * DefaultMobStoreCompactor.java:60 ff that [[graft.write.MobStore
@@ -338,6 +354,7 @@ object MobFiles {
       blockSize: Int = 65536): Seq[String] = {
     val (plain, refs, mobCells) = layoutFrames(spark, outPath, table)
     val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bconf = ShippedConf.broadcast(spark)
     def list(glob: String): Seq[String] =
       Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
         .map(_.getPath.toString).toSeq
@@ -371,10 +388,18 @@ object MobFiles {
 
     // new generation's names, resolved BEFORE any write: every frame
     // here lazily re-reads the ORIGINAL main files, which the swap
-    // below retires
-    val newNames = joined.select("family", "gdt").distinct().collect()
-      .map(r => genMobFileName(tableB, r.getString(0), r.getString(1)))
-      .toSeq.sorted
+    // below retires. The name's date = the partition's LATEST
+    // constituent flush day (see [[genMobFileName]]); the map is
+    // (families × partitions)-bounded, so one driver collect feeds
+    // both rewrite legs without an extra join.
+    val latestByPart: Map[(String, String), String] = joined
+      .groupBy("family", "gdt")
+      .agg(max(substring(col("mob_file"), 33, 8)).as("latest_day"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    val newNames = latestByPart.toSeq
+      .map { case ((fam, g), ld) => genMobFileName(tableB, fam, g, ld) }
+      .sorted
 
     // --- new consolidated mob files: one per (family, gdt) run ---
     joined
@@ -384,12 +409,12 @@ object MobFiles {
       .select("row", "family", "qualifier", "ts", "type", "value", "gdt")
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val fs = new Path(outPath).getFileSystem(bconf.value.conf)
           val bufIt = it.buffered
           while (bufIt.hasNext) {
             val fam = bufIt.head.getString(1)
             val dt = bufIt.head.getString(6)
-            val fname = genMobFileName(tableB, fam, dt)
+            val fname = genMobFileName(tableB, fam, dt, latestByPart((fam, dt)))
             var nWritten = 0L
             val run = new Iterator[HCell] {
               def hasNext: Boolean = bufIt.hasNext &&
@@ -438,13 +463,14 @@ object MobFiles {
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val pid = TaskContext.getPartitionId()
-          val fs = new Path(outPath).getFileSystem(new Configuration())
+          val fs = new Path(outPath).getFileSystem(bconf.value.conf)
           val refTags = HFileV3.tagBytes(Seq(
             (MobRefTagType, Array.emptyByteArray),
             (MobTableNameTagType, tableB.getBytes("UTF-8"))))
           def toCell(r: Row): HCell =
             if (r.getBoolean(6)) {
-              val fname = genMobFileName(tableB, r.getString(1), r.getString(8))
+              val fname = genMobFileName(tableB, r.getString(1), r.getString(8),
+                  latestByPart((r.getString(1), r.getString(8))))
                 .getBytes("UTF-8")
               val ref = ByteBuffer.allocate(4 + fname.length)
               ref.putInt(r.getInt(7))
@@ -469,15 +495,50 @@ object MobFiles {
         }
       }
 
-    // commit-by-rename: the new store appears whole or not at all
+    // commit-by-rename: readers see either the previous generation or
+    // the new one. The window between the two renames has no `main/`;
+    // a failed or crashed commit is rolled back here (main.old →
+    // main), and a crash inside the window is healed by
+    // [[recoverMainDir]] on the next layout read — so the scaladoc's
+    // whole-or-not-at-all claim holds across failures, not just the
+    // happy path.
     val mainDir = new Path(s"$outPath/main")
     val oldDir = new Path(s"$outPath/main.old")
     if (fs.exists(oldDir)) fs.delete(oldDir, true)
     require(fs.rename(mainDir, oldDir), s"could not retire $mainDir")
-    require(fs.rename(nextDir, mainDir), s"could not commit $nextDir")
+    val committed =
+      try fs.rename(nextDir, mainDir)
+      catch {
+        case t: Throwable =>
+          fs.rename(oldDir, mainDir)
+          throw t
+      }
+    if (!committed) {
+      require(fs.rename(oldDir, mainDir),
+        s"could not commit $nextDir AND rollback of $oldDir failed — " +
+          "recover manually by renaming main.old (or main.next) to main")
+      throw new IllegalStateException(
+        s"could not commit $nextDir — previous generation restored")
+    }
     fs.delete(oldDir, true)
 
     newNames
+  }
+
+  /** Heal a store that crashed inside [[compactMobGenerations]]'s
+    * two-rename commit window: if `main/` is missing but `main.old/`
+    * (the retired previous generation) is present, restore it — the
+    * compaction never committed, and its mob-file output (if any) is
+    * unreferenced garbage the sweep reclaims. Called from
+    * [[layoutFrames]], so every read/compaction entry point
+    * auto-recovers. */
+  private def recoverMainDir(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String): Unit = {
+    val mainDir = new Path(s"$outPath/main")
+    val oldDir = new Path(s"$outPath/main.old")
+    if (!fs.exists(mainDir) && fs.exists(oldDir))
+      require(fs.rename(oldDir, mainDir),
+        s"crash recovery: could not restore $oldDir to $mainDir")
   }
 
   /** ExpiredMobFileCleaner twin (mob/ExpiredMobFileCleaner.java:55;
@@ -527,26 +588,18 @@ object MobFiles {
         .map(s => (s.getPath.toString, s.getLen)).toSeq
     val mainFiles = list(s"$outPath/main/part-*.hfile")
     // Ship the DRIVER's Hadoop settings to the executor-side opens
-    // (credentials, endpoints — a fresh Configuration() would silently
-    // drop them on non-default filesystems). Entries only; the
-    // executor rebuilds the Configuration. Any read error fails the
-    // job BEFORE the delete below — the sweep fails closed.
-    val confEntries = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
-    }
-    val bconf = spark.sparkContext.broadcast(confEntries)
+    // ([[ShippedConf]] — a fresh Configuration() would silently drop
+    // credentials/endpoints on non-default filesystems). Any read
+    // error fails the job BEFORE the delete below — the sweep fails
+    // closed.
+    val bconf = ShippedConf.broadcast(spark)
     // referenced-name set: file-count bounded (one name per mob file,
     // not per cell) — safe to collect
     val referenced = spark.sparkContext
       .parallelize(mainFiles, math.max(mainFiles.size, 1))
       .flatMap { case (p, l) =>
-        val conf = new Configuration()
-        bconf.value.foreach { case (k, v) => conf.set(k, v) }
         val path = new Path(p)
-        val in = path.getFileSystem(conf).open(path)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
         openCellsOf(in, l).filter(isRef).map(c =>
@@ -577,9 +630,12 @@ object MobFiles {
       Option(fs.globStatus(new Path(s"$outPath/mobdir/data/default/$table/*/*/*")))
         .getOrElse(Array.empty)
         .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    // driver-side loop (file-count bounded, trailer+FILE_INFO reads
+    // only) — uses the driver's own Hadoop conf directly
     val rows = mobFiles.map { case (p, l) =>
       val path = new Path(p)
-      val in = path.getFileSystem(new Configuration()).open(path)
+      val in = path.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).open(path)
       try {
         val pread: HFileV3.PRead = (off, n) => {
           val buf = new Array[Byte](n); in.readFully(off, buf); buf

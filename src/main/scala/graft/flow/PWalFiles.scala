@@ -1,6 +1,5 @@
 package graft.flow
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -52,11 +51,12 @@ object PWalFiles {
         col("ts"), col("row"), col("family"), col("qualifier"), col("type"))
       .select("row", "family", "qualifier", "ts", "type", "value")
     val tableB = table
+    val bconf = ShippedConf.broadcast(wal.sparkSession)
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
         val path = new Path(f"$outPath%s/wal-$pid%05d.pwal")
-        val fs = path.getFileSystem(new Configuration())
+        val fs = path.getFileSystem(bconf.value.conf)
         val out = fs.create(path, true)
         try {
           val region = f"region-$pid%05d".getBytes("UTF-8")
@@ -144,11 +144,12 @@ object PWalFiles {
     val files = Option(fs.globStatus(new Path(dir, glob)))
       .getOrElse(Array.empty)
       .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val bconf = ShippedConf.broadcast(spark)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { case (pathStr, len) =>
         val path = new Path(pathStr)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
         // segments are single-digit MB by roll policy; a one-way parse
         // over a streamed copy keeps the access pattern sequential
         val bytes = new Array[Byte](len.toInt)

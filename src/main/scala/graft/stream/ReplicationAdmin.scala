@@ -194,13 +194,15 @@ object ReplicationAdmin {
   /** Wire size of one shipped micro-batch — the deterministic stand-in
     * for the reference's per-entry serialized size
     * (ReplicationSourceWALReader tracks entry batch size in bytes):
-    * string coordinate/value bytes + 8 (ts) + 1 (type tag). */
+    * string coordinate/value bytes (UTF-8 octets, not characters —
+    * length() would undercount multi-byte values and over-admit
+    * against the peer's bandwidth) + 8 (ts) + 1 (type tag). */
   private def batchSizeBytes(batch: DataFrame): Long = {
     import org.apache.spark.sql.functions._
     batch.agg(coalesce(sum(
-        (length(col("row")) + length(col("family")) +
-          length(col("qualifier")) +
-          coalesce(length(col("value")), lit(0)) + lit(9))
+        (octet_length(col("row")) + octet_length(col("family")) +
+          octet_length(col("qualifier")) +
+          coalesce(octet_length(col("value")), lit(0)) + lit(9))
           .cast("long")), lit(0L)))
       .head().getLong(0)
   }

@@ -217,10 +217,14 @@ class HFileMobSpec extends SparkSpec {
 
     val newFiles = MobFiles.compactMobGenerations(spark, out, table = "tg",
       policy = "WEEKLY")
-    // two ISO weeks -> two consolidated files, names carry the Monday
+    // two ISO weeks -> two consolidated files; each name's date is the
+    // LATEST constituent flush day of its week (the reference's
+    // latestPutTs naming — TTL expiry must never outrun live cells),
+    // NOT the week's Monday: week1 spans 01-05..01-11, week2 holds
+    // flushes through 01-14
     assert(newFiles.size === 2)
-    assert(newFiles.forall(n => n.substring(32, 40) == "19700105" ||
-      n.substring(32, 40) == "19700112"))
+    assert(newFiles.map(_.substring(32, 40)).sorted ==
+      Seq("19700111", "19700114"))
     val swept = MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tg")
     assert(swept.toSet === before.map(_.getString(0)).toSet,
       "exactly the old generation is unreferenced after the repoint")
@@ -245,5 +249,88 @@ class HFileMobSpec extends SparkSpec {
     assert(MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tg").isEmpty)
     assert(MobFiles.importResolved(spark, out, table = "tg")
       .filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+  }
+
+  test("DAILY generation compaction consolidates per day across buckets") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobdaily").toString
+    val dayMs = 86400000L
+    // 3 flush days × 4 row-hash buckets -> up to 12 flush files; DAILY
+    // collapses each day's buckets into ONE file, dated that same day
+    val cells = (0 until 120).map { i =>
+      (f"r$i%05d", "d", "q0", (1 + i % 3) * dayMs, "Put", "B" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "td", numMobBuckets = 4)
+    val before = MobFiles.mobFileAudit(spark, out, table = "td").collect()
+    assert(before.length > 3, "bucketing must have split the days")
+
+    val newFiles = MobFiles.compactMobGenerations(spark, out, table = "td",
+      policy = "DAILY")
+    // DAILY: partition = day = latest constituent day — one file each
+    assert(newFiles.size === 3)
+    assert(newFiles.map(_.substring(32, 40)).sorted ==
+      Seq("19700102", "19700103", "19700104"))
+    MobFiles.sweepUnreferencedMobFiles(spark, out, table = "td")
+    val audit = MobFiles.mobFileAudit(spark, out, table = "td").collect()
+    assert(audit.map(_.getString(0)).sorted.toSeq === newFiles)
+    assert(audit.map(_.getLong(1)).sum == 120L)
+    val resolved = MobFiles.importResolved(spark, out, table = "td")
+    assert(resolved.count() === 120)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+  }
+
+  test("MONTHLY compaction + expired cleaner never strands live refs (latestPutTs naming)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobttl").toString
+    val dayMs = 86400000L
+    // one month, flushes on the 2nd and the 25th; compact MONTHLY,
+    // then expire with a MID-MONTH cutoff. With floor-dated output
+    // (the old bug) the consolidated file was dated 19700101 < cutoff
+    // and deleted while holding the 25th's live blobs — dangling refs.
+    // latestPutTs naming dates it 19700125, so it survives.
+    val cells = (0 until 100).map { i =>
+      val d = if (i < 50) 1L else 24L // epoch day 1 = Jan 2, 24 = Jan 25
+      (f"r$i%05d", "d", "q0", d * dayMs + i, "Put", "C" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "tt", numMobBuckets = 2)
+    val newFiles = MobFiles.compactMobGenerations(spark, out, table = "tt",
+      policy = "MONTHLY")
+    MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tt")
+    assert(newFiles.size === 1)
+    assert(newFiles.head.substring(32, 40) == "19700125")
+
+    // mid-month TTL pass: the consolidated file must NOT be deleted
+    val deleted = MobFiles.expiredMobFileCleaner(spark, out, "tt", "19700115")
+    assert(deleted.isEmpty)
+    // the mid-month-and-later read dereferences cleanly
+    val live = MobFiles.importResolved(spark, out, table = "tt")
+      .filter(col("ts") >= 15L * dayMs)
+    assert(live.count() === 50)
+    assert(live.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+  }
+
+  test("a crash inside the main-store swap window auto-recovers on the next read") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobcrash").toString
+    val cells = (0 until 60).map { i =>
+      (f"r$i%05d", "d", "q0", 1000L + i, "Put", "D" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "tc", numMobBuckets = 2)
+    // simulate dying between the two commit renames: main retired to
+    // main.old, nothing committed in its place
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/main"),
+      new org.apache.hadoop.fs.Path(s"$out/main.old")))
+    // the next layout read heals the orphan and serves the previous
+    // generation whole
+    val resolved = MobFiles.importResolved(spark, out, table = "tc")
+    assert(resolved.count() === 60)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/main")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/main.old")))
   }
 }
