@@ -324,6 +324,106 @@ object ReplayQueries {
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
     ),
     QDef(
+      // MINOR (file-selection) compaction — ExploringCompactionPolicy
+      // .java:55-121 applyCompactionPolicy + filesInRatio:178. A store
+      // of five age-ordered HFiles with a geometric size ladder
+      // (user_id%16 width buckets: 8/4/2/1/1 sixteenths of the puts)
+      // runs the exploring search (minFiles=3, maxFiles=4, ratio=1.2):
+      // the window retiring the most files for the least IO compacts;
+      // the rest of the store is left byte-untouched. The oracle
+      // re-derives the SELECTION itself in SQL (every contiguous
+      // window, the binding max<=ratio*(sum-max) form of the ratio
+      // check, best by files desc / IO asc / age asc) over the same
+      // size table, plus the read-back identity (mismatches=0).
+      "q94_minor_compact",
+      (s, dir) => {
+        import graft.flow.{Compactions, HFiles}
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val m = col("row").cast("long") % 16
+        val fidx = when(m < 8, 0).when(m < 12, 1).when(m < 14, 2)
+          .when(m === 14, 3).otherwise(4)
+        val withF = puts.withColumn("fidx", fidx)
+        // the ladder: logical size per flush file, age order = fidx
+        val ladder = withF.groupBy("fidx")
+          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val out = graft.Queries.scratchDir("q94_minor")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ladder.foreach { case (i, _) =>
+          val tmp = graft.Queries.scratchDir(s"q94_f$i")
+          HFiles.export(withF.filter(col("fidx") === i)
+              .select("row", "family", "qualifier", "ts", "type", "value"),
+            numRegions = 1, outPath = tmp)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
+        }
+        val names = ladder.map { case (i, _) => f"part-$i%05d.hfile" }
+        val logical = names.zip(ladder.map(_._2)).toMap
+        val knobs = Compactions.Knobs(minFiles = 3, maxFiles = 4,
+          ratio = 1.2)
+        val selRange = Compactions.exploringSelect(
+          ladder.map(_._2).toIndexedSeq, knobs)
+        val selected = Compactions.minorCompact(s, out, knobs,
+          logicalSizes = Some(logical))
+        require(selected == selRange.map(names(_)).toSeq,
+          "physical selection must equal the pure policy's")
+        val back = HFiles.importCells(s, out)
+        val mismatches = back.alias("b")
+          .join(puts.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        val filesAfter = fs.globStatus(
+          new org.apache.hadoop.fs.Path(out, "part-*.hfile")).length
+        puts.agg(count(lit(1)).as("n_cells"))
+          .withColumn("files_before", lit(ladder.length.toLong))
+          .withColumn("sel_start",
+            lit(if (selRange.isEmpty) 0L else selRange.head + 1L))
+          .withColumn("sel_k", lit(selRange.size.toLong))
+          .withColumn("sel_bytes",
+            lit(selRange.map(ladder(_)._2).sum))
+          .withColumn("files_after", lit(filesAfter.toLong))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__mc_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __mc_sz AS (
+          |  SELECT (CASE WHEN CAST(row AS BIGINT)%16 < 8 THEN 0
+          |               WHEN CAST(row AS BIGINT)%16 < 12 THEN 1
+          |               WHEN CAST(row AS BIGINT)%16 < 14 THEN 2
+          |               WHEN CAST(row AS BIGINT)%16 = 14 THEN 3
+          |               ELSE 4 END) AS fidx,
+          |         CAST(SUM(octet_length(encode(value))) AS BIGINT) AS sz
+          |  FROM __mc_puts GROUP BY 1
+          |), __mc_ord AS (
+          |  SELECT fidx, sz, ROW_NUMBER() OVER (ORDER BY fidx) AS idx
+          |  FROM __mc_sz
+          |), __mc_win AS (
+          |  SELECT s.idx AS wstart, COUNT(*) AS k, SUM(m.sz) AS size
+          |  FROM __mc_ord s JOIN __mc_ord e ON e.idx >= s.idx + 2
+          |  JOIN __mc_ord m ON m.idx BETWEEN s.idx AND e.idx
+          |  GROUP BY s.idx, e.idx
+          |  HAVING COUNT(*) BETWEEN 3 AND 4
+          |     AND MAX(m.sz) <= (SUM(m.sz) - MAX(m.sz)) * 1.2
+          |), __mc_best AS (
+          |  SELECT * FROM __mc_win ORDER BY k DESC, size ASC, wstart ASC
+          |  LIMIT 1
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT COUNT(*) FROM __mc_puts) AS n_cells,
+          |  (SELECT COUNT(*) FROM __mc_sz) AS files_before,
+          |  COALESCE((SELECT wstart FROM __mc_best), 0) AS sel_start,
+          |  COALESCE((SELECT k FROM __mc_best), 0) AS sel_k,
+          |  COALESCE((SELECT size FROM __mc_best), 0) AS sel_bytes,
+          |  (SELECT COUNT(*) FROM __mc_sz)
+          |    - COALESCE((SELECT k FROM __mc_best), 1) + 1 AS files_after,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the
