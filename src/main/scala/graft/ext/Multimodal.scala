@@ -333,11 +333,80 @@ object Multimodal {
       .toDF("doc_id", "blob")
   }
 
+  /** Deterministic synthetic JPEG: a `w`×`h` GRAYSCALE image,
+    * piecewise-CONSTANT per 8×8 DCT block —
+    *   v(block bx, by) = (id·3 + bx·7 + by·11) mod 256
+    * — written through the REAL javax.imageio JPEG encoder at
+    * compression quality 1.0. A constant 8×8 block is DC-only in the
+    * DCT domain and the quality-1.0 luminance quantizer is 1, so the
+    * LOSSY codec is exactly lossless on this fixture (grayscale also
+    * sidesteps chroma subsampling and YCbCr rounding): the SQL oracle
+    * can recompute pixel-derived features analytically from the block
+    * law, pinning [[JpegCodec]]'s decode bit-exact the way
+    * [[syntheticPng]] pins [[PngCodec]]. */
+  def syntheticJpeg(docId: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 3 + (x / 8) * 7 + (y / 8) * 11) % 256).toInt
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Mixed-format ingest: even doc ids get a PNG payload, odd ids a
+    * JPEG — the web-corpus shape where one pipeline must decode both.
+    * Same mapPartitions amortization as [[ingestPng]]. */
+  def ingestMixed(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, if (id % 2 == 0) syntheticPng(id, w, h)
+             else syntheticJpeg(id, w, h))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** Container-dispatched pixel decode: PNG magic → [[PngCodec]]
+    * (from-spec JVM decoder), JPEG SOI → [[JpegCodec]] (platform
+    * decoder). Unknown containers and failed decodes are None — the
+    * shared degradation contract of both codecs. */
+  def decodeImage(blob: Array[Byte]): Option[PngCodec.Pixels] = {
+    if (blob == null || blob.length < 3) None
+    else if ((blob(0) & 0xff) == 0x89 && blob(1) == 'P'.toByte)
+      PngCodec.decode(blob)
+    else if ((blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
+      JpegCodec.decode(blob)
+    else None
+  }
+
   final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
       channels: Int, luma_total: Long, ahash: String)
 
-  /** REAL image feature extraction: [[PngCodec]] decodes the payload
-    * to pixels (no stub anywhere on this path), then two integer-exact
+  /** REAL image feature extraction: [[decodeImage]] decodes the
+    * payload to pixels (PNG via [[PngCodec]], JPEG via [[JpegCodec]]
+    * — no stub anywhere on this path), then two integer-exact
     * features per image:
     *   - `luma_total`: Σ over pixels of Rec.601 luma ×1000
     *   - `ahash`: the 8×8 average-hash ('1' where a cell's mean luma
@@ -354,7 +423,7 @@ object Multimodal {
     media.select("doc_id", "blob").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, blob) =>
-          PngCodec.decode(blob).map { p =>
+          decodeImage(blob).map { p =>
             val sums = new Array[Long](64)
             val npix = new Array[Long](64)
             var y = 0

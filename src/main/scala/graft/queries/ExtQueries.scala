@@ -926,6 +926,52 @@ object ExtQueries {
              |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)
     ),
     QDef(
+      // MIXED PNG+JPEG corpus through ONE feature pipeline — the
+      // web-corpus shape (JPEG dominates real crawls). Even doc ids
+      // carry an imageio-encoded PNG of the e59 gradient law; odd ids
+      // an imageio-encoded GRAYSCALE JPEG, piecewise-constant per 8×8
+      // DCT block at quality 1.0 — constant blocks are DC-only and the
+      // q1.0 quantizer is 1, so the LOSSY codec is exactly lossless on
+      // the fixture and the oracle recomputes both formats' features
+      // ANALYTICALLY (Multimodal.syntheticJpeg scaladoc; JpegCodecSpec
+      // pins the bit-exactness). Decode dispatch: PNG → PngCodec
+      // (from-spec), JPEG → JpegCodec (JDK platform decoder).
+      "e81_jpeg_image_hash",
+      (s, dir) =>
+        Multimodal.imageFeatures(Multimodal.ingestMixed(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, x, y,
+             |         CASE WHEN doc_id % 2 = 0 THEN
+             |           299 * ((doc_id * 3 + x * 7 + y * 11) % 256)
+             |         + 587 * ((doc_id * 5 + x * 13 + y * 3) % 256)
+             |         + 114 * ((doc_id * 7 + x + y * 5) % 256)
+             |         ELSE
+             |           1000 * ((doc_id * 3 + (x // 8) * 7 + (y // 8) * 11) % 256)
+             |         END AS lq
+             |  FROM documents, range(16) tx(x), range(16) ty(y)),
+             |cell AS (
+             |  SELECT doc_id, (y * 8 // 16) * 8 + (x * 8 // 16) AS c,
+             |         CAST(SUM(lq) AS BIGINT) AS s,
+             |         CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t,
+             |               CAST(SUM(np) AS BIGINT) AS n
+             |        FROM cell GROUP BY 1),
+             |hsh AS (
+             |  SELECT cell.doc_id,
+             |         string_agg(CASE WHEN s * n > t * np THEN '1' ELSE '0' END,
+             |                    '' ORDER BY c) AS ahash
+             |  FROM cell JOIN tot USING (doc_id) GROUP BY cell.doc_id)
+             |SELECT h.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+             |       CASE WHEN h.doc_id % 2 = 0 THEN CAST(3 AS INT)
+             |            ELSE CAST(1 AS INT) END AS channels,
+             |       t.t AS luma_total, h.ahash
+             |FROM hsh h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+    QDef(
       // leakage-safe split: train/val/test assignment by NEAR-DUP
       // GROUP, so near-copies never straddle the split boundary
       // (Dedup.leakageSafeSplit scaladoc). Oracle = e14's recursive-CTE
