@@ -193,8 +193,14 @@ object BlockEncoding {
   // ------------------------------------------------------------------
 
   /** Full ENCODED_DATA payload (2-byte id + encoder stream) for one
-    * block's cells, in [[HFileV3.compareCells]] order. */
-  def encodePayload(id: Int, cells: IndexedSeq[HCell]): Array[Byte] = {
+    * block's cells, in [[HFileV3.compareCells]] order. With `withTags`
+    * each cell carries its tag section after key+value — raw for
+    * ROW_INDEX_V1 (NoneEncoder short framing), cInt-framed for the
+    * buffered encoders, and dictionary-compressed there when
+    * `compressTags` (the per-block LRU dictionary; no mvcc on the
+    * write side, matching the NONE writer). */
+  def encodePayload(id: Int, cells: IndexedSeq[HCell],
+      withTags: Boolean = false, compressTags: Boolean = false): Array[Byte] = {
     require(cells.nonEmpty, "empty encoded block")
     if (id == IdPrefix || id == IdDiff || id == IdFastDiff) {
       val fam0 = cells.head.family
@@ -205,26 +211,35 @@ object BlockEncoding {
     val out = new ByteArrayOutputStream(8192)
     out.write(id >> 8); out.write(id & 0xff)
     id match {
-      case IdPrefix => encodeBuffered(out, cells)(encodePrefixCell)
-      case IdDiff => encodeBuffered(out, cells)(encodeDiffCell)
-      case IdFastDiff => encodeBuffered(out, cells)(encodeFastDiffCell)
-      case IdRowIndexV1 => encodeRowIndex(out, cells)
+      case IdPrefix => encodeBuffered(out, cells, withTags, compressTags)(encodePrefixCell)
+      case IdDiff => encodeBuffered(out, cells, withTags, compressTags)(encodeDiffCell)
+      case IdFastDiff => encodeBuffered(out, cells, withTags, compressTags)(encodeFastDiffCell)
+      case IdRowIndexV1 => encodeRowIndex(out, cells, withTags)
       case other => throw new IllegalArgumentException(s"unsupported encoding id $other")
     }
     out.toByteArray
   }
 
   /** The BufferedDataBlockEncoder frame: int unencoded-size, then one
-    * entry per cell via `enc(out, cell, prevOrNull)`. */
-  private def encodeBuffered(out: ByteArrayOutputStream, cells: IndexedSeq[HCell])(
+    * entry per cell via `enc(out, cell, prevOrNull)`, each followed by
+    * its tag section when the file carries tags
+    * (afterEncodingKeyValue — the unencoded size counts the 2-byte
+    * length prefix + raw tag bytes per cell). */
+  private def encodeBuffered(out: ByteArrayOutputStream, cells: IndexedSeq[HCell],
+      withTags: Boolean, compressTags: Boolean)(
       enc: (ByteArrayOutputStream, HCell, HCell) => Unit): Unit = {
     var unencoded = 0L
-    cells.foreach(c => unencoded += 8 + keyLenOf(c) + c.value.length)
+    cells.foreach { c =>
+      unencoded += 8 + keyLenOf(c) + c.value.length
+      if (withTags) unencoded += 2 + c.tags.length
+    }
     val sz = ByteBuffer.allocate(4).putInt(unencoded.toInt).array()
     out.write(sz, 0, 4)
+    val dict = if (withTags && compressTags) newTagDict() else null
     var prev: HCell = null
     cells.foreach { c =>
       enc(out, c, prev)
+      if (withTags) writeTagsSection(out, c.tags, dict)
       prev = c
     }
   }
@@ -336,7 +351,8 @@ object BlockEncoding {
     }
   }
 
-  private def encodeRowIndex(out: ByteArrayOutputStream, cells: IndexedSeq[HCell]): Unit = {
+  private def encodeRowIndex(out: ByteArrayOutputStream, cells: IndexedSeq[HCell],
+      withTags: Boolean): Unit = {
     val cellStream = new ByteArrayOutputStream(8192)
     val dos = new DataOutputStream(cellStream)
     val offsets = new ByteArrayOutputStream(256)
@@ -352,6 +368,11 @@ object BlockEncoding {
       dos.writeInt(c.value.length)
       dos.write(key)
       dos.write(c.value)
+      if (withTags) {
+        // NoneEncoder raw short framing — never dictionary-compressed
+        dos.writeShort(c.tags.length)
+        dos.write(c.tags)
+      }
     }
     val dataSize = cellStream.size()
     cellStream.writeTo(out)
@@ -362,25 +383,113 @@ object BlockEncoding {
   }
 
   // ------------------------------------------------------------------
+  // Tag dictionary (TagCompressionContext.java + LRUDictionary.java)
+  // ------------------------------------------------------------------
+
+  /** HFile encoded blocks build their tag dictionary with capacity
+    * Byte.MAX_VALUE and reset it at every block boundary
+    * (BufferedDataBlockEncoder.java:76,818,1236). The dictionary
+    * discipline (access-order LRU, index recycling, add-on-miss) is
+    * the same LRUDictionary the WAL uses — [[WalCompression.LruDict]]
+    * is the one twin for both. */
+  private[codec] type TagDict = WalCompression.LruDict
+  private def newTagDict(): TagDict = new WalCompression.LruDict(Byte.MaxValue)
+
+  /** Per-cell tag section, encode side (afterEncodingKeyValue):
+    * cInt(UNCOMPRESSED tag-section length) then either the raw section
+    * or, with a dictionary, per tag a status byte — -1 + varint32 len
+    * (StreamUtils.writeRawVInt32 — same 7-bit groups as cInt) + bytes
+    * for a miss (which adds the entry), or the 2-byte big-endian index
+    * for a hit (TagCompressionContext.compressTags / Dictionary.write;
+    * capacity 127 keeps the index's high byte < 0xff, so the status
+    * byte disambiguates). */
+  private def writeTagsSection(out: ByteArrayOutputStream, tags: Array[Byte],
+      dict: TagDict): Unit = {
+    putCInt(out, tags.length)
+    if (tags.length == 0) ()
+    else if (dict == null) out.write(tags, 0, tags.length)
+    else {
+      var pos = 0
+      while (pos < tags.length) {
+        val tagLen = ((tags(pos) & 0xff) << 8) | (tags(pos + 1) & 0xff)
+        pos += 2
+        val t = java.util.Arrays.copyOfRange(tags, pos, pos + tagLen)
+        val idx = dict.findOrAdd(t)
+        if (idx == -1) {
+          out.write(0xff) // Dictionary.NOT_IN_DICTIONARY
+          putCInt(out, tagLen)
+          out.write(t, 0, tagLen)
+        } else {
+          out.write((idx >> 8) & 0xff)
+          out.write(idx & 0xff)
+        }
+        pos += tagLen
+      }
+    }
+  }
+
+  /** Per-cell tag section, decode side: reproduces exactly `tagsLen`
+    * uncompressed bytes (TagCompressionContext.uncompressTags — each
+    * literal re-enters the dictionary, each 2-byte index replays a
+    * stored entry with its 2-byte length prefix re-synthesized). */
+  private def readTagsSection(bb: ByteBuffer, dict: TagDict): Array[Byte] = {
+    val tagsLen = readCInt(bb)
+    if (tagsLen == 0) Array.emptyByteArray
+    else if (dict == null) {
+      val t = new Array[Byte](tagsLen)
+      bb.get(t)
+      t
+    } else {
+      val dest = new Array[Byte](tagsLen)
+      var off = 0
+      while (off < tagsLen) {
+        val status = bb.get()
+        if (status == -1) {
+          val tagLen = readCInt(bb)
+          dest(off) = ((tagLen >> 8) & 0xff).toByte
+          dest(off + 1) = (tagLen & 0xff).toByte
+          off += 2
+          bb.get(dest, off, tagLen)
+          dict.put(java.util.Arrays.copyOfRange(dest, off, off + tagLen))
+          off += tagLen
+        } else {
+          val entry = dict.get(
+            (((status & 0xff) << 8) | (bb.get() & 0xff)).toShort)
+          dest(off) = ((entry.length >> 8) & 0xff).toByte
+          dest(off + 1) = (entry.length & 0xff).toByte
+          off += 2
+          System.arraycopy(entry, 0, dest, off, entry.length)
+          off += entry.length
+        }
+      }
+      dest
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Decoders (read side: accepts reference files — tags + mvcc)
   // ------------------------------------------------------------------
 
   /** Decode a full ENCODED_DATA payload (starting at the 2-byte id)
-    * into cells. `withTags`/`withMvcc` come from FILE_INFO exactly as
-    * for unencoded blocks. Uncompressed tags are skipped (carried but
-    * not modeled, like the NONE reader); dictionary-compressed tags
-    * (hfile "compresstags" + encoding) are rejected explicitly. */
+    * into cells. `withTags`/`withMvcc`/`compressTags` come from
+    * FILE_INFO exactly as for unencoded blocks; tags land on the
+    * decoded cells. Dictionary-compressed tags apply to the buffered
+    * delta encoders only — ROW_INDEX_V1 goes through NoneEncoder,
+    * which always writes tags raw, and its codec ignores the
+    * compress-tags flag (RowIndexCodecV1 never consults
+    * TagCompressionContext), so the flag is ignored there too. */
   def decodePayload(payload: Array[Byte], withMvcc: Boolean, withTags: Boolean,
       compressTags: Boolean = false): Iterator[HCell] = {
     require(payload.length >= 2, "encoded block too short")
-    require(!(withTags && compressTags),
-      "dictionary-compressed tags in encoded blocks are not supported")
     val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
     val bb = ByteBuffer.wrap(payload, 2, payload.length - 2).slice()
+    val dict =
+      if (withTags && compressTags && id != IdRowIndexV1) newTagDict()
+      else null
     id match {
-      case IdPrefix => decodePrefix(bb, withMvcc, withTags)
-      case IdDiff => decodeDiff(bb, withMvcc, withTags)
-      case IdFastDiff => decodeFastDiff(bb, withMvcc, withTags)
+      case IdPrefix => decodePrefix(bb, withMvcc, withTags, dict)
+      case IdDiff => decodeDiff(bb, withMvcc, withTags, dict)
+      case IdFastDiff => decodeFastDiff(bb, withMvcc, withTags, dict)
       case IdRowIndexV1 => decodeRowIndex(bb, withMvcc, withTags)
       case other =>
         throw new IllegalArgumentException(s"unsupported data block encoding id $other")
@@ -397,15 +506,17 @@ object BlockEncoding {
     if (HadoopVLong.isNegative(first)) ~v else v
   }
 
-  private def afterCell(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean): Long = {
-    if (withTags) {
-      val tagsLen = readCInt(bb)
-      if (tagsLen > 0) bb.position(bb.position() + tagsLen)
-    }
-    if (withMvcc) readHadoopVLong(bb) else 0L
+  /** The per-cell trailer after key+value: tag section (raw or
+    * dictionary-compressed) then the mvcc vlong. Returns (tags, mvcc). */
+  private def afterCell(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
+      dict: TagDict): (Array[Byte], Long) = {
+    val tags =
+      if (withTags) readTagsSection(bb, dict) else Array.emptyByteArray
+    (tags, if (withMvcc) readHadoopVLong(bb) else 0L)
   }
 
-  private def splitKey(key: Array[Byte], value: Array[Byte], mvcc: Long): HCell = {
+  private def splitKey(key: Array[Byte], value: Array[Byte], mvcc: Long,
+      tags: Array[Byte] = Array.emptyByteArray): HCell = {
     val kb = ByteBuffer.wrap(key)
     val rowLen = kb.getShort & 0xffff
     val row = new Array[Byte](rowLen)
@@ -417,10 +528,11 @@ object BlockEncoding {
     kb.get(qual)
     val ts = kb.getLong
     val typ = kb.get()
-    HCell(row, fam, qual, ts, typ, value, mvcc)
+    HCell(row, fam, qual, ts, typ, value, mvcc, tags)
   }
 
-  private def decodePrefix(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean): Iterator[HCell] = {
+  private def decodePrefix(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
+      dict: TagDict): Iterator[HCell] = {
     bb.getInt // unencoded size (allocation hint only)
     var prevKey: Array[Byte] = Array.emptyByteArray
     Iterator.continually {
@@ -434,14 +546,15 @@ object BlockEncoding {
         bb.get(key, common, restLen)
         val value = new Array[Byte](vLen)
         bb.get(value)
-        val mvcc = afterCell(bb, withMvcc, withTags)
+        val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key
-        Some(splitKey(key, value, mvcc))
+        Some(splitKey(key, value, mvcc, tags))
       }
     }.takeWhile(_.isDefined).map(_.get)
   }
 
-  private def decodeDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean): Iterator[HCell] = {
+  private def decodeDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
+      dict: TagDict): Iterator[HCell] = {
     bb.getInt // unencoded size
     var famWithSize: Array[Byte] = null
     var prevKey: Array[Byte] = null
@@ -503,15 +616,16 @@ object BlockEncoding {
         key(pos) = typ
         val value = new Array[Byte](valLen)
         bb.get(value)
-        val mvcc = afterCell(bb, withMvcc, withTags)
+        val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key; prevKeyLen = keyLen; prevValLen = valLen
         prevTs = ts; prevType = typ; prevRowLen = rowLen
-        Some(splitKey(key, value, mvcc))
+        Some(splitKey(key, value, mvcc, tags))
       }
     }.takeWhile(_.isDefined).map(_.get)
   }
 
-  private def decodeFastDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean): Iterator[HCell] = {
+  private def decodeFastDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
+      dict: TagDict): Iterator[HCell] = {
     bb.getInt // unencoded size
     var prevKey: Array[Byte] = null
     var prevVal: Array[Byte] = null
@@ -582,9 +696,9 @@ object BlockEncoding {
               else { val v = new Array[Byte](valLenState); bb.get(v); v }
           }
         }
-        val mvcc = afterCell(bb, withMvcc, withTags)
+        val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key; prevVal = value
-        Some(splitKey(key, value, mvcc))
+        Some(splitKey(key, value, mvcc, tags))
       }
     }.takeWhile(_.isDefined).map(_.get)
   }
@@ -604,12 +718,13 @@ object BlockEncoding {
         val value = new Array[Byte](valLen)
         bb.get(value)
         var mvcc = 0L
+        var tags = Array.emptyByteArray
         if (withTags) {
           val tagsLen = bb.getShort & 0xffff // NoneEncoder short framing
-          if (tagsLen > 0) bb.position(bb.position() + tagsLen)
+          if (tagsLen > 0) { tags = new Array[Byte](tagsLen); bb.get(tags) }
         }
         if (withMvcc) mvcc = readHadoopVLong(bb)
-        Some(splitKey(key, value, mvcc))
+        Some(splitKey(key, value, mvcc, tags))
       }
     }.takeWhile(_.isDefined).map(_.get)
   }

@@ -44,8 +44,9 @@ import java.util.zip.{CRC32, CRC32C}
   * default-configuration reference files as well as GZ-compressed ones.
   * Data-block encodings (PREFIX / DIFF / FAST_DIFF / ROW_INDEX_V1 —
   * "DATABLKE" blocks) are supported on BOTH sides via
-  * [[BlockEncoding]]; dictionary-compressed tags inside encoded blocks
-  * are the one rejected corner. Transparent block encryption
+  * [[BlockEncoding]], including dictionary-compressed tags
+  * (COMPRESS_TAGS + encoding — per-block LRU dictionaries,
+  * TagCompressionContext.java). Transparent block encryption
   * (AES-128-CTR frames + trailer-wrapped per-file data keys,
   * [[HCrypto]]) is supported on both sides and composes with any
   * compression/encoding.
@@ -489,6 +490,7 @@ object HFileV3 {
       rowColBloom: Boolean = false,
       encryption: Option[HCrypto.Ctx] = None,
       withTags: Boolean = false,
+      compressTags: Boolean = false,
       rowPrefixBloom: Option[Int] = None,
       extraFileInfo: => Seq[(String, Array[Byte])] = Nil): Long = {
     require(bytesPerChecksum >= HeaderSize, "bytesPerChecksum too small")
@@ -498,8 +500,10 @@ object HFileV3 {
       require(n > 0, s"rowprefix bloom length must be positive: $n"))
     require(!(gz && compression != CompressionNone && compression != CompressionGz),
       "pass either gz=true or a compression ordinal, not both")
-    require(!withTags || encoding == BlockEncoding.IdNone,
-      "tagged cells are written NONE-encoded (encoded tag write unimplemented)")
+    // TAGS_COMPRESSED is only effective with an encoding
+    // (HFileWriterImpl.java:873: encoding != NONE && compressTags)
+    require(!compressTags || (withTags && encoding != BlockEncoding.IdNone),
+      "compressTags requires withTags and a data block encoding")
     val codec = if (gz) CompressionGz else compression
     // per-file random starting IV, advancing per block (the reference
     // draws Bytes.secureRandom once at encoding-context init)
@@ -574,7 +578,8 @@ object HFileV3 {
 
     def closeDataBlock(): Unit = if (buf.size() > 0 || encCells.nonEmpty) {
       val payload =
-        if (encoded) BlockEncoding.encodePayload(encoding, encCells.toIndexedSeq)
+        if (encoded) BlockEncoding.encodePayload(encoding, encCells.toIndexedSeq,
+          withTags, compressTags)
         else buf.toByteArray
       val offset = co.pos
       val onDisk = writeBlock(co, if (encoded) MagicDataEncoded else MagicData,
@@ -640,6 +645,10 @@ object HFileV3 {
         // blockSizeWritten check — block boundaries are free
         encCells += c
         encUnencodedSize += 8 + key.length + c.value.length
+        if (withTags) {
+          encUnencodedSize += 2 + c.tags.length
+          if (c.tags.length > maxTagsLen) maxTagsLen = c.tags.length
+        }
       } else {
         // NoneEncoder wire format (no mvcc on the write side; tags iff
         // the file declares them — KeyValue trailing tag section)
@@ -753,8 +762,9 @@ object HFileV3 {
       // keys per-cell tag parsing off MAX_TAGS_LEN's presence
       fiEntries += (("hfile.MAX_TAGS_LEN".getBytes(StandardCharsets.US_ASCII),
         i32(maxTagsLen)))
+      // Bytes.toBytes(boolean): one byte, -1 for true
       fiEntries += (("hfile.TAGS_COMPRESSED".getBytes(StandardCharsets.US_ASCII),
-        Array[Byte](0)))
+        Array[Byte](if (compressTags && encoded) -1 else 0)))
     }
     for ((k, v) <- extraFileInfo)
       fiEntries += ((k.getBytes(StandardCharsets.US_ASCII), v))

@@ -58,6 +58,7 @@ class BlockEncodingSpec extends AnyFunSuite {
       assert(a.ts == b.ts, s"ts ${a.ts} vs ${b.ts}")
       assert(a.typ == b.typ, "type")
       assert(java.util.Arrays.equals(a.value, b.value), "value")
+      assert(java.util.Arrays.equals(a.tags, b.tags), "tags")
     }
   }
 
@@ -164,8 +165,88 @@ class BlockEncodingSpec extends AnyFunSuite {
     }
     val back = BlockEncoding.decodePayload(out.toByteArray,
       withMvcc = true, withTags = true).toSeq
-    assertSameCells(back, cells)
+    // the decoder now CAPTURES the interleaved tags, not just skips them
+    assertSameCells(back, cells.zip(mvccs).map { case (c, m) =>
+      c.copy(tags = s"tag-$m".getBytes(UTF_8)) })
     assert(back.map(_.mvcc) == mvccs)
+  }
+
+  /** Tag pools shaped to exercise the dictionary: `distinct` unique
+    * (type, payload) tags, each cell carrying 0-3 of them with a
+    * skewed draw so hits, misses and (when distinct > 127) evictions
+    * plus index recycling all occur. */
+  private def withRandomTags(cells: IndexedSeq[HCell], distinct: Int): IndexedSeq[HCell] = {
+    val pool = (0 until distinct).map(i =>
+      ((1 + i % 7).toByte, s"acl-entry-$i".getBytes(UTF_8)))
+    cells.map { c =>
+      val n = rnd.nextInt(4)
+      if (n == 0) c
+      else {
+        // skew: half the draws from the first 8 pool entries (dict hits)
+        val picked = (0 until n).map(_ =>
+          if (rnd.nextBoolean()) pool(rnd.nextInt(math.min(8, distinct)))
+          else pool(rnd.nextInt(distinct)))
+        c.copy(tags = HFileV3.tagBytes(picked))
+      }
+    }
+  }
+
+  test("tagged payload roundtrip: raw and dictionary-compressed, all encodings") {
+    val cells = withRandomTags(adversarialCells(400), distinct = 20)
+    for (id <- allIds) {
+      val raw = BlockEncoding.encodePayload(id, cells, withTags = true)
+      assertSameCells(
+        BlockEncoding.decodePayload(raw, withMvcc = false, withTags = true).toSeq,
+        cells)
+      // dictionary-compressed (ROW_INDEX_V1 ignores the flag: raw NoneEncoder framing)
+      val dict = BlockEncoding.encodePayload(id, cells, withTags = true, compressTags = true)
+      assertSameCells(
+        BlockEncoding.decodePayload(dict, withMvcc = false, withTags = true,
+          compressTags = true).toSeq,
+        cells)
+      if (id != BlockEncoding.IdRowIndexV1) {
+        // 20 distinct tags over 400 cells: the dictionary must win
+        assert(dict.length < raw.length,
+          s"${BlockEncoding.nameOf(id)}: dict ${dict.length} !< raw ${raw.length}")
+      } else assert(dict.length == raw.length)
+    }
+  }
+
+  test("tag dictionary eviction lockstep: >127 distinct tags recycle indices exactly") {
+    // 300 distinct tags against the 127-capacity per-block dictionary:
+    // the encoder evicts and recycles indices; the decoder must replay
+    // every move-to-head and eviction in lockstep or entries diverge
+    // silently after the first recycled index.
+    val cells = withRandomTags(adversarialCells(600), distinct = 300)
+    for (id <- Seq(BlockEncoding.IdPrefix, BlockEncoding.IdDiff, BlockEncoding.IdFastDiff)) {
+      val payload = BlockEncoding.encodePayload(id, cells, withTags = true, compressTags = true)
+      assertSameCells(
+        BlockEncoding.decodePayload(payload, withMvcc = false, withTags = true,
+          compressTags = true).toSeq,
+        cells)
+    }
+  }
+
+  test("whole-file roundtrip with COMPRESS_TAGS: encoded + tagged + compressed") {
+    val cells = withRandomTags(adversarialCells(500), distinct = 150)
+    for (id <- Seq(BlockEncoding.IdFastDiff, BlockEncoding.IdPrefix, BlockEncoding.IdRowIndexV1);
+         gz <- Seq(false, true)) {
+      val bos = new ByteArrayOutputStream()
+      HFileV3.write(bos, cells.iterator, blockSize = 700, gz = gz, encoding = id,
+        withTags = true, compressTags = true)
+      val bytes = bos.toByteArray
+      val trailer = HFileV3.readTrailer(bytes.takeRight(4096))
+      val fi = HFileV3.readFileInfo(bytes, trailer)
+      // HFileWriterImpl.java:873: flag = encoding != NONE && compressTags;
+      // Bytes.toBytes(true) = one 0xff byte
+      assert(fi("hfile.TAGS_COMPRESSED").sameElements(Array(-1.toByte)))
+      assertSameCells(HFileV3.readCells(bytes).toSeq, cells)
+    }
+    // NONE + withTags keeps the raw short framing; compressTags there is rejected
+    val bos = new ByteArrayOutputStream()
+    assertThrows[IllegalArgumentException](
+      HFileV3.write(bos, cells.iterator, encoding = BlockEncoding.IdNone,
+        withTags = true, compressTags = true))
   }
 
   test("delta encoders reject multi-family blocks (one store file per family)") {
