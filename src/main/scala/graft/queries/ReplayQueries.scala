@@ -424,6 +424,54 @@ object ReplayQueries {
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
     ),
     QDef(
+      // WEEKLY mob-generation policy (MobCompactPartitionPolicy.WEEKLY):
+      // flush days Jan 2-6 1970 (ts 1-5 scaled to days) straddle the
+      // Monday-start ISO week boundary — Fri/Sat/Sun group under the
+      // week FLOORED at 1969-12-29, the previous YEAR. Week-start
+      // convention is engine-dependent (Sunday-start calendars would
+      // split differently), so the oracle re-derives the partitioning
+      // with DuckDB's own date_trunc('week') and pins the file count,
+      // each generation file's latest-constituent-day date, and the
+      // per-partition cell membership.
+      "q95_mob_weekly",
+      (s, dir) => {
+        import graft.flow.MobFiles
+        val cells = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+          .withColumn("ts", col("ts") * lit(86400000L))
+        val out = graft.Queries.scratchDir("q95_mob_weekly")
+        MobFiles.export(cells, threshold = 8, numRegions = 8,
+          outPath = out, table = "eventsw", numMobBuckets = 2)
+        MobFiles.compactMobGenerations(s, out, table = "eventsw",
+          policy = "WEEKLY")
+        MobFiles.sweepUnreferencedMobFiles(s, out, "eventsw")
+        MobFiles.mobFileAudit(s, out, "eventsw")
+          .select(substring(col("mob_file"), 33, 8).as("gen_date"),
+            col("n_cells"), col("declared_count"))
+          .groupBy("gen_date")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_cells")).cast("long").as("n_cells"),
+            sum(col("n_cells") - col("declared_count")).cast("long")
+              .as("declared_drift"))
+          .orderBy("gen_date")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__mobw AS (
+          |  SELECT family, DATE '1970-01-01' + CAST(ts AS INT) AS d
+          |  FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL AND length(value) > 8
+          |), __wk AS (
+          |  SELECT family, date_trunc('week', d) AS wk,
+          |         strftime(MAX(d), '%Y%m%d') AS gen_date,
+          |         CAST(COUNT(*) AS BIGINT) AS n_cells
+          |  FROM __mobw GROUP BY 1, 2
+          |)""".stripMargin)(
+        """SELECT gen_date, CAST(COUNT(*) AS BIGINT) AS n_files,
+          |       CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+          |       CAST(0 AS BIGINT) AS declared_drift
+          |FROM __wk GROUP BY 1 ORDER BY gen_date""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the

@@ -280,6 +280,42 @@ class HFileMobSpec extends SparkSpec {
     assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
   }
 
+  test("WEEKLY generation compaction: Monday-start weeks across the year boundary") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("mobweekly").toString
+    val dayMs = 86400000L
+    // flush days Jan 2-6 1970: Fri/Sat/Sun belong to the ISO week
+    // FLOORED at Monday 1969-12-29 — the previous YEAR — while Mon/Tue
+    // open the week of 1970-01-05. Week-start convention is exactly
+    // the engine-dependent edge this pins (Spark date_trunc("week") is
+    // Monday-start like the reference's calendar grouping).
+    val cells = (0 until 100).map { i =>
+      (f"r$i%05d", "d", "q0", (1 + i % 5) * dayMs, "Put", "W" * 40)
+    }.toDF("row", "family", "qualifier", "ts", "type", "value")
+    MobFiles.export(cells, threshold = 30, numRegions = 2, outPath = out,
+      table = "tw", numMobBuckets = 3)
+    val before = MobFiles.mobFileAudit(spark, out, table = "tw").collect()
+    assert(before.length > 5, "bucketing must have split the days")
+
+    val newFiles = MobFiles.compactMobGenerations(spark, out, table = "tw",
+      policy = "WEEKLY")
+    // two week partitions; each file dated its LATEST constituent day
+    assert(newFiles.size === 2)
+    assert(newFiles.map(_.substring(32, 40)).sorted ==
+      Seq("19700104", "19700106"))
+    MobFiles.sweepUnreferencedMobFiles(spark, out, table = "tw")
+    val audit = MobFiles.mobFileAudit(spark, out, table = "tw").collect()
+    assert(audit.map(_.getString(0)).sorted.toSeq === newFiles)
+    // membership: days 1-3 (Fri/Sat/Sun) land in the Dec-29 week's
+    // file, days 4-5 in the Jan-5 week's — 20 cells per day
+    val byDate = audit.map(r => (r.getString(0).substring(32, 40), r.getLong(1))).toMap
+    assert(byDate("19700104") == 60L)
+    assert(byDate("19700106") == 40L)
+    val resolved = MobFiles.importResolved(spark, out, table = "tw")
+    assert(resolved.count() === 100)
+    assert(resolved.filter(col("value").startsWith("!MOB-MISS")).count() === 0)
+  }
+
   test("MONTHLY compaction + expired cleaner never strands live refs (latestPutTs naming)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("mobttl").toString
