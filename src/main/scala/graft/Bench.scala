@@ -2,11 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: ONE JSON line with per-query wall-clock at
-  * the target scale factor — the headline "queries"/"value" are
-  * per-query MINIMA over (default) 3 within-JVM reps, with every raw
-  * per-rep map embedded in the same record ("reps"), so a contended
-  * box shows up as min≪max in the record itself instead of reading as
-  * a plan regression.
+  * the target scale factor — the headline "value" is the sum of
+  * per-query MINIMA over (default) 3 within-JVM reps, with per-rep
+  * totals in the same record ("rep_totals") so a contended box shows
+  * up as spread-across-reps in the record itself instead of reading
+  * as a plan regression. The full per-query minima map and every raw
+  * per-rep map go to a sidecar (dev/bench_raw_last.json) — the
+  * printed line must fit the driver's 2000-char stdout tail.
   *
   * Methodology: a warmup pass at the smallest scale factor first (when
   * present) so the timed pass measures steady-state plans — Catalyst
@@ -115,20 +117,24 @@ object Bench {
         case (n, v) if !repErrors(r).contains(n) => v }.sum))
       .mkString("[", ",", "]")
     // the one-line record must stay small enough for the driver's
-    // stdout capture (r8 lesson: embedding all raw per-rep maps at
-    // 170 queries outgrew it and the record landed unparseable) —
-    // the LINE carries minima + rep totals + flaky/error lists only;
-    // the full per-rep maps go to a sidecar file for audits
+    // stdout capture: the driver keeps only the LAST 2000 chars of
+    // stdout, so a full 187-query minima map (~6 KB) truncates the
+    // line's opening brace and the record lands unparseable (the r8
+    // lesson recurring at r11 as the query count grew). The LINE
+    // carries the headline total + the TOP-N slowest minima only;
+    // the full minima map and every raw per-rep map go to the
+    // sidecar file for audits.
     val repsJson = (0 until reps).map(r => jmap(repResults(r))).mkString("[", ",", "]")
     try {
       val sidecar = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "dev/bench_raw_last.json"))
       Option(sidecar.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(sidecar,
-        s"""{"sf":"$sfDir","n_reps":$reps,"load_sec":${f3(loadS)},"rep_totals":$repTotals,"reps":$repsJson}"""
+        s"""{"sf":"$sfDir","n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"rep_totals":$repTotals,"query_min":${jmap(minQ)},"reps":$repsJson}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(minQ)},"rep_totals":$repTotals,"sf":"$sfDir"}""")
+    val topN = minQ.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(topN)},"queries_note":"top15_by_min_of_${names.size}; full map in dev/bench_raw_last.json","rep_totals":$repTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
