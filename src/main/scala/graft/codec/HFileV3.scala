@@ -200,6 +200,30 @@ object HFileV3 {
     out.write(v.toInt & 0x7f)
   }
 
+  /** Parse the TIMERANGE FILE_INFO entry to (minTs, maxTs). Accepts
+    * both wire forms TimeRangeTracker.parseFrom does: the HBASE-21012
+    * DataOutput form (two big-endian longs) and the older "PBUF"-magic
+    * protobuf TimeRangeTracker {uint64 from=1; uint64 to=2}. */
+  def parseTimeRange(fi: Map[String, Array[Byte]]): Option[(Long, Long)] =
+    fi.get("TIMERANGE").map { data =>
+      if (data.length >= 4 && data(0) == 'P' && data(1) == 'B' &&
+          data(2) == 'U' && data(3) == 'F') {
+        val bb = ByteBuffer.wrap(data, 4, data.length - 4).slice()
+        var from = 0L
+        var to = 0L
+        while (bb.hasRemaining) {
+          val tag = readVarint(bb)
+          require((tag & 7) == 0, "unexpected TimeRangeTracker wire type")
+          val v = readVarint(bb)
+          if ((tag >> 3) == 1) from = v else if ((tag >> 3) == 2) to = v
+        }
+        (from, to)
+      } else {
+        val bb = ByteBuffer.wrap(data)
+        (bb.getLong, bb.getLong)
+      }
+    }
+
   private def readVarint(buf: ByteBuffer): Long = {
     var shift = 0
     var v = 0L
@@ -521,6 +545,11 @@ object HFileV3 {
     var keyLenSum = 0L
     var valLenSum = 0L
     var maxTagsLen = 0
+    // TimeRangeTracker's initial state (min=MAX, max=-1); every cell's
+    // ts folds in — the TIMERANGE FILE_INFO entry readers prune
+    // timerange scans with (HStoreFile.java:109,516)
+    var trMin = Long.MaxValue
+    var trMax = -1L
     var lastCell: HCell = null
     var firstKeyOfBlock: Array[Byte] = null
     val buf = new ByteArrayOutputStream(blockSize + 4096)
@@ -638,6 +667,8 @@ object HFileV3 {
         }
       }
       lastCell = c
+      if (c.ts < trMin) trMin = c.ts
+      if (c.ts > trMax) trMax = c.ts
       val key = cellKeyBytes(c)
       if (firstKeyOfBlock == null) firstKeyOfBlock = key
       if (encoded) {
@@ -753,6 +784,12 @@ object HFileV3 {
     if (lastCell != null)
       fiEntries += (("hfile.LASTKEY".getBytes(StandardCharsets.US_ASCII),
         cellKeyBytes(lastCell)))
+    if (lastCell != null) {
+      // HBASE-21012 DataOutput form: two big-endian longs (min, max) —
+      // TimeRangeTracker.toByteArray; readers also accept the PB form
+      fiEntries += (("TIMERANGE".getBytes(StandardCharsets.US_ASCII),
+        ByteBuffer.allocate(16).putLong(trMin).putLong(trMax).array()))
+    }
     val avgK = if (entryCount == 0) 0 else (keyLenSum / entryCount).toInt
     val avgV = if (entryCount == 0) 0 else (valLenSum / entryCount).toInt
     fiEntries += (("hfile.AVG_KEY_LEN".getBytes(StandardCharsets.US_ASCII), i32(avgK)))

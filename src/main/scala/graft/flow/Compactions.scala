@@ -3,6 +3,8 @@ package graft.flow
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+import graft.codec.HFileV3
+
 /** Minor (file-selection) compaction — the reference's
   * ExploringCompactionPolicy
   * (hbase-server/.../compactions/ExploringCompactionPolicy.java:55-121
@@ -106,6 +108,313 @@ object Compactions {
     else bestStart to bestEnd
   }
 
+  // ------------------------------------------------------------------
+  // Date-tiered compaction (HBASE-15181 — DateTieredCompactionPolicy)
+  // ------------------------------------------------------------------
+
+  /** Date-tiered knobs (CompactionConfiguration.java:172-183 +
+    * ExponentialCompactionWindowFactory.java:127-133 defaults: 6 h base
+    * window, 4 windows per tier, incoming-window min 6; max tier /
+    * store-file age unbounded). `window` is the per-window selection
+    * policy's knobs (default Exploring —
+    * DEFAULT_COMPACTION_POLICY_CLASS_FOR_DATE_TIERED_WINDOWS). */
+  final case class DtKnobs(
+      baseWindowMillis: Long = 6L * 3600000L,
+      windowsPerTier: Int = 4,
+      maxTierAgeMillis: Long = Long.MaxValue,
+      incomingWindowMin: Int = 6,
+      maxStoreFileAgeMillis: Long = Long.MaxValue,
+      window: Knobs = Knobs())
+
+  /** One exponential tier window
+    * (ExponentialCompactionWindowFactory.Window:43-111): a timestamp t
+    * is inside iff floor(t / windowMillis) == divPosition (the
+    * negative-ts adjustment in compareToTimestamp makes Java's
+    * truncating division behave as floor). Earlier windows grow by
+    * `windowsPerTier` at tier boundaries unless the next window would
+    * cross the max-tier-age cutoff; overflow semantics (checked
+    * multiply clamps, the promotion-check subtraction WRAPS) mirror
+    * the Java exactly — the overflow fixture depends on the wrap. */
+  final case class DtWindow(windowMillis: Long, divPosition: Long,
+      windowsPerTier: Int, maxTierAgeCutoff: Long) {
+    def compareToTimestamp(timestamp: Long): Int = {
+      var ts = timestamp
+      if (ts < 0) {
+        ts =
+          try math.subtractExact(ts, windowMillis - 1)
+          catch { case _: ArithmeticException => Long.MinValue }
+      }
+      val pos = ts / windowMillis
+      if (divPosition == pos) 0 else if (divPosition < pos) -1 else 1
+    }
+    def startMillis: Long =
+      try math.multiplyExact(windowMillis, divPosition)
+      catch { case _: ArithmeticException => Long.MinValue }
+    def endMillis: Long =
+      try math.multiplyExact(windowMillis, divPosition + 1)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    def nextEarlierWindow: DtWindow =
+      if (divPosition % windowsPerTier > 0 ||
+          startMillis - windowMillis * windowsPerTier < maxTierAgeCutoff)
+        copy(divPosition = divPosition - 1)
+      else
+        DtWindow(windowMillis * windowsPerTier,
+          divPosition / windowsPerTier - 1, windowsPerTier, maxTierAgeCutoff)
+  }
+
+  /** The window containing `now` (newIncomingWindow:137). */
+  def incomingWindow(now: Long, dt: DtKnobs): DtWindow = {
+    val cutoff =
+      try math.subtractExact(now, dt.maxTierAgeMillis)
+      catch { case _: ArithmeticException => Long.MinValue }
+    DtWindow(dt.baseWindowMillis, now / dt.baseWindowMillis,
+      dt.windowsPerTier, cutoff)
+  }
+
+  /** DateTieredCompactionPolicy.selectMinorCompaction:242-294, pure.
+    * `sizes`/`maxTimestamps` are the store ladder in AGE order (oldest
+    * first). Out-of-order files inherit the newest max timestamp seen
+    * so far (:247-256), so every window's files form a CONTIGUOUS age
+    * run and the walk proceeds newest window → oldest: the first
+    * window at or past its file threshold (incoming window uses
+    * `incomingWindowMin`, every earlier window the per-window
+    * minFiles) whose per-window exploring selection is non-empty wins;
+    * windows entirely older than `maxStoreFileAgeMillis` stop the
+    * walk. `mightBeStuck` compacts the whole qualifying window
+    * (generateCompactionRequest:305). Returns the selected contiguous
+    * index range. */
+  def dateTieredSelect(sizes: IndexedSeq[Long], maxTimestamps: IndexedSeq[Long],
+      now: Long, dt: DtKnobs, mightBeStuck: Boolean = false): Range = {
+    require(sizes.length == maxTimestamps.length, "ladder shape mismatch")
+    val n = sizes.length
+    val oldestToCompact =
+      try math.subtractExact(now, dt.maxStoreFileAgeMillis)
+      catch { case _: ArithmeticException => Long.MinValue }
+    val eff = new Array[Long](n)
+    var mx = Long.MinValue
+    var k = 0
+    while (k < n) { mx = math.max(mx, maxTimestamps(k)); eff(k) = mx; k += 1 }
+    var window = incomingWindow(now, dt)
+    var minThreshold = dt.incomingWindowMin
+    var i = n - 1
+    while (i >= 0) {
+      if (window.compareToTimestamp(oldestToCompact) < 0) return 0 until 0
+      if (window.compareToTimestamp(eff(i)) > 0) {
+        // file is older than the window: move to the next earlier one
+        window = window.nextEarlierWindow
+        minThreshold = dt.window.minFiles
+      } else {
+        // collect the window's whole run (incoming tolerates future ts)
+        var j = i
+        while (j >= 0 && window.compareToTimestamp(eff(j)) <= 0) j -= 1
+        val lo = j + 1
+        if (i - lo + 1 >= minThreshold) {
+          val sel =
+            if (mightBeStuck) 0 to (i - lo)
+            else exploringSelect(sizes.slice(lo, i + 1),
+              dt.window.copy(minFiles = minThreshold))
+          if (sel.nonEmpty) return (lo + sel.head) to (lo + sel.last)
+        }
+        i = j
+      }
+    }
+    0 until 0
+  }
+
+  /** Window start boundaries for a MAJOR date-tiered compaction, from
+    * the incoming window back past the oldest cell, ascending, with
+    * Long.MinValue first (getCompactBoundariesForMajor:327-342): the
+    * major output is one file per window, which is what makes
+    * date-range scans prune whole files. */
+  def dateTieredBoundariesForMajor(minTimestamp: Long, now: Long,
+      dt: DtKnobs): Seq[Long] = {
+    var w = incomingWindow(now, dt)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (w.compareToTimestamp(minTimestamp) > 0) {
+      buf += w.startMillis
+      w = w.nextEarlierWindow
+    }
+    buf += Long.MinValue
+    buf.reverse.toSeq
+  }
+
+  /** One date-tiered MINOR compaction over a flat HFile store dir
+    * (part-*.hfile, name order = age order): per-file max timestamps
+    * come from each file's TIMERANGE FILE_INFO entry (the wire entry
+    * reference readers prune timerange scans with), sizes are physical
+    * bytes unless `logicalSizes` overrides. The selected run merges
+    * into ONE output (single-output minor, the reference default);
+    * untouched files keep their bytes. Returns selected names. */
+  def dateTieredCompact(spark: SparkSession, dir: String,
+      dt: DtKnobs = DtKnobs(), now: Long,
+      mightBeStuck: Boolean = false,
+      logicalSizes: Option[Map[String, Long]] = None,
+      blockSize: Int = 65536): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
+    val sizes = files.map { case (p, l) =>
+      logicalSizes.fold(l)(_(p.getName))
+    }.toIndexedSeq
+    val maxTs = files.map { case (p, l) =>
+      fileMaxTimestamp(fs, p, l)
+    }.toIndexedSeq
+    val sel = dateTieredSelect(sizes, maxTs, now, dt, mightBeStuck)
+    if (sel.isEmpty) return Nil
+    val selected = sel.map(files(_))
+    rewriteRun(spark, fs, dir, selected, blockSize)
+    selected.map(_._1.getName)
+  }
+
+  /** One date-tiered MAJOR compaction: rewrite the WHOLE store into
+    * one output file per compaction window (selectMajorCompaction's
+    * boundaries), so subsequent timerange reads skip whole files by
+    * their TIMERANGE. Output files are renumbered in window order
+    * (oldest window first — ascending boundaries). Returns the
+    * boundaries used.
+    *
+    * Scale shape: ONE pass over the store — cells shuffle once keyed
+    * by their window, each window's run streams through its own HFile
+    * writer (the compactMobGenerations consolidation pattern), so read
+    * amplification stays 1× however many windows the boundary walk
+    * yields. */
+  def dateTieredMajorCompact(spark: SparkSession, dir: String,
+      dt: DtKnobs = DtKnobs(), now: Long,
+      blockSize: Int = 65536): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.Row
+    import graft.codec.HFileV3.HCell
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
+    if (files.isEmpty) return Nil
+    val minTs = files.map { case (p, l) =>
+      HFileV3.parseTimeRange(readFileInfoOf(fs, p, l)).map(_._1)
+        .getOrElse(Long.MaxValue)
+    }.min
+    val boundaries = dateTieredBoundariesForMajor(minTs, now, dt)
+    val cells = HFiles.importFiles(spark,
+      files.map { case (p, l) => (p.toString, l) })
+    val tmpDir = s"$dir/.compact.tmp"
+    val tmpPath = new Path(tmpDir)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    // window index by ts against the ascending boundaries: the fold
+    // wraps later (larger) boundaries outermost, so the widest
+    // satisfied boundary wins — window k holds ts in
+    // [boundaries(k), boundaries(k+1))
+    val wixCol = boundaries.zipWithIndex.drop(1)
+      .foldLeft(lit(0)) { case (acc, (b, k)) =>
+        when(col("ts") >= lit(b), lit(k)).otherwise(acc)
+      }
+    val bconf = ShippedConf.broadcast(spark)
+    val tmpDirB = tmpDir
+    val blockB = blockSize
+    cells.withColumn("wix", wixCol)
+      .repartition(boundaries.size, col("wix"))
+      .sortWithinPartitions(col("wix"), col("row"), col("family"),
+        col("qualifier"), col("ts").desc, HFiles.typeRank.desc)
+      .select("row", "family", "qualifier", "ts", "type", "value", "wix")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val fs = new Path(tmpDirB).getFileSystem(bconf.value.conf)
+          val bufIt = it.buffered
+          while (bufIt.hasNext) {
+            val wix = bufIt.head.getInt(6)
+            val run = new Iterator[HCell] {
+              def hasNext: Boolean = bufIt.hasNext && bufIt.head.getInt(6) == wix
+              def next(): HCell = {
+                val r = bufIt.next()
+                HCell(r.getString(0).getBytes("UTF-8"),
+                  r.getString(1).getBytes("UTF-8"),
+                  r.getString(2).getBytes("UTF-8"),
+                  r.getLong(3), HFiles.typeToCode(r.getString(4)),
+                  Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+              }
+            }
+            val path = new Path(f"$tmpDirB%s/w$wix%05d.hfile")
+            val out = fs.create(path, true)
+            try { HFileV3.write(out, run, blockB); () } finally out.close()
+          }
+        }
+      }
+    // commit: remove inputs, renumber outputs oldest window first
+    val written = Option(fs.globStatus(new Path(tmpDir, "w*.hfile")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
+    files.foreach { case (p, _) => fs.delete(p, false) }
+    written.zipWithIndex.foreach { case (p, i) =>
+      require(fs.rename(p, new Path(dir, f"part-$i%05d.hfile")),
+        s"could not commit window file ${p.getName}")
+    }
+    fs.delete(tmpPath, true)
+    boundaries
+  }
+
+  // ------------------------------------------------------------------
+  // FIFO compaction (FIFOCompactionPolicy.java:43-142)
+  // ------------------------------------------------------------------
+
+  /** FIFO "compaction": select ONLY the files whose newest cell has
+    * outlived the store TTL (maxTs <= now - ttl) plus empty files
+    * (HBASE-21504), and simply DROP them — no rewrite, zero write
+    * amplification, the policy for pure time-series stores where data
+    * expires wholesale. Returns the dropped names. */
+  def fifoCompact(spark: SparkSession, dir: String, ttlMillis: Long,
+      now: Long): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
+    val expired = files.filter { case (p, l) =>
+      HFileV3.parseTimeRange(readFileInfoOf(fs, p, l)) match {
+        case None => true // empty file: no TIMERANGE was written
+        case Some((_, maxTs)) =>
+          ttlMillis != Long.MaxValue && now - ttlMillis >= maxTs
+      }
+    }
+    expired.foreach { case (p, _) => fs.delete(p, false) }
+    expired.map(_._1.getName)
+  }
+
+  // --- shared helpers ---
+
+  private def readFileInfoOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, len: Long): Map[String, Array[Byte]] = {
+    val in = fs.open(p)
+    try {
+      val pread: HFileV3.PRead = (off, n) => {
+        val buf = new Array[Byte](n); in.readFully(off, buf); buf
+      }
+      val trailer = HFileV3.readTrailer(
+        pread(len - HFileV3.TrailerSize, HFileV3.TrailerSize))
+      HFileV3.readFileInfo(pread, trailer)
+    } finally in.close()
+  }
+
+  private def fileMaxTimestamp(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, len: Long): Long =
+    HFileV3.parseTimeRange(readFileInfoOf(fs, p, len))
+      .map(_._2).getOrElse(Long.MinValue)
+
+  /** Merge-rewrite a selected contiguous run into one file named after
+    * the first input (write-to-tmp, delete inputs, rename). */
+  private def rewriteRun(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      selected: Seq[(Path, Long)], blockSize: Int): Unit = {
+    val tmpDir = s"$dir/.compact.tmp"
+    val tmpPath = new Path(tmpDir)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    HFiles.export(
+      HFiles.importFiles(spark, selected.map { case (p, l) => (p.toString, l) }),
+      numRegions = 1, outPath = tmpDir, blockSize = blockSize)
+    val outName = selected.head._1.getName
+    selected.foreach { case (p, _) => fs.delete(p, false) }
+    require(fs.rename(new Path(s"$tmpDir/part-00000.hfile"),
+      new Path(dir, outName)), s"could not commit compacted $outName")
+    fs.delete(tmpPath, true)
+  }
+
   /** Run one exploring minor compaction over a flat HFile store
     * directory (`part-*.hfile`, name order = age order, oldest
     * first): select with [[exploringSelect]] on the files' sizes
@@ -132,19 +441,9 @@ object Compactions {
     if (sel.isEmpty) return Nil
 
     val selected = sel.map(files(_))
-    val tmpDir = s"$dir/.compact.tmp"
-    val tmpPath = new Path(tmpDir)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     // merge-rewrite the selected run: one output file per compaction,
     // like the reference's single StoreFileWriter per minor compaction
-    HFiles.export(
-      HFiles.importFiles(spark, selected.map { case (p, l) => (p.toString, l) }),
-      numRegions = 1, outPath = tmpDir, blockSize = blockSize)
-    val outName = selected.head._1.getName
-    selected.foreach { case (p, _) => fs.delete(p, false) }
-    require(fs.rename(new Path(s"$tmpDir/part-00000.hfile"),
-      new Path(dir, outName)), s"could not commit compacted $outName")
-    fs.delete(tmpPath, true)
+    rewriteRun(spark, fs, dir, selected, blockSize)
     selected.map(_._1.getName)
   }
 }

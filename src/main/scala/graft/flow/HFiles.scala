@@ -37,7 +37,7 @@ object HFiles {
   /** KeyValue type-code rank for the within-(row,fam,qual,ts) sort:
     * CellComparatorImpl orders larger codes first (deletes before
     * puts). */
-  private def typeRank = {
+  private[flow] def typeRank = {
     val pairs = typeToCode.toSeq
     pairs.foldLeft(lit(0)) { case (acc, (name, code)) =>
       when(col("type") === name, lit(code.toInt)).otherwise(acc)

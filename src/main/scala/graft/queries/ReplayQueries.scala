@@ -472,6 +472,219 @@ object ReplayQueries {
           |FROM __wk GROUP BY 1 ORDER BY gen_date""".stripMargin))
     ),
     QDef(
+      // DATE-TIERED minor compaction (DateTieredCompactionPolicy
+      // .selectMinorCompaction:242 + ExponentialCompactionWindowFactory
+      // .Window:43). 15 age-ordered flush files, file i holding all of
+      // bucket i's cells shifted to ts ∈ [1000(i+1)+1, 1000(i+1)+5];
+      // base window 6000 ms, 4 windows/tier, incoming threshold 3,
+      // per-window exploring min2/max12/ratio1.2, now=16000. The
+      // incoming window [12000,18000) holds the 4 newest files; the
+      // near-equal bucket sizes pass the ratio, so the whole window
+      // compacts. The oracle RE-DERIVES everything: the exponential
+      // window walk (recursive CTE), per-window file counts and
+      // thresholds, and the exploring selection inside the winning
+      // window — then the read-back identity (mismatches=0). Physical
+      // max timestamps come from each file's TIMERANGE FILE_INFO
+      // entry, the wire entry reference readers prune timerange scans
+      // with.
+      "q96_date_tiered",
+      (s, dir) => {
+        import graft.flow.{Compactions, HFiles}
+        import graft.flow.Compactions.{DtKnobs, Knobs}
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val fidx = (col("row").cast("long") % 15).cast("int")
+        val withF = puts
+          .withColumn("fidx", fidx)
+          .withColumn("ts", col("ts") + (col("fidx") + 1) * lit(1000L))
+        val ladder = withF.groupBy("fidx")
+          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val out = graft.Queries.scratchDir("q96_dt")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ladder.foreach { case (i, _) =>
+          val tmp = graft.Queries.scratchDir(s"q96_f$i")
+          HFiles.export(withF.filter(col("fidx") === i)
+              .select("row", "family", "qualifier", "ts", "type", "value"),
+            numRegions = 1, outPath = tmp)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
+        }
+        val names = ladder.map { case (i, _) => f"part-$i%05d.hfile" }
+        val logical = names.zip(ladder.map(_._2)).toMap
+        val dt = DtKnobs(baseWindowMillis = 6000L, windowsPerTier = 4,
+          maxTierAgeMillis = 100000L, incomingWindowMin = 3,
+          maxStoreFileAgeMillis = 100000L,
+          window = Knobs(minFiles = 2, maxFiles = 12, ratio = 1.2))
+        val selNames = Compactions.dateTieredCompact(s, out, dt,
+          now = 16000L, logicalSizes = Some(logical))
+        val selIdx = selNames.map(names.indexOf(_))
+        val back = HFiles.importCells(s, out)
+        val mismatches = back.alias("b")
+          .join(withF.select("row", "family", "qualifier", "ts", "type", "value")
+              .alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        val filesAfter = fs.globStatus(
+          new org.apache.hadoop.fs.Path(out, "part-*.hfile")).length
+        withF.agg(count(lit(1)).as("n_cells"))
+          .withColumn("files_before", lit(ladder.length.toLong))
+          .withColumn("sel_start",
+            lit(if (selIdx.isEmpty) 0L else selIdx.min + 1L))
+          .withColumn("sel_k", lit(selIdx.size.toLong))
+          .withColumn("sel_bytes", lit(selIdx.map(ladder(_)._2).sum))
+          .withColumn("files_after", lit(filesAfter.toLong))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__dt_puts AS (
+          |  SELECT *, CAST(CAST(row AS BIGINT) % 15 AS INT) AS fidx
+          |  FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __dt_files AS (
+          |  SELECT fidx,
+          |         CAST(SUM(octet_length(encode(value))) AS BIGINT) AS sz,
+          |         CAST(MAX(ts) + (fidx + 1) * 1000 AS BIGINT) AS max_ts
+          |  FROM __dt_puts GROUP BY 1
+          |), __dt_eff AS (
+          |  SELECT fidx, sz,
+          |         MAX(max_ts) OVER (ORDER BY fidx
+          |           ROWS UNBOUNDED PRECEDING) AS eff_ts
+          |  FROM __dt_files
+          |), __dt_win AS (
+          |  -- the exponential window walk from the incoming window
+          |  -- (now=16000, base=6000, 4/tier, cutoff = now-100000)
+          |  WITH RECURSIVE walk(wm, dv, depth) AS (
+          |    SELECT CAST(6000 AS BIGINT), CAST(16000 // 6000 AS BIGINT), 0
+          |    UNION ALL
+          |    SELECT CASE WHEN dv % 4 > 0 OR wm*dv - wm*4 < 16000 - 100000
+          |                THEN wm ELSE wm*4 END,
+          |           CASE WHEN dv % 4 > 0 OR wm*dv - wm*4 < 16000 - 100000
+          |                THEN dv - 1 ELSE dv // 4 - 1 END,
+          |           depth + 1
+          |    FROM walk WHERE depth < 12
+          |  ) SELECT * FROM walk
+          |), __dt_assign AS (
+          |  -- a file joins the NEWEST window whose div equals
+          |  -- floor(eff/wm); the incoming window (depth 0) also takes
+          |  -- future timestamps
+          |  SELECT f.fidx, f.sz, w.depth,
+          |         CASE WHEN w.depth = 0 THEN 3 ELSE 2 END AS threshold
+          |  FROM __dt_eff f JOIN __dt_win w
+          |    ON (f.eff_ts // w.wm = w.dv)
+          |    OR (w.depth = 0 AND f.eff_ts // w.wm >= w.dv)
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f.fidx
+          |    ORDER BY w.depth) = 1
+          |), __dt_chosen AS (
+          |  -- the newest window at or past its file threshold
+          |  SELECT depth FROM __dt_assign
+          |  GROUP BY depth, threshold HAVING COUNT(*) >= threshold
+          |  ORDER BY depth LIMIT 1
+          |), __dt_cand AS (
+          |  SELECT a.fidx, a.sz,
+          |         ROW_NUMBER() OVER (ORDER BY a.fidx) AS idx
+          |  FROM __dt_assign a JOIN __dt_chosen c ON a.depth = c.depth
+          |), __dt_expl AS (
+          |  -- exploring inside the chosen window: contiguous runs of
+          |  -- 2..12 files, every member <= (sum of others) * 1.2,
+          |  -- best by files desc / IO asc / age asc
+          |  SELECT s.idx AS wstart, COUNT(*) AS k, SUM(m.sz) AS size
+          |  FROM __dt_cand s JOIN __dt_cand e ON e.idx >= s.idx + 1
+          |  JOIN __dt_cand m ON m.idx BETWEEN s.idx AND e.idx
+          |  GROUP BY s.idx, e.idx
+          |  HAVING COUNT(*) BETWEEN 2 AND 12
+          |     AND MAX(m.sz) <= (SUM(m.sz) - MAX(m.sz)) * 1.2
+          |), __dt_best AS (
+          |  SELECT w.wstart, w.k, w.size
+          |  FROM __dt_expl w ORDER BY k DESC, size ASC, wstart ASC
+          |  LIMIT 1
+          |), __dt_sel AS (
+          |  -- map back to 1-based AGE index over the whole ladder
+          |  SELECT MIN(c.fidx) + 1 AS sel_start, b.k, b.size
+          |  FROM __dt_best b JOIN __dt_cand c
+          |    ON c.idx BETWEEN b.wstart AND b.wstart + b.k - 1
+          |  GROUP BY b.k, b.size
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT COUNT(*) FROM __dt_puts) AS n_cells,
+          |  (SELECT COUNT(*) FROM __dt_files) AS files_before,
+          |  COALESCE((SELECT CAST(sel_start AS BIGINT) FROM __dt_sel), 0) AS sel_start,
+          |  COALESCE((SELECT CAST(k AS BIGINT) FROM __dt_sel), 0) AS sel_k,
+          |  COALESCE((SELECT CAST(size AS BIGINT) FROM __dt_sel), 0) AS sel_bytes,
+          |  (SELECT COUNT(*) FROM __dt_files)
+          |    - COALESCE((SELECT k FROM __dt_sel), 1) + 1 AS files_after,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
+      // FIFO compaction (FIFOCompactionPolicy.java:43-142): the pure
+      // time-series policy — never rewrite, just DROP whole files
+      // whose newest cell outlived the TTL. Six age-ordered files at
+      // day-scaled timestamps; ttl such that the three oldest expire.
+      // The oracle re-derives the drop set from the data (per-file max
+      // ts vs now - ttl) and the surviving cell population.
+      "q97_fifo_compact",
+      (s, dir) => {
+        import graft.flow.{Compactions, HFiles}
+        val dayMs = 86400000L
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val fidx = (col("row").cast("long") % 6).cast("int")
+        val withF = puts
+          .withColumn("fidx", fidx)
+          .withColumn("ts", col("ts") + (col("fidx") + 1) * lit(dayMs))
+        val out = graft.Queries.scratchDir("q97_fifo")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        (0 until 6).foreach { i =>
+          val tmp = graft.Queries.scratchDir(s"q97_f$i")
+          HFiles.export(withF.filter(col("fidx") === i)
+              .select("row", "family", "qualifier", "ts", "type", "value"),
+            numRegions = 1, outPath = tmp)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
+        }
+        // now = day 8; ttl 4.5 days: expired iff maxTs <= 3.5 days —
+        // files 1-3 (maxTs day 1..3 + 5ms versions) drop, 4-6 survive
+        val now = 8L * dayMs
+        val dropped = Compactions.fifoCompact(s, out,
+          ttlMillis = (45L * dayMs) / 10L, now = now)
+        val back = HFiles.importCells(s, out)
+        val expect = withF.filter(
+          (col("fidx") + 1) * lit(dayMs) + lit(5L) > lit(now - (45L * dayMs) / 10L))
+        val mismatches = back.alias("b")
+          .join(expect.select("row", "family", "qualifier", "ts", "type", "value")
+              .alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        back.agg(count(lit(1)).as("n_cells_after"))
+          .withColumn("files_before", lit(6L))
+          .withColumn("dropped", lit(dropped.size.toLong))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__ff_puts AS (
+          |  SELECT *, CAST(CAST(row AS BIGINT) % 6 AS INT) AS fidx
+          |  FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __ff_files AS (
+          |  SELECT fidx, COUNT(*) AS n,
+          |         MAX(ts) + (fidx + 1) * 86400000 AS max_ts
+          |  FROM __ff_puts GROUP BY 1
+          |), __ff_live AS (
+          |  SELECT * FROM __ff_files
+          |  WHERE NOT (8 * 86400000 - 45 * 8640000 >= max_ts)
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT CAST(SUM(n) AS BIGINT) FROM __ff_live) AS n_cells_after,
+          |  CAST(6 AS BIGINT) AS files_before,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __ff_files
+          |   WHERE 8 * 86400000 - 45 * 8640000 >= max_ts) AS dropped,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the

@@ -128,4 +128,196 @@ class CompactionPolicySpec extends SparkSpec {
       Knobs(minFiles = 3, maxFiles = 5, ratio = 1.2,
         minCompactSize = 0, maxCompactSize = Long.MaxValue)).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // Date-tiered policy: the reference's TestDateTieredCompactionPolicy
+  // fixtures, verbatim (config: base window 6 ms, 4 windows/tier,
+  // max age 100 ms, incoming-window min 3; per-window exploring
+  // min 2 / max 12 / ratio 1.2)
+  // ------------------------------------------------------------------
+
+  import graft.flow.Compactions.DtKnobs
+
+  private val DT = DtKnobs(baseWindowMillis = 6, windowsPerTier = 4,
+    maxTierAgeMillis = 100, incomingWindowMin = 3,
+    maxStoreFileAgeMillis = 100,
+    window = Knobs(minFiles = 2, maxFiles = 12, ratio = 1.2))
+
+  private def dtSel(now: Long, maxTs: Seq[Long], sizes: Seq[Long]): Seq[Long] = {
+    val sz = sizes.toIndexedSeq
+    Compactions.dateTieredSelect(sz, maxTs.toIndexedSeq, now, DT).map(sz(_)).toSeq
+  }
+
+  test("date-tiered minor selection matches every reference fixture") {
+    // incomingWindow: enough files in the window holding `now`
+    assert(dtSel(16, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+      Seq(30, 31, 32, 33, 34, 20, 21, 22, 23, 24, 25, 10, 11, 12, 13)) ==
+      Seq(10, 11, 12, 13))
+    // NotIncomingWindow: too few incoming, the previous window wins
+    assert(dtSel(16, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
+      Seq(30, 31, 32, 33, 34, 20, 21, 22, 23, 24, 25, 10, 11)) ==
+      Seq(20, 21, 22, 23, 24, 25))
+    // OnUpperBoundOfIncomingWindow / NewerThanIncomingWindow: future
+    // timestamps are tolerated inside the incoming window
+    for (last <- Seq(18L, 19L))
+      assert(dtSel(16, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, last),
+        Seq(30, 31, 32, 33, 34, 20, 21, 22, 23, 24, 25, 10, 11, 12, 13)) ==
+        Seq(10, 11, 12, 13))
+    // NoT2: if there is no T1 window we never build T2
+    assert(dtSel(194, Seq(44, 60, 61, 97, 100, 193),
+      Seq(0, 20, 21, 22, 23, 1)) == Seq(22, 23))
+    // T1
+    assert(dtSel(161, Seq(44, 60, 61, 96, 100, 104, 120, 124, 143, 145, 157),
+      Seq(0, 50, 51, 40, 41, 42, 30, 31, 32, 2, 1)) == Seq(30, 31, 32))
+    // RatioT0: exploring logic applies inside the non-incoming window
+    assert(dtSel(16, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+      Seq(30, 31, 32, 33, 34, 20, 21, 22, 280, 23, 24, 1)) ==
+      Seq(20, 21, 22))
+    // RatioT2
+    assert(dtSel(161, Seq(44, 60, 61, 96, 100, 104, 120, 124, 143, 145, 157),
+      Seq(0, 50, 51, 40, 41, 42, 350, 30, 31, 2, 1)) == Seq(30, 31))
+    // RatioT0Next: the follow-up call after RatioT0's output landed
+    assert(dtSel(16, Seq(1, 2, 3, 4, 5, 8, 9, 10, 11, 12),
+      Seq(30, 31, 32, 33, 34, 22, 280, 23, 24, 1)) == Seq(23, 24))
+    // olderThanMaxAge: windows past now-maxAge stop the walk
+    assert(dtSel(161, Seq(44, 60, 61, 96, 100, 104, 105, 106, 113, 145, 157),
+      Seq(0, 50, 51, 40, 41, 42, 33, 30, 31, 2, 1)) ==
+      Seq(40, 41, 42, 33, 30, 31))
+    // outOfOrder: files inherit the newest max timestamp seen
+    assert(dtSel(16, Seq(0, 13, 3, 10, 11, 1, 2, 12, 14, 15),
+      Seq(30, 31, 32, 33, 34, 22, 28, 23, 24, 1)) ==
+      Seq(31, 32, 33, 34, 22, 28, 23, 24, 1))
+    // negativeEpochtime: floor-division window membership below zero
+    assert(dtSel(1, Seq(-28, -11, -10, -9, -8, -7, -6, -5, -4, -3),
+      Seq(30, 31, 32, 33, 34, 22, 25, 23, 24, 1)) ==
+      Seq(31, 32, 33, 34, 22, 25, 23, 24, 1))
+  }
+
+  test("date-tiered major boundaries match the reference fixtures") {
+    // majorCompation / checkMinMaxTimestampSameBoundary (minTs = 0)
+    assert(Compactions.dateTieredBoundariesForMajor(0, 161, DT) ==
+      Seq(Long.MinValue, 24, 48, 72, 96, 120, 144, 150, 156))
+    // negativeForMajor (minTs = -155, now = 16)
+    assert(Compactions.dateTieredBoundariesForMajor(-155, 16, DT) ==
+      Seq(Long.MinValue, -144, -120, -96, -72, -48, -24, 0, 6, 12))
+    // maxValuesForMajor (overflow config: base = MaxValue/2, 2/tier) —
+    // the wrap/clamp semantics of the window arithmetic, pinned
+    val dtOv = DT.copy(baseWindowMillis = Long.MaxValue / 2, windowsPerTier = 2)
+    assert(Compactions.dateTieredBoundariesForMajor(Long.MinValue,
+      Long.MaxValue, dtOv) ==
+      Seq(Long.MinValue, -4611686018427387903L, 0, 4611686018427387903L,
+        9223372036854775806L))
+  }
+
+  test("date-tiered physical compaction: TIMERANGE-driven, windowed major layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dtstore").toString
+    // 15 flush files, file i holding 40 cells all at ts i+1 — the
+    // incomingWindow fixture shape with near-equal physical sizes
+    for (i <- 0 until 15) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"dtf$i").toString
+      val df = (0 until 40)
+        .map(j => (f"r${j * 15 + i}%05d", "d", "q", (i + 1).toLong, "Put",
+          s"v$i-$j-" + "x" * 120))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+    }
+    // minor: the incoming window (ts 13-15... base 6, now 16 -> [12,18))
+    // holds files 11-14; near-equal sizes pass the ratio -> all four
+    val selected = Compactions.dateTieredCompact(spark, dir, DT, now = 16L)
+    assert(selected == (11 to 14).map(i => f"part-$i%05d.hfile"))
+    val afterMinor = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(afterMinor == (0 to 11).map(i => f"part-$i%05d.hfile"))
+    assert(HFiles.importCells(spark, dir).count() == 600)
+
+    // major: one output per compaction window, split by TIMERANGE
+    // minTs = 1 lives in window [0,6): the walk stops there, so 0 is
+    // NOT a boundary — everything below 6 lands in the [MIN,6) file
+    val bounds = Compactions.dateTieredMajorCompact(spark, dir, DT, now = 16L)
+    assert(bounds == Seq(Long.MinValue, 6, 12))
+    val afterMajor = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(s => (s.getPath, s.getLen)).sortBy(_._1.getName)
+    // ts range 1..15 -> windows [MIN,0) empty, [0,6), [6,12), [12,inf)
+    assert(afterMajor.length == 3)
+    val ranges = afterMajor.map { case (p, l) =>
+      val in = fsOf(dir).open(p)
+      try {
+        val pread: graft.codec.HFileV3.PRead =
+          (off, n) => { val b = new Array[Byte](n); in.readFully(off, b); b }
+        val tr = graft.codec.HFileV3.readTrailer(
+          pread(l - graft.codec.HFileV3.TrailerSize, graft.codec.HFileV3.TrailerSize))
+        graft.codec.HFileV3.parseTimeRange(
+          graft.codec.HFileV3.readFileInfo(pread, tr)).get
+      } finally in.close()
+    }.toSeq
+    assert(ranges == Seq((1L, 5L), (6L, 11L), (12L, 15L)))
+    assert(HFiles.importCells(spark, dir).count() == 600)
+  }
+
+  test("FIFO compaction drops exactly the TTL-expired files, rewrites nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fifostore").toString
+    for (i <- 0 until 4) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ff$i").toString
+      val df = (0 until 20)
+        .map(j => (f"r${j * 4 + i}%05d", "d", "q", (i + 1) * 100L, "Put", s"v$i-$j"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+    }
+    val survivorBytes = {
+      val st = fsOf(dir).getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, "part-00003.hfile"))
+      val in = fsOf(dir).open(st.getPath)
+      val b = new Array[Byte](st.getLen.toInt)
+      try in.readFully(0, b) finally in.close()
+      b
+    }
+    // ttl 250 at now 500: expired iff maxTs <= 250 -> files 0 (ts 100)
+    // and 1 (ts 200) drop; 2 (ts 300) and 3 (ts 400) survive untouched
+    val dropped = Compactions.fifoCompact(spark, dir, ttlMillis = 250, now = 500)
+    assert(dropped == Seq("part-00000.hfile", "part-00001.hfile"))
+    val left = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(left == Seq("part-00002.hfile", "part-00003.hfile"))
+    val after = {
+      val st = fsOf(dir).getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, "part-00003.hfile"))
+      val in = fsOf(dir).open(st.getPath)
+      val b = new Array[Byte](st.getLen.toInt)
+      try in.readFully(0, b) finally in.close()
+      b
+    }
+    assert(java.util.Arrays.equals(survivorBytes, after))
+    assert(HFiles.importCells(spark, dir).count() == 40)
+    // TTL unset (MaxValue) never drops
+    assert(Compactions.fifoCompact(spark, dir, Long.MaxValue, now = Long.MaxValue).isEmpty)
+  }
+
+  test("TIMERANGE FILE_INFO entry roundtrips; PB-magic form also parses") {
+    import graft.codec.HFileV3
+    val cells = Seq(5L, 42L, 7L).zipWithIndex.map { case (ts, i) =>
+      HFileV3.HCell(f"r$i%03d".getBytes("UTF-8"), "d".getBytes("UTF-8"),
+        "q".getBytes("UTF-8"), ts, HFileV3.TypePut, "v".getBytes("UTF-8"))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    HFileV3.write(bos, cells.iterator)
+    val bytes = bos.toByteArray
+    val tr = HFileV3.readTrailer(bytes.takeRight(4096))
+    val fi = HFileV3.readFileInfo(bytes, tr)
+    assert(HFileV3.parseTimeRange(fi).contains((5L, 42L)))
+    // the pre-HBASE-21012 protobuf form: PBUF magic + uint64 from/to
+    val pb = Array[Byte]('P', 'B', 'U', 'F', 0x08, 5, 0x10, 42)
+    assert(HFileV3.parseTimeRange(Map("TIMERANGE" -> pb)).contains((5L, 42L)))
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }
