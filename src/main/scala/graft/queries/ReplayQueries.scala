@@ -685,6 +685,92 @@ object ReplayQueries {
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
     ),
     QDef(
+      // STRIPE store lifecycle (StripeCompactionPolicy.java:103 +
+      // StripeMultiFileWriter SizeMultiWriter/BoundaryMultiWriter):
+      // three flushes land as L0, compact into 3 kv-balanced initial
+      // stripes (writer switches at the first NEW row after targetKvs
+      // cells — targetKvs = floor(total/3)), two more flushes then
+      // DISTRIBUTE into the existing boundaries. The oracle re-derives
+      // the boundary rows with a sequential fold over the row ladder
+      // (recursive CTE — the switching-writer discipline), assigns all
+      // five versions to stripes by row range, and pins per-stripe
+      // file/cell counts plus read-back identity. Stripe membership
+      // travels ONLY in STRIPE_START_KEY/STRIPE_END_KEY FILE_INFO.
+      "q98_stripe_store",
+      (s, dir) => {
+        import graft.flow.{HFiles, StripeStore}
+        import graft.flow.StripeStore.SKnobs
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val out = graft.Queries.scratchDir("q98_stripe")
+        (1 to 3).foreach(i =>
+          StripeStore.stripeFlush(puts.filter(col("ts") === i), out))
+        val k = SKnobs(l0MinFiles = 3, minFiles = 3, initialCount = 3,
+          sizeToSplit = Long.MaxValue / 4)
+        StripeStore.stripeCompact(s, out, k, now = 100L)
+        (4 to 5).foreach(i =>
+          StripeStore.stripeFlush(puts.filter(col("ts") === i), out))
+        StripeStore.stripeCompact(s, out, k.copy(l0MinFiles = 2), now = 100L)
+        val layout = StripeStore.loadLayout(s, out)
+        val back = HFiles.importCells(s, out, "{l0,stripe}-*.hfile")
+        val mismatches = back.alias("b")
+          .join(puts.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        import s.implicits._
+        layout.stripes.zipWithIndex.map { case (st, i) =>
+          (i.toLong, new String(st.head.start, "UTF-8"),
+            new String(st.head.end, "UTF-8"),
+            st.size.toLong, st.map(_.kvCount).sum)
+        }.toDF("stripe", "start_row", "end_row", "n_files", "n_cells")
+          .withColumn("mismatches", lit(mismatches))
+          .orderBy("stripe")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__st_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __st_c1 AS (SELECT * FROM __st_puts WHERE ts <= 3),
+          |__st_rows AS (
+          |  SELECT row, CAST(COUNT(*) AS BIGINT) AS n,
+          |         ROW_NUMBER() OVER (ORDER BY row) AS i
+          |  FROM __st_c1 GROUP BY row
+          |), __st_t AS (
+          |  SELECT CAST(COUNT(*) // 3 AS BIGINT) AS tkv FROM __st_c1
+          |), __st_fold AS (
+          |  -- the SizeMultiWriter fold: writer w keeps rows until its
+          |  -- cumulative cell count crosses targetKvs; the NEXT row
+          |  -- opens writer w+1 (capped at 3 writers)
+          |  WITH RECURSIVE f(i, wrow, w, acc) AS (
+          |    SELECT CAST(0 AS BIGINT), 0, 0, CAST(0 AS BIGINT)
+          |    UNION ALL
+          |    SELECT r.i, f.w,
+          |           CASE WHEN f.acc + r.n >= t.tkv AND f.w < 2
+          |                THEN f.w + 1 ELSE f.w END,
+          |           CASE WHEN f.acc + r.n >= t.tkv AND f.w < 2
+          |                THEN CAST(0 AS BIGINT) ELSE f.acc + r.n END
+          |    FROM f JOIN __st_rows r ON r.i = f.i + 1 CROSS JOIN __st_t t
+          |  ) SELECT r.row, f.wrow AS w
+          |    FROM f JOIN __st_rows r ON r.i = f.i WHERE f.i >= 1
+          |), __st_bound AS (
+          |  SELECT w, MIN(row) AS start_row FROM __st_fold GROUP BY w
+          |), __st_all AS (
+          |  SELECT p.*, fo.w FROM __st_puts p JOIN __st_fold fo USING (row)
+          |)""".stripMargin)(
+        """SELECT CAST(b.w AS BIGINT) AS stripe,
+          |       CASE WHEN b.w = 0 THEN '' ELSE b.start_row END AS start_row,
+          |       COALESCE((SELECT b2.start_row FROM __st_bound b2
+          |                 WHERE b2.w = b.w + 1), '') AS end_row,
+          |       1 + CASE WHEN EXISTS (SELECT 1 FROM __st_all a
+          |                             WHERE a.w = b.w AND a.ts > 3)
+          |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_files,
+          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM __st_all a
+          |        WHERE a.w = b.w) AS n_cells,
+          |       CAST(0 AS BIGINT) AS mismatches
+          |FROM __st_bound b ORDER BY stripe""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the
