@@ -103,7 +103,11 @@ object PWal {
   // --- writer ---
 
   /** Serialize `entries` as one complete PB WAL segment. Cells carry
-    * no tags on the write side (graft's model); `withTrailer=false`
+    * their tag sections (raw, or dictionary-coded per
+    * TagCompressionContext when `tagCompression` — the
+    * hbase.regionserver.wal.tags.enablecompression twin, a sub-feature
+    * of WAL compression with a segment-lifetime Short.MaxValue
+    * dictionary); `withTrailer=false`
     * emulates an in-flight segment (writer crashed before close) —
     * the reader handles both. With `compressed=true` the segment uses
     * the reference's WAL dictionary compression ([[WalCompression]]):
@@ -123,7 +127,11 @@ object PWal {
   def write(out: OutputStream, entries: Iterator[WalEntry],
       withTrailer: Boolean = true, compressed: Boolean = false,
       valueCompression: Int = 0,
-      encryptSubject: Option[String] = None): Long = {
+      encryptSubject: Option[String] = None,
+      tagCompression: Boolean = false): Long = {
+    require(!tagCompression || compressed,
+      "WAL tag compression is a sub-feature of WAL compression " +
+        "(hbase.regionserver.wal.tags.enablecompression rides the context)")
     require(valueCompression == 0 || compressed,
       "WAL value compression is a sub-feature of WAL compression " +
         "(WALHeader.has_value_compression implies has_compression)")
@@ -142,7 +150,7 @@ object PWal {
     pbVarintField(hdr, 1, if (compressed) 1L else 0L)
     for ((key, _) <- secure)
       pbBytesField(hdr, 2, HCrypto.wrapKey(encryptSubject.get, key))
-    pbVarintField(hdr, 3, 0L) // has_tag_compression = false
+    pbVarintField(hdr, 3, if (tagCompression) 1L else 0L)
     pbBytesField(hdr, 4,
       (if (secure.isDefined) SecureWriterClsName else WriterClsName)
         .getBytes(StandardCharsets.UTF_8))
@@ -195,7 +203,7 @@ object PWal {
           val kLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 9
           vint(kLen)
           vint(c.value.length)
-          vint(0) // tags
+          vint(c.tags.length)
           vint(c.row.length); body.write(c.row, 0, c.row.length)
           vint(c.family.length); body.write(c.family, 0, c.family.length)
           vint(c.qualifier.length); body.write(c.qualifier, 0, c.qualifier.length)
@@ -204,6 +212,7 @@ object PWal {
           tb.put(c.typ)
           body.write(tb.array(), 0, 9)
           body.write(c.value, 0, c.value.length)
+          if (c.tags.length > 0) body.write(c.tags, 0, c.tags.length)
           val cellIv = iv.clone()
           val cipher = HCrypto.ctr(key, cellIv, body.toByteArray)
           HCrypto.incrementIv(iv, 1 + cipher.length / 16)
@@ -223,7 +232,7 @@ object PWal {
           val kLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 9
           vint(kLen)
           vint(c.value.length)
-          vint(0) // tags
+          vint(c.tags.length)
           WalCompression.writeCoded(cell, c.row, ctx.row)
           WalCompression.writeCoded(cell, c.family, ctx.family)
           WalCompression.writeCoded(cell, c.qualifier, ctx.qualifier)
@@ -242,16 +251,30 @@ object PWal {
           } else {
             cell.write(c.value, 0, c.value.length)
           }
+          if (c.tags.length > 0) {
+            // CompressedKvEncoder:257 — dictionary-coded when the
+            // header declares tag compression, raw section otherwise
+            if (tagCompression)
+              WalCompression.compressTagsSection(cell, c.tags, ctx.tags)
+            else cell.write(c.tags, 0, c.tags.length)
+          }
           cell.writeTo(out)
         } else {
+          // KeyValue bytes, trailing [2B tagsLen][tags] iff tags exist
           val keyBytes = HFileV3.cellKeyBytes(c)
-          val kvLen = 4 + 4 + keyBytes.length + c.value.length
+          val tagged = c.tags.length > 0
+          val kvLen = 4 + 4 + keyBytes.length + c.value.length +
+            (if (tagged) 2 + c.tags.length else 0)
           val bb = ByteBuffer.allocate(4 + kvLen)
           bb.putInt(kvLen)
           bb.putInt(keyBytes.length)
           bb.putInt(c.value.length)
           bb.put(keyBytes)
           bb.put(c.value)
+          if (tagged) {
+            bb.putShort(c.tags.length.toShort)
+            bb.put(c.tags)
+          }
           out.write(bb.array())
         }
       }
@@ -276,9 +299,11 @@ object PWal {
   /** [[writeBytes]] with the compression/encryption knobs exposed. */
   def writeBytes2(entries: Iterator[WalEntry], withTrailer: Boolean = true,
       compressed: Boolean = false, valueCompression: Int = 0,
-      encryptSubject: Option[String] = None): Array[Byte] = {
+      encryptSubject: Option[String] = None,
+      tagCompression: Boolean = false): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    write(bos, entries, withTrailer, compressed, valueCompression, encryptSubject)
+    write(bos, entries, withTrailer, compressed, valueCompression,
+      encryptSubject, tagCompression)
     bos.toByteArray
   }
 
@@ -303,6 +328,7 @@ object PWal {
     val hdrLen = readVarint(bb).toInt
     val hdrEnd = bb.position() + hdrLen
     var compressed = false
+    var tagCompressed = false
     var valueCompression = 0
     var hasValueCompression = false
     var dataKey: Option[Array[Byte]] = None
@@ -317,8 +343,7 @@ object PWal {
           val wrapped = new Array[Byte](len)
           bb.get(wrapped)
           dataKey = Some(HCrypto.unwrapKey(subject, wrapped))
-        case 3 =>
-          require(readVarint(bb) == 0L, "tag-compressed WAL segments are not supported")
+        case 3 => tagCompressed = readVarint(bb) != 0L
         case 6 => hasValueCompression = readVarint(bb) != 0L
         case 7 => valueCompression = readVarint(bb).toInt
         case _ => skipField(bb, wire)
@@ -443,8 +468,8 @@ object PWal {
             val ts = cb.getLong
             val typ = cb.get()
             val value = new Array[Byte](vLen); cb.get(value)
-            if (tagsLen > 0) cb.position(cb.position() + tagsLen)
-            HCell(row, fam, qual, ts, typ, value)
+            val tags = new Array[Byte](tagsLen); cb.get(tags)
+            HCell(row, fam, qual, ts, typ, value, tags = tags)
           } else if (compressed) {
             // CompressedKvDecoder (WALCellCodec.java:291-352)
             def vint(): Int = {
@@ -472,8 +497,12 @@ object PWal {
               } else {
                 val v = new Array[Byte](vLen); bb.get(v); v
               }
-            if (tagsLen > 0) bb.position(bb.position() + tagsLen)
-            HCell(row, fam, qual, ts, typ, value)
+            val tags =
+              if (tagsLen == 0) Array.emptyByteArray
+              else if (tagCompressed)
+                WalCompression.uncompressTagsSection(bb, tagsLen, ctx.tags)
+              else { val t = new Array[Byte](tagsLen); bb.get(t); t }
+            HCell(row, fam, qual, ts, typ, value, tags = tags)
           } else {
             val kvLen = bb.getInt
             val kvEnd = bb.position() + kvLen
@@ -481,9 +510,10 @@ object PWal {
             val vLen = bb.getInt
             val key = new Array[Byte](kLen); bb.get(key)
             val value = new Array[Byte](vLen); bb.get(value)
+            var tags = Array.emptyByteArray
             if (bb.position() < kvEnd) {
               val tagsLen = bb.getShort & 0xffff // trailing tags section
-              bb.position(bb.position() + tagsLen)
+              tags = new Array[Byte](tagsLen); bb.get(tags)
             }
             require(bb.position() == kvEnd, "KeyValue length mismatch")
             val kb = ByteBuffer.wrap(key)
@@ -495,7 +525,7 @@ object PWal {
             kb.get(qual)
             val ts = kb.getLong
             val typ = kb.get()
-            HCell(row, fam, qual, ts, typ, value)
+            HCell(row, fam, qual, ts, typ, value, tags = tags)
           }
         }
         Some(WalEntry(region, table, seq, writeTime, cells.toIndexedSeq))

@@ -102,6 +102,44 @@ object WalCompression {
     val family = new LruDict(Byte.MaxValue)
     val qualifier = new LruDict(Byte.MaxValue)
     val row = new LruDict(Short.MaxValue)
+    /** Tag dictionary — created with Short.MaxValue capacity when
+      * `hbase.regionserver.wal.tags.enablecompression` is on
+      * (CompressionContext.java:226); persists across the segment's
+      * cells like every other WAL dictionary. */
+    lazy val tags = new LruDict(Short.MaxValue)
+  }
+
+  /** TagCompressionContext.compressTags over a KeyValue tag section:
+    * each [2B BE len][type + data] tag codes through the dictionary
+    * as one dict-coded byte array (Dictionary.write — the same wire
+    * form as every other WAL dictionary field). */
+  def compressTagsSection(out: ByteArrayOutputStream, tags: Array[Byte],
+      dict: LruDict): Unit = {
+    var pos = 0
+    while (pos < tags.length) {
+      val tagLen = ((tags(pos) & 0xff) << 8) | (tags(pos + 1) & 0xff)
+      pos += 2
+      writeCoded(out, java.util.Arrays.copyOfRange(tags, pos, pos + tagLen), dict)
+      pos += tagLen
+    }
+  }
+
+  /** TagCompressionContext.uncompressTags: reproduce exactly `tagsLen`
+    * uncompressed section bytes, re-synthesizing each tag's 2-byte
+    * length prefix (literals re-enter the dictionary via readCoded). */
+  def uncompressTagsSection(bb: ByteBuffer, tagsLen: Int,
+      dict: LruDict): Array[Byte] = {
+    val dest = new Array[Byte](tagsLen)
+    var off = 0
+    while (off < tagsLen) {
+      val t = readCoded(bb, dict)
+      dest(off) = ((t.length >> 8) & 0xff).toByte
+      dest(off + 1) = (t.length & 0xff).toByte
+      off += 2
+      System.arraycopy(t, 0, dest, off, t.length)
+      off += t.length
+    }
+    dest
   }
 
   // --- dict-coded byte arrays (the wire form) ---
