@@ -24,6 +24,9 @@ import graft.codec.HFileV3.HCell
   */
 object PWalFiles {
 
+  /** TagType.STRING_VIS_TAG_TYPE (TagType.java:37). */
+  val StringVisTagType: Byte = 7
+
   val entrySchema: StructType = StructType(Seq(
     StructField("wal_region", StringType, nullable = false),
     StructField("wal_table", StringType, nullable = false),
@@ -44,12 +47,21 @@ object PWalFiles {
   def export(wal: DataFrame, numSegments: Int, outPath: String,
       table: String = "graft", withTrailer: Boolean = true,
       compressed: Boolean = false, valueCompression: Int = 0,
-      encryptSubject: Option[String] = None): Unit = {
+      encryptSubject: Option[String] = None,
+      visColumn: Option[String] = None,
+      tagCompression: Boolean = false): Unit = {
+    // visColumn: each cell carries its visibility expression as a
+    // STRING_VIS (type 7) wire tag — the string form visibility labels
+    // take in REPLICATION WALs (TagType.java:37,
+    // VisibilityReplicationEndpoint converts ordinals to strings for
+    // the peer), optionally dictionary-compressed like the reference's
+    // tag-compressed WAL context
     val ordered = wal
       .repartitionByRange(numSegments, col("ts"), col("row"))
       .sortWithinPartitions(
         col("ts"), col("row"), col("family"), col("qualifier"), col("type"))
-      .select("row", "family", "qualifier", "ts", "type", "value")
+      .select((Seq("row", "family", "qualifier", "ts", "type", "value") ++
+        visColumn.toSeq).map(col): _*)
     val tableB = table
     val bconf = ShippedConf.broadcast(wal.sparkSession)
     ordered.foreachPartition { (it: Iterator[Row]) =>
@@ -71,13 +83,20 @@ object PWalFiles {
               val cells = scala.collection.mutable.ArrayBuffer.empty[HCell]
               while (pending != null && pending.getLong(3) == ts &&
                   pending.getString(0) == rowKey) {
+                val tags =
+                  if (pending.length > 6 && pending.getString(6) != null &&
+                      pending.getString(6).nonEmpty)
+                    HFileV3.tagBytes(Seq((StringVisTagType,
+                      pending.getString(6).getBytes("UTF-8"))))
+                  else Array.emptyByteArray
                 cells += HCell(
                   pending.getString(0).getBytes("UTF-8"),
                   pending.getString(1).getBytes("UTF-8"),
                   pending.getString(2).getBytes("UTF-8"),
                   pending.getLong(3),
                   HFiles.typeToCode(pending.getString(4)),
-                  Option(pending.getString(5)).getOrElse("").getBytes("UTF-8"))
+                  Option(pending.getString(5)).getOrElse("").getBytes("UTF-8"),
+                  tags = tags)
                 pending = if (it.hasNext) it.next() else null
               }
               seqNo += 1L
@@ -85,7 +104,7 @@ object PWalFiles {
             }
           }
           PWal.write(out, entries, withTrailer, compressed, valueCompression,
-            encryptSubject)
+            encryptSubject, tagCompression)
           ()
         } finally out.close()
       }
@@ -165,5 +184,40 @@ object PWalFiles {
         }
       }
     spark.createDataFrame(rdd, entrySchema)
+  }
+
+  /** [[importEntries]] plus each cell's visibility expression,
+    * extracted from its STRING_VIS wire tag ('' when untagged) — the
+    * read half of the replication-WAL string-tag convention. */
+  def importEntriesTagged(spark: SparkSession, dir: String,
+      glob: String = "wal-*.pwal"): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val bconf = ShippedConf.broadcast(spark)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (pathStr, len) =>
+        val path = new Path(pathStr)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
+        val bytes = new Array[Byte](len.toInt)
+        try in.readFully(0, bytes) finally in.close()
+        PWal.readBytes(bytes).flatMap { e =>
+          e.cells.map { c =>
+            val vis = HFileV3.parseTags(c.tags)
+              .collectFirst { case (StringVisTagType, data) =>
+                new String(data, "UTF-8") }
+              .getOrElse("")
+            Row(new String(e.region, "UTF-8"), new String(e.table, "UTF-8"),
+              e.seq, e.writeTime,
+              new String(c.row, "UTF-8"), new String(c.family, "UTF-8"),
+              new String(c.qualifier, "UTF-8"), c.ts,
+              HFiles.codeToType(c.typ), new String(c.value, "UTF-8"), vis)
+          }
+        }
+      }
+    spark.createDataFrame(rdd,
+      StructType(entrySchema.fields :+ StructField("vis", StringType, nullable = false)))
   }
 }

@@ -771,6 +771,50 @@ object ReplayQueries {
           |FROM __st_bound b ORDER BY stripe""".stripMargin))
     ),
     QDef(
+      // TAGGED + tag-compressed WAL roundtrip (TagCompressionContext
+      // over the WAL's segment-lifetime dictionary +
+      // TagType.STRING_VIS_TAG_TYPE — the string form visibility
+      // labels take in replication WALs): every cell ships its
+      // visibility expression as a type-7 wire tag through a
+      // dictionary-compressed PB WAL segment set; the read side
+      // re-extracts the expressions FROM THE TAG BYTES and the oracle
+      // recomputes the per-label population and value mass from the
+      // same law — one flipped dictionary index anywhere would move
+      // cells between labels.
+      "c15_pwal_tagged",
+      (s, dir) => {
+        val m = (col("row").cast("long") + col("ts")) % 5
+        val vis = when(m === 0, "secret")
+          .when(m === 1, "public|internal")
+          .when(m === 2, "secret&finance")
+          .when(m === 3, "!secret&finance")
+          .otherwise("public|secret&internal")
+        val out = graft.Queries.scratchDir("c15_pwal_tagged")
+        graft.flow.PWalFiles.export(
+          Fixtures.cellsEventsV(s, dir).withColumn("vis", vis),
+          4, s"$out/wals", compressed = true,
+          visColumn = Some("vis"), tagCompression = true)
+        graft.flow.PWalFiles.importEntriesTagged(s, s"$out/wals")
+          .groupBy("vis")
+          .agg(count(lit(1)).as("n_cells"),
+            countDistinct(col("row")).as("n_rows"),
+            sum(octet_length(col("value"))).cast("long").as("value_bytes"))
+          .orderBy("vis")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT CASE (CAST(row AS BIGINT) + ts) % 5
+          |         WHEN 0 THEN 'secret'
+          |         WHEN 1 THEN 'public|internal'
+          |         WHEN 2 THEN 'secret&finance'
+          |         WHEN 3 THEN '!secret&finance'
+          |         ELSE 'public|secret&internal' END AS vis,
+          |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(COUNT(DISTINCT row) AS BIGINT) AS n_rows,
+          |       CAST(SUM(octet_length(encode(COALESCE(value, '')))) AS BIGINT)
+          |         AS value_bytes
+          |FROM cells_events_v GROUP BY 1 ORDER BY vis""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the
