@@ -44,6 +44,10 @@ object HFiles {
     }
   }
 
+  /** TagType.STRING_VIS_TAG_TYPE (TagType.java:37) — the string form
+    * visibility expressions take outside a live label registry. */
+  val StringVisTagType: Byte = 7
+
   val cellSchema: StructType = StructType(Seq(
     StructField("row", StringType, nullable = false),
     StructField("family", StringType, nullable = false),
@@ -65,7 +69,13 @@ object HFiles {
       compression: Int = HFileV3.CompressionNone,
       rowColBloom: Boolean = false, perFamily: Boolean = false,
       encryptSubject: Option[String] = None,
-      rowPrefixBloom: Option[Int] = None): Unit = {
+      rowPrefixBloom: Option[Int] = None,
+      visColumn: Option[String] = None,
+      compressTags: Boolean = false): Unit = {
+    // visColumn: each cell persists its visibility expression as a
+    // STRING_VIS (type 7) wire tag in the store files; with
+    // compressTags + an encoding the tag sections dictionary-compress
+    // per block (COMPRESS_TAGS — TagCompressionContext)
     // perFamily: ONE STORE FILE PER COLUMN FAMILY per region — the
     // reference's actual store layout (a Store is per-family;
     // HFileOutputFormat2 opens one writer per family). Sorting puts
@@ -84,8 +94,11 @@ object HFiles {
     val ordered = cells
       .repartitionByRange(numRegions, col("row"))
       .sortWithinPartitions(sortCols: _*)
-      .select("row", "family", "qualifier", "ts", "type", "value")
+      .select((Seq("row", "family", "qualifier", "ts", "type", "value") ++
+        visColumn.toSeq).map(col): _*)
     val bconf = ShippedConf.broadcast(cells.sparkSession)
+    val r_visDefined = visColumn.isDefined
+    val compressTagsB = compressTags
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
@@ -96,7 +109,13 @@ object HFiles {
           r.getString(2).getBytes("UTF-8"),
           r.getLong(3),
           typeToCode(r.getString(4)),
-          Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
+          Option(r.getString(5)).getOrElse("").getBytes("UTF-8"),
+          tags =
+            if (r.length > 6 && r.getString(6) != null && r.getString(6).nonEmpty)
+              HFileV3.tagBytes(Seq((StringVisTagType,
+                r.getString(6).getBytes("UTF-8"))))
+            else Array.emptyByteArray)
+        val tagged = r_visDefined
         if (!perFamily) {
           val path = new Path(f"$outPath%s/part-$pid%05d.hfile")
           val out = fs.create(path, true)
@@ -104,6 +123,7 @@ object HFiles {
             HFileV3.write(out, it.map(toCell), blockSize, gz = gz,
               encoding = encoding, compression = compression,
               rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
+              withTags = tagged, compressTags = compressTagsB,
               encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
             ()
           } finally out.close()
@@ -126,6 +146,7 @@ object HFiles {
               HFileV3.write(out, run, blockSize, gz = gz,
                 encoding = encoding, compression = compression,
                 rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
+                withTags = tagged, compressTags = compressTagsB,
                 encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
               ()
             } finally out.close()
@@ -284,5 +305,50 @@ object HFiles {
         }
       }
     spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** [[importCells]] plus each cell's visibility expression extracted
+    * from its STRING_VIS wire tag ('' when untagged) — the read half
+    * of [[export]]'s `visColumn`, exercising per-cell tag parsing
+    * (dictionary-decompressed inside encoded blocks when the file
+    * declares COMPRESS_TAGS). */
+  def importCellsTagged(spark: SparkSession, dir: String,
+      glob: String = "part-*.hfile"): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val bconf = ShippedConf.broadcast(spark)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (pathStr, len) =>
+        val path = new Path(pathStr)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val pread: HFileV3.PRead = (off, n) => {
+          val buf = new Array[Byte](n)
+          in.readFully(off, buf)
+          buf
+        }
+        HFileV3.readCellsFrom(pread, len).map { c =>
+          val vis = HFileV3.parseTags(c.tags)
+            .collectFirst { case (StringVisTagType, data) =>
+              new String(data, "UTF-8") }
+            .getOrElse("")
+          Row(
+            new String(c.row, "UTF-8"),
+            new String(c.family, "UTF-8"),
+            new String(c.qualifier, "UTF-8"),
+            c.ts,
+            codeToType(c.typ),
+            new String(c.value, "UTF-8"),
+            vis)
+        }
+      }
+    spark.createDataFrame(rdd,
+      StructType(cellSchema.fields :+
+        StructField("vis", StringType, nullable = false)))
   }
 }

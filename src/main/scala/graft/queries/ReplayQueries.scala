@@ -738,21 +738,25 @@ object ReplayQueries {
           |  FROM __st_c1 GROUP BY row
           |), __st_t AS (
           |  SELECT CAST(COUNT(*) // 3 AS BIGINT) AS tkv FROM __st_c1
+          |), __st_cum AS (
+          |  SELECT row, i, SUM(n) OVER (ORDER BY i) AS cum FROM __st_rows
+          |), __st_b1 AS (
+          |  -- the SizeMultiWriter fold, closed over 3 writers: writer
+          |  -- w keeps rows until its count (counting RESETS per
+          |  -- writer) crosses targetKvs, the NEXT row opens w+1 —
+          |  -- so each boundary is the first row whose cumulative
+          |  -- crosses the PREVIOUS boundary's cumulative + targetKvs
+          |  SELECT MIN(i) AS b FROM __st_cum, __st_t WHERE cum >= tkv
+          |), __st_b2 AS (
+          |  SELECT MIN(c.i) AS b FROM __st_cum c, __st_t, __st_b1
+          |  WHERE c.i > __st_b1.b
+          |    AND c.cum - (SELECT cum FROM __st_cum WHERE i = __st_b1.b) >= tkv
           |), __st_fold AS (
-          |  -- the SizeMultiWriter fold: writer w keeps rows until its
-          |  -- cumulative cell count crosses targetKvs; the NEXT row
-          |  -- opens writer w+1 (capped at 3 writers)
-          |  WITH RECURSIVE f(i, wrow, w, acc) AS (
-          |    SELECT CAST(0 AS BIGINT), 0, 0, CAST(0 AS BIGINT)
-          |    UNION ALL
-          |    SELECT r.i, f.w,
-          |           CASE WHEN f.acc + r.n >= t.tkv AND f.w < 2
-          |                THEN f.w + 1 ELSE f.w END,
-          |           CASE WHEN f.acc + r.n >= t.tkv AND f.w < 2
-          |                THEN CAST(0 AS BIGINT) ELSE f.acc + r.n END
-          |    FROM f JOIN __st_rows r ON r.i = f.i + 1 CROSS JOIN __st_t t
-          |  ) SELECT r.row, f.wrow AS w
-          |    FROM f JOIN __st_rows r ON r.i = f.i WHERE f.i >= 1
+          |  SELECT c.row,
+          |         CASE WHEN c.i <= b1.b THEN 0
+          |              WHEN b2.b IS NULL OR c.i <= b2.b THEN 1
+          |              ELSE 2 END AS w
+          |  FROM __st_cum c CROSS JOIN __st_b1 b1 CROSS JOIN __st_b2 b2
           |), __st_bound AS (
           |  SELECT w, MIN(row) AS start_row FROM __st_fold GROUP BY w
           |), __st_all AS (
@@ -795,6 +799,51 @@ object ReplayQueries {
           4, s"$out/wals", compressed = true,
           visColumn = Some("vis"), tagCompression = true)
         graft.flow.PWalFiles.importEntriesTagged(s, s"$out/wals")
+          .groupBy("vis")
+          .agg(count(lit(1)).as("n_cells"),
+            countDistinct(col("row")).as("n_rows"),
+            sum(octet_length(col("value"))).cast("long").as("value_bytes"))
+          .orderBy("vis")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT CASE (CAST(row AS BIGINT) + ts) % 5
+          |         WHEN 0 THEN 'secret'
+          |         WHEN 1 THEN 'public|internal'
+          |         WHEN 2 THEN 'secret&finance'
+          |         WHEN 3 THEN '!secret&finance'
+          |         ELSE 'public|secret&internal' END AS vis,
+          |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |       CAST(COUNT(DISTINCT row) AS BIGINT) AS n_rows,
+          |       CAST(SUM(octet_length(encode(COALESCE(value, '')))) AS BIGINT)
+          |         AS value_bytes
+          |FROM cells_events_v GROUP BY 1 ORDER BY vis""".stripMargin))
+    ),
+    QDef(
+      // TAGGED store files through COMPRESS_TAGS + FAST_DIFF blocks —
+      // the HFile half of c15: every cell persists its visibility
+      // expression as a STRING_VIS wire tag inside DATABLKE blocks
+      // whose tag sections dictionary-compress per block
+      // (TagCompressionContext + the 127-entry per-block LRU,
+      // BufferedDataBlockEncoder.java:76); import re-extracts the
+      // expressions FROM THE TAG BYTES and the oracle recomputes the
+      // per-label population from the tagging law — a single
+      // out-of-lockstep dictionary eviction anywhere relabels cells.
+      "c16_hfile_tagged",
+      (s, dir) => {
+        import graft.flow.HFiles
+        val m = (col("row").cast("long") + col("ts")) % 5
+        val vis = when(m === 0, "secret")
+          .when(m === 1, "public|internal")
+          .when(m === 2, "secret&finance")
+          .when(m === 3, "!secret&finance")
+          .otherwise("public|secret&internal")
+        val out = graft.Queries.scratchDir("c16_hfile_tagged")
+        HFiles.export(
+          Fixtures.cellsEventsV(s, dir).withColumn("vis", vis),
+          numRegions = 4, outPath = out,
+          encoding = graft.codec.BlockEncoding.IdFastDiff,
+          visColumn = Some("vis"), compressTags = true)
+        HFiles.importCellsTagged(s, out)
           .groupBy("vis")
           .agg(count(lit(1)).as("n_cells"),
             countDistinct(col("row")).as("n_rows"),
