@@ -1109,6 +1109,53 @@ object HFileV3 {
   def readRootIndex(bytes: Array[Byte], trailer: Trailer): Seq[(Long, Int, Array[Byte])] =
     readRootIndex(preadOf(bytes), trailer)
 
+  /** The file's mid split ROW — the per-file half of
+    * HStore.getSplitPoint: reader.midKey()
+    * (HFileBlockIndex.BlockIndexReader.midkey — the middle root
+    * entry's key for a single-level index, the mid-key metadata's
+    * leaf entry for multi-level) reduced to its row, with the
+    * degenerate guard of StoreUtils.getFileSplitPoint: a mid key
+    * sharing its ROW with the file's first or last key means a split
+    * would leave one daughter empty → None. */
+  def midKeyRow(pread: PRead, fileLen: Long,
+      subject: String = HCrypto.DefaultSubject): Option[Array[Byte]] = {
+    val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
+    if (trailer.dataIndexCount == 0) return None
+    val key = dataKeyOf(trailer, subject)
+    val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset,
+      trailer.compressionCodec, key)
+    require(blk.magic == "IDXROOT2", s"expected IDXROOT2, got ${blk.magic}")
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(blk.payload))
+    val entries = (0 until trailer.dataIndexCount).map { _ =>
+      val off = in.readLong()
+      in.readInt()
+      val klen = readVLong(in).toInt
+      val k = new Array[Byte](klen)
+      in.readFully(k)
+      (off, k)
+    }
+    val midKey: Array[Byte] =
+      if (trailer.numDataIndexLevels > 1) {
+        // the 16-byte mid-key metadata after the root entries:
+        // leaf offset + on-disk size + in-leaf entry index
+        // (BlockIndexReader.readMultiLevelIndexRoot)
+        val leafOff = in.readLong()
+        in.readInt()
+        val midIdx = in.readInt()
+        val (leaf, _) = readBlockAt(pread, leafOff, trailer.compressionCodec, key)
+        require(leaf.magic == "IDXLEAF2", s"expected IDXLEAF2, got ${leaf.magic}")
+        parseNonRootIndex(leaf.payload)(midIdx)._3
+      } else entries(trailer.dataIndexCount / 2)._2
+    val midRow = decodeKey(midKey)._1
+    val firstRow = decodeKey(entries.head._2)._1
+    val lastRow = readFileInfo(pread, trailer, subject).get("hfile.LASTKEY")
+      .map(decodeKey(_)._1)
+    if (java.util.Arrays.equals(midRow, firstRow) ||
+        lastRow.exists(java.util.Arrays.equals(midRow, _))) None
+    else Some(midRow)
+  }
+
   def readRootIndex(pread: PRead, trailer: Trailer,
       subject: String = HCrypto.DefaultSubject): Seq[(Long, Int, Array[Byte])] = {
     val (blk, _) = readBlockAt(pread, trailer.loadOnOpenOffset,

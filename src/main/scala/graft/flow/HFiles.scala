@@ -71,7 +71,8 @@ object HFiles {
       encryptSubject: Option[String] = None,
       rowPrefixBloom: Option[Int] = None,
       visColumn: Option[String] = None,
-      compressTags: Boolean = false): Unit = {
+      compressTags: Boolean = false,
+      indexMaxChunk: Int = 128 * 1024): Unit = {
     // visColumn: each cell persists its visibility expression as a
     // STRING_VIS (type 7) wire tag in the store files; with
     // compressTags + an encoding the tag sections dictionary-compress
@@ -99,6 +100,7 @@ object HFiles {
     val bconf = ShippedConf.broadcast(cells.sparkSession)
     val r_visDefined = visColumn.isDefined
     val compressTagsB = compressTags
+    val indexMaxChunkB = indexMaxChunk
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
@@ -124,6 +126,7 @@ object HFiles {
               encoding = encoding, compression = compression,
               rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
               withTags = tagged, compressTags = compressTagsB,
+              indexMaxChunk = indexMaxChunkB,
               encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
             ()
           } finally out.close()
@@ -147,6 +150,7 @@ object HFiles {
                 encoding = encoding, compression = compression,
                 rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
                 withTags = tagged, compressTags = compressTagsB,
+                indexMaxChunk = indexMaxChunkB,
                 encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
               ()
             } finally out.close()

@@ -1,0 +1,146 @@
+package graft.flow
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.codec.HFileV3
+
+/** Region split policies — the reference's RegionSplitPolicy family
+  * (hbase-server/.../regionserver/): WHEN a region should split and
+  * WHERE, re-expressed over graft's flat HFile stores.
+  *
+  * WHEN (shouldSplit): size triggers against per-store sizes —
+  *  - ConstantSize (ConstantSizeRegionSplitPolicy.java:80): any store
+  *    (or the region total with OVERALL_HREGION_FILES) past
+  *    `desiredMaxFileSize`.
+  *  - IncreasingToUpperBound
+  *    (IncreasingToUpperBoundRegionSplitPolicy.java:75,115): the bound
+  *    ramps as `initialSize × count³` (count = this server's regions
+  *    of the table) up to the max — young tables split eagerly and
+  *    spread, old tables settle at the max size.
+  *  - Stepping (SteppingSplitPolicy.java:35): one region → 2×flush,
+  *    otherwise the max — the modern default's simpler ramp.
+  *
+  * WHERE (getSplitPoint, RegionSplitPolicy.java:75): the LARGEST
+  * store's split point = its largest file's index MID KEY row
+  * ([[HFileV3.midKeyRow]] — a 2-3 block read off the data index,
+  * never a data scan), then the policy adjustment:
+  *  - KeyPrefix (KeyPrefixRegionSplitPolicy.java:80): truncate to
+  *    `prefixLength` so rows sharing a prefix can never straddle
+  *    daughters.
+  *  - DelimitedKeyPrefix (DelimitedKeyPrefixRegionSplitPolicy.java:68):
+  *    truncate at the first delimiter occurrence.
+  *    (The 3.x RegionSplitRestriction replacements —
+  *    KeyPrefixRegionSplitRestriction / DelimitedKeyPrefix… — apply
+  *    the IDENTICAL truncations at checkSplit time; these adjusters
+  *    are the twins of both generations.)
+  *
+  * Scale: both halves are metadata-only — sizes from file status,
+  * the split row from the index — so deciding splits across a 100 TB
+  * table's regions costs a few preads per region, exactly like the
+  * reference's region server. Daughter materialization reuses the
+  * TOP/BOTTOM half-reader semantics (q87's Reference twin): no cell
+  * is rewritten by the split itself.
+  */
+object SplitPolicies {
+
+  /** Knobs: `desiredMaxFileSize` is POST-jitter (the reference draws
+    * ±12% at configure time — graft takes the drawn value as input so
+    * decisions stay deterministic); `initialSize` is the reference's
+    * 2 × memstore-flush default. */
+  final case class SpKnobs(
+      desiredMaxFileSize: Long,
+      initialSize: Long,
+      overallRegionFiles: Boolean = false)
+
+  /** isExceedSize (ConstantSizeRegionSplitPolicy.java:96): any single
+    * store past the bound, or the region total with
+    * OVERALL_HREGION_FILES. */
+  private def isExceed(storeSizes: Seq[Long], bound: Long,
+      overall: Boolean): Boolean =
+    if (overall) storeSizes.sum > bound
+    else storeSizes.exists(_ > bound)
+
+  def constantSizeShouldSplit(storeSizes: Seq[Long], k: SpKnobs): Boolean =
+    isExceed(storeSizes, k.desiredMaxFileSize, k.overallRegionFiles)
+
+  /** IncreasingToUpperBound's ramp: count³ × initialSize capped at the
+    * max (guarding count 0 / >100 like the Java). */
+  def increasingSizeToCheck(tableRegionsCount: Int, k: SpKnobs): Long =
+    if (tableRegionsCount == 0 || tableRegionsCount > 100) k.desiredMaxFileSize
+    else math.min(k.desiredMaxFileSize,
+      k.initialSize * tableRegionsCount * tableRegionsCount * tableRegionsCount)
+
+  def increasingShouldSplit(storeSizes: Seq[Long], tableRegionsCount: Int,
+      k: SpKnobs): Boolean =
+    isExceed(storeSizes, increasingSizeToCheck(tableRegionsCount, k),
+      k.overallRegionFiles)
+
+  def steppingShouldSplit(storeSizes: Seq[Long], tableRegionsCount: Int,
+      k: SpKnobs): Boolean =
+    isExceed(storeSizes,
+      if (tableRegionsCount == 1) k.initialSize else k.desiredMaxFileSize,
+      k.overallRegionFiles)
+
+  /** KeyPrefixRegionSplitPolicy.getSplitPoint:80. */
+  def keyPrefixAdjust(splitPoint: Array[Byte], prefixLength: Int): Array[Byte] =
+    if (prefixLength > 0 && splitPoint != null && splitPoint.nonEmpty)
+      java.util.Arrays.copyOf(splitPoint, math.min(prefixLength, splitPoint.length))
+    else splitPoint
+
+  /** DelimitedKeyPrefixRegionSplitPolicy.getSplitPoint:68 — truncate
+    * at the first delimiter; no delimiter leaves the point whole. */
+  def delimitedPrefixAdjust(splitPoint: Array[Byte],
+      delimiter: Array[Byte]): Array[Byte] = {
+    if (splitPoint == null || delimiter == null || delimiter.isEmpty)
+      return splitPoint
+    var i = 0
+    while (i <= splitPoint.length - delimiter.length) {
+      var j = 0
+      while (j < delimiter.length && splitPoint(i + j) == delimiter(j)) j += 1
+      if (j == delimiter.length)
+        return java.util.Arrays.copyOf(splitPoint, math.min(i, splitPoint.length))
+      i += 1
+    }
+    splitPoint
+  }
+
+  /** The WHERE half over a flat HFile store dir: the largest file's
+    * index mid-key row (RegionSplitPolicy.getSplitPoint picks the
+    * largest store; within graft's one-store region that is the
+    * largest file). Metadata-only: trailer + root index (+ one leaf)
+    * + FILE_INFO preads. */
+  def storeSplitPoint(spark: SparkSession, dir: String,
+      glob: String = "part-*.hfile"): Option[Array[Byte]] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath, s.getLen)).toSeq
+    if (files.isEmpty) return None
+    val (largest, len) = files.maxBy(_._2)
+    val in = fs.open(largest)
+    try {
+      val pread: HFileV3.PRead = (off, n) => {
+        val buf = new Array[Byte](n); in.readFully(off, buf); buf
+      }
+      HFileV3.midKeyRow(pread, len)
+    } finally in.close()
+  }
+
+  /** Materialize the two daughters of a split at `splitRow` as
+    * TOP/BOTTOM half-reads over the parent store — the Reference-file
+    * semantics (HalfStoreFileReader: BOTTOM = rows strictly below the
+    * split row, TOP = the split row and up) with no cell rewritten. */
+  def daughters(spark: SparkSession, dir: String, splitRow: Array[Byte],
+      glob: String = "part-*.hfile"): (DataFrame, DataFrame) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new Path(dir, glob)))
+      .getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    val bottom = HFiles.importFilesFiltered(spark,
+      files.map { case (p, l) => (p, l, Some((splitRow, false))) })
+    val top = HFiles.importFilesFiltered(spark,
+      files.map { case (p, l) => (p, l, Some((splitRow, true))) })
+    (bottom, top)
+  }
+}

@@ -864,6 +864,86 @@ object ReplayQueries {
           |FROM cells_events_v GROUP BY 1 ORDER BY vis""".stripMargin))
     ),
     QDef(
+      // REGION SPLIT POLICIES (RegionSplitPolicy family): WHEN — the
+      // ConstantSize / IncreasingToUpperBound (initial × count³ ramp) /
+      // Stepping size triggers over the store's logical bytes; WHERE —
+      // the largest file's INDEX MID KEY row (a pure metadata read:
+      // trailer + root index + one leaf block), truncated by
+      // KeyPrefixRegionSplitPolicy so no 9-char row prefix straddles
+      // the daughters. One-cell blocks + a small index chunk make the
+      // mid key the comparator-order median cell exactly —
+      // (n-1)/2 — so the oracle re-derives the split row from the
+      // data, the daughters' populations by range, and every policy
+      // verdict from the same size law. Daughters materialize as
+      // TOP/BOTTOM half-reads (the Reference-file semantics, no cell
+      // rewritten) and must reunite to the parent exactly.
+      "q99_split_policy",
+      (s, dir) => {
+        import graft.flow.{HFiles, SplitPolicies}
+        import graft.flow.SplitPolicies.SpKnobs
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val out = graft.Queries.scratchDir("q99_split")
+        HFiles.export(puts, numRegions = 1, outPath = out,
+          blockSize = 1, indexMaxChunk = 4096)
+        val logicalSize = puts
+          .agg(sum(octet_length(col("value"))).cast("long")).head.getLong(0)
+        val k = SpKnobs(desiredMaxFileSize = 10000000L, initialSize = 500L)
+        val mid = SplitPolicies.storeSplitPoint(s, out)
+          .getOrElse(sys.error("no split point"))
+        val prefix = SplitPolicies.keyPrefixAdjust(mid, 9)
+        val (bottom, top) = SplitPolicies.daughters(s, out, prefix)
+        val bottomCells = bottom.count()
+        val topCells = top.count()
+        val mismatches = bottom.unionByName(top).alias("b")
+          .join(puts.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        def b2l(b: Boolean): Long = if (b) 1L else 0L
+        import s.implicits._
+        Seq((new String(prefix, "UTF-8"),
+          b2l(SplitPolicies.constantSizeShouldSplit(Seq(logicalSize), k)),
+          b2l(SplitPolicies.increasingShouldSplit(Seq(logicalSize), 1, k)),
+          b2l(SplitPolicies.increasingShouldSplit(Seq(logicalSize), 3, k)),
+          b2l(SplitPolicies.steppingShouldSplit(Seq(logicalSize), 1, k)),
+          b2l(SplitPolicies.steppingShouldSplit(Seq(logicalSize), 2, k)),
+          bottomCells, topCells, mismatches))
+          .toDF("split_prefix", "should_const", "should_incr1", "should_incr3",
+            "should_step1", "should_step2", "bottom_cells", "top_cells",
+            "mismatches")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__sp_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __sp_tot AS (
+          |  SELECT CAST(SUM(octet_length(encode(value))) AS BIGINT) AS sz,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM __sp_puts
+          |), __sp_mid AS (
+          |  -- one cell per block: the index mid key is the
+          |  -- comparator-order median cell, (n-1)/2 zero-based
+          |  SELECT substr(row, 1, 9) AS split_prefix
+          |  FROM (SELECT row, ROW_NUMBER() OVER
+          |          (ORDER BY row, family, qualifier, ts DESC) AS rn
+          |        FROM __sp_puts)
+          |  WHERE rn = (SELECT (n - 1) // 2 + 1 FROM __sp_tot)
+          |)""".stripMargin)(
+        """SELECT m.split_prefix,
+          |  CAST(CASE WHEN t.sz > 10000000 THEN 1 ELSE 0 END AS BIGINT) AS should_const,
+          |  CAST(CASE WHEN t.sz > LEAST(10000000, 500) THEN 1 ELSE 0 END AS BIGINT) AS should_incr1,
+          |  CAST(CASE WHEN t.sz > LEAST(10000000, 500 * 27) THEN 1 ELSE 0 END AS BIGINT) AS should_incr3,
+          |  CAST(CASE WHEN t.sz > 500 THEN 1 ELSE 0 END AS BIGINT) AS should_step1,
+          |  CAST(CASE WHEN t.sz > 10000000 THEN 1 ELSE 0 END AS BIGINT) AS should_step2,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __sp_puts
+          |   WHERE row < m.split_prefix) AS bottom_cells,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __sp_puts
+          |   WHERE row >= m.split_prefix) AS top_cells,
+          |  CAST(0 AS BIGINT) AS mismatches
+          |FROM __sp_mid m, __sp_tot t""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the
