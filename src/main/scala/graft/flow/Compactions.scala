@@ -251,6 +251,7 @@ object Compactions {
       logicalSizes: Option[Map[String, Long]] = None,
       blockSize: Int = 65536): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
       .getOrElse(Array.empty)
       .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
@@ -286,6 +287,7 @@ object Compactions {
     import org.apache.spark.sql.Row
     import graft.codec.HFileV3.HCell
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
       .getOrElse(Array.empty)
       .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
@@ -297,7 +299,7 @@ object Compactions {
     val boundaries = dateTieredBoundariesForMajor(minTs, now, dt)
     val cells = HFiles.importFiles(spark,
       files.map { case (p, l) => (p.toString, l) })
-    val tmpDir = s"$dir/.compact.tmp"
+    val tmpDir = s"$dir/$TmpDirName"
     val tmpPath = new Path(tmpDir)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     // window index by ts against the ascending boundaries: the fold
@@ -339,15 +341,16 @@ object Compactions {
           }
         }
       }
-    // commit: remove inputs, renumber outputs oldest window first
+    // commit crash-safely: renumber staged outputs oldest window
+    // first (within tmp), then stage → marker → retire → land
     val written = Option(fs.globStatus(new Path(tmpDir, "w*.hfile")))
       .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
-    files.foreach { case (p, _) => fs.delete(p, false) }
-    written.zipWithIndex.foreach { case (p, i) =>
-      require(fs.rename(p, new Path(dir, f"part-$i%05d.hfile")),
-        s"could not commit window file ${p.getName}")
+    val outNames = written.zipWithIndex.map { case (p, i) =>
+      val n = f"part-$i%05d.hfile"
+      require(fs.rename(p, new Path(tmpDir, n)), s"could not stage $n")
+      n
     }
-    fs.delete(tmpPath, true)
+    commitRewrite(fs, dir, outNames.toSeq, files.map(_._1))
     boundaries
   }
 
@@ -363,6 +366,7 @@ object Compactions {
   def fifoCompact(spark: SparkSession, dir: String, ttlMillis: Long,
       now: Long): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
       .getOrElse(Array.empty)
       .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
@@ -378,6 +382,117 @@ object Compactions {
   }
 
   // --- shared helpers ---
+
+  // ------------------------------------------------------------------
+  // Crash-safe commit (the MobFiles main-store-swap lesson applied to
+  // every flat-store rewrite): a compaction that deletes its inputs
+  // before its outputs land has a window where readers see a hole.
+  // Protocol: (1) stage outputs under `<dir>/.compact.tmp`; (2) write
+  // the INTENT marker `<dir>/.compact.commit` naming outputs and
+  // inputs; (3) retire inputs by rename to `<name>.retired`
+  // (glob-invisible, still present); (4) move outputs in; (5) drop the
+  // retired files; (6) drop marker + tmp. [[healStore]] completes
+  // either direction after a crash: marker present → outputs are fully
+  // staged, ROLL FORWARD; no marker → nothing was retired yet (or a
+  // defensive roll-back of stray .retired files), so the store is
+  // whole and staging is garbage.
+  // ------------------------------------------------------------------
+
+  private val TmpDirName = ".compact.tmp"
+  private val MarkerName = ".compact.commit"
+
+  /** Complete an interrupted compaction commit. Returns a short
+    * description of the action taken (for specs/logs); "clean" when
+    * there was nothing to do. Call before operating on — or reading —
+    * a store that may have crashed mid-compaction. */
+  def healStore(spark: SparkSession, dir: String): String = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
+  }
+
+  private[flow] def healStore(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String = {
+    val marker = new Path(dir, MarkerName)
+    val tmp = new Path(dir, TmpDirName)
+    if (fs.exists(marker)) {
+      // outputs were FULLY staged before the marker: roll forward
+      val in = fs.open(marker)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val outputs = lines.collect { case l if l.startsWith("O ") => l.drop(2) }
+      val inputs = lines.collect { case l if l.startsWith("R ") => l.drop(2) }
+      outputs.foreach { case name =>
+        val fin = new Path(dir, name)
+        val staged = new Path(tmp, name)
+        if (fs.exists(staged)) {
+          // not landed yet: a live file with this name is the STALE
+          // INPUT reusing it (commitRewrite's final-delete ordering)
+          if (fs.exists(fin)) fs.delete(fin, false)
+          require(fs.rename(staged, fin), s"could not land $name")
+        } else {
+          require(fs.exists(fin), s"staged output $name lost mid-commit")
+        }
+      }
+      inputs.foreach { name =>
+        val live = new Path(dir, name)
+        val retired = new Path(dir, name + ".retired")
+        if (fs.exists(live) && !outputs.contains(name)) fs.delete(live, false)
+        if (fs.exists(retired)) fs.delete(retired, false)
+      }
+      fs.delete(marker, false)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      "rolled forward"
+    } else {
+      // no marker: inputs were never retired — staging (if any) is
+      // garbage; stray .retired files (defensive) rename back
+      var acted = "clean"
+      val stray = new Path(dir, MarkerName + ".staging")
+      if (fs.exists(stray)) { fs.delete(stray, false); acted = "dropped staging" }
+      if (fs.exists(tmp)) { fs.delete(tmp, true); acted = "dropped staging" }
+      Option(fs.globStatus(new Path(dir, "*.retired")))
+        .getOrElse(Array.empty).foreach { st =>
+          val back = new Path(dir,
+            st.getPath.getName.stripSuffix(".retired"))
+          if (!fs.exists(back)) fs.rename(st.getPath, back)
+          else fs.delete(st.getPath, false)
+          acted = "rolled back"
+        }
+      acted
+    }
+  }
+
+  /** Steps 2-6 of the protocol: `outputs` are (staged name under tmp →
+    * final name) — staged names MUST equal their final names so the
+    * marker stays a flat list; `inputs` are the store files the
+    * rewrite replaces. */
+  private[flow] def commitRewrite(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, outputNames: Seq[String], inputs: Seq[Path]): Unit = {
+    val tmp = new Path(dir, TmpDirName)
+    outputNames.foreach(n => require(fs.exists(new Path(tmp, n)),
+      s"output $n not staged"))
+    // marker lands atomically (write-then-rename): a torn marker
+    // would roll forward with incomplete lists
+    val marker = new Path(dir, MarkerName)
+    val markerTmp = new Path(dir, MarkerName + ".staging")
+    val out = fs.create(markerTmp, true)
+    try out.write((outputNames.map("O " + _) ++
+      inputs.map("R " + _.getName)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(markerTmp, marker), "could not commit intent marker")
+    inputs.foreach { p =>
+      require(fs.rename(p, new Path(dir, p.getName + ".retired")),
+        s"could not retire ${p.getName}")
+    }
+    outputNames.foreach { n =>
+      val fin = new Path(dir, n)
+      if (fs.exists(fin)) fs.delete(fin, false) // an input reusing the name was retired above
+      require(fs.rename(new Path(tmp, n), fin), s"could not land $n")
+    }
+    inputs.foreach(p => fs.delete(new Path(dir, p.getName + ".retired"), false))
+    fs.delete(marker, false)
+    fs.delete(tmp, true)
+  }
 
   private def readFileInfoOf(fs: org.apache.hadoop.fs.FileSystem,
       p: Path, len: Long): Map[String, Array[Byte]] = {
@@ -398,21 +513,22 @@ object Compactions {
       .map(_._2).getOrElse(Long.MinValue)
 
   /** Merge-rewrite a selected contiguous run into one file named after
-    * the first input (write-to-tmp, delete inputs, rename). */
+    * the first input, committed crash-safely through [[commitRewrite]]
+    * (stage → intent marker → retire inputs → land → clean). */
   private def rewriteRun(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       selected: Seq[(Path, Long)], blockSize: Int): Unit = {
-    val tmpDir = s"$dir/.compact.tmp"
+    val tmpDir = s"$dir/$TmpDirName"
     val tmpPath = new Path(tmpDir)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     HFiles.export(
       HFiles.importFiles(spark, selected.map { case (p, l) => (p.toString, l) }),
       numRegions = 1, outPath = tmpDir, blockSize = blockSize)
     val outName = selected.head._1.getName
-    selected.foreach { case (p, _) => fs.delete(p, false) }
     require(fs.rename(new Path(s"$tmpDir/part-00000.hfile"),
-      new Path(dir, outName)), s"could not commit compacted $outName")
-    fs.delete(tmpPath, true)
+      new Path(tmpDir, outName)) || outName == "part-00000.hfile",
+      s"could not stage $outName")
+    commitRewrite(fs, dir, Seq(outName), selected.map(_._1))
   }
 
   /** Run one exploring minor compaction over a flat HFile store
@@ -431,6 +547,7 @@ object Compactions {
       logicalSizes: Option[Map[String, Long]] = None,
       blockSize: Int = 65536): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
       .getOrElse(Array.empty)
       .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)

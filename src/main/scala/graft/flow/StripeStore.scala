@@ -417,6 +417,8 @@ object StripeStore {
     * the executed request (None = store needs nothing). */
   def stripeCompact(spark: SparkSession, dir: String, k: SKnobs,
       now: Long, blockSize: Int = 65536): Option[StripeReq] = {
+    // complete any interrupted commit before reading the layout
+    Compactions.healStore(spark, dir)
     val layout = loadLayout(spark, dir)
     val req = selectStripeCompaction(layout.l0.map(_.sfile),
       layout.stripes.map(_.map(_.sfile)), k, now)
@@ -440,7 +442,7 @@ object StripeStore {
     val inputs = req.files.map(fileOf(layout, _))
     val cells0 = HFiles.importFiles(spark,
       inputs.map(f => (f.path.toString, f.len)))
-    val tmpDir = s"$dir/.stripe.tmp"
+    val tmpDir = s"$dir/.compact.tmp"
     val tmpPath = new Path(tmpDir)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     val bconf = ShippedConf.broadcast(spark)
@@ -575,17 +577,19 @@ object StripeStore {
       case _ => ()
     }
 
-    // commit: delete inputs, rename outputs in (fresh stripe indices)
+    // commit crash-safely through the shared protocol: rename staged
+    // outputs to their fresh stripe names within tmp, then
+    // stage -> intent marker -> retire inputs -> land -> clean
     val written = Option(fs.globStatus(new Path(tmpDir, "w*.hfile")))
       .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
-    inputs.foreach(f => fs.delete(f.path, false))
     var next = nextStripeIndex(fs, dir)
-    written.foreach { p =>
-      require(fs.rename(p, new Path(dir, f"stripe-$next%05d.hfile")),
-        s"could not commit stripe file ${p.getName}")
+    val outNames = written.map { p =>
+      val n = f"stripe-$next%05d.hfile"
+      require(fs.rename(p, new Path(tmpDir, n)), s"could not stage $n")
       next += 1
+      n
     }
-    fs.delete(tmpPath, true)
+    Compactions.commitRewrite(fs, dir, outNames.toSeq, inputs.map(_.path))
   }
 
   private def rowToCell(r: Row): HCell = HCell(
