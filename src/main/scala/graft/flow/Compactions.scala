@@ -512,6 +512,23 @@ object Compactions {
     HFileV3.parseTimeRange(readFileInfoOf(fs, p, len))
       .map(_._2).getOrElse(Long.MinValue)
 
+  /** Merge an explicit set of store files into one (the normalizer's
+    * MergeNormalizationPlan executor over a flat store) — heals any
+    * interrupted commit first, then rewrites crash-safely. Returns the
+    * merged file's name (the first input's). */
+  def mergeFiles(spark: SparkSession, dir: String, names: Seq[String],
+      blockSize: Int = 65536): String = {
+    require(names.nonEmpty, "nothing to merge")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
+    val files = names.map { n =>
+      val st = fs.getFileStatus(new Path(dir, n))
+      (st.getPath, st.getLen)
+    }
+    rewriteRun(spark, fs, dir, files, blockSize)
+    names.head
+  }
+
   /** Merge-rewrite a selected contiguous run into one file named after
     * the first input, committed crash-safely through [[commitRewrite]]
     * (stage → intent marker → retire inputs → land → clean). */

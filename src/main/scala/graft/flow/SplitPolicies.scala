@@ -127,6 +127,47 @@ object SplitPolicies {
     } finally in.close()
   }
 
+  /** Execute a SplitNormalizationPlan over ONE store file inside a
+    * flat store: split at the file's index mid key into two files
+    * `<base>-bot` / `<base>-top` via half-read rewrites, committed
+    * crash-safely (a REGION-level split would use Reference files —
+    * q87; a file split within one store rewrites). Returns the two
+    * names, or None when the file is mid-key degenerate. */
+  def splitStoreFile(spark: SparkSession, dir: String, name: String,
+      blockSize: Int = 65536): Option[(String, String)] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Compactions.healStore(fs, dir)
+    val st = fs.getFileStatus(new Path(dir, name))
+    val in = fs.open(st.getPath)
+    val mid =
+      try {
+        val pread: HFileV3.PRead = (off, n) => {
+          val buf = new Array[Byte](n); in.readFully(off, buf); buf
+        }
+        HFileV3.midKeyRow(pread, st.getLen)
+      } finally in.close()
+    mid.map { splitRow =>
+      val base = name.stripSuffix(".hfile")
+      val bot = s"$base-bot.hfile"
+      val top = s"$base-top.hfile"
+      val tmp = s"$dir/.compact.tmp"
+      val tmpPath = new Path(tmp)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      Seq((bot, false), (top, true)).foreach { case (out, isTop) =>
+        val half = HFiles.importFilesFiltered(spark,
+          Seq((st.getPath.toString, st.getLen, Some((splitRow, isTop)))))
+        val stage = graft.Queries.scratchDir(s"split_$out")
+        HFiles.export(half, numRegions = 1, outPath = stage,
+          blockSize = blockSize)
+        fs.mkdirs(tmpPath)
+        require(fs.rename(new Path(s"$stage/part-00000.hfile"),
+          new Path(tmp, out)), s"could not stage $out")
+      }
+      Compactions.commitRewrite(fs, dir, Seq(bot, top), Seq(st.getPath))
+      (bot, top)
+    }
+  }
+
   /** Materialize the two daughters of a split at `splitRow` as
     * TOP/BOTTOM half-reads over the parent store — the Reference-file
     * semantics (HalfStoreFileReader: BOTTOM = rows strictly below the

@@ -944,6 +944,147 @@ object ReplayQueries {
           |FROM __sp_mid m, __sp_tot t""".stripMargin))
     ),
     QDef(
+      // REGION NORMALIZER planned AND executed
+      // (SimpleRegionNormalizer.java:240-470 + MergeNormalizationPlan /
+      // SplitNormalizationPlan): an 8-region chain with a skewed
+      // row-range layout (cumulative row-count thresholds in 20ths:
+      // 1,2,3,11,14,16,18,20 — three small head regions, one giant,
+      // then mediums) is planned — splits for regions over twice the
+      // DOUBLE average, merges from the greedy range walk against its
+      // LONG truncation — and the plans EXECUTE through the store
+      // machinery: merges via the crash-safe merge rewrite, splits at
+      // the file's index mid key. The oracle re-derives the region
+      // sizes, the split census, the merge walk (an 8-step fold as a
+      // recursive CTE) and the resulting file count; read-back
+      // identity closes it.
+      "q100_normalizer",
+      (s, dir) => {
+        import graft.flow.{Compactions, HFiles, Normalizer, SplitPolicies}
+        import graft.flow.Normalizer.{MergePlan, NKnobs, NRegion, SplitPlan}
+        import org.apache.spark.sql.expressions.Window
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val rows = puts.select("row").distinct()
+        val n = rows.count()
+        val th = Seq(1, 2, 3, 11, 14, 16, 18)
+        val idxed = rows.withColumn("idx",
+          row_number().over(Window.orderBy("row")))
+        val regionCol = th.zipWithIndex.foldLeft(lit(0)) {
+          case (acc, (t, k)) =>
+            when(col("idx") * 20 > lit(n * t), lit(k + 1)).otherwise(acc)
+        }
+        val withR = puts.join(broadcast(idxed.withColumn("region", regionCol)
+          .select("row", "region")), Seq("row"))
+        val out = graft.Queries.scratchDir("q100_norm")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        (0 until 8).foreach { k =>
+          val tmp = graft.Queries.scratchDir(s"q100_r$k")
+          // small blocks so every region file has a real index mid key
+          HFiles.export(withR.filter(col("region") === k)
+              .select("row", "family", "qualifier", "ts", "type", "value"),
+            numRegions = 1, outPath = tmp, blockSize = 512)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+            new org.apache.hadoop.fs.Path(f"$out/part-$k%05d.hfile"))
+        }
+        // logical region sizes (value bytes — the unit cancels out of
+        // every normalizer decision; the oracle derives the same)
+        val sizes = withR.groupBy("region")
+          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .map(_._2).toIndexedSeq
+        val plans = Normalizer.computePlans(sizes.map(NRegion(_)), NKnobs())
+        val splits = plans.collect { case p: SplitPlan => p }
+        val merges = plans.collect { case p: MergePlan => p }
+        splits.foreach(p => SplitPolicies.splitStoreFile(s, out,
+          f"part-${p.region}%05d.hfile"))
+        merges.foreach(p => Compactions.mergeFiles(s, out,
+          p.regions.map(i => f"part-$i%05d.hfile")))
+        val filesAfter = fs.globStatus(
+          new org.apache.hadoop.fs.Path(out, "part-*.hfile")).length
+        val back = HFiles.importCells(s, out)
+        val mismatches = back.alias("b")
+          .join(puts.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        puts.agg(count(lit(1)).as("n_cells"))
+          .withColumn("n_regions", lit(8L))
+          .withColumn("n_splits", lit(splits.size.toLong))
+          .withColumn("n_merges", lit(merges.size.toLong))
+          .withColumn("merged_members", lit(merges.map(_.regions.size).sum.toLong))
+          .withColumn("files_after", lit(filesAfter.toLong))
+          .withColumn("mismatches", lit(mismatches))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__nm_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __nm_rows AS (
+          |  SELECT row, ROW_NUMBER() OVER (ORDER BY row) AS idx,
+          |         COUNT(*) OVER () AS n
+          |  FROM (SELECT DISTINCT row FROM __nm_puts)
+          |), __nm_assign AS (
+          |  SELECT row,
+          |         CASE WHEN idx * 20 > n * 18 THEN 7
+          |              WHEN idx * 20 > n * 16 THEN 6
+          |              WHEN idx * 20 > n * 14 THEN 5
+          |              WHEN idx * 20 > n * 11 THEN 4
+          |              WHEN idx * 20 > n * 3 THEN 3
+          |              WHEN idx * 20 > n * 2 THEN 2
+          |              WHEN idx * 20 > n * 1 THEN 1
+          |              ELSE 0 END AS region
+          |  FROM __nm_rows
+          |), __nm_sz AS (
+          |  SELECT a.region AS i,
+          |         CAST(SUM(octet_length(encode(p.value))) AS BIGINT) AS sz
+          |  FROM __nm_puts p JOIN __nm_assign a USING (row)
+          |  GROUP BY 1
+          |), __nm_avg AS (
+          |  SELECT SUM(sz) / 8.0 AS avg_d,
+          |         CAST(FLOOR(SUM(sz) / 8.0) AS BIGINT) AS avg_l
+          |  FROM __nm_sz
+          |), __nm_splits AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS k
+          |  FROM __nm_sz, __nm_avg WHERE sz > 2 * avg_d
+          |), __nm_walk AS (
+          |  -- the greedy merge-range fold: a region joins the current
+          |  -- range while empty-seeded, zero-size, or fitting under
+          |  -- the LONG average; a non-fitting region emits the range
+          |  -- (when >=2 members) and seeds the next
+          |  WITH RECURSIVE w(i, cnt, sm, merges, members) AS (
+          |    SELECT 0, 0, CAST(0 AS BIGINT), 0, 0
+          |    UNION ALL
+          |    SELECT r.i + 1,
+          |      CASE WHEN (w.cnt = 0 OR (w.cnt = 1 AND w.sm = 0)
+          |                 OR r.sz = 0 OR r.sz + w.sm <= a.avg_l)
+          |           THEN w.cnt + 1 ELSE 1 END,
+          |      CASE WHEN (w.cnt = 0 OR (w.cnt = 1 AND w.sm = 0)
+          |                 OR r.sz = 0 OR r.sz + w.sm <= a.avg_l)
+          |           THEN w.sm + r.sz ELSE r.sz END,
+          |      w.merges + CASE WHEN NOT (w.cnt = 0 OR (w.cnt = 1 AND w.sm = 0)
+          |                 OR r.sz = 0 OR r.sz + w.sm <= a.avg_l)
+          |                 AND w.cnt >= 2 THEN 1 ELSE 0 END,
+          |      w.members + CASE WHEN NOT (w.cnt = 0 OR (w.cnt = 1 AND w.sm = 0)
+          |                 OR r.sz = 0 OR r.sz + w.sm <= a.avg_l)
+          |                 AND w.cnt >= 2 THEN w.cnt ELSE 0 END
+          |    FROM w JOIN __nm_sz r ON r.i = w.i CROSS JOIN __nm_avg a
+          |    WHERE w.i < 8
+          |  ) SELECT CAST(merges + CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_merges,
+          |           CAST(members + CASE WHEN cnt >= 2 THEN cnt ELSE 0 END AS BIGINT) AS members
+          |    FROM w WHERE i = 8
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __nm_puts) AS n_cells,
+          |  CAST(8 AS BIGINT) AS n_regions,
+          |  (SELECT k FROM __nm_splits) AS n_splits,
+          |  (SELECT n_merges FROM __nm_walk) AS n_merges,
+          |  (SELECT members FROM __nm_walk) AS merged_members,
+          |  8 + (SELECT k FROM __nm_splits)
+          |    - (SELECT members - n_merges FROM __nm_walk) AS files_after,
+          |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):
       // the scan (maxVersions=3, filter event_type='click') defines
       // the matched user-visible cells — the filter runs BEFORE the
