@@ -881,8 +881,12 @@ object ReplayQueries {
       (s, dir) => {
         import graft.flow.{HFiles, SplitPolicies}
         import graft.flow.SplitPolicies.SpKnobs
+        // a deterministic 1-in-7 row subset: one-cell blocks make the
+        // mid key exact but cost a block per cell — the subset keeps
+        // the store at thousands of blocks at any SF
         val puts = Fixtures.cellsEventsV(s, dir)
-          .filter(col("type") === "Put" && col("value").isNotNull)
+          .filter(col("type") === "Put" && col("value").isNotNull &&
+            col("row").cast("long") % 7 === 0)
         val out = graft.Queries.scratchDir("q99_split")
         HFiles.export(puts, numRegions = 1, outPath = out,
           blockSize = 1, indexMaxChunk = 4096)
@@ -917,6 +921,7 @@ object ReplayQueries {
         """__sp_puts AS (
           |  SELECT * FROM cells_events_v
           |  WHERE type = 'Put' AND value IS NOT NULL
+          |    AND CAST(row AS BIGINT) % 7 = 0
           |), __sp_tot AS (
           |  SELECT CAST(SUM(octet_length(encode(value))) AS BIGINT) AS sz,
           |         CAST(COUNT(*) AS BIGINT) AS n
