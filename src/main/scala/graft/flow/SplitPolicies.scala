@@ -82,6 +82,48 @@ object SplitPolicies {
       if (tableRegionsCount == 1) k.initialSize else k.desiredMaxFileSize,
       k.overallRegionFiles)
 
+  /** BusyRegionSplitPolicy's time-weighted blocked-request rate
+    * (BusyRegionSplitPolicy.java:132-156): the rate over the last
+    * aggregation window, blended with the current partial window by
+    * time slice; zero until one full window has elapsed. Clock and
+    * counters are explicit inputs so the tracker is deterministic
+    * (the reference samples wall time and live region counters). */
+  final class BusyTracker(startTime: Long, startBlocked: Long,
+      startWrites: Long, aggregationWindowMs: Long = 300000L) {
+    require(aggregationWindowMs > 0, "aggregation window must be positive")
+    private var prevTime = startTime
+    private var blockedRate = 0f
+    private var blockedCount = startBlocked
+    private var writeCount = startWrites
+    def updateRate(now: Long, blocked: Long, writes: Long): Float = {
+      var agg = (blocked - blockedCount) / (writes - writeCount + 0.00001f)
+      if (now - prevTime >= aggregationWindowMs) {
+        blockedRate = agg
+        prevTime = now
+        blockedCount = blocked
+        writeCount = writes
+      } else if (now - startTime >= aggregationWindowMs) {
+        val slice = (now - prevTime) / (aggregationWindowMs + 0.0f)
+        agg = (1 - slice) * blockedRate + slice * agg
+      } else agg = 0.0f
+      agg
+    }
+  }
+
+  /** BusyRegionSplitPolicy.shouldSplit:102: the Increasing policy's
+    * size trigger, OR a region old enough whose blocked-write rate
+    * reached the threshold (default 20% over a 5-minute window). */
+  def busyShouldSplit(storeSizes: Seq[Long], tableRegionsCount: Int,
+      k: SpKnobs, blockedRate: Float, regionAgeMs: Long,
+      minAgeMs: Long = 600000L,
+      maxBlockedRequests: Float = 0.2f): Boolean =
+    increasingShouldSplit(storeSizes, tableRegionsCount, k) ||
+      (regionAgeMs >= minAgeMs && blockedRate >= maxBlockedRequests)
+
+  /** DisabledRegionSplitPolicy: never split (the trivial member that
+    * completes the RegionSplitPolicy enum). */
+  def disabledShouldSplit: Boolean = false
+
   /** KeyPrefixRegionSplitPolicy.getSplitPoint:80. */
   def keyPrefixAdjust(splitPoint: Array[Byte], prefixLength: Int): Array[Byte] =
     if (prefixLength > 0 && splitPoint != null && splitPoint.nonEmpty)

@@ -58,6 +58,39 @@ class SplitPoliciesSpec extends SparkSpec {
       "ab::cd::ef".getBytes(UTF_8), "::".getBytes(UTF_8)), UTF_8) == "ab")
   }
 
+  test("busy policy: deterministic replay of the reference scenario") {
+    // TestRegionSplitPolicy.testBusyRegionSplitPolicy, with explicit
+    // clocks: window 500 ms, threshold 0.1, snapshot (10 blocked / 20
+    // writes) at create
+    val t = new SplitPolicies.BusyTracker(startTime = 0L,
+      startBlocked = 10L, startWrites = 20L, aggregationWindowMs = 500L)
+    // 300 ms in: blocked jumped but no full window yet -> rate 0
+    val r1 = t.updateRate(300L, 12L, 30L)
+    assert(r1 == 0.0f)
+    assert(!SplitPolicies.busyShouldSplit(Seq(1), 1,
+      SpKnobs(Long.MaxValue, Long.MaxValue), r1, regionAgeMs = 300L,
+      minAgeMs = 0L, maxBlockedRequests = 0.1f))
+    // 502 ms in: a full window elapsed; rate = 4/20 = 0.2 >= 0.1
+    val r2 = t.updateRate(502L, 14L, 40L)
+    assert(math.abs(r2 - 0.2f) < 1e-4)
+    assert(SplitPolicies.busyShouldSplit(Seq(1), 1,
+      SpKnobs(Long.MaxValue, Long.MaxValue), r2, regionAgeMs = 502L,
+      minAgeMs = 0L, maxBlockedRequests = 0.1f))
+    // not old enough: the same rate does not split
+    assert(!SplitPolicies.busyShouldSplit(Seq(1), 1,
+      SpKnobs(Long.MaxValue, Long.MaxValue), r2, regionAgeMs = 502L,
+      minAgeMs = 1000000L, maxBlockedRequests = 0.1f))
+    // partial-window blend: after the 502ms reset, 250 ms later the
+    // rate blends (1-0.5)*0.2 + 0.5*newRate
+    val r3 = t.updateRate(752L, 14L, 50L) // no new blocked, 10 writes
+    assert(math.abs(r3 - 0.1f) < 1e-3)
+    // the size trigger still applies regardless of business
+    assert(SplitPolicies.busyShouldSplit(Seq(200), 1,
+      SpKnobs(desiredMaxFileSize = 1000, initialSize = 128), 0f,
+      regionAgeMs = 0L))
+    assert(!SplitPolicies.disabledShouldSplit)
+  }
+
   private def fileOf(cells: Seq[HCell], blockSize: Int,
       indexMaxChunk: Int = 128 * 1024): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
