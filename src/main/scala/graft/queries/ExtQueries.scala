@@ -183,14 +183,19 @@ object ExtQueries {
   /** e47 oracle: the e13 IVF pipeline (deterministic k-means, probes,
     * candidates) with the re-rank swapped to the SQ8 integer score. */
   private def annIvfSq8Oracle(dim: Int, nlist: Int, nprobe: Int, iters: Int,
-      k: Int): String = {
+      k: Int, trainPred: String = "TRUE"): String = {
+    // trainPred restricts the k-means TRAINING set (the e82 append
+    // shape: the quantizer is trained at build and immutable after —
+    // appended vectors code against it, never retrain it); assignment,
+    // probing and scoring always run over the full corpus
     require(iters == 2, "oracle is written for the declared iters=2")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |embt AS (SELECT * FROM emb WHERE $trainPred),
        |$sq8CodesFrag,
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl, v AS c
-       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nlist)),
-       |${kmeansIterSql("c0", "a1", "c1", dim)},
-       |${kmeansIterSql("c1", "a2", "c2", dim)},
+       |       FROM (SELECT vec_id, v FROM embt ORDER BY vec_id LIMIT $nlist)),
+       |${kmeansIterSql("c0", "a1", "c1", dim, "embt")},
+       |${kmeansIterSql("c1", "a2", "c2", dim, "embt")},
        |idx AS (SELECT vec_id, cl FROM (
        |  SELECT e.vec_id, c.cl,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -1279,6 +1284,28 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
+    ),
+    QDef(
+      // INCREMENTAL index maintenance — the streaming-corpus-growth
+      // shape a 100 TB deployment needs: the index builds on HALF the
+      // corpus (even vec_ids), the other half APPENDS later — coded
+      // against the STORED centroids (the quantizer is immutable
+      // after build, as in FAISS: retrain = rebuild) into their
+      // cluster partitions, existing lists untouched. Queries then
+      // probe the grown index; the oracle re-derives the k-means on
+      // the BUILD half only, assigns the full corpus against those
+      // centroids, and replays probe + int8 scoring.
+      "e82_ann_index_append",
+      (s, dir) => {
+        val emb = graft.model.Tables.load(s, s"$dir/embeddings.parquet")
+        val idx = graft.Queries.scratchDir("ann_index_append_q")
+        AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), idx)
+        AnnIndex.append(s, idx, emb.filter(col("vec_id") % 2 =!= 0))
+        AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2,
+        k = 5, trainPred = "vec_id % 2 = 0"))
     ),
     QDef(
       // frequency-based boilerplate removal: segments occurring in ≥ 3
