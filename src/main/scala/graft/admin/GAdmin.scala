@@ -796,4 +796,50 @@ object GAdmin {
       .map(i => sample(((i.toLong * sample.length) / n).toInt.min(sample.length - 1)))
       .distinct
   }
+
+  // ---- Flat-store region maintenance: the q99/q100 representation
+  // (one directory = one region's HFile store) unified under the
+  // Admin surface, so split/merge/normalize all drive through ONE
+  // facade whichever store layout backs the table. ----
+
+  /** Admin.splitRegionAsync over a flat HFile store region. WHERE is
+    * delegated to [[graft.flow.SplitPolicies.storeSplitPoint]] — the
+    * largest file's index mid-key row (HStore.getSplitPoint), shaped
+    * by a KeyPrefix adjust when `prefixLength` > 0. The daughters
+    * MATERIALIZE under `bottomDir`/`topDir` via the half-read export
+    * (HalfStoreFileReader semantics: bottom = rows strictly below the
+    * split row; rewriting immediately is the daughters' first
+    * compaction, which is also what retires Reference files in the
+    * reference). Returns the split row, or None when every candidate
+    * file is mid-key degenerate (a split would orphan a daughter). */
+  def splitRegionStore(spark: SparkSession, dir: String,
+      bottomDir: String, topDir: String, prefixLength: Int = 0,
+      blockSize: Int = 65536): Option[String] = {
+    import graft.flow.{HFiles, SplitPolicies}
+    SplitPolicies.storeSplitPoint(spark, dir).map { mid =>
+      val row = SplitPolicies.keyPrefixAdjust(mid, prefixLength)
+      val (bottom, top) = SplitPolicies.daughters(spark, dir, row)
+      HFiles.export(bottom, numRegions = 1, outPath = bottomDir,
+        blockSize = blockSize)
+      HFiles.export(top, numRegions = 1, outPath = topDir,
+        blockSize = blockSize)
+      new String(row, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Admin.mergeRegionsAsync over flat HFile store regions
+    * (MergeTableRegionsProcedure): the member stores merge into ONE
+    * store at `outDir` through a single comparator-sorted writer —
+    * the reference moves store files and lets the daughter's next
+    * compaction consolidate; graft materializes the consolidated
+    * store in the same one pass. */
+  def mergeRegionStores(spark: SparkSession, dirs: Seq[String],
+      outDir: String, blockSize: Int = 65536): Unit = {
+    import graft.flow.HFiles
+    require(dirs.nonEmpty, "nothing to merge")
+    val cells = dirs.map(d => HFiles.importCells(spark, d))
+      .reduce(_ unionByName _)
+    HFiles.export(cells, numRegions = 1, outPath = outDir,
+      blockSize = blockSize)
+  }
 }

@@ -38,13 +38,39 @@ object Compactions {
   /** Knobs mirroring CompactionConfiguration.java:147-163 defaults
     * (min 3 / max 10 files, ratio 1.2; `minCompactSize` is the
     * memstore-flush-size small-file exemption, `maxCompactSize`
-    * unbounded). */
+    * unbounded). `blockingFiles` is hbase.hstore.blockingStoreFiles
+    * (default 16): a ladder at or past it flips selection into the
+    * stuck-store escape hatch. `offPeakRatio` is
+    * hbase.hstore.compaction.ratio.offpeak (default 5.0), consulted
+    * instead of `ratio` when the hour-of-day falls inside the
+    * [offPeakStartHour, offPeakEndHour) window (OffPeakHours.java:
+    * -1/-1 = disabled, equal hours = disabled, start > end wraps
+    * past midnight). */
   final case class Knobs(
       minFiles: Int = 3,
       maxFiles: Int = 10,
       ratio: Double = 1.2,
       minCompactSize: Long = 0L,
-      maxCompactSize: Long = Long.MaxValue)
+      maxCompactSize: Long = Long.MaxValue,
+      blockingFiles: Int = 16,
+      offPeakRatio: Double = 5.0,
+      offPeakStartHour: Int = -1,
+      offPeakEndHour: Int = -1) {
+    /** OffPeakHoursImpl.isOffPeakHour: half-open window, wrapping when
+      * start > end; disabled on -1/-1, out-of-range, or equal hours. */
+    def isOffPeakHour(hour: Int): Boolean = {
+      val valid = (h: Int) => h >= 0 && h <= 23
+      if (!valid(offPeakStartHour) || !valid(offPeakEndHour) ||
+          offPeakStartHour == offPeakEndHour) false
+      else if (offPeakStartHour < offPeakEndHour)
+        offPeakStartHour <= hour && hour < offPeakEndHour
+      else offPeakStartHour <= hour || hour < offPeakEndHour
+    }
+    /** Off-peak at epoch-millis `now` (UTC hour-of-day, like the
+      * reference's wall clock); `now < 0` = unknown, never off-peak. */
+    def isOffPeak(now: Long): Boolean =
+      now >= 0 && isOffPeakHour(((now / 3600000L) % 24).toInt)
+  }
 
   /** ExploringCompactionPolicy.applyCompactionPolicy:55-121, pure.
     * `sizes` is the store's file ladder in AGE order (oldest first —
@@ -56,10 +82,13 @@ object Compactions {
     * :149) and, if nothing qualifies, falls back to the smallest
     * window seen. */
   def exploringSelect(sizes: IndexedSeq[Long], knobs: Knobs,
-      mightBeStuck: Boolean = false): Range = {
+      mightBeStuck: Boolean = false, isOffPeak: Boolean = false): Range = {
     val n = sizes.length
     val prefix = sizes.scanLeft(0L)(_ + _)
     def winSize(s: Int, e: Int): Long = prefix(e + 1) - prefix(s)
+    // getCurrentRatio: the off-peak window loosens the size-similarity
+    // bar so the nightly pass can retire wider windows in one IO
+    val ratio = if (isOffPeak) knobs.offPeakRatio else knobs.ratio
     // filesInRatio:178 — every member ≤ (sum of the others) × ratio;
     // the LARGEST member is the binding constraint but the loop stays
     // literal for auditability (n is tiny)
@@ -67,7 +96,7 @@ object Compactions {
       if (e - s + 1 < 2) true
       else {
         val total = winSize(s, e)
-        (s to e).forall(i => sizes(i) <= (total - sizes(i)) * knobs.ratio)
+        (s to e).forall(i => sizes(i) <= (total - sizes(i)) * ratio)
       }
     }
     var bestStart = -1; var bestEnd = -1; var bestLen = 0; var bestSize = 0L
@@ -184,7 +213,8 @@ object Compactions {
     * (generateCompactionRequest:305). Returns the selected contiguous
     * index range. */
   def dateTieredSelect(sizes: IndexedSeq[Long], maxTimestamps: IndexedSeq[Long],
-      now: Long, dt: DtKnobs, mightBeStuck: Boolean = false): Range = {
+      now: Long, dt: DtKnobs, mightBeStuck: Boolean = false,
+      isOffPeak: Boolean = false): Range = {
     require(sizes.length == maxTimestamps.length, "ladder shape mismatch")
     val n = sizes.length
     val oldestToCompact =
@@ -212,7 +242,8 @@ object Compactions {
           val sel =
             if (mightBeStuck) 0 to (i - lo)
             else exploringSelect(sizes.slice(lo, i + 1),
-              dt.window.copy(minFiles = minThreshold))
+              dt.window.copy(minFiles = minThreshold),
+              isOffPeak = isOffPeak)
           if (sel.nonEmpty) return (lo + sel.head) to (lo + sel.last)
         }
         i = j
@@ -261,7 +292,9 @@ object Compactions {
     val maxTs = files.map { case (p, l) =>
       fileMaxTimestamp(fs, p, l)
     }.toIndexedSeq
-    val sel = dateTieredSelect(sizes, maxTs, now, dt, mightBeStuck)
+    val stuck = mightBeStuck || sizes.length >= dt.window.blockingFiles
+    val sel = dateTieredSelect(sizes, maxTs, now, dt, stuck,
+      isOffPeak = dt.window.isOffPeak(now))
     if (sel.isEmpty) return Nil
     val selected = sel.map(files(_))
     rewriteRun(spark, fs, dir, selected, blockSize)
@@ -371,15 +404,112 @@ object Compactions {
       .getOrElse(Array.empty)
       .map(s => (s.getPath, s.getLen)).toSeq.sortBy(_._1.getName)
     val expired = files.filter { case (p, l) =>
-      HFileV3.parseTimeRange(readFileInfoOf(fs, p, l)) match {
-        case None => true // empty file: no TIMERANGE was written
-        case Some((_, maxTs)) =>
-          ttlMillis != Long.MaxValue && now - ttlMillis >= maxTs
-      }
+      val (info, trailer) = readInfoAndTrailerOf(fs, p, l)
+      fifoExpired(info, trailer.entryCount, ttlMillis, now)
     }
     expired.foreach { case (p, _) => fs.delete(p, false) }
     expired.map(_._1.getName)
   }
+
+  // ------------------------------------------------------------------
+  // Timed-major scheduling (SortedCompactionPolicy.getNextMajorCompactTime
+  // + RatioBasedCompactionPolicy.shouldPerformMajorCompaction)
+  // ------------------------------------------------------------------
+
+  /** The jittered major-compaction deadline
+    * (SortedCompactionPolicy.getNextMajorCompactTime:109-131):
+    * `period` is hbase.hregion.majorcompaction (default 7 days, <= 0
+    * disables), `jitterPct` hbase.hregion.majorcompaction.jitter
+    * (default 0.5); the jitter delta is DETERMINISTIC per store —
+    * seeded by the first file's name hash (StoreUtils
+    * .getDeterministicRandomSeed) so the fleet's majors spread over
+    * [period·(1-j), period·(1+j)] instead of thundering together. */
+  def nextMajorCompactTime(periodMillis: Long, jitterPct: Double = 0.5,
+      seed: Long = 0L): Long =
+    if (periodMillis <= 0 || jitterPct <= 0) periodMillis
+    else {
+      val rnd = new java.util.Random(seed).nextDouble()
+      val jitter = math.round(periodMillis * jitterPct)
+      periodMillis + jitter - math.round(2 * jitter * rnd)
+    }
+
+  /** RatioBasedCompactionPolicy.shouldPerformMajorCompaction:94-135 as
+    * a pure predicate. `fileCreateTimes` is one creation (fs
+    * modification) time per store file — the reference's
+    * StoreUtils.getLowestTimestamp; a major is due once the OLDEST
+    * file predates `now - nextMajorCompactTime(...)`. The single-file
+    * short-circuit: a store already reduced to one major-compaction
+    * output with no TTL-expired content gains nothing from another
+    * rewrite and is skipped (the reference's HDFS-locality override
+    * has no twin here — block placement is the cluster manager's job
+    * under Spark, documented divergence). */
+  def shouldPerformMajorCompaction(
+      fileCreateTimes: Seq[Long], now: Long,
+      periodMillis: Long = 7L * 24 * 3600000L,
+      jitterPct: Double = 0.5, jitterSeed: Long = 0L,
+      singleFileIsMajorResult: Boolean = false,
+      singleFileMinTimestamp: Option[Long] = None,
+      ttlMillis: Long = Long.MaxValue): Boolean = {
+    if (fileCreateTimes.isEmpty) return false
+    val mcTime = nextMajorCompactTime(periodMillis, jitterPct, jitterSeed)
+    if (mcTime <= 0) return false
+    val lowTimestamp = fileCreateTimes.min
+    if (!(lowTimestamp > 0L && lowTimestamp < now - mcTime)) return false
+    if (fileCreateTimes.size == 1) {
+      val oldest = singleFileMinTimestamp.map(now - _).getOrElse(Long.MinValue)
+      !(singleFileIsMajorResult &&
+        (ttlMillis == Long.MaxValue || oldest < ttlMillis))
+    } else true
+  }
+
+  /** Run the timed major if due: the whole ladder merges into one
+    * file through the crash-safe [[mergeFiles]]. Creation times are
+    * the files' fs modification times (StoreUtils.getLowestTimestamp);
+    * the deterministic jitter seed is the first file's name hash.
+    * Returns the merged name, or None when the deadline (or the
+    * single-file short-circuit) says to skip. */
+  def majorCompactIfDue(spark: SparkSession, dir: String, now: Long,
+      periodMillis: Long = 7L * 24 * 3600000L, jitterPct: Double = 0.5,
+      ttlMillis: Long = Long.MaxValue,
+      blockSize: Int = 65536): Option[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty).toSeq.sortBy(_.getPath.getName)
+    if (files.isEmpty) return None
+    val (soleInfo, soleMajor) =
+      if (files.size == 1) {
+        val info = readFileInfoOf(fs, files.head.getPath, files.head.getLen)
+        (HFileV3.parseTimeRange(info).map(_._1), isMajorResult(info))
+      } else (None, false)
+    val due = shouldPerformMajorCompaction(
+      files.map(_.getModificationTime), now, periodMillis, jitterPct,
+      jitterSeed = files.head.getPath.getName.hashCode.toLong,
+      // read back from the file's own MAJOR_COMPACTION_KEY FILE_INFO
+      // (HStoreFile.isMajorCompactionResult) — a lone bulk-loaded or
+      // flushed file is NOT a major output and still rewrites
+      singleFileIsMajorResult = soleMajor,
+      singleFileMinTimestamp = soleInfo, ttlMillis = ttlMillis)
+    if (!due) None
+    else Some(mergeFiles(spark, dir, files.map(_.getPath.getName),
+      blockSize, major = true))
+  }
+
+  /** FIFO's per-file verdict (FIFOCompactionPolicy.getExpiredStores +
+    * isEmptyStoreFile): a file drops when it is EMPTY (trailer
+    * entryCount == 0, the reference's reader.getEntries() == 0 —
+    * HBASE-21504) or when its TIMERANGE maxTs has outlived the TTL. A
+    * NON-empty file with no TIMERANGE FILE_INFO entry (foreign/legacy
+    * writer) has unknown age and must NEVER drop — classifying
+    * missing-TIMERANGE as "empty" would silently delete live data. */
+  private[graft] def fifoExpired(info: Map[String, Array[Byte]],
+      entryCount: Long, ttlMillis: Long, now: Long): Boolean =
+    if (entryCount == 0L) true
+    else HFileV3.parseTimeRange(info) match {
+      case Some((_, maxTs)) =>
+        ttlMillis != Long.MaxValue && now - ttlMillis >= maxTs
+      case None => false
+    }
 
   // --- shared helpers ---
 
@@ -495,7 +625,11 @@ object Compactions {
   }
 
   private def readFileInfoOf(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path, len: Long): Map[String, Array[Byte]] = {
+      p: Path, len: Long): Map[String, Array[Byte]] =
+    readInfoAndTrailerOf(fs, p, len)._1
+
+  private def readInfoAndTrailerOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, len: Long): (Map[String, Array[Byte]], HFileV3.Trailer) = {
     val in = fs.open(p)
     try {
       val pread: HFileV3.PRead = (off, n) => {
@@ -503,7 +637,7 @@ object Compactions {
       }
       val trailer = HFileV3.readTrailer(
         pread(len - HFileV3.TrailerSize, HFileV3.TrailerSize))
-      HFileV3.readFileInfo(pread, trailer)
+      (HFileV3.readFileInfo(pread, trailer), trailer)
     } finally in.close()
   }
 
@@ -517,7 +651,7 @@ object Compactions {
     * interrupted commit first, then rewrites crash-safely. Returns the
     * merged file's name (the first input's). */
   def mergeFiles(spark: SparkSession, dir: String, names: Seq[String],
-      blockSize: Int = 65536): String = {
+      blockSize: Int = 65536, major: Boolean = false): String = {
     require(names.nonEmpty, "nothing to merge")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     healStore(fs, dir)
@@ -525,22 +659,34 @@ object Compactions {
       val st = fs.getFileStatus(new Path(dir, n))
       (st.getPath, st.getLen)
     }
-    rewriteRun(spark, fs, dir, files, blockSize)
+    rewriteRun(spark, fs, dir, files, blockSize, major)
     names.head
   }
+
+  /** StoreFileWriter.appendMetadata's MAJOR_COMPACTION_KEY FILE_INFO
+    * entry (Bytes.toBytes(boolean): one byte, -1 true / 0 false) —
+    * every compaction output records whether it was a MAJOR rewrite,
+    * and the timed-major single-file short-circuit reads it back. */
+  private[graft] val MajorCompactionKey = "MAJOR_COMPACTION_KEY"
+  private def boolBytes(b: Boolean): Array[Byte] =
+    Array[Byte](if (b) -1 else 0)
+  private[graft] def isMajorResult(info: Map[String, Array[Byte]]): Boolean =
+    info.get(MajorCompactionKey).exists(v => v.nonEmpty && v(0) != 0)
 
   /** Merge-rewrite a selected contiguous run into one file named after
     * the first input, committed crash-safely through [[commitRewrite]]
     * (stage → intent marker → retire inputs → land → clean). */
   private def rewriteRun(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      selected: Seq[(Path, Long)], blockSize: Int): Unit = {
+      selected: Seq[(Path, Long)], blockSize: Int,
+      major: Boolean = false): Unit = {
     val tmpDir = s"$dir/$TmpDirName"
     val tmpPath = new Path(tmpDir)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     HFiles.export(
       HFiles.importFiles(spark, selected.map { case (p, l) => (p.toString, l) }),
-      numRegions = 1, outPath = tmpDir, blockSize = blockSize)
+      numRegions = 1, outPath = tmpDir, blockSize = blockSize,
+      extraFileInfo = Seq(MajorCompactionKey -> boolBytes(major)))
     val outName = selected.head._1.getName
     require(fs.rename(new Path(s"$tmpDir/part-00000.hfile"),
       new Path(tmpDir, outName)) || outName == "part-00000.hfile",
@@ -562,7 +708,7 @@ object Compactions {
   def minorCompact(spark: SparkSession, dir: String,
       knobs: Knobs = Knobs(), mightBeStuck: Boolean = false,
       logicalSizes: Option[Map[String, Long]] = None,
-      blockSize: Int = 65536): Seq[String] = {
+      blockSize: Int = 65536, now: Long = -1L): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     healStore(fs, dir)
     val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
@@ -571,7 +717,12 @@ object Compactions {
     val sizes = files.map { case (p, l) =>
       logicalSizes.fold(l)(_(p.getName))
     }.toIndexedSeq
-    val sel = exploringSelect(sizes, knobs, mightBeStuck)
+    // the stuck-store escape hatch is computed from the ladder itself
+    // (SortedCompactionPolicy.selectCompaction: candidate count >=
+    // hbase.hstore.blockingStoreFiles), not only the caller's flag
+    val stuck = mightBeStuck || sizes.length >= knobs.blockingFiles
+    val sel = exploringSelect(sizes, knobs, stuck,
+      isOffPeak = knobs.isOffPeak(now))
     if (sel.isEmpty) return Nil
 
     val selected = sel.map(files(_))

@@ -72,7 +72,8 @@ object HFiles {
       rowPrefixBloom: Option[Int] = None,
       visColumn: Option[String] = None,
       compressTags: Boolean = false,
-      indexMaxChunk: Int = 128 * 1024): Unit = {
+      indexMaxChunk: Int = 128 * 1024,
+      extraFileInfo: Seq[(String, Array[Byte])] = Nil): Unit = {
     // visColumn: each cell persists its visibility expression as a
     // STRING_VIS (type 7) wire tag in the store files; with
     // compressTags + an encoding the tag sections dictionary-compress
@@ -101,6 +102,7 @@ object HFiles {
     val r_visDefined = visColumn.isDefined
     val compressTagsB = compressTags
     val indexMaxChunkB = indexMaxChunk
+    val extraFileInfoB = extraFileInfo
     ordered.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
@@ -127,7 +129,8 @@ object HFiles {
               rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
               withTags = tagged, compressTags = compressTagsB,
               indexMaxChunk = indexMaxChunkB,
-              encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
+              encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx),
+              extraFileInfo = extraFileInfoB)
             ()
           } finally out.close()
         } else {
@@ -151,7 +154,8 @@ object HFiles {
                 rowColBloom = rowColBloom, rowPrefixBloom = rowPrefixBloom,
                 withTags = tagged, compressTags = compressTagsB,
                 indexMaxChunk = indexMaxChunkB,
-                encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx))
+                encryption = encryptSubject.map(graft.codec.HCrypto.randomCtx),
+                extraFileInfo = extraFileInfoB)
               ()
             } finally out.close()
           }

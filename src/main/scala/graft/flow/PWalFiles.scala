@@ -111,7 +111,13 @@ object PWalFiles {
     }
   }
 
-  private final case class PWalCellRow(
+  /** One WALKey-denormalized cell from a PB WAL segment. MUST stay
+    * public: it backs a `Dataset[PWalCellRow]` encoder, and Spark's
+    * whole-stage/encoder codegen emits plain Java that calls the
+    * accessors — a `private` (even `private[flow]`) class makes Janino
+    * fail compilation and silently demotes the whole CDC stream to the
+    * interpreted encoder (a per-row reflection tax at scale). */
+  final case class PWalCellRow(
       wal_region: String, wal_table: String, wal_seq: Long, write_time: Long,
       row: String, family: String, qualifier: String, ts: Long,
       cell_type: String, value: String)

@@ -146,8 +146,10 @@ object StripeStore {
       k: SKnobs): Boolean =
     stripes.exists(_.size >= k.minFiles)
 
-  /** hasExpiredStripes:371 — a stripe where every file is expired AND
-    * non-empty (the HBASE-21504 empty-file carve-out). */
+  /** hasExpiredStripes:371 — a stripe where every file is expired OR
+    * empty (the HBASE-21504 empty-file carve-out: an empty file never
+    * BLOCKS reclaim — StripeCompactionPolicy.allFilesExpired keeps a
+    * file only when maxTs >= cutoff && entries != 0). */
   def hasExpiredStripes(stripes: IndexedSeq[IndexedSeq[SFile]], k: SKnobs,
       now: Long): Boolean =
     stripes.exists(allFilesExpired(_, k, now))
@@ -156,7 +158,7 @@ object StripeStore {
       now: Long): Boolean = {
     if (files.isEmpty || k.ttlMillis == Long.MaxValue) return false
     val cutoff = now - k.ttlMillis
-    files.forall(f => f.maxTs < cutoff && f.kvCount != 0)
+    files.forall(f => f.maxTs < cutoff || f.kvCount == 0)
   }
 
   private def shouldSelectL0Files(l0: IndexedSeq[SFile], k: SKnobs): Boolean =
@@ -396,11 +398,18 @@ object StripeStore {
   def stripeFlush(cells: org.apache.spark.sql.DataFrame, dir: String): String = {
     val spark = cells.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // allocate max+1, NOT the file count: a subset L0 compaction can
+    // retire a non-prefix window, leaving holes in the numbering — a
+    // count-based name would collide with a SURVIVING file (rename
+    // silently overwrites on RawLocalFileSystem) and break the
+    // name-order = age-order ladder the policy relies on
     val existing = Option(fs.globStatus(new Path(dir, "l0-*.hfile")))
-      .getOrElse(Array.empty).length
-    val tmp = graft.Queries.scratchDir(s"stripe_flush_$existing")
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("l0-").stripSuffix(".hfile").toInt)
+    val idx = if (existing.isEmpty) 0 else existing.max + 1
+    val tmp = graft.Queries.scratchDir(s"stripe_flush_$idx")
     HFiles.export(cells, numRegions = 1, outPath = tmp)
-    val name = f"l0-$existing%05d.hfile"
+    val name = f"l0-$idx%05d.hfile"
     fs.mkdirs(new Path(dir))
     require(fs.rename(new Path(s"$tmp/part-00000.hfile"),
       new Path(dir, name)), s"could not land flush $name")
@@ -436,7 +445,7 @@ object StripeStore {
     if (existing.isEmpty) 0 else existing.max + 1
   }
 
-  private def execute(spark: SparkSession, dir: String, layout: Layout,
+  private[graft] def execute(spark: SparkSession, dir: String, layout: Layout,
       req: StripeReq, k: SKnobs, now: Long, blockSize: Int): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inputs = req.files.map(fileOf(layout, _))
@@ -558,6 +567,29 @@ object StripeStore {
     // merged range's metadata on an empty file, written driver-side —
     // the reference's preCommitWritersInternal empty-file rule
     req match {
+      case BoundaryReq(_) if layout.stripes.nonEmpty =>
+        // BoundaryMultiWriter's needEmptyFile rule: an input stripe
+        // whose files are ALL consumed and whose range received no
+        // cells must still emit an empty metadata-carrying file, or
+        // the boundary chain breaks and loadLayout demotes the whole
+        // store to L0 on the next pass
+        val inputSet = req.files.toSet
+        val bounds = layout.boundaries
+        layout.stripes.indices.foreach { i =>
+          val fullyConsumed =
+            layout.stripes(i).indices.forall(j => inputSet.contains((i, j)))
+          val outP = new Path(tmpDir, f"w$i%05d.hfile")
+          if (fullyConsumed && !fs.exists(outP)) {
+            val out = fs.create(outP, true)
+            try {
+              HFileV3.write(out, Iterator.empty[HCell], blockSize,
+                extraFileInfo = Seq(
+                  StripeStartKey -> bounds(i),
+                  StripeEndKey -> bounds(i + 1)))
+              ()
+            } finally out.close()
+          }
+        }
       case SplitReq(_, fromStripe, toStripe, 1, _, _)
           if Option(fs.globStatus(new Path(tmpDir, "w*.hfile")))
             .forall(_.isEmpty) =>

@@ -977,6 +977,93 @@ object ExtQueries {
              |FROM hsh h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin)
     ),
     QDef(
+      // REAL audio PCM decode (Multimodal.decodeAudio via the JDK's
+      // javax.sound.sampled WAV plugin — the e81 imageio move for
+      // sound): every doc carries a real WAV payload (mono for even
+      // ids, stereo for odd) whose 16-bit samples follow a closed-form
+      // integer law, written through the REAL platform WAVE encoder;
+      // PCM-in-WAV is lossless, so the per-channel exact-integer
+      // features (energy Σs², peak |s|, zero crossings, duration) must
+      // equal the law — the oracle recomputes them analytically with
+      // no decoder. Video payloads remain the documented decodeStub
+      // boundary (no H.26x decoder in a pure JDK).
+      "e83_audio_features",
+      (s, dir) =>
+        Multimodal.audioFeatures(Multimodal.ingestWav(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")))
+          .toDF()
+          .orderBy("doc_id", "channel"),
+      Some("""WITH ch AS (
+             |  SELECT doc_id, c FROM documents, range(2) tc(c)
+             |  WHERE c < 1 + doc_id % 2),
+             |px AS (
+             |  SELECT doc_id, c, t,
+             |         ((doc_id * 7919 + c * 104729 + t * 31337
+             |           + doc_id * t * 271) % 65536) - 32768 AS s
+             |  FROM ch, range(512) tt(t)),
+             |f AS (
+             |  SELECT doc_id, c,
+             |         CAST(SUM(s * s) AS BIGINT) AS energy,
+             |         CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+             |         CAST(SUM(CASE WHEN prev IS NOT NULL
+             |                        AND ((s >= 0) <> (prev >= 0))
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+             |  FROM (SELECT *, LAG(s) OVER (PARTITION BY doc_id, c
+             |                               ORDER BY t) AS prev FROM px)
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, CAST(c AS INT) AS channel,
+             |       CAST(8000 AS INT) AS sample_rate,
+             |       CAST(512 AS BIGINT) AS n_samples,
+             |       energy, peak_abs, zero_cross,
+             |       CAST(64 AS BIGINT) AS duration_ms
+             |FROM f ORDER BY doc_id, channel""".stripMargin)
+    ),
+    QDef(
+      // banded perceptual AUDIO near-dup (the e60 move for sound —
+      // Multimodal.audioNearDup over the 64-bit window-energy
+      // fingerprint): doc pair (2k, 2k+1) shares one mono PCM payload
+      // (the re-upload shape), so fingerprints collide at hamming 0;
+      // candidates come from the (band, slice) self-join — lossless
+      // below the band count by pigeonhole, never all-pairs — and the
+      // oracle mirrors the same banding + exact hamming analytically
+      // from the sample law, with no decoder.
+      "e84_audio_near_dup",
+      (s, dir) =>
+        Multimodal.audioNearDup(Multimodal.ingestWavDup(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")),
+            maxHamming = 3, bands = 4)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, k, CAST(SUM(s * s) AS BIGINT) AS e
+             |  FROM (SELECT doc_id, t // 8 AS k,
+             |          (((doc_id - doc_id % 2) * 7919 + t * 31337
+             |            + (doc_id - doc_id % 2) * t * 271) % 65536)
+             |            - 32768 AS s
+             |        FROM documents, range(512) tt(t))
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS te
+             |        FROM w GROUP BY 1),
+             |hsh AS (
+             |  SELECT w.doc_id,
+             |         string_agg(CASE WHEN e * 64 > te THEN '1' ELSE '0' END,
+             |                    '' ORDER BY k) AS afp
+             |  FROM w JOIN tot USING (doc_id) GROUP BY w.doc_id),
+             |bands AS (
+             |  SELECT doc_id, afp, bd, substr(afp, bd * 16 + 1, 16) AS slice
+             |  FROM hsh, range(4) tb(bd)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |         a.afp AS ha, b.afp AS hb
+             |  FROM bands a JOIN bands b
+             |    ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, hamming FROM (
+             |  SELECT a_id, b_id,
+             |         CAST(len(list_filter(range(1, 65),
+             |           i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS BIGINT) AS hamming
+             |  FROM cand)
+             |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)
+    ),
+    QDef(
       // leakage-safe split: train/val/test assignment by NEAR-DUP
       // GROUP, so near-copies never straddle the split boundary
       // (Dedup.leakageSafeSplit scaladoc). Oracle = e14's recursive-CTE

@@ -416,11 +416,11 @@ object ReplayQueries {
         """SELECT
           |  (SELECT COUNT(*) FROM __mc_puts) AS n_cells,
           |  (SELECT COUNT(*) FROM __mc_sz) AS files_before,
-          |  COALESCE((SELECT wstart FROM __mc_best), 0) AS sel_start,
-          |  COALESCE((SELECT k FROM __mc_best), 0) AS sel_k,
-          |  COALESCE((SELECT size FROM __mc_best), 0) AS sel_bytes,
-          |  (SELECT COUNT(*) FROM __mc_sz)
-          |    - COALESCE((SELECT k FROM __mc_best), 1) + 1 AS files_after,
+          |  CAST(COALESCE((SELECT wstart FROM __mc_best), 0) AS BIGINT) AS sel_start,
+          |  CAST(COALESCE((SELECT k FROM __mc_best), 0) AS BIGINT) AS sel_k,
+          |  CAST(COALESCE((SELECT size FROM __mc_best), 0) AS BIGINT) AS sel_bytes,
+          |  CAST((SELECT COUNT(*) FROM __mc_sz)
+          |    - COALESCE((SELECT k FROM __mc_best), 1) + 1 AS BIGINT) AS files_after,
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
     ),
     QDef(
@@ -1088,6 +1088,134 @@ object ReplayQueries {
           |  8 + (SELECT k FROM __nm_splits)
           |    - (SELECT members - n_merges FROM __nm_walk) AS files_after,
           |  CAST(0 AS BIGINT) AS mismatches""".stripMargin))
+    ),
+    QDef(
+      // UNIFIED region-maintenance surface: the normalizer's plans
+      // EXECUTE through the Admin facade over flat HFile region
+      // stores — GAdmin.splitRegionStore routes WHERE through
+      // SplitPolicies.storeSplitPoint (the index mid key,
+      // HStore.getSplitPoint) and GAdmin.mergeRegionStores through
+      // the consolidated-store rewrite — so bucketed-table admin
+      // (q80) and flat-store maintenance (q99/q100) meet in ONE user
+      // surface. A 3-region chain [small, small, giant] (row-count
+      // thresholds 2,4 in 20ths) plans exactly one merge ([0,1]) and
+      // one split (region 2); the oracle re-derives the region
+      // census, both plan decisions, the giant's median-cell split
+      // row (one-cell blocks make the mid key exact), and the
+      // daughter/merged cell counts; read-back identity closes it.
+      "q101_region_admin",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        import graft.flow.{HFiles, Normalizer}
+        import graft.flow.Normalizer.{MergePlan, NKnobs, NRegion, SplitPlan}
+        import org.apache.spark.sql.expressions.Window
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull &&
+            col("row").cast("long") % 9 === 1)
+        val rows = puts.select("row").distinct()
+        val n = rows.count()
+        val idxed = rows.withColumn("idx",
+          row_number().over(Window.orderBy("row")))
+        val regionCol = when(col("idx") * 20 > lit(n * 4), 2)
+          .when(col("idx") * 20 > lit(n * 2), 1).otherwise(0)
+        val withR = puts.join(broadcast(idxed.withColumn("region", regionCol)
+          .select("row", "region")), Seq("row"))
+        val base = graft.Queries.scratchDir("q101_admin")
+        (0 until 3).foreach { k =>
+          HFiles.export(withR.filter(col("region") === k)
+              .select("row", "family", "qualifier", "ts", "type", "value"),
+            numRegions = 1, outPath = s"$base/r$k", blockSize = 1,
+            indexMaxChunk = 4096)
+        }
+        val sizes = withR.groupBy("region")
+          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .map(_._2).toIndexedSeq
+        val plans = Normalizer.computePlans(sizes.map(NRegion(_)), NKnobs())
+        val splits = plans.collect { case p: SplitPlan => p }
+        val merges = plans.collect { case p: MergePlan => p }
+        require(splits.size == 1 && merges.size == 1,
+          s"fixture drift: $plans")
+        val splitRow = GAdmin.splitRegionStore(s,
+          s"$base/r${splits.head.region}", s"$base/bot", s"$base/top",
+          prefixLength = 9)
+          .getOrElse(sys.error("degenerate split point"))
+        GAdmin.mergeRegionStores(s,
+          merges.head.regions.map(i => s"$base/r$i"), s"$base/merged")
+        val bottomCells = HFiles.importCells(s, s"$base/bot").count()
+        val topCells = HFiles.importCells(s, s"$base/top").count()
+        val mergedCells = HFiles.importCells(s, s"$base/merged").count()
+        val after = Seq("bot", "top", "merged")
+          .map(d => HFiles.importCells(s, s"$base/$d"))
+          .reduce(_ unionByName _)
+        val mismatches = after.alias("b")
+          .join(puts.alias("o"),
+            Seq("row", "family", "qualifier", "ts", "type"), "full")
+          .filter(not(col("b.value") <=> col("o.value")))
+          .count()
+        import s.implicits._
+        Seq((puts.count(), splits.head.region.toLong, splitRow,
+          merges.head.regions.size.toLong, mergedCells,
+          bottomCells, topCells, mismatches))
+          .toDF("n_cells", "split_region", "split_prefix",
+            "merge_members", "merged_cells", "bottom_cells",
+            "top_cells", "mismatches")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__u_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |    AND CAST(row AS BIGINT) % 9 = 1
+          |), __u_rows AS (
+          |  SELECT row, ROW_NUMBER() OVER (ORDER BY row) AS idx,
+          |         COUNT(*) OVER () AS n
+          |  FROM (SELECT DISTINCT row FROM __u_puts)
+          |), __u_assign AS (
+          |  SELECT row, CASE WHEN idx * 20 > n * 4 THEN 2
+          |                   WHEN idx * 20 > n * 2 THEN 1
+          |                   ELSE 0 END AS region
+          |  FROM __u_rows
+          |), __u_sz AS (
+          |  SELECT a.region AS i,
+          |         CAST(SUM(octet_length(encode(p.value))) AS BIGINT) AS sz
+          |  FROM __u_puts p JOIN __u_assign a USING (row)
+          |  GROUP BY 1
+          |), __u_avg AS (
+          |  SELECT SUM(sz) / 3.0 AS avg_d,
+          |         CAST(FLOOR(SUM(sz) / 3.0) AS BIGINT) AS avg_l
+          |  FROM __u_sz
+          |), __u_g AS (
+          |  -- the giant region's cells in comparator order; one-cell
+          |  -- blocks make the store split point the median cell
+          |  SELECT p.row,
+          |         ROW_NUMBER() OVER (ORDER BY p.row, p.family,
+          |           p.qualifier, p.ts DESC) AS rn,
+          |         COUNT(*) OVER () AS n2
+          |  FROM __u_puts p JOIN __u_assign a USING (row)
+          |  WHERE a.region = 2
+          |), __u_mid AS (
+          |  SELECT substr(row, 1, 9) AS split_prefix
+          |  FROM __u_g WHERE rn = (n2 - 1) // 2 + 1
+          |)""".stripMargin)(
+        """SELECT
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __u_puts) AS n_cells,
+          |  (SELECT CAST(MIN(i) AS BIGINT) FROM __u_sz, __u_avg
+          |   WHERE sz > 2 * avg_d) AS split_region,
+          |  m.split_prefix,
+          |  (SELECT CAST(CASE WHEN s0.sz + s1.sz <= a.avg_l
+          |                    THEN 2 ELSE 0 END AS BIGINT)
+          |   FROM __u_sz s0, __u_sz s1, __u_avg a
+          |   WHERE s0.i = 0 AND s1.i = 1) AS merge_members,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __u_puts p
+          |   JOIN __u_assign a USING (row) WHERE a.region < 2) AS merged_cells,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __u_puts p
+          |   JOIN __u_assign a USING (row)
+          |   WHERE a.region = 2 AND p.row < m.split_prefix) AS bottom_cells,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM __u_puts p
+          |   JOIN __u_assign a USING (row)
+          |   WHERE a.region = 2 AND p.row >= m.split_prefix) AS top_cells,
+          |  CAST(0 AS BIGINT) AS mismatches
+          |FROM __u_mid m""".stripMargin))
     ),
     QDef(
       // BulkDeleteEndpoint COLUMN mode (BulkDeleteEndpoint.java:210):

@@ -301,6 +301,188 @@ class CompactionPolicySpec extends SparkSpec {
     assert(Compactions.fifoCompact(spark, dir, Long.MaxValue, now = Long.MaxValue).isEmpty)
   }
 
+  test("off-peak ratio widens the selected window (testOffPeakCompactionRatio)") {
+    // TestDefaultCompactSelection.testOffPeakCompactionRatio:
+    // ladder [999, 50, 12, 12, 1] with ratio.offpeak = 5.0 —
+    // off-peak retires [50, 12, 12, 1]; peak hours only [12, 12, 1]
+    val v = IndexedSeq[Long](999, 50, 12, 12, 1)
+    val off = Compactions.exploringSelect(v, K, isOffPeak = true).map(v(_))
+    assert(off == Seq(50L, 12L, 12L, 1L))
+    val peak = Compactions.exploringSelect(v, K).map(v(_))
+    assert(peak == Seq(12L, 12L, 1L))
+  }
+
+  test("isOffPeakHour mirrors OffPeakHours (disabled, plain, wrapping)") {
+    val disabled = Knobs() // -1/-1
+    assert((0 to 23).forall(h => !disabled.isOffPeakHour(h)))
+    assert(!Knobs(offPeakStartHour = 5, offPeakEndHour = 5).isOffPeakHour(5))
+    val plain = Knobs(offPeakStartHour = 2, offPeakEndHour = 6)
+    assert(!plain.isOffPeakHour(1) && plain.isOffPeakHour(2) &&
+      plain.isOffPeakHour(5) && !plain.isOffPeakHour(6))
+    val wrap = Knobs(offPeakStartHour = 22, offPeakEndHour = 6)
+    assert(wrap.isOffPeakHour(23) && wrap.isOffPeakHour(0) &&
+      wrap.isOffPeakHour(5) && !wrap.isOffPeakHour(6) &&
+      !wrap.isOffPeakHour(12) && wrap.isOffPeakHour(22))
+    // epoch-millis form: hour-of-day UTC; unknown clock never off-peak
+    assert(wrap.isOffPeak(23L * 3600000L) && !wrap.isOffPeak(12L * 3600000L))
+    assert(!wrap.isOffPeak(-1L))
+  }
+
+  test("timed-major deadline: deterministic jitter within ±jitterPct") {
+    val period = 7L * 24 * 3600000L
+    assert(Compactions.nextMajorCompactTime(period, jitterPct = 0) == period)
+    assert(Compactions.nextMajorCompactTime(0L) == 0L)
+    val js = (0 until 50).map(s =>
+      Compactions.nextMajorCompactTime(period, 0.5, seed = s.toLong))
+    assert(js.forall(t => t >= period / 2 && t <= period * 3 / 2))
+    assert(js.distinct.size > 1) // jitter actually spreads
+    assert(Compactions.nextMajorCompactTime(period, 0.5, seed = 7L) ==
+      Compactions.nextMajorCompactTime(period, 0.5, seed = 7L))
+  }
+
+  test("shouldPerformMajorCompaction fixtures (due, fresh, single-file skip)") {
+    val day = 86400000L
+    val period = 7 * day
+    val now = 100 * day
+    def due(times: Long*) = Compactions.shouldPerformMajorCompaction(
+      times, now, period, jitterPct = 0)
+    assert(due(now - 8 * day, now - 1 * day)) // oldest past the deadline
+    assert(!due(now - 6 * day, now - day)) // all files fresh
+    assert(!due()) // empty store
+    assert(!Compactions.shouldPerformMajorCompaction(
+      Seq(now - 100 * day), now, periodMillis = 0)) // disabled
+    // single file, already a major output, no TTL-expired content: skip
+    assert(!Compactions.shouldPerformMajorCompaction(
+      Seq(now - 8 * day), now, period, 0, 0L,
+      singleFileIsMajorResult = true,
+      singleFileMinTimestamp = Some(now - 10 * day)))
+    // same but the content HAS outlived the TTL: rewrite reclaims it
+    assert(Compactions.shouldPerformMajorCompaction(
+      Seq(now - 8 * day), now, period, 0, 0L,
+      singleFileIsMajorResult = true,
+      singleFileMinTimestamp = Some(now - 10 * day),
+      ttlMillis = 9 * day))
+    // single file that is NOT a prior major output always rewrites
+    assert(Compactions.shouldPerformMajorCompaction(
+      Seq(now - 8 * day), now, period, 0, 0L))
+  }
+
+  test("timed major executes, marks its output, then short-circuits on it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("timedmajor").toString
+    for (i <- 0 until 3) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"tm$i").toString
+      val df = (0 until 10)
+        .map(j => (f"r${j * 3 + i}%05d", "d", "q", 100L, "Put", s"v$i-$j"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+    }
+    val day = 86400000L
+    val wall = System.currentTimeMillis()
+    // not yet due: files were just written
+    assert(Compactions.majorCompactIfDue(spark, dir, now = wall,
+      jitterPct = 0).isEmpty)
+    // 8 days on: due — the whole ladder merges into one MAJOR output
+    val r1 = Compactions.majorCompactIfDue(spark, dir, now = wall + 8 * day,
+      jitterPct = 0)
+    assert(r1.contains("part-00000.hfile"))
+    val one = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+    assert(one.length == 1)
+    // the output carries MAJOR_COMPACTION_KEY=true (StoreFileWriter
+    // .appendMetadata) — read it back through the public codec API
+    val info = {
+      val in = fsOf(dir).open(one.head.getPath)
+      try {
+        val pread: graft.codec.HFileV3.PRead = (off, n) => {
+          val buf = new Array[Byte](n); in.readFully(off, buf); buf
+        }
+        val tr = graft.codec.HFileV3.readTrailer(pread(
+          one.head.getLen - graft.codec.HFileV3.TrailerSize,
+          graft.codec.HFileV3.TrailerSize))
+        graft.codec.HFileV3.readFileInfo(pread, tr)
+      } finally in.close()
+    }
+    assert(info.get("MAJOR_COMPACTION_KEY").exists(v => v(0) != 0))
+    // ANOTHER 8 days on: the sole file is a fresh major output with no
+    // TTL-expired content — the single-file short-circuit skips it
+    assert(Compactions.majorCompactIfDue(spark, dir, now = wall + 16 * day,
+      jitterPct = 0).isEmpty)
+    // but once the content has outlived a TTL the rewrite reclaims it
+    assert(Compactions.majorCompactIfDue(spark, dir, now = wall + 16 * day,
+      jitterPct = 0, ttlMillis = 1L).isDefined)
+    assert(HFiles.importCells(spark, dir).count() == 30)
+  }
+
+  test("a 17-file ladder trips the blocking-file stuck hatch end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stuckstore").toString
+    val names = (0 until 17).map(i => f"part-$i%05d.hfile")
+    names.zipWithIndex.foreach { case (n, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"stk$i").toString
+      val df = Seq((f"r$i%05d", "d", "q", 1L, "Put", s"v$i"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(s"$dir/$n"))
+    }
+    // geometric logical ladder (4^16 .. 4^0, oldest largest): EVERY
+    // window fails the ratio check, so normal exploring selects
+    // nothing — only the blocking-file count (17 >= 16) reaches the
+    // stuck fallback, which rewrites the smallest window seen
+    val logical = names.zipWithIndex
+      .map { case (n, i) => n -> (1L << (2 * (16 - i))) }.toMap
+    val selected = Compactions.minorCompact(spark, dir, K,
+      logicalSizes = Some(logical))
+    assert(selected == names.takeRight(3))
+    val left = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(_.getPath.getName).sorted
+    assert(left.length == 15 && left.contains("part-00014.hfile"))
+    assert(HFiles.importCells(spark, dir).count() == 17)
+  }
+
+  test("FIFO verdict: missing TIMERANGE on a NON-empty file never drops") {
+    // FIFOCompactionPolicy.isEmptyStoreFile: empty == getEntries()==0,
+    // NOT missing-TIMERANGE — a foreign/legacy file without the entry
+    // has unknown age and must survive (dropping it is data loss)
+    def tr(min: Long, max: Long) = Map("TIMERANGE" ->
+      java.nio.ByteBuffer.allocate(16).putLong(min).putLong(max).array())
+    // non-empty, no TIMERANGE: KEEP regardless of ttl/now
+    assert(!Compactions.fifoExpired(Map.empty, entryCount = 5,
+      ttlMillis = 1, now = Long.MaxValue))
+    // empty file: drops even without TIMERANGE and with TTL unset
+    assert(Compactions.fifoExpired(Map.empty, entryCount = 0,
+      ttlMillis = Long.MaxValue, now = 0))
+    // TIMERANGE present: the TTL cutoff decides
+    assert(Compactions.fifoExpired(tr(0, 50), 5, ttlMillis = 100, now = 1000))
+    assert(!Compactions.fifoExpired(tr(0, 50), 5, ttlMillis = 100, now = 120))
+    assert(!Compactions.fifoExpired(tr(0, 50), 5, Long.MaxValue, Long.MaxValue))
+  }
+
+  test("FIFO compaction drops an empty store file, keeps live neighbors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fifoempty").toString
+    val df = (0 until 10)
+      .map(j => (f"r$j%05d", "d", "q", 400L, "Put", s"v$j"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("fifoe0").toString
+    HFiles.export(df, numRegions = 1, outPath = tmp)
+    fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+      new org.apache.hadoop.fs.Path(s"$dir/part-00000.hfile"))
+    // an empty flush: entryCount 0, no TIMERANGE written
+    val out = fsOf(dir).create(
+      new org.apache.hadoop.fs.Path(s"$dir/part-00001.hfile"), true)
+    try { graft.codec.HFileV3.write(out,
+      Iterator.empty[graft.codec.HFileV3.HCell], 65536); () }
+    finally out.close()
+    val dropped = Compactions.fifoCompact(spark, dir, ttlMillis = 250, now = 500)
+    assert(dropped == Seq("part-00001.hfile"))
+    assert(HFiles.importCells(spark, dir).count() == 10)
+  }
+
   test("TIMERANGE FILE_INFO entry roundtrips; PB-magic form also parses") {
     import graft.codec.HFileV3
     val cells = Seq(5L, 42L, 7L).zipWithIndex.map { case (ts, i) =>

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.flow.{Compactions, HFiles, StripeStore}
+import graft.flow.{Compactions, HFiles, PWalFiles, StripeStore}
 import graft.flow.Compactions.DtKnobs
 import graft.flow.StripeStore.SKnobs
+import graft.stream.WalStream
 
 /** Round-12 store-maintenance soak: measure PER-STAGE shuffle bytes of
   * the new compaction operators at 1×/4×/16× so their 100 TB claims
@@ -14,7 +15,12 @@ import graft.flow.StripeStore.SKnobs
   *    shuffle keyed by window, one writer per run) must stay FLAT per
   *    unit of input;
   *  - stripe BOUNDARY distribution (L0 → existing stripes): one
-  *    shuffle keyed by target stripe, flat per unit.
+  *    shuffle keyed by target stripe, flat per unit;
+  *  - the PB-WAL CDC STREAM (binaryFile source → PWal.readBytes →
+  *    PWalCellRow encoder): zero shuffle by construction; the metered
+  *    quantity is per-unit WALL TIME, which must stay flat now that
+  *    the encoder codegen compiles (PWalCellRow public — the r12
+  *    Janino fallback paid per-row reflection instead).
   * (Exploring/FIFO/DT-minor rewrites are single-writer streams with no
   * shuffle at all — nothing to meter.)
   * Run: `sbt -batch "Test/runMain graft.ScaleSoakR12"`; results table
@@ -94,6 +100,21 @@ object ScaleSoakR12 {
       StripeStore.stripeCompact(spark, dir, k, now = 100L)
       val n = HFiles.importCells(spark, dir, "{l0,stripe}-*.hfile").count()
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      (n, -1L)
+    }
+
+    run("pwal CDC stream (segments -> PWal.readBytes, codegen'd encoder)") { sc =>
+      val out = java.nio.file.Files.createTempDirectory(s"soakpw$sc").toString
+      PWalFiles.export(cellsAt(baseRows * sc, 1L), 8, s"$out/wals")
+      meter.reset() // meter ONLY the streaming read-back
+      val stream = PWalFiles.streamEntries(spark, s"$out/wals",
+          maxFilesPerTrigger = 8)
+        .select("row", "family", "qualifier", "ts", "type", "value")
+      val n = WalStream.runAvailableNow(stream, s"soakpw$sc",
+        mode = "append").count()
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
       (n, -1L)
     }
 

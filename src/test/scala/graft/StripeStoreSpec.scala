@@ -249,4 +249,97 @@ class StripeStoreSpec extends SparkSpec {
     assert(l.stripes.head.head.start.isEmpty && l.stripes.head.head.end.isEmpty)
     assert(HFiles.importCells(spark, dir, "{l0,stripe}-*.hfile").count() == 0)
   }
+
+  test("allFilesExpired counts empty files as expired (HBASE-21504 carve-out)") {
+    val k = SKnobs(ttlMillis = 100L)
+    val now = 1000L
+    val expired = SFile(10, 5, maxTs = 1L)
+    val emptyCarrier = SFile(0, 0, maxTs = Long.MinValue)
+    val emptyButFresh = SFile(0, 0, maxTs = now) // empty NEVER blocks
+    val live = SFile(10, 5, maxTs = now)
+    // a stripe of [expired, empty] must trigger reclaim — the old
+    // kvCount != 0 conjunct let one empty metadata carrier (which an
+    // expired merge itself writes) permanently block expiry
+    assert(StripeStore.hasExpiredStripes(
+      IndexedSeq(IndexedSeq(expired, emptyCarrier)), k, now))
+    assert(StripeStore.hasExpiredStripes(
+      IndexedSeq(IndexedSeq(expired, emptyButFresh)), k, now))
+    assert(!StripeStore.hasExpiredStripes(
+      IndexedSeq(IndexedSeq(expired, live)), k, now))
+    assert(!StripeStore.hasExpiredStripes(
+      IndexedSeq(IndexedSeq(live, emptyCarrier)), k, now))
+    // TTL unset: nothing expires, empty or not
+    assert(!StripeStore.hasExpiredStripes(
+      IndexedSeq(IndexedSeq(expired, emptyCarrier)),
+      SKnobs(ttlMillis = Long.MaxValue), now))
+  }
+
+  test("stripeFlush allocates max+1 across holes left by subset L0 compactions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stripeflushgap").toString
+    def cellsOf(flush: Int) = (0 until 5)
+      .map(j => (f"r$j%05d", "d", "q", flush.toLong, "Put", s"v$flush-$j"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value")
+    (1 to 3).foreach(i => StripeStore.stripeFlush(cellsOf(i), dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a subset compaction retired the MIDDLE file: hole in the ladder
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "l0-00001.hfile"), false)
+    val survivorLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, "l0-00002.hfile")).getLen
+    val name = StripeStore.stripeFlush(cellsOf(4), dir)
+    // count-based naming would have produced l0-00002 and silently
+    // OVERWRITTEN the survivor (RawLocalFileSystem rename semantics)
+    assert(name == "l0-00003.hfile")
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
+      "l0-00002.hfile")).getLen == survivorLen)
+    assert(HFiles.importCells(spark, dir, "l0-*.hfile").count() == 15)
+  }
+
+  test("BoundaryReq preserves a fully-consumed empty stripe's range metadata") {
+    import graft.codec.HFileV3
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stripeboundary").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val split = "r00050"
+    def writeStripe(name: String, cells: Iterator[HFileV3.HCell],
+        start: Array[Byte], end: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try { HFileV3.write(out, cells, 65536, extraFileInfo = Seq(
+        StripeStore.StripeStartKey -> start,
+        StripeStore.StripeEndKey -> end)); () }
+      finally out.close()
+    }
+    // stripe 0 [OPEN, r00050): ONE empty metadata carrier (the shape
+    // an expired merge leaves behind); stripe 1 [r00050, OPEN): data
+    writeStripe("stripe-00000.hfile", Iterator.empty,
+      StripeStore.OpenKey, split.getBytes(UTF_8))
+    writeStripe("stripe-00001.hfile",
+      (50 until 100).iterator.map(j => HFileV3.HCell(
+        f"r$j%05d".getBytes(UTF_8), "d".getBytes(UTF_8), "q".getBytes(UTF_8),
+        1L, HFileV3.TypePut, s"s1-$j".getBytes(UTF_8))),
+      split.getBytes(UTF_8), StripeStore.OpenKey)
+    // one L0 flush whose rows ALL land in stripe 1's range
+    StripeStore.stripeFlush((50 until 100)
+      .map(j => (f"r$j%05d", "d", "q", 2L, "Put", s"l0-$j"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value"), dir)
+    val layout = StripeStore.loadLayout(spark, dir)
+    assert(layout.stripes.size == 2 && layout.l0.size == 1)
+    // a boundary compaction consuming ALL of stripe 0 (the empty
+    // carrier) + L0: range 0 receives no cells, so without the
+    // needEmptyFile rule its metadata vanishes and the whole store
+    // demotes to L0 on the next load
+    StripeStore.execute(spark, dir, layout,
+      BoundaryReq(Seq((0, 0), (-1, 0))), SKnobs(), now = 10L,
+      blockSize = 65536)
+    val after = StripeStore.loadLayout(spark, dir)
+    assert(after.l0.isEmpty, "no demotion to L0")
+    assert(after.stripes.size == 2, "boundary chain intact")
+    assert(after.stripes(0).map(_.kvCount).sum == 0L)
+    assert(new String(after.stripes(0).head.end, UTF_8) == split)
+    assert(after.stripes(1).map(_.kvCount).sum == 100L)
+    assert(HFiles.importCells(spark, dir, "{l0,stripe}-*.hfile").count() == 100)
+  }
 }
