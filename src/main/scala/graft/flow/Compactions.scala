@@ -495,6 +495,43 @@ object Compactions {
       blockSize, major = true))
   }
 
+  /** The CompactionChecker chore (HRegionServer.CompactionChecker:
+    * for each store, needsCompaction → request a minor through the
+    * store's policy; else a due timed major → request it), composed
+    * over a flat store as ONE idempotent pass: heal any interrupted
+    * commit, then FIFO stores drop expired files, other stores try
+    * the policy minor (exploring by default, date-tiered when `dt` is
+    * given — both with the stuck hatch and off-peak ratio wired from
+    * `now`), falling back to [[majorCompactIfDue]]. Returns what it
+    * did: `minor(k)`, `major`, `fifo(k)`, or `clean`. At fleet scale
+    * this is the per-store unit a maintenance pass maps over —
+    * exactly the reference's chore shape, selection driver-side and
+    * bounded by one store's ladder. */
+  def compactionChore(spark: SparkSession, dir: String, now: Long,
+      knobs: Knobs = Knobs(), dt: Option[DtKnobs] = None,
+      fifoTtlMillis: Option[Long] = None,
+      majorPeriodMillis: Long = 7L * 24 * 3600000L,
+      jitterPct: Double = 0.5, ttlMillis: Long = Long.MaxValue,
+      blockSize: Int = 65536): String = {
+    healStore(spark, dir)
+    fifoTtlMillis match {
+      case Some(ttl) =>
+        val dropped = fifoCompact(spark, dir, ttl, now)
+        if (dropped.nonEmpty) s"fifo(${dropped.size})" else "clean"
+      case None =>
+        val minor = dt match {
+          case Some(d) =>
+            dateTieredCompact(spark, dir, d, now, blockSize = blockSize)
+          case None =>
+            minorCompact(spark, dir, knobs, blockSize = blockSize, now = now)
+        }
+        if (minor.nonEmpty) s"minor(${minor.size})"
+        else majorCompactIfDue(spark, dir, now, majorPeriodMillis,
+          jitterPct, ttlMillis, blockSize)
+          .map(_ => "major").getOrElse("clean")
+    }
+  }
+
   /** FIFO's per-file verdict (FIFOCompactionPolicy.getExpiredStores +
     * isEmptyStoreFile): a file drops when it is EMPTY (trailer
     * entryCount == 0, the reference's reader.getEntries() == 0 —

@@ -167,6 +167,42 @@ object FlowQueries {
           |  SELECT *, row_number() OVER (PARTITION BY row, family, qualifier, ts, type ORDER BY seq DESC) AS rn
           |  FROM __wal_all
           |) WHERE rn = 1 ORDER BY row, family, qualifier, ts DESC, type""".stripMargin))
+    ),
+    QDef(
+      // Bulk-load REPLICATION (HBASE-13153 — ReplicationSink
+      // .replicateEntries + HFileReplicator, the
+      // hbase.replication.bulkload.enabled path): a bulk load lands
+      // store files directly, leaving NO per-cell WAL entries — only a
+      // BULK_LOAD descriptor naming the files — so a peer applying WAL
+      // cells alone silently loses every bulk-loaded cell. Fixture:
+      // the props-qualifier Puts bulk-load as real HFiles while
+      // everything else travels as WAL cells; the sink applies the WAL
+      // slice AND imports the descriptor-named files — the peer's view
+      // must equal the COMPLETE source table.
+      "q102_bulkload_replication",
+      (s, dir) => {
+        import graft.stream.WalMeta
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val isBulk = col("type") === CellType.Put &&
+          col("qualifier") === "props" && col("value").isNotNull
+        val out = tmpDir("q102_blrep")
+        graft.flow.HFiles.export(cells.filter(isBulk), numRegions = 4,
+          outPath = s"$out/bl")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val files = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$out/bl", "part-*.hfile"))
+          .map(_.getPath.toString).sorted.toSeq
+        val wal = cells.filter(not(isBulk))
+          .unionByName(WalMeta.bulkLoadMarker(s, "0000000000", 9L, files))
+        WalStream.applyBatchWithBulkLoads(wal)
+          .select("row", "family", "qualifier", "ts", "type", "value")
+          .orderBy("row", "family", "qualifier", "ts", "type")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT row, family, qualifier, ts, type, value
+          |FROM cells_events_v
+          |ORDER BY row, family, qualifier, ts, type""".stripMargin))
     )
   )
 }

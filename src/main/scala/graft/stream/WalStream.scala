@@ -62,6 +62,23 @@ object WalMeta {
 
   /** The data slice — every entry that may land as a table cell. */
   def dataOnly(wal: DataFrame): DataFrame = wal.filter(!isMeta(col("family")))
+
+  /** BULK_LOAD descriptor carrying the loaded store files — the
+    * reference serializes a BulkLoadDescriptor protobuf naming every
+    * landed file (WALEdit.createBulkLoadEvent, HRegion's bulk-load
+    * event append); graft carries the same content as
+    * `files=<p1>,<p2>,…`. A bulk load writes its store files DIRECTLY
+    * (no per-cell WAL entries), so this marker is the ONLY trace the
+    * WAL has of the loaded data. */
+  def bulkLoadMarker(spark: SparkSession, row: String, ts: Long,
+      files: Seq[String]): DataFrame =
+    markers(spark, Seq((row, BulkLoad, ts, "files=" + files.mkString(","))))
+
+  /** Parse a BULK_LOAD payload back to its file list. */
+  def bulkLoadFilesOf(payload: String): Seq[String] =
+    Option(payload).filter(_.startsWith("files="))
+      .map(_.stripPrefix("files=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
 }
 
 object WalStream {
@@ -262,6 +279,48 @@ object WalStream {
     WalMeta.dataOnly(batch)
       .groupBy("row", "family", "qualifier", "ts", "type")
       .agg(max_by(col("value"), ord).as("value"))
+  }
+
+  /** Bulk-load replication — the HFileReplicator half of the sink
+    * (HBASE-13153: ReplicationSink.replicateEntries splits out
+    * bulk-load descriptors and HFileReplicator copies + loads the
+    * named store files when hbase.replication.bulkload.enabled). A
+    * bulk load lands store files with NO per-cell WAL entries — only
+    * the BULK_LOAD descriptor names them — so a peer that applies WAL
+    * cells alone silently misses every bulk-loaded cell. This reads
+    * the batch's descriptors (driver-side collect: markers are
+    * metadata, one row per bulk-load EVENT, never data-sized) and
+    * imports the referenced store files as cells — one task per file,
+    * the peer reads ONLY what the descriptor names. */
+  def replicateBulkLoads(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val files = WalMeta.metaOnly(batch)
+      .filter(col("qualifier") === WalMeta.BulkLoad)
+      .select("value").distinct().collect()
+      .flatMap(r => Option(r.getString(0)))
+      .flatMap(WalMeta.bulkLoadFilesOf)
+      .distinct.toSeq.sorted
+    if (files.isEmpty) WalMeta.dataOnly(batch).limit(0)
+    else {
+      val fs = new org.apache.hadoop.fs.Path(files.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.flow.HFiles.importFiles(spark, files.map { f =>
+        (f, fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      })
+    }
+  }
+
+  /** [[applyBatch]] with bulk-load replication enabled — the full
+    * ReplicationSink. Bulk-loaded cells enter the same conflict
+    * resolution as arriving WAL cells; under serial ordering they rank
+    * below any sequenced WAL write at the same coordinates (bulk loads
+    * carry no WAL sequence in the reference either). */
+  def applyBatchWithBulkLoads(batch: DataFrame,
+      seqCol: Option[String] = None): DataFrame = {
+    val bulk = replicateBulkLoads(batch)
+    val bulkSeq = seqCol.fold(bulk)(sc =>
+      bulk.withColumn(sc, lit(Long.MinValue)))
+    applyBatch(WalMeta.dataOnly(batch).unionByName(bulkSeq), seqCol)
   }
 
   /** Exactly-once apply: the ReplicationSink analogue

@@ -367,6 +367,56 @@ class CompactionPolicySpec extends SparkSpec {
       Seq(now - 8 * day), now, period, 0, 0L))
   }
 
+  test("compactionChore walks a store through minor -> major -> clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chore").toString
+    // 5 similar-size files: the exploring window [all 5] qualifies
+    for (i <- 0 until 5) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ch$i").toString
+      val df = (0 until 20)
+        .map(j => (f"r${j * 5 + i}%05d", "d", "q", 100L, "Put", s"v$i-$j"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+    }
+    val day = 86400000L
+    val wall = System.currentTimeMillis()
+    // pass 1: the ladder needs a minor — the chore requests it first
+    assert(Compactions.compactionChore(spark, dir, now = wall) == "minor(5)")
+    // pass 2: one fresh file, nothing due
+    assert(Compactions.compactionChore(spark, dir, now = wall) == "clean")
+    // pass 3, 8 days on: the timed major fires (jitter off for
+    // determinism) — the sole file is a MINOR output, not a major
+    // result, so the single-file short-circuit does NOT apply
+    assert(Compactions.compactionChore(spark, dir, now = wall + 8 * day,
+      jitterPct = 0) == "major")
+    // pass 4: NOW the sole file carries MAJOR_COMPACTION_KEY and has
+    // no TTL-expired content — the short-circuit skips the rewrite
+    assert(Compactions.compactionChore(spark, dir, now = wall + 16 * day,
+      jitterPct = 0) == "clean")
+    // ...unless the content outlived a TTL: then the major reclaims
+    assert(Compactions.compactionChore(spark, dir, now = wall + 16 * day,
+      jitterPct = 0, ttlMillis = 1L) == "major")
+    assert(HFiles.importCells(spark, dir).count() == 100)
+    // FIFO-policy store: the chore drops expired files instead
+    val fdir = java.nio.file.Files.createTempDirectory("chorefifo").toString
+    for (i <- 0 until 2) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cf$i").toString
+      val df = Seq((f"r$i%05d", "d", "q", (i + 1) * 100L, "Put", s"v$i"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(fdir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$fdir/part-$i%05d.hfile"))
+    }
+    // now=400, ttl=250: cutoff 150 — file 0 (maxTs 100) drops, file 1
+    // (maxTs 200) survives
+    assert(Compactions.compactionChore(spark, fdir, now = 400L,
+      fifoTtlMillis = Some(250L)) == "fifo(1)")
+    assert(Compactions.compactionChore(spark, fdir, now = 400L,
+      fifoTtlMillis = Some(250L)) == "clean")
+  }
+
   test("timed major executes, marks its output, then short-circuits on it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("timedmajor").toString

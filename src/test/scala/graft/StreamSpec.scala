@@ -243,6 +243,57 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bulk-load replication imports exactly the descriptor-named files") {
+    import spark.implicits._
+    import graft.stream.WalMeta
+    // two bulk-loaded store files; a third landed file is NOT named by
+    // the descriptor and must not replicate (the reference ships only
+    // what the BulkLoadDescriptor lists)
+    val dir = java.nio.file.Files.createTempDirectory("blrep").toString
+    def mk(name: String, rows: Seq[String], v: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      graft.flow.HFiles.export(
+        rows.map(r => (r, "d", "q", 1L, "Put", v))
+          .toDF("row", "family", "qualifier", "ts", "type", "value"),
+        numRegions = 1, outPath = tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(s"$dir/$name.hfile"))
+      s"$dir/$name.hfile"
+    }
+    val f1 = mk("bl1", Seq("a1", "a2"), "x")
+    val f2 = mk("bl2", Seq("b1"), "y")
+    mk("stray", Seq("c1"), "z")
+    val walCells = Seq(("w1", "d", "q", 2L, "Put", "wv"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value")
+    val wal = walCells.unionByName(
+      WalMeta.bulkLoadMarker(spark, "region0", 3L, Seq(f1, f2)))
+    // payload parse roundtrip
+    assert(WalMeta.bulkLoadFilesOf(s"files=$f1,$f2") == Seq(f1, f2))
+    assert(WalMeta.bulkLoadFilesOf("open").isEmpty)
+    assert(WalMeta.bulkLoadFilesOf(null).isEmpty)
+    // the replicator reads only the named files
+    val rep = WalStream.replicateBulkLoads(wal)
+    assert(rep.select("row").as[String].collect().sorted.toSeq ==
+      Seq("a1", "a2", "b1"))
+    // the full sink: WAL cells + bulk-loaded cells, no markers, no stray
+    val applied = WalStream.applyBatchWithBulkLoads(wal)
+    assert(applied.select("row").as[String].collect().sorted.toSeq ==
+      Seq("a1", "a2", "b1", "w1"))
+    // a batch with no descriptor replicates nothing extra
+    assert(WalStream.replicateBulkLoads(walCells).count() == 0)
+    assert(WalStream.applyBatchWithBulkLoads(walCells).count() == 1)
+    // serial form: a sequenced WAL write at the same coordinates beats
+    // the unsequenced bulk-loaded cell
+    val conflict = Seq(("a1", "d", "q", 1L, "Put", "newer", 7L))
+      .toDF("row", "family", "qualifier", "ts", "type", "value", "seq")
+    val walSeq = wal.withColumn("seq", lit(5L)).unionByName(conflict)
+    val r = WalStream.applyBatchWithBulkLoads(walSeq, seqCol = Some("seq"))
+    assert(r.filter(col("row") === "a1" && col("ts") === 1L)
+      .select("value").as[String].head() == "newer")
+  }
+
   test("WAL meta markers pass scopes, surface to consumers, never land as cells") {
     import spark.implicits._
     import graft.stream.WalMeta
