@@ -36,6 +36,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "ENSURE_REQUIREMENTS") === 0, s"unexpected shuffle:\n$p")
   }
 
+  test("audio decode/features/fingerprint are exchange-free map chains") {
+    for (df <- Seq(
+        Multimodal.audioFeatures(Multimodal.ingestWav(docs)).toDF(),
+        Multimodal.audioFingerprint(Multimodal.ingestWav(docs)))) {
+      val p = plan(df)
+      assert(count(p, "ENSURE_REQUIREMENTS") === 0, s"unexpected shuffle:\n$p")
+    }
+  }
+
+  test("audioNearDup candidates come from the banded equi-join, never all-pairs") {
+    // the persisted result's lineage still carries the join plan; the
+    // pin is on the WHOLE tree string (InMemoryRelation prints its
+    // cached child), so a cartesian anywhere in the lineage would show
+    val out = Multimodal.audioNearDup(Multimodal.ingestWavDup(docs))
+    val p = out.queryExecution.withCachedData.toString +
+      plan(out)
+    assert(count(p, "CartesianProduct") === 0, s"no cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"no flat scan:\n$p")
+    out.unpersist(blocking = false)
+  }
+
   test("gopher/repetition/token analyses are exchange-free") {
     for (df <- Seq(TextAnalysis.gopherRules(docs),
         TextAnalysis.repetitionSignals(docs), TextAnalysis.tokenStats(docs))) {
