@@ -153,7 +153,46 @@ object Compactions {
       maxTierAgeMillis: Long = Long.MaxValue,
       incomingWindowMin: Int = 6,
       maxStoreFileAgeMillis: Long = Long.MaxValue,
-      window: Knobs = Knobs())
+      window: Knobs = Knobs(),
+      // Heterogeneous-storage windows (HBASE-24289 —
+      // CompactionConfiguration's date.tiered.*.window.storage.policy
+      // knobs, defaults :183-188): newer windows land on faster media
+      storagePolicyEnable: Boolean = false,
+      hotWindowAgeMillis: Long = 86400000L,
+      hotWindowPolicy: String = "ALL_SSD",
+      warmWindowAgeMillis: Long = 604800000L,
+      warmWindowPolicy: String = "ONE_SSD",
+      coldWindowPolicy: String = "HOT")
+
+  /** DateTieredCompactionPolicy.getWindowStoragePolicy:397-404: a
+    * window starting within the hot age is hot, within the warm age
+    * warm, else cold. Under Spark the policy string is a storage TIER
+    * the deployment routes by (path prefix, lifecycle rule, bucket
+    * class) — the reference sets it as an HDFS attribute, which has no
+    * local-FS twin; the DECISION function is the compatible surface
+    * and [[dateTieredMajorCompact]] records it per output file. */
+  def windowStoragePolicy(now: Long, windowStartMillis: Long,
+      dt: DtKnobs): String =
+    if (windowStartMillis >= now - dt.hotWindowAgeMillis) dt.hotWindowPolicy
+    else if (windowStartMillis >= now - dt.warmWindowAgeMillis)
+      dt.warmWindowPolicy
+    else dt.coldWindowPolicy
+
+  /** getBoundariesStoragePolicyForMajor:386-394 — one policy per major
+    * output window. Empty when the feature is off. */
+  def boundariesStoragePolicyForMajor(boundaries: Seq[Long], now: Long,
+      dt: DtKnobs): Map[Long, String] =
+    if (!dt.storagePolicyEnable) Map.empty
+    else boundaries.map(b => b -> windowStoragePolicy(now, b, dt)).toMap
+
+  /** getBoundariesStoragePolicyForMinor:370-383 — the selected window's
+    * policy, keyed Long.MinValue when the minor is single-output. */
+  def boundariesStoragePolicyForMinor(singleOutput: Boolean,
+      windowStartMillis: Long, now: Long, dt: DtKnobs): Map[Long, String] =
+    if (!dt.storagePolicyEnable) Map.empty
+    else if (singleOutput)
+      Map(Long.MinValue -> windowStoragePolicy(now, windowStartMillis, dt))
+    else Map(windowStartMillis -> windowStoragePolicy(now, windowStartMillis, dt))
 
   /** One exponential tier window
     * (ExponentialCompactionWindowFactory.Window:43-111): a timestamp t
@@ -346,6 +385,15 @@ object Compactions {
     val bconf = ShippedConf.broadcast(spark)
     val tmpDirB = tmpDir
     val blockB = blockSize
+    // per-window storage policy recorded on each output's FILE_INFO
+    // (the HDFS setStoragePolicy attribute has no local twin; a
+    // deployment maps the string to its tiers) — tiny map, rides the
+    // task closure
+    val polByWix: Map[Int, Array[Byte]] =
+      boundariesStoragePolicyForMajor(boundaries, now, dt)
+        .map { case (b, pol) =>
+          boundaries.indexOf(b) -> pol.getBytes("UTF-8")
+        }
     cells.withColumn("wix", wixCol)
       .repartition(boundaries.size, col("wix"))
       .sortWithinPartitions(col("wix"), col("row"), col("family"),
@@ -370,7 +418,14 @@ object Compactions {
             }
             val path = new Path(f"$tmpDirB%s/w$wix%05d.hfile")
             val out = fs.create(path, true)
-            try { HFileV3.write(out, run, blockB); () } finally out.close()
+            try {
+              // every window output is a MAJOR result (the DT timed
+              // major reads the flag back to skip re-windowed stores)
+              HFileV3.write(out, run, blockB, extraFileInfo =
+                Seq("MAJOR_COMPACTION_KEY" -> Array[Byte](-1)) ++
+                polByWix.get(wix).map("STORAGE_POLICY" -> _))
+              ()
+            } finally out.close()
           }
         }
       }
@@ -495,6 +550,82 @@ object Compactions {
       blockSize, major = true))
   }
 
+  /** One store file as the DT major predicate sees it: creation (fs
+    * modification) time, cell-timestamp range, and whether it is a
+    * prior major output / a bulk load. */
+  final case class DtFile(createTime: Long, minTs: Long, maxTs: Long,
+      isMajorResult: Boolean, isBulkLoad: Boolean = false)
+
+  /** DateTieredCompactionPolicy.shouldPerformMajorCompaction:168-211
+    * as a pure predicate: once the jittered deadline passes
+    * (isMajorCompactionTime — same clock math as the ratio policy's),
+    * a DT store majors when ANY file holds TTL-expired content
+    * (checkForTtl), is not a major output or is a bulk load
+    * (isMajorOrBulkloadResult), straddles a window boundary, or shares
+    * a window with another file; a store already laid out
+    * one-major-file-per-window skips the rewrite. The HDFS
+    * block-locality override has no twin here (block placement is the
+    * cluster manager's job under Spark — same divergence as the ratio
+    * policy's). Window indexing mirrors the Java binarySearch dance
+    * over the ascending major boundaries. */
+  def dateTieredShouldPerformMajorCompaction(files: Seq[DtFile], now: Long,
+      dt: DtKnobs = DtKnobs(), periodMillis: Long = 7L * 24 * 3600000L,
+      jitterPct: Double = 0.5, jitterSeed: Long = 0L,
+      ttlMillis: Long = Long.MaxValue): Boolean = {
+    if (files.isEmpty) return false
+    val mcTime = nextMajorCompactTime(periodMillis, jitterPct, jitterSeed)
+    if (mcTime <= 0) return false
+    val low = files.map(_.createTime).min
+    if (low <= 0L || low >= now - mcTime) return false
+    val boundaries =
+      dateTieredBoundariesForMajor(files.map(_.minTs).min, now, dt).toArray
+    def wix(ts: Long): Int = {
+      val i = java.util.Arrays.binarySearch(boundaries, ts)
+      if (i < 0) math.abs(i + 2) else i
+    }
+    val seen = new Array[Boolean](boundaries.length)
+    files.foreach { f =>
+      if (ttlMillis != Long.MaxValue && now - f.minTs >= ttlMillis)
+        return true
+      if (!f.isMajorResult || f.isBulkLoad) return true
+      val lo = wix(f.minTs)
+      val hi = wix(f.maxTs)
+      if (lo != hi) return true
+      if (seen(hi)) return true
+      seen(hi) = true
+    }
+    false
+  }
+
+  /** Run the DT timed major if [[dateTieredShouldPerformMajorCompaction]]
+    * says so: file metadata comes from fs modification times + the
+    * TIMERANGE / MAJOR_COMPACTION_KEY FILE_INFO entries; the rewrite is
+    * the windowed [[dateTieredMajorCompact]] (NEVER the single-file
+    * ratio major — that would destroy the store's windowing). Returns
+    * the boundaries used, or None when not due. */
+  def dateTieredMajorCompactIfDue(spark: SparkSession, dir: String,
+      dt: DtKnobs = DtKnobs(), now: Long,
+      periodMillis: Long = 7L * 24 * 3600000L, jitterPct: Double = 0.5,
+      ttlMillis: Long = Long.MaxValue,
+      blockSize: Int = 65536): Option[Seq[Long]] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStore(fs, dir)
+    val files = Option(fs.globStatus(new Path(dir, "part-*.hfile")))
+      .getOrElse(Array.empty).toSeq.sortBy(_.getPath.getName)
+    if (files.isEmpty) return None
+    val metas = files.map { st =>
+      val info = readFileInfoOf(fs, st.getPath, st.getLen)
+      val (mn, mx) = HFileV3.parseTimeRange(info)
+        .getOrElse((Long.MaxValue, Long.MinValue))
+      DtFile(st.getModificationTime, mn, mx, isMajorResult(info))
+    }
+    if (!dateTieredShouldPerformMajorCompaction(metas, now, dt,
+        periodMillis, jitterPct,
+        jitterSeed = files.head.getPath.getName.hashCode.toLong,
+        ttlMillis = ttlMillis)) None
+    else Some(dateTieredMajorCompact(spark, dir, dt, now, blockSize))
+  }
+
   /** The CompactionChecker chore (HRegionServer.CompactionChecker:
     * for each store, needsCompaction → request a minor through the
     * store's policy; else a due timed major → request it), composed
@@ -519,17 +650,46 @@ object Compactions {
         val dropped = fifoCompact(spark, dir, ttl, now)
         if (dropped.nonEmpty) s"fifo(${dropped.size})" else "clean"
       case None =>
-        val minor = dt match {
+        dt match {
           case Some(d) =>
-            dateTieredCompact(spark, dir, d, now, blockSize = blockSize)
+            val minor = dateTieredCompact(spark, dir, d, now,
+              blockSize = blockSize)
+            if (minor.nonEmpty) s"minor(${minor.size})"
+            // a DT store's major is the WINDOWED rewrite (a single-file
+            // ratio major would destroy the store's windowing)
+            else dateTieredMajorCompactIfDue(spark, dir, d, now,
+              majorPeriodMillis, jitterPct, ttlMillis, blockSize)
+              .map(_ => "major").getOrElse("clean")
           case None =>
-            minorCompact(spark, dir, knobs, blockSize = blockSize, now = now)
+            val minor = minorCompact(spark, dir, knobs,
+              blockSize = blockSize, now = now)
+            if (minor.nonEmpty) s"minor(${minor.size})"
+            else majorCompactIfDue(spark, dir, now, majorPeriodMillis,
+              jitterPct, ttlMillis, blockSize)
+              .map(_ => "major").getOrElse("clean")
         }
-        if (minor.nonEmpty) s"minor(${minor.size})"
-        else majorCompactIfDue(spark, dir, now, majorPeriodMillis,
-          jitterPct, ttlMillis, blockSize)
-          .map(_ => "major").getOrElse("clean")
     }
+  }
+
+  /** The create-time FIFO requirements
+    * (TableDescriptorChecker.checkCompactionPolicy:262-300, pinned by
+    * TestFIFOCompactionPolicy's three sanity cases): a FIFO store
+    * must have a REAL TTL (FIFO with TTL FOREVER never drops anything
+    * and the store only grows), MIN_VERSIONS = 0 (min-versions keeps
+    * cells past TTL, which FIFO's whole-file drop cannot honor), and a
+    * blocking-file ceiling high enough that the never-compacted ladder
+    * does not write-block (recommended minimum 1000). Call where a
+    * deployment selects the FIFO policy for a store — the reference
+    * rejects the table descriptor at create/alter. */
+  def fifoSanityCheck(ttlMillis: Long, minVersions: Int = 0,
+      blockingFiles: Int = 1000): Unit = {
+    require(ttlMillis > 0 && ttlMillis != Long.MaxValue,
+      "Default TTL is not supported for FIFO compaction")
+    require(minVersions == 0,
+      "MIN_VERSION > 0 is not supported for FIFO compaction")
+    require(blockingFiles >= 1000,
+      s"Blocking file count 'hbase.hstore.blockingStoreFiles' " +
+        s"$blockingFiles is below recommended minimum of 1000 for column family")
   }
 
   /** FIFO's per-file verdict (FIFOCompactionPolicy.getExpiredStores +

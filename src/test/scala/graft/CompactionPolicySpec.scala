@@ -494,6 +494,189 @@ class CompactionPolicySpec extends SparkSpec {
     assert(HFiles.importCells(spark, dir).count() == 17)
   }
 
+  private def fileInfoOf(dir: String, name: String): Map[String, Array[Byte]] = {
+    val st = fsOf(dir).getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
+    val in = fsOf(dir).open(st.getPath)
+    try {
+      val pread: graft.codec.HFileV3.PRead = (off, n) => {
+        val buf = new Array[Byte](n); in.readFully(off, buf); buf
+      }
+      val tr = graft.codec.HFileV3.readTrailer(pread(
+        st.getLen - graft.codec.HFileV3.TrailerSize,
+        graft.codec.HFileV3.TrailerSize))
+      graft.codec.HFileV3.readFileInfo(pread, tr)
+    } finally in.close()
+  }
+
+  test("heterogeneous-storage window policies match the reference fixtures") {
+    import Compactions.{DtKnobs, boundariesStoragePolicyForMajor,
+      boundariesStoragePolicyForMinor, windowStoragePolicy}
+    // TestDateTieredCompactionPolicyHeterogeneousStorage config: base
+    // window 6, 4/tier, max tier age 100, hot age 6, warm age 12
+    val dt = DtKnobs(baseWindowMillis = 6, windowsPerTier = 4,
+      maxTierAgeMillis = 100, incomingWindowMin = 3,
+      window = Knobs(minFiles = 2, maxFiles = 12, ratio = 1.2),
+      storagePolicyEnable = true, hotWindowAgeMillis = 6,
+      warmWindowAgeMillis = 12)
+    // testIncomingWindowHot: window 12 at now 16 -> ALL_SSD
+    assert(windowStoragePolicy(16, 12, dt) == "ALL_SSD")
+    // testNotIncomingWindowWarm: window 6 at now 16 -> ONE_SSD
+    assert(windowStoragePolicy(16, 6, dt) == "ONE_SSD")
+    // testNotIncomingWindowAndIsHot: window 6 at now 12 -> ALL_SSD
+    assert(windowStoragePolicy(12, 6, dt) == "ALL_SSD")
+    // testColdWindow: window 6 at now 22 -> the cold policy ("HOT" is
+    // HDFS's name for the disk tier)
+    assert(windowStoragePolicy(22, 6, dt) == "HOT")
+    // testRatioT0: single-output minor keys its policy at MIN_VALUE
+    assert(boundariesStoragePolicyForMinor(singleOutput = true, 6, 16, dt)
+      == Map(Long.MinValue -> "ONE_SSD"))
+    assert(boundariesStoragePolicyForMinor(singleOutput = false, 12, 16, dt)
+      == Map(12L -> "ALL_SSD"))
+    // testMajorCompation: the full boundary walk at now=161
+    val bounds = Compactions.dateTieredBoundariesForMajor(0L, 161L, dt)
+    assert(bounds == Seq(Long.MinValue, 24L, 48L, 72L, 96L, 120L, 144L,
+      150L, 156L))
+    assert(boundariesStoragePolicyForMajor(bounds, 161L, dt) == Map(
+      Long.MinValue -> "HOT", 24L -> "HOT", 48L -> "HOT", 72L -> "HOT",
+      96L -> "HOT", 120L -> "HOT", 144L -> "HOT", 150L -> "ONE_SSD",
+      156L -> "ALL_SSD"))
+    // feature off: no policies at all
+    assert(boundariesStoragePolicyForMajor(bounds, 161L,
+      dt.copy(storagePolicyEnable = false)).isEmpty)
+  }
+
+  test("major outputs record their window's STORAGE_POLICY in FILE_INFO") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dtsp").toString
+    val dt = Compactions.DtKnobs(baseWindowMillis = 6, windowsPerTier = 4,
+      maxTierAgeMillis = 1000, incomingWindowMin = 3,
+      storagePolicyEnable = true, hotWindowAgeMillis = 6,
+      warmWindowAgeMillis = 12)
+    // one cold-window file (ts 2) and one hot-window file (ts 20-21)
+    Seq((Seq(2L), 0), (Seq(20L, 21L), 1)).foreach { case (tss, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"dtsp$i").toString
+      val df = tss.zipWithIndex
+        .map { case (ts, j) => (f"r$i$j%04d", "d", "q", ts, "Put", s"v$i$j") }
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      HFiles.export(df, numRegions = 1, outPath = tmp)
+      fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+    }
+    val bounds = Compactions.dateTieredMajorCompact(spark, dir, dt, now = 22L)
+    assert(bounds == Seq(Long.MinValue, 6L, 12L, 18L))
+    // window order: part-00000 = the MIN_VALUE (cold) window, the last
+    // output = the [18, 24) hot window
+    val names = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(_.getPath.getName).sorted
+    def pol(n: String): String = new String(
+      fileInfoOf(dir, n)("STORAGE_POLICY"), "UTF-8")
+    assert(pol(names.head) == "HOT")
+    assert(pol(names.last) == "ALL_SSD")
+    assert(HFiles.importCells(spark, dir).count() == 3)
+    // feature off: no STORAGE_POLICY entry lands
+    val dir2 = java.nio.file.Files.createTempDirectory("dtsp2").toString
+    val df = Seq(("r0", "d", "q", 2L, "Put", "v")).toDF(
+      "row", "family", "qualifier", "ts", "type", "value")
+    val tmp2 = java.nio.file.Files.createTempDirectory("dtsp2f").toString
+    HFiles.export(df, numRegions = 1, outPath = tmp2)
+    fsOf(dir2).rename(new org.apache.hadoop.fs.Path(s"$tmp2/part-00000.hfile"),
+      new org.apache.hadoop.fs.Path(s"$dir2/part-00000.hfile"))
+    Compactions.dateTieredMajorCompact(spark, dir2,
+      dt.copy(storagePolicyEnable = false), now = 22L)
+    val n2 = fsOf(dir2)
+      .globStatus(new org.apache.hadoop.fs.Path(dir2, "part-*.hfile"))
+      .head.getPath.getName
+    assert(!fileInfoOf(dir2, n2).contains("STORAGE_POLICY"))
+  }
+
+  test("date-tiered timed major: trigger fixtures and the windowed chore walk") {
+    import Compactions.{DtFile, DtKnobs}
+    val dt = DtKnobs(baseWindowMillis = 6, windowsPerTier = 4,
+      maxTierAgeMillis = 1000, incomingWindowMin = 3)
+    def due(files: DtFile*) = Compactions.dateTieredShouldPerformMajorCompaction(
+      files, now = 1000L, dt, periodMillis = 10, jitterPct = 0)
+    val fIncoming = DtFile(createTime = 100, minTs = 997, maxTs = 999,
+      isMajorResult = true)
+    val fOlder = DtFile(createTime = 100, minTs = 990, maxTs = 995,
+      isMajorResult = true)
+    // one major output per window: nothing to re-window
+    assert(!due(fIncoming, fOlder))
+    // deadline not yet passed: never
+    assert(!Compactions.dateTieredShouldPerformMajorCompaction(
+      Seq(fIncoming.copy(isMajorResult = false, createTime = 995)),
+      now = 1000L, dt, periodMillis = 10, jitterPct = 0))
+    // a non-major (or bulk-loaded) file forces the re-window
+    assert(due(fIncoming.copy(isMajorResult = false), fOlder))
+    assert(due(fIncoming.copy(isBulkLoad = true), fOlder))
+    // a file straddling a window boundary forces it
+    assert(due(fIncoming, fOlder, DtFile(100, 985, 992, isMajorResult = true)))
+    // two files sharing a window force it
+    assert(due(fIncoming, fIncoming.copy(minTs = 998)))
+    // TTL-expired content forces it
+    assert(Compactions.dateTieredShouldPerformMajorCompaction(
+      Seq(fIncoming, fOlder), now = 1000L, dt, periodMillis = 10,
+      jitterPct = 0, ttlMillis = 8))
+
+    // physical walk: two un-marked single-window files, no minor
+    // possible -> the chore runs the WINDOWED major (never the
+    // single-file ratio major), marks every window output, and the
+    // next pass is clean
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dtchore").toString
+    val day = 86400000L
+    val wall = System.currentTimeMillis()
+    val now = wall + 8 * day
+    val t0 = (now / 1000L) * 1000L
+    // maxTierAge 3500 < 4 windows blocks tier promotion whatever the
+    // wall clock's div position — window widths stay deterministic
+    val pdt = DtKnobs(baseWindowMillis = 1000L, windowsPerTier = 4,
+      maxTierAgeMillis = 3500L, incomingWindowMin = 30)
+    Seq((Seq(t0 - 3000, t0 - 2800), 0), (Seq(t0 - 1900, t0 - 1800), 1))
+      .foreach { case (tss, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"dtc$i").toString
+        val df = tss.zipWithIndex
+          .map { case (ts, j) => (f"r$i$j%04d", "d", "q", ts, "Put", s"v$i$j") }
+          .toDF("row", "family", "qualifier", "ts", "type", "value")
+        HFiles.export(df, numRegions = 1, outPath = tmp)
+        fsOf(dir).rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+          new org.apache.hadoop.fs.Path(f"$dir/part-$i%05d.hfile"))
+      }
+    assert(Compactions.compactionChore(spark, dir, now = now, dt = Some(pdt),
+      jitterPct = 0) == "major")
+    val names = fsOf(dir)
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.hfile"))
+      .map(_.getPath.getName).sorted
+    assert(names.length == 2, "one output per populated window")
+    names.foreach(n => assert(
+      fileInfoOf(dir, n).get("MAJOR_COMPACTION_KEY").exists(_(0) != 0)))
+    // re-windowed + marked: the next pass has nothing to do
+    assert(Compactions.compactionChore(spark, dir, now = now, dt = Some(pdt),
+      jitterPct = 0) == "clean")
+    assert(HFiles.importCells(spark, dir).count() == 4)
+  }
+
+  test("FIFO sanity checks reject FOREVER TTL, min-versions, low blocking count") {
+    // TestFIFOCompactionPolicy.testSanityCheck{TTL,MinVersion,
+    // BlockingStoreFiles}: the reference rejects the table descriptor
+    // at create time with these exact complaints
+    val ttlOk = 86400000L
+    Compactions.fifoSanityCheck(ttlOk) // accepts
+    val e1 = intercept[IllegalArgumentException] {
+      Compactions.fifoSanityCheck(Long.MaxValue)
+    }
+    assert(e1.getMessage.contains("Default TTL is not supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      Compactions.fifoSanityCheck(ttlOk, minVersions = 1)
+    }
+    assert(e2.getMessage.contains("MIN_VERSION > 0 is not supported for FIFO compaction"))
+    val e3 = intercept[IllegalArgumentException] {
+      Compactions.fifoSanityCheck(ttlOk, blockingFiles = 10)
+    }
+    assert(e3.getMessage.contains("Blocking file count 'hbase.hstore.blockingStoreFiles'"))
+    assert(e3.getMessage.contains("is below recommended minimum of 1000 for column family"))
+  }
+
   test("FIFO verdict: missing TIMERANGE on a NON-empty file never drops") {
     // FIFOCompactionPolicy.isEmptyStoreFile: empty == getEntries()==0,
     // NOT missing-TIMERANGE — a foreign/legacy file without the entry
