@@ -634,11 +634,70 @@ object GAdmin {
 
   /** Point-in-time snapshot: immutable copy of the current store.
     * Deliberately allowed on DISABLED tables too — the reference
-    * supports offline snapshots (SnapshotType of a disabled table). */
+    * supports offline snapshots (SnapshotType of a disabled table).
+    * `ttlSeconds` is the snapshot TTL (HBASE-22648 — the descriptor's
+    * TTL field; 0 = never expires), recorded in a hidden
+    * `.snapshotinfo` marker Spark's parquet reader ignores. */
   def snapshot(spark: SparkSession, name: String, snapName: String,
-      path: String): Unit =
+      path: String, ttlSeconds: Long = 0L,
+      creationTime: Long = System.currentTimeMillis()): Unit = {
     spark.table(qualified(name)).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$path/$snapName")
+    val p = new org.apache.hadoop.fs.Path(s"$path/$snapName/.snapshotinfo")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"created=$creationTime;ttl=$ttlSeconds".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** SnapshotManager's expiry rule (SnapshotDescriptionUtils
+    * .isExpiredSnapshot): expired iff a REAL creation time and a REAL
+    * bounded TTL exist and creation + ttl seconds has passed. */
+  def isExpiredSnapshot(ttlSeconds: Long, creationTime: Long,
+      now: Long): Boolean =
+    creationTime > 0 && ttlSeconds > 0 && ttlSeconds < Long.MaxValue &&
+      creationTime + ttlSeconds * 1000L < now
+
+  /** Admin.listSnapshots analogue over a snapshot directory: (name,
+    * creationTime, ttlSeconds); snapshots predating the TTL feature
+    * (no marker) report (0, 0) — never expired, like the reference's
+    * defaulted descriptor fields. */
+  def listSnapshots(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).filter(_.isDirectory).map { st =>
+      val info = new org.apache.hadoop.fs.Path(st.getPath, ".snapshotinfo")
+      val (created, ttl) =
+        if (!fs.exists(info)) (0L, 0L)
+        else {
+          val in = fs.open(info)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val kv = txt.split(";").flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> v.toLong)
+            case _ => None
+          }).toMap
+          (kv.getOrElse("created", 0L), kv.getOrElse("ttl", 0L))
+        }
+      (st.getPath.getName, created, ttl)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** The SnapshotCleanerChore (HBASE-22648): drop every expired
+    * snapshot under `path`. Returns the deleted names. */
+  def cleanupSnapshots(spark: SparkSession, path: String,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listSnapshots(spark, path).collect {
+      case (name, created, ttl) if isExpiredSnapshot(ttl, created, now) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, name), true)
+        name
+    }
+  }
 
   /** Clone a snapshot into a new (bucketed) table. */
   def cloneSnapshot(spark: SparkSession, snapPath: String, newName: String,

@@ -55,7 +55,14 @@ object Compactions {
       blockingFiles: Int = 16,
       offPeakRatio: Double = 5.0,
       offPeakStartHour: Int = -1,
-      offPeakEndHour: Int = -1) {
+      offPeakEndHour: Int = -1,
+      // hbase.hstore.compaction.max.size.offpeak — a LARGER window-size
+      // cap for the off-peak pass (-1 inherits maxCompactSize, the
+      // reference's default wiring)
+      offPeakMaxCompactSize: Long = -1L) {
+    def maxCompactSizeFor(isOffPeak: Boolean): Long =
+      if (isOffPeak && offPeakMaxCompactSize >= 0) offPeakMaxCompactSize
+      else maxCompactSize
     /** OffPeakHoursImpl.isOffPeakHour: half-open window, wrapping when
       * start > end; disabled on -1/-1, out-of-range, or equal hours. */
     def isOffPeakHour(hour: Int): Boolean = {
@@ -87,8 +94,10 @@ object Compactions {
     val prefix = sizes.scanLeft(0L)(_ + _)
     def winSize(s: Int, e: Int): Long = prefix(e + 1) - prefix(s)
     // getCurrentRatio: the off-peak window loosens the size-similarity
-    // bar so the nightly pass can retire wider windows in one IO
+    // bar so the nightly pass can retire wider windows in one IO;
+    // getMaxCompactSize(mayUseOffpeak) likewise raises the window cap
     val ratio = if (isOffPeak) knobs.offPeakRatio else knobs.ratio
+    val maxCompact = knobs.maxCompactSizeFor(isOffPeak)
     // filesInRatio:178 — every member ≤ (sum of the others) × ratio;
     // the LARGEST member is the binding constraint but the loop stays
     // literal for auditability (n is tiny)
@@ -113,7 +122,7 @@ object Compactions {
           if (mightBeStuck && size < smSize) {
             smStart = start; smEnd = end; smSize = size
           }
-          if (size <= knobs.maxCompactSize &&
+          if (size <= maxCompact &&
               !(size >= knobs.minCompactSize && !inRatio(start, end))) {
             // isBetterSelection:142 — stuck mode keeps the selection
             // retiring the most files per byte (1.05 hysteresis);
@@ -549,6 +558,33 @@ object Compactions {
     else Some(mergeFiles(spark, dir, files.map(_.getPath.getName),
       blockSize, major = true))
   }
+
+  /** DefaultStoreFileManager.getCompactionPressure:247-254: 0.0 at or
+    * under minFiles, 1.0 at the blocking count, linear between (> 1.0
+    * means the store is already write-blocked). THE fleet signal a
+    * 100 TB maintenance scheduler prioritizes stores by — compact the
+    * highest-pressure stores first, skip the near-zero ones. */
+  def compactionPressure(storefileCount: Int, knobs: Knobs = Knobs()): Double =
+    if (storefileCount <= knobs.minFiles) 0.0
+    else (storefileCount - knobs.minFiles).toDouble /
+      (knobs.blockingFiles - knobs.minFiles)
+
+  /** PressureAwareCompactionThroughputController.tune:96-112 — the IO
+    * budget a compaction writer gets (bytes/sec): UNLIMITED once some
+    * store passed the blocking count (pressure > 1 — unblocking beats
+    * smoothing), the off-peak cap during off-peak hours (default
+    * unlimited), else linear between the lower (50 MB/s) and upper
+    * (100 MB/s) bounds by pressure. Under Spark this bounds a
+    * maintenance job's write rate / task parallelism — the DECISION
+    * function is the compatible surface. */
+  def compactionThroughputLimit(pressure: Double,
+      isOffPeak: Boolean = false,
+      lowerBound: Long = 50L * 1024 * 1024,
+      upperBound: Long = 100L * 1024 * 1024,
+      offPeakLimit: Long = Long.MaxValue): Double =
+    if (pressure > 1.0) Double.MaxValue
+    else if (isOffPeak) offPeakLimit.toDouble
+    else lowerBound + (upperBound - lowerBound) * pressure
 
   /** One store file as the DT major predicate sees it: creation (fs
     * modification) time, cell-timestamp range, and whether it is a

@@ -161,6 +161,28 @@ object StripeStore {
     files.forall(f => f.maxTs < cutoff || f.kvCount == 0)
   }
 
+  /** StripeStoreFileManager.getCompactionPressure:1056-1087: 2.0 past
+    * the store-wide blocking count (a loud "this store is blocked"
+    * hint); else the max per-stripe file count normalized against the
+    * blocking count split across stripes — an L0 presence counts as
+    * one extra file per stripe (L0 data moves into stripes quickly) —
+    * clamped to 1.0 (an unevenly split stripe may exceed its share
+    * without the store actually blocking). */
+  def compactionPressure(l0Count: Int, stripeCounts: Seq[Int],
+      blockingFiles: Int = 16, minFiles: Int = 4): Double = {
+    if (l0Count + stripeCounts.sum > blockingFiles) return 2.0
+    if (stripeCounts.isEmpty) return 0.0
+    val perStripe = blockingFiles / stripeCounts.size
+    val delta = if (l0Count == 0) 0 else 1
+    var max = 0.0
+    stripeCounts.foreach { c =>
+      val norm = (c + delta - minFiles).toDouble / (perStripe - minFiles)
+      if (norm >= 1.0) return 1.0
+      if (norm > max) max = norm
+    }
+    max
+  }
+
   private def shouldSelectL0Files(l0: IndexedSeq[SFile], k: SKnobs): Boolean =
     l0.size > k.maxFiles || l0.map(_.size).sum > k.maxCompactSize
 

@@ -45,6 +45,38 @@ class AdminSpec extends SparkSpec {
     assert(!GAdmin.listTables(spark).contains("t1"))
   }
 
+  test("snapshot TTLs: the cleaner chore drops exactly the expired ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("adminsnap").toString
+    val snaps = s"$tmp/snaps"
+    GAdmin.createTable(spark, "ts1", tmp, families = Seq("d"), buckets = 2)
+    GAdmin.put(spark, "ts1", Fixtures.cellsOrders(spark, sf0001).limit(50))
+    val t0 = 1000000L
+    GAdmin.snapshot(spark, "ts1", "keepForever", snaps,
+      ttlSeconds = 0, creationTime = t0)
+    GAdmin.snapshot(spark, "ts1", "shortLived", snaps,
+      ttlSeconds = 10, creationTime = t0)
+    GAdmin.snapshot(spark, "ts1", "longLived", snaps,
+      ttlSeconds = 1000, creationTime = t0)
+    assert(GAdmin.listSnapshots(spark, snaps).map(_._1) ==
+      Seq("keepForever", "longLived", "shortLived"))
+    // the pure expiry rule (SnapshotDescriptionUtils.isExpiredSnapshot)
+    assert(!GAdmin.isExpiredSnapshot(0, t0, Long.MaxValue / 2)) // FOREVER
+    assert(!GAdmin.isExpiredSnapshot(10, 0, t0)) // no creation time
+    assert(GAdmin.isExpiredSnapshot(10, t0, t0 + 10001))
+    assert(!GAdmin.isExpiredSnapshot(10, t0, t0 + 10000)) // not yet PAST
+    assert(!GAdmin.isExpiredSnapshot(Long.MaxValue, t0, Long.MaxValue))
+    // the chore at t0+60s drops exactly the short-lived snapshot
+    assert(GAdmin.cleanupSnapshots(spark, snaps, now = t0 + 60000) ==
+      Seq("shortLived"))
+    assert(GAdmin.listSnapshots(spark, snaps).map(_._1) ==
+      Seq("keepForever", "longLived"))
+    // survivors stay fully usable: clone after the chore
+    GAdmin.cloneSnapshot(spark, s"$snaps/longLived", "ts2", tmp, buckets = 2)
+    assert(GAdmin.table(spark, "ts2").count() === 50)
+    GAdmin.deleteTable(spark, "ts1")
+    GAdmin.deleteTable(spark, "ts2")
+  }
+
   test("truncate, family alteration, split points, existence") {
     val tmp = java.nio.file.Files.createTempDirectory("admin2").toString
     GAdmin.createTable(spark, "t3", tmp, families = Seq("d"), buckets = 2)

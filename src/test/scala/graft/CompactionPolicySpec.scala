@@ -508,6 +508,54 @@ class CompactionPolicySpec extends SparkSpec {
     } finally in.close()
   }
 
+  test("compaction pressure and the pressure-aware throughput budget") {
+    val k = Knobs(minFiles = 3, blockingFiles = 16)
+    // DefaultStoreFileManager.getCompactionPressure: 0 at/under min,
+    // 1.0 at blocking, linear between, >1 past it
+    assert(Compactions.compactionPressure(2, k) == 0.0)
+    assert(Compactions.compactionPressure(3, k) == 0.0)
+    assert(Compactions.compactionPressure(16, k) == 1.0)
+    assert(math.abs(Compactions.compactionPressure(9, k)
+      - 6.0 / 13) < 1e-12)
+    assert(Compactions.compactionPressure(20, k) > 1.0)
+    // tune(): unlimited past blocking, off-peak cap, else linear
+    // between 50 and 100 MB/s
+    val mb = 1024L * 1024
+    assert(Compactions.compactionThroughputLimit(1.1) == Double.MaxValue)
+    assert(Compactions.compactionThroughputLimit(0.0) == 50.0 * mb)
+    assert(Compactions.compactionThroughputLimit(1.0) == 100.0 * mb)
+    assert(Compactions.compactionThroughputLimit(0.5) == 75.0 * mb)
+    assert(Compactions.compactionThroughputLimit(0.5, isOffPeak = true)
+      == Long.MaxValue.toDouble)
+    assert(Compactions.compactionThroughputLimit(0.5, isOffPeak = true,
+      offPeakLimit = 200 * mb) == 200.0 * mb)
+    // stripe form: 2.0 past the store-wide blocking count; per-stripe
+    // normalization with the L0 presence delta; clamp at 1.0
+    import graft.flow.StripeStore
+    assert(StripeStore.compactionPressure(5, Seq(6, 6, 6)) == 2.0)
+    assert(StripeStore.compactionPressure(0, Nil) == 0.0)
+    // blocking 16 over 2 stripes = 8 per stripe; min 4: (6-4)/(8-4)
+    assert(StripeStore.compactionPressure(0, Seq(6, 5)) == 0.5)
+    // an L0 file adds one to every stripe's count
+    assert(StripeStore.compactionPressure(1, Seq(6, 5)) == 0.75)
+    // an over-share stripe clamps to 1.0 (store not actually blocked)
+    assert(StripeStore.compactionPressure(0, Seq(9, 1)) == 1.0)
+  }
+
+  test("off-peak max-compact-size admits the window the peak cap rejects") {
+    // same ladder, window sum 110: the peak cap (100) rejects it, the
+    // off-peak cap (200) admits it — getMaxCompactSize(mayUseOffpeak)
+    val k2 = Knobs(minFiles = 3, maxFiles = 5, ratio = 1.0,
+      maxCompactSize = 100, offPeakMaxCompactSize = 200)
+    val v = IndexedSeq[Long](40, 40, 30)
+    assert(Compactions.exploringSelect(v, k2).isEmpty)
+    assert(Compactions.exploringSelect(v, k2, isOffPeak = true)
+      .map(v(_)) == Seq(40L, 40L, 30L))
+    // -1 (default) inherits the peak cap: off-peak changes nothing
+    val k3 = k2.copy(offPeakMaxCompactSize = -1L)
+    assert(Compactions.exploringSelect(v, k3, isOffPeak = true).isEmpty)
+  }
+
   test("heterogeneous-storage window policies match the reference fixtures") {
     import Compactions.{DtKnobs, boundariesStoragePolicyForMajor,
       boundariesStoragePolicyForMinor, windowStoragePolicy}
