@@ -260,4 +260,52 @@ object SnapshotShip {
       try out.write(bytes) finally out.close()
     }
   }
+
+  /** The archive cleaner chain over a snapshot root — CleanerChore
+    * with HFileCleaner's two stock plugins composed: an archived store
+    * file deletes only when EVERY plugin agrees —
+    * TimeToLiveHFileCleaner (older than hbase.master.hfilecleaner.ttl,
+    * default 5 min, by fs modification time) AND SnapshotHFileCleaner
+    * (no snapshot manifest references it, directly or through an
+    * HFileLink — a split daughter's link protects its PARENT file).
+    * The reference caches the referenced set (SnapshotFileCache);
+    * graft re-derives it per pass — one metadata-sized proto pair per
+    * snapshot, a driver-side read. Returns the deleted file names. */
+  def cleanupArchive(spark: SparkSession, destRoot: String,
+      ttlMillis: Long = 300000L,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val fs = new Path(destRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: Path): Array[Byte] = {
+      val st = fs.getFileStatus(p)
+      val b = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, b) finally in.close()
+      b
+    }
+    val snapRoot = new Path(s"$destRoot/.hbase-snapshot")
+    val referenced: Set[String] =
+      if (!fs.exists(snapRoot)) Set.empty
+      else fs.listStatus(snapRoot).filter(_.isDirectory).flatMap { d =>
+        val (_, regions) = SM.decodeDataManifest(
+          readAll(new Path(d.getPath, "data.manifest")))
+        regions.flatMap(_.families.flatMap(_.files.map { sf =>
+          // protect the UNDERLYING file: a link name guards its parent
+          SM.parseLinkName(sf.name).map(_._4).getOrElse(sf.name)
+        }))
+      }.toSet
+    val archive = new Path(s"$destRoot/archive")
+    if (!fs.exists(archive)) return Nil
+    val it = fs.listFiles(archive, true)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && now - st.getModificationTime > ttlMillis &&
+          !referenced.contains(st.getPath.getName)) {
+        fs.delete(st.getPath, false)
+        deleted += st.getPath.getName
+      }
+    }
+    deleted.toSeq.sorted
+  }
 }

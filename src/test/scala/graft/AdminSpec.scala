@@ -77,6 +77,45 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "ts2")
   }
 
+  test("archive cleaner: TTL and snapshot references (incl. split links) guard files") {
+    import graft.flow.SnapshotShip
+    val root = java.nio.file.Files.createTempDirectory("archclean").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotShip.exportSnapshot(
+      Fixtures.cellsOrders(spark, sf0001).limit(200), 2, root, "snapA", "t85")
+    def archived(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/archive"), true)
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) { val st = it.next(); if (st.isFile) b += st.getPath.getName }
+      b.toSet
+    }
+    val before = archived()
+    assert(before.nonEmpty)
+    // a stray file no manifest references
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$root/archive/data/default/t85/stray.hfile")
+    val out = fs.create(stray, true)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+    val future = System.currentTimeMillis() + 10L * 60000
+    // TimeToLiveHFileCleaner: young files never delete, referenced or not
+    assert(SnapshotShip.cleanupArchive(spark, root,
+      ttlMillis = Long.MaxValue / 2).isEmpty)
+    // past TTL: only the unreferenced stray goes
+    assert(SnapshotShip.cleanupArchive(spark, root, ttlMillis = 1,
+      now = future) == Seq("stray.hfile"))
+    assert(archived() == before)
+    // a split snapshot references the parents through HFileLink names:
+    // with snapA's manifests GONE, the daughter links alone protect
+    SnapshotShip.splitSnapshot(spark, root, "snapA", "snapB")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.hbase-snapshot/snapA"), true)
+    assert(SnapshotShip.cleanupArchive(spark, root, 1, future).isEmpty)
+    // no snapshots left: everything past the TTL is collectible
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.hbase-snapshot/snapB"), true)
+    assert(SnapshotShip.cleanupArchive(spark, root, 1, future).toSet == before)
+    assert(archived().isEmpty)
+  }
+
   test("truncate, family alteration, split points, existence") {
     val tmp = java.nio.file.Files.createTempDirectory("admin2").toString
     GAdmin.createTable(spark, "t3", tmp, families = Seq("d"), buckets = 2)
