@@ -226,4 +226,32 @@ object PWalFiles {
     spark.createDataFrame(rdd,
       StructType(entrySchema.fields :+ StructField("vis", StringType, nullable = false)))
   }
+
+  /** The WAL log-cleaner chain over a segment directory — LogCleaner
+    * with its two stock plugins composed: a rolled segment deletes
+    * only when EVERY plugin agrees — TimeToLiveLogCleaner (older than
+    * hbase.master.logcleaner.ttl, default 10 min, by fs modification
+    * time) AND ReplicationLogCleaner (replication has SHIPPED past it:
+    * `shippedThrough` is the last fully-processed segment name — the
+    * streaming checkpoint's high-water mark, playing the reference's
+    * ZK replication-queue offsets; rolled names sort in roll order, so
+    * names after it are still queued and protected. None = no
+    * replication consumer, the reference's no-peers case — TTL alone
+    * decides). Returns the deleted segment names. */
+  def cleanupWals(spark: SparkSession, dir: String,
+      ttlMillis: Long = 600000L,
+      now: Long = System.currentTimeMillis(),
+      shippedThrough: Option[String] = None): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "wal-*.pwal")))
+      .getOrElse(Array.empty).toSeq
+      .filter { st =>
+        now - st.getModificationTime > ttlMillis &&
+          shippedThrough.forall(st.getPath.getName <= _)
+      }
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+      .sorted
+  }
 }

@@ -243,6 +243,27 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WAL log cleaner: TTL and the replication high-water mark guard segments") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("walclean").toString
+    graft.flow.PWalFiles.export(
+      (0 until 30).map(j => (f"r$j%05d", "d", "q", 1L, "Put", s"v$j"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value"),
+      3, s"$dir/wals")
+    val future = System.currentTimeMillis() + 20L * 60000
+    // TimeToLiveLogCleaner: young segments never delete
+    assert(graft.flow.PWalFiles.cleanupWals(spark, s"$dir/wals",
+      ttlMillis = Long.MaxValue / 2).isEmpty)
+    // ReplicationLogCleaner: shipped through wal-00001 — the queued
+    // tail segment stays even past the TTL
+    assert(graft.flow.PWalFiles.cleanupWals(spark, s"$dir/wals", 1, future,
+      shippedThrough = Some("wal-00001.pwal")) ==
+      Seq("wal-00000.pwal", "wal-00001.pwal"))
+    // no replication consumer: TTL alone reaps the rest
+    assert(graft.flow.PWalFiles.cleanupWals(spark, s"$dir/wals", 1, future)
+      == Seq("wal-00002.pwal"))
+  }
+
   test("bulk-load replication imports exactly the descriptor-named files") {
     import spark.implicits._
     import graft.stream.WalMeta
