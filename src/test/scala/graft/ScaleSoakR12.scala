@@ -103,6 +103,16 @@ object ScaleSoakR12 {
       (n, -1L)
     }
 
+    run("audio banded near-dup (fingerprint -> (band,slice) self-join)") { sc =>
+      import graft.ext.Multimodal
+      val docs = spark.range(500L * sc).select(col("id").as("doc_id"))
+      meter.reset()
+      val out = Multimodal.audioNearDup(Multimodal.ingestWavDup(docs))
+      val n = out.count()
+      out.unpersist(blocking = false)
+      (n, -1L)
+    }
+
     run("pwal CDC stream (segments -> PWal.readBytes, codegen'd encoder)") { sc =>
       val out = java.nio.file.Files.createTempDirectory(s"soakpw$sc").toString
       PWalFiles.export(cellsAt(baseRows * sc, 1L), 8, s"$out/wals")
