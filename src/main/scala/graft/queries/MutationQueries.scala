@@ -78,6 +78,24 @@ object MutationQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     QDef(
+      // M3 per-op TimeRange (Append.setTimeRange — the
+      // TestAppendTimeRange contract, symmetric with q46's Increment
+      // window): only appends inside [Jan 8, Jan 15) participate in
+      // the per-key ordered concat.
+      "q103_append_timerange",
+      (s, dir) =>
+        Mutations.appendFold(Fixtures.events(s, dir),
+            keys = Seq(col("user_id")), value = col("event_type"),
+            orderBy = Seq(col("ts"), col("event_id")), sep = ",",
+            timeRange = Some((1704672000000000000L, 1705276800000000000L)))
+          .select(col("user_id"), col("value").as("seq"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+             |FROM events
+             |WHERE epoch_ns(ts) >= 1704672000000000000 AND epoch_ns(ts) < 1705276800000000000
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    QDef(
       "q33_check_and_mutate",
       (s, dir) => {
         val cells = Fixtures.cellsOrders(s, dir)

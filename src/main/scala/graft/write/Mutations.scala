@@ -43,12 +43,19 @@ object Mutations {
     * byte-concat onto the current value. Batch equivalent: fold all
     * appends per key in commit order. `orderBy` columns define the
     * commit order (the reference uses mvcc/ts order).
+    * `timeRange` is the per-op [min,max) window (Append.setTimeRange —
+    * the TestAppendTimeRange contract, same shape as Increment's):
+    * only cells whose `tsCol` falls inside it participate in the fold.
     * Implemented as collect_list → array_sort → join: a single
     * partial/final aggregate, no window shuffle. */
   def appendFold(appends: DataFrame, keys: Seq[Column], value: Column,
-      orderBy: Seq[Column], sep: String = ""): DataFrame = {
+      orderBy: Seq[Column], sep: String = "",
+      timeRange: Option[(Long, Long)] = None,
+      tsCol: Column = col("ts")): DataFrame = {
     val packed = struct(orderBy :+ value.as("__v"): _*)
-    appends
+    timeRange.fold(appends) { case (lo, hi) =>
+        appends.filter(tsCol >= lo && tsCol < hi)
+      }
       .groupBy(keys: _*)
       .agg(array_sort(collect_list(packed)).as("__arr"))
       .withColumn("value", array_join(expr("transform(__arr, x -> x.__v)"), sep))
