@@ -652,10 +652,14 @@ object GAdmin {
 
   /** SnapshotManager's expiry rule (SnapshotDescriptionUtils
     * .isExpiredSnapshot): expired iff a REAL creation time and a REAL
-    * bounded TTL exist and creation + ttl seconds has passed. */
+    * bounded TTL exist and creation + ttl seconds has passed. The
+    * bound is MaxValue/1000 exactly as in the reference — a larger TTL
+    * would overflow the millis product and wrap negative, turning a
+    * never-expires snapshot into an always-expired one. */
   def isExpiredSnapshot(ttlSeconds: Long, creationTime: Long,
       now: Long): Boolean =
-    creationTime > 0 && ttlSeconds > 0 && ttlSeconds < Long.MaxValue &&
+    creationTime > 0 && ttlSeconds > 0 &&
+      ttlSeconds < Long.MaxValue / 1000L &&
       creationTime + ttlSeconds * 1000L < now
 
   /** Admin.listSnapshots analogue over a snapshot directory: (name,
@@ -676,8 +680,11 @@ object GAdmin {
           val txt =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
+          // a corrupt/truncated marker degrades to (0, 0) — never
+          // expires, same as the no-marker path; one bad marker must
+          // not abort the listing and stall every cleanup pass
           val kv = txt.split(";").flatMap(_.split("=", 2) match {
-            case Array(k, v) => Some(k -> v.toLong)
+            case Array(k, v) => v.toLongOption.map(k -> _)
             case _ => None
           }).toMap
           (kv.getOrElse("created", 0L), kv.getOrElse("ttl", 0L))

@@ -59,7 +59,13 @@ object Compactions {
       // hbase.hstore.compaction.max.size.offpeak — a LARGER window-size
       // cap for the off-peak pass (-1 inherits maxCompactSize, the
       // reference's default wiring)
-      offPeakMaxCompactSize: Long = -1L) {
+      offPeakMaxCompactSize: Long = -1L,
+      // time zone the off-peak hour window is expressed in. The
+      // reference's CurrentHourProvider reads the JVM default zone;
+      // graft defaults to UTC deliberately (a fleet of executors must
+      // agree on the hour regardless of host zone) — set this to the
+      // operator's local zone id to reproduce the reference's behavior
+      offPeakZoneId: String = "UTC") {
     def maxCompactSizeFor(isOffPeak: Boolean): Long =
       if (isOffPeak && offPeakMaxCompactSize >= 0) offPeakMaxCompactSize
       else maxCompactSize
@@ -73,10 +79,13 @@ object Compactions {
         offPeakStartHour <= hour && hour < offPeakEndHour
       else offPeakStartHour <= hour || hour < offPeakEndHour
     }
-    /** Off-peak at epoch-millis `now` (UTC hour-of-day, like the
-      * reference's wall clock); `now < 0` = unknown, never off-peak. */
+    /** Off-peak at epoch-millis `now`, hour-of-day taken in
+      * [[offPeakZoneId]] (CurrentHourProvider uses the JVM default
+      * zone; graft pins UTC unless configured — see the knob's note);
+      * `now < 0` = unknown, never off-peak. */
     def isOffPeak(now: Long): Boolean =
-      now >= 0 && isOffPeakHour(((now / 3600000L) % 24).toInt)
+      now >= 0 && isOffPeakHour(java.time.Instant.ofEpochMilli(now)
+        .atZone(java.time.ZoneId.of(offPeakZoneId)).getHour)
   }
 
   /** ExploringCompactionPolicy.applyCompactionPolicy:55-121, pure.

@@ -234,8 +234,10 @@ object PWalFiles {
     * time) AND ReplicationLogCleaner (replication has SHIPPED past it:
     * `shippedThrough` is the last fully-processed segment name — the
     * streaming checkpoint's high-water mark, playing the reference's
-    * ZK replication-queue offsets; rolled names sort in roll order, so
-    * names after it are still queued and protected. None = no
+    * ZK replication-queue offsets; segments compare by their PARSED
+    * numeric index, not raw name — lexicographic compare inverts once
+    * the roll counter outgrows its zero-pad (wal-100000 < wal-99999 as
+    * strings), which would delete still-queued segments. None = no
     * replication consumer, the reference's no-peers case — TTL alone
     * decides). Returns the deleted segment names. */
   def cleanupWals(spark: SparkSession, dir: String,
@@ -244,14 +246,51 @@ object PWalFiles {
       shippedThrough: Option[String] = None): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shippedIdx = shippedThrough.map(segmentIndex)
     Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(dir, "wal-*.pwal")))
       .getOrElse(Array.empty).toSeq
       .filter { st =>
         now - st.getModificationTime > ttlMillis &&
-          shippedThrough.forall(st.getPath.getName <= _)
+          shippedIdx.forall(segmentIndex(st.getPath.getName) <= _)
       }
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
       .sorted
+  }
+
+  /** Roll index of a `wal-<n>.pwal` segment name (AbstractFSWAL's
+    * filenum compare parses the numeric suffix the same way); a name
+    * with no digit run sorts first (never protected by itself). */
+  def segmentIndex(name: String): Long = {
+    val digits = name.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+    if (digits.isEmpty) -1L else digits.toLong
+  }
+
+  /** ReplicationHFileCleaner's protected set (HBASE-13153's
+    * hfile-refs ZK nodes): store files named by BULK_LOAD descriptors
+    * in segments replication has NOT shipped yet. Feed the result to
+    * [[graft.flow.SnapshotShip.cleanupArchive]]'s `extraRefs` so a
+    * compaction-retired (archived) bulk-loaded file survives until its
+    * descriptor applies on every peer. Driver-side scan of the
+    * unshipped segments' marker cells — markers are event-count-sized,
+    * never data-sized. */
+  def pendingBulkLoadRefs(spark: SparkSession, dir: String,
+      shippedThrough: Option[String] = None): Set[String] = {
+    import graft.stream.WalMeta
+    val shippedIdx = shippedThrough.map(segmentIndex).getOrElse(-1L)
+    val pendingGlobs = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(new Path(dir, "wal-*.pwal"))).getOrElse(Array.empty)
+        .map(_.getPath.getName).filter(segmentIndex(_) > shippedIdx)
+    }
+    if (pendingGlobs.isEmpty) Set.empty
+    else pendingGlobs.flatMap { seg =>
+      importEntries(spark, dir, glob = seg)
+        .filter(org.apache.spark.sql.functions.col("family") === WalMeta.MetaFamily &&
+          org.apache.spark.sql.functions.col("qualifier") === WalMeta.BulkLoad)
+        .select("value").collect()
+        .flatMap(r => WalMeta.bulkLoadFilesOf(r.getString(0)))
+        .map(f => new Path(f).getName)
+    }.toSet
   }
 }

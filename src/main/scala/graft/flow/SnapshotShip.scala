@@ -270,10 +270,14 @@ object SnapshotShip {
     * HFileLink — a split daughter's link protects its PARENT file).
     * The reference caches the referenced set (SnapshotFileCache);
     * graft re-derives it per pass — one metadata-sized proto pair per
-    * snapshot, a driver-side read. Returns the deleted file names. */
+    * snapshot, a driver-side read. `extraRefs` is a third plugin slot:
+    * ReplicationHFileCleaner's pending bulk-load set
+    * ([[graft.flow.PWalFiles.pendingBulkLoadRefs]]) — file NAMES that
+    * must survive regardless of age. Returns the deleted file names. */
   def cleanupArchive(spark: SparkSession, destRoot: String,
       ttlMillis: Long = 300000L,
-      now: Long = System.currentTimeMillis()): Seq[String] = {
+      now: Long = System.currentTimeMillis(),
+      extraRefs: Set[String] = Set.empty): Seq[String] = {
     val fs = new Path(destRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readAll(p: Path): Array[Byte] = {
@@ -301,7 +305,8 @@ object SnapshotShip {
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && now - st.getModificationTime > ttlMillis &&
-          !referenced.contains(st.getPath.getName)) {
+          !referenced.contains(st.getPath.getName) &&
+          !extraRefs.contains(st.getPath.getName)) {
         fs.delete(st.getPath, false)
         deleted += st.getPath.getName
       }

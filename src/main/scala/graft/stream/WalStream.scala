@@ -79,6 +79,35 @@ object WalMeta {
     Option(payload).filter(_.startsWith("files="))
       .map(_.stripPrefix("files=").split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+
+  /** Stage the bulk-loaded store files for replication at marker-append
+    * time — the HFileReplicator staging half (HFileReplicator.java
+    * copies named files into a peer-side staging dir before loading).
+    * The source's live store files keep compacting/retiring after the
+    * load; a descriptor that names LIVE paths races those rewrites
+    * (the reference guards the race with ReplicationHFileCleaner +
+    * hfile-refs ZK nodes). Copying into `stagingDir` when the marker is
+    * written pins the exact bytes the descriptor promised; return the
+    * staged paths and write THOSE into [[bulkLoadMarker]]. Driver-side
+    * per-file copy — bulk-load events are rare and file-count-sized,
+    * never data-row-sized. */
+  def stageBulkLoadFiles(spark: SparkSession, files: Seq[String],
+      stagingDir: String): Seq[String] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stagingDir)
+    val dfs = dst.getFileSystem(hc)
+    fsMkdirs(dfs, dst)
+    files.map { f =>
+      val src = new org.apache.hadoop.fs.Path(f)
+      val out = new org.apache.hadoop.fs.Path(dst, src.getName)
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(hc), src, dfs, out, false, true, hc)
+      out.toString
+    }
+  }
+
+  private def fsMkdirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = { fs.mkdirs(p); () }
 }
 
 object WalStream {
@@ -291,8 +320,17 @@ object WalStream {
     * the batch's descriptors (driver-side collect: markers are
     * metadata, one row per bulk-load EVENT, never data-sized) and
     * imports the referenced store files as cells — one task per file,
-    * the peer reads ONLY what the descriptor names. */
-  def replicateBulkLoads(batch: DataFrame): DataFrame = {
+    * the peer reads ONLY what the descriptor names.
+    *
+    * Degrades per-file like the reference's copy loop: a named file
+    * that has vanished (retired by a source-side compaction before the
+    * batch applied — the race ReplicationHFileCleaner exists to
+    * prevent; see [[WalMeta.stageBulkLoadFiles]] for the staging fix
+    * and [[graft.flow.PWalFiles.pendingBulkLoadRefs]] for the cleaner
+    * guard) is reported through `onMissing` and skipped instead of
+    * failing the whole replication batch permanently. */
+  def replicateBulkLoads(batch: DataFrame,
+      onMissing: Seq[String] => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     val files = WalMeta.metaOnly(batch)
       .filter(col("qualifier") === WalMeta.BulkLoad)
@@ -304,9 +342,14 @@ object WalStream {
     else {
       val fs = new org.apache.hadoop.fs.Path(files.head)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.flow.HFiles.importFiles(spark, files.map { f =>
-        (f, fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-      })
+      val (present, missing) = files.map { f =>
+        f -> scala.util.Try(
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      }.partition(_._2.isSuccess)
+      if (missing.nonEmpty) onMissing(missing.map(_._1))
+      if (present.isEmpty) WalMeta.dataOnly(batch).limit(0)
+      else graft.flow.HFiles.importFiles(spark,
+        present.map { case (f, len) => (f, len.get) })
     }
   }
 

@@ -65,9 +65,27 @@ class AdminSpec extends SparkSpec {
     assert(GAdmin.isExpiredSnapshot(10, t0, t0 + 10001))
     assert(!GAdmin.isExpiredSnapshot(10, t0, t0 + 10000)) // not yet PAST
     assert(!GAdmin.isExpiredSnapshot(Long.MaxValue, t0, Long.MaxValue))
+    // the reference's MaxValue/1000 guard: a TTL large enough to
+    // overflow the millis product means "effectively never" — the
+    // wrapped-negative sum must not read as expired
+    assert(!GAdmin.isExpiredSnapshot(Long.MaxValue / 1000 + 1, t0,
+      Long.MaxValue / 2))
+    // a corrupt .snapshotinfo degrades to never-expires (like a
+    // missing marker) instead of aborting the listing and every
+    // cleanup pass after it
+    GAdmin.snapshot(spark, "ts1", "corruptMarker", snaps,
+      ttlSeconds = 10, creationTime = t0)
+    val badInfo = new org.apache.hadoop.fs.Path(
+      s"$snaps/corruptMarker/.snapshotinfo")
+    val bfs = badInfo.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bo = bfs.create(badInfo, true)
+    try bo.write("created=12garbage;ttl=".getBytes("UTF-8")) finally bo.close()
+    assert(GAdmin.listSnapshots(spark, snaps)
+      .find(_._1 == "corruptMarker").get == ("corruptMarker", 0L, 0L))
     // the chore at t0+60s drops exactly the short-lived snapshot
     assert(GAdmin.cleanupSnapshots(spark, snaps, now = t0 + 60000) ==
       Seq("shortLived"))
+    bfs.delete(new org.apache.hadoop.fs.Path(s"$snaps/corruptMarker"), true)
     assert(GAdmin.listSnapshots(spark, snaps).map(_._1) ==
       Seq("keepForever", "longLived"))
     // survivors stay fully usable: clone after the chore

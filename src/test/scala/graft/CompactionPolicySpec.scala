@@ -326,6 +326,14 @@ class CompactionPolicySpec extends SparkSpec {
     // epoch-millis form: hour-of-day UTC; unknown clock never off-peak
     assert(wrap.isOffPeak(23L * 3600000L) && !wrap.isOffPeak(12L * 3600000L))
     assert(!wrap.isOffPeak(-1L))
+    // offPeakZoneId: the window is evaluated in the configured zone
+    // (the reference's CurrentHourProvider uses the JVM default zone;
+    // graft pins UTC by default and makes the zone a knob). 23:00 UTC
+    // is 01:00 at +02:00 — inside a [0,6) window there, outside in UTC
+    val night = Knobs(offPeakStartHour = 0, offPeakEndHour = 6)
+    val at23utc = 23L * 3600000L
+    assert(!night.isOffPeak(at23utc))
+    assert(night.copy(offPeakZoneId = "+02:00").isOffPeak(at23utc))
   }
 
   test("timed-major deadline: deterministic jitter within ±jitterPct") {

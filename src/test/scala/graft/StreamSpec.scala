@@ -537,4 +537,96 @@ class StreamSpec extends SparkSpec {
     assert(graft.flow.HFiles.importCells(spark, s"$out/bk",
       glob = "epoch=*/part-*.hfile").count() === 3)
   }
+
+  test("WAL log cleaner compares parsed segment indices, not raw names") {
+    val dir = java.nio.file.Files.createTempDirectory("walnum").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // past the 5-digit pad, wal-100000 sorts BEFORE wal-99999 as a
+    // string; the shipped guard must still protect the later segment
+    Seq("wal-99999.pwal", "wal-100000.pwal", "wal-100001.pwal").foreach { n =>
+      val o = fs.create(new org.apache.hadoop.fs.Path(dir, n), true)
+      try o.write(1) finally o.close()
+    }
+    assert(graft.flow.PWalFiles.segmentIndex("wal-100000.pwal") == 100000L)
+    assert(graft.flow.PWalFiles.segmentIndex("nodigits") == -1L)
+    val future = System.currentTimeMillis() + 20L * 60000
+    assert(graft.flow.PWalFiles.cleanupWals(spark, dir, 1, future,
+      shippedThrough = Some("wal-99999.pwal")) == Seq("wal-99999.pwal"))
+    assert(graft.flow.PWalFiles.cleanupWals(spark, dir, 1, future,
+      shippedThrough = Some("wal-100000.pwal")) == Seq("wal-100000.pwal"))
+  }
+
+  test("bulk-load replication: staging pins bytes, missing files degrade per-file") {
+    import spark.implicits._
+    import graft.stream.WalMeta
+    val dir = java.nio.file.Files.createTempDirectory("blstage").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String, rows: Seq[String], v: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      graft.flow.HFiles.export(
+        rows.map(r => (r, "d", "q", 1L, "Put", v))
+          .toDF("row", "family", "qualifier", "ts", "type", "value"),
+        numRegions = 1, outPath = tmp)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+        new org.apache.hadoop.fs.Path(s"$dir/$name.hfile"))
+      s"$dir/$name.hfile"
+    }
+    val f1 = mk("s1", Seq("a1", "a2"), "x")
+    val f2 = mk("s2", Seq("b1"), "y")
+    // staging at marker-append time copies the named files; the marker
+    // names the STAGED paths, so later source-side rewrites cannot race
+    val staged = WalMeta.stageBulkLoadFiles(spark, Seq(f1, f2), s"$dir/staging")
+    assert(staged.map(new org.apache.hadoop.fs.Path(_).getName).sorted ==
+      Seq("s1.hfile", "s2.hfile"))
+    val wal = WalMeta.bulkLoadMarker(spark, "region0", 3L, staged)
+    // source compaction retires the ORIGINAL files — replication still
+    // reads the pinned staged bytes
+    fs.delete(new org.apache.hadoop.fs.Path(f1), false)
+    fs.delete(new org.apache.hadoop.fs.Path(f2), false)
+    assert(WalStream.replicateBulkLoads(wal)
+      .select("row").as[String].collect().sorted.toSeq == Seq("a1", "a2", "b1"))
+    // unstaged marker naming a vanished file: the batch degrades
+    // per-file (surviving files apply, the missing one is reported)
+    // instead of failing permanently
+    val f3 = mk("s3", Seq("c1"), "z")
+    val wal2 = WalMeta.bulkLoadMarker(spark, "region0", 4L, Seq(f3, s"$dir/gone.hfile"))
+    var missed = Seq.empty[String]
+    val rep = WalStream.replicateBulkLoads(wal2, onMissing = missed = _)
+    assert(rep.select("row").as[String].collect().toSeq == Seq("c1"))
+    assert(missed == Seq(s"$dir/gone.hfile"))
+    // all named files gone: empty result, not an exception
+    val wal3 = WalMeta.bulkLoadMarker(spark, "region0", 5L, Seq(s"$dir/gone2.hfile"))
+    assert(WalStream.replicateBulkLoads(wal3).count() == 0)
+  }
+
+  test("pending bulk-load refs protect archived files until shipped") {
+    import spark.implicits._
+    import graft.stream.WalMeta
+    val dir = java.nio.file.Files.createTempDirectory("blrefs").toString
+    // a WAL with one BULK_LOAD marker naming part-00000.hfile, exported
+    // as pwal segments; nothing shipped yet → the file name is pending
+    val wal = Seq(("w1", "d", "q", 2L, "Put", "wv"))
+      .toDF("row", "family", "qualifier", "ts", "type", "value")
+      .unionByName(WalMeta.bulkLoadMarker(spark, "region0", 3L,
+        Seq(s"$dir/store/part-00000.hfile")))
+    graft.flow.PWalFiles.export(wal, 1, s"$dir/wals")
+    val refs = graft.flow.PWalFiles.pendingBulkLoadRefs(spark, s"$dir/wals")
+    assert(refs == Set("part-00000.hfile"))
+    // shipped past the only segment → nothing pending
+    assert(graft.flow.PWalFiles.pendingBulkLoadRefs(spark, s"$dir/wals",
+      shippedThrough = Some("wal-00000.pwal")).isEmpty)
+    // the archive cleaner honors the pending set as a third plugin
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val arch = new org.apache.hadoop.fs.Path(
+      s"$dir/archive/data/default/t/part-00000.hfile")
+    val o = fs.create(arch, true); try o.write(1) finally o.close()
+    val future = System.currentTimeMillis() + 10L * 60000
+    assert(graft.flow.SnapshotShip.cleanupArchive(spark, dir, 1, future,
+      extraRefs = refs).isEmpty)
+    assert(graft.flow.SnapshotShip.cleanupArchive(spark, dir, 1, future) ==
+      Seq("part-00000.hfile"))
+  }
 }
