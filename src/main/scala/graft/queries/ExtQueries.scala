@@ -1064,6 +1064,101 @@ object ExtQueries {
              |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)
     ),
     QDef(
+      // REAL video frame decode (Multimodal.decodeVideoFrames — MJPEG
+      // in a hand-built RIFF/AVI container, every frame an independent
+      // imageio JPEG): per-frame aHash + luma + scene-cut detection
+      // (hash delta vs the previous frame). The fixture law groups
+      // frames into scenes of 4 identical DC-constant-block frames at
+      // quality 1.0, so the LOSSY per-frame codec is exactly lossless
+      // and the oracle recomputes every frame feature analytically —
+      // the e81 contract extended along the time axis. Inter-frame
+      // codings (H.26x/VP9/AV1) remain the documented decodeStub
+      // boundary: no such decoder ships with a pure JDK.
+      "e85_video_frame_hash",
+      (s, dir) =>
+        Multimodal.videoFrameFeatures(Multimodal.ingestAvi(
+            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            nFrames = 8, w = 64, h = 64))
+          .toDF()
+          .orderBy("doc_id", "frame_idx"),
+      // 64×64 frames: each 8×8 DCT block IS one aHash cell (cell
+      // c = by·8+bx, 64 px each), so the oracle works on the BLOCK law
+      // directly — s = 64·1000·v, equal cell sizes reduce the
+      // cross-multiplied threshold to s·64 > total
+      Some("""WITH blk AS (
+             |  SELECT doc_id, f, bx, by,
+             |         (doc_id * 3 + (f // 4) * 17 + bx * 7 + by * 11
+             |          + doc_id * (by * 8 + bx) * 13) % 256 AS v
+             |  FROM documents, range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
+             |cell AS (
+             |  SELECT doc_id, f, by * 8 + bx AS c,
+             |         CAST(64000 * v AS BIGINT) AS s
+             |  FROM blk),
+             |tot AS (SELECT doc_id, f, CAST(SUM(s) AS BIGINT) AS t
+             |        FROM cell GROUP BY 1, 2),
+             |hsh AS (
+             |  SELECT cell.doc_id, cell.f,
+             |         string_agg(CASE WHEN s * 64 > t THEN '1' ELSE '0' END,
+             |                    '' ORDER BY c) AS ahash
+             |  FROM cell JOIN tot USING (doc_id, f) GROUP BY cell.doc_id, cell.f),
+             |sc AS (
+             |  SELECT doc_id, f, ahash,
+             |         LAG(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM hsh)
+             |SELECT s.doc_id, CAST(s.f AS INT) AS frame_idx,
+             |       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+             |       t.t AS luma_total, s.ahash,
+             |       (s.prev IS NOT NULL AND s.ahash <> s.prev) AS scene_cut
+             |FROM sc s JOIN tot t ON t.doc_id = s.doc_id AND t.f = s.f
+             |ORDER BY s.doc_id, frame_idx""".stripMargin)
+    ),
+    QDef(
+      // banded perceptual VIDEO near-dup (the e60/e84 shape for video
+      // — Multimodal.videoNearDup over the temporal-mean-frame aHash):
+      // doc pair (2k, 2k+1) shares one MJPEG-in-AVI payload (the
+      // re-upload shape), fingerprints collide at hamming 0; the
+      // (band, slice) self-join prunes candidates losslessly by
+      // pigeonhole, exact hamming verifies, and the oracle mirrors the
+      // whole chain analytically from the frame law with no decoder.
+      "e86_video_near_dup",
+      (s, dir) =>
+        Multimodal.videoNearDup(Multimodal.ingestAviDup(
+            graft.model.Tables.load(s, s"$dir/documents.parquet")),
+            maxHamming = 3, bands = 4)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH blk AS (
+             |  SELECT doc_id, f, bx, by,
+             |         ((doc_id - doc_id % 2) * 3 + (f // 4) * 17
+             |          + bx * 7 + by * 11
+             |          + (doc_id - doc_id % 2) * (by * 8 + bx) * 13) % 256 AS v
+             |  FROM documents, range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
+             |cell AS (
+             |  SELECT doc_id, by * 8 + bx AS c,
+             |         CAST(SUM(64000 * v) AS BIGINT) AS s
+             |  FROM blk GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t
+             |        FROM cell GROUP BY 1),
+             |hsh AS (
+             |  SELECT cell.doc_id,
+             |         string_agg(CASE WHEN s * 64 > t THEN '1' ELSE '0' END,
+             |                    '' ORDER BY c) AS vfp
+             |  FROM cell JOIN tot USING (doc_id) GROUP BY cell.doc_id),
+             |bands AS (
+             |  SELECT doc_id, vfp, bd, substr(vfp, bd * 16 + 1, 16) AS slice
+             |  FROM hsh, range(4) tb(bd)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |         a.vfp AS ha, b.vfp AS hb
+             |  FROM bands a JOIN bands b
+             |    ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, hamming FROM (
+             |  SELECT a_id, b_id,
+             |         CAST(len(list_filter(range(1, 65),
+             |           i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS BIGINT) AS hamming
+             |  FROM cand)
+             |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)
+    ),
+    QDef(
       // leakage-safe split: train/val/test assignment by NEAR-DUP
       // GROUP, so near-copies never straddle the split boundary
       // (Dedup.leakageSafeSplit scaladoc). Oracle = e14's recursive-CTE
