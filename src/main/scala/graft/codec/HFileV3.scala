@@ -31,11 +31,15 @@ import java.util.zip.{CRC32, CRC32C}
   *    zero padding + int (major | minor<<24)
   *    (`FixedFileTrailer.java:202-215,727-729`).
   *
-  * Scope: block compression NONE / GZ / SNAPPY / LZ4 / ZSTD on both
-  * sides (Compression.Algorithm ordinals 2/1/3/4/6; GZ = the Hadoop
-  * GzipCodec stream, the others = Hadoop BlockCompressorStream framing
+  * Scope: block compression NONE / GZ / SNAPPY / LZ4 / BZIP2 / ZSTD
+  * on both sides (Compression.Algorithm ordinals 2/1/3/4/5/6; GZ and
+  * BZIP2 = the Hadoop GzipCodec / BZip2Codec STREAM forms — one
+  * gzip/bzip2 stream per block body, Hadoop treats both as stream
+  * codecs — the others = Hadoop BlockCompressorStream framing
   * over raw snappy / lz4-block / zstd-frame chunks, exactly what the
-  * hbase-compression codecs put on disk), compound
+  * hbase-compression codecs put on disk; LZO/XZ/BROTLI sit outside
+  * Spark's classpath — a classpath boundary, not a format one),
+  * compound
   * ROW blooms ([[HBloom]]), and CRC32C checksums on the write side; the
   * reader additionally accepts CRC32 and NULL checksum files,
   * multi-level-index files (it walks the scanned section
@@ -118,6 +122,7 @@ object HFileV3 {
   val CompressionNone = 2
   val CompressionSnappy = 3
   val CompressionLz4 = 4
+  val CompressionBzip2 = 5
   val CompressionZstd = 6
   private val ChecksumNull: Byte = 0
   private val ChecksumCrc32: Byte = 1
@@ -340,6 +345,17 @@ object HFileV3 {
       val g = new java.util.zip.GZIPOutputStream(bos)
       g.write(payload); g.finish(); g.close()
       bos.toByteArray
+    case CompressionBzip2 =>
+      // Hadoop's BZip2Codec is a STREAM codec like GzipCodec: the
+      // block body is one bzip2 stream, no chunk framing
+      // (commons-compress ships on Spark's classpath)
+      val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      // close() finishes; an explicit finish()+close() double-finishes
+      // and NPEs in commons-compress
+      z.write(payload); z.close()
+      bos.toByteArray
     case CompressionSnappy | CompressionLz4 | CompressionZstd =>
       // empty payload: BlockCompressorStream.finish() with no input
       // writes nothing (the empty meta-index block stays 0 bytes)
@@ -387,6 +403,19 @@ object HFileV3 {
         read += n
       }
       require(in.read() < 0, "gzip block longer than declared")
+      outBuf
+    case CompressionBzip2 =>
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(body, off, len))
+      val outBuf = new Array[Byte](uncompressedSize)
+      var read = 0
+      while (read < uncompressedSize) {
+        val n = in.read(outBuf, read, uncompressedSize - read)
+        require(n > 0, "truncated bzip2 block")
+        read += n
+      }
+      require(in.read() < 0, "bzip2 block longer than declared")
       outBuf
     case CompressionSnappy | CompressionLz4 | CompressionZstd =>
       val outBuf = new Array[Byte](uncompressedSize)
