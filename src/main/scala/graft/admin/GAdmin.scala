@@ -908,4 +908,89 @@ object GAdmin {
     HFiles.export(cells, numRegions = 1, outPath = outDir,
       blockSize = blockSize)
   }
+
+  // ---- ClusterMetrics / hbtop (ClusterMetrics.java, RegionMetrics
+  // .java, hbase-hbtop's Region/Table modes): the watch surface a
+  // fleet operator reads. One row per (table, region, store), built
+  // from store-file METADATA only — trailer + FILE_INFO preads, never
+  // a data block — so a metrics sweep over a 100 TB fleet costs two
+  // small reads per store file. The root layout convention is the
+  // archive cleaner's: stores under data/<table>/<region>/<family>,
+  // mob files under mobdir/<table>/<family>, archived twins under
+  // archive/data/<table>/<region>/<family> (namespace folds into the
+  // table name here — graft's catalog encoding).
+
+  /** RegionMetrics twin per store: live file count/bytes/cells, the
+    * cells' TIMERANGE span, [[graft.flow.Compactions
+    * .compactionPressure]] (the scheduler's priority signal), and the
+    * store's mob + archive footprints. */
+  final case class StoreMetricsRow(table: String, region: String,
+      store: String, file_count: Long, n_cells: Long, store_bytes: Long,
+      ts_min: Long, ts_max: Long, pressure: Double, mob_files: Long,
+      archive_files: Long)
+
+  /** Scan `root`'s store tree into [[StoreMetricsRow]]s. The store
+    * LIST is driver-side metadata (one glob); the per-file trailer
+    * preads distribute — one task per store, the fleet's parallel
+    * unit, exactly how hbtop's RecordFilter views shard per region
+    * server. */
+  def clusterMetrics(spark: SparkSession, root: String,
+      knobs: graft.flow.Compactions.Knobs = graft.flow.Compactions.Knobs())
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def count(glob: String): Long =
+      Option(fs.globStatus(new Path(glob))).map(_.length.toLong).getOrElse(0L)
+    val stores = Option(fs.globStatus(new Path(s"$root/data/*/*/*")))
+      .getOrElse(Array.empty).filter(_.isDirectory).map { st =>
+        val store = st.getPath.getName
+        val region = st.getPath.getParent.getName
+        val table = st.getPath.getParent.getParent.getName
+        (table, region, store, st.getPath.toString,
+          count(s"$root/mobdir/$table/$store/*.hfile"),
+          count(s"$root/archive/data/$table/$region/$store/*.hfile"))
+      }.toSeq.sortBy(t => (t._1, t._2, t._3))
+    val bconf = graft.flow.ShippedConf.broadcast(spark)
+    val mf = knobs.minFiles
+    val bf = knobs.blockingFiles
+    spark.sparkContext
+      .parallelize(stores, math.max(stores.size, 1))
+      .map { case (table, region, store, dir, mob, arch) =>
+        val p = new Path(dir)
+        val tfs = p.getFileSystem(bconf.value.conf)
+        val files = Option(tfs.globStatus(new Path(dir, "*.hfile")))
+          .getOrElse(Array.empty).filter(_.isFile)
+        var cells = 0L
+        var bytes = 0L
+        var tsMin = Long.MaxValue
+        var tsMax = Long.MinValue
+        files.foreach { f =>
+          val in = tfs.open(f.getPath)
+          try {
+            val tail = new Array[Byte](graft.codec.HFileV3.TrailerSize)
+            in.readFully(f.getLen - tail.length, tail)
+            val trailer = graft.codec.HFileV3.readTrailer(tail)
+            val pread: graft.codec.HFileV3.PRead = (off, n) => {
+              val buf = new Array[Byte](n); in.readFully(off, buf); buf
+            }
+            val info = graft.codec.HFileV3.readFileInfo(pread, trailer)
+            cells += trailer.entryCount
+            bytes += f.getLen
+            graft.codec.HFileV3.parseTimeRange(info).foreach { case (mn, mx) =>
+              if (mn < tsMin) tsMin = mn
+              if (mx > tsMax) tsMax = mx
+            }
+          } finally in.close()
+        }
+        val n = files.length
+        val pressure =
+          if (n <= mf) 0.0 else (n - mf).toDouble / (bf - mf)
+        StoreMetricsRow(table, region, store, n.toLong, cells, bytes,
+          if (tsMin == Long.MaxValue) 0L else tsMin,
+          if (tsMax == Long.MinValue) 0L else tsMax,
+          pressure, mob, arch)
+      }
+      .toDS().toDF()
+  }
 }

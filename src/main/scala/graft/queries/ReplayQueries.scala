@@ -1631,6 +1631,98 @@ object ReplayQueries {
         """SELECT 'enc:' || row AS row, family, qualifier, ts, type, value
           |FROM cells_events_v WHERE ts >= 2 AND ts < 4 AND type = 'Put'
           |ORDER BY row, qualifier, ts""".stripMargin))
+    ),
+    QDef(
+      // ClusterMetrics / hbtop twin (ClusterMetrics.java,
+      // RegionMetrics.java, hbase-hbtop Region/Table modes): a small
+      // cluster layout — two tables, three stores with distinct file
+      // ladders (one per ts version), an archived twin and a mob file
+      // — swept by GAdmin.clusterMetrics from trailer/FILE_INFO
+      // METADATA preads only, then ranked hbtop-style by cell count.
+      // The oracle re-derives every metric from the fixture's split
+      // rules: file counts, per-store cell counts, TIMERANGE spans,
+      // the linear compaction-pressure signal, mob/archive footprints.
+      // (store_bytes is physical on-disk size — the function reports
+      // it, the declared query drops it: codec-dependent, not a
+      // fixture-derivable quantity.)
+      "q104_cluster_metrics",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        import graft.flow.HFiles
+        import org.apache.spark.sql.expressions.Window
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val root = graft.Queries.scratchDir("q104_cm")
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        val uid = col("row").cast("long")
+        val layout = Seq(
+          ("ta", "r0", uid % 2 === 0, 1 to 5),
+          ("ta", "r1", uid % 2 === 1, 1 to 2),
+          ("tb", "r0", uid % 3 === 0, 3 to 5))
+        layout.foreach { case (t, r, pred, tss) =>
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/$t/$r/d"))
+          tss.foreach { tsv =>
+            val tmp = graft.Queries.scratchDir(s"q104_${t}_${r}_$tsv")
+            HFiles.export(puts.filter(pred && col("ts") === tsv)
+                .select("row", "family", "qualifier", "ts", "type", "value"),
+              numRegions = 1, outPath = tmp)
+            fs.rename(
+              new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+              new org.apache.hadoop.fs.Path(
+                f"$root/data/$t/$r/d/part-$tsv%05d.hfile"))
+          }
+        }
+        // an archived twin (compacted-away file) for ta/r0 and one mob
+        // file for tb — the footprint columns
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/archive/data/ta/r0/d"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$root/data/ta/r0/d/part-00001.hfile"),
+          fs, new org.apache.hadoop.fs.Path(s"$root/archive/data/ta/r0/d/old-00001.hfile"),
+          false, true, hconf)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/mobdir/tb/d"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$root/data/tb/r0/d/part-00003.hfile"),
+          fs, new org.apache.hadoop.fs.Path(s"$root/mobdir/tb/d/mob-00001.hfile"),
+          false, true, hconf)
+        GAdmin.clusterMetrics(s, root)
+          .withColumn("rank", row_number().over(Window.orderBy(
+            col("n_cells").desc, col("table"), col("region"), col("store")))
+            .cast("long"))
+          .select("rank", "table", "region", "store", "file_count",
+            "n_cells", "ts_min", "ts_max", "pressure", "mob_files",
+            "archive_files")
+          .orderBy("rank")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__cm_puts AS (
+          |  SELECT * FROM cells_events_v
+          |  WHERE type = 'Put' AND value IS NOT NULL
+          |), __cm_stores(tbl, region, store, m, k, lo, hi, mob, arch) AS (
+          |  VALUES ('ta', 'r0', 'd', 2, 0, 1, 5, 0, 1),
+          |         ('ta', 'r1', 'd', 2, 1, 1, 2, 0, 0),
+          |         ('tb', 'r0', 'd', 3, 0, 3, 5, 1, 0)
+          |), __cm_rows AS (
+          |  SELECT s.tbl, s.region, s.store, s.mob, s.arch,
+          |         s.hi - s.lo + 1 AS file_count,
+          |         CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |         CAST(MIN(p.ts) AS BIGINT) AS ts_min,
+          |         CAST(MAX(p.ts) AS BIGINT) AS ts_max
+          |  FROM __cm_stores s JOIN __cm_puts p
+          |    ON CAST(p.row AS BIGINT) % s.m = s.k
+          |   AND p.ts BETWEEN s.lo AND s.hi
+          |  GROUP BY 1, 2, 3, 4, 5, 6
+          |)""".stripMargin)(
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_cells DESC, tbl,
+          |         region, store) AS BIGINT) AS rank,
+          |       tbl AS "table", region, store,
+          |       CAST(file_count AS BIGINT) AS file_count, n_cells,
+          |       ts_min, ts_max,
+          |       CASE WHEN file_count <= 3 THEN 0.0
+          |            ELSE (file_count - 3) / 13.0 END AS pressure,
+          |       CAST(mob AS BIGINT) AS mob_files,
+          |       CAST(arch AS BIGINT) AS archive_files
+          |FROM __cm_rows ORDER BY rank""".stripMargin))
     )
   )
 }
