@@ -149,6 +149,21 @@ object Jobs {
       .groupBy("row_class").agg(count(lit(1)).as("rows"))
       .orderBy("row_class")
 
+  /** VerifyReplication's SNAPSHOT mode (VerifyReplication.java
+    * sourceSnapshotName/peerSnapshotName + the restore-dir scan): both
+    * sides pin to a manifest-enumerated snapshot
+    * ([[graft.flow.SnapshotShip.importSnapshot]]) instead of the live
+    * tables, so a verification sweep sees one consistent point in time
+    * on each cluster — writes landing DURING the (long) comparison of
+    * a 100 TB table cannot smear the classification. Classification
+    * itself is [[verifyReplication]]'s digest join. */
+  def verifyReplicationSnapshots(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, srcSnapshot: String,
+      peerRoot: String, peerSnapshot: String): DataFrame =
+    verifyReplication(
+      graft.flow.SnapshotShip.importSnapshot(spark, srcRoot, srcSnapshot),
+      graft.flow.SnapshotShip.importSnapshot(spark, peerRoot, peerSnapshot))
+
   /** Major compaction (Admin.majorCompact, Admin.java; executed by
     * Compactor.java / DefaultCompactor over the store): rewrite the
     * store keeping only cells a fresh scan could still return under

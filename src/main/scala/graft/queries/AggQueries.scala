@@ -146,6 +146,46 @@ object AggQueries {
           |) GROUP BY 1 ORDER BY 1""".stripMargin))
     ),
     QDef(
+      // D8 VerifyReplication SNAPSHOT mode (VerifyReplication.java
+      // sourceSnapshotName/peerSnapshotName): both sides pin to
+      // manifest-enumerated snapshots (SnapshotShip's full
+      // .hbase-snapshot/archive layout), so the sweep classifies one
+      // consistent point in time per cluster no matter what lands in
+      // the live tables meanwhile (StreamSpec pins the live≠snapshot
+      // divergence case). Same classification oracle as q30 — the
+      // snapshots capture exactly the two fixtures.
+      "q105_verify_repl_snapshot",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("q105_vrs")
+        graft.flow.SnapshotShip.exportSnapshot(
+          Fixtures.cellsOrders(s, dir), 8, s"$out/src", "snapS", "q105src")
+        graft.flow.SnapshotShip.exportSnapshot(
+          Fixtures.cellsOrdersMut(s, dir), 8, s"$out/peer", "snapP",
+          "q105peer")
+        Jobs.verifyReplicationSnapshots(s,
+            s"$out/src", "snapS", s"$out/peer", "snapP")
+          .withColumnRenamed("rows", "n_rows")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders, Cte.cellsOrdersMut)(
+        """SELECT row_class, COUNT(*) AS n_rows FROM (
+          |  SELECT row,
+          |         CASE WHEN ok = 0 AND srconly > 0 AND dstonly = 0 AND bad = 0 THEN 'only_in_source'
+          |              WHEN ok = 0 AND dstonly > 0 AND srconly = 0 AND bad = 0 THEN 'only_in_target'
+          |              WHEN bad > 0 OR srconly > 0 OR dstonly > 0 THEN 'bad'
+          |              ELSE 'good' END AS row_class
+          |  FROM (
+          |    SELECT COALESCE(s.row, d.row) AS row,
+          |           SUM(CASE WHEN s.row IS NULL THEN 1 ELSE 0 END) AS dstonly,
+          |           SUM(CASE WHEN d.row IS NULL THEN 1 ELSE 0 END) AS srconly,
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS DISTINCT FROM d.value THEN 1 ELSE 0 END) AS bad,
+          |           SUM(CASE WHEN s.row IS NOT NULL AND d.row IS NOT NULL AND s.value IS NOT DISTINCT FROM d.value THEN 1 ELSE 0 END) AS ok
+          |    FROM cells_orders s FULL OUTER JOIN cells_orders_mut d
+          |      ON s.row = d.row AND s.family = d.family AND s.qualifier = d.qualifier AND s.ts = d.ts AND s.type = d.type
+          |    GROUP BY 1
+          |  )
+          |) GROUP BY 1 ORDER BY 1""".stripMargin))
+    ),
+    QDef(
       // A7 weighted form: the weight-qualified median protocol
       // (AggregationClient.java:778 two-qualifier mode) on value order
       // — smallest price with 2·cumWeight ≥ totalWeight, quantity as

@@ -601,6 +601,34 @@ class StreamSpec extends SparkSpec {
     assert(WalStream.replicateBulkLoads(wal3).count() == 0)
   }
 
+  test("snapshot-mode VerifyReplication pins both sides against live divergence") {
+    import spark.implicits._
+    import graft.flow.{Jobs, SnapshotShip}
+    def cells(rows: (String, String)*) =
+      rows.map { case (r, v) => (r, "d", "q", 1L, "Put", v) }
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+    val src = cells("a" -> "1", "b" -> "2", "c" -> "3")
+    val peer = cells("a" -> "1", "b" -> "XX", "d" -> "4")
+    val out = java.nio.file.Files.createTempDirectory("vrsnap").toString
+    SnapshotShip.exportSnapshot(src, 1, s"$out/src", "s1", "tsrc")
+    SnapshotShip.exportSnapshot(peer, 1, s"$out/peer", "p1", "tpeer")
+    def classes(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toMap
+    val pinned = classes(Jobs.verifyReplicationSnapshots(spark,
+      s"$out/src", "s1", s"$out/peer", "p1"))
+    assert(pinned == Map("good" -> 1L, "bad" -> 1L,
+      "only_in_source" -> 1L, "only_in_target" -> 1L))
+    // the live peer diverges AFTER the snapshots (replication caught
+    // up on b and d, a new row e landed): a live comparison sees the
+    // new state, the snapshot-pinned one must NOT
+    val livePeer = cells("a" -> "1", "b" -> "2", "c" -> "3",
+      "e" -> "5")
+    val live = classes(Jobs.verifyReplication(src, livePeer))
+    assert(live == Map("good" -> 3L, "only_in_target" -> 1L))
+    assert(classes(Jobs.verifyReplicationSnapshots(spark,
+      s"$out/src", "s1", s"$out/peer", "p1")) == pinned)
+  }
+
   test("pending bulk-load refs protect archived files until shipped") {
     import spark.implicits._
     import graft.stream.WalMeta
