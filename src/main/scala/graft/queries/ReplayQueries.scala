@@ -1723,6 +1723,72 @@ object ReplayQueries {
           |       CAST(mob AS BIGINT) AS mob_files,
           |       CAST(arch AS BIGINT) AS archive_files
           |FROM __cm_rows ORDER BY rank""".stripMargin))
+    ),
+    QDef(
+      // Backup image registry — the BackupSystemTable twin
+      // (BackupSystemTable.java session rows; BackupAdminImpl.java
+      // getHistory / deleteBackup). A full + two chained incrementals
+      // + one unrelated full register against their LANDED images; the
+      // guarded delete refuses to orphan b2's dependent (the chain
+      // would break at its missing link), the unrelated full deletes
+      // cleanly, and the audit emits the surviving chain newest-first
+      // with each image's restore path, dependent count, and landed
+      // cell count. Oracle: the registry constants + per-image cell
+      // counts from the watermark ranges.
+      "q107_backup_history",
+      (s, dir) => {
+        import graft.flow.BackupRegistry
+        import graft.flow.BackupRegistry.BackupImage
+        import s.implicits._
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val root = graft.Queries.scratchDir("q107_breg")
+        Seq(
+          ("b1", Jobs.fullBackup(cells, 2L)),
+          ("b2", Jobs.incrementalBackup(cells, 2L, 4L)),
+          ("b3", Jobs.incrementalBackup(cells, 4L, 5L)),
+          ("b4", Jobs.fullBackup(cells, 5L))
+        ).foreach { case (id, img) => img.write.parquet(s"$root/$id") }
+        BackupRegistry.register(s, root,
+          BackupImage("b1", "FULL", Seq("events"), "", 10L, 11L, 2L))
+        BackupRegistry.register(s, root,
+          BackupImage("b2", "INCREMENTAL", Seq("events"), "b1", 20L, 21L, 4L))
+        BackupRegistry.register(s, root,
+          BackupImage("b3", "INCREMENTAL", Seq("events"), "b2", 30L, 31L, 5L))
+        BackupRegistry.register(s, root,
+          BackupImage("b4", "FULL", Seq("events"), "", 40L, 41L, 9L))
+        require(scala.util.Try(
+          BackupRegistry.deleteBackup(s, root, "b2")).isFailure,
+          "guarded delete must refuse to orphan b3")
+        require(BackupRegistry.deleteBackup(s, root, "b4") == Seq("b4"))
+        val hist = BackupRegistry.history(s, root)
+        val audit = hist.map { i =>
+          (i.backupId, i.backupType, i.ancestor, i.watermarkTs,
+            BackupRegistry.restoreChain(s, root, i.backupId)
+              .map(_.backupId).mkString(">"),
+            BackupRegistry.dependents(hist, i.backupId).size.toLong,
+            s.read.parquet(s"$root/${i.backupId}").count())
+        }
+        audit.toDF("backup_id", "backup_type", "ancestor", "watermark_ts",
+            "chain", "n_dependents", "n_cells")
+          .orderBy(desc("watermark_ts"), col("backup_id"))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__bh_imgs(backup_id, backup_type, ancestor, watermark_ts,
+          |          chain, n_dependents, lo, hi) AS (
+          |  VALUES ('b3', 'INCREMENTAL', 'b2', 5, 'b1>b2>b3', 0, 4, 5),
+          |         ('b2', 'INCREMENTAL', 'b1', 4, 'b1>b2', 1, 2, 4),
+          |         ('b1', 'FULL', '', 2, 'b1', 2, 0, 2)
+          |), __bh_cnt AS (
+          |  SELECT i.backup_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+          |  FROM __bh_imgs i JOIN cells_events_v c
+          |    ON c.ts > i.lo AND c.ts <= i.hi
+          |  GROUP BY 1
+          |)""".stripMargin)(
+        """SELECT backup_id, backup_type, ancestor,
+          |       CAST(watermark_ts AS BIGINT) AS watermark_ts, chain,
+          |       CAST(n_dependents AS BIGINT) AS n_dependents, n_cells
+          |FROM __bh_imgs JOIN __bh_cnt USING (backup_id)
+          |ORDER BY watermark_ts DESC, backup_id""".stripMargin))
     )
   )
 }

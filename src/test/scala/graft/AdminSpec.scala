@@ -479,4 +479,55 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "sns:st2")
     GAdmin.deleteNamespace(spark, "sns")
   }
+
+  test("backup registry: history, chains, guarded delete, force cascade") {
+    import graft.flow.BackupRegistry
+    import graft.flow.BackupRegistry.BackupImage
+    val root = java.nio.file.Files.createTempDirectory("breg").toString
+    def img(id: String, tp: String, anc: String, ct: Long, wm: Long) =
+      BackupImage(id, tp, Seq("events"), anc, ct - 1, ct, wm)
+    BackupRegistry.register(spark, root, img("b1", "FULL", "", 11, 2))
+    BackupRegistry.register(spark, root, img("b2", "INCREMENTAL", "b1", 21, 4))
+    BackupRegistry.register(spark, root, img("b3", "INCREMENTAL", "b2", 31, 5))
+    BackupRegistry.register(spark, root, img("b4", "FULL", "", 41, 9))
+    // an incremental must chain to a registered ancestor
+    intercept[IllegalArgumentException](BackupRegistry.register(spark, root,
+      img("bX", "INCREMENTAL", "ghost", 51, 10)))
+    // a FULL backup roots its chain
+    intercept[IllegalArgumentException](
+      BackupImage("bY", "FULL", Seq("t"), "b1", 0, 1, 2))
+    // history: newest completion first
+    assert(BackupRegistry.history(spark, root).map(_.backupId) ==
+      Seq("b4", "b3", "b2", "b1"))
+    // chains + dependents
+    assert(BackupRegistry.restoreChain(spark, root, "b3").map(_.backupId) ==
+      Seq("b1", "b2", "b3"))
+    val all = BackupRegistry.listImages(spark, root)
+    assert(BackupRegistry.dependents(all, "b1") == Seq("b2", "b3"))
+    assert(BackupRegistry.dependents(all, "b3").isEmpty)
+    // guarded delete: refusing to orphan b3; registry unchanged
+    intercept[IllegalStateException](
+      BackupRegistry.deleteBackup(spark, root, "b2"))
+    assert(BackupRegistry.listImages(spark, root).size == 4)
+    // an unreferenced image deletes cleanly
+    assert(BackupRegistry.deleteBackup(spark, root, "b4") == Seq("b4"))
+    // force cascades leaf-first over the dependent subtree
+    assert(BackupRegistry.deleteBackup(spark, root, "b1", force = true) ==
+      Seq("b3", "b2", "b1"))
+    assert(BackupRegistry.listImages(spark, root).isEmpty)
+    // a corrupt registry line degrades (skipped), the rest still parse
+    BackupRegistry.register(spark, root, img("c1", "FULL", "", 11, 2))
+    val p = new org.apache.hadoop.fs.Path(root, ".backup-registry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      val in = fs.open(p); try in.readFully(0, b) finally in.close()
+      new String(b, "UTF-8")
+    }
+    val out = fs.create(p, true)
+    try out.write((prev + "\ngarbage|line").getBytes("UTF-8"))
+    finally out.close()
+    assert(BackupRegistry.listImages(spark, root).map(_.backupId) == Seq("c1"))
+  }
 }
