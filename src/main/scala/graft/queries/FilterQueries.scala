@@ -265,6 +265,51 @@ object FilterQueries {
       (s, dir) => run(co(s, dir), RandomRowFilter(0.25, seed = 42)),
       Some(oracleOrders(
         s"WHERE (${graft.ext.TextHash.Sql.hash48("row", "'rrf42'")}) % 10000 < 2500"))
+    ),
+    QDef(
+      // The three remaining §2.3 comparators on the oracle gate
+      // (previously FilterSpec-only): BitComparator (BitComparator
+      // .java:35 — EQUAL ⇔ (long(value) bitop mask) ≠ 0; odd custkeys
+      // via AND mask 1), BinaryComponentComparator
+      // (BinaryComponentComparator.java:35 — a fixed-offset slice
+      // compare, the reference's TestComparators matrix shape; row key
+      // chars 9-10), and BigDecimalComparator (BigDecimalComparator
+      // .java:38 — exact decimal order on o_totalprice). Three
+      // independent filter runs union under a part tag, c08's shape.
+      "q106_bit_component_bigdecimal",
+      (s, dir) => {
+        val cells = co(s, dir)
+        Seq(
+          ("bigdecimal", ColumnValueFilter("d", "o_totalprice",
+            CompareOp.GreaterOrEqual,
+            BigDecimalComparator(BigDecimal("150000.00")))),
+          ("bit", ColumnValueFilter("d", "o_custkey", CompareOp.Equal,
+            BitComparator(1L, BitComparator.And))),
+          ("component", RowFilter(CompareOp.Equal,
+            BinaryComponentComparator("32", 8)))
+        ).map { case (part, f) =>
+          FilterCompiler(cells, f).select(outCols.map(col): _*)
+            .withColumn("part", lit(part))
+        }.reduce(_ unionByName _)
+          .select("part", "row", "family", "qualifier", "ts", "value")
+          .orderBy((col("part") +: GTable.cellOrder()): _*)
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT part, row, family, qualifier, ts, value FROM (
+          |  SELECT 'bigdecimal' AS part, row, family, qualifier, ts, value
+          |  FROM cells_orders
+          |  WHERE family = 'd' AND qualifier = 'o_totalprice'
+          |    AND TRY_CAST(value AS DECIMAL(38,18)) >= 150000.00
+          |  UNION ALL
+          |  SELECT 'bit', row, family, qualifier, ts, value
+          |  FROM cells_orders
+          |  WHERE family = 'd' AND qualifier = 'o_custkey'
+          |    AND (TRY_CAST(value AS BIGINT) & 1) <> 0
+          |  UNION ALL
+          |  SELECT 'component', row, family, qualifier, ts, value
+          |  FROM cells_orders
+          |  WHERE substr(row, 9, 2) = '32'
+          |) ORDER BY part, row, family, qualifier, ts DESC""".stripMargin))
     )
   )
 }
