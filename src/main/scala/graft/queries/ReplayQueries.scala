@@ -983,21 +983,25 @@ object ReplayQueries {
         val out = graft.Queries.scratchDir("q100_norm")
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        (0 until 8).foreach { k =>
-          val tmp = graft.Queries.scratchDir(s"q100_r$k")
+        // logical region sizes (value bytes — the unit cancels out of
+        // every normalizer decision; the oracle derives the same).
+        // Region files are POSITION-indexed over the non-empty regions
+        // (at the oracle's sf0.01 all 8 are populated; a tiny fixture
+        // may leave percentile bands empty and must still run)
+        val sizes0 = withR.groupBy("region")
+          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .toIndexedSeq
+        sizes0.zipWithIndex.foreach { case ((reg, _), pos) =>
+          val tmp = graft.Queries.scratchDir(s"q100_r$pos")
           // small blocks so every region file has a real index mid key
-          HFiles.export(withR.filter(col("region") === k)
+          HFiles.export(withR.filter(col("region") === reg)
               .select("row", "family", "qualifier", "ts", "type", "value"),
             numRegions = 1, outPath = tmp, blockSize = 512)
           fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-            new org.apache.hadoop.fs.Path(f"$out/part-$k%05d.hfile"))
+            new org.apache.hadoop.fs.Path(f"$out/part-$pos%05d.hfile"))
         }
-        // logical region sizes (value bytes — the unit cancels out of
-        // every normalizer decision; the oracle derives the same)
-        val sizes = withR.groupBy("region")
-          .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-          .map(_._2).toIndexedSeq
+        val sizes = sizes0.map(_._2)
         val plans = Normalizer.computePlans(sizes.map(NRegion(_)), NKnobs())
         val splits = plans.collect { case p: SplitPlan => p }
         val merges = plans.collect { case p: MergePlan => p }
@@ -1014,7 +1018,7 @@ object ReplayQueries {
           .filter(not(col("b.value") <=> col("o.value")))
           .count()
         puts.agg(count(lit(1)).as("n_cells"))
-          .withColumn("n_regions", lit(8L))
+          .withColumn("n_regions", lit(sizes.length.toLong))
           .withColumn("n_splits", lit(splits.size.toLong))
           .withColumn("n_merges", lit(merges.size.toLong))
           .withColumn("merged_members", lit(merges.map(_.regions.size).sum.toLong))

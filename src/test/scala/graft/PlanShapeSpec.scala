@@ -202,4 +202,47 @@ class PlanShapeSpec extends SparkSpec {
         s"only the 1-row total may nest:\n$p")
     }
   }
+
+  // The audited single-partition-global-window set: every declared
+  // query whose RETURNED plan carries a Window with no partitionSpec,
+  // each bounded by construction —
+  //   c01/c03/c04/c14: rank-parity checks over the already-sorted
+  //     roundtrip output (the declared result IS the ordered census);
+  //   e38: quantile thresholds over the k-bucket frame;
+  //   e57: the vocab-bounded coverage curve;
+  //   e58/e63/e66/e78: rank/pick windows over orderBy+limit survivors
+  //     or fixed bucket/judge frames (≤ m rows by the time the window
+  //     runs — the scaladocs pin the TakeOrderedAndProject split);
+  //   e68: the ≤topN repeated-span survivors;
+  //   q104: the store-count-sized hbtop ranking.
+  // A NEW name landing here means someone put a potentially
+  // corpus-sized global window in a declared query — stop and
+  // repartition (or orderBy+limit first) instead of extending the
+  // list.
+  private val AllowedGlobalWindows: Set[String] = Set(
+    "c01_ordered_key_sort", "c03_narrow_types", "c04_hb_layout_sort",
+    "c14_hb_narrow_sort", "e38_ppl_buckets", "e57_vocab_coverage",
+    "e58_dsir_sample", "e63_ccnet_verdict", "e66_uncertainty",
+    "e68_memorized_spans", "e78_retrieval_ndcg", "q104_cluster_metrics")
+
+  test("declared queries: the global-window set is pinned exactly") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // plan-only sweep at the driver's correctness SF (some lifecycle
+    // fixtures legitimately need sf0.01's distribution — q101's
+    // normalizer plan census): q.fn runs its fixture/lifecycle side
+    // effects but the returned frame is PLANNED, never executed
+    val offenders = graft.Queries.all.flatMap { q =>
+      val wins = q.fn(spark, "/root/testdata/sf0.01")
+        .queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            w.getClass.getSimpleName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            w.getClass.getSimpleName
+        }
+      if (wins.nonEmpty) Some(q.name) else None
+    }.toSet
+    assert(offenders == AllowedGlobalWindows,
+      s"global-window set drifted; new: ${(offenders -- AllowedGlobalWindows).toSeq.sorted}, " +
+        s"gone: ${(AllowedGlobalWindows -- offenders).toSeq.sorted}")
+  }
 }
