@@ -112,6 +112,100 @@ object ScaleSoak100x {
     soak("bm25TopK (queries = ids%50)", docsAt,
       d => graft.ext.TextAnalysis.bm25TopK(d, col("doc_id") % 50 === 0, k = 5))
 
+    // (d) e84 audio near-dup: per-row WAV decode + 64-bit fingerprint
+    // (map-side) into the banded (band, slice) self-join — candidate
+    // pairs stay linear by pigeonhole (replicas are id-disjoint, so
+    // dup pairs never straddle them); the shuffle carried is the
+    // fingerprint frame, per-unit cost must stay flat
+    soak("audioNearDup (banded fingerprints)",
+      k => graft.ext.Multimodal.ingestWavDup(docsAt(k)),
+      m => graft.ext.Multimodal.audioNearDup(m))
+
+    // (e) e86 video near-dup: MJPEG-in-AVI frame decodes feed the
+    // temporal-mean fingerprint; same banded join shape. 8 frames ×
+    // 64×64 JPEG per doc makes the 100× decode leg heavy on one box —
+    // 1×/10× suffices to read the shuffle slope (map-side decode cost
+    // is embarrassingly parallel by construction)
+    soak("videoNearDup (banded fingerprints)",
+      k => graft.ext.Multimodal.ingestAviDup(docsAt(k)),
+      m => graft.ext.Multimodal.videoNearDup(m), scales = Seq(1, 10))
+
+    // (f) the chore family: per-store/per-marker DRIVER metadata
+    // passes (the reference's per-regionserver shape — fleet
+    // parallelism is across stores). Fabricate sc×20 stores (2-file
+    // ladders, below minFiles → the chore's watch pass), sc×40
+    // snapshot markers (half expired) and sc×40 rolled WAL segments,
+    // then time one full chore sweep; wall-time per unit must stay
+    // flat and NOTHING may shuffle (clusterMetrics' distributed
+    // trailer sweep is measured alongside).
+    println("== chore family (per-store metadata passes) ==")
+    println(f"${"scale"}%5s ${"stores"}%7s ${"snaps"}%6s ${"wals"}%5s " +
+      f"${"chore sec"}%10s ${"metrics sec"}%12s ${"cleaners sec"}%13s ${"ms/store"}%9s")
+    for (sc <- Seq(1, 10, 100)) {
+      val root = java.nio.file.Files.createTempDirectory(s"soakchore$sc").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nStores = sc * 20
+      val cellsOf = (i: Int, f: Int) => (0 until 8).iterator.map { r =>
+        graft.codec.HFileV3.HCell(f"r$i%05d-$r%02d".getBytes, "d".getBytes,
+          "q".getBytes, f.toLong + 1, 4.toByte, s"v$r".getBytes)
+      }
+      (0 until nStores).foreach { i =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$root/data/t${i % 7}/r$i/d")
+        fs.mkdirs(dir)
+        (0 until 2).foreach { f =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, f"part-$f%05d.hfile"), true)
+          try out.write(graft.codec.HFileV3.writeBytes(cellsOf(i, f)))
+          finally out.close()
+        }
+      }
+      val nSnaps = sc * 40
+      (0 until nSnaps).foreach { i =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$root/snaps/s$i/.snapshotinfo")
+        val out = fs.create(p, true)
+        // half the snapshots expired (ttl 1s, created at epoch)
+        try out.write(
+          s"created=1000;ttl=${if (i % 2 == 0) 1 else 0}".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val nWals = sc * 40
+      (0 until nWals).foreach { i =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$root%s/wals/wal-$i%05d.pwal"), true)
+        try out.write(1) finally out.close()
+      }
+      val now = System.currentTimeMillis()
+      val storeDirs = (0 until nStores)
+        .map(i => s"$root/data/t${i % 7}/r$i/d")
+      val t0 = System.nanoTime()
+      val verdicts = storeDirs.map(d =>
+        graft.flow.Compactions.compactionChore(spark, d, now))
+      val choreSec = (System.nanoTime() - t0) / 1e9
+      require(verdicts.forall(_ == "clean"), "watch pass must not rewrite")
+      meter.reset()
+      val t1 = System.nanoTime()
+      val nRows = graft.admin.GAdmin.clusterMetrics(spark, root).count()
+      val metricsSec = (System.nanoTime() - t1) / 1e9
+      require(nRows == nStores.toLong, s"metrics rows $nRows != $nStores")
+      val shuf = meter.snapshot().map(_._2).sum
+      require(shuf == 0L, s"metrics sweep must not shuffle ($shuf B)")
+      val t2 = System.nanoTime()
+      val dropped = graft.admin.GAdmin.cleanupSnapshots(
+        spark, s"$root/snaps", now = now)
+      val reaped = graft.flow.PWalFiles.cleanupWals(spark, s"$root/wals",
+        ttlMillis = 1, now = now + 600000,
+        shippedThrough = Some(f"wal-${nWals / 2}%05d.pwal"))
+      val cleanSec = (System.nanoTime() - t2) / 1e9
+      require(dropped.size == nSnaps / 2 && reaped.size == nWals / 2 + 1,
+        s"cleaner census drifted: ${dropped.size}/${reaped.size}")
+      println(f"$sc%5d $nStores%7d $nSnaps%6d $nWals%5d $choreSec%10.2f " +
+        f"$metricsSec%12.2f $cleanSec%13.2f ${choreSec * 1000 / nStores}%9.1f")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+
     spark.stop()
   }
 }
