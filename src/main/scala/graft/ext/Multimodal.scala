@@ -484,6 +484,31 @@ object Multimodal {
       }
   }
 
+  /** Hot-bucket cap shared by the three banded near-dup operators —
+    * the standard production LSH guard: a (band, slice) bucket holding
+    * more than `maxBucket` members contributes n² candidate pairs
+    * while carrying almost no discriminative signal (a slice shared by
+    * thousands of items is degenerate), so large-scale dedup pipelines
+    * drop those buckets rather than let one hot slice go quadratic.
+    * The 100× soak measured exactly this failure: a low-entropy
+    * fingerprint corpus at 500k docs melted the uncapped self-join.
+    * `maxBucket <= 0` = uncapped (the exact pigeonhole guarantee, the
+    * declared-query semantics). The size census shuffles on the SAME
+    * (band, slice) key as the self-join, so it rides the existing
+    * exchange layout. What a capped run loses: pairs whose ONLY shared
+    * slices are hot — for maxHamming < bands those are items near-dup
+    * to thousands of others, which a curation pipeline treats as
+    * boilerplate clusters, not pairs. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val sizes = banded.groupBy("band", "slice")
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select("band", "slice")
+      banded.join(sizes, Seq("band", "slice"))
+    }
+
   /** Perceptual near-duplicate pairs by aHash hamming distance ≤
     * `maxHamming`, over REAL decoded pixels ([[imageFeatures]]).
     * Banded exactly like SimHash/MinHash: the 64-bit hash splits into
@@ -492,9 +517,10 @@ object Multimodal {
     * maxHamming differing bits cannot touch every one of `bands`
     * slices), so the band join loses nothing while pruning the pair
     * space to hash-bucket collisions. Exact hamming verify + dedup
-    * between join and output. */
+    * between join and output. `maxBucket` opts into the hot-bucket cap
+    * ([[capBuckets]]). */
   def imageNearDup(media: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands, "banding is only lossless below the band count")
     require(64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
@@ -508,9 +534,10 @@ object Multimodal {
     val f = imageFeatures(media).select(col("doc_id"), col("ahash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f.count()
-    val banded = f.select(col("doc_id"), col("ahash"),
+    val banded = capBuckets(f.select(col("doc_id"), col("ahash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("slice", expr(s"substring(ahash, band * $bw + 1, $bw)"))
+      .withColumn("slice", expr(s"substring(ahash, band * $bw + 1, $bw)")),
+      maxBucket)
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -709,7 +736,7 @@ object Multimodal {
     * band count by pigeonhole), exact hamming filters. Never all-pairs
     * — the 100 TB shape for "find re-uploaded audio". */
   def audioNearDup(media: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands, "banding is only lossless below the band count")
     require(64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
@@ -718,9 +745,10 @@ object Multimodal {
     val f = audioFingerprint(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f.count()
-    val banded = f.select(col("doc_id"), col("afp"),
+    val banded = capBuckets(f.select(col("doc_id"), col("afp"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("slice", expr(s"substring(afp, band * $bw + 1, $bw)"))
+      .withColumn("slice", expr(s"substring(afp, band * $bw + 1, $bw)")),
+      maxBucket)
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -1034,7 +1062,7 @@ object Multimodal {
     * (pigeonhole-lossless below the band count), exact hamming verify,
     * never all-pairs — the 100 TB shape for "find re-uploaded video". */
   def videoNearDup(media: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands, "banding is only lossless below the band count")
     require(64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
@@ -1043,9 +1071,10 @@ object Multimodal {
     val f = videoFingerprint(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f.count()
-    val banded = f.select(col("doc_id"), col("vfp"),
+    val banded = capBuckets(f.select(col("doc_id"), col("vfp"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("slice", expr(s"substring(vfp, band * $bw + 1, $bw)"))
+      .withColumn("slice", expr(s"substring(vfp, band * $bw + 1, $bw)")),
+      maxBucket)
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -27,6 +27,32 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Long]("dups") === 10L)
   }
 
+  test("hot-bucket cap drops degenerate buckets, keeps true dup pairs") {
+    import spark.implicits._
+    // 40 docs: ids 0..19 share one payload pairwise (2k, 2k+1 — true
+    // dups in cold buckets); ids 100..119 all share ONE payload → one
+    // 20-member hot bucket contributing C(20,2)=190 degenerate pairs
+    val cold = (0L until 20L).toDF("doc_id")
+    val hot = (100L until 120L).map(i => (i, 100L)).toDF("doc_id", "base")
+    val media = Multimodal.ingestWavDup(cold).unionByName(
+      hot.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(100L, 512, 1))))
+        .toDF("doc_id", "blob"))
+    val uncapped = Multimodal.audioNearDup(media)
+    val capped = Multimodal.audioNearDup(media, maxBucket = 10)
+    val coldPairs = (0L until 20L by 2).map(k => (k, k + 1)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(coldPairs.subsetOf(pairs(uncapped)))
+    assert(pairs(uncapped).count { case (a, b) => a >= 100 && b >= 100 } == 190)
+    // the cap removes exactly the hot cluster's pairs; cold dups survive
+    val cp = pairs(capped)
+    assert(coldPairs.subsetOf(cp))
+    assert(!cp.exists { case (a, b) => a >= 100 && b >= 100 })
+    uncapped.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
+  }
+
   test("minhash LSH finds an injected near-duplicate pair") {
     // doc 100001 = copy of doc 1 with a few tokens changed -> high jaccard
     val near = docs.filter(col("doc_id") === 1)

@@ -113,13 +113,22 @@ object ScaleSoak100x {
       d => graft.ext.TextAnalysis.bm25TopK(d, col("doc_id") % 50 === 0, k = 5))
 
     // (d) e84 audio near-dup: per-row WAV decode + 64-bit fingerprint
-    // (map-side) into the banded (band, slice) self-join — candidate
-    // pairs stay linear by pigeonhole (replicas are id-disjoint, so
-    // dup pairs never straddle them); the shuffle carried is the
-    // fingerprint frame, per-unit cost must stay flat
-    soak("audioNearDup (banded fingerprints)",
+    // (map-side) into the banded (band, slice) self-join. The shuffle
+    // carried is the fingerprint frame (linear), but the soak's FIRST
+    // run found the uncapped self-join melting at 100×: the synthetic
+    // law's fingerprints cluster, (band, slice) buckets go hot, and
+    // candidates grow quadratically (4.5k pairs at 1× → 259k at 10× →
+    // the 100× leg did not finish in 18 min). That IS the 100 TB
+    // hazard on any low-entropy fingerprint corpus, so: uncapped to
+    // 10× (the honest blow-up measurement), then the production
+    // hot-bucket cap (Multimodal.capBuckets) carries the 100× leg and
+    // must be flat per unit.
+    soak("audioNearDup UNCAPPED (quadratic on low-entropy fingerprints)",
       k => graft.ext.Multimodal.ingestWavDup(docsAt(k)),
-      m => graft.ext.Multimodal.audioNearDup(m))
+      m => graft.ext.Multimodal.audioNearDup(m), scales = Seq(1, 10))
+    soak("audioNearDup maxBucket=64 (hot buckets dropped)",
+      k => graft.ext.Multimodal.ingestWavDup(docsAt(k)),
+      m => graft.ext.Multimodal.audioNearDup(m, maxBucket = 64))
 
     // (e) e86 video near-dup: MJPEG-in-AVI frame decodes feed the
     // temporal-mean fingerprint; same banded join shape. 8 frames ×
