@@ -42,5 +42,6 @@ object Queries {
       queries.PipelineQueries.defs ++
       queries.CodecQueries.defs ++
       queries.ReplayQueries.defs ++
-      queries.FlowQueries.defs
+      queries.FlowQueries.defs ++
+      queries.OpsQueries.defs
 }

@@ -31,14 +31,17 @@ import java.util.zip.{CRC32, CRC32C}
   *    zero padding + int (major | minor<<24)
   *    (`FixedFileTrailer.java:202-215,727-729`).
   *
-  * Scope: block compression NONE / GZ / SNAPPY / LZ4 / BZIP2 / ZSTD
-  * on both sides (Compression.Algorithm ordinals 2/1/3/4/5/6; GZ and
-  * BZIP2 = the Hadoop GzipCodec / BZip2Codec STREAM forms — one
+  * Scope: block compression NONE / GZ / SNAPPY / LZ4 / BZIP2 / ZSTD /
+  * LZMA on both sides (Compression.Algorithm ordinals 2/1/3/4/5/6/7;
+  * GZ and BZIP2 = the Hadoop GzipCodec / BZip2Codec STREAM forms — one
   * gzip/bzip2 stream per block body, Hadoop treats both as stream
   * codecs — the others = Hadoop BlockCompressorStream framing
-  * over raw snappy / lz4-block / zstd-frame chunks, exactly what the
-  * hbase-compression codecs put on disk; LZO/XZ/BROTLI sit outside
-  * Spark's classpath — a classpath boundary, not a format one),
+  * over raw snappy / lz4-block / zstd-frame / lzma-alone chunks,
+  * exactly what the hbase-compression codecs put on disk; LZMA is the
+  * historical hbase-compression-xz form — a .lzma-alone stream with
+  * explicit size per chunk via org.tukaani.xz, which ships on Spark's
+  * classpath; LZO/BROTLI sit outside Spark's classpath — a classpath
+  * boundary, not a format one),
   * compound
   * ROW blooms ([[HBloom]]), and CRC32C checksums on the write side; the
   * reader additionally accepts CRC32 and NULL checksum files,
@@ -116,14 +119,15 @@ object HFileV3 {
   private val MajorVersion = 3
   private val MinorVersion = 3 // HFileReaderImpl.MAX_MINOR_VERSION
   // Compression.Algorithm ordinals (Compression.java:149-…: LZO=0,
-  // GZ=1, NONE=2, SNAPPY=3, LZ4=4, BZIP2=5, ZSTD=6) — the trailer's
-  // compression_codec field stores the ordinal.
+  // GZ=1, NONE=2, SNAPPY=3, LZ4=4, BZIP2=5, ZSTD=6, LZMA=7) — the
+  // trailer's compression_codec field stores the ordinal.
   val CompressionGz = 1
   val CompressionNone = 2
   val CompressionSnappy = 3
   val CompressionLz4 = 4
   val CompressionBzip2 = 5
   val CompressionZstd = 6
+  val CompressionLzma = 7
   private val ChecksumNull: Byte = 0
   private val ChecksumCrc32: Byte = 1
   private val ChecksumCrc32C: Byte = 2
@@ -356,7 +360,7 @@ object HFileV3 {
       // and NPEs in commons-compress
       z.write(payload); z.close()
       bos.toByteArray
-    case CompressionSnappy | CompressionLz4 | CompressionZstd =>
+    case CompressionSnappy | CompressionLz4 | CompressionZstd | CompressionLzma =>
       // empty payload: BlockCompressorStream.finish() with no input
       // writes nothing (the empty meta-index block stays 0 bytes)
       if (payload.isEmpty) return payload
@@ -377,6 +381,16 @@ object HFileV3 {
             val dst = new Array[Byte](c.maxCompressedLength(rawLen))
             val n = c.compress(payload, off, rawLen, dst, 0, dst.length)
             java.util.Arrays.copyOf(dst, n)
+          case CompressionLzma =>
+            // the historical hbase-compression-xz LzmaCompressor form:
+            // one .lzma-alone stream per chunk, explicit uncompressed
+            // size in the header (LZMAOutputStream(out, opts, size)),
+            // preset 6 = the codec's default level
+            val cbos = new ByteArrayOutputStream(rawLen / 2 + 64)
+            val lz = new org.tukaani.xz.LZMAOutputStream(
+              cbos, new org.tukaani.xz.LZMA2Options(6), rawLen.toLong)
+            lz.write(payload, off, rawLen); lz.finish()
+            cbos.toByteArray
           case _ =>
             com.github.luben.zstd.Zstd.compress(
               java.util.Arrays.copyOfRange(payload, off, off + rawLen), 3)
@@ -417,7 +431,7 @@ object HFileV3 {
       }
       require(in.read() < 0, "bzip2 block longer than declared")
       outBuf
-    case CompressionSnappy | CompressionLz4 | CompressionZstd =>
+    case CompressionSnappy | CompressionLz4 | CompressionZstd | CompressionLzma =>
       val outBuf = new Array[Byte](uncompressedSize)
       var outPos = 0
       val bb = ByteBuffer.wrap(body, off, len).slice()
@@ -433,6 +447,16 @@ object HFileV3 {
             case CompressionLz4 =>
               net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
                 .decompress(body, srcOff, compLen, outBuf, outPos)
+            case CompressionLzma =>
+              val in = new org.tukaani.xz.LZMAInputStream(
+                new java.io.ByteArrayInputStream(body, srcOff, compLen))
+              var got = 0
+              var r = in.read(outBuf, outPos, uncompressedSize - outPos)
+              while (r > 0) {
+                got += r
+                r = in.read(outBuf, outPos + got, uncompressedSize - outPos - got)
+              }
+              got
             case _ =>
               com.github.luben.zstd.Zstd.decompressByteArray(
                 outBuf, outPos, uncompressedSize - outPos,

@@ -272,15 +272,18 @@ object CodecQueries {
     ),
     QDef(
       // C08: HFile BLOCK COMPRESSION roundtrip beyond GZ — SNAPPY /
-      // LZ4 / BZIP2 / ZSTD (Compression.java ordinals 3/4/5/6), the
-      // codecs production reference clusters actually run. On-disk
-      // form is Hadoop BlockCompressorStream framing ([int rawLen][int
-      // compLen][chunk]…) over raw snappy / lz4-block / zstd-frame
-      // chunks via the hbase-compression modules' formats; BZIP2 is
-      // Hadoop's STREAM form like GZ — one bzip2 stream per block
-      // (HFileV3.compressPayload). ZSTD composes with FAST_DIFF here
-      // — compressed encoded blocks, the realistic migration shape.
-      // LZO/XZ/BROTLI stay a documented classpath boundary.
+      // LZ4 / BZIP2 / ZSTD / LZMA (Compression.java ordinals
+      // 3/4/5/6/7), the codecs production reference clusters actually
+      // run. On-disk form is Hadoop BlockCompressorStream framing
+      // ([int rawLen][int compLen][chunk]…) over raw snappy /
+      // lz4-block / zstd-frame / lzma-alone chunks via the
+      // hbase-compression modules' formats; BZIP2 is Hadoop's STREAM
+      // form like GZ — one bzip2 stream per block
+      // (HFileV3.compressPayload); LZMA is the historical
+      // hbase-compression-xz form via org.tukaani.xz (on Spark's
+      // classpath). ZSTD composes with FAST_DIFF here — compressed
+      // encoded blocks, the realistic migration shape. LZO/BROTLI
+      // stay a documented classpath boundary.
       "c08_hfile_compressions",
       (s, dir) => {
         val out = graft.Queries.scratchDir("c08_hfile_comp")
@@ -288,6 +291,7 @@ object CodecQueries {
         Seq(
           "BZIP2" -> (HFileV3.CompressionBzip2, 0),
           "LZ4" -> (HFileV3.CompressionLz4, 0),
+          "LZMA" -> (HFileV3.CompressionLzma, 0),
           "SNAPPY" -> (HFileV3.CompressionSnappy, 0),
           "ZSTD" -> (HFileV3.CompressionZstd, 0),
           "ZSTD_FAST_DIFF" ->
@@ -304,7 +308,7 @@ object CodecQueries {
       Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
         """SELECT e.codec, row, family, qualifier, ts, type, value
           |FROM cells_orders
-          |CROSS JOIN (VALUES ('BZIP2'), ('LZ4'), ('SNAPPY'), ('ZSTD'), ('ZSTD_FAST_DIFF')) e(codec)
+          |CROSS JOIN (VALUES ('BZIP2'), ('LZ4'), ('LZMA'), ('SNAPPY'), ('ZSTD'), ('ZSTD_FAST_DIFF')) e(codec)
           |ORDER BY codec, row, family, qualifier, ts, type, value""".stripMargin))
     ),
     QDef(

@@ -236,14 +236,15 @@ class HFileSpec extends AnyFunSuite {
     assert(handle.get("zz-absent".getBytes(UTF_8)).isEmpty)
   }
 
-  test("SNAPPY / LZ4 / BZIP2 / ZSTD blocks roundtrip; trailer ordinals; gets work") {
+  test("SNAPPY / LZ4 / BZIP2 / ZSTD / LZMA blocks roundtrip; trailer ordinals; gets work") {
     val cells = randomCells(400)
     val plain = HFileV3.writeBytes(cells.iterator, blockSize = 512)
     for ((codec, ordinal) <- Seq(
         HFileV3.CompressionSnappy -> 3,
         HFileV3.CompressionLz4 -> 4,
         HFileV3.CompressionBzip2 -> 5,
-        HFileV3.CompressionZstd -> 6)) {
+        HFileV3.CompressionZstd -> 6,
+        HFileV3.CompressionLzma -> 7)) {
       val bos = new ByteArrayOutputStream()
       HFileV3.write(bos, cells.iterator, blockSize = 512, compression = codec)
       val bytes = bos.toByteArray
