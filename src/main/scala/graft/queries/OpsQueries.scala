@@ -15,6 +15,134 @@ object OpsQueries {
 
   val defs: Seq[QDef] = Seq(
     QDef(
+      // Space quotas — the QuotaObserverChore pass end-to-end
+      // (QuotaObserverChore.java:141-460, TableQuotaSnapshotStore
+      // .getTargetState:93, policies/*.java): five tables across two
+      // namespaces report their region sizes (the RS census — here
+      // one groupBy over the logical cell bytes, the
+      // FileSystemUtilizationChore twin is spec-pinned on real
+      // files), then one observer pass enacts per-table snapshots.
+      // Branches exercised: table-quota violation (NO_WRITES), a
+      // namespace NO_INSERTS quota governing the quota-less table
+      // while the VIOLATED table quota shields its own (table
+      // priority, :276-306), observance under DISABLE, a
+      // NO_WRITES_COMPACTIONS violation, and an enacted DISABLE
+      // (table offline). Limits derive from the data (⌊u·8/10⌋ etc.)
+      // so every branch holds at every SF; the oracle recomputes the
+      // whole pass in SQL — usage sums, namespace rollup, priority,
+      // and the per-policy enforcement bits.
+      "q108_space_quotas",
+      (s, dir) => {
+        import graft.admin.SpaceQuotas
+        import graft.admin.SpaceQuotas._
+        val cells = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val uid = col("row").cast("long")
+        val tables = Seq(
+          ("na", "t1", col("ts") <= 2),
+          ("na", "t2", col("ts") === 3),
+          ("nb", "t3", col("ts") >= 4),
+          ("nb", "t4", uid % 7 === 0),
+          ("nb", "t5", uid % 11 === 0))
+        // the region-size census: per-(table, region) byte reports,
+        // summed to table usage (bounded collect — ≤5 rows)
+        val reports = tables.map { case (ns, t, pred) =>
+          cells.filter(pred).select(lit(ns).as("ns"), lit(t).as("tbl"),
+            (uid % 4).cast("string").as("region"),
+            octet_length(col("value")).cast("long").as("len"))
+        }.reduce(_ unionByName _)
+          .groupBy("ns", "tbl", "region").agg(sum("len").as("bytes"))
+        val usage = reports.groupBy("ns", "tbl")
+          .agg(sum("bytes").as("bytes")).collect()
+          .map(r => r.getAs[String]("tbl") ->
+            (r.getAs[String]("ns"), r.getAs[Long]("bytes"))).toMap
+        def u(t: String) = usage(t)._2
+        val tq = Map(
+          "t1" -> SpaceQuota(u("t1") * 8 / 10, NoWrites),
+          "t3" -> SpaceQuota(u("t3") * 2, Disable),
+          "t4" -> SpaceQuota(u("t4") / 2, NoWritesCompactions),
+          "t5" -> SpaceQuota(u("t5") * 6 / 10, Disable))
+        val nq = Map(
+          "na" -> SpaceQuota((u("t1") + u("t2")) * 9 / 10, NoInserts))
+        val enacted = SpaceQuotas.observe(usage, tq, nq)
+        import s.implicits._
+        enacted.map { e =>
+          val p = e.snapshot.policy
+          (e.table, e.namespace, e.snapshot.usage, e.snapshot.limit,
+            e.snapshot.inViolation, p.orNull, e.source,
+            mutationBlocked(p, "PUT"), mutationBlocked(p, "DELETE"),
+            compactionsDisabled(p), tableDisabled(p))
+        }.toDF("table", "namespace", "usage", "limit", "in_violation",
+            "policy", "source", "put_blocked", "delete_blocked",
+            "compactions_off", "table_off")
+          .orderBy("table")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__sq_cells AS (
+          |  SELECT CAST(row AS BIGINT) AS uid, ts, strlen(value) AS len
+          |  FROM cells_events_v WHERE type = 'Put' AND value IS NOT NULL
+          |), __sq_usage(tbl, ns, u) AS (
+          |  SELECT 't1', 'na', (SELECT SUM(len) FROM __sq_cells WHERE ts <= 2)
+          |  UNION ALL
+          |  SELECT 't2', 'na', (SELECT SUM(len) FROM __sq_cells WHERE ts = 3)
+          |  UNION ALL
+          |  SELECT 't3', 'nb', (SELECT SUM(len) FROM __sq_cells WHERE ts >= 4)
+          |  UNION ALL
+          |  SELECT 't4', 'nb', (SELECT SUM(len) FROM __sq_cells WHERE uid % 7 = 0)
+          |  UNION ALL
+          |  SELECT 't5', 'nb', (SELECT SUM(len) FROM __sq_cells WHERE uid % 11 = 0)
+          |), __sq_tq(tbl, lim, pol) AS (
+          |  SELECT 't1', (SELECT u * 8 // 10 FROM __sq_usage WHERE tbl = 't1'), 'NO_WRITES'
+          |  UNION ALL
+          |  SELECT 't3', (SELECT u * 2 FROM __sq_usage WHERE tbl = 't3'), 'DISABLE'
+          |  UNION ALL
+          |  SELECT 't4', (SELECT u // 2 FROM __sq_usage WHERE tbl = 't4'), 'NO_WRITES_COMPACTIONS'
+          |  UNION ALL
+          |  SELECT 't5', (SELECT u * 6 // 10 FROM __sq_usage WHERE tbl = 't5'), 'DISABLE'
+          |), __sq_nsu AS (
+          |  SELECT ns, SUM(u) AS nu FROM __sq_usage GROUP BY ns
+          |), __sq_nsq(ns, lim, pol) AS (
+          |  SELECT 'na', (SELECT (SUM(u) * 9) // 10 FROM __sq_usage WHERE ns = 'na'), 'NO_INSERTS'
+          |), __sq_state AS (
+          |  SELECT x.tbl, x.ns, x.u, t.lim AS tlim, t.pol AS tpol,
+          |         q.lim AS nslim, q.pol AS nspol, nu.nu,
+          |         (t.lim IS NOT NULL AND x.u > t.lim) AS tviol,
+          |         (q.lim IS NOT NULL AND nu.nu > q.lim) AS nsviol
+          |  FROM __sq_usage x
+          |  LEFT JOIN __sq_tq t ON t.tbl = x.tbl
+          |  LEFT JOIN __sq_nsq q ON q.ns = x.ns
+          |  LEFT JOIN __sq_nsu nu ON nu.ns = x.ns
+          |), __sq_enact AS (
+          |  SELECT tbl, ns, u, nu, tlim, nslim, tviol, nsviol, tpol, nspol,
+          |    CASE WHEN tviol THEN 'TABLE'
+          |         WHEN nsviol THEN 'NAMESPACE'
+          |         WHEN tlim IS NOT NULL THEN 'TABLE'
+          |         WHEN nslim IS NOT NULL THEN 'NAMESPACE'
+          |         ELSE 'NONE' END AS source
+          |  FROM __sq_state
+          |)""".stripMargin)(
+        """SELECT tbl AS "table", ns AS namespace,
+          |  CASE source WHEN 'TABLE' THEN u WHEN 'NAMESPACE' THEN nu ELSE u END AS usage,
+          |  CASE source WHEN 'TABLE' THEN tlim WHEN 'NAMESPACE' THEN nslim ELSE -1 END AS "limit",
+          |  CASE source WHEN 'TABLE' THEN tviol WHEN 'NAMESPACE' THEN nsviol ELSE FALSE END AS in_violation,
+          |  CASE WHEN source = 'TABLE' AND tviol THEN tpol
+          |       WHEN source = 'NAMESPACE' AND nsviol THEN nspol END AS policy,
+          |  source,
+          |  COALESCE(CASE WHEN source = 'TABLE' AND tviol THEN tpol
+          |                WHEN source = 'NAMESPACE' AND nsviol THEN nspol END
+          |    IN ('NO_INSERTS', 'NO_WRITES', 'NO_WRITES_COMPACTIONS', 'DISABLE'), FALSE) AS put_blocked,
+          |  COALESCE(CASE WHEN source = 'TABLE' AND tviol THEN tpol
+          |                WHEN source = 'NAMESPACE' AND nsviol THEN nspol END
+          |    IN ('NO_WRITES', 'NO_WRITES_COMPACTIONS', 'DISABLE'), FALSE) AS delete_blocked,
+          |  COALESCE(CASE WHEN source = 'TABLE' AND tviol THEN tpol
+          |                WHEN source = 'NAMESPACE' AND nsviol THEN nspol END
+          |    = 'NO_WRITES_COMPACTIONS', FALSE) AS compactions_off,
+          |  COALESCE(CASE WHEN source = 'TABLE' AND tviol THEN tpol
+          |                WHEN source = 'NAMESPACE' AND nsviol THEN nspol END
+          |    = 'DISABLE', FALSE) AS table_off
+          |FROM __sq_enact ORDER BY tbl""".stripMargin))
+    ),
+    QDef(
       // RegionSplitter pre-split planning (RegionSplitter.java:825,
       // :842, :1048): all three split algorithms plan a 7-way
       // pre-split (7 does NOT divide any of the keyspaces — the last
