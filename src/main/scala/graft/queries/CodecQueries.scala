@@ -470,6 +470,52 @@ object CodecQueries {
           |       (type = 'Put' AND length(COALESCE(value, '')) > 30) AS mob
           |FROM cells_orders
           |ORDER BY row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // C17: HFilePrettyPrinter twin (HFilePrettyPrinter.java — the
+      // `hbase hfile -m` report) from METADATA preads only: trailer
+      // entry count, root-index first key, FILE_INFO LASTKEY /
+      // TIMERANGE / AVG_KEY_LEN / AVG_VALUE_LEN. Three store files
+      // built from known ts buckets of cells_events_v; the oracle
+      // re-derives every reported number from the bucket's cells —
+      // the averages via the writer's own floor division over the
+      // KeyValue key layout (2B rowLen + row + 1B famLen + fam + qual
+      // + 8B ts + 1B type = 12 + lens). Format-dependent fields
+      // (index levels, block counts, physical bytes) stay in the
+      // function but out of the declared query, like q104's
+      // store_bytes.
+      "c17_hfile_pretty_printer",
+      (s, dir) => {
+        val out = graft.Queries.scratchDir("c17_hfile_print")
+        val cells = graft.model.Fixtures.cellsEventsV(s, dir)
+        Seq(("b1", col("ts") <= 2), ("b2", col("ts") === 3),
+          ("b3", col("ts") >= 4)).foreach { case (b, pred) =>
+          graft.flow.HFiles.export(cells.filter(pred), 1, s"$out/$b")
+        }
+        Seq("b1", "b2", "b3").map { b =>
+          graft.flow.HFilePrint.describe(s, s"$out/$b")
+            .withColumn("bucket", lit(b))
+        }.reduce(_ unionByName _)
+          .select("bucket", "entry_count", "first_row", "last_row",
+            "ts_min", "ts_max", "avg_key_len", "avg_value_len")
+          .orderBy("bucket")
+      },
+      Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsEventsV,
+        """__hp_b(bucket, lo, hi) AS (
+          |  VALUES ('b1', 1, 2), ('b2', 3, 3), ('b3', 4, 5)
+          |)""".stripMargin)(
+        """SELECT b.bucket,
+          |       CAST(COUNT(*) AS BIGINT) AS entry_count,
+          |       MIN(c.row) AS first_row, MAX(c.row) AS last_row,
+          |       CAST(MIN(c.ts) AS BIGINT) AS ts_min,
+          |       CAST(MAX(c.ts) AS BIGINT) AS ts_max,
+          |       CAST(SUM(12 + strlen(c.row) + strlen(c.family)
+          |              + strlen(c.qualifier)) // COUNT(*) AS BIGINT)
+          |         AS avg_key_len,
+          |       CAST(SUM(strlen(COALESCE(c.value, ''))) // COUNT(*) AS BIGINT)
+          |         AS avg_value_len
+          |FROM __hp_b b JOIN cells_events_v c ON c.ts BETWEEN b.lo AND b.hi
+          |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin))
     )
   )
 }

@@ -234,6 +234,111 @@ object OpsQueries {
           |LEFT JOIN (SELECT algo, r, COUNT(*) AS n FROM __rs_assign GROUP BY 1, 2) c
           |  ON g.algo = c.algo AND g.r = c.r
           |ORDER BY 1, 2""".stripMargin)
+    ),
+    QDef(
+      // WALPrettyPrinter (WALPrettyPrinter.java:64-229): the log
+      // inspection tool over REAL PB wire segments — cells_events_v
+      // exports as 4 "PWAL" segments, re-read by the WALInputFormat
+      // twin, then printed under the reference's three filter modes:
+      // a row-PREFIX listing (values off — value_len only, the
+      // default), an exact-ROW listing with values on (the
+      // data-derived min row so the mode is non-empty at every SF),
+      // and the row-key-only reduction (one line per CELL, like
+      // printCell). Region/sequence filters are spec-pinned
+      // (WalPrintSpec) — segment/sequence assignment is a
+      // partitioning artifact the oracle can't re-derive.
+      "q110_wal_pretty_printer",
+      (s, dir) => {
+        import graft.flow.WalPrint
+        val out = graft.Queries.scratchDir("q110_walp")
+        val cells = Fixtures.cellsEventsV(s, dir)
+        graft.flow.PWalFiles.export(cells, 4, s"$out/wals")
+        val entries = graft.flow.PWalFiles.importEntries(s, s"$out/wals")
+        val minRow = cells.agg(min("row")).head.getString(0)
+        val outCols = Seq("mode", "row", "column", "ts", "type",
+          "value_len", "value").map(col)
+        WalPrint.print(entries, rowPrefix = Some("0000000"))
+          .withColumn("mode", lit("PREFIX")).select(outCols: _*)
+          .unionByName(
+            WalPrint.print(entries, row = Some(minRow), outputValues = true)
+              .withColumn("mode", lit("ROW")).select(outCols: _*))
+          .unionByName(
+            WalPrint.print(entries, rowPrefix = Some("0000000"),
+                outputOnlyRowKey = true)
+              .select(lit("ROWKEY").as("mode"), col("row"),
+                lit(null).cast("string").as("column"),
+                lit(null).cast("long").as("ts"),
+                lit(null).cast("string").as("type"),
+                lit(null).cast("long").as("value_len"),
+                lit(null).cast("string").as("value")))
+          .orderBy("mode", "row", "column", "ts", "type", "value_len")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__wp_min AS (SELECT MIN(row) AS m FROM cells_events_v)""")(
+        """SELECT * FROM (
+          |  SELECT 'PREFIX' AS "mode", row,
+          |         family || ':' || qualifier AS "column", ts, type,
+          |         CAST(strlen(COALESCE(value, '')) AS BIGINT) AS value_len,
+          |         CAST(NULL AS VARCHAR) AS value
+          |  FROM cells_events_v WHERE row LIKE '0000000%'
+          |  UNION ALL
+          |  SELECT 'ROW', row, family || ':' || qualifier, ts, type,
+          |         CAST(strlen(COALESCE(value, '')) AS BIGINT),
+          |         COALESCE(value, '')
+          |  FROM cells_events_v WHERE row = (SELECT m FROM __wp_min)
+          |  UNION ALL
+          |  SELECT 'ROWKEY', row, NULL, NULL, NULL, NULL, NULL
+          |  FROM cells_events_v WHERE row LIKE '0000000%'
+          |) ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin))
+    ),
+    QDef(
+      // Canary region probe (CanaryTool.java:488-640): four regions
+      // over the events keyspace, each answering ONE first-key-only
+      // read through the RESOLVED view (rawScan off — the reference
+      // default). The first region (empty start key) scans its own
+      // range for the first live cell; the others Get their exact
+      // start key — a boundary row that may legitimately be absent at
+      // small SFs, which reports cells_read = 0 with success = true
+      // (the region answered; emptiness is data, not an outage). The
+      // oracle replays the probes over the live view in SQL.
+      "q111_canary_probe",
+      (s, dir) => {
+        import graft.admin.Canary
+        import graft.read.Resolve
+        val latest = Resolve.latest(
+          Fixtures.cellsEventsV(s, dir), maxVersions = 1)
+        Canary.probeRegions(latest, Seq(
+          ("r0", "", "0000000250"),
+          ("r1", "0000000250", "0000000500"),
+          ("r2", "0000000500", "0000000750"),
+          ("r3", "0000000750", "")))
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV, Cte.liveEventsV,
+        """__cn_latest AS (
+          |  SELECT row, qualifier FROM (
+          |    SELECT row, qualifier, row_number() OVER (
+          |      PARTITION BY row, family, qualifier ORDER BY ts DESC) AS rn
+          |    FROM live_events) WHERE rn = 1
+          |), __cn_regions(region, sk, ek) AS (
+          |  VALUES ('r0', '', '0000000250'),
+          |         ('r1', '0000000250', '0000000500'),
+          |         ('r2', '0000000500', '0000000750'),
+          |         ('r3', '0000000750', '')
+          |), __cn_hits AS (
+          |  SELECT r.region, c.row, c.qualifier,
+          |         row_number() OVER (PARTITION BY r.region
+          |           ORDER BY c.row, c.qualifier) AS rn
+          |  FROM __cn_regions r JOIN __cn_latest c
+          |    ON (r.sk = '' AND c.row < r.ek) OR (r.sk <> '' AND c.row = r.sk)
+          |)""".stripMargin)(
+        """SELECT r.region, r.sk AS start_key, h.row AS probe_row,
+          |       h.qualifier AS first_qualifier,
+          |       CAST(CASE WHEN h.row IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          |         AS cells_read,
+          |       TRUE AS success
+          |FROM __cn_regions r
+          |LEFT JOIN (SELECT * FROM __cn_hits WHERE rn = 1) h USING (region)
+          |ORDER BY region""".stripMargin))
     )
   )
 }
