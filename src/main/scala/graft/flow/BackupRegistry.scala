@@ -150,4 +150,87 @@ object BackupRegistry {
     // leaves a chain pointing at a missing ancestor
     deps.reverse :+ backupId
   }
+
+  // ------------------------------------------------------------------
+  // Backup sets — named table groups (BackupSystemTable.java:829-931,
+  // BackupAdminImpl.java:385-445): `backup create ... -set name`
+  // resolves a set to its tables at session start.
+  // ------------------------------------------------------------------
+
+  private def setsPath(root: String) = new Path(root, ".backup-sets")
+
+  private def readSets(spark: SparkSession, root: String)
+      : Map[String, Seq[String]] = {
+    val fs = fsOf(spark, root)
+    val p = setsPath(root)
+    if (!fs.exists(p)) return Map.empty
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\\|", -1) match {
+          case Array(name, tabs) =>
+            Some(name -> tabs.split(",").toSeq.filter(_.nonEmpty))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private def writeSets(spark: SparkSession, root: String,
+      sets: Map[String, Seq[String]]): Unit = {
+    val fs = fsOf(spark, root)
+    val fin = setsPath(root)
+    val tmp = new Path(root, ".backup-sets.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sets.toSeq.sortBy(_._1)
+      .map { case (n, ts) => s"$n|${ts.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    require(fs.rename(tmp, fin), "could not commit backup sets")
+  }
+
+  /** BackupSystemTable.addToBackupSet: union with the existing
+    * membership (":876-899" — a fresh name creates the set). */
+  def addToBackupSet(spark: SparkSession, root: String, name: String,
+      tables: Seq[String]): Unit = {
+    require(name.nonEmpty && !name.contains("|") &&
+      tables.forall(t => t.nonEmpty && !t.contains(",") && !t.contains("|")),
+      "set fields may not contain the record separators")
+    val sets = readSets(spark, root)
+    val union = (sets.getOrElse(name, Nil) ++ tables).distinct
+    writeSets(spark, root, sets + (name -> union))
+  }
+
+  /** BackupSystemTable.removeFromBackupSet (":902-931"): disjoint the
+    * named tables; an emptied set is DELETED outright. Removing from a
+    * missing set is a no-op warning in the reference — same here. */
+  def removeFromBackupSet(spark: SparkSession, root: String, name: String,
+      tables: Seq[String]): Unit = {
+    val sets = readSets(spark, root)
+    sets.get(name).foreach { cur =>
+      val rest = cur.filterNot(tables.toSet)
+      if (rest.isEmpty) writeSets(spark, root, sets - name)
+      else writeSets(spark, root, sets + (name -> rest))
+    }
+  }
+
+  /** BackupSystemTable.listBackupSets via describe — name → tables. */
+  def listBackupSets(spark: SparkSession, root: String)
+      : Map[String, Seq[String]] = readSets(spark, root)
+
+  /** BackupSystemTable.describeBackupSet: None for a missing set. */
+  def describeBackupSet(spark: SparkSession, root: String,
+      name: String): Option[Seq[String]] =
+    readSets(spark, root).get(name)
+
+  /** BackupAdminImpl.deleteBackupSet: false when the set is missing. */
+  def deleteBackupSet(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    val sets = readSets(spark, root)
+    if (!sets.contains(name)) false
+    else { writeSets(spark, root, sets - name); true }
+  }
 }
