@@ -339,6 +339,87 @@ object OpsQueries {
           |FROM __cn_regions r
           |LEFT JOIN (SELECT * FROM __cn_hits WHERE rn = 1) h USING (region)
           |ORDER BY region""".stripMargin))
+    ),
+    QDef(
+      // SimpleLoadBalancer (SimpleLoadBalancer.java:204-470): 24
+      // regions skewed across six servers as (9,6,3,3,2,1) — average
+      // exactly 4, so every server must end at 4 and the plan is the
+      // minimal 7 moves. Sheds take the NEWEST regions first
+      // (RegionInfoComparator, id desc), the move queue drains in
+      // region-name order, fills round-robin the underloaded servers
+      // in (load, name) order — the twin's documented deterministic
+      // stand-in for the reference's shuffled fill. Each move carries
+      // the region's cell weight from orders (the data the move
+      // actually relocates). The oracle replays the whole plan in
+      // SQL: shed ranks, queue order, and the round-robin slot join.
+      "q112_simple_balancer",
+      (s, dir) => {
+        import graft.admin.Balancer
+        import graft.admin.Balancer.RegionInfo
+        val assign = (0 until 24).map { i =>
+          val server =
+            if (i <= 8) "srvA" else if (i <= 14) "srvB"
+            else if (i <= 17) "srvC" else if (i <= 20) "srvD"
+            else if (i <= 22) "srvE" else "srvF"
+          (f"r$i%02d", i.toLong, server)
+        }
+        val byServer = assign.groupBy(_._3).map { case (srv, rs) =>
+          srv -> rs.map(t => RegionInfo(t._1, t._2))
+        }
+        val plans = Balancer.balanceTable(byServer)
+        import s.implicits._
+        val plansDf = plans.map(p => (p.region, p.source, p.dest))
+          .toDF("region", "source", "dest")
+        val weights = Fixtures.orders(s, dir)
+          .groupBy((col("o_orderkey") % 24).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("region_cells"))
+          .select(format_string("r%02d", col("bucket")).as("region"),
+            col("region_cells"))
+        plansDf.join(broadcast(weights), Seq("region"), "left")
+          .select(col("region"), col("source"), col("dest"),
+            coalesce(col("region_cells"), lit(0L)).as("region_cells"))
+          .orderBy("region")
+      },
+      Some(
+        """WITH __bl_assign AS (
+          |  SELECT i AS idx, printf('r%02d', i) AS region,
+          |    CASE WHEN i <= 8 THEN 'srvA' WHEN i <= 14 THEN 'srvB'
+          |         WHEN i <= 17 THEN 'srvC' WHEN i <= 20 THEN 'srvD'
+          |         WHEN i <= 22 THEN 'srvE' ELSE 'srvF' END AS server
+          |  FROM generate_series(0, 23) t(i)
+          |), __bl_loads AS (
+          |  SELECT server, COUNT(*) AS load FROM __bl_assign GROUP BY 1
+          |), __bl_shed AS (
+          |  -- overloaded servers shed (load - 4) NEWEST regions (idx desc)
+          |  SELECT a.region, a.server,
+          |         row_number() OVER (ORDER BY a.region) AS move_rank
+          |  FROM (
+          |    SELECT a.*, l.load,
+          |           row_number() OVER (PARTITION BY a.server
+          |             ORDER BY a.idx DESC) AS rn
+          |    FROM __bl_assign a JOIN __bl_loads l USING (server)
+          |  ) a WHERE a.load > 4 AND a.rn <= a.load - 4
+          |), __bl_slots AS (
+          |  -- underloaded servers, (load, name) order, one slot per
+          |  -- round-robin round until each reaches min = 4
+          |  SELECT u.server AS dest, r.round, u.pos,
+          |         row_number() OVER (ORDER BY r.round, u.pos) AS slot_rank
+          |  FROM (
+          |    SELECT server, load,
+          |           row_number() OVER (ORDER BY load, server) AS pos,
+          |           4 - load AS need
+          |    FROM __bl_loads WHERE load < 4
+          |  ) u JOIN generate_series(1, 4) r(round) ON r.round <= u.need
+          |)
+          |SELECT m.region, m.server AS source, s.dest,
+          |       CAST(COALESCE(w.n, 0) AS BIGINT) AS region_cells
+          |FROM __bl_shed m
+          |JOIN __bl_slots s ON s.slot_rank = m.move_rank
+          |LEFT JOIN (
+          |  SELECT CAST(o_orderkey % 24 AS INT) AS bucket, COUNT(*) AS n
+          |  FROM orders GROUP BY 1
+          |) w ON printf('r%02d', w.bucket) = m.region
+          |ORDER BY m.region""".stripMargin)
     )
   )
 }
