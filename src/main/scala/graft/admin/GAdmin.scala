@@ -876,8 +876,12 @@ object GAdmin {
     * (HalfStoreFileReader semantics: bottom = rows strictly below the
     * split row; rewriting immediately is the daughters' first
     * compaction, which is also what retires Reference files in the
-    * reference). Returns the split row, or None when every candidate
-    * file is mid-key degenerate (a split would orphan a daughter). */
+    * reference). For the reference's ACTUAL instant-split lifecycle —
+    * metadata-only Reference files, read-through daughters, deferred
+    * materialization, CatalogJanitor parent GC — use
+    * [[graft.flow.RegionRefs]] (q113). Returns the split row, or None
+    * when every candidate file is mid-key degenerate (a split would
+    * orphan a daughter). */
   def splitRegionStore(spark: SparkSession, dir: String,
       bottomDir: String, topDir: String, prefixLength: Int = 0,
       blockSize: Int = 65536): Option[String] = {

@@ -1,0 +1,190 @@
+package graft.flow
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.codec.{HFileV3, SnapshotManifestCodec => SM}
+
+/** The reference's REAL region-split lifecycle — metadata-only split,
+  * read-through daughters, compaction materialization, CatalogJanitor
+  * parent GC:
+  *
+  *  - [[splitRegion]] — SplitTableRegionProcedure: a split writes NO
+  *    cell. Each parent store file gains one Reference file per
+  *    daughter (`<hfile>.<parentRegion>`, "PBUF" + FSProtos.Reference
+  *    {splitkey, TOP|BOTTOM} — io/Reference.java:133-150), the parent
+  *    region goes offline (a `.splitparent` marker here — the META
+  *    split-parent row's twin). At 100 TB this is WHY splits are
+  *    instant: two directory entries per store file, zero data moved.
+  *  - [[importStore]] — StoreFileInfo.java:137-147,613-631: a
+  *    reference resolves `tableDir/<parentRegion>/<family>/<hfile>`
+  *    and reads through the half filter (HalfStoreFileReader: BOTTOM =
+  *    rows strictly below the split row, TOP = the split row and up).
+  *  - [[compactRefs]] — the daughter's first compaction rewrites the
+  *    half-reads into real store files and drops the Reference files;
+  *    only from then on is the parent GC-able.
+  *  - [[catalogJanitor]] — master/janitor/CatalogJanitor.java:326-392:
+  *    a split parent is GC'd (archived) only when NO region still
+  *    holds a Reference to any of its files (`hasNoReferences` over
+  *    both daughters); one daughter still referencing keeps the parent
+  *    alive.
+  *
+  * Layout: `tableDir/<region>/<family>/` store files — the reference's
+  * path math (`getReferredToFile`: tableDir is up three levels from a
+  * reference file) holds verbatim.
+  */
+object RegionRefs {
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** StoreFileInfo.REF_NAME_PATTERN essence: `<hfile>.<parentRegion>`
+    * — a dot-suffixed parent region name after a plain hfile name. */
+  def isReference(name: String): Boolean =
+    !name.endsWith(".hfile") && name.contains(".hfile.")
+
+  /** StoreFileInfo.getReferredToFile: the parent region's same-family
+    * file, tableDir up three levels. */
+  def referredToFile(refFile: Path): Path = {
+    val name = refFile.getName
+    val i = name.lastIndexOf('.')
+    require(i > 0, s"not a reference file name: $name")
+    val hfile = name.substring(0, i)
+    val parentRegion = name.substring(i + 1)
+    val family = refFile.getParent.getName
+    val tableDir = refFile.getParent.getParent.getParent
+    new Path(new Path(new Path(tableDir, parentRegion), family), hfile)
+  }
+
+  /** Metadata-only split of `parentRegion` at its largest store's
+    * index mid-key row. Creates the two daughter region dirs with one
+    * Reference file per (parent store file × daughter), marks the
+    * parent offline. Returns the split row, or None when the parent
+    * is mid-key degenerate (single-block stores). */
+  def splitRegion(spark: SparkSession, tableDir: String,
+      parentRegion: String, daughterA: String, daughterB: String)
+      : Option[Array[Byte]] = {
+    val fs = fsOf(spark, tableDir)
+    val parent = new Path(tableDir, parentRegion)
+    val famDirs = Option(fs.listStatus(parent)).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    require(famDirs.nonEmpty, s"no stores under $parent")
+    // one split row for the whole region: the LARGEST store's mid key
+    // (RegionSplitPolicy.getSplitPoint)
+    val largestFam = famDirs.maxBy { d =>
+      Option(fs.globStatus(new Path(d, "*.hfile")))
+        .getOrElse(Array.empty).map(_.getLen).sum
+    }
+    val splitRow = SplitPolicies.storeSplitPoint(
+      spark, largestFam.toString, glob = "*.hfile")
+    splitRow.foreach { row =>
+      for ((daughter, top) <- Seq((daughterA, false), (daughterB, true))) {
+        for (fam <- famDirs) {
+          val outDir = new Path(new Path(tableDir, daughter), fam.getName)
+          fs.mkdirs(outDir)
+          val files = Option(fs.globStatus(new Path(fam, "*.hfile")))
+            .getOrElse(Array.empty)
+          for (f <- files) {
+            val refName = s"${f.getPath.getName}.$parentRegion"
+            val out = fs.create(new Path(outDir, refName), true)
+            try out.write(SM.encodeReferenceFile(SM.RefHalf(row, top)))
+            finally out.close()
+          }
+        }
+      }
+      // the META split-parent row: parent is offline, awaiting GC
+      fs.create(new Path(parent, ".splitparent"), true).close()
+    }
+    splitRow
+  }
+
+  /** Read one region's stores, resolving Reference files through the
+    * parent with the half filter; plain hfiles read whole. */
+  def importStore(spark: SparkSession, tableDir: String,
+      region: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val regionDir = new Path(tableDir, region)
+    val famDirs = Option(fs.listStatus(regionDir)).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    val files = famDirs.flatMap { fam =>
+      Option(fs.listStatus(fam)).getOrElse(Array.empty).filter(_.isFile)
+        .filter(f => f.getPath.getName != ".splitparent")
+        .map { f =>
+          val p = f.getPath
+          if (isReference(p.getName)) {
+            val bytes = new Array[Byte](f.getLen.toInt)
+            val in = fs.open(p)
+            try in.readFully(0, bytes) finally in.close()
+            val half = SM.decodeReferenceFile(bytes)
+            val target = referredToFile(p)
+            val len = fs.getFileStatus(target).getLen
+            (target.toString, len, Some((half.splitRow, half.top)))
+          } else (p.toString, f.getLen, None)
+        }
+    }.toSeq
+    HFiles.importFilesFiltered(spark, files)
+  }
+
+  /** The daughter's first compaction: materialize the resolved cells
+    * into ONE real store file per family and drop the Reference
+    * files. After this the daughter no longer pins its parent. */
+  def compactRefs(spark: SparkSession, tableDir: String,
+      region: String, blockSize: Int = 65536): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val regionDir = new Path(tableDir, region)
+    val famDirs = Option(fs.listStatus(regionDir)).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    for (fam <- famDirs) {
+      val refs = Option(fs.listStatus(fam)).getOrElse(Array.empty)
+        .filter(f => isReference(f.getPath.getName))
+      if (refs.nonEmpty) {
+        val resolved = HFiles.importFilesFiltered(spark, refs.map { f =>
+          val bytes = new Array[Byte](f.getLen.toInt)
+          val in = fs.open(f.getPath)
+          try in.readFully(0, bytes) finally in.close()
+          val half = SM.decodeReferenceFile(bytes)
+          val target = referredToFile(f.getPath)
+          (target.toString, fs.getFileStatus(target).getLen,
+            Some((half.splitRow, half.top)))
+        }.toSeq)
+        val stage = graft.Queries.scratchDir(s"refcompact_${region}_${fam.getName}")
+        HFiles.export(resolved, numRegions = 1, outPath = stage,
+          blockSize = blockSize)
+        require(fs.rename(new Path(s"$stage/part-00000.hfile"),
+          new Path(fam, s"compacted-$region.hfile")),
+          s"could not land the materialized daughter store for $region")
+        refs.foreach(f => fs.delete(f.getPath, false))
+      }
+    }
+  }
+
+  /** CatalogJanitor.cleanParent: GC (archive) every offline split
+    * parent that no region still references. Returns the regions
+    * GC'd. `archiveDir` receives the parent's store files (the
+    * GCRegionProcedure archives, never hard-deletes — snapshots may
+    * still link them; the archive cleaner chain owns final deletion). */
+  def catalogJanitor(spark: SparkSession, tableDir: String,
+      archiveDir: String): Seq[String] = {
+    val fs = fsOf(spark, tableDir)
+    val regions = Option(fs.listStatus(new Path(tableDir)))
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
+    val parents = regions.filter(r =>
+      fs.exists(new Path(r, ".splitparent"))).sortBy(_.getName)
+    if (parents.isEmpty) return Nil
+    // every referenced parent region name across ALL regions' stores
+    val referenced: Set[String] = regions.flatMap { r =>
+      Option(fs.listStatus(r)).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap { fam =>
+          Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
+            .map(_.getPath.getName).filter(isReference)
+            .map(n => n.substring(n.lastIndexOf('.') + 1))
+        }
+    }.toSet
+    parents.filter(p => !referenced.contains(p.getName)).map { p =>
+      val dest = new Path(archiveDir, p.getName)
+      fs.mkdirs(new Path(archiveDir))
+      require(fs.rename(p, dest), s"could not archive split parent $p")
+      p.getName
+    }.toSeq
+  }
+}

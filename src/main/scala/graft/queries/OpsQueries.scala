@@ -420,6 +420,60 @@ object OpsQueries {
           |  FROM orders GROUP BY 1
           |) w ON printf('r%02d', w.bucket) = m.region
           |ORDER BY m.region""".stripMargin)
+    ),
+    QDef(
+      // The reference's REAL split lifecycle (SplitTableRegionProcedure
+      // → Reference files → daughter compaction → CatalogJanitor GC;
+      // io/Reference.java, StoreFileInfo.java:613, CatalogJanitor.java:
+      // 326-392 — `RegionRefs`): the split writes NO cell — each
+      // parent store file gains one "PBUF"+FSProtos.Reference marker
+      // per daughter (this is why a 100 TB region splits in
+      // milliseconds). Stage 'refs' reads the daughters THROUGH the
+      // references (HalfStoreFileReader semantics); the janitor
+      // refuses to GC the parent while any reference survives; both
+      // daughters compact (materializing real files, dropping refs);
+      // the janitor then archives the parent; stage 'final' re-reads
+      // the materialized daughters with the parent gone. Both stages
+      // must reproduce the parent's exact cell stream — the oracle.
+      "q113_split_lifecycle",
+      (s, dir) => {
+        import graft.flow.{HFiles, RegionRefs}
+        val root = graft.Queries.scratchDir("q113_refs")
+        val table = s"$root/data/t"
+        val arch = s"$root/archive"
+        val cells = graft.model.Fixtures.cellsOrders(s, dir)
+        HFiles.export(cells, 1, s"$table/p1/d", blockSize = 4096)
+        val splitRow = RegionRefs.splitRegion(s, table, "p1", "d1", "d2")
+        require(splitRow.nonEmpty, "parent store must be splittable")
+        // the janitor must refuse while references pin the parent
+        require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
+          "janitor GC'd a still-referenced parent")
+        val refsOut = s"$root/refs_stage"
+        RegionRefs.importStore(s, table, "d1")
+          .unionByName(RegionRefs.importStore(s, table, "d2"))
+          .write.mode("overwrite").parquet(refsOut)
+        RegionRefs.compactRefs(s, table, "d1")
+        // one daughter compacted is NOT enough — d2 still pins p1
+        require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
+          "janitor GC'd with one daughter still referencing")
+        RegionRefs.compactRefs(s, table, "d2")
+        require(RegionRefs.catalogJanitor(s, table, arch) == Seq("p1"),
+          "janitor failed to GC the unreferenced parent")
+        s.read.parquet(refsOut).withColumn("stage", lit("refs"))
+          .unionByName(
+            RegionRefs.importStore(s, table, "d1")
+              .unionByName(RegionRefs.importStore(s, table, "d2"))
+              .withColumn("stage", lit("final")))
+          .select("stage", "row", "family", "qualifier", "ts", "type",
+            "value")
+          .orderBy("stage", "row", "family", "qualifier", "ts", "type",
+            "value")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT st.stage, row, family, qualifier, ts, type, value
+          |FROM cells_orders
+          |CROSS JOIN (VALUES ('final'), ('refs')) st(stage)
+          |ORDER BY stage, row, family, qualifier, ts, type, value""".stripMargin))
     )
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.flow.{HFiles, RegionRefs}
+import graft.model.Fixtures
+
+/** Reference-file split mechanics (io/Reference.java,
+  * StoreFileInfo.java:573-631, CatalogJanitor.java:326-392) beyond the
+  * q113 lifecycle gate. */
+class RegionRefsSpec extends SparkSpec {
+
+  test("reference naming and the referred-to path math") {
+    assert(!RegionRefs.isReference("part-00000.hfile"))
+    assert(!RegionRefs.isReference("compacted-d1.hfile"))
+    assert(RegionRefs.isReference("part-00000.hfile.p1"))
+    val ref = new Path("/any/table/d1/d/part-00000.hfile.p1")
+    // tableDir is up three levels; region swaps to the parent, the
+    // family is preserved, the suffix strips
+    assert(RegionRefs.referredToFile(ref).toString ==
+      "/any/table/p1/d/part-00000.hfile")
+  }
+
+  test("split halves partition exactly at the split row; multi-family shares one row") {
+    val root = java.nio.file.Files.createTempDirectory("refsplit").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(4000).cache()
+    // two families from the same cells: 'd' (large) and 'e' (small) —
+    // the split row must come from the LARGEST store and apply to both
+    HFiles.export(cells, 1, s"$table/p1/d", blockSize = 2048)
+    HFiles.export(cells.limit(500).withColumn("family", lit("e")), 1,
+      s"$table/p1/e", blockSize = 2048)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    val splitRow = RegionRefs.splitRegion(spark, table, "p1", "d1", "d2")
+    assert(splitRow.nonEmpty)
+    val sr = new String(splitRow.get, "UTF-8")
+
+    // every bottom row < splitRow <= every top row, both families
+    val bottom = RegionRefs.importStore(spark, table, "d1").cache()
+    val top = RegionRefs.importStore(spark, table, "d2").cache()
+    assert(bottom.filter(col("row") >= sr).count() == 0)
+    assert(top.filter(col("row") < sr).count() == 0)
+    // the union reproduces both families' cells exactly
+    assert(bottom.count() + top.count() == cells.count() + 500)
+    assert(bottom.select("family").distinct().count() == 2 ||
+      top.select("family").distinct().count() == 2)
+
+    // each daughter family dir holds exactly one reference per parent file
+    val d1refs = fs.listStatus(new Path(s"$table/d1/d"))
+      .map(_.getPath.getName).filter(RegionRefs.isReference)
+    assert(d1refs.toSeq == Seq("part-00000.hfile.p1"))
+    bottom.unpersist(); top.unpersist(); cells.unpersist()
+  }
+
+  test("mid-key degenerate store (single block) refuses to split") {
+    val root = java.nio.file.Files.createTempDirectory("refdegen").toString
+    val table = s"$root/data/t"
+    HFiles.export(Fixtures.cellsOrders(spark, sf0001).limit(10), 1,
+      s"$table/p1/d", blockSize = 1 << 20)
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").isEmpty)
+  }
+
+  test("janitor: a daughter's own re-split keeps the grandparent chain honest") {
+    val root = java.nio.file.Files.createTempDirectory("refchain").toString
+    val table = s"$root/data/t"
+    val arch = s"$root/archive"
+    HFiles.export(Fixtures.cellsOrders(spark, sf0001).limit(4000), 1,
+      s"$table/p1/d", blockSize = 2048)
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").nonEmpty)
+    RegionRefs.compactRefs(spark, table, "d1")
+    RegionRefs.compactRefs(spark, table, "d2")
+    // d1 (now materialized) splits again — p1 is GC-able, d1 is not
+    assert(RegionRefs.splitRegion(spark, table, "d1", "g1", "g2").nonEmpty)
+    val gcd = RegionRefs.catalogJanitor(spark, table, arch)
+    assert(gcd == Seq("p1"), s"expected only p1 GC'd, got $gcd")
+    // grandchildren cover exactly d1's half; with d2 the full corpus
+    val total = RegionRefs.importStore(spark, table, "g1").count() +
+      RegionRefs.importStore(spark, table, "g2").count() +
+      RegionRefs.importStore(spark, table, "d2").count()
+    assert(total == 4000)
+    // after the grandchildren compact, d1 goes too
+    RegionRefs.compactRefs(spark, table, "g1")
+    RegionRefs.compactRefs(spark, table, "g2")
+    assert(RegionRefs.catalogJanitor(spark, table, arch) == Seq("d1"))
+  }
+}
