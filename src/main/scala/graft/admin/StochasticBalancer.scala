@@ -1,0 +1,170 @@
+package graft.admin
+
+import scala.util.Random
+
+/** StochasticLoadBalancer core twin (hbase-balancer/.../
+  * StochasticLoadBalancer.java:571-744, DoubleArrayCost.java:68-130,
+  * CostFunction.scale:113-122) — the reference's DEFAULT balancer: a
+  * greedy stochastic walk over candidate actions, accepting only
+  * cost-improving moves (undo otherwise), over a weighted sum of
+  * normalized cost functions.
+  *
+  * Cost functions twinned exactly (weight = the reference default):
+  *  - region count skew (500) — DoubleArrayCost over per-server
+  *    region counts: sqrt Σ(n−mean)², scaled between the min
+  *    achievable skew (floor/ceil split) and the max (everything on
+  *    one server) — DoubleArrayCost.getMinSkew/getMaxSkew verbatim;
+  *  - store file size skew (5, CostFromRegionLoadFunction) — the same
+  *    form over per-server summed region sizes;
+  *  - read request skew (5) — over per-server summed read counts;
+  *  - move cost (7, MoveCostFunction) — moves scaled against
+  *    min(maxMoves = 25% of regions, totalRegions).
+  *
+  * Candidate generators: LOAD (a region off the most-loaded server to
+  * the least-loaded — LoadCandidateGenerator) and RANDOM (uniform
+  * region to a uniform other server — RandomCandidateGenerator),
+  * picked uniformly. The RNG is INJECTED (seed parameter): the
+  * reference's walk is wall-clock-bounded and ThreadLocalRandom-fed;
+  * an engine twin must replay, so time bounds are step bounds and the
+  * seed pins the path. Locality/rack costs are out of scope (no HDFS
+  * block placement exists here) — documented boundary.
+  */
+object StochasticBalancer {
+
+  final case class RegionLoad(name: String, sizeBytes: Long = 0L,
+      reads: Long = 0L)
+
+  final case class Weights(regionCount: Double = 500.0,
+      sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0)
+
+  /** CostFunction.scale with the epsilon guards collapsed to the
+    * pure-math form (costs here are exact doubles). */
+  private def scale(min: Double, max: Double, value: Double): Double =
+    if (max <= min || value <= min) 0.0
+    else math.max(0.0, math.min(1.0, (value - min) / (max - min)))
+
+  /** DoubleArrayCost.computeCost: sqrt Σ(x−mean)² scaled to
+    * [minSkew, maxSkew]. */
+  def arrayCost(stats: Array[Double]): Double = {
+    if (stats.isEmpty) return 0.0
+    val total = stats.sum
+    val count = stats.length.toDouble
+    val mean = total / count
+    val dev = math.sqrt(stats.map(n => (mean - n) * (mean - n)).sum)
+    scale(minSkew(total, count), maxSkew(total, count), dev)
+  }
+
+  /** DoubleArrayCost.getMinSkew — the deviation of the best possible
+    * (floor/ceil) split. */
+  def minSkew(total: Double, numServers: Double): Double = {
+    if (numServers == 0) return 0.0
+    val mean = total / numServers
+    val min =
+      if (numServers > total)
+        (numServers - total) * mean * mean + (1 - mean) * (1 - mean) * total
+      else {
+        val numHigh = (total - math.floor(mean) * numServers).toInt
+        val numLow = (numServers - numHigh).toInt
+        numHigh * (math.ceil(mean) - mean) * (math.ceil(mean) - mean) +
+          numLow * (mean - math.floor(mean)) * (mean - math.floor(mean))
+      }
+    math.sqrt(min)
+  }
+
+  /** DoubleArrayCost.getMaxSkew — all load on one server. */
+  def maxSkew(total: Double, numServers: Double): Double = {
+    if (numServers == 0) return 0.0
+    val mean = total / numServers
+    math.sqrt((total - mean) * (total - mean) + (numServers - 1) * mean * mean)
+  }
+
+  final case class Result(plans: Seq[Balancer.RegionPlan],
+      initCost: Double, finalCost: Double, acceptedMoves: Long)
+
+  /** One balanceTable walk. Returns None when the weighted average
+    * imbalance is under `minCostNeedBalance` (the reference's 0.025
+    * gate — StochasticLoadBalancer.java:131). */
+  def balanceTable(assignment: Map[String, Seq[RegionLoad]],
+      weights: Weights = Weights(), maxSteps: Int = 20000,
+      minCostNeedBalance: Double = 0.025, seed: Long = 42L)
+      : Option[Result] = {
+    val servers = assignment.keys.toArray.sorted
+    val nServers = servers.length
+    val regions = servers.zipWithIndex.flatMap { case (s, si) =>
+      assignment(s).map(r => (r, si))
+    }
+    val nRegions = regions.length
+    if (nRegions == 0 || nServers < 2) return None
+    val loc = regions.map(_._2) // region -> server index (mutable)
+    val counts = new Array[Double](nServers)
+    val sizes = new Array[Double](nServers)
+    val reads = new Array[Double](nServers)
+    regions.zipWithIndex.foreach { case ((r, si), _) =>
+      counts(si) += 1; sizes(si) += r.sizeBytes.toDouble
+      reads(si) += r.reads.toDouble
+    }
+    var moves = 0L
+    val maxMoves = math.max((nRegions * 0.25).toInt, 30) // moveCost cap
+    val sumMultiplier =
+      weights.regionCount + weights.sizeSkew + weights.readSkew + weights.move
+
+    def cost(): Double =
+      weights.regionCount * arrayCost(counts) +
+        weights.sizeSkew * arrayCost(sizes) +
+        weights.readSkew * arrayCost(reads) +
+        weights.move * scale(0, math.min(maxMoves, nRegions), moves.toDouble)
+
+    var currentCost = cost()
+    val initCost = currentCost
+    if (initCost / sumMultiplier < minCostNeedBalance) return None
+
+    val rnd = new Random(seed)
+    var accepted = 0L
+    var step = 0
+    while (step < maxSteps) {
+      // pick a candidate action
+      val (ri, to) =
+        if (rnd.nextBoolean()) {
+          // LOAD generator: most-loaded server → least-loaded
+          val from = counts.indices.maxBy(counts(_))
+          val dest = counts.indices.minBy(counts(_))
+          val cand = regions.indices.filter(loc(_) == from)
+          if (cand.isEmpty || from == dest) (-1, -1)
+          else (cand(rnd.nextInt(cand.length)), dest)
+        } else {
+          // RANDOM generator: uniform region → uniform other server
+          val r = rnd.nextInt(nRegions)
+          val dest = rnd.nextInt(nServers)
+          if (dest == loc(r)) (-1, -1) else (r, dest)
+        }
+      if (ri >= 0) {
+        val from = loc(ri)
+        val rl = regions(ri)._1
+        def apply(src: Int, dst: Int, d: Long): Unit = {
+          counts(src) -= 1; counts(dst) += 1
+          sizes(src) -= rl.sizeBytes.toDouble; sizes(dst) += rl.sizeBytes.toDouble
+          reads(src) -= rl.reads.toDouble; reads(dst) += rl.reads.toDouble
+          moves += d; loc(ri) = dst
+        }
+        apply(from, to, +1)
+        val newCost = cost()
+        if (currentCost - newCost > 1e-12) {
+          currentCost = newCost
+          accepted += 1
+        } else {
+          apply(to, from, -1) // undo
+        }
+      }
+      step += 1
+    }
+
+    val plans = regions.indices.flatMap { i =>
+      val (r, initial) = regions(i)
+      if (loc(i) != initial)
+        Some(Balancer.RegionPlan(r.name, servers(initial), servers(loc(i))))
+      else None
+    }
+    Some(Result(plans, initCost / sumMultiplier,
+      currentCost / sumMultiplier, accepted))
+  }
+}

@@ -474,6 +474,57 @@ object OpsQueries {
           |FROM cells_orders
           |CROSS JOIN (VALUES ('final'), ('refs')) st(stage)
           |ORDER BY stage, row, family, qualifier, ts, type, value""".stripMargin))
+    ),
+    QDef(
+      // StochasticLoadBalancer — the reference's DEFAULT balancer
+      // (StochasticLoadBalancer.java:571-744, DoubleArrayCost.java):
+      // a greedy stochastic walk (seeded — the twin must replay)
+      // accepting only cost-improving moves over the weighted
+      // normalized cost functions. The regions are the orders
+      // keyspace's occupied %80 buckets, skew-assigned to five
+      // servers by rank fraction (50/30/12/5/3%); the INVARIANT the
+      // oracle checks is the converged end state: with the count-skew
+      // weight dominant the walk must land the exact floor/ceil
+      // split of n regions over 5 servers — numHigh = n mod 5
+      // servers at ⌈n/5⌉, the rest at ⌊n/5⌋ — regardless of the
+      // random path taken (the path itself is spec-pinned:
+      // StochasticBalancerSpec determinism + cost-monotonicity).
+      "q114_stochastic_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.RegionLoad
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        val n = buckets.length
+        val cuts = Seq(0.5, 0.8, 0.92, 0.97).map(f => (n * f).toInt)
+        val assignment = buckets.zipWithIndex.groupBy { case (_, r) =>
+          cuts.count(_ <= r) // 0..4 → server index
+        }.map { case (si, bs) =>
+          f"srv$si%d" -> bs.map { case (b, _) =>
+            RegionLoad(f"r$b%02d")
+          }.toSeq
+        }
+        val res = StochasticBalancer.balanceTable(assignment)
+          .getOrElse(throw new IllegalStateException(
+            "skewed cluster must pass the needs-balance gate"))
+        val counts = collection.mutable.Map(
+          assignment.map { case (sv, rs) => sv -> rs.size.toLong }.toSeq: _*)
+        res.plans.foreach { p => counts(p.source) -= 1; counts(p.dest) += 1 }
+        import s.implicits._
+        counts.values.toSeq.sorted(Ordering[Long].reverse).zipWithIndex
+          .map { case (c, i) => (i.toLong + 1, c) }
+          .toDF("rank", "region_count").orderBy("rank")
+      },
+      Some(
+        """WITH __sb_n AS (
+          |  SELECT COUNT(DISTINCT o_orderkey % 80) AS n FROM orders
+          |)
+          |SELECT CAST(i AS BIGINT) AS rank,
+          |       CAST(CASE WHEN i <= n % 5 THEN n // 5 + 1
+          |                 ELSE n // 5 END AS BIGINT) AS region_count
+          |FROM __sb_n, generate_series(1, 5) t(i)
+          |ORDER BY rank""".stripMargin)
     )
   )
 }

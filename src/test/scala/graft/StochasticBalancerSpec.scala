@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.admin.StochasticBalancer
+import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+
+/** StochasticLoadBalancer twin: cost math against the reference's
+  * DoubleArrayCost formulas, greedy-walk invariants, determinism. */
+class StochasticBalancerSpec extends AnyFunSuite {
+
+  private def cluster(loads: Int*): Map[String, Seq[RegionLoad]] =
+    loads.zipWithIndex.map { case (n, si) =>
+      f"srv$si%02d" -> (0 until n).map(i => RegionLoad(f"s$si%02d-r$i%03d"))
+    }.toMap
+
+  private def finalCounts(a: Map[String, Seq[RegionLoad]],
+      plans: Seq[graft.admin.Balancer.RegionPlan]): Map[String, Int] = {
+    val c = collection.mutable.Map(a.map { case (s, r) => s -> r.size }.toSeq: _*)
+    plans.foreach { p => c(p.source) -= 1; c(p.dest) += 1 }
+    c.toMap
+  }
+
+  test("DoubleArrayCost skew formulas match the reference's closed forms") {
+    // perfectly balanced → the min-skew floor → cost 0
+    assert(StochasticBalancer.arrayCost(Array(4, 4, 4, 4)) == 0.0)
+    // floor/ceil split IS the min skew → still 0
+    assert(StochasticBalancer.arrayCost(Array(4, 4, 5)) == 0.0)
+    // all load on one server → the max skew → cost 1
+    assert(math.abs(StochasticBalancer.arrayCost(Array(12, 0, 0)) - 1.0) < 1e-9)
+    // getMaxSkew closed form: total=12, servers=3 → sqrt(64+2*16)
+    assert(math.abs(StochasticBalancer.maxSkew(12, 3) - math.sqrt(96)) < 1e-12)
+    // getMinSkew, non-integer mean: 10 over 4 → two at 3, two at 2
+    val m = StochasticBalancer.minSkew(10, 4)
+    assert(math.abs(m - math.sqrt(2 * 0.25 + 2 * 0.25)) < 1e-12)
+  }
+
+  test("count-skewed cluster converges to the exact floor/ceil split") {
+    val a = cluster(40, 25, 10, 3, 2) // 80 regions / 5 → 16 each
+    val r = StochasticBalancer.balanceTable(a).get
+    val out = finalCounts(a, r.plans)
+    assert(out.values.forall(_ == 16), s"non-balanced end state: $out")
+    assert(r.finalCost < r.initCost)
+    // each accepted move strictly improved the cost
+    assert(r.acceptedMoves >= 33) // the minimum productive-move count
+  }
+
+  test("already-balanced cluster is under the minCostNeedBalance gate") {
+    assert(StochasticBalancer.balanceTable(cluster(16, 16, 16, 15)).isEmpty)
+  }
+
+  test("seeded determinism: same seed same plans, different seed may differ") {
+    val a = cluster(30, 10, 8)
+    val r1 = StochasticBalancer.balanceTable(a, seed = 7L).get
+    val r2 = StochasticBalancer.balanceTable(a, seed = 7L).get
+    assert(r1.plans == r2.plans && r1.finalCost == r2.finalCost)
+  }
+
+  test("size skew alone drives moves when counts are already balanced") {
+    // equal counts, one server holding all the bytes — only the size
+    // cost (and read cost 0) can motivate the walk
+    val a = Map(
+      "s0" -> (0 until 8).map(i => RegionLoad(s"a$i", sizeBytes = 1L << 30)),
+      "s1" -> (0 until 8).map(i => RegionLoad(s"b$i", sizeBytes = 0L)),
+      "s2" -> (0 until 8).map(i => RegionLoad(s"c$i", sizeBytes = 0L)))
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 500, sizeSkew = 500, readSkew = 0,
+        move = 7)).get
+    val bytes = collection.mutable.Map("s0" -> 0L, "s1" -> 0L, "s2" -> 0L)
+    a.foreach { case (s, rs) => bytes(s) += rs.map(_.sizeBytes).sum }
+    r.plans.foreach { p =>
+      val sz = 1L << 30 // every sized region weighs the same here
+      if (p.region.startsWith("a")) { bytes(p.source) -= sz; bytes(p.dest) += sz }
+    }
+    val vals = bytes.values.toSeq.sorted
+    // 8 GiB over 3 servers: the walk must spread to a 3/3/2-ish split
+    assert(vals.max - vals.min <= (1L << 30),
+      s"size skew not balanced: $bytes")
+    assert(r.finalCost < r.initCost)
+  }
+}
