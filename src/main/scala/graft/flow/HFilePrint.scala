@@ -37,6 +37,71 @@ object HFilePrint {
   private def beInt(b: Array[Byte]): Int =
     ByteBuffer.wrap(b).getInt
 
+  final case class HbckReport(checked: Long, corrupt: Seq[String],
+      quarantined: Seq[String], missing: Seq[String], failures: Seq[String])
+
+  /** hbck's HFileCorruptionChecker twin (util/hbck/
+    * HFileCorruptionChecker.java:92-140): walk every store file under
+    * `rootDir/<table>/<region>/<cf>/`, attempt the reader open
+    * (trailer parse + FILE_INFO pread — the open path's own checks);
+    * a corrupt file (bad magic, truncated trailer) quarantines into
+    * the MIRRORED path `rootDir/.corrupt/<table>/<region>/<cf>/<file>`
+    * (createQuarantinePath) when `quarantine` is set; a file that
+    * vanished mid-walk counts as missing (compaction/split races are
+    * normal), and a failed quarantine move lands in failures. */
+  def checkCorruption(spark: SparkSession, rootDir: String,
+      quarantine: Boolean = true): HbckReport = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corrupt = collection.mutable.ArrayBuffer.empty[String]
+    val quarantined = collection.mutable.ArrayBuffer.empty[String]
+    val missing = collection.mutable.ArrayBuffer.empty[String]
+    val failures = collection.mutable.ArrayBuffer.empty[String]
+    var checked = 0L
+    val files = Option(fs.globStatus(new Path(root, "*/*/*/*.hfile")))
+      .getOrElse(Array.empty).filter(_.isFile).map(_.getPath).sortBy(_.toString)
+    files.foreach { p =>
+      checked += 1
+      val ok =
+        try {
+          val len = fs.getFileStatus(p).getLen
+          if (len < HFileV3.TrailerSize) throw new IllegalArgumentException(
+            "file shorter than a fixed trailer")
+          val in = fs.open(p)
+          try {
+            val tail = new Array[Byte](HFileV3.TrailerSize)
+            in.readFully(len - tail.length, tail)
+            val trailer = HFileV3.readTrailer(tail)
+            val pread: HFileV3.PRead = (off, n) => {
+              val buf = new Array[Byte](n); in.readFully(off, buf); buf
+            }
+            HFileV3.readFileInfo(pread, trailer)
+            true
+          } finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            missing += p.toString; true // not corrupt — compacted away
+          case _: Exception => false
+        }
+      if (!ok) {
+        corrupt += p.toString
+        if (quarantine) {
+          // mirror table/region/cf under .corrupt
+          val cf = p.getParent
+          val region = cf.getParent
+          val table = region.getParent
+          val dest = new Path(new Path(new Path(new Path(root, ".corrupt"),
+            table.getName), region.getName), cf.getName)
+          if (fs.mkdirs(dest) && fs.rename(p, new Path(dest, p.getName)))
+            quarantined += new Path(dest, p.getName).toString
+          else failures += p.toString
+        }
+      }
+    }
+    HbckReport(checked, corrupt.toSeq, quarantined.toSeq, missing.toSeq,
+      failures.toSeq)
+  }
+
   /** Describe every `glob` file under `dir`. */
   def describe(spark: SparkSession, dir: String,
       glob: String = "*.hfile"): DataFrame = {
