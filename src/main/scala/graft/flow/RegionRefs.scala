@@ -98,6 +98,49 @@ object RegionRefs {
     splitRow
   }
 
+  /** Metadata-only MERGE (HRegionFileSystem.mergeStoreFile:716-732,
+    * CatalogJanitor.cleanMergeRegion:255-270): the merged region gains
+    * one whole-file reference per parent store file — a TOP Reference
+    * at the parent's start key (`Reference.createTopReference`), same
+    * `<hfile>.<parentRegion>` naming — and every parent goes offline
+    * awaiting janitor GC. Zero cells move, like the split.
+    * `parentStartKeys` supplies each parent's region start key; absent
+    * = the empty key (a first region's startKey — the TOP filter at
+    * "" passes the whole file either way). */
+  def mergeRegions(spark: SparkSession, tableDir: String,
+      parents: Seq[String], merged: String,
+      parentStartKeys: Map[String, Array[Byte]] = Map.empty): Unit = {
+    val fs = fsOf(spark, tableDir)
+    for (parent <- parents) {
+      val parentDir = new Path(tableDir, parent)
+      val famDirs = Option(fs.listStatus(parentDir)).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      require(famDirs.nonEmpty, s"no stores under $parentDir")
+      val startKey = parentStartKeys.getOrElse(parent, Array.emptyByteArray)
+      for (fam <- famDirs) {
+        val outDir = new Path(new Path(tableDir, merged), fam.getName)
+        fs.mkdirs(outDir)
+        require(!Option(fs.listStatus(fam)).getOrElse(Array.empty)
+            .exists(x => isReference(x.getPath.getName)),
+          s"merging $parent with reference files still present — " +
+            "compact the parent first (the reference merges only " +
+            "ONLINE regions whose stores are materialized)")
+        val files = Option(fs.globStatus(new Path(fam, "*.hfile")))
+          .getOrElse(Array.empty)
+        for (f <- files) {
+          val out = fs.create(
+            new Path(outDir, s"${f.getPath.getName}.$parent"), true)
+          try out.write(SM.encodeReferenceFile(SM.RefHalf(startKey, top = true)))
+          finally out.close()
+        }
+      }
+      // offline marker — the META merge-qualifier row's twin; the
+      // janitor's unreferenced check is the same for split and merge
+      // parents (cleanParent / cleanMergeRegion)
+      fs.create(new Path(parentDir, ".splitparent"), true).close()
+    }
+  }
+
   /** Read one region's stores, resolving Reference files through the
     * parent with the half filter; plain hfiles read whole. */
   def importStore(spark: SparkSession, tableDir: String,

@@ -86,4 +86,38 @@ class RegionRefsSpec extends SparkSpec {
     RegionRefs.compactRefs(spark, table, "g2")
     assert(RegionRefs.catalogJanitor(spark, table, arch) == Seq("d1"))
   }
+
+  test("metadata-only merge: whole-file refs, janitor GCs both parents") {
+    val root = java.nio.file.Files.createTempDirectory("refmerge").toString
+    val table = s"$root/data/t"
+    val arch = s"$root/archive"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(3000).cache()
+    // two adjacent regions from a real row split of the data
+    val rows = cells.select("row").distinct().orderBy("row").collect()
+    val mid = rows(rows.length / 2).getString(0)
+    HFiles.export(cells.filter(col("row") < mid), 1, s"$table/ra/d")
+    HFiles.export(cells.filter(col("row") >= mid), 1, s"$table/rb/d")
+
+    // a parent still carrying refs refuses to merge
+    assert(RegionRefs.splitRegion(spark, table, "ra", "x1", "x2").nonEmpty)
+    intercept[IllegalArgumentException](
+      RegionRefs.mergeRegions(spark, table, Seq("x1"), "mbad"))
+    // clean up that probe split: materialize and GC
+    RegionRefs.compactRefs(spark, table, "x1")
+    RegionRefs.compactRefs(spark, table, "x2")
+    assert(RegionRefs.catalogJanitor(spark, table, arch) == Seq("ra"))
+
+    // merge the two materialized daughters of ra with rb
+    RegionRefs.mergeRegions(spark, table, Seq("rb", "x1", "x2"), "m1",
+      parentStartKeys = Map("rb" -> mid.getBytes("UTF-8")))
+    // read-through merged region = the full corpus, zero cells moved
+    assert(RegionRefs.importStore(spark, table, "m1").count() == cells.count())
+    // janitor refuses while m1 references the parents
+    assert(RegionRefs.catalogJanitor(spark, table, arch).isEmpty)
+    RegionRefs.compactRefs(spark, table, "m1")
+    assert(RegionRefs.catalogJanitor(spark, table, arch).toSet ==
+      Set("rb", "x1", "x2"))
+    assert(RegionRefs.importStore(spark, table, "m1").count() == cells.count())
+    cells.unpersist()
+  }
 }
