@@ -155,6 +155,44 @@ object MutationQueries {
         """SELECT COUNT(*) AS broken FROM chain c
           |LEFT JOIN chain p ON c.prev = p.id
           |WHERE c.prev IS NOT NULL AND p.id IS NULL""".stripMargin))
+    ),
+    QDef(
+      // Nonce idempotency on the non-idempotent mutations
+      // (ServerNonceManager.java:36-160, HConstants.NO_NONCE = 0): a
+      // client retry re-sends the SAME (nonceGroup, nonce) and must
+      // apply ONCE; a genuinely new op (fresh nonce) applies; a
+      // nonce-LESS duplicate (NO_NONCE) double-applies — the
+      // reference's explicit contract. The batch: every event as an
+      // increment op (nonce = its event_id), user_id%5 ops re-sent
+      // verbatim (retries — collapse), user_id%7 ops re-sent under a
+      // FRESH nonce (count twice), user_id%11 ops duplicated with
+      // NO_NONCE (count twice — untracked). Oracle: per-user factor
+      // 1 + [7|uid] + [11|uid]; the %5 retries contribute nothing.
+      "q115_nonce_idempotency",
+      (s, dir) => {
+        val ev = Fixtures.events(s, dir).select(
+          col("user_id"), col("value"), col("ts").cast("long").as("ts"),
+          col("event_id"))
+        val ops = ev.select(col("user_id"), col("value"), col("ts"),
+          lit(1L).as("nonce_group"), col("event_id").cast("long").as("nonce"))
+        val retries = ops.filter(col("user_id") % 5 === 0)
+        val fresh = ops.filter(col("user_id") % 7 === 0)
+          .withColumn("nonce", -col("nonce"))
+        val nonceless = ops.filter(col("user_id") % 11 === 0)
+          .withColumn("nonce", lit(0L))
+        val batch = ops.unionByName(retries).unionByName(fresh)
+          .unionByName(nonceless)
+        Mutations.incrementFold(
+            Mutations.dedupNonces(batch, col("nonce_group"), col("nonce")),
+            keys = Seq(col("user_id")), delta = col("value"))
+          .select(col("user_id"), round(col("value"), 4).as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       ROUND(SUM(value * (1 + CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END
+             |                            + CASE WHEN user_id % 11 = 0 THEN 1 ELSE 0 END)), 4)
+             |         AS total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }

@@ -23,6 +23,26 @@ object Mutations {
   def applyMutations(cells: DataFrame, muts: DataFrame): DataFrame =
     cells.unionByName(muts)
 
+  /** ServerNonceManager twin (regionserver/ServerNonceManager.java:
+    * 36-160, HConstants.NO_NONCE = 0): a client retry of a
+    * NON-idempotent op (Increment/Append) re-sends the same
+    * (nonceGroup, nonce) pair; the server starts the operation only
+    * if that nonce has not already succeeded — so a batch containing
+    * retry duplicates must apply each nonce ONCE. Rows carrying
+    * NO_NONCE (0) are never tracked and apply every time (the
+    * reference's explicit contract — nonce-less retries DO
+    * double-apply). Keeps the earliest row per nonce by `commitOrder`
+    * (the first attempt to commit wins; later retries observe its
+    * result). One aggregation — map-side combine, no window. */
+  def dedupNonces(muts: DataFrame, nonceGroup: Column, nonce: Column,
+      commitOrder: Column = col("ts")): DataFrame = {
+    val tracked = muts.filter(nonce =!= 0L)
+      .groupBy(nonceGroup.as("__ng"), nonce.as("__n"))
+      .agg(min_by(struct(col("*")), commitOrder).as("__row"))
+      .select(col("__row.*"))
+    muts.filter(nonce === 0L).unionByName(tracked)
+  }
+
   /** M4 Increment (client/Increment.java:53, HRegion.increment:8343):
     * counters are commutative, so the batch equivalent of N atomic
     * increments is one partial+final SUM per key — the exact dataflow

@@ -93,4 +93,25 @@ class ResolveSpec extends SparkSpec {
       ("u1", 2.0, "a"), ("u1", 5.0, "a,b"), ("u1", 10.0, "a,b,c"),
       ("u2", 7.0, "x")))
   }
+
+  test("dedupNonces: first attempt wins, NO_NONCE never tracked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (user, delta, ts, group, nonce): nonce 10 retried with a LATER
+    // ts and a different payload — the FIRST attempt's row must win;
+    // nonce 0 rows always pass through untracked
+    val muts = Seq(
+      ("u1", 5.0, 100L, 1L, 10L),
+      ("u1", 9.0, 200L, 1L, 10L), // retry, later ts, divergent payload
+      ("u1", 3.0, 150L, 2L, 10L), // same nonce, DIFFERENT group — distinct
+      ("u2", 1.0, 100L, 1L, 0L),
+      ("u2", 1.0, 110L, 1L, 0L) // NO_NONCE duplicate: double-applies
+    ).toDF("user", "delta", "ts", "ng", "nonce")
+    val out = graft.write.Mutations.dedupNonces(
+        muts, col("ng"), col("nonce"))
+      .groupBy("user").agg(sum("delta").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("u1") == 8.0) // 5 (first attempt of (1,10)) + 3 ((2,10))
+    assert(out("u2") == 2.0) // both untracked rows applied
+  }
 }
