@@ -1075,9 +1075,13 @@ object ExtQueries {
       // codings (H.26x/VP9/AV1) remain the documented decodeStub
       // boundary: no such decoder ships with a pure JDK.
       "e85_video_frame_hash",
+      // a third of the corpus (doc_id % 3 = 0): the per-doc cost is
+      // REAL video work — 8 JPEG encodes (fixture) + 8 decodes — and
+      // the gate needs the path proven, not the full corpus paid
       (s, dir) =>
         Multimodal.videoFrameFeatures(Multimodal.ingestAvi(
-            graft.model.Tables.load(s, s"$dir/documents.parquet"),
+            graft.model.Tables.load(s, s"$dir/documents.parquet")
+              .filter(col("doc_id") % 3 === 0),
             nFrames = 8, w = 64, h = 64))
           .toDF()
           .orderBy("doc_id", "frame_idx"),
@@ -1089,7 +1093,8 @@ object ExtQueries {
              |  SELECT doc_id, f, bx, by,
              |         (doc_id * 3 + (f // 4) * 17 + bx * 7 + by * 11
              |          + doc_id * (by * 8 + bx) * 13) % 256 AS v
-             |  FROM documents, range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
+             |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 0) documents,
+             |       range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
              |cell AS (
              |  SELECT doc_id, f, by * 8 + bx AS c,
              |         CAST(64000 * v AS BIGINT) AS s
@@ -1121,9 +1126,12 @@ object ExtQueries {
       // pigeonhole, exact hamming verifies, and the oracle mirrors the
       // whole chain analytically from the frame law with no decoder.
       "e86_video_near_dup",
+      // a third of the corpus, PAIR-SAFE: the dup pairs are (2k, 2k+1),
+      // so doc_id % 6 < 2 keeps both members of every retained pair
       (s, dir) =>
         Multimodal.videoNearDup(Multimodal.ingestAviDup(
-            graft.model.Tables.load(s, s"$dir/documents.parquet")),
+            graft.model.Tables.load(s, s"$dir/documents.parquet")
+              .filter(col("doc_id") % 6 < 2)),
             maxHamming = 3, bands = 4)
           .orderBy("a_id", "b_id"),
       Some("""WITH blk AS (
@@ -1131,7 +1139,8 @@ object ExtQueries {
              |         ((doc_id - doc_id % 2) * 3 + (f // 4) * 17
              |          + bx * 7 + by * 11
              |          + (doc_id - doc_id % 2) * (by * 8 + bx) * 13) % 256 AS v
-             |  FROM documents, range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
+             |  FROM (SELECT * FROM documents WHERE doc_id % 6 < 2) documents,
+             |       range(8) tf(f), range(8) tbx(bx), range(8) tby(by)),
              |cell AS (
              |  SELECT doc_id, by * 8 + bx AS c,
              |         CAST(SUM(64000 * v) AS BIGINT) AS s
