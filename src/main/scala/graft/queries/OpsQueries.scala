@@ -531,6 +531,67 @@ object OpsQueries {
           |                 ELSE n // 5 END AS BIGINT) AS region_count
           |FROM __sb_n, generate_series(1, 5) t(i)
           |ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // WAL splitting + crash recovery (WALSplitter.splitLogFile /
+      // OutputSink, HRegion.replayRecoveredEditsIfAny — `WalRecovery`):
+      // a dead regionserver's log splits into per-region
+      // recovered-edits PB files (one shuffle keyed by region, the
+      // OutputSink-per-region shape; files named by their first
+      // sequence id through the .temp rename protocol), and region
+      // open replays them SKIPPING edits at or below the store's
+      // flushed max sequence id — already durable, replaying them
+      // would double-apply. Each region's flushed watermark is 60% of
+      // its max seq (data-derived); the oracle rebuilds the seq
+      // assignment (dense_rank per region over commit order — the
+      // FIXTURE construction, not the operator) and checks exactly
+      // the above-watermark edits survive: none lost, none repeated.
+      "q116_wal_recovery",
+      (s, dir) => {
+        import graft.flow.WalRecovery
+        import org.apache.spark.sql.expressions.Window
+        val cells = Fixtures.cellsEventsV(s, dir)
+        val uid = col("row").cast("long")
+        val w = Window.partitionBy(col("wal_region"))
+          .orderBy(col("ts"), col("row"))
+        val entries = cells
+          .withColumn("wal_region",
+            concat(lit("region-"), (uid % 3).cast("string")))
+          .withColumn("wal_table", lit("events"))
+          .withColumn("wal_seq", dense_rank().over(w).cast("long"))
+          .withColumn("write_time", col("ts"))
+          .withColumn("value", coalesce(col("value"), lit("")))
+        val rec = graft.Queries.scratchDir("q116_rec")
+        WalRecovery.splitWal(s, entries, rec)
+        val maxes = entries.groupBy("wal_region")
+          .agg(max("wal_seq").as("m")).collect() // 3 rows
+          .map(r => r.getString(0) -> r.getLong(1))
+        maxes.sortBy(_._1).map { case (region, m) =>
+          WalRecovery.replayRecoveredEdits(s, rec, region, m * 6 / 10)
+            .withColumn("region", lit(region))
+        }.reduce(_ unionByName _)
+          .select("region", "wal_seq", "row", "family", "qualifier",
+            "ts", "type", "value")
+          .orderBy("region", "wal_seq", "row", "family", "qualifier",
+            "ts", "type")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__wr_seq AS (
+          |  SELECT *,
+          |    CAST(dense_rank() OVER (PARTITION BY region
+          |      ORDER BY ts, row) AS BIGINT) AS seq
+          |  FROM (SELECT *, 'region-' || CAST(CAST(row AS BIGINT) % 3 AS VARCHAR)
+          |          AS region
+          |        FROM cells_events_v)
+          |), __wr_max AS (
+          |  SELECT region, MAX(seq) AS m FROM __wr_seq GROUP BY region
+          |)""".stripMargin)(
+        """SELECT s.region, s.seq AS wal_seq, s.row, s.family, s.qualifier,
+          |       s.ts, s.type, COALESCE(s.value, '') AS value
+          |FROM __wr_seq s JOIN __wr_max x USING (region)
+          |WHERE s.seq > (x.m * 6) // 10
+          |ORDER BY s.region, wal_seq, s.row, s.family, s.qualifier,
+          |         s.ts, s.type""".stripMargin))
     )
   )
 }
