@@ -77,6 +77,45 @@ object ScaleSoakR14 {
       println(f"$sc%5d $n%9d $storeMb%9.1f $refMs%7.0f $refBytes%10d " +
         f"$matMs%7.0f $matMb%11.1f ${readN == n}%8s ${gcd.size}%3d")
     }
+
+    // WAL split (q116): ONE shuffle keyed by region; wall time and
+    // shuffled bytes must stay flat PER UNIT of log as the dead
+    // server's WAL grows
+    println("\n== WAL split (WALSplitter twin) ==")
+    println(f"${"scale"}%5s ${"cells"}%9s ${"regions"}%8s " +
+      f"${"split sec"}%10s ${"ms/10k cells"}%13s ${"replay ok"}%10s")
+    for (sc <- Seq(1, 4, 16)) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val base = graft.model.Fixtures.cellsEventsV(spark, sf)
+        .withColumn("value", coalesce(col("value"), lit("")))
+      val cells =
+        if (sc == 1) base
+        else (0 until sc).map(i => base.withColumn("row",
+          concat(format_string("%02d", lit(i)), col("row"))))
+          .reduce(_ unionByName _)
+      val uid = abs(hash(col("row"))).cast("long")
+      val w = Window.partitionBy(col("wal_region"))
+        .orderBy(col("ts"), col("row"))
+      val entries = cells
+        .withColumn("wal_region",
+          concat(lit("r"), lpad((uid % 32).cast("string"), 2, "0")))
+        .withColumn("wal_table", lit("events"))
+        .withColumn("wal_seq", dense_rank().over(w).cast("long"))
+        .withColumn("write_time", col("ts"))
+        .persist()
+      val n = entries.count()
+      val out = java.nio.file.Files.createTempDirectory(s"soakwal$sc").toString
+      val t0 = System.nanoTime()
+      graft.flow.WalRecovery.splitWal(spark, entries, out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val replayed = (0 until 32).map(i =>
+        graft.flow.WalRecovery.replayRecoveredEdits(
+          spark, out, f"r$i%02d", 0L).count()).sum
+      println(f"$sc%5d $n%9d ${32}%8d $sec%10.2f " +
+        f"${sec * 1e4 * 1000 / n}%13.1f ${replayed == n}%10s")
+      entries.unpersist()
+    }
     spark.stop()
   }
 }
