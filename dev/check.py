@@ -23,6 +23,26 @@ for name, sql in sorted(oracle.items()):
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"FAIL {name}: cols {gc} vs {ec}"); fails += 1; continue
+    # Type guard: the driver's hash is type-sensitive, while the value
+    # compare below is not. DuckDB SUM() yields HUGEINT, which Spark can
+    # never emit — reject such oracle columns outright (the q108 class),
+    # and surface any other cross-side type drift as a warning.
+    try:
+        otypes = {r[0]: r[1] for r in con.sql(f"DESCRIBE {sql}").fetchall()}
+        stypes = {r[0]: r[1] for r in
+                  con.sql(f"DESCRIBE SELECT * FROM '{spark_dir}/*.parquet'").fetchall()}
+        banned = {c: t for c, t in otypes.items()
+                  if t.upper().startswith(("HUGEINT", "UHUGEINT", "UTINYINT",
+                                           "USMALLINT", "UINTEGER", "UBIGINT"))}
+        if banned:
+            print(f"FAIL {name}: oracle types Spark cannot emit: {banned}")
+            fails += 1; continue
+        drift = {c: (stypes.get(c), t) for c, t in otypes.items()
+                 if c in stypes and stypes[c] != t}
+        if drift:
+            print(f"WARN {name}: type drift spark-vs-oracle {drift}")
+    except Exception as e:
+        print(f"WARN {name}: type guard skipped: {e}")
     g, e = got[gc], exp[ec]
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue

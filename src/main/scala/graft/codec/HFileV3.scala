@@ -453,13 +453,15 @@ object HFileV3 {
             case CompressionLzma =>
               val in = new org.tukaani.xz.LZMAInputStream(
                 new java.io.ByteArrayInputStream(body, srcOff, compLen))
-              var got = 0
-              var r = in.read(outBuf, outPos, uncompressedSize - outPos)
-              while (r > 0) {
-                got += r
-                r = in.read(outBuf, outPos + got, uncompressedSize - outPos - got)
-              }
-              got
+              try {
+                var got = 0
+                var r = in.read(outBuf, outPos, uncompressedSize - outPos)
+                while (r > 0) {
+                  got += r
+                  r = in.read(outBuf, outPos + got, uncompressedSize - outPos - got)
+                }
+                got
+              } finally in.close()
             case _ =>
               com.github.luben.zstd.Zstd.decompressByteArray(
                 outBuf, outPos, uncompressedSize - outPos,
@@ -470,6 +472,12 @@ object HFileV3 {
           produced += n
           outPos += n
         }
+        // a truncated or oversized stream must fail HERE as a clear
+        // chunk error, not later as a confusing chunk desync: produced
+        // overshooting rawLen means this chunk wrote into the next
+        // chunk's territory of the output buffer
+        require(produced == rawLen,
+          s"chunk produced $produced bytes, declared rawLen $rawLen")
       }
       outBuf
     case other =>

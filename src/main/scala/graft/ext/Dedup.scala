@@ -110,9 +110,30 @@ object Dedup {
       .filter(col("sig") =!= "")
   }
 
+  /** Hot-bucket cap for the text LSH band-join — the twin of
+    * [[Multimodal.capBuckets]] keyed on (band, sig): a band bucket of n
+    * identical-signature docs contributes n² candidate pairs with BOTH
+    * shingle arrays attached, so one low-entropy signature (empty-ish
+    * docs, boilerplate-only pages) melts the self-join at corpus scale.
+    * Buckets larger than `maxBucket` are dropped entirely; what a
+    * capped run loses is pairs whose ONLY shared band is hot — docs
+    * near-dup to thousands of others, which a curation pipeline treats
+    * as a boilerplate CLUSTER, not pairs. The size census groups on the
+    * SAME (band, sig) key as the join, so it rides the existing
+    * exchange. `maxBucket <= 0` = uncapped (declared-query semantics). */
+  private[ext] def capTextBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) rows
+    else {
+      val sizes = rows.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select("band", "sig")
+      rows.join(sizes, Seq("band", "sig"))
+    }
+
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val rows = bandRows(docs, k, bands, n)
+      threshold: Double = 0.8, n: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val rows = capTextBuckets(bandRows(docs, k, bands, n), maxBucket)
     val a = rows.select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val b = rows.select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
     val (_, jac) = arrayJaccard(col("shi"), col("shj"))
@@ -141,8 +162,8 @@ object Dedup {
     * precision is restored by the exact token-set Jaccard verify, the
     * same candidates-only scale shape as [[minHashNearDups]]. */
   def robustNearDups(docs: DataFrame, k: Int = 32, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame =
-    minHashNearDups(docs, k, bands, threshold, n = 1)
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
+    minHashNearDups(docs, k, bands, threshold, n = 1, maxBucket = maxBucket)
 
   /** Incremental (cross-corpus) near-dup: MinHash+LSH matches of a NEW
     * document batch against an EXISTING corpus — the continuous-ingest
@@ -159,11 +180,13 @@ object Dedup {
     * small relative to the corpus the new side broadcasts: checking a
     * shard against a 100 TB corpus moves no corpus data at all. */
   def incrementalNearDups(docs: DataFrame, newPred: Column, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
     val rows = bandRows(docs, k, bands)
     val nw = rows.filter(newPred)
       .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
-    val cp = rows.filter(!newPred)
+    // cap the CORPUS side only: a hot corpus bucket multiplies every
+    // matching batch row by its size; the small batch side never does
+    val cp = capTextBuckets(rows.filter(!newPred), maxBucket)
       .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
     val (_, jac) = arrayJaccard(col("shi"), col("shj"))
     // same verify-before-dedup contract as minHashNearDups; broadcast

@@ -70,8 +70,23 @@ object BackupRegistry {
     val out = fs.create(tmp, true)
     try out.write(images.map(encode).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin), "could not commit backup registry")
+    commitOverwrite(spark, tmp, fin, "backup registry")
+  }
+
+  /** Atomic overwrite-commit: FileContext rename with OVERWRITE so a
+    * reader always sees either the old or the new file — the previous
+    * delete-then-rename left a window where a crash orphaned NO
+    * registry at all and a later register() silently rebuilt from
+    * empty, despite the write-then-rename doc contract. */
+  private def commitOverwrite(spark: SparkSession, tmp: Path, fin: Path,
+      what: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fin.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(s"could not commit $what", e)
+    }
   }
 
   /** Every registered image, registration order. Unparseable lines are
@@ -188,8 +203,7 @@ object BackupRegistry {
       .map { case (n, ts) => s"$n|${ts.mkString(",")}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin), "could not commit backup sets")
+    commitOverwrite(spark, tmp, fin, "backup sets")
   }
 
   /** BackupSystemTable.addToBackupSet: union with the existing

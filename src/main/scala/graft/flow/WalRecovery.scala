@@ -89,8 +89,19 @@ object WalRecovery {
           val out = fs.create(tmp, true)
           try PWal.write(out, entriesIt) finally out.close()
           require(firstSeq >= 0, s"empty recovered-edits group for $region")
-          require(fs.rename(tmp, new Path(dir, f"$firstSeq%019d.pwal")),
-            s"could not commit recovered edits for $region")
+          // idempotent commit: a task retry (or speculative duplicate)
+          // after a successful rename finds the destination already
+          // present — every attempt writes the SAME deterministic
+          // content for the region, so replace-and-rename (WALSplitter
+          // tolerates pre-existing recovered-edits files the same way)
+          // instead of wedging the whole recovery job on a false rename
+          val dst = new Path(dir, f"$firstSeq%019d.pwal")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst)) {
+            require(fs.exists(dst),
+              s"could not commit recovered edits for $region")
+            fs.delete(tmp, false) // a concurrent attempt won the commit
+          }
         }
       }
   }

@@ -176,8 +176,12 @@ object MutationQueries {
         val ops = ev.select(col("user_id"), col("value"), col("ts"),
           lit(1L).as("nonce_group"), col("event_id").cast("long").as("nonce"))
         val retries = ops.filter(col("user_id") % 5 === 0)
+        // fresh nonce = nonce + 10^12: collision-free with every
+        // original nonce (event_ids are far below 10^12) and never 0
+        // (the NO_NONCE sentinel) — negation would map event_id 0 onto
+        // NO_NONCE and silently assume globally unique event_ids
         val fresh = ops.filter(col("user_id") % 7 === 0)
-          .withColumn("nonce", -col("nonce"))
+          .withColumn("nonce", col("nonce") + lit(1000000000000L))
         val nonceless = ops.filter(col("user_id") % 11 === 0)
           .withColumn("nonce", lit(0L))
         val batch = ops.unionByName(retries).unionByName(fresh)

@@ -122,8 +122,8 @@ object OpsQueries {
           |  FROM __sq_state
           |)""".stripMargin)(
         """SELECT tbl AS "table", ns AS namespace,
-          |  CASE source WHEN 'TABLE' THEN u WHEN 'NAMESPACE' THEN nu ELSE u END AS usage,
-          |  CASE source WHEN 'TABLE' THEN tlim WHEN 'NAMESPACE' THEN nslim ELSE -1 END AS "limit",
+          |  CAST(CASE source WHEN 'TABLE' THEN u WHEN 'NAMESPACE' THEN nu ELSE u END AS BIGINT) AS usage,
+          |  CAST(CASE source WHEN 'TABLE' THEN tlim WHEN 'NAMESPACE' THEN nslim ELSE -1 END AS BIGINT) AS "limit",
           |  CASE source WHEN 'TABLE' THEN tviol WHEN 'NAMESPACE' THEN nsviol ELSE FALSE END AS in_violation,
           |  CASE WHEN source = 'TABLE' AND tviol THEN tpol
           |       WHEN source = 'NAMESPACE' AND nsviol THEN nspol END AS policy,
