@@ -592,6 +592,152 @@ object OpsQueries {
           |WHERE s.seq > (x.m * 6) // 10
           |ORDER BY s.region, wal_seq, s.row, s.family, s.qualifier,
           |         s.ts, s.type""".stripMargin))
+    ),
+    QDef(
+      // RegionMover graceful drain/reload (RegionMover.java:86-376)
+      // + hbck's HFileCorruptionChecker (util/hbck/
+      // HFileCorruptionChecker.java:92-140). Mover: 40 regions skewed
+      // (8,16,2,8,6) over five servers; draining sB spreads its 15
+      // data regions least-loaded-first over the others (meta stays —
+      // RegionMover.java:348-355), and the oracle replays the greedy
+      // fill as its closed water-fill form: every destination rises to
+      // level t* (the max level whose fill fits the move count), the
+      // remainder lands on the name-ascending servers at that level;
+      // `load` then replays the saved plan back and the spread must
+      // return to the original. Hbck: four real single-file region
+      // stores from cells_orders, one store file overwritten with
+      // garbage; checkCorruption must quarantine exactly that file
+      // (mirrored under .corrupt), a second pass must see a clean
+      // census, and the data consequence is pinned per region — the
+      // quarantined region reads zero cells, every healthy region
+      // reads its full cellified slice.
+      "q118_mover_hbck",
+      (s, dir) => {
+        import graft.admin.RegionMover
+        import graft.admin.Balancer.{RegionInfo, RegionPlan}
+        import graft.flow.{HFilePrint, HFiles}
+        val assign0: Map[String, Seq[RegionInfo]] = (0 until 40).map { i =>
+          val srv =
+            if (i <= 7) "sA" else if (i <= 23) "sB"
+            else if (i <= 25) "sC" else if (i <= 33) "sD" else "sE"
+          srv -> RegionInfo(f"r$i%02d", i.toLong, isMeta = i == 23)
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        def applyPlans(a: Map[String, Seq[RegionInfo]],
+            ps: Seq[RegionPlan]): Map[String, Seq[RegionInfo]] =
+          ps.foldLeft(a) { (acc, p) =>
+            val r = acc(p.source).find(_.name == p.region)
+              .getOrElse(sys.error(s"${p.region} not on ${p.source}"))
+            acc + (p.source -> acc(p.source).filterNot(_.name == p.region)) +
+              (p.dest -> (acc.getOrElse(p.dest, Nil) :+ r))
+          }
+        val plans = RegionMover.unload(assign0, "sB")
+        val drained = applyPlans(assign0, plans)
+        val reloaded = applyPlans(drained, RegionMover.load(plans, "sB"))
+        require(reloaded.view.mapValues(_.size).toMap ==
+          assign0.view.mapValues(_.size).toMap,
+          "reload must restore the original spread")
+        val moverRows =
+          drained.toSeq.map { case (srv, rs) =>
+            ("mover", srv, "drained", rs.size.toLong) } ++
+          reloaded.toSeq.map { case (srv, rs) =>
+            ("mover", srv, "reloaded", rs.size.toLong) }
+
+        // hbck: real stores, one corrupted, quarantine + re-census
+        val root = graft.Queries.scratchDir("q118_store")
+        val cells = Fixtures.cellsOrders(s, dir)
+        val uid = col("row").cast("long")
+        (0 until 4).foreach { i =>
+          HFiles.export(cells.filter(uid % 4 === i), 1, s"$root/t1/p$i/d",
+            blockSize = 65536)
+        }
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val victim = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$root/t1/p2/d/*.hfile")).head.getPath
+        val out = fs.create(victim, true)
+        try out.write(Array.fill(8192)(0x5a.toByte)) finally out.close()
+        val rep = HFilePrint.checkCorruption(s, root)
+        require(rep.checked == 4 && rep.failures.isEmpty &&
+          rep.corrupt == Seq(victim.toString),
+          s"expected exactly the garbage file corrupt, got $rep")
+        val rep2 = HFilePrint.checkCorruption(s, root)
+        require(rep2.checked == 3 && rep2.corrupt.isEmpty,
+          s"second pass must see a clean census, got $rep2")
+        val hbckRows = (0 until 4).flatMap { i =>
+          val quar =
+            if (rep.quarantined.exists(_.contains(s"/p$i/"))) 1L else 0L
+          val files = Option(fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$root/t1/p$i/d/*.hfile")))
+            .getOrElse(Array.empty).length.toLong
+          val readable =
+            if (files == 0) 0L
+            else HFiles.importCells(s, s"$root/t1/p$i/d").count()
+          Seq(("hbck", s"p$i", "cells_readable", readable),
+            ("hbck", s"p$i", "files_ok", files),
+            ("hbck", s"p$i", "quarantined", quar))
+        }
+        import s.implicits._
+        (moverRows ++ hbckRows)
+          .toDF("part", "name", "phase", "n")
+          .orderBy("part", "name", "phase")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders,
+        """__rm_assign AS (
+          |  SELECT i AS idx, printf('r%02d', i) AS region,
+          |    CASE WHEN i <= 7 THEN 'sA' WHEN i <= 23 THEN 'sB'
+          |         WHEN i <= 25 THEN 'sC' WHEN i <= 33 THEN 'sD'
+          |         ELSE 'sE' END AS server,
+          |    (i = 23) AS is_meta
+          |  FROM generate_series(0, 39) t(i)
+          |), __rm_loads AS (
+          |  SELECT server, COUNT(*) AS ld FROM __rm_assign GROUP BY 1
+          |), __rm_m AS (
+          |  SELECT COUNT(*) AS m FROM __rm_assign
+          |  WHERE server = 'sB' AND NOT is_meta
+          |), __rm_dest AS (
+          |  SELECT server, ld FROM __rm_loads WHERE server <> 'sB'
+          |), __rm_fill AS (
+          |  SELECT lvl, SUM(GREATEST(0, lvl - ld)) AS moved
+          |  FROM generate_series(0, 80) t(lvl), __rm_dest GROUP BY lvl
+          |), __rm_t AS (
+          |  SELECT MAX(lvl) AS tstar FROM __rm_fill, __rm_m WHERE moved <= m
+          |), __rm_rem AS (
+          |  SELECT m - (SELECT moved FROM __rm_fill, __rm_t
+          |              WHERE lvl = tstar) AS rem FROM __rm_m
+          |), __rm_final AS (
+          |  SELECT d.server,
+          |    GREATEST(d.ld, t.tstar) +
+          |    CASE WHEN d.ld <= t.tstar AND
+          |      row_number() OVER (ORDER BY (d.ld > t.tstar), d.server)
+          |        <= r.rem THEN 1 ELSE 0 END AS n
+          |  FROM __rm_dest d, __rm_t t, __rm_rem r
+          |), __hb_cells AS (
+          |  SELECT CAST(row AS BIGINT) % 4 AS r, COUNT(*) AS cells
+          |  FROM cells_orders GROUP BY 1
+          |)""".stripMargin)(
+        """SELECT * FROM (
+          |  SELECT 'mover' AS part, server AS name, 'drained' AS phase,
+          |         CAST(n AS BIGINT) AS n FROM __rm_final
+          |  UNION ALL
+          |  SELECT 'mover', 'sB', 'drained',
+          |         (SELECT COUNT(*) FROM __rm_assign
+          |          WHERE server = 'sB' AND is_meta)
+          |  UNION ALL
+          |  SELECT 'mover', server, 'reloaded', CAST(ld AS BIGINT)
+          |  FROM __rm_loads
+          |  UNION ALL
+          |  SELECT 'hbck', 'p' || CAST(t.r AS VARCHAR), 'cells_readable',
+          |         CASE WHEN t.r = 2 THEN 0 ELSE c.cells END
+          |  FROM generate_series(0, 3) t(r) JOIN __hb_cells c ON c.r = t.r
+          |  UNION ALL
+          |  SELECT 'hbck', 'p' || CAST(r AS VARCHAR), 'files_ok',
+          |         CASE WHEN r = 2 THEN 0 ELSE 1 END
+          |  FROM generate_series(0, 3) t(r)
+          |  UNION ALL
+          |  SELECT 'hbck', 'p' || CAST(r AS VARCHAR), 'quarantined',
+          |         CASE WHEN r = 2 THEN 1 ELSE 0 END
+          |  FROM generate_series(0, 3) t(r)
+          |) ORDER BY part, name, phase""".stripMargin))
     )
   )
 }
