@@ -63,7 +63,17 @@ object RegionRefs {
     * is mid-key degenerate (single-block stores). */
   def splitRegion(spark: SparkSession, tableDir: String,
       parentRegion: String, daughterA: String, daughterB: String)
-      : Option[Array[Byte]] = {
+      : Option[Array[Byte]] =
+    splitRegionImpl(spark, tableDir, parentRegion, daughterA, daughterB,
+      crashAfterFirstDaughter = false)
+
+  /** Injected-crash twin of [[splitRegion]] for the procedure-recovery
+    * specs (the reference's TestSplitTransactionOnCluster fault points):
+    * throws after daughter A's references land, leaving exactly the
+    * half-split state [[recoverInterruptedSplits]] must clean up. */
+  private[graft] def splitRegionImpl(spark: SparkSession, tableDir: String,
+      parentRegion: String, daughterA: String, daughterB: String,
+      crashAfterFirstDaughter: Boolean): Option[Array[Byte]] = {
     val fs = fsOf(spark, tableDir)
     val parent = new Path(tableDir, parentRegion)
     val famDirs = Option(fs.listStatus(parent)).getOrElse(Array.empty)
@@ -78,6 +88,16 @@ object RegionRefs {
     val splitRow = SplitPolicies.storeSplitPoint(
       spark, largestFam.toString, glob = "*.hfile")
     splitRow.foreach { row =>
+      // procedure journal (procedure-v2's persisted state — a
+      // SplitTableRegionProcedure survives a master crash because its
+      // step is durable BEFORE the step's effects): written before the
+      // first reference, removed only after the .splitparent marker
+      // (the META-update point of no return). A journal with no marker
+      // therefore identifies a mid-split crash exactly.
+      val journal = new Path(parent, ".split-journal")
+      val jout = fs.create(journal, true)
+      try jout.write(s"$daughterA|$daughterB".getBytes("UTF-8"))
+      finally jout.close()
       for ((daughter, top) <- Seq((daughterA, false), (daughterB, true))) {
         for (fam <- famDirs) {
           val outDir = new Path(new Path(tableDir, daughter), fam.getName)
@@ -91,11 +111,75 @@ object RegionRefs {
             finally out.close()
           }
         }
+        if (crashAfterFirstDaughter && daughter == daughterA)
+          throw new IllegalStateException(
+            s"injected crash: $parentRegion split after daughter $daughterA")
       }
       // the META split-parent row: parent is offline, awaiting GC
       fs.create(new Path(parent, ".splitparent"), true).close()
+      fs.delete(journal, false)
     }
     splitRow
+  }
+
+  /** SplitTableRegionProcedure.rollbackState / executeFromState twin —
+    * the master-restart sweep over interrupted splits. For every region
+    * carrying a `.split-journal`:
+    *
+    *  - journal + `.splitparent` marker: the split PASSED its point of
+    *    no return (every reference was written before the marker) and
+    *    only the journal cleanup was lost — roll FORWARD by completing
+    *    that cleanup (`completed`).
+    *  - journal, no marker: a mid-split crash (e.g. daughter A's refs
+    *    written, daughter B's not) — roll BACK: remove this parent's
+    *    orphan reference files from both daughters (dropping emptied
+    *    daughter dirs), leaving the parent online and re-splittable
+    *    (`rolledback`). Without this the janitor refuses forever and
+    *    the daughters half-exist — the reference's exact
+    *    rollbackState(SPLIT_TABLE_REGION_CREATE_DAUGHTER_REGIONS) case.
+    *
+    * Returns (parent, action) pairs, parent-name order. */
+  def recoverInterruptedSplits(spark: SparkSession, tableDir: String)
+      : Seq[(String, String)] = {
+    val fs = fsOf(spark, tableDir)
+    val regions = Option(fs.listStatus(new Path(tableDir)))
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName)
+    regions.toSeq.flatMap { parent =>
+      val journal = new Path(parent, ".split-journal")
+      if (!fs.exists(journal)) None
+      else {
+        val len = fs.getFileStatus(journal).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(journal)
+        try in.readFully(0, buf) finally in.close()
+        val Array(dA, dB) = new String(buf, "UTF-8").split("\\|", -1)
+        val action =
+          if (fs.exists(new Path(parent, ".splitparent"))) "completed"
+          else {
+            for (daughter <- Seq(dA, dB) if fs.exists(
+                new Path(tableDir, daughter))) {
+              val dDir = new Path(tableDir, daughter)
+              for (fam <- Option(fs.listStatus(dDir)).getOrElse(Array.empty)
+                  .filter(_.isDirectory)) {
+                Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
+                  .filter(f => f.getPath.getName
+                    .endsWith(s".${parent.getName}"))
+                  .foreach(f => fs.delete(f.getPath, false))
+                if (Option(fs.listStatus(fam.getPath))
+                    .getOrElse(Array.empty).isEmpty)
+                  fs.delete(fam.getPath, false)
+              }
+              if (fs.exists(dDir) && Option(fs.listStatus(dDir))
+                  .getOrElse(Array.empty).isEmpty)
+                fs.delete(dDir, false)
+            }
+            "rolledback"
+          }
+        fs.delete(journal, false)
+        Some(parent.getName -> action)
+      }
+    }
   }
 
   /** Metadata-only MERGE (HRegionFileSystem.mergeStoreFile:716-732,

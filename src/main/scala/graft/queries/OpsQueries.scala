@@ -457,18 +457,34 @@ object OpsQueries {
         RegionRefs.importStore(s, table, "d1")
           .unionByName(RegionRefs.importStore(s, table, "d2"))
           .write.mode("overwrite").parquet(refsOut)
-        RegionRefs.compactRefs(s, table, "d1")
+        RegionRefs.compactRefs(s, table, "d1", blockSize = 4096)
         // one daughter compacted is NOT enough — d2 still pins p1
         require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
           "janitor GC'd with one daughter still referencing")
-        RegionRefs.compactRefs(s, table, "d2")
+        RegionRefs.compactRefs(s, table, "d2", blockSize = 4096)
         require(RegionRefs.catalogJanitor(s, table, arch) == Seq("p1"),
           "janitor failed to GC the unreferenced parent")
+        // interrupted re-split of d1 (procedure-v2 crash window: da's
+        // refs written, crash before db's) — the recovery sweep must
+        // roll it back, leaving d1 online with its exact cell stream
+        // (the 'recovered' stage re-read below)
+        require(scala.util.Try(RegionRefs.splitRegionImpl(s, table, "d1",
+          "da", "db", crashAfterFirstDaughter = true)).isFailure,
+          "injected crash must surface")
+        require(RegionRefs.recoverInterruptedSplits(s, table) ==
+          Seq("d1" -> "rolledback"),
+          "recovery must roll back the half-split daughter refs")
+        require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
+          "nothing may be GC-able after the rollback")
         s.read.parquet(refsOut).withColumn("stage", lit("refs"))
           .unionByName(
             RegionRefs.importStore(s, table, "d1")
               .unionByName(RegionRefs.importStore(s, table, "d2"))
               .withColumn("stage", lit("final")))
+          .unionByName(
+            RegionRefs.importStore(s, table, "d1")
+              .unionByName(RegionRefs.importStore(s, table, "d2"))
+              .withColumn("stage", lit("recovered")))
           .select("stage", "row", "family", "qualifier", "ts", "type",
             "value")
           .orderBy("stage", "row", "family", "qualifier", "ts", "type",
@@ -477,7 +493,7 @@ object OpsQueries {
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT st.stage, row, family, qualifier, ts, type, value
           |FROM cells_orders
-          |CROSS JOIN (VALUES ('final'), ('refs')) st(stage)
+          |CROSS JOIN (VALUES ('final'), ('recovered'), ('refs')) st(stage)
           |WHERE CAST(row AS BIGINT) % 3 = 0
           |ORDER BY stage, row, family, qualifier, ts, type, value""".stripMargin))
     ),

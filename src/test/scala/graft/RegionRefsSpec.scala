@@ -120,4 +120,64 @@ class RegionRefsSpec extends SparkSpec {
     assert(RegionRefs.importStore(spark, table, "m1").count() == cells.count())
     cells.unpersist()
   }
+
+  test("interrupted split rolls back: orphan daughter refs removed, parent re-splittable") {
+    val root = java.nio.file.Files.createTempDirectory("refcrash").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(4000).cache()
+    HFiles.export(cells, 1, s"$table/p1/d", blockSize = 2048)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // crash after daughter A's refs: journal present, no marker, d1
+    // half-exists, d2 absent
+    intercept[IllegalStateException](RegionRefs.splitRegionImpl(
+      spark, table, "p1", "d1", "d2", crashAfterFirstDaughter = true))
+    assert(fs.exists(new Path(s"$table/p1/.split-journal")))
+    assert(!fs.exists(new Path(s"$table/p1/.splitparent")))
+    assert(fs.exists(new Path(s"$table/d1/d/part-00000.hfile.p1")))
+    assert(!fs.exists(new Path(s"$table/d2")))
+    // the janitor must not touch anything in this state
+    assert(RegionRefs.catalogJanitor(spark, table, s"$root/arch").isEmpty)
+
+    // recovery sweep: rollback — orphan refs gone, daughter dirs gone,
+    // journal consumed, parent stays online with its data intact
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("p1" -> "rolledback"))
+    assert(!fs.exists(new Path(s"$table/d1")))
+    assert(!fs.exists(new Path(s"$table/p1/.split-journal")))
+    assert(RegionRefs.importStore(spark, table, "p1").count() == cells.count())
+    // idempotent: a second sweep finds nothing
+    assert(RegionRefs.recoverInterruptedSplits(spark, table).isEmpty)
+
+    // the parent re-splits cleanly after the rollback
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").nonEmpty)
+    assert(RegionRefs.importStore(spark, table, "d1").count() +
+      RegionRefs.importStore(spark, table, "d2").count() == cells.count())
+    // a COMPLETED split leaves no journal; the sweep is a no-op on it
+    assert(!fs.exists(new Path(s"$table/p1/.split-journal")))
+    assert(RegionRefs.recoverInterruptedSplits(spark, table).isEmpty)
+    cells.unpersist()
+  }
+
+  test("crash after the point of no return rolls forward (journal cleanup only)") {
+    val root = java.nio.file.Files.createTempDirectory("refponr").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(3000).cache()
+    HFiles.export(cells, 1, s"$table/p1/d", blockSize = 2048)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").nonEmpty)
+    // simulate the crash window between marker write and journal
+    // delete: re-create the journal next to the completed marker
+    val out = fs.create(new Path(s"$table/p1/.split-journal"), true)
+    try out.write("d1|d2".getBytes("UTF-8")) finally out.close()
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("p1" -> "completed"))
+    // forward-completion: daughters keep their refs, read-through holds
+    assert(fs.exists(new Path(s"$table/d1/d/part-00000.hfile.p1")))
+    assert(RegionRefs.importStore(spark, table, "d1").count() +
+      RegionRefs.importStore(spark, table, "d2").count() == cells.count())
+    cells.unpersist()
+  }
 }
