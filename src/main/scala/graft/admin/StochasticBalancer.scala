@@ -34,8 +34,12 @@ object StochasticBalancer {
   final case class RegionLoad(name: String, sizeBytes: Long = 0L,
       reads: Long = 0L)
 
+  /** `locality`/`rackLocality` are the reference's default multipliers
+    * (ServerLocalityCostFunction 25, RackLocalityCostFunction 15 —
+    * LocalityBasedCostFunction.java). */
   final case class Weights(regionCount: Double = 500.0,
-      sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0)
+      sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0,
+      locality: Double = 25.0, rackLocality: Double = 15.0)
 
   /** CostFunction.scale with the epsilon guards collapsed to the
     * pure-math form (costs here are exact doubles). */
@@ -83,10 +87,23 @@ object StochasticBalancer {
 
   /** One balanceTable walk. Returns None when the weighted average
     * imbalance is under `minCostNeedBalance` (the reference's 0.025
-    * gate — StochasticLoadBalancer.java:131). */
+    * gate — StochasticLoadBalancer.java:131).
+    *
+    * `locality` is the injected (region, server) → locality-fraction
+    * table — the no-HDFS twin of RegionHDFSBlockLocationFinder's block
+    * census (LocalityBasedCostFunction.java: cost = 1 −
+    * currentLocality/bestLocality, where best sums each region's max
+    * achievable fraction). `rackLocality` + `serverRack` are the
+    * RackLocalityCostFunction pair over the same closed form at rack
+    * granularity. Like the reference's CostFunction.isNeeded, an empty
+    * table drops its function from the multiplier sum entirely, so
+    * locality-less walks (q114) are bit-identical to before. */
   def balanceTable(assignment: Map[String, Seq[RegionLoad]],
       weights: Weights = Weights(), maxSteps: Int = 20000,
-      minCostNeedBalance: Double = 0.025, seed: Long = 42L)
+      minCostNeedBalance: Double = 0.025, seed: Long = 42L,
+      locality: Map[(String, String), Double] = Map.empty,
+      rackLocality: Map[(String, String), Double] = Map.empty,
+      serverRack: Map[String, String] = Map.empty)
       : Option[Result] = {
     val servers = assignment.keys.toArray.sorted
     val nServers = servers.length
@@ -105,14 +122,41 @@ object StochasticBalancer {
     }
     var moves = 0L
     val maxMoves = math.max((nRegions * 0.25).toInt, 30) // moveCost cap
+
+    // locality state: current sum is maintained incrementally on each
+    // (applied or undone) move; best is fixed — Σ per-region max
+    val useLoc = locality.nonEmpty
+    val useRack = rackLocality.nonEmpty
+    require(!useRack || servers.forall(serverRack.contains),
+      "rack locality needs a rack for every server")
+    def locOf(tab: Map[(String, String), Double], region: String,
+        entity: String): Double = tab.getOrElse((region, entity), 0.0)
+    def rackOf(si: Int): String = serverRack.getOrElse(servers(si), "")
+    var curLoc = regions.indices.map(i =>
+      locOf(locality, regions(i)._1.name, servers(loc(i)))).sum
+    val bestLoc = regions.map(r =>
+      servers.map(s => locOf(locality, r._1.name, s)).max).sum
+    var curRack = regions.indices.map(i =>
+      locOf(rackLocality, regions(i)._1.name, rackOf(loc(i)))).sum
+    val racks = serverRack.values.toSeq.distinct
+    val bestRack =
+      if (!useRack) 0.0
+      else regions.map(r =>
+        racks.map(k => locOf(rackLocality, r._1.name, k)).max).sum
     val sumMultiplier =
-      weights.regionCount + weights.sizeSkew + weights.readSkew + weights.move
+      weights.regionCount + weights.sizeSkew + weights.readSkew +
+        weights.move + (if (useLoc) weights.locality else 0.0) +
+        (if (useRack) weights.rackLocality else 0.0)
 
     def cost(): Double =
       weights.regionCount * arrayCost(counts) +
         weights.sizeSkew * arrayCost(sizes) +
         weights.readSkew * arrayCost(reads) +
-        weights.move * scale(0, math.min(maxMoves, nRegions), moves.toDouble)
+        weights.move * scale(0, math.min(maxMoves, nRegions), moves.toDouble) +
+        (if (useLoc && bestLoc > 0)
+          weights.locality * (1.0 - curLoc / bestLoc) else 0.0) +
+        (if (useRack && bestRack > 0)
+          weights.rackLocality * (1.0 - curRack / bestRack) else 0.0)
 
     var currentCost = cost()
     val initCost = currentCost
@@ -144,6 +188,12 @@ object StochasticBalancer {
           counts(src) -= 1; counts(dst) += 1
           sizes(src) -= rl.sizeBytes.toDouble; sizes(dst) += rl.sizeBytes.toDouble
           reads(src) -= rl.reads.toDouble; reads(dst) += rl.reads.toDouble
+          if (useLoc) curLoc +=
+            locOf(locality, rl.name, servers(dst)) -
+              locOf(locality, rl.name, servers(src))
+          if (useRack) curRack +=
+            locOf(rackLocality, rl.name, rackOf(dst)) -
+              locOf(rackLocality, rl.name, rackOf(src))
           moves += d; loc(ri) = dst
         }
         apply(from, to, +1)

@@ -754,6 +754,57 @@ object OpsQueries {
           |         CASE WHEN r = 2 THEN 1 ELSE 0 END
           |  FROM generate_series(0, 3) t(r)
           |) ORDER BY part, name, phase""".stripMargin))
+    ),
+    QDef(
+      // LocalityBasedCostFunction over an injected locality table
+      // (hbase-balancer/.../LocalityBasedCostFunction.java: cost = 1 −
+      // current/best; ServerLocalityCostFunction weight 25) — the
+      // no-HDFS twin of RegionHDFSBlockLocationFinder: each occupied
+      // orders %80 bucket region has locality 1.0 on its home server
+      // (bucket % 5) and 0.25 on the next, zero elsewhere. Starting
+      // from the q114 rank-fraction skew (50/30/12/5/3%) with the
+      // locality weight dominant, the seeded greedy walk must converge
+      // to the path-independent invariant: EVERY region lands on its
+      // max-locality server — the reference's dominant production
+      // cost term steering placement to the data.
+      "q119_locality_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        val n = buckets.length
+        val cuts = Seq(0.5, 0.8, 0.92, 0.97).map(f => (n * f).toInt)
+        val assignment = buckets.zipWithIndex.groupBy { case (_, r) =>
+          cuts.count(_ <= r)
+        }.map { case (si, bs) =>
+          f"srv$si%d" -> bs.map { case (b, _) => RegionLoad(f"r$b%02d") }.toSeq
+        }
+        val localityTab = buckets.flatMap { b =>
+          Seq((f"r$b%02d", f"srv${b % 5}%d") -> 1.0,
+            (f"r$b%02d", f"srv${(b + 1) % 5}%d") -> 0.25)
+        }.toMap
+        val res = StochasticBalancer.balanceTable(assignment,
+          weights = Weights(regionCount = 0.0, sizeSkew = 0.0,
+            readSkew = 0.0, move = 7.0, locality = 500.0),
+          locality = localityTab)
+          .getOrElse(throw new IllegalStateException(
+            "an off-locality start must pass the needs-balance gate"))
+        val placed = collection.mutable.Map(
+          assignment.toSeq.flatMap { case (sv, rs) =>
+            rs.map(r => r.name -> sv) }: _*)
+        res.plans.foreach(p => placed(p.region) = p.dest)
+        import s.implicits._
+        placed.toSeq.sortBy(_._1).toDF("region", "server")
+          .orderBy("region")
+      },
+      Some(
+        """SELECT printf('r%02d', b) AS region,
+          |       'srv' || CAST(b % 5 AS VARCHAR) AS server
+          |FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
+          |      FROM orders)
+          |ORDER BY region""".stripMargin)
     )
   )
 }

@@ -78,4 +78,62 @@ class StochasticBalancerSpec extends AnyFunSuite {
       s"size skew not balanced: $bytes")
     assert(r.finalCost < r.initCost)
   }
+
+  test("dominant server locality pulls every region to its max-locality server") {
+    // TestStochasticLoadBalancer.testLocalityCost shape: locality
+    // fractions per (region, server); with the locality weight dominant
+    // the converged invariant is placement at each region's max
+    val a = Map(
+      "s0" -> (0 until 6).map(i => RegionLoad(f"r$i")),
+      "s1" -> Seq.empty[RegionLoad], "s2" -> Seq.empty[RegionLoad])
+    val tab = (0 until 6).flatMap { i =>
+      Seq((f"r$i", f"s${i % 3}") -> 0.9, (f"r$i", f"s${(i + 1) % 3}") -> 0.3)
+    }.toMap
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, locality = 500),
+      locality = tab).get
+    val placed = collection.mutable.Map((0 until 6).map(i => f"r$i" -> "s0"): _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    (0 until 6).foreach(i => assert(placed(f"r$i") == f"s${i % 3}",
+      s"r$i not on its max-locality server: $placed"))
+    assert(r.finalCost < r.initCost)
+  }
+
+  test("locality-less walks are unchanged: empty table drops the function (isNeeded)") {
+    val a = Map(
+      "s0" -> (0 until 9).map(i => RegionLoad(f"r$i")),
+      "s1" -> Seq(RegionLoad("x1")), "s2" -> Seq.empty[RegionLoad])
+    val base = StochasticBalancer.balanceTable(a).get
+    val withEmpty = StochasticBalancer.balanceTable(a,
+      locality = Map.empty).get
+    assert(base.plans == withEmpty.plans &&
+      base.initCost == withEmpty.initCost &&
+      base.finalCost == withEmpty.finalCost)
+  }
+
+  test("rack locality steers placement at rack granularity") {
+    // RackLocalityCostFunction: regions' blocks live on rack A or B;
+    // with rack locality dominant each region must land on a server in
+    // its rack (either server of the rack satisfies the cost)
+    val a = Map(
+      "s0" -> (0 until 8).map(i => RegionLoad(f"r$i")),
+      "s1" -> Seq.empty[RegionLoad],
+      "s2" -> Seq.empty[RegionLoad], "s3" -> Seq.empty[RegionLoad])
+    val racks = Map("s0" -> "ra", "s1" -> "ra", "s2" -> "rb", "s3" -> "rb")
+    val tab = (0 until 8).map { i =>
+      (f"r$i", if (i % 2 == 0) "ra" else "rb") -> 1.0
+    }.toMap
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, rackLocality = 500),
+      rackLocality = tab, serverRack = racks).get
+    val placed = collection.mutable.Map((0 until 8).map(i => f"r$i" -> "s0"): _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    (0 until 8).foreach { i =>
+      val rack = racks(placed(f"r$i"))
+      assert(rack == (if (i % 2 == 0) "ra" else "rb"),
+        s"r$i on wrong rack: $placed")
+    }
+  }
 }
