@@ -997,4 +997,25 @@ object GAdmin {
       }
       .toDS().toDF()
   }
+
+  /** hbtop's rate half (ClusterMetrics.getRequestCountPerSecond,
+    * hbase-balancer CostFromRegionLoadAsRateFunction's input shape):
+    * the census ([[clusterMetrics]]) is a static snapshot; rates come
+    * from the DELTA between two consecutive snapshots over the scrape
+    * interval. `censuses` is a union of census frames, each tagged
+    * with a monotone `census` ordinal; the view adds each store's
+    * per-second write rate ((n_cells − previous n_cells) / interval,
+    * null on a store's first appearance — exactly a LAG window per
+    * store). One window over the (table, region, store) key — the
+    * frame is store-census-count-sized metadata, never data-sized. */
+  def metricsRate(censuses: DataFrame, intervalSec: Long): DataFrame = {
+    require(intervalSec > 0, "scrape interval must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("table", "region", "store").orderBy("census")
+    censuses
+      .withColumn("write_rate",
+        (col("n_cells") - lag(col("n_cells"), 1).over(w)) /
+          lit(intervalSec.toDouble))
+  }
 }

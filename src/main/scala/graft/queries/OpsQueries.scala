@@ -805,6 +805,76 @@ object OpsQueries {
           |FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
           |      FROM orders)
           |ORDER BY region""".stripMargin)
+    ),
+    QDef(
+      // hbtop's rate half (ClusterMetrics.getRequestCountPerSecond;
+      // CostFromRegionLoadAsRateFunction's sliding-window input —
+      // `GAdmin.metricsRate`): q104's census is a static snapshot;
+      // operators rank stores by requests/SECOND, the delta between
+      // two consecutive censuses over the scrape interval. Census 1
+      // sweeps the store layout at the ts<=3 file ladder (3 files per
+      // region store, real trailer preads); writes land the ts 4..5
+      // files; census 2 re-sweeps; the rate view LAGs each store's
+      // cell count over the census ordinal — null on first sight, the
+      // per-second write rate after. The oracle replays both censuses
+      // and the same LAG from the fixture's %3 split rules.
+      "q120_metrics_rate",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        import graft.flow.HFiles
+        val puts = Fixtures.cellsEventsV(s, dir)
+          .filter(col("type") === "Put" && col("value").isNotNull)
+        val root = graft.Queries.scratchDir("q120_cm")
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        val uid = col("row").cast("long")
+        def land(tss: Range): Unit =
+          for (r <- 0 until 3; tsv <- tss) {
+            val tmp = graft.Queries.scratchDir(s"q120_r${r}_$tsv")
+            HFiles.export(puts.filter(uid % 3 === r && col("ts") === tsv)
+                .select("row", "family", "qualifier", "ts", "type", "value"),
+              numRegions = 1, outPath = tmp)
+            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/ta/r$r/d"))
+            fs.rename(
+              new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
+              new org.apache.hadoop.fs.Path(
+                f"$root/data/ta/r$r/d/part-$tsv%05d.hfile"))
+          }
+        land(1 to 3)
+        // a census is a SNAPSHOT: pin census 1's sweep to its scrape
+        // instant (the lazy plan would otherwise re-walk the store
+        // dirs after census 2's files land). Store-count-sized collect.
+        val snap1 = GAdmin.clusterMetrics(s, root)
+          .withColumn("census", lit(1))
+        val c1 = s.createDataFrame(
+          s.sparkContext.parallelize(snap1.collect().toIndexedSeq),
+          snap1.schema)
+        land(4 to 5)
+        val c2 = GAdmin.clusterMetrics(s, root)
+          .withColumn("census", lit(2))
+        GAdmin.metricsRate(c1.unionByName(c2), intervalSec = 10L)
+          .select("census", "table", "region", "store", "file_count",
+            "n_cells", "write_rate")
+          .orderBy("census", "region")
+      },
+      Some(Cte.withCtes(Cte.cellsEventsV,
+        """__mr_counts AS (
+          |  SELECT c.census, CAST(p.row AS BIGINT) % 3 AS r,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM (VALUES (1), (2)) c(census)
+          |  JOIN cells_events_v p
+          |    ON p.type = 'Put' AND p.value IS NOT NULL
+          |   AND p.ts <= CASE WHEN c.census = 1 THEN 3 ELSE 5 END
+          |  GROUP BY 1, 2
+          |)""".stripMargin)(
+        """SELECT census, 'ta' AS "table",
+          |       'r' || CAST(r AS VARCHAR) AS region, 'd' AS store,
+          |       CAST(CASE WHEN census = 1 THEN 3 ELSE 5 END AS BIGINT)
+          |         AS file_count,
+          |       n AS n_cells,
+          |       (n - LAG(n) OVER (PARTITION BY r ORDER BY census)) / 10.0
+          |         AS write_rate
+          |FROM __mr_counts ORDER BY census, region""".stripMargin))
     )
   )
 }
