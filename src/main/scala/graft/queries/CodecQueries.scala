@@ -286,8 +286,14 @@ object CodecQueries {
       // stay a documented classpath boundary.
       "c08_hfile_compressions",
       (s, dir) => {
+        // each codec leg roundtrips a DISTINCT 1/6 corpus slice: the
+        // identity gate per codec is unchanged (real data through the
+        // real writer/reader) while the fixed per-round encode/decode
+        // CPU drops 6× — the slices cover the whole corpus between
+        // them, so a row-dependent corruption still cannot hide
         val out = graft.Queries.scratchDir("c08_hfile_comp")
         val cells = graft.model.Fixtures.cellsOrders(s, dir)
+        val uid = col("row").cast("long")
         Seq(
           "BZIP2" -> (HFileV3.CompressionBzip2, 0),
           "LZ4" -> (HFileV3.CompressionLz4, 0),
@@ -296,9 +302,9 @@ object CodecQueries {
           "ZSTD" -> (HFileV3.CompressionZstd, 0),
           "ZSTD_FAST_DIFF" ->
             (HFileV3.CompressionZstd, graft.codec.BlockEncoding.IdFastDiff)
-        ).map { case (name, (codec, enc)) =>
-          graft.flow.HFiles.export(cells, 4, s"$out/$name",
-            compression = codec, encoding = enc)
+        ).zipWithIndex.map { case ((name, (codec, enc)), i) =>
+          graft.flow.HFiles.export(cells.filter(uid % 6 === i), 2,
+            s"$out/$name", compression = codec, encoding = enc)
           graft.flow.HFiles.importCells(s, s"$out/$name")
             .withColumn("codec", lit(name))
         }.reduce(_ unionByName _)
@@ -308,7 +314,9 @@ object CodecQueries {
       Some(graft.oracle.Cte.withCtes(graft.oracle.Cte.cellsOrders)(
         """SELECT e.codec, row, family, qualifier, ts, type, value
           |FROM cells_orders
-          |CROSS JOIN (VALUES ('BZIP2'), ('LZ4'), ('LZMA'), ('SNAPPY'), ('ZSTD'), ('ZSTD_FAST_DIFF')) e(codec)
+          |JOIN (VALUES ('BZIP2', 0), ('LZ4', 1), ('LZMA', 2),
+          |             ('SNAPPY', 3), ('ZSTD', 4), ('ZSTD_FAST_DIFF', 5))
+          |  e(codec, i) ON CAST(row AS BIGINT) % 6 = e.i
           |ORDER BY codec, row, family, qualifier, ts, type, value""".stripMargin))
     ),
     QDef(

@@ -875,6 +875,75 @@ object OpsQueries {
           |       (n - LAG(n) OVER (PARTITION BY r ORDER BY census)) / 10.0
           |         AS write_rate
           |FROM __mr_counts ORDER BY census, region""".stripMargin))
+    ),
+    QDef(
+      // Slow-log ring (OnlineLogRecord.java, namequeues/
+      // SlowLogQueueService.java — `SlowLog`): each regionserver keeps
+      // a BOUNDED ring of its latest operations (state constant
+      // regardless of volume — old records fall off), and
+      // Admin.getSlowLogResponses returns the slow slice ranked worst
+      // first under a client cap. Fixture: every event becomes an
+      // operation record on server rs<user_id%3> (arrival order =
+      // (ts, event_id), processing µs from the event value); rings
+      // keep the latest 128 per server; 'slow' = processing above the
+      // ring population's floored mean (data-derived, every SF);
+      // response = top 25. The oracle replays ring windows, threshold
+      // and ranking in SQL.
+      "q121_slow_log",
+      (s, dir) => {
+        import graft.admin.SlowLog
+        val recs = Fixtures.events(s, dir).select(
+          concat(lit("rs"), (col("user_id") % 3).cast("string"))
+            .as("server"),
+          graft.model.Cellify.nsToUs(col("ts")).as("start_us"),
+          col("event_type").as("method"),
+          floor(abs(coalesce(col("value"), lit(0.0))) * 1000)
+            .cast("long").as("processing_us"),
+          coalesce(octet_length(col("props")), lit(0)).cast("long")
+            .as("response_size"),
+          concat(lit("region-"), (col("user_id") % 16).cast("string"))
+            .as("region"),
+          col("event_id"))
+        val rings = SlowLog.ring(recs, 128, col("server"),
+          col("start_us"), col("event_id"))
+        // the warn threshold: floored mean processing time over the
+        // ring population (1-row collect — ring-bounded input)
+        val thr = rings.agg(floor(avg(col("processing_us"))).cast("long"))
+          .collect()(0).getLong(0)
+        SlowLog.slowLogResponses(rings,
+            isSlow = col("processing_us") > thr, limit = 25,
+            order = Seq(col("processing_us").desc, col("start_us"),
+              col("event_id")))
+          .select("rank", "server", "method", "start_us",
+            "processing_us", "response_size", "region")
+          .orderBy("rank")
+      },
+      Some(
+        """WITH __sl_recs AS (
+          |  SELECT 'rs' || CAST(user_id % 3 AS VARCHAR) AS server,
+          |         epoch_us(ts) AS start_us, event_type AS method,
+          |         CAST(FLOOR(ABS(COALESCE(value, 0)) * 1000) AS BIGINT)
+          |           AS processing_us,
+          |         CAST(COALESCE(strlen(props), 0) AS BIGINT)
+          |           AS response_size,
+          |         'region-' || CAST(user_id % 16 AS VARCHAR) AS region,
+          |         event_id
+          |  FROM events
+          |), __sl_ring AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY server
+          |      ORDER BY start_us DESC, event_id DESC) AS rn
+          |    FROM __sl_recs) WHERE rn <= 128
+          |), __sl_thr AS (
+          |  SELECT CAST(FLOOR(AVG(processing_us)) AS BIGINT) AS thr
+          |  FROM __sl_ring
+          |)
+          |SELECT CAST(row_number() OVER (ORDER BY processing_us DESC,
+          |         start_us, event_id) AS BIGINT) AS rank,
+          |       server, method, start_us, processing_us,
+          |       response_size, region
+          |FROM __sl_ring, __sl_thr WHERE processing_us > thr
+          |ORDER BY rank LIMIT 25""".stripMargin)
     )
   )
 }

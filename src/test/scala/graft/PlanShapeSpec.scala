@@ -215,6 +215,8 @@ class PlanShapeSpec extends SparkSpec {
   //     runs — the scaladocs pin the TakeOrderedAndProject split);
   //   e68: the ≤topN repeated-span survivors;
   //   q104: the store-count-sized hbtop ranking.
+  //   q121: the slow-log response rank — input is the per-server rings
+  //     (servers × ringSize rows by construction, volume-independent).
   // A NEW name landing here means someone put a potentially
   // corpus-sized global window in a declared query — stop and
   // repartition (or orderBy+limit first) instead of extending the
@@ -223,7 +225,8 @@ class PlanShapeSpec extends SparkSpec {
     "c01_ordered_key_sort", "c03_narrow_types", "c04_hb_layout_sort",
     "c14_hb_narrow_sort", "e38_ppl_buckets", "e57_vocab_coverage",
     "e58_dsir_sample", "e63_ccnet_verdict", "e66_uncertainty",
-    "e68_memorized_spans", "e78_retrieval_ndcg", "q104_cluster_metrics")
+    "e68_memorized_spans", "e78_retrieval_ndcg", "q104_cluster_metrics",
+    "q121_slow_log")
 
   test("declared queries: the global-window set is pinned exactly") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
