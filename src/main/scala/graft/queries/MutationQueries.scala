@@ -173,13 +173,19 @@ object MutationQueries {
         val ev = Fixtures.events(s, dir).select(
           col("user_id"), col("value"), col("ts").cast("long").as("ts"),
           col("event_id"))
+        // nonce = event_id + 1: the fixture's ids start at 0, and an
+        // unshifted id 0 would put that op on the NO_NONCE sentinel
+        // (untracked — its retry would double-apply if its user ever
+        // landed in the %5 slice). FixtureInvariantsSpec pins the
+        // uniqueness + range assumptions.
         val ops = ev.select(col("user_id"), col("value"), col("ts"),
-          lit(1L).as("nonce_group"), col("event_id").cast("long").as("nonce"))
+          lit(1L).as("nonce_group"),
+          (col("event_id").cast("long") + 1L).as("nonce"))
         val retries = ops.filter(col("user_id") % 5 === 0)
         // fresh nonce = nonce + 10^12: collision-free with every
-        // original nonce (event_ids are far below 10^12) and never 0
-        // (the NO_NONCE sentinel) — negation would map event_id 0 onto
-        // NO_NONCE and silently assume globally unique event_ids
+        // original nonce (event_ids are far below 10^12) and never 0 —
+        // negation would map onto NO_NONCE for id -1 and silently
+        // assume globally unique event_ids
         val fresh = ops.filter(col("user_id") % 7 === 0)
           .withColumn("nonce", col("nonce") + lit(1000000000000L))
         val nonceless = ops.filter(col("user_id") % 11 === 0)
