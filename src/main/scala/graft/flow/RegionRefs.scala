@@ -145,41 +145,78 @@ object RegionRefs {
     val regions = Option(fs.listStatus(new Path(tableDir)))
       .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
       .sortBy(_.getName)
-    regions.toSeq.flatMap { parent =>
+
+    // remove every `<hfile>.<parent>` reference to `parent` under
+    // `region`, dropping emptied family/region dirs
+    def dropRefsTo(region: String, parent: String): Unit = {
+      val dDir = new Path(tableDir, region)
+      if (!fs.exists(dDir)) return
+      for (fam <- Option(fs.listStatus(dDir)).getOrElse(Array.empty)
+          .filter(_.isDirectory)) {
+        Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
+          .filter(_.getPath.getName.endsWith(s".$parent"))
+          .foreach(f => fs.delete(f.getPath, false))
+        if (Option(fs.listStatus(fam.getPath))
+            .getOrElse(Array.empty).isEmpty)
+          fs.delete(fam.getPath, false)
+      }
+      if (fs.exists(dDir) && Option(fs.listStatus(dDir))
+          .getOrElse(Array.empty).isEmpty)
+        fs.delete(dDir, false)
+    }
+
+    def readJournal(p: Path): Array[String] = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").split("\\|", -1)
+    }
+
+    val splits = regions.toSeq.flatMap { parent =>
       val journal = new Path(parent, ".split-journal")
       if (!fs.exists(journal)) None
       else {
-        val len = fs.getFileStatus(journal).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(journal)
-        try in.readFully(0, buf) finally in.close()
-        val Array(dA, dB) = new String(buf, "UTF-8").split("\\|", -1)
+        val Array(dA, dB) = readJournal(journal)
         val action =
           if (fs.exists(new Path(parent, ".splitparent"))) "completed"
           else {
-            for (daughter <- Seq(dA, dB) if fs.exists(
-                new Path(tableDir, daughter))) {
-              val dDir = new Path(tableDir, daughter)
-              for (fam <- Option(fs.listStatus(dDir)).getOrElse(Array.empty)
-                  .filter(_.isDirectory)) {
-                Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
-                  .filter(f => f.getPath.getName
-                    .endsWith(s".${parent.getName}"))
-                  .foreach(f => fs.delete(f.getPath, false))
-                if (Option(fs.listStatus(fam.getPath))
-                    .getOrElse(Array.empty).isEmpty)
-                  fs.delete(fam.getPath, false)
-              }
-              if (fs.exists(dDir) && Option(fs.listStatus(dDir))
-                  .getOrElse(Array.empty).isEmpty)
-                fs.delete(dDir, false)
-            }
+            Seq(dA, dB).foreach(dropRefsTo(_, parent.getName))
             "rolledback"
           }
         fs.delete(journal, false)
         Some(parent.getName -> action)
       }
     }
+
+    // merge journals live in the MERGED region dir; the merge passed
+    // its point of no return once EVERY parent carries the offline
+    // marker (the marker is each parent's last step) — otherwise roll
+    // back: drop the merged region's refs and bring the already-
+    // offlined parents back ONLINE (without this the janitor would GC
+    // a parent the dead merge had marked, losing its cells)
+    val merges = regions.toSeq.flatMap { mdir =>
+      val journal = new Path(mdir, ".merge-journal")
+      if (!fs.exists(journal)) None
+      else {
+        val parents = readJournal(journal)
+        val action =
+          if (parents.forall(p =>
+              fs.exists(new Path(new Path(tableDir, p), ".splitparent"))))
+            "completed"
+          else {
+            parents.foreach { p =>
+              dropRefsTo(mdir.getName, p)
+              fs.delete(new Path(new Path(tableDir, p), ".splitparent"),
+                false)
+            }
+            "rolledback"
+          }
+        fs.delete(journal, false)
+        Some(mdir.getName -> action)
+      }
+    }
+    (splits ++ merges).sortBy(_._1)
   }
 
   /** Metadata-only MERGE (HRegionFileSystem.mergeStoreFile:716-732,
@@ -193,8 +230,27 @@ object RegionRefs {
     * "" passes the whole file either way). */
   def mergeRegions(spark: SparkSession, tableDir: String,
       parents: Seq[String], merged: String,
-      parentStartKeys: Map[String, Array[Byte]] = Map.empty): Unit = {
+      parentStartKeys: Map[String, Array[Byte]] = Map.empty): Unit =
+    mergeRegionsImpl(spark, tableDir, parents, merged, parentStartKeys,
+      crashAfterFirstParent = false)
+
+  /** Injected-crash twin of [[mergeRegions]] (the
+    * MergeTableRegionsProcedure fault point): throws after the first
+    * parent's references land. */
+  private[graft] def mergeRegionsImpl(spark: SparkSession, tableDir: String,
+      parents: Seq[String], merged: String,
+      parentStartKeys: Map[String, Array[Byte]],
+      crashAfterFirstParent: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
+    // the merge's procedure journal lives in the MERGED region dir:
+    // present + parents still online (no .splitparent on every parent)
+    // = a mid-merge crash (MergeTableRegionsProcedure.rollbackState)
+    val mdir = new Path(tableDir, merged)
+    fs.mkdirs(mdir)
+    val journal = new Path(mdir, ".merge-journal")
+    val jout = fs.create(journal, true)
+    try jout.write(parents.mkString("|").getBytes("UTF-8"))
+    finally jout.close()
     for (parent <- parents) {
       val parentDir = new Path(tableDir, parent)
       val famDirs = Option(fs.listStatus(parentDir)).getOrElse(Array.empty)
@@ -222,7 +278,11 @@ object RegionRefs {
       // janitor's unreferenced check is the same for split and merge
       // parents (cleanParent / cleanMergeRegion)
       fs.create(new Path(parentDir, ".splitparent"), true).close()
+      if (crashAfterFirstParent && parent == parents.head)
+        throw new IllegalStateException(
+          s"injected crash: merge $merged after parent $parent")
     }
+    fs.delete(journal, false)
   }
 
   /** Read one region's stores, resolving Reference files through the

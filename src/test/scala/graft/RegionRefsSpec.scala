@@ -160,6 +160,44 @@ class RegionRefsSpec extends SparkSpec {
     cells.unpersist()
   }
 
+  test("interrupted merge rolls back: refs dropped, offlined parents back online") {
+    val root = java.nio.file.Files.createTempDirectory("mergecrash").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(3000).cache()
+    val rows = cells.select("row").distinct().orderBy("row").collect()
+    val mid = rows(rows.length / 2).getString(0)
+    HFiles.export(cells.filter(col("row") < mid), 1, s"$table/ra/d")
+    HFiles.export(cells.filter(col("row") >= mid), 1, s"$table/rb/d")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // crash after parent ra's refs + offline marker, before rb's
+    intercept[IllegalStateException](RegionRefs.mergeRegionsImpl(
+      spark, table, Seq("ra", "rb"), "m1",
+      Map("rb" -> mid.getBytes("UTF-8")), crashAfterFirstParent = true))
+    assert(fs.exists(new Path(s"$table/m1/.merge-journal")))
+    assert(fs.exists(new Path(s"$table/ra/.splitparent")))
+    assert(!fs.exists(new Path(s"$table/rb/.splitparent")))
+
+    // rollback: merged refs gone, ra back ONLINE (else the janitor
+    // would GC an offline unreferenced parent — data loss), journal
+    // consumed; both parents read whole again
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("m1" -> "rolledback"))
+    assert(!fs.exists(new Path(s"$table/ra/.splitparent")))
+    assert(RegionRefs.catalogJanitor(spark, table, s"$root/arch").isEmpty)
+    assert(RegionRefs.importStore(spark, table, "ra").count() +
+      RegionRefs.importStore(spark, table, "rb").count() == cells.count())
+
+    // the merge retries cleanly; a completed merge leaves no journal
+    RegionRefs.mergeRegions(spark, table, Seq("ra", "rb"), "m1",
+      Map("rb" -> mid.getBytes("UTF-8")))
+    assert(!fs.exists(new Path(s"$table/m1/.merge-journal")))
+    assert(RegionRefs.recoverInterruptedSplits(spark, table).isEmpty)
+    assert(RegionRefs.importStore(spark, table, "m1").count() == cells.count())
+    cells.unpersist()
+  }
+
   test("crash after the point of no return rolls forward (journal cleanup only)") {
     val root = java.nio.file.Files.createTempDirectory("refponr").toString
     val table = s"$root/data/t"
