@@ -216,7 +216,34 @@ object RegionRefs {
         Some(mdir.getName -> action)
       }
     }
-    (splits ++ merges).sortBy(_._1)
+
+    // compaction journals live in the FAMILY dir (the WAL COMPACTION
+    // marker's descriptor: output|input refs). Output landed = past
+    // the point of no return — roll FORWARD by completing the input
+    // drop (replayWALCompactionMarker's exact move); output missing =
+    // the compaction never committed — roll back to the untouched refs
+    val compactions = regions.toSeq
+      .filter(fs.exists(_)) // the splits sweep may have dropped a daughter
+      .flatMap { rdir =>
+      Option(fs.listStatus(rdir)).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        .flatMap { fam =>
+          val journal = new Path(fam, ".compaction-journal")
+          if (!fs.exists(journal)) None
+          else {
+            val Array(outName, refCsv) = readJournal(journal)
+            val action =
+              if (fs.exists(new Path(fam, outName))) {
+                refCsv.split(",").filter(_.nonEmpty).foreach(r =>
+                  fs.delete(new Path(fam, r), false))
+                "rolledforward"
+              } else "rolledback"
+            fs.delete(journal, false)
+            Some(s"${rdir.getName}/${fam.getName}" -> action)
+          }
+        }
+    }
+    (splits ++ merges ++ compactions).sortBy(_._1)
   }
 
   /** Metadata-only MERGE (HRegionFileSystem.mergeStoreFile:716-732,
@@ -295,7 +322,9 @@ object RegionRefs {
       .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     val files = famDirs.flatMap { fam =>
       Option(fs.listStatus(fam)).getOrElse(Array.empty).filter(_.isFile)
-        .filter(f => f.getPath.getName != ".splitparent")
+        // dotfiles are lifecycle metadata (.splitparent offline marker,
+        // .compaction-journal descriptor), never store data
+        .filter(f => !f.getPath.getName.startsWith("."))
         .map { f =>
           val p = f.getPath
           if (isReference(p.getName)) {
@@ -316,7 +345,19 @@ object RegionRefs {
     * into ONE real store file per family and drop the Reference
     * files. After this the daughter no longer pins its parent. */
   def compactRefs(spark: SparkSession, tableDir: String,
-      region: String, blockSize: Int = 65536): Unit = {
+      region: String, blockSize: Int = 65536): Unit =
+    compactRefsImpl(spark, tableDir, region, blockSize,
+      crashAfterLanding = false)
+
+  /** Injected-crash twin of [[compactRefs]]: throws after the output
+    * file lands but BEFORE the input references are dropped — the
+    * window where a naive reader sees the cells TWICE (output + refs).
+    * The reference closes it with the WAL compaction marker
+    * (HRegion.replayWALCompactionMarker replays the descriptor at open
+    * and completes the file swap); graft's journal is that descriptor. */
+  private[graft] def compactRefsImpl(spark: SparkSession, tableDir: String,
+      region: String, blockSize: Int,
+      crashAfterLanding: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
     val regionDir = new Path(tableDir, region)
     val famDirs = Option(fs.listStatus(regionDir)).getOrElse(Array.empty)
@@ -337,10 +378,26 @@ object RegionRefs {
         val stage = graft.Queries.scratchDir(s"refcompact_${region}_${fam.getName}")
         HFiles.export(resolved, numRegions = 1, outPath = stage,
           blockSize = blockSize)
+        // compaction descriptor (the WAL COMPACTION marker's content —
+        // CompactionDescriptor: inputs + output): durable BEFORE the
+        // output lands, removed only after the inputs drop. A crash
+        // between rename and ref deletion otherwise leaves BOTH the
+        // materialized file and the references — every cell read twice.
+        val outName = s"compacted-$region.hfile"
+        val journal = new Path(fam, ".compaction-journal")
+        val jout = fs.create(journal, true)
+        try jout.write(
+          (outName + "|" + refs.map(_.getPath.getName).mkString(","))
+            .getBytes("UTF-8"))
+        finally jout.close()
         require(fs.rename(new Path(s"$stage/part-00000.hfile"),
-          new Path(fam, s"compacted-$region.hfile")),
+          new Path(fam, outName)),
           s"could not land the materialized daughter store for $region")
+        if (crashAfterLanding)
+          throw new IllegalStateException(
+            s"injected crash: $region/${fam.getName} compaction after landing")
         refs.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(journal, false)
       }
     }
   }

@@ -198,6 +198,45 @@ class RegionRefsSpec extends SparkSpec {
     cells.unpersist()
   }
 
+  test("interrupted daughter compaction: output landed + refs alive never double-reads") {
+    val root = java.nio.file.Files.createTempDirectory("compcrash").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(4000).cache()
+    HFiles.export(cells, 1, s"$table/p1/d", blockSize = 2048)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").nonEmpty)
+    val d1n = RegionRefs.importStore(spark, table, "d1").count()
+
+    // crash AFTER the compacted file lands, BEFORE the refs drop: the
+    // window where d1 holds the cells twice (output + references)
+    intercept[IllegalStateException](RegionRefs.compactRefsImpl(
+      spark, table, "d1", 2048, crashAfterLanding = true))
+    assert(fs.exists(new Path(s"$table/d1/d/.compaction-journal")))
+    assert(fs.exists(new Path(s"$table/d1/d/compacted-d1.hfile")))
+    assert(fs.exists(new Path(s"$table/d1/d/part-00000.hfile.p1")))
+
+    // the recovery sweep rolls FORWARD (replayWALCompactionMarker):
+    // inputs dropped, output kept, journal consumed, cell count exact
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("d1/d" -> "rolledforward"))
+    assert(!fs.exists(new Path(s"$table/d1/d/part-00000.hfile.p1")))
+    assert(RegionRefs.importStore(spark, table, "d1").count() == d1n)
+
+    // crash BEFORE the output lands (journal alone): rolls back — refs
+    // untouched, the compaction simply retries
+    val j = fs.create(new Path(s"$table/d2/d/.compaction-journal"), true)
+    try j.write("compacted-d2.hfile|part-00000.hfile.p1".getBytes("UTF-8"))
+    finally j.close()
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("d2/d" -> "rolledback"))
+    assert(fs.exists(new Path(s"$table/d2/d/part-00000.hfile.p1")))
+    RegionRefs.compactRefs(spark, table, "d2", blockSize = 2048)
+    assert(RegionRefs.importStore(spark, table, "d1").count() +
+      RegionRefs.importStore(spark, table, "d2").count() == cells.count())
+    cells.unpersist()
+  }
+
   test("crash after the point of no return rolls forward (journal cleanup only)") {
     val root = java.nio.file.Files.createTempDirectory("refponr").toString
     val table = s"$root/data/t"
