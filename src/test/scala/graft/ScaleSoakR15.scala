@@ -67,6 +67,49 @@ object ScaleSoakR15 {
       c.unpersist()
     }
 
+    // sync-replication dual-write (q117's engine): ONE region-keyed
+    // shuffle, the PB log encoded once and byte-teed to two
+    // filesystems — per-unit cost must FALL with scale (job-setup
+    // floor amortizes), and the remote replay must reproduce every
+    // entry at every scale
+    println("\n== sync replication dual-write (DualAsyncFSWAL twin) ==")
+    println(f"${"scale"}%5s ${"cells"}%9s ${"dual sec"}%9s " +
+      f"${"ms/10k cells"}%13s ${"replay ok"}%10s")
+    for (sc <- Seq(1, 4, 16)) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.stream.SyncReplication
+      import graft.stream.SyncReplication._
+      val base = graft.model.Fixtures.cellsEventsV(spark, "/root/testdata/sf0.01")
+        .withColumn("value", coalesce(col("value"), lit("")))
+      val cells =
+        if (sc == 1) base
+        else (0 until sc).map(i => base.withColumn("row",
+          concat(format_string("%02d", lit(i)), col("row"))))
+          .reduce(_ unionByName _)
+      val uid = abs(hash(col("row"))).cast("long")
+      val w = Window.partitionBy(col("wal_region"))
+        .orderBy(col("ts"), col("row"))
+      val entries = cells
+        .withColumn("wal_region",
+          concat(lit("r"), lpad((uid % 32).cast("string"), 2, "0")))
+        .withColumn("wal_table", lit("events"))
+        .withColumn("wal_seq", dense_rank().over(w).cast("long"))
+        .withColumn("write_time", col("ts"))
+        .persist()
+      val n = entries.count()
+      val root = java.nio.file.Files.createTempDirectory(s"soaksync$sc").toString
+      val peer = SyncPeer("p1", s"$root/remote", Active)
+      val t0 = System.nanoTime()
+      SyncReplication.dualWrite(peer, entries, s"$root/local")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val da = peer.copy(state = DowngradeActive)
+      val replayed = (0 until 32).map(i =>
+        SyncReplication.syncUpReplay(spark, da, f"r$i%02d", 0L).count()).sum
+      println(f"$sc%5d $n%9d $sec%9.2f ${sec * 1e4 * 1000 / n}%13.1f " +
+        f"${replayed == n}%10s")
+      entries.unpersist()
+    }
+
     // semantics guard: on a NORMAL corpus (no hot bucket) the capped
     // and uncapped forms return identical pairs
     val normal = docs.limit(2000).persist()
