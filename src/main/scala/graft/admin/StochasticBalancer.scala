@@ -26,8 +26,10 @@ import scala.util.Random
   * picked uniformly. The RNG is INJECTED (seed parameter): the
   * reference's walk is wall-clock-bounded and ThreadLocalRandom-fed;
   * an engine twin must replay, so time bounds are step bounds and the
-  * seed pins the path. Locality/rack costs are out of scope (no HDFS
-  * block placement exists here) — documented boundary.
+  * seed pins the path. Locality/rack costs (ServerLocalityCostFunction
+  * 25 / RackLocalityCostFunction 15) run over an INJECTED (region,
+  * entity) → locality-fraction table — the no-HDFS twin of
+  * RegionHDFSBlockLocationFinder's block census (q119).
   */
 object StochasticBalancer {
 
@@ -125,9 +127,7 @@ object StochasticBalancer {
 
     // locality state: current sum is maintained incrementally on each
     // (applied or undone) move; best is fixed — Σ per-region max
-    val useLoc = locality.nonEmpty
-    val useRack = rackLocality.nonEmpty
-    require(!useRack || servers.forall(serverRack.contains),
+    require(rackLocality.isEmpty || servers.forall(serverRack.contains),
       "rack locality needs a rack for every server")
     def locOf(tab: Map[(String, String), Double], region: String,
         entity: String): Double = tab.getOrElse((region, entity), 0.0)
@@ -140,9 +140,17 @@ object StochasticBalancer {
       locOf(rackLocality, regions(i)._1.name, rackOf(loc(i)))).sum
     val racks = serverRack.values.toSeq.distinct
     val bestRack =
-      if (!useRack) 0.0
+      if (rackLocality.isEmpty) 0.0
       else regions.map(r =>
         racks.map(k => locOf(rackLocality, r._1.name, k)).max).sum
+    // isNeeded must gate the MULTIPLIER and the TERM identically: a
+    // table whose best locality is 0 (a census found no blocks)
+    // contributes no cost, so leaving its weight in the sum would only
+    // dilute every other function's normalized cost — possibly under
+    // the needs-balance gate on a cluster that balanced before the
+    // table was supplied
+    val useLoc = locality.nonEmpty && bestLoc > 0
+    val useRack = rackLocality.nonEmpty && bestRack > 0
     val sumMultiplier =
       weights.regionCount + weights.sizeSkew + weights.readSkew +
         weights.move + (if (useLoc) weights.locality else 0.0) +

@@ -73,21 +73,15 @@ object BackupRegistry {
     commitOverwrite(spark, tmp, fin, "backup registry")
   }
 
-  /** Atomic overwrite-commit: FileContext rename with OVERWRITE so a
-    * reader always sees either the old or the new file — the previous
+  /** Atomic overwrite-commit ([[FsAtomic.renameOverwrite]]): a reader
+    * always sees either the old or the new file — the previous
     * delete-then-rename left a window where a crash orphaned NO
     * registry at all and a later register() silently rebuilt from
     * empty, despite the write-then-rename doc contract. */
   private def commitOverwrite(spark: SparkSession, tmp: Path, fin: Path,
-      what: String): Unit = {
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fin.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(s"could not commit $what", e)
-    }
-  }
+      what: String): Unit =
+    FsAtomic.renameOverwrite(spark.sparkContext.hadoopConfiguration,
+      tmp, fin, what)
 
   /** Every registered image, registration order. Unparseable lines are
     * skipped (the .snapshotinfo degradation contract — one corrupt row

@@ -95,9 +95,9 @@ object RegionRefs {
       // (the META-update point of no return). A journal with no marker
       // therefore identifies a mid-split crash exactly.
       val journal = new Path(parent, ".split-journal")
-      val jout = fs.create(journal, true)
-      try jout.write(s"$daughterA|$daughterB".getBytes("UTF-8"))
-      finally jout.close()
+      FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
+        journal, s"$daughterA|$daughterB".getBytes("UTF-8"),
+        s"split journal for $parentRegion")
       for ((daughter, top) <- Seq((daughterA, false), (daughterB, true))) {
         for (fam <- famDirs) {
           val outDir = new Path(new Path(tableDir, daughter), fam.getName)
@@ -165,25 +165,38 @@ object RegionRefs {
         fs.delete(dDir, false)
     }
 
-    def readJournal(p: Path): Array[String] = {
+    // journals are written atomically (FsAtomic.writeAtomic), so a
+    // parse failure can only be pre-atomic legacy or external
+    // corruption — and a journal that never finished writing implies
+    // NO step after it ran, so dropping it alone IS the rollback.
+    // Returning None (and deleting) instead of throwing keeps one bad
+    // journal from wedging the whole sweep forever.
+    def readJournal(p: Path, nParts: Int): Option[Array[String]] = {
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(p)
       try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8").split("\\|", -1)
+      val parts = new String(buf, "UTF-8").split("\\|", -1)
+      if ((nParts <= 0 && parts.forall(_.nonEmpty)) ||
+          (parts.length == nParts && parts.forall(_.nonEmpty)))
+        Some(parts)
+      else None
     }
 
     val splits = regions.toSeq.flatMap { parent =>
       val journal = new Path(parent, ".split-journal")
       if (!fs.exists(journal)) None
       else {
-        val Array(dA, dB) = readJournal(journal)
-        val action =
-          if (fs.exists(new Path(parent, ".splitparent"))) "completed"
-          else {
-            Seq(dA, dB).foreach(dropRefsTo(_, parent.getName))
-            "rolledback"
-          }
+        val action = readJournal(journal, 2) match {
+          case None => "rolledback" // torn journal: nothing ran after it
+          case Some(Array(dA, dB)) =>
+            if (fs.exists(new Path(parent, ".splitparent"))) "completed"
+            else {
+              Seq(dA, dB).foreach(dropRefsTo(_, parent.getName))
+              "rolledback"
+            }
+          case Some(_) => "rolledback"
+        }
         fs.delete(journal, false)
         Some(parent.getName -> action)
       }
@@ -199,19 +212,21 @@ object RegionRefs {
       val journal = new Path(mdir, ".merge-journal")
       if (!fs.exists(journal)) None
       else {
-        val parents = readJournal(journal)
-        val action =
-          if (parents.forall(p =>
-              fs.exists(new Path(new Path(tableDir, p), ".splitparent"))))
-            "completed"
-          else {
-            parents.foreach { p =>
-              dropRefsTo(mdir.getName, p)
-              fs.delete(new Path(new Path(tableDir, p), ".splitparent"),
-                false)
+        val action = readJournal(journal, -1) match {
+          case None => "rolledback" // torn journal: nothing ran after it
+          case Some(parents) =>
+            if (parents.forall(p =>
+                fs.exists(new Path(new Path(tableDir, p), ".splitparent"))))
+              "completed"
+            else {
+              parents.foreach { p =>
+                dropRefsTo(mdir.getName, p)
+                fs.delete(new Path(new Path(tableDir, p), ".splitparent"),
+                  false)
+              }
+              "rolledback"
             }
-            "rolledback"
-          }
+        }
         fs.delete(journal, false)
         Some(mdir.getName -> action)
       }
@@ -231,13 +246,14 @@ object RegionRefs {
           val journal = new Path(fam, ".compaction-journal")
           if (!fs.exists(journal)) None
           else {
-            val Array(outName, refCsv) = readJournal(journal)
-            val action =
-              if (fs.exists(new Path(fam, outName))) {
+            val action = readJournal(journal, 2) match {
+              case Some(Array(outName, refCsv))
+                  if fs.exists(new Path(fam, outName)) =>
                 refCsv.split(",").filter(_.nonEmpty).foreach(r =>
                   fs.delete(new Path(fam, r), false))
                 "rolledforward"
-              } else "rolledback"
+              case _ => "rolledback" // never landed (or torn journal)
+            }
             fs.delete(journal, false)
             Some(s"${rdir.getName}/${fam.getName}" -> action)
           }
@@ -275,9 +291,9 @@ object RegionRefs {
     val mdir = new Path(tableDir, merged)
     fs.mkdirs(mdir)
     val journal = new Path(mdir, ".merge-journal")
-    val jout = fs.create(journal, true)
-    try jout.write(parents.mkString("|").getBytes("UTF-8"))
-    finally jout.close()
+    FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
+      journal, parents.mkString("|").getBytes("UTF-8"),
+      s"merge journal for $merged")
     for (parent <- parents) {
       val parentDir = new Path(tableDir, parent)
       val famDirs = Option(fs.listStatus(parentDir)).getOrElse(Array.empty)
@@ -385,11 +401,11 @@ object RegionRefs {
         // materialized file and the references — every cell read twice.
         val outName = s"compacted-$region.hfile"
         val journal = new Path(fam, ".compaction-journal")
-        val jout = fs.create(journal, true)
-        try jout.write(
+        FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
+          journal,
           (outName + "|" + refs.map(_.getPath.getName).mkString(","))
-            .getBytes("UTF-8"))
-        finally jout.close()
+            .getBytes("UTF-8"),
+          s"compaction journal for $region/${fam.getName}")
         require(fs.rename(new Path(s"$stage/part-00000.hfile"),
           new Path(fam, outName)),
           s"could not land the materialized daughter store for $region")

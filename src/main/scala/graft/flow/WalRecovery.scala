@@ -33,9 +33,30 @@ object WalRecovery {
     * into per-region recovered-edits PB files. One shuffle keyed by
     * region; each partition streams its regions' edits in seq order. */
   def splitWal(spark: SparkSession, entries: DataFrame,
-      recoveredDir: String): Unit = {
+      recoveredDir: String): Unit =
+    writeRegionLogs(spark, entries, Seq(recoveredDir),
+      region => s"$region/recovered.edits")
+
+  /** The shared per-region PB log writer — WALSplitter's
+    * OutputSink-per-region shape, also the DualAsyncFSWAL dual-write
+    * (SyncReplication): ONE shuffle keyed by region; each region's
+    * entries stream through ONE PWal encode whose bytes tee to one
+    * stream per `roots` entry; files land as
+    * `<root>/<subdir(region)>/<first-seq padded 19>.pwal`.
+    *
+    * Commit protocol: each task ATTEMPT writes its own temp (partition
+    * id + task attempt id in the name, so a speculative duplicate can
+    * never interleave with a live attempt's stream), then an ATOMIC
+    * overwrite-rename lands it — every attempt produces identical
+    * bytes for the region, so whichever attempt commits last leaves
+    * the same file, and a reader never observes a missing or torn log
+    * (the delete-then-rename idiom this replaces had a no-file crash
+    * window on re-runs). */
+  private[graft] def writeRegionLogs(spark: SparkSession,
+      entries: DataFrame, roots: Seq[String],
+      subdir: String => String): Unit = {
+    require(roots.nonEmpty, "need at least one output root")
     val bconf = ShippedConf.broadcast(spark)
-    val outRoot = recoveredDir
     entries
       .repartition(col("wal_region"))
       .sortWithinPartitions(col("wal_region"), col("wal_seq"),
@@ -78,29 +99,31 @@ object WalRecovery {
                 seq, wt, cells.toIndexedSeq)
             }
           }
-          // stream the region's edits through one PB writer; the file
-          // takes the FIRST seq's name once known (write to temp, then
-          // rename — WALSplitter's own .temp protocol)
-          val fs = new Path(outRoot).getFileSystem(bconf.value.conf)
-          val dir = new Path(s"$outRoot/$region/recovered.edits")
-          fs.mkdirs(dir)
-          val tmp = new Path(dir,
-            s".temp-${TaskContext.getPartitionId()}-$region")
-          val out = fs.create(tmp, true)
-          try PWal.write(out, entriesIt) finally out.close()
-          require(firstSeq >= 0, s"empty recovered-edits group for $region")
-          // idempotent commit: a task retry (or speculative duplicate)
-          // after a successful rename finds the destination already
-          // present — every attempt writes the SAME deterministic
-          // content for the region, so replace-and-rename (WALSplitter
-          // tolerates pre-existing recovered-edits files the same way)
-          // instead of wedging the whole recovery job on a false rename
-          val dst = new Path(dir, f"$firstSeq%019d.pwal")
-          if (fs.exists(dst)) fs.delete(dst, false)
-          if (!fs.rename(tmp, dst)) {
-            require(fs.exists(dst),
-              s"could not commit recovered edits for $region")
-            fs.delete(tmp, false) // a concurrent attempt won the commit
+          val conf = bconf.value.conf
+          val pid = TaskContext.getPartitionId()
+          val attempt = Option(TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val dirs = roots.map(r => new Path(s"$r/${subdir(region)}"))
+          val fss = dirs.map(_.getFileSystem(conf))
+          fss.lazyZip(dirs).foreach((fs, d) => fs.mkdirs(d))
+          val tmps = dirs.map(d =>
+            new Path(d, s".temp-$pid-$attempt-$region"))
+          val outs = fss.lazyZip(tmps).map((fs, t) => fs.create(t, true))
+          // DualAsyncFSWAL when roots > 1: ONE encode, bytes fan out
+          val sink: java.io.OutputStream =
+            if (outs.size == 1) outs.head
+            else new java.io.OutputStream {
+              def write(b: Int): Unit = outs.foreach(_.write(b))
+              override def write(b: Array[Byte], off: Int,
+                  len: Int): Unit = outs.foreach(_.write(b, off, len))
+            }
+          val buffered = new java.io.BufferedOutputStream(sink)
+          try { PWal.write(buffered, entriesIt); buffered.flush() }
+          finally outs.foreach(_.close())
+          require(firstSeq >= 0, s"empty WAL group for $region")
+          dirs.lazyZip(tmps).foreach { (d, t) =>
+            FsAtomic.renameOverwrite(conf, t,
+              new Path(d, f"$firstSeq%019d.pwal"), s"WAL log for $region")
           }
         }
       }

@@ -163,7 +163,7 @@ object MutationQueries {
       // apply ONCE; a genuinely new op (fresh nonce) applies; a
       // nonce-LESS duplicate (NO_NONCE) double-applies — the
       // reference's explicit contract. The batch: every event as an
-      // increment op (nonce = its event_id), user_id%5 ops re-sent
+      // increment op (nonce = event_id + 1), user_id%5 ops re-sent
       // verbatim (retries — collapse), user_id%7 ops re-sent under a
       // FRESH nonce (count twice), user_id%11 ops duplicated with
       // NO_NONCE (count twice — untracked). Oracle: per-user factor

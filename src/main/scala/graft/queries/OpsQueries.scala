@@ -464,6 +464,12 @@ object OpsQueries {
         RegionRefs.compactRefs(s, table, "d2", blockSize = 4096)
         require(RegionRefs.catalogJanitor(s, table, arch) == Seq("p1"),
           "janitor failed to GC the unreferenced parent")
+        // 'final' pins the post-GC, PRE-crash state: importStore lists
+        // the store files eagerly at call time, so this snapshot is
+        // taken before the injected crash below ever runs
+        val finalStage = RegionRefs.importStore(s, table, "d1")
+          .unionByName(RegionRefs.importStore(s, table, "d2"))
+          .withColumn("stage", lit("final"))
         // interrupted re-split of d1 (procedure-v2 crash window: da's
         // refs written, crash before db's) — the recovery sweep must
         // roll it back, leaving d1 online with its exact cell stream
@@ -477,10 +483,7 @@ object OpsQueries {
         require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
           "nothing may be GC-able after the rollback")
         s.read.parquet(refsOut).withColumn("stage", lit("refs"))
-          .unionByName(
-            RegionRefs.importStore(s, table, "d1")
-              .unionByName(RegionRefs.importStore(s, table, "d2"))
-              .withColumn("stage", lit("final")))
+          .unionByName(finalStage)
           .unionByName(
             RegionRefs.importStore(s, table, "d1")
               .unionByName(RegionRefs.importStore(s, table, "d2"))
@@ -835,10 +838,12 @@ object OpsQueries {
                 .select("row", "family", "qualifier", "ts", "type", "value"),
               numRegions = 1, outPath = tmp)
             fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/ta/r$r/d"))
-            fs.rename(
+            require(fs.rename(
               new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
               new org.apache.hadoop.fs.Path(
-                f"$root/data/ta/r$r/d/part-$tsv%05d.hfile"))
+                f"$root/data/ta/r$r/d/part-$tsv%05d.hfile")),
+              s"empty (r=$r, ts=$tsv) slice: the fixture no longer " +
+                "covers the census's file ladder")
           }
         land(1 to 3)
         // a census is a SNAPSHOT: pin census 1's sweep to its scrape

@@ -1,12 +1,9 @@
 package graft.stream
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.codec.{HFileV3, PWal}
-import graft.flow.{HFiles, PWalFiles, ShippedConf}
+import graft.flow.PWalFiles
 
 /** Synchronous replication (HBASE-19064) — the HA path the async
   * shipper (q79/q102) cannot give: while a peer is ACTIVE, every WAL
@@ -85,95 +82,19 @@ object SyncReplication {
   /** Dual-write WALKey-denormalized entries (the
     * [[PWalFiles.importEntries]] frame: wal_region/wal_table/wal_seq/
     * write_time + cell columns) as per-region PB WAL files under BOTH
-    * `localRoot` and `remoteRoot`. One shuffle keyed by region; each
-    * region's log encodes once and the bytes tee to the two streams.
-    * Only legal while the peer is ACTIVE (DOWNGRADE_ACTIVE appends
-    * locally only; STANDBY rejects writes outright). */
+    * `localRoot` and `remoteRoot`: [[graft.flow.WalRecovery
+    * .writeRegionLogs]] with two roots — one shuffle keyed by region,
+    * each region's log encoded ONCE with the bytes teed to the two
+    * filesystems (DualAsyncFSWAL), attempt-scoped temps and atomic
+    * overwrite-rename commits on both legs. Only legal while the peer
+    * is ACTIVE (DOWNGRADE_ACTIVE appends locally only; STANDBY rejects
+    * writes outright). */
   def dualWrite(peer: SyncPeer, entries: DataFrame, localRoot: String): Unit = {
     require(peer.state == Active,
       s"peer ${peer.id} is ${peer.state.name}: remote-WAL dual-write " +
         "only happens while ACTIVE")
-    val remoteRoot = peer.remoteWalDir
-    val spark = entries.sparkSession
-    val bconf = ShippedConf.broadcast(spark)
-    entries
-      .repartition(col("wal_region"))
-      .sortWithinPartitions(col("wal_region"), col("wal_seq"),
-        col("row"), col("family"), col("qualifier"), col("type"))
-      .select("wal_region", "wal_table", "wal_seq", "write_time",
-        "row", "family", "qualifier", "ts", "type", "value")
-      .foreachPartition { (it: Iterator[Row]) =>
-        val rows = it.buffered
-        while (rows.hasNext) {
-          val region = rows.head.getString(0)
-          var firstSeq = -1L
-          val entriesIt = new Iterator[PWal.WalEntry] {
-            private var pending: Row =
-              if (rows.hasNext && rows.head.getString(0) == region)
-                rows.next()
-              else null
-            def hasNext: Boolean = pending != null
-            def next(): PWal.WalEntry = {
-              val seq = pending.getLong(2)
-              if (firstSeq < 0) firstSeq = seq
-              val table = pending.getString(1)
-              val wt = pending.getLong(3)
-              val cells = scala.collection.mutable.ArrayBuffer.empty[HFileV3.HCell]
-              while (pending != null && pending.getLong(2) == seq) {
-                cells += HFileV3.HCell(
-                  pending.getString(4).getBytes("UTF-8"),
-                  pending.getString(5).getBytes("UTF-8"),
-                  pending.getString(6).getBytes("UTF-8"),
-                  pending.getLong(7),
-                  HFiles.typeToCode(pending.getString(8)),
-                  Option(pending.getString(9)).getOrElse("").getBytes("UTF-8"))
-                pending =
-                  if (rows.hasNext && rows.head.getString(0) == region)
-                    rows.next()
-                  else null
-              }
-              PWal.WalEntry(region.getBytes("UTF-8"), table.getBytes("UTF-8"),
-                seq, wt, cells.toIndexedSeq)
-            }
-          }
-          val conf = bconf.value.conf
-          val lfs = new Path(localRoot).getFileSystem(conf)
-          val rfs = new Path(remoteRoot).getFileSystem(conf)
-          val pid = TaskContext.getPartitionId()
-          val ldir = new Path(s"$localRoot/$region")
-          val rdir = new Path(s"$remoteRoot/$region")
-          lfs.mkdirs(ldir); rfs.mkdirs(rdir)
-          val ltmp = new Path(ldir, s".temp-$pid-$region")
-          val rtmp = new Path(rdir, s".temp-$pid-$region")
-          val lout = lfs.create(ltmp, true)
-          val rout = rfs.create(rtmp, true)
-          // DualAsyncFSWAL: ONE encode, the bytes fan out to both logs
-          val tee = new java.io.OutputStream {
-            def write(b: Int): Unit = { lout.write(b); rout.write(b) }
-            override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-              lout.write(b, off, len); rout.write(b, off, len)
-            }
-          }
-          val buffered = new java.io.BufferedOutputStream(tee)
-          try { PWal.write(buffered, entriesIt); buffered.flush() }
-          finally { lout.close(); rout.close() }
-          require(firstSeq >= 0, s"empty WAL group for $region")
-          commit(lfs, ltmp, new Path(ldir, f"$firstSeq%019d.pwal"), region)
-          commit(rfs, rtmp, new Path(rdir, f"$firstSeq%019d.pwal"), region)
-        }
-      }
-  }
-
-  /** Idempotent task-retry-safe commit (same protocol as
-    * WalRecovery.splitWal): every attempt writes identical bytes, so a
-    * pre-existing destination is a completed earlier attempt. */
-  private def commit(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
-      dst: Path, region: String): Unit = {
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      require(fs.exists(dst), s"could not commit WAL for $region")
-      fs.delete(tmp, false)
-    }
+    graft.flow.WalRecovery.writeRegionLogs(entries.sparkSession, entries,
+      Seq(localRoot, peer.remoteWalDir), identity)
   }
 
   /** ReplicationSyncUp / ReplaySyncReplicationWALCallable twin: on
