@@ -138,6 +138,17 @@ object RegionRefs {
     *    the daughters half-exist — the reference's exact
     *    rollbackState(SPLIT_TABLE_REGION_CREATE_DAUGHTER_REGIONS) case.
     *
+    * Also sweeps merge journals (mid-merge crashes roll back with the
+    * already-offlined parents brought back ONLINE) and compaction
+    * journals (output landed rolls FORWARD by completing the input
+    * drop — replayWALCompactionMarker; otherwise back).
+    *
+    * PRECONDITION (the reference's procedure-store lock): the sweep
+    * runs at master restart, when no split/merge/compaction is
+    * in flight on `tableDir` — running it concurrently with a live
+    * lifecycle would read that operation's journal and roll back work
+    * that has not crashed.
+    *
     * Returns (parent, action) pairs, parent-name order. */
   def recoverInterruptedSplits(spark: SparkSession, tableDir: String)
       : Seq[(String, String)] = {
