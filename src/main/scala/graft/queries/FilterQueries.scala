@@ -33,6 +33,42 @@ object FilterQueries {
 
   val defs: Seq[QDef] = Seq(
     QDef(
+      // F2 FamilyFilter (FamilyFilter.java:48) — the family-NAME
+      // comparison filter, on a genuinely multi-family table (second
+      // family 'm' carries UPPER(value) so family separation is
+      // observable): GREATER_OR_EQUAL 'e' keeps exactly the 'm' cells.
+      // Previously ParseFilter/spec-pinned only; this is its oracle row.
+      "q122_family_filter",
+      (s, dir) => {
+        val base = co(s, dir)
+        val cells = base.unionByName(
+          base.withColumn("family", lit("m"))
+            .withColumn("value", upper(col("value"))))
+        run(cells, FamilyFilter(CompareOp.GreaterOrEqual,
+          BinaryComparator("e")))
+      },
+      Some(Cte.withCtes(Cte.cellsOrders)(
+        """SELECT row, family, qualifier, ts, value FROM (
+          |  SELECT row, 'm' AS family, qualifier, ts, UPPER(value) AS value
+          |  FROM cells_orders
+          |) WHERE family >= 'e'
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
+      // NullComparator (NullComparator.java:34) — the is-empty
+      // comparator, here as the reference's tombstone-audit shape:
+      // ValueFilter(=, null) over the RAW multi-version fixture keeps
+      // exactly the cells with no value — the delete markers.
+      // Previously FilterSpec-pinned only; this is its oracle row.
+      "q123_null_comparator",
+      (s, dir) => run(Fixtures.cellsEventsV(s, dir),
+        ValueFilter(CompareOp.Equal, NullComparator())),
+      Some(Cte.withCtes(Cte.cellsEventsV)(
+        """SELECT row, family, qualifier, ts, value FROM cells_events_v
+          |WHERE value IS NULL OR value = ''
+          |ORDER BY row, family, qualifier, ts DESC""".stripMargin))
+    ),
+    QDef(
       "q08_row_regex",
       (s, dir) => run(co(s, dir),
         RowFilter(CompareOp.Equal, RegexStringComparator("^00000001.[02468]$"))),
