@@ -161,9 +161,8 @@ object StochasticBalancer {
         weights.sizeSkew * arrayCost(sizes) +
         weights.readSkew * arrayCost(reads) +
         weights.move * scale(0, math.min(maxMoves, nRegions), moves.toDouble) +
-        (if (useLoc && bestLoc > 0)
-          weights.locality * (1.0 - curLoc / bestLoc) else 0.0) +
-        (if (useRack && bestRack > 0)
+        (if (useLoc) weights.locality * (1.0 - curLoc / bestLoc) else 0.0) +
+        (if (useRack)
           weights.rackLocality * (1.0 - curRack / bestRack) else 0.0)
 
     var currentCost = cost()

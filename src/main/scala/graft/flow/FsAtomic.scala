@@ -30,8 +30,16 @@ object FsAtomic {
       what: String): Unit = {
     val fs = dst.getFileSystem(conf)
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    renameOverwrite(conf, tmp, dst, what)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      renameOverwrite(conf, tmp, dst, what)
+    } catch {
+      case t: Throwable =>
+        // a stray tmp is not just junk: it defeats emptied-dir checks
+        // (e.g. the recovery sweep's drop-empty-family-dir pass)
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw t
+    }
   }
 }

@@ -158,20 +158,24 @@ object RegionRefs {
       .sortBy(_.getName)
 
     // remove every `<hfile>.<parent>` reference to `parent` under
-    // `region`, dropping emptied family/region dirs
+    // `region`; dirs are pruned only when THIS pass emptied them (an
+    // unrelated region's already-empty dir is not the sweep's to drop)
     def dropRefsTo(region: String, parent: String): Unit = {
       val dDir = new Path(tableDir, region)
       if (!fs.exists(dDir)) return
+      var dropped = false
       for (fam <- Option(fs.listStatus(dDir)).getOrElse(Array.empty)
           .filter(_.isDirectory)) {
-        Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
+        val victims = Option(fs.listStatus(fam.getPath))
+          .getOrElse(Array.empty)
           .filter(_.getPath.getName.endsWith(s".$parent"))
-          .foreach(f => fs.delete(f.getPath, false))
-        if (Option(fs.listStatus(fam.getPath))
+        victims.foreach(f => fs.delete(f.getPath, false))
+        dropped ||= victims.nonEmpty
+        if (victims.nonEmpty && Option(fs.listStatus(fam.getPath))
             .getOrElse(Array.empty).isEmpty)
           fs.delete(fam.getPath, false)
       }
-      if (fs.exists(dDir) && Option(fs.listStatus(dDir))
+      if (dropped && fs.exists(dDir) && Option(fs.listStatus(dDir))
           .getOrElse(Array.empty).isEmpty)
         fs.delete(dDir, false)
     }
@@ -198,16 +202,21 @@ object RegionRefs {
       val journal = new Path(parent, ".split-journal")
       if (!fs.exists(journal)) None
       else {
-        val action = readJournal(journal, 2) match {
-          case None => "rolledback" // torn journal: nothing ran after it
-          case Some(Array(dA, dB)) =>
-            if (fs.exists(new Path(parent, ".splitparent"))) "completed"
-            else {
-              Seq(dA, dB).foreach(dropRefsTo(_, parent.getName))
-              "rolledback"
+        val action =
+          if (fs.exists(new Path(parent, ".splitparent"))) "completed"
+          else {
+            readJournal(journal, 2) match {
+              case Some(parts) =>
+                Seq(parts(0), parts(1)).foreach(dropRefsTo(_, parent.getName))
+              case None =>
+                // corrupt/legacy journal: the daughters are unknown,
+                // but every orphan ref carries `.{parent}` — sweep all
+                // regions (refs to an ONLINE parent are only ever
+                // created by the split that wrote this journal)
+                regions.foreach(r => dropRefsTo(r.getName, parent.getName))
             }
-          case Some(_) => "rolledback"
-        }
+            "rolledback"
+          }
         fs.delete(journal, false)
         Some(parent.getName -> action)
       }
@@ -223,21 +232,28 @@ object RegionRefs {
       val journal = new Path(mdir, ".merge-journal")
       if (!fs.exists(journal)) None
       else {
-        val action = readJournal(journal, -1) match {
-          case None => "rolledback" // torn journal: nothing ran after it
-          case Some(parents) =>
-            if (parents.forall(p =>
-                fs.exists(new Path(new Path(tableDir, p), ".splitparent"))))
-              "completed"
-            else {
-              parents.foreach { p =>
-                dropRefsTo(mdir.getName, p)
-                fs.delete(new Path(new Path(tableDir, p), ".splitparent"),
-                  false)
-              }
-              "rolledback"
-            }
+        // corrupt/legacy journal: the parents are derivable from the
+        // merged dir's own ref suffixes (each ref is <hfile>.<parent>)
+        val parents = readJournal(journal, -1).map(_.toSeq).getOrElse {
+          Option(fs.listStatus(mdir)).getOrElse(Array.empty)
+            .filter(_.isDirectory).flatMap { fam =>
+              Option(fs.listStatus(fam.getPath)).getOrElse(Array.empty)
+                .map(_.getPath.getName).filter(isReference)
+                .map(n => n.substring(n.lastIndexOf('.') + 1))
+            }.toSeq.distinct.sorted
         }
+        val action =
+          if (parents.nonEmpty && parents.forall(p =>
+              fs.exists(new Path(new Path(tableDir, p), ".splitparent"))))
+            "completed"
+          else {
+            parents.foreach { p =>
+              dropRefsTo(mdir.getName, p)
+              fs.delete(new Path(new Path(tableDir, p), ".splitparent"),
+                false)
+            }
+            "rolledback"
+          }
         fs.delete(journal, false)
         Some(mdir.getName -> action)
       }
@@ -257,14 +273,24 @@ object RegionRefs {
           val journal = new Path(fam, ".compaction-journal")
           if (!fs.exists(journal)) None
           else {
-            val action = readJournal(journal, 2) match {
-              case Some(Array(outName, refCsv))
-                  if fs.exists(new Path(fam, outName)) =>
-                refCsv.split(",").filter(_.nonEmpty).foreach(r =>
-                  fs.delete(new Path(fam, r), false))
+            val outName = s"compacted-${rdir.getName}.hfile"
+            val action =
+              if (!fs.exists(new Path(fam, outName)))
+                "rolledback" // output never landed: refs are untouched
+              else {
+                // forward: drop the consumed inputs. A corrupt journal
+                // loses the list, but compactRefs consumes EVERY ref of
+                // the family, so the derivable forward move is the same
+                val inputs = readJournal(journal, 2) match {
+                  case Some(parts) =>
+                    parts(1).split(",").toSeq.filter(_.nonEmpty)
+                  case None =>
+                    Option(fs.listStatus(fam)).getOrElse(Array.empty)
+                      .map(_.getPath.getName).filter(isReference).toSeq
+                }
+                inputs.foreach(r => fs.delete(new Path(fam, r), false))
                 "rolledforward"
-              case _ => "rolledback" // never landed (or torn journal)
-            }
+              }
             fs.delete(journal, false)
             Some(s"${rdir.getName}/${fam.getName}" -> action)
           }

@@ -108,22 +108,44 @@ object WalRecovery {
           fss.lazyZip(dirs).foreach((fs, d) => fs.mkdirs(d))
           val tmps = dirs.map(d =>
             new Path(d, s".temp-$pid-$attempt-$region"))
-          val outs = fss.lazyZip(tmps).map((fs, t) => fs.create(t, true))
-          // DualAsyncFSWAL when roots > 1: ONE encode, bytes fan out
-          val sink: java.io.OutputStream =
-            if (outs.size == 1) outs.head
-            else new java.io.OutputStream {
-              def write(b: Int): Unit = outs.foreach(_.write(b))
-              override def write(b: Array[Byte], off: Int,
-                  len: Int): Unit = outs.foreach(_.write(b, off, len))
-            }
-          val buffered = new java.io.BufferedOutputStream(sink)
-          try { PWal.write(buffered, entriesIt); buffered.flush() }
-          finally outs.foreach(_.close())
+          // open + write + close under one finally: a later root's
+          // create failing (the remote FS down — the very scenario
+          // dual-write exists for) must still close the streams the
+          // earlier roots already opened
+          val outs = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FSDataOutputStream]
+          try {
+            fss.lazyZip(tmps).foreach((fs, t) => outs += fs.create(t, true))
+            // DualAsyncFSWAL when roots > 1: ONE encode, bytes fan out
+            val sink: java.io.OutputStream =
+              if (outs.size == 1) outs.head
+              else new java.io.OutputStream {
+                def write(b: Int): Unit = outs.foreach(_.write(b))
+                override def write(b: Array[Byte], off: Int,
+                    len: Int): Unit = outs.foreach(_.write(b, off, len))
+              }
+            val buffered = new java.io.BufferedOutputStream(sink)
+            PWal.write(buffered, entriesIt); buffered.flush()
+          } finally outs.foreach(_.close())
           require(firstSeq >= 0, s"empty WAL group for $region")
-          dirs.lazyZip(tmps).foreach { (d, t) =>
+          // commit in REVERSE roots order: callers list the primary
+          // first, so the LAST root (dualWrite's remote leg) commits
+          // FIRST — a crash between renames may leave the remote ahead
+          // of the local log, never behind it (DualAsyncFSWAL acks
+          // only after both; failover replays from the remote, which
+          // must not miss entries a local reader could observe)
+          dirs.lazyZip(tmps).toSeq.reverse.foreach { case (d, t) =>
             FsAtomic.renameOverwrite(conf, t,
               new Path(d, f"$firstSeq%019d.pwal"), s"WAL log for $region")
+          }
+          // reclaim temps of PRIOR failed/superseded attempts (ours
+          // just renamed away); a still-running speculative duplicate
+          // losing its temp merely fails its own late commit — the
+          // partition has already succeeded through this attempt
+          fss.lazyZip(dirs).foreach { (fs, d) =>
+            Option(fs.globStatus(new Path(d, s".temp-*-$region")))
+              .getOrElse(Array.empty)
+              .foreach(st => fs.delete(st.getPath, false))
           }
         }
       }

@@ -237,6 +237,44 @@ class RegionRefsSpec extends SparkSpec {
     cells.unpersist()
   }
 
+  test("corrupt journals recover by derivation: ref suffixes name the parent, the output names itself") {
+    val root = java.nio.file.Files.createTempDirectory("refcorrupt").toString
+    val table = s"$root/data/t"
+    val cells = Fixtures.cellsOrders(spark, sf0001).limit(4000).cache()
+    HFiles.export(cells, 1, s"$table/p1/d", blockSize = 2048)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // half-split state with a GARBAGE journal (external corruption):
+    // the sweep cannot read the daughter names, but every orphan ref
+    // carries `.p1` — rollback must still find and drop them
+    intercept[IllegalStateException](RegionRefs.splitRegionImpl(
+      spark, table, "p1", "d1", "d2", crashAfterFirstDaughter = true))
+    val j = fs.create(new Path(s"$table/p1/.split-journal"), true)
+    try j.write(Array.fill(16)(0x7c.toByte)) finally j.close() // all '|'
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("p1" -> "rolledback"))
+    assert(!fs.exists(new Path(s"$table/d1")),
+      "derived rollback must drop the orphan daughter refs")
+    assert(RegionRefs.importStore(spark, table, "p1").count() == cells.count())
+
+    // landed compaction output with a garbage journal: forward is
+    // derivable too — the output names itself, the inputs are every
+    // ref of the family
+    assert(RegionRefs.splitRegion(spark, table, "p1", "d1", "d2").nonEmpty)
+    val d1n = RegionRefs.importStore(spark, table, "d1").count()
+    intercept[IllegalStateException](RegionRefs.compactRefsImpl(
+      spark, table, "d1", 2048, crashAfterLanding = true))
+    val cj = fs.create(new Path(s"$table/d1/d/.compaction-journal"), true)
+    try cj.write("garbage-no-separator".getBytes("UTF-8")) finally cj.close()
+    assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
+      Seq("d1/d" -> "rolledforward"))
+    assert(!fs.exists(new Path(s"$table/d1/d/part-00000.hfile.p1")),
+      "derived forward must drop the consumed refs")
+    assert(RegionRefs.importStore(spark, table, "d1").count() == d1n)
+    cells.unpersist()
+  }
+
   test("crash after the point of no return rolls forward (journal cleanup only)") {
     val root = java.nio.file.Files.createTempDirectory("refponr").toString
     val table = s"$root/data/t"
