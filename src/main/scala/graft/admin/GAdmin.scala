@@ -706,11 +706,178 @@ object GAdmin {
     }
   }
 
-  /** Clone a snapshot into a new (bucketed) table. */
+  /** Clone a snapshot into a new (bucketed) table — crash-safe via the
+    * shared procedure journal ([[graft.flow.ProcedureJournal]]; the
+    * reference's CloneSnapshotProcedure persists its step state the
+    * same way): the journal lands in `<path>/.procedures/` BEFORE the
+    * first byte of the new table, and is consumed only after the
+    * catalog commit. A crash anywhere between leaves the journal for
+    * [[recoverInterruptedDdl]], which rolls the half-clone back
+    * (drops the partial table + its files — the reference's
+    * rollbackState deletes the new table's regions; the snapshot
+    * source is never touched, so a retry is always clean). */
   def cloneSnapshot(spark: SparkSession, snapPath: String, newName: String,
       path: String, buckets: Int = 16): Unit =
+    cloneSnapshotImpl(spark, snapPath, newName, path, buckets,
+      crashMidClone = false)
+
+  /** Injected-crash twin of [[cloneSnapshot]]: dies after the journal
+    * and a partial store artifact, before the catalog commit. */
+  private[graft] def cloneSnapshotImpl(spark: SparkSession,
+      snapPath: String, newName: String, path: String, buckets: Int,
+      crashMidClone: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val q = qualified(newName)
+    val loc = s"$path/$q"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val procDir = new Path(path, ".procedures")
+    val fs = procDir.getFileSystem(conf)
+    fs.mkdirs(procDir)
+    val journal = new Path(procDir, s"clone-$q.journal")
+    graft.flow.ProcedureJournal.write(conf, journal,
+      Seq(newName, loc), s"clone journal for $newName")
+    if (crashMidClone) {
+      fs.mkdirs(new Path(loc))
+      fs.create(new Path(loc, "part-00000-dead-attempt.parquet"), true)
+        .close()
+      throw new IllegalStateException(
+        s"injected crash: clone $newName mid-write")
+    }
     BucketedStore.write(spark.read.schema(CellSchema.schema).parquet(snapPath),
-      qualified(newName), s"$path/${qualified(newName)}", buckets)
+      q, loc, buckets)
+    graft.flow.ProcedureJournal.consume(fs, journal)
+  }
+
+  /** Admin.restoreSnapshot — rewrite a DISABLED table's contents to a
+    * snapshot's cells (the reference refuses restore on enabled
+    * tables and, with hbase.snapshot.restore.take.failsafe.snapshot,
+    * protects the pre-restore contents behind a FAILSAFE snapshot;
+    * RestoreSnapshotProcedure). Protocol: journal → failsafe copy of
+    * the current contents → rewrite → drop failsafe, consume journal.
+    * A crash at any point leaves either an untouched table (failsafe
+    * incomplete — the rewrite never started) or a journal + durable
+    * failsafe for [[recoverInterruptedDdl]] to re-impose. */
+  def restoreSnapshot(spark: SparkSession, name: String, snapPath: String,
+      failsafeDir: String): Unit =
+    restoreSnapshotImpl(spark, name, snapPath, failsafeDir,
+      crashAfterRewrite = false)
+
+  /** Injected-crash twin of [[restoreSnapshot]]: dies after the
+    * rewrite landed but before the failsafe/journal cleanup — the
+    * recovery sweep must re-impose the PRE-restore contents. */
+  private[graft] def restoreSnapshotImpl(spark: SparkSession, name: String,
+      snapPath: String, failsafeDir: String,
+      crashAfterRewrite: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(!isEnabled(spark, name),
+      s"table $name must be disabled before restore (reference semantics)")
+    val q = qualified(name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(failsafeDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val (loc, buckets) = layoutOf(spark, name)
+    val journal = new Path(dir, s"restore-$q.journal")
+    graft.flow.ProcedureJournal.write(conf, journal,
+      Seq(name, snapPath, loc, buckets.toString),
+      s"restore journal for $name")
+    // failsafe BEFORE the first destructive step; ErrorIfExists — a
+    // leftover failsafe means an unswept earlier crash, refuse
+    spark.table(q).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$failsafeDir/failsafe-$q")
+    rewriteTable(spark, name,
+      _ => spark.read.schema(CellSchema.schema).parquet(snapPath))
+    if (crashAfterRewrite)
+      throw new IllegalStateException(
+        s"injected crash: restore $name after rewrite")
+    fs.delete(new Path(s"$failsafeDir/failsafe-$q"), true)
+    graft.flow.ProcedureJournal.consume(fs, journal)
+  }
+
+  /** Master-restart sweep over interrupted multi-step DDL — the
+    * ProcedureExecutor-recovery twin for GAdmin's procedures, same
+    * decision shape as [[graft.flow.RegionRefs.recoverInterruptedSplits]]:
+    *
+    *  - `clone-<q>.journal` in `<path>/.procedures/`: the clone never
+    *    committed (the journal is consumed last) — roll BACK: drop the
+    *    partial catalog entry and its files. Derivable recovery: a
+    *    corrupt journal still names the table in its filename.
+    *  - `restore-<q>.journal` in `failsafeDir`: if the failsafe copy
+    *    is durable (its _SUCCESS marker landed), the table may be
+    *    half-rewritten — roll BACK by re-imposing the failsafe
+    *    contents (catalog-less recovery falls back to the journal's
+    *    recorded location/buckets); an incomplete failsafe means the
+    *    rewrite never started — the table is untouched, drop the
+    *    partial failsafe. Either way the journal is consumed last.
+    *
+    * Returns (subject, action) pairs, name order. PRECONDITION: no
+    * DDL in flight on `path`/`failsafeDir` (the procedure-store lock). */
+  def recoverInterruptedDdl(spark: SparkSession, path: String,
+      failsafeDir: String = ""): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    import graft.flow.ProcedureJournal
+    val conf = spark.sparkContext.hadoopConfiguration
+    val procDir = new Path(path, ".procedures")
+    val fs = procDir.getFileSystem(conf)
+    val clones =
+      if (!fs.exists(procDir)) Nil
+      else fs.listStatus(procDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("clone-") &&
+          p.getName.endsWith(".journal"))
+        .sortBy(_.getName).toSeq.map { j =>
+          val q = j.getName.stripPrefix("clone-").stripSuffix(".journal")
+          val loc = ProcedureJournal.readTolerant(fs, j, 2)
+            .map(_(1)).getOrElse(s"$path/$q") // derivable: the layout
+          spark.sql(s"DROP TABLE IF EXISTS $q")
+          fs.delete(new Path(loc), true)
+          ProcedureJournal.consume(fs, j)
+          q -> "rolledback"
+        }
+    val restores =
+      if (failsafeDir.isEmpty) Nil
+      else {
+        val dir = new Path(failsafeDir)
+        val ffs = dir.getFileSystem(conf)
+        if (!ffs.exists(dir)) Nil
+        else ffs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith("restore-") &&
+            p.getName.endsWith(".journal"))
+          .sortBy(_.getName).toSeq.map { j =>
+            val q = j.getName.stripPrefix("restore-").stripSuffix(".journal")
+            val failsafe = new Path(dir, s"failsafe-$q")
+            val parts = ProcedureJournal.readTolerant(ffs, j, 4)
+            val action =
+              if (ffs.exists(new Path(failsafe, "_SUCCESS"))) {
+                val pre = spark.read.schema(CellSchema.schema)
+                  .parquet(failsafe.toString)
+                parts match {
+                  case Some(Array(name, _, _, _))
+                      if tableExists(spark, name) =>
+                    rewriteTable(spark, name, _ => pre)
+                  case Some(Array(_, _, loc, b)) =>
+                    // catalog lost mid-rewrite: rebuild from the
+                    // journal's recorded layout (cells exact; dynamic
+                    // table properties reset — the reference's restore
+                    // likewise re-derives the descriptor)
+                    BucketedStore.write(pre, q, loc, b.toInt)
+                  case None => sys.error(
+                    s"restore journal $j corrupt AND failsafe present " +
+                      "— refusing to guess the target table")
+                }
+                ffs.delete(failsafe, true)
+                "rolledback"
+              } else {
+                // rewrite never started; the partial failsafe is the
+                // only residue
+                ffs.delete(failsafe, true)
+                "untouched"
+              }
+            ProcedureJournal.consume(ffs, j)
+            q -> action
+          }
+      }
+    clones ++ restores
+  }
 
   def deleteTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")

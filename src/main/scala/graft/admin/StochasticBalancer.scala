@@ -33,15 +33,42 @@ import scala.util.Random
   */
 object StochasticBalancer {
 
+  /** `writesWindow`/`memstoreMBWindow` are the region's sliding
+    * metrics windows — consecutive census values of writeRequestsCount
+    * / memStoreSizeMB (BalancerRegionLoad's deque; graft feeds them
+    * from the q120 two-census metricsRate view). `table` feeds the
+    * per-table skew cost; empty = table skew not in play. */
   final case class RegionLoad(name: String, sizeBytes: Long = 0L,
-      reads: Long = 0L)
+      reads: Long = 0L, writesWindow: Seq[Long] = Nil,
+      memstoreMBWindow: Seq[Double] = Nil, table: String = "")
 
   /** `locality`/`rackLocality` are the reference's default multipliers
     * (ServerLocalityCostFunction 25, RackLocalityCostFunction 15 —
-    * LocalityBasedCostFunction.java). */
+    * LocalityBasedCostFunction.java); `writeRate`/`memstoreRate` are
+    * WriteRequestCostFunction 5 / MemStoreSizeCostFunction 5;
+    * `tableSkew` is TableSkewCostFunction 35. */
   final case class Weights(regionCount: Double = 500.0,
       sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0,
-      locality: Double = 25.0, rackLocality: Double = 15.0)
+      locality: Double = 25.0, rackLocality: Double = 15.0,
+      writeRate: Double = 5.0, memstoreRate: Double = 5.0,
+      tableSkew: Double = 35.0)
+
+  /** CostFromRegionLoadAsRateFunction.getRegionLoadCost — the
+    * sliding-window RATE of a per-region counter: the mean of
+    * successive deltas, where a drop (counter reset — the region
+    * reopened on another server) contributes the post-reset absolute
+    * value instead of a negative delta. Windows shorter than 2 have no
+    * rate (the reference returns 0 for them). */
+  def rateOf(window: Seq[Double]): Double = {
+    if (window.size < 2) return 0.0
+    var prev = window.head
+    var cost = 0.0
+    window.tail.foreach { cur =>
+      cost += (if (cur >= prev) cur - prev else cur)
+      prev = cur
+    }
+    math.max(0.0, cost / (window.size - 1))
+  }
 
   /** CostFunction.scale with the epsilon guards collapsed to the
     * pure-math form (costs here are exact doubles). */
@@ -125,6 +152,35 @@ object StochasticBalancer {
     var moves = 0L
     val maxMoves = math.max((nRegions * 0.25).toInt, 30) // moveCost cap
 
+    // rate cost functions (WriteRequestCostFunction /
+    // MemStoreSizeCostFunction, both CostFromRegionLoadAsRateFunction):
+    // each region's rate is fixed by its window, so the per-server sum
+    // updates incrementally and exactly on every move. isNeeded parity
+    // (the q119 precedent): a fixture that supplies no window (q114,
+    // q119) contributes neither cost nor multiplier — those walks
+    // replay bit-identical to the rate-less build.
+    val wrRate = regions.map { case (r, _) =>
+      rateOf(r.writesWindow.map(_.toDouble)) }
+    val msRate = regions.map { case (r, _) => rateOf(r.memstoreMBWindow) }
+    val useWrite = regions.exists(_._1.writesWindow.size >= 2)
+    val useMem = regions.exists(_._1.memstoreMBWindow.size >= 2)
+    val writeRates = new Array[Double](nServers)
+    val memRates = new Array[Double](nServers)
+    regions.zipWithIndex.foreach { case ((_, si), i) =>
+      writeRates(si) += wrRate(i); memRates(si) += msRate(i)
+    }
+    // TableSkewCostFunction: one DoubleArrayCost of per-server counts
+    // PER TABLE, cost = the SUM of the per-table scaled costs (the
+    // reference sums rather than averages — TableSkewCostFunction
+    // .cost(), a >1-capable term by design; twinned as-is)
+    val tableNames = regions.map(_._1.table).distinct.filter(_.nonEmpty)
+    val useTable = tableNames.nonEmpty
+    val tableCounts: Map[String, Array[Double]] =
+      tableNames.map(_ -> new Array[Double](nServers)).toMap
+    regions.foreach { case (r, si) =>
+      if (r.table.nonEmpty) tableCounts(r.table)(si) += 1
+    }
+
     // locality state: current sum is maintained incrementally on each
     // (applied or undone) move; best is fixed — Σ per-region max
     require(rackLocality.isEmpty || servers.forall(serverRack.contains),
@@ -154,7 +210,10 @@ object StochasticBalancer {
     val sumMultiplier =
       weights.regionCount + weights.sizeSkew + weights.readSkew +
         weights.move + (if (useLoc) weights.locality else 0.0) +
-        (if (useRack) weights.rackLocality else 0.0)
+        (if (useRack) weights.rackLocality else 0.0) +
+        (if (useWrite) weights.writeRate else 0.0) +
+        (if (useMem) weights.memstoreRate else 0.0) +
+        (if (useTable) weights.tableSkew else 0.0)
 
     def cost(): Double =
       weights.regionCount * arrayCost(counts) +
@@ -163,7 +222,12 @@ object StochasticBalancer {
         weights.move * scale(0, math.min(maxMoves, nRegions), moves.toDouble) +
         (if (useLoc) weights.locality * (1.0 - curLoc / bestLoc) else 0.0) +
         (if (useRack)
-          weights.rackLocality * (1.0 - curRack / bestRack) else 0.0)
+          weights.rackLocality * (1.0 - curRack / bestRack) else 0.0) +
+        (if (useWrite) weights.writeRate * arrayCost(writeRates) else 0.0) +
+        (if (useMem) weights.memstoreRate * arrayCost(memRates) else 0.0) +
+        (if (useTable) weights.tableSkew *
+          tableNames.iterator.map(t => arrayCost(tableCounts(t))).sum
+         else 0.0)
 
     var currentCost = cost()
     val initCost = currentCost
@@ -201,6 +265,15 @@ object StochasticBalancer {
           if (useRack) curRack +=
             locOf(rackLocality, rl.name, rackOf(dst)) -
               locOf(rackLocality, rl.name, rackOf(src))
+          if (useWrite) {
+            writeRates(src) -= wrRate(ri); writeRates(dst) += wrRate(ri)
+          }
+          if (useMem) {
+            memRates(src) -= msRate(ri); memRates(dst) += msRate(ri)
+          }
+          if (useTable && rl.table.nonEmpty) {
+            val tc = tableCounts(rl.table); tc(src) -= 1; tc(dst) += 1
+          }
           moves += d; loc(ri) = dst
         }
         apply(from, to, +1)

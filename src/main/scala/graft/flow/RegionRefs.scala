@@ -95,8 +95,8 @@ object RegionRefs {
       // (the META-update point of no return). A journal with no marker
       // therefore identifies a mid-split crash exactly.
       val journal = new Path(parent, ".split-journal")
-      FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
-        journal, s"$daughterA|$daughterB".getBytes("UTF-8"),
+      ProcedureJournal.write(spark.sparkContext.hadoopConfiguration,
+        journal, Seq(daughterA, daughterB),
         s"split journal for $parentRegion")
       for ((daughter, top) <- Seq((daughterA, false), (daughterB, true))) {
         for (fam <- famDirs) {
@@ -117,7 +117,7 @@ object RegionRefs {
       }
       // the META split-parent row: parent is offline, awaiting GC
       fs.create(new Path(parent, ".splitparent"), true).close()
-      fs.delete(journal, false)
+      ProcedureJournal.consume(fs, journal)
     }
     splitRow
   }
@@ -180,23 +180,11 @@ object RegionRefs {
         fs.delete(dDir, false)
     }
 
-    // journals are written atomically (FsAtomic.writeAtomic), so a
-    // parse failure can only be pre-atomic legacy or external
-    // corruption — and a journal that never finished writing implies
-    // NO step after it ran, so dropping it alone IS the rollback.
-    // Returning None (and deleting) instead of throwing keeps one bad
-    // journal from wedging the whole sweep forever.
-    def readJournal(p: Path, nParts: Int): Option[Array[String]] = {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      val parts = new String(buf, "UTF-8").split("\\|", -1)
-      if ((nParts <= 0 && parts.forall(_.nonEmpty)) ||
-          (parts.length == nParts && parts.forall(_.nonEmpty)))
-        Some(parts)
-      else None
-    }
+    // the shared tolerant read (ProcedureJournal protocol step 4):
+    // None = corrupt/legacy journal, callers fall back to DERIVABLE
+    // recovery from the mutation's own naming conventions
+    def readJournal(p: Path, nParts: Int): Option[Array[String]] =
+      ProcedureJournal.readTolerant(fs, p, nParts)
 
     val splits = regions.toSeq.flatMap { parent =>
       val journal = new Path(parent, ".split-journal")
@@ -217,7 +205,7 @@ object RegionRefs {
             }
             "rolledback"
           }
-        fs.delete(journal, false)
+        ProcedureJournal.consume(fs, journal)
         Some(parent.getName -> action)
       }
     }
@@ -254,7 +242,21 @@ object RegionRefs {
             }
             "rolledback"
           }
-        fs.delete(journal, false)
+        ProcedureJournal.consume(fs, journal)
+        // a rolled-back merge must not leave its (now empty) merged
+        // region dir behind — mergeRegionsImpl mkdirs it (and each
+        // family out-dir) before writing refs, so after the refs are
+        // dropped the empty dirs are the dead merge's only residue and
+        // later sweeps/listings would enumerate it as a region
+        if (action == "rolledback" && fs.exists(mdir)) {
+          Option(fs.listStatus(mdir)).getOrElse(Array.empty)
+            .filter(st => st.isDirectory &&
+              Option(fs.listStatus(st.getPath)).getOrElse(Array.empty)
+                .isEmpty)
+            .foreach(st => fs.delete(st.getPath, false))
+          if (Option(fs.listStatus(mdir)).getOrElse(Array.empty).isEmpty)
+            fs.delete(mdir, false)
+        }
         Some(mdir.getName -> action)
       }
     }
@@ -291,7 +293,7 @@ object RegionRefs {
                 inputs.foreach(r => fs.delete(new Path(fam, r), false))
                 "rolledforward"
               }
-            fs.delete(journal, false)
+            ProcedureJournal.consume(fs, journal)
             Some(s"${rdir.getName}/${fam.getName}" -> action)
           }
         }
@@ -328,9 +330,8 @@ object RegionRefs {
     val mdir = new Path(tableDir, merged)
     fs.mkdirs(mdir)
     val journal = new Path(mdir, ".merge-journal")
-    FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
-      journal, parents.mkString("|").getBytes("UTF-8"),
-      s"merge journal for $merged")
+    ProcedureJournal.write(spark.sparkContext.hadoopConfiguration,
+      journal, parents, s"merge journal for $merged")
     for (parent <- parents) {
       val parentDir = new Path(tableDir, parent)
       val famDirs = Option(fs.listStatus(parentDir)).getOrElse(Array.empty)
@@ -362,7 +363,7 @@ object RegionRefs {
         throw new IllegalStateException(
           s"injected crash: merge $merged after parent $parent")
     }
-    fs.delete(journal, false)
+    ProcedureJournal.consume(fs, journal)
   }
 
   /** Read one region's stores, resolving Reference files through the
@@ -438,10 +439,8 @@ object RegionRefs {
         // materialized file and the references — every cell read twice.
         val outName = s"compacted-$region.hfile"
         val journal = new Path(fam, ".compaction-journal")
-        FsAtomic.writeAtomic(spark.sparkContext.hadoopConfiguration,
-          journal,
-          (outName + "|" + refs.map(_.getPath.getName).mkString(","))
-            .getBytes("UTF-8"),
+        ProcedureJournal.write(spark.sparkContext.hadoopConfiguration,
+          journal, Seq(outName, refs.map(_.getPath.getName).mkString(",")),
           s"compaction journal for $region/${fam.getName}")
         require(fs.rename(new Path(s"$stage/part-00000.hfile"),
           new Path(fam, outName)),
@@ -450,7 +449,7 @@ object RegionRefs {
           throw new IllegalStateException(
             s"injected crash: $region/${fam.getName} compaction after landing")
         refs.foreach(f => fs.delete(f.getPath, false))
-        fs.delete(journal, false)
+        ProcedureJournal.consume(fs, journal)
       }
     }
   }

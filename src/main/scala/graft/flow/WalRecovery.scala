@@ -126,7 +126,18 @@ object WalRecovery {
               }
             val buffered = new java.io.BufferedOutputStream(sink)
             PWal.write(buffered, entriesIt); buffered.flush()
-          } finally outs.foreach(_.close())
+          } finally {
+            // close every leg even when one close() throws (a failing
+            // remote FS must not leak the local stream); rethrow the
+            // first failure after all are closed
+            var firstClose: Throwable = null
+            outs.foreach { o =>
+              try o.close()
+              catch { case t: Throwable =>
+                if (firstClose == null) firstClose = t }
+            }
+            if (firstClose != null) throw firstClose
+          }
           require(firstSeq >= 0, s"empty WAL group for $region")
           // commit in REVERSE roots order: callers list the primary
           // first, so the LAST root (dualWrite's remote leg) commits
@@ -138,14 +149,25 @@ object WalRecovery {
             FsAtomic.renameOverwrite(conf, t,
               new Path(d, f"$firstSeq%019d.pwal"), s"WAL log for $region")
           }
-          // reclaim temps of PRIOR failed/superseded attempts (ours
-          // just renamed away); a still-running speculative duplicate
-          // losing its temp merely fails its own late commit — the
-          // partition has already succeeded through this attempt
+          // reclaim temps of PRIOR failed attempts only — temps whose
+          // attempt id differs from ours AND whose attempt id is below
+          // ours (a HIGHER id is a still-running speculative duplicate
+          // actively writing; deleting its temp mid-write would turn
+          // its clean late-commit failure into a confusing missing-file
+          // crash — leave it to reap itself or to the recovery sweep)
           fss.lazyZip(dirs).foreach { (fs, d) =>
-            Option(fs.globStatus(new Path(d, s".temp-*-$region")))
+            Option(fs.globStatus(new Path(d, s".temp-$pid-*-$region")))
               .getOrElse(Array.empty)
-              .foreach(st => fs.delete(st.getPath, false))
+              .map(_.getPath)
+              .filter { p =>
+                val name = p.getName
+                // .temp-<pid>-<attempt>-<region>
+                val rest = name.stripPrefix(s".temp-$pid-")
+                val att = rest.takeWhile(_ != '-')
+                att.nonEmpty && att.forall(_.isDigit) &&
+                  att.toLong < attempt
+              }
+              .foreach(p => fs.delete(p, false))
           }
         }
       }

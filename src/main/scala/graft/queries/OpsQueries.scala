@@ -949,6 +949,210 @@ object OpsQueries {
           |       response_size, region
           |FROM __sl_ring, __sl_thr WHERE processing_us > thr
           |ORDER BY rank LIMIT 25""".stripMargin)
+    ),
+    QDef(
+      // RSGroup-constrained balancing (rsgroup/RSGroupBasedLoadBalancer
+      // .java:130-176 + RSGroupInfoManagerImpl — `RSGroups`): tables
+      // pin to named server pools; misplaced regions (hosted outside
+      // their table's group) home FIRST (correctAssignments:306-345 +
+      // the group-filtered round-robin), then each group balances
+      // WITHIN its pool. Fixture: the occupied orders %60 buckets are
+      // regions of tables t0/t1/t2 (bucket%3) bound to groups
+      // g1{s10,s11} / g2{s20,s21,s22} / default{s30,s31}; every
+      // bucket%5==0 region starts on a WRONG group's server, the rest
+      // pile on the group's first server. Invariants the oracle
+      // replays closed-form: zero cross-group assignments (require'd
+      // in-plan), per-group misplaced-homing counts, and the exact
+      // floor/ceil converged split of each group's regions over its
+      // pool (slop = 0).
+      "q124_rsgroup_balancer",
+      (s, dir) => {
+        import graft.admin.{Balancer, RSGroups}
+        import graft.admin.Balancer.RegionInfo
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 60).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤60 rows
+        val reg = RSGroups.Registry(
+            Set("s10", "s11", "s20", "s21", "s22", "s30", "s31"))
+          .addRSGroup("g1").addRSGroup("g2")
+          .moveServers(Set("s10", "s11"), "default", "g1")
+          .moveServers(Set("s20", "s21", "s22"), "default", "g2")
+          .setTableGroup("t0", "g1").setTableGroup("t1", "g2")
+        // t2 stays unbound -> the implicit default group
+        def grpOf(b: Int): String = (b % 3) match {
+          case 0 => "g1"; case 1 => "g2"; case _ => "default"
+        }
+        val home = Map("g1" -> "s10", "g2" -> "s20", "default" -> "s30")
+        val wrong = Map("g1" -> "s20", "g2" -> "s30", "default" -> "s10")
+        val load = buckets.groupBy(b => s"t${b % 3}").map { case (t, bs) =>
+          t -> bs.groupBy { b =>
+            val g = grpOf(b); if (b % 5 == 0) wrong(g) else home(g)
+          }.map { case (sv, bb) =>
+            sv -> bb.toSeq.map(b => RegionInfo(f"r$b%02d", b.toLong))
+          }
+        }
+        val rep = RSGroups.balanceCluster(reg, load, slop = 0.0)
+        // the zero-cross-group invariant, checked on the END STATE
+        rep.finalAssignment.foreach { case (sv, rs) =>
+          val g = reg.groupOfServer(sv)
+          rs.foreach(r => require(
+            reg.groupOfTable(s"t${r.id % 3}") == g,
+            s"region ${r.name} crossed its group boundary onto $sv"))
+        }
+        val mis = rep.misplacedPlans
+          .groupBy(p => reg.groupOfServer(p.dest))
+          .map { case (g, ps) => g -> ps.size.toLong }
+        import s.implicits._
+        reg.listRSGroups.flatMap { g =>
+          reg.serversOf(g).toSeq
+            .map(sv => rep.finalAssignment.getOrElse(sv, Nil).size.toLong)
+            .sorted(Ordering[Long].reverse).zipWithIndex
+            .map { case (c, i) =>
+              (g, i.toLong + 1, c, mis.getOrElse(g, 0L)) }
+        }.toDF("grp", "rank", "region_count", "misplaced_homed")
+          .orderBy("grp", "rank")
+      },
+      Some(
+        """WITH __rg_t AS (
+          |  SELECT b,
+          |    CASE b % 3 WHEN 0 THEN 'g1' WHEN 1 THEN 'g2'
+          |         ELSE 'default' END AS grp,
+          |    CASE WHEN b % 5 = 0 THEN 1 ELSE 0 END AS mis
+          |  FROM (SELECT DISTINCT CAST(o_orderkey % 60 AS INT) AS b
+          |        FROM orders)
+          |), __rg_g AS (
+          |  SELECT grp, COUNT(*) AS n, SUM(mis) AS mis
+          |  FROM __rg_t GROUP BY 1
+          |), __rg_k(grp, k) AS (
+          |  VALUES ('g1', 2), ('g2', 3), ('default', 2)
+          |)
+          |SELECT g.grp, CAST(r.i AS BIGINT) AS rank,
+          |       CAST(CASE WHEN r.i <= g.n % k.k THEN g.n // k.k + 1
+          |                 ELSE g.n // k.k END AS BIGINT) AS region_count,
+          |       CAST(g.mis AS BIGINT) AS misplaced_homed
+          |FROM __rg_g g JOIN __rg_k k USING (grp)
+          |JOIN generate_series(1, 3) r(i) ON r.i <= k.k
+          |ORDER BY grp, rank""".stripMargin)
+    ),
+    QDef(
+      // Rate cost functions in the stochastic walk
+      // (WriteRequestCostFunction.java:28 / MemStoreSizeCostFunction
+      // .java:28, both CostFromRegionLoadAsRateFunction.java:28-46 —
+      // the sliding-window mean-of-deltas with counter-reset fallback):
+      // q120's two-census view becomes each region's metrics window.
+      // Every occupied orders %80 bucket region carries the window
+      // (c_b, c_b+40, 40) — c_b its REAL order count, so absolutes are
+      // skewed but every delta is 40 (the middle step also exercises
+      // the reset branch: 40 < c_b+40) — plus a memstore window of
+      // uniform rate 8. With ONLY the rate costs steering (regionCount
+      // weight 0) the q114 rank-fraction skew must converge to the
+      // floor/ceil count split: a wiring that summed ABSOLUTES instead
+      // of rates would balance toward the skewed c_b mass and miss it.
+      "q125_rate_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+        val counts = Fixtures.orders(s, dir)
+          .groupBy((col("o_orderkey") % 80).cast("int").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy("b").collect()
+          .map(r => (r.getInt(0), r.getLong(1))) // ≤80 rows
+        val cuts = Seq(0.5, 0.8, 0.92, 0.97).map(f => (counts.length * f).toInt)
+        val assignment = counts.zipWithIndex.groupBy { case (_, r) =>
+          cuts.count(_ <= r)
+        }.map { case (si, bs) =>
+          f"srv$si%d" -> bs.map { case ((b, c), _) =>
+            RegionLoad(f"r$b%02d",
+              writesWindow = Seq(c, c + 40L, 40L),
+              memstoreMBWindow = Seq(c.toDouble, c + 8.0))
+          }.toSeq
+        }
+        val res = StochasticBalancer.balanceTable(assignment,
+          weights = Weights(regionCount = 0.0, sizeSkew = 0.0,
+            readSkew = 0.0, move = 7.0, locality = 0.0,
+            writeRate = 500.0, memstoreRate = 100.0))
+          .getOrElse(throw new IllegalStateException(
+            "a rate-skewed cluster must pass the needs-balance gate"))
+        val sCounts = collection.mutable.Map(
+          assignment.map { case (sv, rs) => sv -> rs.size.toLong }.toSeq: _*)
+        res.plans.foreach { p =>
+          sCounts(p.source) -= 1; sCounts(p.dest) += 1 }
+        import s.implicits._
+        sCounts.values.toSeq.sorted(Ordering[Long].reverse).zipWithIndex
+          .map { case (c, i) => (i.toLong + 1, c, c * 40.0) }
+          .toDF("rank", "region_count", "server_write_rate")
+          .orderBy("rank")
+      },
+      Some(
+        """WITH __rb_n AS (
+          |  SELECT COUNT(DISTINCT o_orderkey % 80) AS n FROM orders
+          |)
+          |SELECT CAST(i AS BIGINT) AS rank,
+          |       CAST(CASE WHEN i <= n % 5 THEN n // 5 + 1
+          |                 ELSE n // 5 END AS BIGINT) AS region_count,
+          |       CAST(CASE WHEN i <= n % 5 THEN n // 5 + 1
+          |                 ELSE n // 5 END AS DOUBLE) * 40.0
+          |         AS server_write_rate
+          |FROM __rb_n, generate_series(1, 5) t(i)
+          |ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // TableSkewCostFunction (hbase-balancer/.../TableSkewCostFunction
+      // .java:28 — one DoubleArrayCost of per-server counts PER TABLE,
+      // summed): a cluster can be count-balanced globally while one
+      // table piles on one server. Fixture: occupied %80 buckets split
+      // into tables t0/t1 (bucket%2), each table starting ENTIRELY on
+      // its own single server of five — globally mild, per-table
+      // maximal skew. With tableSkew steering (35-weight family scaled
+      // to 500 here so the gate trips at any SF), the walk must land
+      // EVERY table at its own floor/ceil split across all 5 servers.
+      "q126_table_skew_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        val assignment = (0 until 5).map { si =>
+          f"srv$si%d" -> (
+            if (si < 2)
+              buckets.filter(_ % 2 == si).toSeq
+                .map(b => RegionLoad(f"r$b%02d", table = s"t${b % 2}"))
+            else Seq.empty[RegionLoad])
+        }.toMap
+        val res = StochasticBalancer.balanceTable(assignment,
+          weights = Weights(regionCount = 0.0, sizeSkew = 0.0,
+            readSkew = 0.0, move = 7.0, locality = 0.0,
+            tableSkew = 500.0))
+          .getOrElse(throw new IllegalStateException(
+            "a table-skewed cluster must pass the needs-balance gate"))
+        val where = collection.mutable.Map(
+          assignment.toSeq.flatMap { case (sv, rs) =>
+            rs.map(r => r.name -> sv) }: _*)
+        res.plans.foreach(p => where(p.region) = p.dest)
+        val perTable = where.toSeq
+          .groupBy { case (r, _) => s"t${r.drop(1).toInt % 2}" }
+        import s.implicits._
+        perTable.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
+          val bySrv = (0 until 5).map(si =>
+            rs.count { case (_, sv) => sv == f"srv$si%d" }.toLong)
+          bySrv.sorted(Ordering[Long].reverse).zipWithIndex.map {
+            case (c, i) => (t, i.toLong + 1, c) }
+        }.toDF("tbl", "rank", "region_count").orderBy("tbl", "rank")
+      },
+      Some(
+        """WITH __ts_n AS (
+          |  SELECT b % 2 AS t, COUNT(*) AS n
+          |  FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
+          |        FROM orders)
+          |  GROUP BY 1
+          |)
+          |SELECT 't' || CAST(t AS VARCHAR) AS tbl,
+          |       CAST(i AS BIGINT) AS rank,
+          |       CAST(CASE WHEN i <= n % 5 THEN n // 5 + 1
+          |                 ELSE n // 5 END AS BIGINT) AS region_count
+          |FROM __ts_n, generate_series(1, 5) t2(i)
+          |ORDER BY tbl, rank""".stripMargin)
     )
   )
 }

@@ -44,6 +44,79 @@ object ReplicationAdmin {
     require(updated != null, s"no such peer $id")
   }
 
+  /** Admin.updateReplicationPeerConfig — in-place peer-config swap
+    * (ReplicationPeerManager.updatePeerConfig:338-352): the new config
+    * REPLACES scope and bandwidth while the peer's enabled state is
+    * untouched (the reference carries desc.isEnabled forward; its
+    * base+patch `configuration`-map merge covers free-form keys graft
+    * does not model — bandwidth and scope are the whole config here).
+    * The single computeIfPresent IS the atomic swap (the reference
+    * commits through peerStorage then swaps the descriptor); a live
+    * [[scopedSink]] observes the new scope at its next micro-batch. */
+  def updatePeerConfig(id: String, tableCfs: Map[String, Seq[String]],
+      bandwidth: Long = 0L): Unit = {
+    val updated = peers.computeIfPresent(id,
+      (_, p) => p.copy(tableCfs = tableCfs, bandwidth = bandwidth))
+    require(updated != null, s"no such peer $id")
+  }
+
+  /** ReplicationPeerConfigUtil.appendTableCFsToReplicationPeerConfig
+    * (:448-459, mergeTableCFs :513-537). Graft encodes "all families"
+    * as an EMPTY list (the reference's null): appending all-families
+    * to anything yields all-families; two explicit lists union. A peer
+    * currently replicating EVERYTHING (empty map) adopts the appended
+    * map outright — the reference's preTableCfs==null branch (which
+    * NARROWS the scope to the named tables). */
+  def appendPeerTableCfs(id: String,
+      tableCfs: Map[String, Seq[String]]): Unit = {
+    val updated = peers.computeIfPresent(id, { (_, p) =>
+      val merged =
+        if (p.tableCfs.isEmpty) tableCfs
+        else tableCfs.foldLeft(p.tableCfs) { case (acc, (t, cfs)) =>
+          acc.get(t) match {
+            case Some(cur) if cur.nonEmpty && cfs.nonEmpty =>
+              acc.updated(t, (cur ++ cfs).distinct.sorted)
+            case Some(_) => acc.updated(t, Nil) // either side = all
+            case None => acc.updated(t, cfs)
+          }
+        }
+      p.copy(tableCfs = merged)
+    })
+    require(updated != null, s"no such peer $id")
+  }
+
+  /** ReplicationPeerConfigUtil.removeTableCFsFromReplicationPeerConfig
+    * (:548-587) — the reference's four branches, each a hard error
+    * when the removal does not exactly match what is configured. */
+  def removePeerTableCfs(id: String,
+      tableCfs: Map[String, Seq[String]]): Unit = {
+    val p0 = peers.get(id)
+    require(p0 != null, s"no such peer $id")
+    require(p0.tableCfs.nonEmpty, s"Table-Cfs for peer $id is empty")
+    val updated = peers.computeIfPresent(id, { (_, p) =>
+      val pruned = tableCfs.foldLeft(p.tableCfs) { case (acc, (t, rm)) =>
+        acc.get(t) match {
+          case None =>
+            throw new IllegalArgumentException(
+              s"no table $t in table-cfs config of peer $id")
+          case Some(cur) if cur.isEmpty && rm.isEmpty => acc - t
+          case Some(cur) if cur.nonEmpty && rm.nonEmpty =>
+            val left = cur.filterNot(rm.contains)
+            if (left.isEmpty) acc - t else acc.updated(t, left)
+          case Some(cur) if cur.isEmpty =>
+            throw new IllegalArgumentException(
+              s"cannot remove cfs of table $t which doesn't specify " +
+                s"cfs in peer $id")
+          case Some(_) =>
+            throw new IllegalArgumentException(
+              s"cannot remove table $t which has specified cfs in peer $id")
+        }
+      }
+      p.copy(tableCfs = pruned)
+    })
+    require(updated != null, s"no such peer $id")
+  }
+
   def removePeer(id: String): Unit = {
     val prev = peers.remove(id)
     require(prev != null, s"no such peer $id")
@@ -234,6 +307,34 @@ object ReplicationAdmin {
         th.admit(batchSizeBytes(batch))
         WalStream.applyBatch(batch, seqCol)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
+  /** One peer's DYNAMICALLY scoped sink: unlike [[replicate]] (which
+    * bakes the scope into the plan at construction — the reference's
+    * source does the same until a peer-config refresh), this consults
+    * the peer's CURRENT table scope at every micro-batch, so an
+    * [[updatePeerConfig]] narrowing the scope mid-stream takes effect
+    * on the NEXT batch without restarting the query — the
+    * PeerConfigListener refresh path (ReplicationPeerImpl's config
+    * listeners re-filter the source on ZK config change). A table that
+    * leaves the scope entirely skips its batches; no in-scope entry is
+    * ever dropped (the filter passes meta markers like
+    * [[WalStream.scoped]]). */
+  def scopedSink(peerId: String, table: String, cellStream: DataFrame,
+      checkpointDir: String, outDir: String,
+      seqCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(peers.get(peerId) != null, s"no such peer $peerId")
+    cellStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scopeFor(peerId, table) match {
+          case None => () // peer disabled or table out of scope now
+          case Some(fams) =>
+            WalStream.applyBatch(WalStream.scoped(batch, fams), seqCol)
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
       }
   }
 

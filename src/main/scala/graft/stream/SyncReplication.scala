@@ -43,14 +43,17 @@ object SyncReplication {
   case object NoSync extends SyncState("NONE")
 
   /** The reference's exact allowed-transition lattice
-    * (ReplicationPeerManager.preTransitPeerSyncReplicationState):
-    * STANDBY can never jump straight to ACTIVE — the mandatory stop at
-    * DOWNGRADE_ACTIVE is where the remote-WAL replay happens, and
-    * skipping it would serve reads/writes from a standby that has not
-    * caught up. NONE transitions to nothing (a peer without a remote
-    * WAL dir is not a sync peer). */
+    * (ReplicationPeerManager.java:112-117, checked by
+    * preTransitPeerSyncReplicationState): STANDBY can never jump
+    * straight to ACTIVE — the mandatory stop at DOWNGRADE_ACTIVE is
+    * where the remote-WAL replay happens, and skipping it would serve
+    * reads/writes from a standby that has not caught up. ACTIVE may
+    * step down to either DOWNGRADE_ACTIVE (planned demotion, stays
+    * writable) or straight to STANDBY (the other side was promoted —
+    * this side must stop serving immediately). NONE transitions to
+    * nothing (a peer without a remote WAL dir is not a sync peer). */
   val allowedTransitions: Map[SyncState, Set[SyncState]] = Map(
-    Active -> Set(DowngradeActive),
+    Active -> Set(DowngradeActive, Standby),
     DowngradeActive -> Set(Active, Standby),
     Standby -> Set(DowngradeActive),
     NoSync -> Set.empty)

@@ -530,4 +530,67 @@ class AdminSpec extends SparkSpec {
     finally out.close()
     assert(BackupRegistry.listImages(spark, root).map(_.backupId) == Seq("c1"))
   }
+
+  test("interrupted cloneSnapshot rolls back: partial table dropped, retry clean") {
+    val tmp = java.nio.file.Files.createTempDirectory("clonecrash").toString
+    GAdmin.createTable(spark, "cs1", tmp, families = Seq("d"), buckets = 2)
+    GAdmin.put(spark, "cs1", Fixtures.cellsOrders(spark, sf0001).limit(200))
+    GAdmin.snapshot(spark, "cs1", "snapA", tmp)
+    // crash mid-clone: journal + a partial store artifact, no commit
+    intercept[IllegalStateException](GAdmin.cloneSnapshotImpl(
+      spark, s"$tmp/snapA", "cs2", tmp, 2, crashMidClone = true))
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/.procedures/clone-graft_cs2.journal")))
+    // the sweep rolls it back: catalog clean, files gone, journal consumed
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp) ==
+      Seq("graft_cs2" -> "rolledback"))
+    assert(!GAdmin.tableExists(spark, "cs2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/graft_cs2")))
+    // idempotent: a second sweep finds nothing
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp).isEmpty)
+    // the retry completes; a committed clone leaves no journal
+    GAdmin.cloneSnapshot(spark, s"$tmp/snapA", "cs2", tmp, buckets = 2)
+    assert(GAdmin.table(spark, "cs2").count() === 200)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/.procedures/clone-graft_cs2.journal")))
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp).isEmpty)
+    GAdmin.deleteTable(spark, "cs1"); GAdmin.deleteTable(spark, "cs2")
+  }
+
+  test("interrupted restoreSnapshot re-imposes the failsafe (pre-restore contents)") {
+    val tmp = java.nio.file.Files.createTempDirectory("restorecrash").toString
+    val failsafes = s"$tmp/failsafes"
+    GAdmin.createTable(spark, "rs1", tmp, families = Seq("d"), buckets = 2)
+    val orig = Fixtures.cellsOrders(spark, sf0001).limit(300)
+    GAdmin.put(spark, "rs1", orig)
+    GAdmin.snapshot(spark, "rs1", "snapB", tmp) // 300 cells
+    GAdmin.put(spark, "rs1",
+      orig.limit(100).withColumn("ts", lit(9L))) // diverge: 400 cells
+    // restore refuses on an ENABLED table (reference semantics)
+    intercept[IllegalArgumentException](
+      GAdmin.restoreSnapshot(spark, "rs1", s"$tmp/snapB", failsafes))
+    GAdmin.disableTable(spark, "rs1")
+    // crash AFTER the rewrite landed, before cleanup: the sweep must
+    // bring back the PRE-restore 400-cell state from the failsafe
+    intercept[IllegalStateException](GAdmin.restoreSnapshotImpl(
+      spark, "rs1", s"$tmp/snapB", failsafes, crashAfterRewrite = true))
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp, failsafes) ==
+      Seq("graft_rs1" -> "rolledback"))
+    GAdmin.enableTable(spark, "rs1")
+    assert(GAdmin.table(spark, "rs1").count() === 400)
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$failsafes/failsafe-graft_rs1")))
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp, failsafes).isEmpty)
+    // the clean restore succeeds and leaves no residue
+    GAdmin.disableTable(spark, "rs1")
+    GAdmin.restoreSnapshot(spark, "rs1", s"$tmp/snapB", failsafes)
+    GAdmin.enableTable(spark, "rs1")
+    assert(GAdmin.table(spark, "rs1").count() === 300)
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp, failsafes).isEmpty)
+    GAdmin.deleteTable(spark, "rs1")
+  }
 }

@@ -185,6 +185,9 @@ class RegionRefsSpec extends SparkSpec {
     assert(RegionRefs.recoverInterruptedSplits(spark, table) ==
       Seq("m1" -> "rolledback"))
     assert(!fs.exists(new Path(s"$table/ra/.splitparent")))
+    // the rolled-back merge leaves NO residue: the emptied merged
+    // region dir is gone, not enumerated as a region by later sweeps
+    assert(!fs.exists(new Path(s"$table/m1")))
     assert(RegionRefs.catalogJanitor(spark, table, s"$root/arch").isEmpty)
     assert(RegionRefs.importStore(spark, table, "ra").count() +
       RegionRefs.importStore(spark, table, "rb").count() == cells.count())

@@ -136,4 +136,93 @@ class StochasticBalancerSpec extends AnyFunSuite {
         s"r$i on wrong rack: $placed")
     }
   }
+
+  test("rateOf is the reference's sliding-window mean-of-deltas with reset fallback") {
+    // CostFromRegionLoadAsRateFunction.getRegionLoadCost closed forms
+    assert(StochasticBalancer.rateOf(Nil) == 0.0)           // empty window
+    assert(StochasticBalancer.rateOf(Seq(5.0)) == 0.0)      // single census
+    assert(StochasticBalancer.rateOf(Seq(10, 25, 40)) == 15.0)
+    // counter reset: current < previous contributes the absolute value
+    assert(StochasticBalancer.rateOf(Seq(100, 140, 40)) == 40.0)
+    assert(StochasticBalancer.rateOf(Seq(10, 4)) == 4.0)
+  }
+
+  test("write-rate skew alone drives moves when counts are balanced") {
+    // counts are (4,4,4) — the count cost is silent; srv0's regions
+    // are the only writers (rate 10 each via a real two-census delta)
+    val a = Map(
+      "s0" -> (0 until 4).map(i =>
+        RegionLoad(f"hot-r$i", writesWindow = Seq(100L * i, 100L * i + 10))),
+      "s1" -> (0 until 4).map(i =>
+        RegionLoad(f"c1-r$i", writesWindow = Seq(50L, 50L))),
+      "s2" -> (0 until 4).map(i =>
+        RegionLoad(f"c2-r$i", writesWindow = Seq(80L, 80L))))
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, writeRate = 500)).get
+    val rates = collection.mutable.Map("s0" -> 40.0, "s1" -> 0.0,
+      "s2" -> 0.0)
+    r.plans.foreach { p =>
+      if (p.region.startsWith("hot")) {
+        rates(p.source) -= 10.0; rates(p.dest) += 10.0
+      }
+    }
+    // four indivisible rate-10 writers over three servers: (20,10,10)
+    assert(rates.values.toSeq.sorted == Seq(10.0, 10.0, 20.0),
+      s"rate not balanced: $rates")
+    assert(r.finalCost < r.initCost)
+  }
+
+  test("memstore-rate skew steers like the reference's MemStoreSizeCostFunction") {
+    val a = Map(
+      "s0" -> (0 until 4).map(i =>
+        RegionLoad(f"m-r$i", memstoreMBWindow = Seq(64.0, 72.0))),
+      "s1" -> (0 until 4).map(i =>
+        RegionLoad(f"z1-r$i", memstoreMBWindow = Seq(16.0, 16.0))),
+      "s2" -> (0 until 4).map(i =>
+        RegionLoad(f"z2-r$i", memstoreMBWindow = Seq(8.0, 8.0))))
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, memstoreRate = 500)).get
+    val rates = collection.mutable.Map("s0" -> 32.0, "s1" -> 0.0,
+      "s2" -> 0.0)
+    r.plans.foreach { p =>
+      if (p.region.startsWith("m-")) {
+        rates(p.source) -= 8.0; rates(p.dest) += 8.0
+      }
+    }
+    assert(rates.values.toSeq.sorted == Seq(8.0, 8.0, 16.0),
+      s"memstore rate not balanced: $rates")
+  }
+
+  test("table skew balances each table across servers independently") {
+    // two tables, each piled on its own server: globally mild, per-
+    // table maximal skew — TableSkewCostFunction must spread BOTH
+    val a = Map(
+      "s0" -> (0 until 4).map(i => RegionLoad(f"a-r$i", table = "ta")),
+      "s1" -> (0 until 4).map(i => RegionLoad(f"b-r$i", table = "tb")))
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, tableSkew = 500)).get
+    val placed = collection.mutable.Map(
+      (0 until 4).flatMap(i => Seq(f"a-r$i" -> "s0", f"b-r$i" -> "s1")): _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    for (t <- Seq("a", "b"); s <- Seq("s0", "s1"))
+      assert(placed.count { case (n, sv) =>
+          n.startsWith(t) && sv == s } == 2,
+        s"table $t not 2/2 across servers: $placed")
+  }
+
+  test("rate/table-less walks replay bit-identical (isNeeded parity)") {
+    val a = cluster(40, 25, 10, 3, 2)
+    val base = StochasticBalancer.balanceTable(a).get
+    // single-census windows have no rate (reference returns 0 before
+    // the second census) — the function must stay out of the walk
+    val single = a.view.mapValues(_.map(r =>
+      r.copy(writesWindow = Seq(7L)))).toMap
+    val withSingle = StochasticBalancer.balanceTable(single).get
+    assert(base.plans == withSingle.plans &&
+      base.initCost == withSingle.initCost &&
+      base.finalCost == withSingle.finalCost)
+  }
 }

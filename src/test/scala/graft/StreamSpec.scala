@@ -505,6 +505,90 @@ class StreamSpec extends SparkSpec {
     } finally ReplicationAdmin.removeAllPeers()
   }
 
+  test("updatePeerConfig narrows scope mid-stream: next batch honors it, no in-scope entry lost") {
+    import graft.stream.ReplicationAdmin
+    import spark.implicits._
+    ReplicationAdmin.removeAllPeers()
+    try {
+      ReplicationAdmin.addPeer("upd") // empty map = replicate everything
+      val out = graft.Queries.scratchDir("upd_scope")
+      def mk(i: Int, fams: Seq[String]) = fams.flatMap(f =>
+          Seq.tabulate(5)(j => (f"r$i$j", f, "q", 1L, "Put", "v")))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      mk(0, Seq("f1", "f2")).coalesce(1).write.mode("append")
+        .parquet(s"$out/wal")
+      val src = spark.readStream.schema(mk(0, Seq("f1")).schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/wal")
+      val q = ReplicationAdmin.scopedSink("upd", "t", src,
+        s"$out/ck", s"$out/dst").start()
+      try {
+        q.processAllAvailable()
+        // batch 0 under the full scope: both families land
+        val b0 = spark.read.parquet(s"$out/dst")
+        assert(b0.count() === 10 &&
+          b0.select("family").distinct().count() === 2)
+        // the swap: scope narrows to t's f1 — NEXT batch must honor it
+        ReplicationAdmin.updatePeerConfig("upd", Map("t" -> Seq("f1")))
+        mk(1, Seq("f1", "f2")).coalesce(1).write.mode("append")
+          .parquet(s"$out/wal")
+        q.processAllAvailable()
+        val b1 = spark.read.parquet(s"$out/dst")
+          .filter(col("row").startsWith("r1"))
+        assert(b1.count() === 5, "an in-scope f1 entry was lost")
+        assert(b1.select("family").distinct().collect()
+          .map(_.getString(0)).toSeq === Seq("f1"),
+          "out-of-scope f2 leaked past the narrowed config")
+        // table drops out of scope entirely: its batches skip
+        ReplicationAdmin.updatePeerConfig("upd", Map("other" -> Nil))
+        mk(2, Seq("f1")).coalesce(1).write.mode("append")
+          .parquet(s"$out/wal")
+        q.processAllAvailable()
+        assert(spark.read.parquet(s"$out/dst")
+          .filter(col("row").startsWith("r2")).count() === 0)
+      } finally q.stop()
+    } finally ReplicationAdmin.removeAllPeers()
+  }
+
+  test("peer table-cfs append/remove follow ReplicationPeerConfigUtil's merge rules") {
+    import graft.stream.ReplicationAdmin
+    ReplicationAdmin.removeAllPeers()
+    try {
+      ReplicationAdmin.addPeer("m",
+        Map("ta" -> Seq("a"), "tb" -> Nil, "tc" -> Seq("x")))
+      // append: explicit∪explicit unions; all-families absorbs; new
+      // tables join the scope
+      ReplicationAdmin.appendPeerTableCfs("m",
+        Map("ta" -> Seq("b"), "tb" -> Seq("z"), "td" -> Seq("y")))
+      val m = ReplicationAdmin.listPeers().find(_.id == "m").get
+      assert(m.tableCfs === Map("ta" -> Seq("a", "b"), "tb" -> Nil,
+        "tc" -> Seq("x"), "td" -> Seq("y")))
+      // a replicate-everything peer NARROWS to the appended map (the
+      // reference's preTableCfs == null branch)
+      ReplicationAdmin.addPeer("n")
+      ReplicationAdmin.appendPeerTableCfs("n", Map("ta" -> Seq("a")))
+      assert(ReplicationAdmin.listPeers().find(_.id == "n").get
+        .tableCfs === Map("ta" -> Seq("a")))
+      // remove: explicit minus explicit; empty result drops the table;
+      // an all-families removal needs an all-families entry
+      ReplicationAdmin.removePeerTableCfs("m", Map("ta" -> Seq("a")))
+      ReplicationAdmin.removePeerTableCfs("m", Map("tb" -> Nil))
+      ReplicationAdmin.removePeerTableCfs("m", Map("td" -> Seq("y")))
+      assert(ReplicationAdmin.listPeers().find(_.id == "m").get
+        .tableCfs === Map("ta" -> Seq("b"), "tc" -> Seq("x")))
+      // the reference's hard-error branches
+      intercept[IllegalArgumentException](
+        ReplicationAdmin.removePeerTableCfs("m", Map("zz" -> Nil)))
+      intercept[IllegalArgumentException]( // tc names cfs; all-removal illegal
+        ReplicationAdmin.removePeerTableCfs("m", Map("tc" -> Nil)))
+      ReplicationAdmin.addPeer("o", Map("ta" -> Nil))
+      intercept[IllegalArgumentException]( // ta is all; cf-removal illegal
+        ReplicationAdmin.removePeerTableCfs("o", Map("ta" -> Seq("a"))))
+      // errors must not have mutated the scope (atomic swap)
+      assert(ReplicationAdmin.listPeers().find(_.id == "m").get
+        .tableCfs === Map("ta" -> Seq("b"), "tc" -> Seq("x")))
+    } finally ReplicationAdmin.removeAllPeers()
+  }
+
   test("streaming HFile backup sink: epochs land as byte-format files, markers excluded, redelivery idempotent") {
     import graft.stream.{WalMeta, WalStream}
     import spark.implicits._

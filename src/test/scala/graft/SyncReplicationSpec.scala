@@ -29,7 +29,8 @@ class SyncReplicationSpec extends SparkSpec {
   test("the transition lattice is exactly the reference's") {
     val all = Seq(Active, DowngradeActive, Standby, NoSync)
     val legal = Set[(SyncState, SyncState)](
-      (Active, DowngradeActive), (DowngradeActive, Active),
+      (Active, DowngradeActive), (Active, Standby),
+      (DowngradeActive, Active),
       (DowngradeActive, Standby), (Standby, DowngradeActive))
     for (from <- all; to <- all) {
       val peer = SyncPeer("p", "/tmp/none", from)
