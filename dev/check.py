@@ -37,10 +37,26 @@ for name, sql in sorted(oracle.items()):
         if banned:
             print(f"FAIL {name}: oracle types Spark cannot emit: {banned}")
             fails += 1; continue
+        # Drift policy (hard-fail, r16): drift WITHIN the signed-int
+        # family is allowed — the driver's value hash normalizes signed
+        # integer widths (14 rank/hamming queries have shipped green for
+        # rounds with INTEGER-vs-BIGINT drift). ANY other drift fails
+        # unless (query, column) is explicitly allowlisted below as an
+        # intentional widening.
+        SIGNED_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        DRIFT_ALLOWLIST = set()  # {(query_name, column)} intentional
         drift = {c: (stypes.get(c), t) for c, t in otypes.items()
                  if c in stypes and stypes[c] != t}
-        if drift:
-            print(f"WARN {name}: type drift spark-vs-oracle {drift}")
+        benign = {c: d for c, d in drift.items()
+                  if (d[0] in SIGNED_INTS and d[1] in SIGNED_INTS)
+                  or (name, c) in DRIFT_ALLOWLIST}
+        hard = {c: d for c, d in drift.items() if c not in benign}
+        if benign:
+            print(f"WARN {name}: benign int-width drift {benign}")
+        if hard:
+            print(f"FAIL {name}: type drift spark-vs-oracle {hard} "
+                  f"(not in the signed-int family or allowlist)")
+            fails += 1; continue
     except Exception as e:
         print(f"WARN {name}: type guard skipped: {e}")
     g, e = got[gc], exp[ec]

@@ -164,6 +164,57 @@ object HFiles {
     }
   }
 
+  /** Export MANY region stores in ONE job — the OutputSink-per-region
+    * shape ([[WalRecovery.writeRegionLogs]]'s twin for store files):
+    * one shuffle keyed by the integer `regionCol`, each writer task
+    * cutting a new HFile on region change (the sort guarantees
+    * contiguity), files landing at `outPath/<name(region)>`. Replaces
+    * N per-region export jobs (each a full scan + shuffle of the
+    * source) with one pass — the difference between O(regions) and
+    * O(1) source scans when a fixture or a real table lands its whole
+    * region layout at once (HFileOutputFormat2 writes all regions of
+    * a bulk load in one job the same way). */
+  def exportRegions(cells: DataFrame, regionCol: String, outPath: String,
+      name: Int => String, blockSize: Int = 65536,
+      indexMaxChunk: Int = 128 * 1024): Unit = {
+    val ordered = cells
+      .repartition(col(regionCol))
+      .sortWithinPartitions(col(regionCol), col("row"), col("family"),
+        col("qualifier"), col("ts").desc, typeRank.desc)
+      .select(col(regionCol).cast("int").as("__region"),
+        col("row"), col("family"), col("qualifier"), col("ts"),
+        col("type"), col("value"))
+    val bconf = ShippedConf.broadcast(cells.sparkSession)
+    val nameB = name
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      val fs = new Path(outPath).getFileSystem(bconf.value.conf)
+      def toCell(r: Row): HCell = HCell(
+        r.getString(1).getBytes("UTF-8"),
+        r.getString(2).getBytes("UTF-8"),
+        r.getString(3).getBytes("UTF-8"),
+        r.getLong(4),
+        typeToCode(r.getString(5)),
+        Option(r.getString(6)).getOrElse("").getBytes("UTF-8"))
+      val rows = it.buffered
+      while (rows.hasNext) {
+        val region = rows.head.getInt(0)
+        val run = new Iterator[HCell] {
+          def hasNext: Boolean =
+            rows.hasNext && rows.head.getInt(0) == region
+          def next(): HCell = toCell(rows.next())
+        }
+        val path = new Path(s"$outPath/${nameB(region)}")
+        fs.mkdirs(path.getParent)
+        val out = fs.create(path, true)
+        try {
+          HFileV3.write(out, run, blockSize,
+            indexMaxChunk = indexMaxChunk)
+          ()
+        } finally out.close()
+      }
+    }
+  }
+
   /** Multi-get served straight from an exported HFile directory — the
     * reference's Get path against store files: a driver-side range
     * table (region-count-bounded, 3 positional reads per file — the

@@ -464,16 +464,25 @@ object OpsQueries {
         RegionRefs.compactRefs(s, table, "d2", blockSize = 4096)
         require(RegionRefs.catalogJanitor(s, table, arch) == Seq("p1"),
           "janitor failed to GC the unreferenced parent")
-        // 'final' pins the post-GC, PRE-crash state: importStore lists
-        // the store files eagerly at call time, so this snapshot is
-        // taken before the injected crash below ever runs
-        val finalStage = RegionRefs.importStore(s, table, "d1")
-          .unionByName(RegionRefs.importStore(s, table, "d2"))
-          .withColumn("stage", lit("final"))
+        // 'final' (post-GC, pre-crash) and 'recovered' (post-rollback)
+        // pin the SAME durable layout — assert that identity on the
+        // (path, length) file census and read the bytes ONCE, emitting
+        // both stage labels from one physical scan (the r16 trim: the
+        // rollback's claim IS that it restored this exact layout, so
+        // the second full read only re-proved what the census pins)
+        val fsx = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def storeLayout(): Seq[(String, Long)] =
+          Seq("d1", "d2").flatMap { r =>
+            Option(fsx.globStatus(
+                new org.apache.hadoop.fs.Path(s"$table/$r/*/*")))
+              .getOrElse(Array.empty)
+              .map(st => (st.getPath.toString, st.getLen)).toSeq
+          }.sorted
+        val preCrash = storeLayout()
         // interrupted re-split of d1 (procedure-v2 crash window: da's
         // refs written, crash before db's) — the recovery sweep must
         // roll it back, leaving d1 online with its exact cell stream
-        // (the 'recovered' stage re-read below)
         require(scala.util.Try(RegionRefs.splitRegionImpl(s, table, "d1",
           "da", "db", crashAfterFirstDaughter = true)).isFailure,
           "injected crash must surface")
@@ -482,12 +491,14 @@ object OpsQueries {
           "recovery must roll back the half-split daughter refs")
         require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
           "nothing may be GC-able after the rollback")
+        require(storeLayout() == preCrash,
+          "rollback must restore the exact pre-crash store layout")
         s.read.parquet(refsOut).withColumn("stage", lit("refs"))
-          .unionByName(finalStage)
           .unionByName(
             RegionRefs.importStore(s, table, "d1")
               .unionByName(RegionRefs.importStore(s, table, "d2"))
-              .withColumn("stage", lit("recovered")))
+              .withColumn("stage",
+                explode(array(lit("final"), lit("recovered")))))
           .select("stage", "row", "family", "qualifier", "ts", "type",
             "value")
           .orderBy("stage", "row", "family", "qualifier", "ts", "type",
@@ -661,14 +672,16 @@ object OpsQueries {
           reloaded.toSeq.map { case (srv, rs) =>
             ("mover", srv, "reloaded", rs.size.toLong) }
 
-        // hbck: real stores, one corrupted, quarantine + re-census
+        // hbck: real stores, one corrupted, quarantine + re-census.
+        // ONE export job lands all four region stores (the r16 trim:
+        // per-region jobs re-scanned the corpus 4×)
         val root = graft.Queries.scratchDir("q118_store")
         val cells = Fixtures.cellsOrders(s, dir)
         val uid = col("row").cast("long")
-        (0 until 4).foreach { i =>
-          HFiles.export(cells.filter(uid % 4 === i), 1, s"$root/t1/p$i/d",
-            blockSize = 65536)
-        }
+        HFiles.exportRegions(
+          cells.withColumn("rr", (uid % 4).cast("int")),
+          "rr", root, i => s"t1/p$i/d/part-00000.hfile",
+          blockSize = 65536)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val victim = fs.globStatus(
@@ -682,17 +695,28 @@ object OpsQueries {
         val rep2 = HFilePrint.checkCorruption(s, root)
         require(rep2.checked == 3 && rep2.corrupt.isEmpty,
           s"second pass must see a clean census, got $rep2")
+        // ONE aggregate over the healthy stores' union replaces the
+        // per-region count jobs (the r16 trim); the quarantined region
+        // keeps its files==0 → readable 0 derivation
+        val fileCounts = (0 until 4).map { i =>
+          i -> Option(fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$root/t1/p$i/d/*.hfile")))
+            .getOrElse(Array.empty).length.toLong
+        }.toMap
+        val readable: Map[Int, Long] = {
+          val healthy = (0 until 4).filter(fileCounts(_) > 0)
+          if (healthy.isEmpty) Map.empty
+          else healthy.map(i => HFiles.importCells(s, s"$root/t1/p$i/d")
+              .withColumn("rr", lit(i)))
+            .reduce(_ unionByName _)
+            .groupBy("rr").agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
         val hbckRows = (0 until 4).flatMap { i =>
           val quar =
             if (rep.quarantined.exists(_.contains(s"/p$i/"))) 1L else 0L
-          val files = Option(fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$root/t1/p$i/d/*.hfile")))
-            .getOrElse(Array.empty).length.toLong
-          val readable =
-            if (files == 0) 0L
-            else HFiles.importCells(s, s"$root/t1/p$i/d").count()
-          Seq(("hbck", s"p$i", "cells_readable", readable),
-            ("hbck", s"p$i", "files_ok", files),
+          Seq(("hbck", s"p$i", "cells_readable", readable.getOrElse(i, 0L)),
+            ("hbck", s"p$i", "files_ok", fileCounts(i)),
             ("hbck", s"p$i", "quarantined", quar))
         }
         import s.implicits._

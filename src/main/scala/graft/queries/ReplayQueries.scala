@@ -992,15 +992,14 @@ object ReplayQueries {
           .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
           .toIndexedSeq
-        sizes0.zipWithIndex.foreach { case ((reg, _), pos) =>
-          val tmp = graft.Queries.scratchDir(s"q100_r$pos")
-          // small blocks so every region file has a real index mid key
-          HFiles.export(withR.filter(col("region") === reg)
-              .select("row", "family", "qualifier", "ts", "type", "value"),
-            numRegions = 1, outPath = tmp, blockSize = 512)
-          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-            new org.apache.hadoop.fs.Path(f"$out/part-$pos%05d.hfile"))
-        }
+        // ONE export job for the whole 8-region layout (the r16 trim:
+        // per-region jobs re-scanned the fixture 8×); small blocks so
+        // every region file has a real index mid key
+        val posOf = typedLit(sizes0.zipWithIndex.map {
+          case ((reg, _), pos) => reg -> pos }.toMap)
+        HFiles.exportRegions(
+          withR.withColumn("pos", element_at(posOf, col("region"))),
+          "pos", out, pos => f"part-$pos%05d.hfile", blockSize = 512)
         val sizes = sizes0.map(_._2)
         val plans = Normalizer.computePlans(sizes.map(NRegion(_)), NKnobs())
         val splits = plans.collect { case p: SplitPlan => p }
@@ -1125,12 +1124,10 @@ object ReplayQueries {
         val withR = puts.join(broadcast(idxed.withColumn("region", regionCol)
           .select("row", "region")), Seq("row"))
         val base = graft.Queries.scratchDir("q101_admin")
-        (0 until 3).foreach { k =>
-          HFiles.export(withR.filter(col("region") === k)
-              .select("row", "family", "qualifier", "ts", "type", "value"),
-            numRegions = 1, outPath = s"$base/r$k", blockSize = 1,
-            indexMaxChunk = 4096)
-        }
+        // ONE export job for the 3 region stores (the r16 trim)
+        HFiles.exportRegions(withR, "region", base,
+          k => s"r$k/part-00000.hfile", blockSize = 1,
+          indexMaxChunk = 4096)
         val sizes = withR.groupBy("region")
           .agg(sum(octet_length(col("value"))).cast("long").as("sz"))
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
