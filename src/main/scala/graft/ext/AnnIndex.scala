@@ -35,6 +35,12 @@ object AnnIndex {
       .select(col("vec_id"), col("cluster"),
         Similarity.sq8Code(col("embedding"), col("nrm"))
           .cast("array<tinyint>").as("code")) // [−127,127] fits exactly
+      // ONE shuffle keyed by cluster before the dynamic-partition
+      // write: without it every input task writes a file into every
+      // cluster directory (tasks × nlist tiny files — the r16 sf10
+      // soak measured the file churn at ~2 min for 200k vectors);
+      // with it each inverted list lands as one file from one task
+      .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster").parquet(s"$dir/codes")
     val spark = emb.sparkSession
@@ -64,6 +70,7 @@ object AnnIndex {
         Similarity.assignCluster(col("embedding"), cents).as("cluster"),
         Similarity.sq8Code(col("embedding"), col("nrm"))
           .cast("array<tinyint>").as("code"))
+      .repartition(col("cluster")) // one appended file per touched list
       .write.mode(SaveMode.Append)
       .partitionBy("cluster").parquet(s"$dir/codes")
   }

@@ -337,24 +337,21 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid id: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), as an
-    * array_max over (score, id) structs — wholly map-side, one fused
-    * dot per centroid. */
+  /** Nearest-centroid id: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2) — the
+    * native [[graft.functions.NearestCentroids]] kernel (one reference
+    * matrix, one tight JIT-compiled loop; bit-identical to the
+    * array_max-of-dot_fold composition it replaced, which generated a
+    * method too large to ever JIT — the r16 sf10 soak's 61 core-ms/
+    * vector finding). */
   private[ext] def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2
-      struct((dot_fold(v, typedlit(c)) - lit(half)).as("s"), lit(i).as("i"))
-    }: _*)).getField("i")
+    graft.functions.VectorFunctions.nearest_centroid(v, cents)
 
-  /** `nprobe` nearest centroid ids for a query vector, best first. */
+  /** `nprobe` nearest centroid ids for a query vector, best first —
+    * the same native kernel's top-n mode (array_sort tie semantics:
+    * score ties prefer the smaller id). */
   private[ext] def probeClusters(v: Column, cents: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val scored = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2
-      struct((lit(half) - dot_fold(v, typedlit(c))).as("s"), lit(i).as("i"))
-    }: _*))
-    slice(transform(scored, s => s.getField("i")), 1, nprobe)
-  }
+      nprobe: Int): Column =
+    graft.functions.VectorFunctions.nearest_centroids(v, cents, nprobe)
 
   /** IVF ANN top-k: coarse-quantize the corpus into `nlist` inverted
     * lists, probe the `nprobe` closest lists per query, exact-cosine
@@ -551,10 +548,16 @@ object Similarity {
       floor(x.cast("double") * lit(127.0) / nrm + lit(0.5)).cast("int"))
 
   /** Exact integer dot of two code arrays — the compressed-domain
-    * score (∝ cosine of the original vectors). dim·127² ≪ Long. */
+    * score (∝ cosine of the original vectors). Runs through the native
+    * [[graft.functions.DotFold]] kernel: its double accumulator is
+    * EXACT here (every partial sum is an integer ≤ dim·127² ≈ 10⁶,
+    * far under 2⁵³ — doubles represent all such integers exactly), so
+    * the long cast reproduces the interpreted
+    * aggregate(zip_with(·)) integer fold bit-for-bit at a fraction of
+    * the cost (the r16 sf10 soak measured the HOF form at ~4× the
+    * probe latency). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    dot_fold(a, b).cast("long")
 
   /** Norm-projected corpus reduced to (vec_id, code) — at scale this IS
     * the stored representation (the float column stays behind in cold

@@ -1177,6 +1177,87 @@ object OpsQueries {
           |                 ELSE n // 5 END AS BIGINT) AS region_count
           |FROM __ts_n, generate_series(1, 5) t2(i)
           |ORDER BY tbl, rank""".stripMargin)
+    ),
+    QDef(
+      // Crash-safe multi-step DDL through the shared ProcedureJournal
+      // (CloneSnapshotProcedure / RestoreSnapshotProcedure +
+      // hbase.snapshot.restore.take.failsafe.snapshot; hbase-procedure's
+      // executeFromState/rollbackState shape — `GAdmin.cloneSnapshot/
+      // restoreSnapshot/recoverInterruptedDdl`): a restore interrupted
+      // AFTER its rewrite landed must come back as the PRE-restore
+      // contents (the failsafe snapshot re-imposed), a clone
+      // interrupted mid-write must vanish (catalog + files), and the
+      // clean retries of both must land exactly. Stages pin the cell
+      // counts through the whole lifecycle; the oracle re-derives every
+      // count from the fixture slices.
+      "q127_ddl_recovery",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        val root = graft.Queries.scratchDir("q127_ddl")
+        val failsafes = s"$root/failsafes"
+        val cells = Fixtures.cellsOrders(s, dir)
+          .filter(col("row").cast("long") % 5 === 2)
+        GAdmin.deleteTable(s, "q127t"); GAdmin.deleteTable(s, "q127c")
+        GAdmin.createTable(s, "q127t", root, families = Seq("d"),
+          buckets = 4)
+        GAdmin.put(s, "q127t", cells)
+        GAdmin.snapshot(s, "q127t", "s0", root)
+        val snapN = GAdmin.table(s, "q127t").count()
+        // diverge: new versions at a fresh ts for the %3==0 sub-slice
+        GAdmin.put(s, "q127t", cells.filter(col("row").cast("long") % 3 === 0)
+          .withColumn("ts", lit(99L)))
+        val divergedN = GAdmin.table(s, "q127t").count()
+        // crash AFTER the restore's rewrite landed → the sweep must
+        // re-impose the PRE-restore (diverged) contents
+        GAdmin.disableTable(s, "q127t")
+        require(scala.util.Try(GAdmin.restoreSnapshotImpl(s, "q127t",
+          s"$root/s0", failsafes, crashAfterRewrite = true)).isFailure,
+          "injected restore crash must surface")
+        require(GAdmin.recoverInterruptedDdl(s, root, failsafes) ==
+          Seq("graft_q127t" -> "rolledback"),
+          "restore recovery must roll back to the failsafe")
+        GAdmin.enableTable(s, "q127t")
+        val recoveredN = GAdmin.table(s, "q127t").count()
+        // the clean restore then lands the snapshot contents exactly
+        GAdmin.disableTable(s, "q127t")
+        GAdmin.restoreSnapshot(s, "q127t", s"$root/s0", failsafes)
+        GAdmin.enableTable(s, "q127t")
+        val restoredN = GAdmin.table(s, "q127t").count()
+        // clone crash → rollback leaves no trace; the retry lands
+        require(scala.util.Try(GAdmin.cloneSnapshotImpl(s, s"$root/s0",
+          "q127c", root, 4, crashMidClone = true)).isFailure,
+          "injected clone crash must surface")
+        require(GAdmin.recoverInterruptedDdl(s, root, failsafes) ==
+          Seq("graft_q127c" -> "rolledback"),
+          "clone recovery must drop the half-clone")
+        require(!GAdmin.tableExists(s, "q127c"),
+          "a rolled-back clone must not exist")
+        GAdmin.cloneSnapshot(s, s"$root/s0", "q127c", root, buckets = 4)
+        val clonedN = GAdmin.table(s, "q127c").count()
+        require(GAdmin.recoverInterruptedDdl(s, root, failsafes).isEmpty,
+          "no journal may survive the committed retries")
+        GAdmin.deleteTable(s, "q127t"); GAdmin.deleteTable(s, "q127c")
+        import s.implicits._
+        Seq(("snap", snapN), ("diverged", divergedN),
+          ("recovered", recoveredN), ("restored", restoredN),
+          ("cloned", clonedN))
+          .toDF("stage", "n_cells").orderBy("stage")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders,
+        """__dd_base AS (
+          |  SELECT * FROM cells_orders WHERE CAST(row AS BIGINT) % 5 = 2
+          |), __dd_n AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(COUNT(CASE WHEN CAST(row AS BIGINT) % 3 = 0
+          |                     THEN 1 END) AS BIGINT) AS m
+          |  FROM __dd_base
+          |)""".stripMargin)(
+        """SELECT stage, CASE stage WHEN 'diverged' THEN n + m
+          |                        WHEN 'recovered' THEN n + m
+          |                        ELSE n END AS n_cells
+          |FROM __dd_n, (VALUES ('cloned'), ('diverged'), ('recovered'),
+          |              ('restored'), ('snap')) s(stage)
+          |ORDER BY stage""".stripMargin))
     )
   )
 }
