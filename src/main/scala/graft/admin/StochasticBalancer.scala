@@ -127,12 +127,24 @@ object StochasticBalancer {
     * granularity. Like the reference's CostFunction.isNeeded, an empty
     * table drops its function from the multiplier sum entirely, so
     * locality-less walks (q114) are bit-identical to before. */
+  /** `isolated` is the BalancerConditionals table-isolation veto
+    * (hbase-balancer/.../TableIsolationConditional.isViolatingServer:
+    * MetaTableIsolationConditional / SystemTableIsolationConditional):
+    * regions named here may only share a server with other isolated
+    * regions, and non-isolated regions may never move onto a server
+    * hosting them — every violating candidate is REJECTED before
+    * costing (the reference's conditional veto in candidate
+    * acceptance). The twin covers the PRESERVING half; the reference's
+    * repair generator (TableIsolationCandidateGenerator, which
+    * un-mixes a dirty start) is the mover/RSGroups' homing job in
+    * graft. Empty set = conditionals off — bit-identical walks. */
   def balanceTable(assignment: Map[String, Seq[RegionLoad]],
       weights: Weights = Weights(), maxSteps: Int = 20000,
       minCostNeedBalance: Double = 0.025, seed: Long = 42L,
       locality: Map[(String, String), Double] = Map.empty,
       rackLocality: Map[(String, String), Double] = Map.empty,
-      serverRack: Map[String, String] = Map.empty)
+      serverRack: Map[String, String] = Map.empty,
+      isolated: Set[String] = Set.empty)
       : Option[Result] = {
     val servers = assignment.keys.toArray.sorted
     val nServers = servers.length
@@ -180,6 +192,18 @@ object StochasticBalancer {
     regions.foreach { case (r, si) =>
       if (r.table.nonEmpty) tableCounts(r.table)(si) += 1
     }
+    // isolation veto state: per-server isolated-region counts; a move
+    // violates iff it would mix isolated and non-isolated regions on
+    // the destination (both directions — isViolatingServer)
+    val isoFlag = regions.map { case (r, _) => isolated(r.name) }
+    val isoCounts = new Array[Int](nServers)
+    regions.zipWithIndex.foreach { case ((_, si), i) =>
+      if (isoFlag(i)) isoCounts(si) += 1
+    }
+    def violates(ri: Int, dest: Int): Boolean =
+      if (isolated.isEmpty) false
+      else if (isoFlag(ri)) isoCounts(dest) < counts(dest).toInt
+      else isoCounts(dest) > 0
 
     // locality state: current sum is maintained incrementally on each
     // (applied or undone) move; best is fixed — Σ per-region max
@@ -252,7 +276,7 @@ object StochasticBalancer {
           val dest = rnd.nextInt(nServers)
           if (dest == loc(r)) (-1, -1) else (r, dest)
         }
-      if (ri >= 0) {
+      if (ri >= 0 && !violates(ri, to)) {
         val from = loc(ri)
         val rl = regions(ri)._1
         def apply(src: Int, dst: Int, d: Long): Unit = {
@@ -274,6 +298,7 @@ object StochasticBalancer {
           if (useTable && rl.table.nonEmpty) {
             val tc = tableCounts(rl.table); tc(src) -= 1; tc(dst) += 1
           }
+          if (isoFlag(ri)) { isoCounts(src) -= 1; isoCounts(dst) += 1 }
           moves += d; loc(ri) = dst
         }
         apply(from, to, +1)

@@ -256,11 +256,18 @@ object CodecQueries {
         val out = graft.Queries.scratchDir("c07_hfile_enc")
         val cells = graft.model.Fixtures.cellsOrders(s, dir)
         Seq("DIFF", "FAST_DIFF", "PREFIX", "ROW_INDEX_V1").map { name =>
-          graft.flow.HFiles.export(cells, 4, s"$out/$name",
-            encoding = graft.codec.BlockEncoding.idOf(name))
-          graft.flow.HFiles.importCells(s, s"$out/$name")
-            .withColumn("encoding", lit(name))
-        }.reduce(_ unionByName _)
+          // concurrent 4-task export legs (see c08's note)
+          scala.concurrent.Future {
+            graft.flow.HFiles.export(cells, 4, s"$out/$name",
+              encoding = graft.codec.BlockEncoding.idOf(name))
+            name
+          }(scala.concurrent.ExecutionContext.global)
+        }.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+          .map { name =>
+            graft.flow.HFiles.importCells(s, s"$out/$name")
+              .withColumn("encoding", lit(name))
+          }.reduce(_ unionByName _)
           .select("encoding", "row", "family", "qualifier", "ts", "type", "value")
           .orderBy("encoding", "row", "family", "qualifier", "ts", "type", "value")
       },
@@ -303,11 +310,20 @@ object CodecQueries {
           "ZSTD_FAST_DIFF" ->
             (HFileV3.CompressionZstd, graft.codec.BlockEncoding.IdFastDiff)
         ).zipWithIndex.map { case ((name, (codec, enc)), i) =>
-          graft.flow.HFiles.export(cells.filter(uid % 6 === i), 2,
-            s"$out/$name", compression = codec, encoding = enc)
-          graft.flow.HFiles.importCells(s, s"$out/$name")
-            .withColumn("codec", lit(name))
-        }.reduce(_ unionByName _)
+          // the 6 export jobs SUBMIT concurrently (each is a 2-task
+          // job — serial legs left 30 of 32 cores idle; Spark's
+          // scheduler interleaves concurrent actions safely)
+          scala.concurrent.Future {
+            graft.flow.HFiles.export(cells.filter(uid % 6 === i), 2,
+              s"$out/$name", compression = codec, encoding = enc)
+            name
+          }(scala.concurrent.ExecutionContext.global)
+        }.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+          .map { name =>
+            graft.flow.HFiles.importCells(s, s"$out/$name")
+              .withColumn("codec", lit(name))
+          }.reduce(_ unionByName _)
           .select("codec", "row", "family", "qualifier", "ts", "type", "value")
           .orderBy("codec", "row", "family", "qualifier", "ts", "type", "value")
       },

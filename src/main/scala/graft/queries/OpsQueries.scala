@@ -1195,8 +1195,11 @@ object OpsQueries {
         import graft.admin.GAdmin
         val root = graft.Queries.scratchDir("q127_ddl")
         val failsafes = s"$root/failsafes"
+        // a tenth of the corpus: the lifecycle rewrites the table ~8
+        // times (snapshot, failsafe, restore x2, recover, clone x2),
+        // so the gate trims the slice rather than pay 8 full passes
         val cells = Fixtures.cellsOrders(s, dir)
-          .filter(col("row").cast("long") % 5 === 2)
+          .filter(col("row").cast("long") % 10 === 3)
         GAdmin.deleteTable(s, "q127t"); GAdmin.deleteTable(s, "q127c")
         GAdmin.createTable(s, "q127t", root, families = Seq("d"),
           buckets = 4)
@@ -1245,7 +1248,7 @@ object OpsQueries {
       },
       Some(Cte.withCtes(Cte.cellsOrders,
         """__dd_base AS (
-          |  SELECT * FROM cells_orders WHERE CAST(row AS BIGINT) % 5 = 2
+          |  SELECT * FROM cells_orders WHERE CAST(row AS BIGINT) % 10 = 3
           |), __dd_n AS (
           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |         CAST(COUNT(CASE WHEN CAST(row AS BIGINT) % 3 = 0
@@ -1258,6 +1261,65 @@ object OpsQueries {
           |FROM __dd_n, (VALUES ('cloned'), ('diverged'), ('recovered'),
           |              ('restored'), ('snap')) s(stage)
           |ORDER BY stage""".stripMargin))
+    ),
+    QDef(
+      // Balancer conditionals: META/SYSTEM-table isolation
+      // (hbase-balancer/.../BalancerConditionals.java,
+      // MetaTableIsolationConditional / TableIsolationConditional
+      // .isViolatingServer — `StochasticBalancer.balanceTable
+      // (isolated=…)`): an isolated region may only share a server
+      // with other isolated regions, and no user region may move onto
+      // its server — every violating candidate is vetoed before
+      // costing. Fixture: the meta region alone on the last of five
+      // servers, the occupied %80 user regions rank-fraction-skewed
+      // on the other four. The walk must balance the USER regions to
+      // their floor/ceil over exactly FOUR servers while the meta
+      // server finishes the walk still hosting meta alone — the
+      // conditional is the only thing standing between the count-skew
+      // cost and the underloaded meta server.
+      "q128_isolation_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.RegionLoad
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        val n = buckets.length
+        val cuts = Seq(0.5, 0.8, 0.95).map(f => (n * f).toInt)
+        val assignment = buckets.zipWithIndex.groupBy { case (_, r) =>
+          cuts.count(_ <= r) // 0..3 — user regions on srv0..srv3
+        }.map { case (si, bs) =>
+          f"srv$si%d" -> bs.map { case (b, _) => RegionLoad(f"r$b%02d") }.toSeq
+        } + ("srv4" -> Seq(RegionLoad("meta")))
+        val res = StochasticBalancer.balanceTable(assignment,
+          isolated = Set("meta"))
+          .getOrElse(throw new IllegalStateException(
+            "the skewed start must pass the needs-balance gate"))
+        val counts = collection.mutable.Map(
+          assignment.map { case (sv, rs) => sv -> rs.size.toLong }.toSeq: _*)
+        val where = collection.mutable.Map("meta" -> "srv4")
+        res.plans.foreach { p =>
+          counts(p.source) -= 1; counts(p.dest) += 1
+          if (p.region == "meta") where("meta") = p.dest
+        }
+        require(where("meta") == "srv4" && counts("srv4") == 1L,
+          s"isolation violated: meta on ${where("meta")}, " +
+            s"srv4 holds ${counts("srv4")}")
+        import s.implicits._
+        counts.values.toSeq.sorted(Ordering[Long].reverse).zipWithIndex
+          .map { case (c, i) => (i.toLong + 1, c) }
+          .toDF("rank", "region_count").orderBy("rank")
+      },
+      Some(
+        """WITH __ib_n AS (
+          |  SELECT COUNT(DISTINCT o_orderkey % 80) AS n FROM orders
+          |)
+          |SELECT CAST(i AS BIGINT) AS rank,
+          |       CAST(CASE WHEN i <= n % 4 THEN n // 4 + 1
+          |                 WHEN i <= 4 THEN n // 4
+          |                 ELSE 1 END AS BIGINT) AS region_count
+          |FROM __ib_n, generate_series(1, 5) t(i)
+          |ORDER BY rank""".stripMargin)
     )
   )
 }

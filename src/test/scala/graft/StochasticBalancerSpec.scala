@@ -213,6 +213,38 @@ class StochasticBalancerSpec extends AnyFunSuite {
         s"table $t not 2/2 across servers: $placed")
   }
 
+  test("table isolation vetoes both mixing directions; walks converge around it") {
+    // meta alone on s2; user regions piled on s0 — the count cost
+    // would love to fill the underloaded meta server, the conditional
+    // must forbid it (and forbid moving meta into the user pool)
+    val a = Map(
+      "s0" -> ((0 until 9).map(i => RegionLoad(f"u-r$i")) :+
+        RegionLoad("x1")),
+      "s1" -> Seq.empty[RegionLoad],
+      "s2" -> Seq(RegionLoad("meta")))
+    val r = StochasticBalancer.balanceTable(a,
+      isolated = Set("meta")).get
+    val placed = collection.mutable.Map[String, String](
+      ((0 until 9).map(i => f"u-r$i" -> "s0") ++
+        Seq("x1" -> "s0", "meta" -> "s2")): _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    assert(placed("meta") == "s2", "meta must not leave its server")
+    assert(!placed.exists { case (n, sv) => n != "meta" && sv == "s2" },
+      s"user region crossed onto the isolated server: $placed")
+    // users balance over the two NON-isolated servers
+    val userCounts = Seq("s0", "s1").map(sv =>
+      placed.count { case (n, s) => n != "meta" && s == sv })
+    assert(userCounts.sorted == Seq(5, 5), s"users not balanced: $placed")
+  }
+
+  test("isolation-less walks replay bit-identical (conditionals off)") {
+    val a = cluster(40, 25, 10, 3, 2)
+    val base = StochasticBalancer.balanceTable(a).get
+    val off = StochasticBalancer.balanceTable(a,
+      isolated = Set.empty).get
+    assert(base.plans == off.plans && base.finalCost == off.finalCost)
+  }
+
   test("rate/table-less walks replay bit-identical (isNeeded parity)") {
     val a = cluster(40, 25, 10, 3, 2)
     val base = StochasticBalancer.balanceTable(a).get
