@@ -768,9 +768,31 @@ object GAdmin {
   private[graft] def restoreSnapshotImpl(spark: SparkSession, name: String,
       snapPath: String, failsafeDir: String,
       crashAfterRewrite: Boolean): Unit = {
-    import org.apache.hadoop.fs.Path
     require(!isEnabled(spark, name),
       s"table $name must be disabled before restore (reference semantics)")
+    journaledRewrite(spark, name, failsafeDir, s"restore from $snapPath",
+      _ => spark.read.schema(CellSchema.schema).parquet(snapPath),
+      crashAfterRewrite = crashAfterRewrite)
+  }
+
+  /** The shared crash-safe contents rewrite — the failsafe protocol
+    * every destructive rewriteTable caller (restore, truncate,
+    * deleteFamily) runs through when a `failsafeDir` is supplied:
+    * journal → failsafe copy of the CURRENT contents → rewrite → drop
+    * failsafe, consume journal. A crash anywhere leaves either an
+    * untouched table (failsafe incomplete — the rewrite never started)
+    * or a journal + durable failsafe for [[recoverInterruptedDdl]] to
+    * re-impose — the table comes back as its pre-op contents and the
+    * operator retries. (The reference makes these procedure-v2
+    * resumable — TruncateTableProcedure/ModifyTableProcedure; the
+    * failsafe form trades one extra copy for the same no-data-loss
+    * guarantee on a filesystem with nothing but atomic renames.) */
+  private def journaledRewrite(spark: SparkSession, name: String,
+      failsafeDir: String, what: String,
+      transform: DataFrame => DataFrame,
+      newBuckets: Int => Int = identity,
+      crashAfterRewrite: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
     val q = qualified(name)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(failsafeDir)
@@ -779,17 +801,16 @@ object GAdmin {
     val (loc, buckets) = layoutOf(spark, name)
     val journal = new Path(dir, s"restore-$q.journal")
     graft.flow.ProcedureJournal.write(conf, journal,
-      Seq(name, snapPath, loc, buckets.toString),
-      s"restore journal for $name")
+      Seq(name, what, loc, buckets.toString),
+      s"rewrite journal for $name ($what)")
     // failsafe BEFORE the first destructive step; ErrorIfExists — a
     // leftover failsafe means an unswept earlier crash, refuse
     spark.table(q).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$failsafeDir/failsafe-$q")
-    rewriteTable(spark, name,
-      _ => spark.read.schema(CellSchema.schema).parquet(snapPath))
+    rewriteTable(spark, name, transform, newBuckets)
     if (crashAfterRewrite)
       throw new IllegalStateException(
-        s"injected crash: restore $name after rewrite")
+        s"injected crash: $what of $name after rewrite")
     fs.delete(new Path(s"$failsafeDir/failsafe-$q"), true)
     graft.flow.ProcedureJournal.consume(fs, journal)
   }
@@ -922,11 +943,26 @@ object GAdmin {
     spark.catalog.tableExists(qualified(name))
 
   /** Admin.truncateTable: drop all cells, keep the table + properties.
-    * Requires the table DISABLED first, as the reference does. */
-  def truncateTable(spark: SparkSession, name: String): Unit = {
+    * Requires the table DISABLED first, as the reference does. A
+    * non-empty `failsafeDir` makes the rewrite crash-safe through the
+    * shared [[journaledRewrite]] protocol (TruncateTableProcedure's
+    * resumability; a crashed run rolls back to the pre-truncate
+    * contents via [[recoverInterruptedDdl]]). */
+  def truncateTable(spark: SparkSession, name: String,
+      failsafeDir: String = ""): Unit = {
     require(!isEnabled(spark, name),
       s"table $name must be disabled before truncate (reference semantics)")
-    rewriteTable(spark, name, _.limit(0))
+    if (failsafeDir.isEmpty) rewriteTable(spark, name, _.limit(0))
+    else journaledRewrite(spark, name, failsafeDir, "truncate", _.limit(0))
+  }
+
+  /** Injected-crash twin of the failsafe [[truncateTable]]. */
+  private[graft] def truncateTableImpl(spark: SparkSession, name: String,
+      failsafeDir: String, crashAfterRewrite: Boolean): Unit = {
+    require(!isEnabled(spark, name),
+      s"table $name must be disabled before truncate (reference semantics)")
+    journaledRewrite(spark, name, failsafeDir, "truncate", _.limit(0),
+      crashAfterRewrite = crashAfterRewrite)
   }
 
   /** Admin.modifyTable family list (ColumnFamilyDescriptor set):
@@ -945,10 +981,16 @@ object GAdmin {
       s"('graft.families' = '${fams.mkString(",")}')")
   }
 
-  def deleteFamily(spark: SparkSession, name: String, family: String): Unit = {
+  /** A non-empty `failsafeDir` makes the family-drop rewrite
+    * crash-safe (see [[truncateTable]]; ModifyTableProcedure). */
+  def deleteFamily(spark: SparkSession, name: String, family: String,
+      failsafeDir: String = ""): Unit = {
     val fams = listFamilies(spark, name).filterNot(_ == family)
-    rewriteTable(spark, name,
-      _.filter(org.apache.spark.sql.functions.col("family") =!= family))
+    val drop = (df: DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.col("family") =!= family)
+    if (failsafeDir.isEmpty) rewriteTable(spark, name, drop)
+    else journaledRewrite(spark, name, failsafeDir,
+      s"deleteFamily $family", drop)
     spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
       s"('graft.families' = '${fams.mkString(",")}')")
   }

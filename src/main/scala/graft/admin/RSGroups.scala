@@ -141,19 +141,31 @@ object RSGroups {
       groupPlans: Seq[Balancer.RegionPlan],
       finalAssignment: Map[String, Seq[Balancer.RegionInfo]])
 
-  /** RSGroupBasedLoadBalancer.balanceCluster:130-176 twin over the
-    * engine's SimpleLoadBalancer: correct misplaced regions home
-    * first, then balance each group internally on the corrected load.
-    * Tables of one group merge into one cluster state (the reference's
-    * default byTable=false path). `slop` feeds the internal balancer;
-    * slop = 0 demands the exact floor/ceil end state.
+  /** RSGroupBasedLoadBalancer.balanceCluster:130-176 twin: correct
+    * misplaced regions home first, then balance each group internally
+    * on the corrected load. Tables of one group merge into one cluster
+    * state (the reference's default byTable=false path). `slop` feeds
+    * the default internal balancer (the engine's SimpleLoadBalancer);
+    * slop = 0 demands the exact floor/ceil end state. `internal`
+    * swaps the per-group balancer — the reference wraps whatever
+    * `hbase.rsgroup.grouploadbalancer.class` names (its default is the
+    * stochastic walk): pass
+    * `a => StochasticBalancer.balanceTable(a.view.mapValues(_.map(r =>
+    * RegionLoad(r.name))).toMap).map(_.plans).getOrElse(Nil)` for that
+    * shape (RSGroupsSpec pins it).
     *
     * Invariants (the q124 oracle): no final assignment crosses a
     * group boundary; every group's servers end within the internal
     * balancer's band; a group's total region count is conserved. */
   def balanceCluster(reg: Registry,
       load: Map[String, Map[String, Seq[Balancer.RegionInfo]]],
-      slop: Double = 0.2): GroupReport = {
+      slop: Double = 0.2,
+      internal: Map[String, Seq[Balancer.RegionInfo]]
+        => Seq[Balancer.RegionPlan] = null): GroupReport = {
+    val internalBalancer =
+      Option(internal).getOrElse(
+        (a: Map[String, Seq[Balancer.RegionInfo]]) =>
+          Balancer.balanceTable(a, slop))
     // correctAssignments:306-345 — split each table's load into
     // in-place regions and misplaced ones (hosted outside the group)
     val misplaced = scala.collection.mutable.ArrayBuffer
@@ -201,7 +213,7 @@ object RSGroups {
     for (group <- corrected.keys.toSeq.sorted) {
       val slot = corrected(group)
       val assignment = slot.map { case (s, rs) => s -> (rs: Seq[Balancer.RegionInfo]) }.toMap
-      val plans = Balancer.balanceTable(assignment, slop)
+      val plans = internalBalancer(assignment)
       groupPlans ++= plans
       val byRegion = plans.map(p => p.region -> p.dest).toMap
       for ((server, regions) <- slot; r <- regions) {

@@ -559,6 +559,29 @@ class AdminSpec extends SparkSpec {
     GAdmin.deleteTable(spark, "cs1"); GAdmin.deleteTable(spark, "cs2")
   }
 
+  test("interrupted failsafe truncate rolls back to the pre-truncate contents") {
+    val tmp = java.nio.file.Files.createTempDirectory("trunccrash").toString
+    val failsafes = s"$tmp/failsafes"
+    GAdmin.createTable(spark, "tc1", tmp, families = Seq("d"), buckets = 2)
+    GAdmin.put(spark, "tc1", Fixtures.cellsOrders(spark, sf0001).limit(250))
+    GAdmin.disableTable(spark, "tc1")
+    // crash after the truncate's rewrite landed (table now empty on
+    // disk) — recovery must re-impose the 250-cell pre-truncate state
+    intercept[IllegalStateException](GAdmin.truncateTableImpl(
+      spark, "tc1", failsafes, crashAfterRewrite = true))
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp, failsafes) ==
+      Seq("graft_tc1" -> "rolledback"))
+    GAdmin.enableTable(spark, "tc1")
+    assert(GAdmin.table(spark, "tc1").count() === 250)
+    // the clean failsafe truncate lands empty with no residue
+    GAdmin.disableTable(spark, "tc1")
+    GAdmin.truncateTable(spark, "tc1", failsafes)
+    GAdmin.enableTable(spark, "tc1")
+    assert(GAdmin.table(spark, "tc1").count() === 0)
+    assert(GAdmin.recoverInterruptedDdl(spark, tmp, failsafes).isEmpty)
+    GAdmin.deleteTable(spark, "tc1")
+  }
+
   test("interrupted restoreSnapshot re-imposes the failsafe (pre-restore contents)") {
     val tmp = java.nio.file.Files.createTempDirectory("restorecrash").toString
     val failsafes = s"$tmp/failsafes"

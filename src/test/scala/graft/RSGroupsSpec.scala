@@ -103,6 +103,24 @@ class RSGroupsSpec extends AnyFunSuite {
       Map("t" -> Map("x1" -> Seq(RegionInfo("t-r0", 0L))))))
   }
 
+  test("balanceCluster: the stochastic walk plugs in as the internal balancer") {
+    import graft.admin.StochasticBalancer
+    import graft.admin.StochasticBalancer.RegionLoad
+    val r = reg0
+    // ta: 12 regions piled on a1 — the stochastic walk must land the
+    // 6/6 split within ga, and still never cross the group boundary
+    val load = Map("ta" -> Map(
+      "a1" -> (0 until 12).map(i => RegionInfo(f"ta-r$i%02d", i.toLong))))
+    val rep = RSGroups.balanceCluster(r, load,
+      internal = a => StochasticBalancer.balanceTable(
+          a.view.mapValues(_.map(ri => RegionLoad(ri.name))).toMap)
+        .map(_.plans).getOrElse(Nil))
+    val counts = rep.finalAssignment.view.mapValues(_.size).toMap
+    assert(counts == Map("a1" -> 6, "a2" -> 6), s"not converged: $counts")
+    rep.finalAssignment.foreach { case (sv, _) =>
+      assert(r.groupOfServer(sv) == "ga") }
+  }
+
   test("balanceCluster: an in-place balanced cluster produces no plans") {
     val r = reg0
     val load = Map("ta" -> Map(
