@@ -70,7 +70,17 @@ object DedupIndex {
 
   private def writeRows(rows: DataFrame, table: String, path: String,
       buckets: Int, mode: SaveMode): Unit =
-    rows.write
+    rows
+      // ONE shuffle on the exact bucket key (repartition's Murmur3 IS
+      // the bucketing hash): each task then owns exactly one bucket —
+      // one file per bucket and one contiguous sort per bucket. The
+      // unpartitioned form had every task writing every bucket
+      // (tasks × buckets files) and task-local sorts of the WIDE
+      // shingle-array rows spilling — the r16 sf10 soak measured the
+      // per-unit build cost RISING 66% from 50k to 500k docs on that
+      // shape; with the repartition it falls instead (see PLANS).
+      .repartition(buckets, col("band"), col("sig"))
+      .write
       .mode(mode)
       .option("path", path)
       .bucketBy(buckets, "band", "sig")
