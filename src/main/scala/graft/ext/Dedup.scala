@@ -410,8 +410,28 @@ object Dedup {
     * 2^9 buckets) or a smaller hamming radius, exactly the Manku et al.
     * WWW'07 parameterization; the declared e03 query keeps 32 bits for
     * oracle parity. */
+  /** Hot-bucket cap for the SimHash segment join — the
+    * [[capTextBuckets]] twin keyed on (seg, sv): a low-entropy corpus
+    * (boilerplate pages, tiny-vocabulary docs) collapses many
+    * fingerprints into the same segment values, and one such bucket of
+    * n members contributes n² candidates with both fingerprints
+    * attached (the r16 sf10 soak measured 3.3M pairs from 5k synthetic
+    * docs at hamming 3 — quadratic at corpus scale). Buckets above
+    * `maxBucket` drop whole; what a capped run loses is pairs whose
+    * EVERY agreeing segment is hot — boilerplate clusters, not pairs.
+    * `maxBucket <= 0` = uncapped (declared e03 semantics). */
+  private[ext] def capSimBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) rows
+    else {
+      val sizes = rows.groupBy("seg", "sv")
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select("seg", "sv")
+      rows.join(sizes, Seq("seg", "sv"))
+    }
+
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 6,
-      bits: Int = 32): DataFrame = {
+      bits: Int = 32, maxBucket: Int = 0): DataFrame = {
     val nSeg = maxHamming + 1
     require(bits <= 63 && nSeg <= bits, s"need 1..63 bits and <= $bits segments")
     val fps = simHashFingerprints(docs, bits)
@@ -422,8 +442,8 @@ object Dedup {
       val lo = bounds(s); val w = bounds(s + 1) - bounds(s)
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }: _*)
-    val segRows = fps.select(col("doc_id"), col("simhash"),
-      posexplode(segs).as(Seq("seg", "sv")))
+    val segRows = capSimBuckets(fps.select(col("doc_id"), col("simhash"),
+      posexplode(segs).as(Seq("seg", "sv"))), maxBucket)
     val a = segRows.select(col("seg"), col("sv"), col("doc_id").as("i"), col("simhash").as("fi"))
     val b = segRows.select(col("seg"), col("sv"), col("doc_id").as("j"), col("simhash").as("fj"))
     // hamming check BEFORE dropDuplicates: bit_count is one codegen'd

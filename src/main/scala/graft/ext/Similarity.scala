@@ -249,9 +249,27 @@ object Similarity {
     * MinHash banding — the corpus never pairs with itself. Recall is
     * the standard LSH trade (tables × bits tunes it); the exact
     * [[embeddingNearDups]] remains the bounded-corpora ground truth. */
+  /** `maxBucket` is the hot-bucket cap — [[Dedup.capTextBuckets]]'s
+    * twin keyed on (tbl, bucket), completing the cap across EVERY
+    * banded self-join (text minhash, simhash, perceptual, embedding):
+    * a degenerate embedding population (zero vectors from failed
+    * embeds, padding duplicates) collapses hyperplane signs into one
+    * bucket whose n² candidates each carry TWO dim-float arrays.
+    * Buckets above the cap drop whole; `<= 0` = uncapped (declared
+    * e16 semantics). */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
-      dim: Int = 64, tables: Int = 12, nbits: Int = 6): DataFrame = {
-    val bucketed = lshBucketed(emb, dim, tables, nbits)
+      dim: Int = 64, tables: Int = 12, nbits: Int = 6,
+      maxBucket: Int = 0): DataFrame = {
+    val bucketed0 = lshBucketed(emb, dim, tables, nbits)
+    val bucketed =
+      if (maxBucket <= 0) bucketed0
+      else {
+        val sizes = bucketed0.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+          .select("tbl", "bucket")
+        bucketed0.join(sizes, Seq("tbl", "bucket"))
+      }
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"),

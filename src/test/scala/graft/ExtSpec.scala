@@ -89,6 +89,13 @@ class ExtSpec extends SparkSpec {
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"banded simhash must equi-join on segments, got:\n$plan")
+    // normal-corpus parity: the hot-bucket cap (the 100 TB opt-in,
+    // capSimBuckets — capTextBuckets' simhash twin) changes NOTHING
+    // when no segment bucket is hot
+    val capped = Dedup.simHashNearDups(docs, maxHamming = 6,
+      maxBucket = 1000)
+    assert(banded.exceptAll(capped).isEmpty &&
+      capped.exceptAll(banded).isEmpty)
   }
 
   test("nearDupGroups returns empty on zero pairs (no NPE)") {
@@ -118,6 +125,12 @@ class ExtSpec extends SparkSpec {
       val recall = lsh.size.toDouble / brute.size
       assert(recall >= 0.3, s"LSH pair recall $recall too low")
     }
+    // normal-corpus parity: the hot-bucket cap changes nothing when no
+    // (tbl, bucket) is hot
+    val capped = Similarity.embeddingNearDupsLsh(emb, 0.45,
+        maxBucket = 100000)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == lsh)
   }
 
   test("cosine of identical vectors is 1") {
