@@ -96,14 +96,22 @@ object DedupIndex {
     * off its bucketing. */
   def query(spark: SparkSession, table: String, newDocs: DataFrame,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true, maxBucket: Int = 0): DataFrame = {
     val idx = spark.table(table)
     checkLayout(idx, table, k, bands)
     val nw0 = Dedup.bandRows(newDocs, k, bands)
       .select(col("band"), col("sig"), col("doc_id").as("i"), col("shs").as("shi"))
     val nw = if (broadcastBatch) broadcast(nw0) else nw0
-    val cp = idx
-      .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj"))
+    // maxBucket is the hot-bucket cap on the INDEX side (the
+    // capTextBuckets opt-in): a boilerplate-heavy corpus bucket of n
+    // rows times a batch doc sharing its signature yields n candidates
+    // each dragging the stored shingle arrays — capped, those clusters
+    // drop whole. Costs one extra count-only census scan of the index
+    // per query; the census groups on the bucketing key, so it rides
+    // the stored layout exchange-free. `<= 0` = uncapped.
+    val cp = Dedup.capTextBuckets(idx
+      .select(col("band"), col("sig"), col("doc_id").as("j"), col("shs").as("shj")),
+      maxBucket)
     val (_, jac) = Dedup.arrayJaccard(col("shi"), col("shj"))
     nw.join(cp, Seq("band", "sig"))
       .select(col("i"), col("j"), jac.as("jac0"))

@@ -33,6 +33,10 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaIndex === inSession)
     assert(viaIndex.exists { case (i, j, _) => i == 100001L && j == 1L })
     assert(viaIndex.exists { case (i, j, _) => i == 100002L && j == 2L })
+    // normal-corpus parity for the index-side hot-bucket cap opt-in
+    val capped = DedupIndex.query(spark, "dix_a", batch, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === viaIndex)
   }
 
   test("append extends the corpus; accepted docs then match later arrivals") {
