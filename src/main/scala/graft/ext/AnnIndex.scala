@@ -27,10 +27,25 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Build (or replace) the index: train the coarse quantizer (cached),
-    * code every vector, land codes partitioned by cluster. */
+    * code every vector, land codes partitioned by cluster.
+    *
+    * `trainOn` optionally trains the quantizer on a SUBSET while the
+    * codes still cover all of `emb` — FAISS's standard train-on-sample
+    * (k-means needs ~max(nlist·256, √n) representative vectors, not
+    * the corpus; at 100 TB training on everything is 2 full extra
+    * passes per iteration for no recall gain). The e82 append path
+    * already proves subset-trained quantizers: the quantizer is
+    * immutable after build, and every vector codes against it the same
+    * way. None = train on the full corpus (declared e50 semantics —
+    * the oracle re-derives full-corpus k-means). */
   def build(emb: DataFrame, dir: String, nlist: Int = 16,
-      iters: Int = 2): Unit = {
-    val (cents, indexed) = Similarity.ivfIndexed(emb, nlist, iters)
+      iters: Int = 2, trainOn: Option[DataFrame] = None): Unit = {
+    val (cents, indexed) = trainOn match {
+      case None => Similarity.ivfIndexed(emb, nlist, iters)
+      case Some(sample) =>
+        val (c, _) = Similarity.ivfIndexed(sample, nlist, iters)
+        (c, Similarity.ivfAssigned(emb, c))
+    }
     indexed
       .select(col("vec_id"), col("cluster"),
         Similarity.sq8Code(col("embedding"), col("nrm"))

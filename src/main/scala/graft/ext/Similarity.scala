@@ -428,9 +428,16 @@ object Similarity {
   private[ext] def ivfIndexed(emb: DataFrame, nlist: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
     val cents = cachedCentroids(emb, nlist, iters)
-    (cents, withNorm(emb)
-      .withColumn("cluster", assignCluster(col("embedding"), cents)))
+    (cents, ivfAssigned(emb, cents))
   }
+
+  /** Norm-projected corpus assigned against an ALREADY-TRAINED
+    * quantizer (the append / train-on-sample path: the quantizer is
+    * immutable, every vector codes against it identically). */
+  private[ext] def ivfAssigned(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    withNorm(emb)
+      .withColumn("cluster", assignCluster(col("embedding"), cents))
 
   def annIvfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {

@@ -873,6 +873,21 @@ class ExtSpec extends SparkSpec {
       .select("neighbor_id").head().getLong(0)
     assert(after === 900000L,
       "an appended identical vector must be its source's top neighbor")
+    // train-on-sample (FAISS's standard form): quantizer from the even
+    // half, codes covering ALL — identical to build-on-half + append
+    // of the rest (the quantizer is immutable, so both code every
+    // vector against the same centroids)
+    val d2 = java.nio.file.Files.createTempDirectory("ann_idx2").toString
+    AnnIndex.build(emb, d2,
+      trainOn = Some(emb.filter(col("vec_id") % 2 === 0)))
+    val d3 = java.nio.file.Files.createTempDirectory("ann_idx3").toString
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), d3)
+    AnnIndex.append(spark, d3, emb.filter(col("vec_id") % 2 =!= 0))
+    val qs = emb.filter(col("vec_id") < 10)
+    val viaSample = AnnIndex.query(spark, d2, qs, k = 5)
+    val viaAppend = AnnIndex.query(spark, d3, qs, k = 5)
+    assert(viaSample.exceptAll(viaAppend).isEmpty &&
+      viaAppend.exceptAll(viaSample).isEmpty)
   }
 
   test("IVF ANN achieves reasonable recall vs brute force") {
