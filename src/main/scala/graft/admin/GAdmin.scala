@@ -1227,4 +1227,56 @@ object GAdmin {
         (col("n_cells") - lag(col("n_cells"), 1).over(w)) /
           lit(intervalSec.toDouble))
   }
+
+  /** Shared hbtop mode rollup (hbase-hbtop/.../ModeStrategyUtils
+    * .aggregateRecords): per-region records group by the mode's key;
+    * REGION_COUNT counts distinct (table, region), every numeric
+    * metric SUMS. The census here is the per-(table, region, store)
+    * frame of [[clusterMetrics]] (or any derived frame with the same
+    * keys); non-numeric columns besides the keys are dropped, so the
+    * rollup tolerates censuses that lack optional metrics. One
+    * map-side-combinable aggregate — census-row-sized, never
+    * data-sized. */
+  private def hbtopRollup(census: DataFrame,
+      key: org.apache.spark.sql.Column, keyName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = Set("table", "region", "store")
+    val metrics = census.schema.fields.collect {
+      case f if !keys.contains(f.name) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSeq
+    census.groupBy(key.as(keyName))
+      .agg(countDistinct(col("table"), col("region")).as("region_count"),
+        metrics.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** hbtop NAMESPACE mode (hbase-hbtop/.../NamespaceModeStrategy
+    * .java:66-77): region records aggregate by namespace. Graft's
+    * catalog folds namespace into the table name as `ns:qualifier`
+    * (the reference's own rendering; tables without a `:` are the
+    * default namespace), so the rollup splits it back out. */
+  def hbtopNamespaces(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hbtopRollup(census,
+      when(col("table").contains(":"),
+        substring_index(col("table"), ":", 1)).otherwise(lit("default")),
+      "namespace")
+  }
+
+  /** hbtop REGIONSERVER mode (hbase-hbtop/.../RegionServerModeStrategy
+    * .java:77-100): region records aggregate by hosting server.
+    * `assignment` is the injected (table, region) → server table (the
+    * q119 locality-census pattern — graft's catalog has no live RS
+    * heartbeat; the reference reads the same mapping from
+    * ClusterMetrics). The heap gauges the reference merges per server
+    * (USED/MAX_HEAP_SIZE) are process telemetry with no graft source —
+    * join them onto the result if a collector supplies them. hbtop's
+    * CLIENT/USER modes need per-RPC attribution no batch engine
+    * records — out of scope, documented in SURVEY §2.10. */
+  def hbtopServers(census: DataFrame, assignment: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hbtopRollup(census.join(assignment, Seq("table", "region")),
+      col("server"), "server")
+  }
 }

@@ -18,7 +18,20 @@ import scala.util.Random
   *    form over per-server summed region sizes;
   *  - read request skew (5) — over per-server summed read counts;
   *  - move cost (7, MoveCostFunction) — moves scaled against
-  *    min(maxMoves = 25% of regions, totalRegions).
+  *    min(maxMoves = 25% of regions, totalRegions);
+  *  - write/memstore/coprocessor-request RATE skews (5 each,
+  *    CostFromRegionLoadAsRateFunction over the census windows);
+  *  - per-table count skew (35, TableSkewCostFunction) and per-table
+  *    STOREFILE-size skew (35, StoreFileTableSkewCostFunction);
+  *  - cache affinity (20, CacheAwareLoadBalancer's
+  *    CacheAwareCostFunction + generator pair) over an injected
+  *    (region, server) → cached-ratio table;
+  *  - heterogeneous capacity fill (500,
+  *    HeterogeneousRegionCountCostFunction) over injected
+  *    hostname-regex → limit rules.
+  * Every optional function follows CostFunction.isNeeded: a fixture
+  * that supplies no input for it contributes neither cost nor
+  * multiplier, so input-less walks replay bit-identical.
   *
   * Candidate generators: LOAD (a region off the most-loaded server to
   * the least-loaded — LoadCandidateGenerator) and RANDOM (uniform
@@ -33,25 +46,37 @@ import scala.util.Random
   */
 object StochasticBalancer {
 
-  /** `writesWindow`/`memstoreMBWindow` are the region's sliding
-    * metrics windows — consecutive census values of writeRequestsCount
-    * / memStoreSizeMB (BalancerRegionLoad's deque; graft feeds them
-    * from the q120 two-census metricsRate view). `table` feeds the
-    * per-table skew cost; empty = table skew not in play. */
+  /** `writesWindow`/`memstoreMBWindow`/`cpWindow` are the region's
+    * sliding metrics windows — consecutive census values of
+    * writeRequestsCount / memStoreSizeMB / cpRequestsCount
+    * (BalancerRegionLoad's deque; graft feeds them from the q120
+    * two-census metricsRate view). `table` feeds the per-table skew
+    * costs; empty = table skew not in play. */
   final case class RegionLoad(name: String, sizeBytes: Long = 0L,
       reads: Long = 0L, writesWindow: Seq[Long] = Nil,
-      memstoreMBWindow: Seq[Double] = Nil, table: String = "")
+      memstoreMBWindow: Seq[Double] = Nil, table: String = "",
+      cpWindow: Seq[Long] = Nil)
 
   /** `locality`/`rackLocality` are the reference's default multipliers
     * (ServerLocalityCostFunction 25, RackLocalityCostFunction 15 —
-    * LocalityBasedCostFunction.java); `writeRate`/`memstoreRate` are
-    * WriteRequestCostFunction 5 / MemStoreSizeCostFunction 5;
-    * `tableSkew` is TableSkewCostFunction 35. */
+    * LocalityBasedCostFunction.java); `writeRate`/`memstoreRate`/
+    * `cpRate` are WriteRequestCostFunction 5 / MemStoreSizeCostFunction
+    * 5 / CPRequestCostFunction 5 (CPRequestCostFunction.java:32);
+    * `tableSkew` is TableSkewCostFunction 35; `storeFileTableSkew` is
+    * StoreFileTableSkewCostFunction 35
+    * (StoreFileTableSkewCostFunction.java:40); `cache` is the
+    * CacheAwareCostFunction 20 (CacheAwareLoadBalancer.java
+    * DEFAULT_CACHE_COST); `heterogeneous` is
+    * HeterogeneousRegionCountCostFunction 500
+    * (HeterogeneousRegionCountCostFunction.java:81 — the reference
+    * warns regionCount should be 0 when it steers). */
   final case class Weights(regionCount: Double = 500.0,
       sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0,
       locality: Double = 25.0, rackLocality: Double = 15.0,
       writeRate: Double = 5.0, memstoreRate: Double = 5.0,
-      tableSkew: Double = 35.0)
+      tableSkew: Double = 35.0, cpRate: Double = 5.0,
+      storeFileTableSkew: Double = 35.0, cache: Double = 20.0,
+      heterogeneous: Double = 500.0)
 
   /** CostFromRegionLoadAsRateFunction.getRegionLoadCost — the
     * sliding-window RATE of a per-region counter: the mean of
@@ -138,13 +163,53 @@ object StochasticBalancer {
     * repair generator (TableIsolationCandidateGenerator, which
     * un-mixes a dirty start) is the mover/RSGroups' homing job in
     * graft. Empty set = conditionals off — bit-identical walks. */
+  /** `cacheRatio` is the CacheAwareLoadBalancer's injected
+    * (region, server) → cached-fraction table — the no-bucket-cache
+    * twin of ServerMetrics.getRegionCachedInfo ∪ the
+    * regionCacheRatioOnOldServerMap (CacheAwareLoadBalancer
+    * .updateRegionLoad + BalancerClusterState
+    * .getRegionCacheRatioOnRegionServer:629-668: the current server's
+    * observed ratio, plus historical ratios on servers that still hold
+    * the region's blocks in a persistent bucket cache). Non-empty, it
+    * (a) adds the CacheAwareCostFunction term — cost = 1 −
+    * Σ size·ratio(r, server(r)) / Σ size·max_s ratio(r, s), maintained
+    * incrementally like locality — and (b) swaps the candidate
+    * generators for the cache-aware pair (CacheAwareSkewnessCandidate
+    * Generator picks the LEAST-cached region off the loaded server;
+    * CacheAwareCandidateGenerator proposes moving a poorly-cached
+    * region to its best-cached server under the reference's
+    * moveRegionToOldServer conditions). Regions weight by sizeBytes
+    * (the reference's weighted ratio uses region size; a region with
+    * no size contributes nothing, exactly getRegionSizeMinusColdDataMB
+    * <= 0). Empty = bit-identical walks.
+    *
+    * `heteroRules`/`heteroDefault` are the
+    * HeterogeneousRegionCountCostFunction rule set — (hostname-regex,
+    * region-limit) pairs, first match wins, `heteroDefault` when none
+    * match (the reference parses them from a rules file; graft injects
+    * them directly — same limits, no FS dependency). Non-empty, the
+    * capacity-normalized skew cost joins the walk
+    * (HeterogeneousRegionCountCostFunction.cost:139-155); empty =
+    * bit-identical walks. Set `weights.regionCount` to 0 when it
+    * steers, per the reference's own warning.
+    *
+    * `log` is the balancer decision/rejection ring ([[BalancerLog]]):
+    * when supplied, a refused run records WHY (the needs-balance
+    * reason + active cost functions) and a computed run records the
+    * decision (costs, steps, plans — chunked at 15 per entry). None =
+    * no recording, walks unchanged. */
   def balanceTable(assignment: Map[String, Seq[RegionLoad]],
       weights: Weights = Weights(), maxSteps: Int = 20000,
       minCostNeedBalance: Double = 0.025, seed: Long = 42L,
       locality: Map[(String, String), Double] = Map.empty,
       rackLocality: Map[(String, String), Double] = Map.empty,
       serverRack: Map[String, String] = Map.empty,
-      isolated: Set[String] = Set.empty)
+      isolated: Set[String] = Set.empty,
+      cacheRatio: Map[(String, String), Double] = Map.empty,
+      heteroRules: Seq[(String, Int)] = Nil,
+      heteroDefault: Int = 200,
+      log: Option[BalancerLog] = None,
+      logTable: String = "")
       : Option[Result] = {
     val servers = assignment.keys.toArray.sorted
     val nServers = servers.length
@@ -174,12 +239,20 @@ object StochasticBalancer {
     val wrRate = regions.map { case (r, _) =>
       rateOf(r.writesWindow.map(_.toDouble)) }
     val msRate = regions.map { case (r, _) => rateOf(r.memstoreMBWindow) }
+    // CPRequestCostFunction (CPRequestCostFunction.java:28-41): the
+    // identical CostFromRegionLoadAsRateFunction plumbing over the
+    // coprocessor-request counter window
+    val cpRt = regions.map { case (r, _) =>
+      rateOf(r.cpWindow.map(_.toDouble)) }
     val useWrite = regions.exists(_._1.writesWindow.size >= 2)
     val useMem = regions.exists(_._1.memstoreMBWindow.size >= 2)
+    val useCp = regions.exists(_._1.cpWindow.size >= 2)
     val writeRates = new Array[Double](nServers)
     val memRates = new Array[Double](nServers)
+    val cpRates = new Array[Double](nServers)
     regions.zipWithIndex.foreach { case ((_, si), i) =>
       writeRates(si) += wrRate(i); memRates(si) += msRate(i)
+      cpRates(si) += cpRt(i)
     }
     // TableSkewCostFunction: one DoubleArrayCost of per-server counts
     // PER TABLE, cost = the SUM of the per-table scaled costs (the
@@ -191,6 +264,52 @@ object StochasticBalancer {
       tableNames.map(_ -> new Array[Double](nServers)).toMap
     regions.foreach { case (r, si) =>
       if (r.table.nonEmpty) tableCounts(r.table)(si) += 1
+    }
+    // StoreFileTableSkewCostFunction (StoreFileTableSkewCostFunction
+    // .java:52-141): the same per-table DoubleArrayCost shape over
+    // per-server SUMMED storefile sizes (graft's sizeBytes is the
+    // single-census storefileSizeMB metric — one load per region, so
+    // the reference's multi-load average is the value itself). isNeeded
+    // parity: only a fixture that supplies BOTH a table and a size for
+    // some region activates it — table-less or size-less walks (q114,
+    // q125, q126) replay bit-identical.
+    val useStoreSkew =
+      regions.exists(r => r._1.table.nonEmpty && r._1.sizeBytes > 0)
+    val tableSizes: Map[String, Array[Double]] =
+      if (useStoreSkew) tableNames.map(_ -> new Array[Double](nServers)).toMap
+      else Map.empty
+    if (useStoreSkew) regions.foreach { case (r, si) =>
+      if (r.table.nonEmpty) tableSizes(r.table)(si) += r.sizeBytes.toDouble
+    }
+    // HeterogeneousRegionCountCostFunction (HeterogeneousRegionCount
+    // CostFunction.java:139-155, 263-279): per-server region limits
+    // from first-matching rule (the reference iterates a HashMap —
+    // unordered on OVERLAPPING rules; graft pins declaration order, a
+    // documented determinism divergence), capacity-normalized
+    // over-target skew, averaged over servers
+    val useHetero = heteroRules.nonEmpty
+    val heteroPat = heteroRules.map { case (re, lim) =>
+      (java.util.regex.Pattern.compile(re), lim) }
+    val heteroLimit: Array[Double] =
+      if (!useHetero) Array.empty
+      else servers.map { sn =>
+        heteroPat.collectFirst {
+          case (p, lim) if p.matcher(sn).matches() => lim
+        }.getOrElse(heteroDefault).toDouble
+      }
+    val heteroCapacity = heteroLimit.sum
+    def heteroCost(): Double = {
+      val targetUsage = nRegions.toDouble / heteroCapacity
+      var c = 0.0
+      var i = 0
+      while (i < nServers) {
+        val limit = heteroLimit(i)
+        val n = counts(i)
+        if (n / limit > targetUsage)
+          c += (n - math.round(limit * targetUsage)) / limit
+        i += 1
+      }
+      c / nServers
     }
     // isolation veto state: per-server isolated-region counts; a move
     // violates iff it would mix isolated and non-isolated regions on
@@ -231,13 +350,53 @@ object StochasticBalancer {
     // table was supplied
     val useLoc = locality.nonEmpty && bestLoc > 0
     val useRack = rackLocality.nonEmpty && bestRack > 0
+
+    // CacheAwareCostFunction state (CacheAwareLoadBalancer.java
+    // CacheAwareCostFunction.recomputeCacheRatio / regionMoved): each
+    // region weights by its size; current = Σ weight·ratio(r, host),
+    // best = Σ weight·max_s ratio(r, s) — fixed, like bestLoc. The
+    // free-cache-space simulation half (serverBlockCacheFreeSize,
+    // potentialCacheRatioAfterMove) needs live bucket-cache telemetry
+    // graft has no source for — documented boundary; the ratio table
+    // already carries the persisted-cache facts the cost ranks by.
+    def cacheOf(region: String, server: String): Double =
+      cacheRatio.getOrElse((region, server), 0.0)
+    val cacheW = regions.map(_._1.sizeBytes.toDouble)
+    var curCache = regions.indices.map(i =>
+      cacheW(i) * cacheOf(regions(i)._1.name, servers(loc(i)))).sum
+    val bestCache =
+      if (cacheRatio.isEmpty) 0.0
+      else regions.indices.map(i =>
+        cacheW(i) * servers.map(s => cacheOf(regions(i)._1.name, s)).max).sum
+    val useCache = cacheRatio.nonEmpty && bestCache > 0
+    // per-region best server for the cache-aware candidate generator
+    // (getOrComputeServerWithBestRegionCachedRatio's tie rule: equal
+    // ratios keep the CURRENT host; otherwise first-best wins)
+    val cacheBestSrv: Array[Int] =
+      if (!useCache) Array.empty
+      else regions.indices.map { i =>
+        val name = regions(i)._1.name
+        var best = 0; var bestR = 0.0
+        var s = 0
+        while (s < nServers) {
+          val r = cacheOf(name, servers(s))
+          if (r > bestR || (r == bestR && s == loc(i))) { best = s; bestR = r }
+          s += 1
+        }
+        best
+      }.toArray
+
     val sumMultiplier =
       weights.regionCount + weights.sizeSkew + weights.readSkew +
         weights.move + (if (useLoc) weights.locality else 0.0) +
         (if (useRack) weights.rackLocality else 0.0) +
         (if (useWrite) weights.writeRate else 0.0) +
         (if (useMem) weights.memstoreRate else 0.0) +
-        (if (useTable) weights.tableSkew else 0.0)
+        (if (useCp) weights.cpRate else 0.0) +
+        (if (useTable) weights.tableSkew else 0.0) +
+        (if (useStoreSkew) weights.storeFileTableSkew else 0.0) +
+        (if (useCache) weights.cache else 0.0) +
+        (if (useHetero) weights.heterogeneous else 0.0)
 
     def cost(): Double =
       weights.regionCount * arrayCost(counts) +
@@ -249,32 +408,123 @@ object StochasticBalancer {
           weights.rackLocality * (1.0 - curRack / bestRack) else 0.0) +
         (if (useWrite) weights.writeRate * arrayCost(writeRates) else 0.0) +
         (if (useMem) weights.memstoreRate * arrayCost(memRates) else 0.0) +
+        (if (useCp) weights.cpRate * arrayCost(cpRates) else 0.0) +
         (if (useTable) weights.tableSkew *
           tableNames.iterator.map(t => arrayCost(tableCounts(t))).sum
-         else 0.0)
+         else 0.0) +
+        (if (useStoreSkew) weights.storeFileTableSkew *
+          tableNames.iterator.map(t => arrayCost(tableSizes(t))).sum
+         else 0.0) +
+        (if (useCache)
+          weights.cache * scale(0, 1, 1.0 - curCache / bestCache) else 0.0) +
+        (if (useHetero) weights.heterogeneous * heteroCost() else 0.0)
 
     var currentCost = cost()
     val initCost = currentCost
-    if (initCost / sumMultiplier < minCostNeedBalance) return None
+    def costFuncInfo(): Seq[String] = {
+      def f(name: String, c: Double, m: Double, needed: Boolean) =
+        if (needed && m > 0) Some(s"$name*$c*$m") else None
+      Seq(
+        f("RegionCountSkewCostFunction", arrayCost(counts),
+          weights.regionCount, needed = true),
+        f("StoreFileCostFunction", arrayCost(sizes), weights.sizeSkew,
+          needed = true),
+        f("ReadRequestCostFunction", arrayCost(reads), weights.readSkew,
+          needed = true),
+        f("ServerLocalityCostFunction",
+          if (useLoc) 1.0 - curLoc / bestLoc else 0.0, weights.locality,
+          useLoc),
+        f("WriteRequestCostFunction", arrayCost(writeRates),
+          weights.writeRate, useWrite),
+        f("MemStoreSizeCostFunction", arrayCost(memRates),
+          weights.memstoreRate, useMem),
+        f("CPRequestCostFunction", arrayCost(cpRates), weights.cpRate,
+          useCp),
+        f("TableSkewCostFunction",
+          tableNames.iterator.map(t => arrayCost(tableCounts(t))).sum,
+          weights.tableSkew, useTable),
+        f("StoreFileTableSkewCostFunction",
+          if (useStoreSkew)
+            tableNames.iterator.map(t => arrayCost(tableSizes(t))).sum
+          else 0.0, weights.storeFileTableSkew, useStoreSkew),
+        f("CacheAwareCostFunction",
+          if (useCache) 1.0 - curCache / bestCache else 0.0, weights.cache,
+          useCache),
+        f("HeterogeneousRegionCountCostFunction",
+          if (useHetero) heteroCost() else 0.0, weights.heterogeneous,
+          useHetero)
+      ).flatten
+    }
+    if (initCost / sumMultiplier < minCostNeedBalance) {
+      // getBalanceReason's under-threshold branch, recorded like
+      // sendRejectionReasonToRingBuffer(reason, costFunctions)
+      log.foreach(_.recordRejection(logTable,
+        s"imbalance=${initCost / sumMultiplier} <= " +
+          s"minCostNeedBalance($minCostNeedBalance)", costFuncInfo()))
+      return None
+    }
 
     val rnd = new Random(seed)
     var accepted = 0L
     var step = 0
+    // CacheAwareLoadBalancer's ratioThreshold / cacheRatioDiffThreshold
+    // (CACHE_RATIO_THRESHOLD_DEFAULT 0.8; moveRegionToOldServer's 0.6f)
+    val cacheRatioThreshold = 0.8
+    val cacheDiffThreshold = 0.6
     while (step < maxSteps) {
-      // pick a candidate action
+      // pick a candidate action. With a cache table active the
+      // generator set is EXACTLY the CacheAware pair — the reference's
+      // createCandidateGenerators REPLACES the base set (no random
+      // generator, so a well-cached region is never even proposed);
+      // without one the LOAD/RANDOM pick — and its rnd stream — is
+      // bit-identical to before (isNeeded parity).
+      val gen =
+        if (useCache) { if (rnd.nextBoolean()) 0 else 2 }
+        else if (rnd.nextBoolean()) 0 else 1
       val (ri, to) =
-        if (rnd.nextBoolean()) {
-          // LOAD generator: most-loaded server → least-loaded
+        if (gen == 0) {
+          // LOAD generator: most-loaded server → least-loaded. Under a
+          // cache table this is CacheAwareSkewnessCandidateGenerator:
+          // the LEAST-CACHED region leaves the loaded server
+          // (pickLeastCachedRegion — deterministic, first-min wins)
           val from = counts.indices.maxBy(counts(_))
           val dest = counts.indices.minBy(counts(_))
           val cand = regions.indices.filter(loc(_) == from)
           if (cand.isEmpty || from == dest) (-1, -1)
+          else if (useCache)
+            (cand.minBy(i => cacheOf(regions(i)._1.name, servers(from))),
+              dest)
           else (cand(rnd.nextInt(cand.length)), dest)
-        } else {
+        } else if (gen == 1) {
           // RANDOM generator: uniform region → uniform other server
           val r = rnd.nextInt(nRegions)
           val dest = rnd.nextInt(nServers)
           if (dest == loc(r)) (-1, -1) else (r, dest)
+        } else {
+          // CacheAwareCandidateGenerator: move a poorly-cached region
+          // to its best-cached server, under moveRegionToOldServer's
+          // conditions — skip regions already well-cached here
+          // (>= ratioThreshold), move when the best server is fully
+          // cached, equally cached, or current/best < diff threshold
+          val cand = regions.indices.filter { i =>
+            val name = regions(i)._1.name
+            val cur = cacheOf(name, servers(loc(i)))
+            val best = cacheOf(name, servers(cacheBestSrv(i)))
+            // only regions with a RECORDED ratio on the target server
+            // are candidates (the reference draws candidates from
+            // regionCacheRatioOnOldServerMap entries, never from
+            // ratio-less regions)
+            cacheBestSrv(i) != loc(i) &&
+              cacheRatio.contains((name, servers(cacheBestSrv(i)))) &&
+              cur < cacheRatioThreshold &&
+              (best == 1.0 || best == cur ||
+                (best > 0.0 && cur / best < cacheDiffThreshold))
+          }
+          if (cand.isEmpty) (-1, -1)
+          else {
+            val i = cand(rnd.nextInt(cand.length))
+            (i, cacheBestSrv(i))
+          }
         }
       if (ri >= 0 && !violates(ri, to)) {
         val from = loc(ri)
@@ -295,9 +545,20 @@ object StochasticBalancer {
           if (useMem) {
             memRates(src) -= msRate(ri); memRates(dst) += msRate(ri)
           }
+          if (useCp) {
+            cpRates(src) -= cpRt(ri); cpRates(dst) += cpRt(ri)
+          }
           if (useTable && rl.table.nonEmpty) {
             val tc = tableCounts(rl.table); tc(src) -= 1; tc(dst) += 1
           }
+          if (useStoreSkew && rl.table.nonEmpty) {
+            val ts = tableSizes(rl.table)
+            ts(src) -= rl.sizeBytes.toDouble
+            ts(dst) += rl.sizeBytes.toDouble
+          }
+          if (useCache) curCache +=
+            cacheW(ri) * (cacheOf(rl.name, servers(dst)) -
+              cacheOf(rl.name, servers(src)))
           if (isoFlag(ri)) { isoCounts(src) -= 1; isoCounts(dst) += 1 }
           moves += d; loc(ri) = dst
         }
@@ -319,6 +580,20 @@ object StochasticBalancer {
         Some(Balancer.RegionPlan(r.name, servers(initial), servers(loc(i))))
       else None
     }
+    // sendRegionPlansToRingBuffer's record: the run's costs + steps +
+    // "region/source/destination" plan strings (table prefixed when
+    // the fixture carries one, matching the reference's format)
+    log.foreach(_.recordDecision(logTable,
+      initCost / sumMultiplier, currentCost / sumMultiplier,
+      step.toLong,
+      plans.map { p =>
+        val tab = regions.collectFirst {
+          case (r, _) if r.name == p.region && r.table.nonEmpty =>
+            s"table: ${r.table} , "
+        }.getOrElse("")
+        s"${tab}region: ${p.region} , source: ${p.source} , " +
+          s"destination: ${p.dest}"
+      }))
     Some(Result(plans, initCost / sumMultiplier,
       currentCost / sumMultiplier, accepted))
   }

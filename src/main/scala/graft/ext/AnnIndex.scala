@@ -36,8 +36,11 @@ object AnnIndex {
     * passes per iteration for no recall gain). The e82 append path
     * already proves subset-trained quantizers: the quantizer is
     * immutable after build, and every vector codes against it the same
-    * way. None = train on the full corpus (declared e50 semantics —
-    * the oracle re-derives full-corpus k-means). */
+    * way. The declared e50 build passes a deterministic 10%
+    * salted-hash sample ([[Pipeline.hashSample]] — the oracle
+    * re-derives the same sample from the same md5 threshold); None =
+    * train on the full corpus (the e13/e47 in-session twins' oracle
+    * semantics). */
   def build(emb: DataFrame, dir: String, nlist: Int = 16,
       iters: Int = 2, trainOn: Option[DataFrame] = None): Unit = {
     val (cents, indexed) = trainOn match {

@@ -118,18 +118,18 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped entirely; what a
     * capped run loses is pairs whose ONLY shared band is hot — docs
     * near-dup to thousands of others, which a curation pipeline treats
-    * as a boilerplate CLUSTER, not pairs. The size census groups on the
-    * SAME (band, sig) key as the join, so it rides the existing
-    * exchange. `maxBucket <= 0` = uncapped (declared-query semantics). */
+    * as a boilerplate CLUSTER, not pairs. Sizes come from ONE windowed
+    * count over the SAME (band, sig) exchange the downstream join needs
+    * — not a groupBy census joined back, which would re-run the
+    * shingle/minhash pipeline a second time per capped run (the r16
+    * advisor finding); the window's per-bucket buffer spills the same
+    * rows the join itself must shuffle. `maxBucket <= 0` = uncapped
+    * (declared-query semantics). */
   private[ext] def capTextBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) rows
-    else {
-      val sizes = rows.groupBy("band", "sig")
-        .agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucket)
-        .select("band", "sig")
-      rows.join(sizes, Seq("band", "sig"))
-    }
+    else rows
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
 
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8, n: Int = 3, maxBucket: Int = 0): DataFrame = {
@@ -419,16 +419,14 @@ object Dedup {
     * docs at hamming 3 — quadratic at corpus scale). Buckets above
     * `maxBucket` drop whole; what a capped run loses is pairs whose
     * EVERY agreeing segment is hot — boilerplate clusters, not pairs.
-    * `maxBucket <= 0` = uncapped (declared e03 semantics). */
+    * `maxBucket <= 0` = uncapped (declared e03 semantics). One windowed
+    * count on the join's own (seg, sv) key — see [[capTextBuckets]] for
+    * why not a census join-back. */
   private[ext] def capSimBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) rows
-    else {
-      val sizes = rows.groupBy("seg", "sv")
-        .agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucket)
-        .select("seg", "sv")
-      rows.join(sizes, Seq("seg", "sv"))
-    }
+    else rows
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("seg", "sv")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
 
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 6,
       bits: Int = 32, maxBucket: Int = 0): DataFrame = {

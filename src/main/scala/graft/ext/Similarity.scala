@@ -261,15 +261,15 @@ object Similarity {
       dim: Int = 64, tables: Int = 12, nbits: Int = 6,
       maxBucket: Int = 0): DataFrame = {
     val bucketed0 = lshBucketed(emb, dim, tables, nbits)
+    // one windowed count on the join's own (tbl, bucket) key — not a
+    // census join-back, which would re-run the LSH projection a second
+    // time per capped run (see Dedup.capTextBuckets)
     val bucketed =
       if (maxBucket <= 0) bucketed0
-      else {
-        val sizes = bucketed0.groupBy("tbl", "bucket")
-          .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucket)
-          .select("tbl", "bucket")
-        bucketed0.join(sizes, Seq("tbl", "bucket"))
-      }
+      else bucketed0
+        .withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"),

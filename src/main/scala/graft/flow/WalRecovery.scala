@@ -56,6 +56,11 @@ object WalRecovery {
       entries: DataFrame, roots: Seq[String],
       subdir: String => String): Unit = {
     require(roots.nonEmpty, "need at least one output root")
+    // the stale-temp sweep the in-task reclaim defers to: reap temps
+    // left by CRASHED prior runs (different pid/partitioning) before
+    // this run writes its own
+    roots.foreach(r =>
+      reapStaleTemps(spark.sparkContext.hadoopConfiguration, r))
     val bconf = ShippedConf.broadcast(spark)
     entries
       .repartition(col("wal_region"))
@@ -154,7 +159,8 @@ object WalRecovery {
           // ours (a HIGHER id is a still-running speculative duplicate
           // actively writing; deleting its temp mid-write would turn
           // its clean late-commit failure into a confusing missing-file
-          // crash — leave it to reap itself or to the recovery sweep)
+          // crash — leave it to reap itself or to [[reapStaleTemps]],
+          // the age-gated sweep each writeRegionLogs run opens with)
           fss.lazyZip(dirs).foreach { (fs, d) =>
             Option(fs.globStatus(new Path(d, s".temp-$pid-*-$region")))
               .getOrElse(Array.empty)
@@ -177,6 +183,36 @@ object WalRecovery {
     * DROP edits with wal_seq <= `flushedMaxSeqId` (already durable in
     * the store), return the surviving cells in the canonical cell
     * schema plus their sequence ids. */
+  /** Reap stale `.temp-*` attempt files under `root` — temps left by a
+    * CRASHED run whose pid/partitioning no longer matches any live
+    * writer (the in-task reclaim in [[writeRegionLogs]] only covers
+    * same-pid lower-attempt temps of the current run). Age-gated: only
+    * temps older than `olderThanMs` go — a live speculative attempt's
+    * temp is seconds old, and deleting it mid-write would turn its
+    * clean late-commit failure into a missing-file crash. Readers glob
+    * `*.pwal`, so the leak this closes is disk-only. Runs at the start
+    * of every [[writeRegionLogs]] (the recovery/region-log write
+    * sweep); the listing is metadata-only and recursive. Returns the
+    * deleted paths, sorted. */
+  def reapStaleTemps(conf: org.apache.hadoop.conf.Configuration,
+      root: String, olderThanMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val cut = System.currentTimeMillis() - olderThanMs
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.startsWith(".temp-") &&
+          st.getModificationTime < cut) {
+        fs.delete(st.getPath, false)
+        out += st.getPath.toString
+      }
+    }
+    out.toSeq.sorted
+  }
+
   def replayRecoveredEdits(spark: SparkSession, recoveredDir: String,
       region: String, flushedMaxSeqId: Long): DataFrame =
     PWalFiles.importEntries(spark, s"$recoveredDir/$region/recovered.edits",

@@ -1465,16 +1465,28 @@ object ExtQueries {
       // then the query reads nprobe/nlist partitions BY PRUNING and
       // scores in the integer domain. Same math as e47 end-to-end, so
       // the same full oracle pins it; the build cost is the declared
-      // durable-artifact cost, like e32's index write.
+      // durable-artifact cost, like e32's index write. The quantizer
+      // trains on a DETERMINISTIC 10% salted-hash sample (the e22
+      // zero-shuffle primitive; FAISS's train-on-sample convention —
+      // k-means needs representative vectors, not the corpus), so the
+      // declared build's training scan is ~10x cheaper than full-train
+      // and every other pass still covers all of `emb`; the oracle
+      // re-derives the SAME sample from the same md5 threshold. Full-
+      // corpus training stays pinned by the e13/e47 in-session twins.
       "e50_ann_index",
       (s, dir) => {
         val emb = graft.model.Tables.load(s, s"$dir/embeddings.parquet")
         val idx = graft.Queries.scratchDir("ann_index_q")
-        AnnIndex.build(emb, idx)
+        AnnIndex.build(emb, idx, trainOn =
+          Some(Pipeline.hashSample(emb, 0.1, idCol = "vec_id",
+            salt = "annTrain")))
         AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2, k = 5))
+      Some(annIvfSq8Oracle(dim = 64, nlist = 16, nprobe = 4, iters = 2,
+        k = 5, trainPred =
+          Sql.hash48("CAST(vec_id AS VARCHAR)", "'annTrain'") +
+            s" < ${(0.1 * (1L << 48)).toLong}"))
     ),
     QDef(
       // INCREMENTAL index maintenance — the streaming-corpus-growth

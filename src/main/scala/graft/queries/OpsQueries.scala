@@ -466,18 +466,29 @@ object OpsQueries {
           "janitor failed to GC the unreferenced parent")
         // 'final' (post-GC, pre-crash) and 'recovered' (post-rollback)
         // pin the SAME durable layout — assert that identity on the
-        // (path, length) file census and read the bytes ONCE, emitting
-        // both stage labels from one physical scan (the r16 trim: the
-        // rollback's claim IS that it restored this exact layout, so
-        // the second full read only re-proved what the census pins)
+        // (path, length, CRC32C-of-bytes) file census and read the
+        // cells ONCE, emitting both stage labels from one physical
+        // scan (the r16 trim: the rollback's claim IS that it restored
+        // this exact layout; the r16 advisor's strengthening: a
+        // content checksum in the census closes the path+length-
+        // preserving corruption a pure metadata census would miss)
         val fsx = new org.apache.hadoop.fs.Path(table)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        def storeLayout(): Seq[(String, Long)] =
+        def storeLayout(): Seq[(String, Long, Long)] =
           Seq("d1", "d2").flatMap { r =>
             Option(fsx.globStatus(
                 new org.apache.hadoop.fs.Path(s"$table/$r/*/*")))
               .getOrElse(Array.empty)
-              .map(st => (st.getPath.toString, st.getLen)).toSeq
+              .map { st =>
+                val crc = new java.util.zip.CRC32C
+                val in = fsx.open(st.getPath)
+                try {
+                  val buf = new Array[Byte](64 * 1024)
+                  var n = in.read(buf)
+                  while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+                } finally in.close()
+                (st.getPath.toString, st.getLen, crc.getValue)
+              }.toSeq
           }.sorted
         val preCrash = storeLayout()
         // interrupted re-split of d1 (procedure-v2 crash window: da's
@@ -541,9 +552,23 @@ object OpsQueries {
             RegionLoad(f"r$b%02d")
           }.toSeq
         }
-        val res = StochasticBalancer.balanceTable(assignment)
+        // the decision ring rides the real walk (BalancerDecision
+        // Details / BalancerDecisionQueueService — `BalancerLog`): the
+        // run's costs and plans land newest-first, chunked at 15 plans
+        // per entry; ring semantics (bound, eviction, rejection leg)
+        // are spec-pinned in BalancerLogSpec
+        val blog = new graft.admin.BalancerLog()
+        val res = StochasticBalancer.balanceTable(assignment,
+            log = Some(blog), logTable = "orders")
           .getOrElse(throw new IllegalStateException(
             "skewed cluster must pass the needs-balance gate"))
+        val dec = blog.decisions()
+        require(dec.nonEmpty &&
+          dec.forall(d => d.initTotalCost == res.initCost &&
+            d.computedTotalCost == res.finalCost &&
+            d.regionPlans.size <= graft.admin.BalancerLog.PlansPerEntry) &&
+          dec.map(_.regionPlans.size).sum == res.plans.size,
+          "decision ring must record the walk's plans and costs")
         val counts = collection.mutable.Map(
           assignment.map { case (sv, rs) => sv -> rs.size.toLong }.toSeq: _*)
         res.plans.foreach { p => counts(p.source) -= 1; counts(p.dest) += 1 }
@@ -1320,6 +1345,203 @@ object OpsQueries {
           |                 ELSE 1 END AS BIGINT) AS region_count
           |FROM __ib_n, generate_series(1, 5) t(i)
           |ORDER BY rank""".stripMargin)
+    ),
+    QDef(
+      // CacheAwareLoadBalancer (hbase-balancer/.../CacheAwareLoad
+      // Balancer.java: CacheAwareCostFunction + the CacheAware
+      // candidate-generator pair) — the persistent-bucket-cache
+      // balancer: regions should live where their blocks are already
+      // cached. The injected (region, server) → cached-ratio table is
+      // the q119 pattern (the no-telemetry twin of getRegionCachedInfo
+      // + regionCacheRatioOnOldServerMap). Fixture: every occupied
+      // orders %80 bucket region is FULLY cached on its home server
+      // (b mod 5) and starts one server off; with the cache weight
+      // dominant the converged END STATE the oracle replays closed-form
+      // is every region back on its max-cache server — regardless of
+      // the seeded path (q114's invariant pattern).
+      "q129_cache_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        // start: one step round the ring off home; sizes 1 so every
+        // region weighs equally in the cache ratio
+        val assignment = (0 until 5).map { si =>
+          f"srv$si%d" -> buckets.filter(b => (b + 1) % 5 == si).toSeq
+            .map(b => RegionLoad(f"r$b%02d", sizeBytes = 1L))
+        }.toMap
+        val ratio = buckets
+          .map(b => (f"r$b%02d", f"srv${b % 5}%d") -> 1.0).toMap
+        val res = StochasticBalancer.balanceTable(assignment,
+          weights = Weights(regionCount = 20.0, sizeSkew = 0.0,
+            readSkew = 0.0, move = 7.0, cache = 500.0),
+          cacheRatio = ratio)
+          .getOrElse(throw new IllegalStateException(
+            "a fully-miscached cluster must pass the needs-balance gate"))
+        val where = collection.mutable.Map(
+          assignment.toSeq.flatMap { case (sv, rs) =>
+            rs.map(r => r.name -> sv) }: _*)
+        res.plans.foreach(p => where(p.region) = p.dest)
+        import s.implicits._
+        where.toSeq.sortBy(_._1).toDF("region", "server")
+          .orderBy("region")
+      },
+      Some(
+        """SELECT printf('r%02d', b) AS region,
+          |       'srv' || CAST(b % 5 AS VARCHAR) AS server
+          |FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
+          |      FROM orders)
+          |ORDER BY region""".stripMargin)
+    ),
+    QDef(
+      // HeterogeneousRegionCountCostFunction (hbase-balancer/.../
+      // HeterogeneousRegionCountCostFunction.java:139-155, 263-279):
+      // per-server capacity rules (hostname-regex → region limit,
+      // first match wins, default otherwise); cost fills every server
+      // LINEARLY — at global usage u each server should hold u of ITS
+      // capacity, and only servers above that proportional fill pay.
+      // Fixture: q114's rank-fraction pile-up over capacities
+      // 10/10/20/20/40 (Σ=100); with the hetero weight steering
+      // (regionCount 0, per the reference's own warning) the zero-cost
+      // state at n regions forces EXACTLY round(cap·n/100) per server
+      // — Σ round == n at the %80 fixture, so the converged counts are
+      // unique and the oracle replays them closed-form.
+      "q130_hetero_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.{RegionLoad, Weights}
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        val n = buckets.length
+        val cuts = Seq(0.5, 0.8, 0.92, 0.97).map(f => (n * f).toInt)
+        val assignment = buckets.zipWithIndex.groupBy { case (_, r) =>
+          cuts.count(_ <= r)
+        }.map { case (si, bs) =>
+          f"srv$si%d" -> bs.map { case (b, _) =>
+            RegionLoad(f"r$b%02d") }.toSeq
+        }
+        val caps = Map("srv0" -> 10, "srv1" -> 10, "srv2" -> 20,
+          "srv3" -> 20, "srv4" -> 40)
+        val sumRound = caps.values
+          .map(c => math.round(c * n.toDouble / 100.0)).sum
+        require(sumRound == n,
+          s"degenerate fixture: capacity rounds sum $sumRound != $n")
+        val res = StochasticBalancer.balanceTable(assignment,
+          weights = Weights(regionCount = 0.0, sizeSkew = 0.0,
+            readSkew = 0.0, move = 7.0, heterogeneous = 500.0),
+          heteroRules = Seq("srv[01]" -> 10, "srv[23]" -> 20),
+          heteroDefault = 40)
+          .getOrElse(throw new IllegalStateException(
+            "an over-capacity pile-up must pass the needs-balance gate"))
+        val counts = collection.mutable.Map(
+          assignment.map { case (sv, rs) => sv -> rs.size.toLong }.toSeq: _*)
+        res.plans.foreach { p => counts(p.source) -= 1; counts(p.dest) += 1 }
+        import s.implicits._
+        caps.toSeq.sorted.map { case (sv, cap) =>
+          (sv, cap.toLong, counts(sv)) }
+          .toDF("server", "capacity", "region_count").orderBy("server")
+      },
+      Some(
+        """WITH __hb_n AS (
+          |  SELECT COUNT(DISTINCT o_orderkey % 80) AS n FROM orders
+          |), __hb_s(server, capacity) AS (
+          |  VALUES ('srv0', 10), ('srv1', 10), ('srv2', 20),
+          |         ('srv3', 20), ('srv4', 40)
+          |)
+          |SELECT s.server, CAST(s.capacity AS BIGINT) AS capacity,
+          |       CAST(ROUND(s.capacity * t.n / 100.0) AS BIGINT)
+          |         AS region_count
+          |FROM __hb_s s, __hb_n t
+          |ORDER BY server""".stripMargin)
+    ),
+    QDef(
+      // hbtop NAMESPACE + REGIONSERVER modes (hbase-hbtop/.../
+      // NamespaceModeStrategy.java:66-77, RegionServerModeStrategy
+      // .java:77-100 — `GAdmin.hbtopNamespaces/hbtopServers`),
+      // completing the mode set q104 (REGION/TABLE) started: region
+      // records roll up by namespace (split back out of graft's
+      // `ns:table` catalog names; no `:` = default) and by hosting
+      // server (the injected assignment table), REGION_COUNT counting
+      // distinct regions and every metric summing (ModeStrategyUtils
+      // .aggregateRecords). The census derives from cellsOrders so
+      // the oracle re-derives both rollups entirely in SQL; the
+      // real-file census path is q104's covered ground. CLIENT/USER
+      // modes need per-RPC attribution no batch engine records —
+      // out of scope (SURVEY §2.10).
+      "q131_hbtop_modes",
+      (s, dir) => {
+        import graft.admin.GAdmin
+        val uid = col("row").cast("long")
+        val census = Fixtures.cellsOrders(s, dir)
+          .withColumn("table",
+            when(uid % 3 === 0, lit("ns0:t0"))
+              .when(uid % 3 === 1, lit("ns1:t1"))
+              .otherwise(lit("tplain")))
+          .withColumn("region", concat(lit("r"), (uid % 8).cast("string")))
+          .groupBy(col("table"), col("region"), col("family").as("store"))
+          .agg(count(lit(1)).as("n_cells"),
+            coalesce(sum(octet_length(col("value"))), lit(0L))
+              .cast("long").as("store_bytes"),
+            countDistinct(col("qualifier")).as("file_count"))
+        val assign = census.select("table", "region").distinct()
+          .withColumn("server",
+            concat(lit("rs"),
+              (substring(col("region"), 2, 10).cast("long") % 3)
+                .cast("string")))
+        GAdmin.hbtopNamespaces(census)
+          .withColumnRenamed("namespace", "key")
+          .withColumn("mode", lit("namespace"))
+          .unionByName(
+            GAdmin.hbtopServers(census, assign)
+              .withColumnRenamed("server", "key")
+              .withColumn("mode", lit("regionserver")))
+          .select("mode", "key", "region_count", "n_cells",
+            "store_bytes", "file_count")
+          .orderBy("mode", "key")
+      },
+      Some(Cte.withCtes(Cte.cellsOrders,
+        """__ht_t AS (
+          |  SELECT CASE CAST(row AS BIGINT) % 3
+          |           WHEN 0 THEN 'ns0:t0' WHEN 1 THEN 'ns1:t1'
+          |           ELSE 'tplain' END AS tbl,
+          |         'r' || CAST(CAST(row AS BIGINT) % 8 AS VARCHAR)
+          |           AS region,
+          |         family AS store, qualifier, value
+          |  FROM cells_orders
+          |), __ht_census AS (
+          |  SELECT tbl, region, store,
+          |         CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |         CAST(COALESCE(SUM(strlen(value)), 0) AS BIGINT)
+          |           AS store_bytes,
+          |         CAST(COUNT(DISTINCT qualifier) AS BIGINT) AS file_count
+          |  FROM __ht_t GROUP BY 1, 2, 3
+          |)""".stripMargin)(
+        """SELECT mode, key, region_count, n_cells, store_bytes,
+          |       file_count FROM (
+          |  SELECT 'namespace' AS mode,
+          |         CASE WHEN strpos(tbl, ':') > 0
+          |              THEN split_part(tbl, ':', 1)
+          |              ELSE 'default' END AS key,
+          |         CAST(COUNT(DISTINCT tbl || '#' || region) AS BIGINT)
+          |           AS region_count,
+          |         CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+          |         CAST(SUM(store_bytes) AS BIGINT) AS store_bytes,
+          |         CAST(SUM(file_count) AS BIGINT) AS file_count
+          |  FROM __ht_census GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'regionserver' AS mode,
+          |         'rs' || CAST(CAST(substr(region, 2) AS BIGINT) % 3
+          |           AS VARCHAR) AS key,
+          |         CAST(COUNT(DISTINCT tbl || '#' || region) AS BIGINT)
+          |           AS region_count,
+          |         CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+          |         CAST(SUM(store_bytes) AS BIGINT) AS store_bytes,
+          |         CAST(SUM(file_count) AS BIGINT) AS file_count
+          |  FROM __ht_census GROUP BY 2
+          |) ORDER BY mode, key""".stripMargin))
     )
   )
 }

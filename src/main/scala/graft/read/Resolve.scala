@@ -92,7 +92,24 @@ object Resolve {
     val w = Window
       .partitionBy(col("row"), col("family"), col("qualifier"))
       .orderBy(col("ts").desc)
-    val gated = ranged
+    // spill hedge: the version-gate window is the operator's one wide
+    // exchange, and at a fixed spark.sql.shuffle.partitions its
+    // per-partition share grows linearly with input (the r16 sf10 soak
+    // measured per-cell cost rising 0.57→0.99 s/1M at 75M cells purely
+    // from shuffle/sort spill on local[32]'s fixed memory). When the
+    // INPUT's size estimate says partitions would exceed the scan
+    // target size, pre-repartition on the window's own keys with a
+    // size-derived count — the window then reuses that partitioning
+    // (ClusteredDistribution is satisfied; still exactly one exchange,
+    // just one sized to the data, the same rule the scan side applies
+    // via files.maxPartitionBytes). Small inputs take the plan
+    // unchanged (sizedShufflePartitions = None below the threshold).
+    val pre = sizedShufflePartitions(cells) match {
+      case Some(n) =>
+        ranged.repartition(n, col("row"), col("family"), col("qualifier"))
+      case None => ranged
+    }
+    val gated = pre
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxVersions)
     val retained = (ttlCutoff, minVersions) match {
@@ -101,6 +118,29 @@ object Resolve {
       case _ => gated
     }
     retained.drop("__rn")
+  }
+
+  /** Size-derived shuffle-partition count for the resolve exchange:
+    * Catalyst's size estimate of the INPUT frame (file-backed scans and
+    * materialized caches report real bytes) divided by the session's
+    * files.maxPartitionBytes scan target. Returns None — plan
+    * unchanged — when the estimate is at or under what the session's
+    * default shuffle partitioning already handles, or when the
+    * estimate is unusable (the no-stats default is effectively
+    * infinite; join-inflated estimates hit the same guard). Capped at
+    * 4096: past that the bottleneck is executor count, not partition
+    * size. The estimate comes from the PRE-mask input, not the masked
+    * plan, because join estimates multiply while the masked output is
+    * bounded by the input. */
+  private[graft] def sizedShufflePartitions(cells: DataFrame): Option[Int] = {
+    val conf = cells.sparkSession.sessionState.conf
+    val size = cells.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(conf.filesMaxPartitionBytes)
+    if (size <= 0 || target <= 0 || size >= BigInt(Long.MaxValue) / 4) None
+    else {
+      val n = ((size + target - 1) / target).toInt
+      if (n > conf.numShufflePartitions) Some(math.min(n, 4096)) else None
+    }
   }
 
   /** Per-cell TTL liveness (Mutation.setTTL → TagType.TTL_TAG_TYPE;

@@ -320,7 +320,14 @@ object ReplicationAdmin {
     * listeners re-filter the source on ZK config change). A table that
     * leaves the scope entirely skips its batches; no in-scope entry is
     * ever dropped (the filter passes meta markers like
-    * [[WalStream.scoped]]). */
+    * [[WalStream.scoped]]). A peer that is DISABLED (not out of scope)
+    * fails the micro-batch instead: the streaming checkpoint must not
+    * advance past entries the peer has not shipped — the reference
+    * PAUSES shipping on disable but retains the WAL queue so
+    * replication resumes losslessly on re-enable
+    * (ReplicationSourceManager; a silent skip here would be permanent
+    * loss). Re-enabling the peer and restarting the query replays from
+    * the unadvanced checkpoint. */
   def scopedSink(peerId: String, table: String, cellStream: DataFrame,
       checkpointDir: String, outDir: String,
       seqCol: Option[String] = None)
@@ -329,8 +336,15 @@ object ReplicationAdmin {
     cellStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scopeFor(peerId, table) match {
-          case None => () // peer disabled or table out of scope now
+        val p = peers.get(peerId)
+        require(p != null, s"peer $peerId was removed mid-stream")
+        if (!p.enabled)
+          throw new IllegalStateException(
+            s"peer $peerId is disabled: failing batch $batchId so the " +
+              "checkpoint does not advance; re-enable the peer and " +
+              "restart the query to resume losslessly")
+        scopeOf(p, table) match {
+          case None => () // table genuinely out of the peer's scope now
           case Some(fams) =>
             WalStream.applyBatch(WalStream.scoped(batch, fams), seqCol)
               .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")

@@ -257,4 +257,154 @@ class StochasticBalancerSpec extends AnyFunSuite {
       base.initCost == withSingle.initCost &&
       base.finalCost == withSingle.finalCost)
   }
+
+  test("cp-request-rate skew steers like CPRequestCostFunction") {
+    // the write-rate fixture shape over the coprocessor counter:
+    // counts balanced, only srv0's regions fire cp requests
+    val a = Map(
+      "s0" -> (0 until 4).map(i =>
+        RegionLoad(f"cp-r$i", cpWindow = Seq(100L * i, 100L * i + 10))),
+      "s1" -> (0 until 4).map(i =>
+        RegionLoad(f"d1-r$i", cpWindow = Seq(50L, 50L))),
+      "s2" -> (0 until 4).map(i =>
+        RegionLoad(f"d2-r$i", cpWindow = Seq(80L, 80L))))
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, cpRate = 500)).get
+    val rates = collection.mutable.Map("s0" -> 40.0, "s1" -> 0.0,
+      "s2" -> 0.0)
+    r.plans.foreach { p =>
+      if (p.region.startsWith("cp")) {
+        rates(p.source) -= 10.0; rates(p.dest) += 10.0
+      }
+    }
+    assert(rates.values.toSeq.sorted == Seq(10.0, 10.0, 20.0),
+      s"cp rate not balanced: $rates")
+  }
+
+  test("store-file table skew balances each table's BYTES across servers") {
+    // StoreFileTableSkewCostFunction: per-table counts AND global
+    // sizes already balanced (tableSkew/sizeSkew silent), yet each
+    // table's storefile MASS piles on one server — only the per-table
+    // size cost sees it. Converged: each table's two 4000-byte stores
+    // split across servers.
+    val skewed = Map(
+      "s0" -> Seq(RegionLoad("a-r0", sizeBytes = 4000L, table = "ta"),
+        RegionLoad("a-r1", sizeBytes = 4000L, table = "ta"),
+        RegionLoad("b-r0", sizeBytes = 0L, table = "tb"),
+        RegionLoad("b-r1", sizeBytes = 0L, table = "tb")),
+      "s1" -> Seq(RegionLoad("a-r2", sizeBytes = 0L, table = "ta"),
+        RegionLoad("a-r3", sizeBytes = 0L, table = "ta"),
+        RegionLoad("b-r2", sizeBytes = 4000L, table = "tb"),
+        RegionLoad("b-r3", sizeBytes = 4000L, table = "tb")))
+    val r = StochasticBalancer.balanceTable(skewed,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, tableSkew = 0, storeFileTableSkew = 500)).get
+    val placed = collection.mutable.Map(
+      skewed.toSeq.flatMap { case (sv, rs) =>
+        rs.map(x => x.name -> sv) }: _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    assert(Seq("a-r0", "a-r1").map(placed).toSet.size == 2,
+      s"ta's bytes still piled: $placed")
+    assert(Seq("b-r2", "b-r3").map(placed).toSet.size == 2,
+      s"tb's bytes still piled: $placed")
+    assert(r.finalCost < r.initCost)
+  }
+
+  test("store-file table skew stays out without sizes (isNeeded parity)") {
+    // q126's shape — tables but NO sizes — must not activate the
+    // store-file table skew: if it wrongly joined the walk, changing
+    // its weight would change sumMultiplier and every normalized cost
+    val tabled = Map(
+      "s0" -> (0 until 4).map(i => RegionLoad(f"a-r$i", table = "ta")),
+      "s1" -> (0 until 4).map(i => RegionLoad(f"b-r$i", table = "tb")),
+      "s2" -> Seq.empty[RegionLoad])
+    val on = StochasticBalancer.balanceTable(tabled,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, tableSkew = 500, storeFileTableSkew = 500)).get
+    val off = StochasticBalancer.balanceTable(tabled,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, tableSkew = 500, storeFileTableSkew = 0)).get
+    assert(on.plans == off.plans && on.initCost == off.initCost &&
+      on.finalCost == off.finalCost)
+  }
+
+  test("heterogeneous capacity rules: first match wins, linear fill to capacity share") {
+    // HeterogeneousRegionCountCostFunction: srv00/srv01 capacity 10
+    // (rule "srv0[01]", first match wins), srv02 capacity 40 (the
+    // default); 18 regions piled on srv00. targetUsage = 18/60 = 0.3;
+    // zero cost forces counts ≤ round(cap·0.3) = (3, 3, 12), and
+    // 3+3+12 == 18, so the converged counts are EXACTLY the
+    // capacity-proportional fill — the "fill all RegionServers
+    // linearly" contract from the reference's own javadoc
+    val a = cluster(18, 0, 0)
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, heterogeneous = 500),
+      heteroRules = Seq("srv0[01]" -> 10), heteroDefault = 40).get
+    val out = finalCounts(a, r.plans)
+    assert(out == Map("srv00" -> 3, "srv01" -> 3, "srv02" -> 12),
+      s"not the capacity-proportional fill: $out")
+    assert(r.finalCost < r.initCost)
+    // rules-less walks replay bit-identical (isNeeded parity)
+    val base = StochasticBalancer.balanceTable(cluster(40, 25, 10)).get
+    val off = StochasticBalancer.balanceTable(cluster(40, 25, 10),
+      heteroRules = Nil).get
+    assert(base.plans == off.plans && base.finalCost == off.finalCost)
+  }
+
+  test("dominant cache ratio pulls every region to its best-cached server") {
+    // CacheAwareLoadBalancer: regions fully cached on their home
+    // server, all starting elsewhere; the cache cost + cache-aware
+    // generators must home everything
+    val a = Map(
+      "s0" -> (0 until 6).map(i => RegionLoad(f"r$i", sizeBytes = 1L)),
+      "s1" -> Seq.empty[RegionLoad], "s2" -> Seq.empty[RegionLoad])
+    val ratio = (0 until 6).map(i => (f"r$i", f"s${i % 3}") -> 1.0).toMap
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 20, sizeSkew = 0, readSkew = 0,
+        move = 7, cache = 500),
+      cacheRatio = ratio).get
+    val placed = collection.mutable.Map((0 until 6).map(i => f"r$i" -> "s0"): _*)
+    r.plans.foreach(p => placed(p.region) = p.dest)
+    (0 until 6).foreach(i => assert(placed(f"r$i") == f"s${i % 3}",
+      s"r$i not on its best-cached server: $placed"))
+    assert(r.finalCost < r.initCost)
+    // cache-less walks replay bit-identical (isNeeded parity — also
+    // pins that the generator set and its rnd stream are unchanged)
+    val base = StochasticBalancer.balanceTable(cluster(40, 25, 10)).get
+    val off = StochasticBalancer.balanceTable(cluster(40, 25, 10),
+      cacheRatio = Map.empty).get
+    assert(base.plans == off.plans && base.initCost == off.initCost &&
+      base.finalCost == off.finalCost)
+  }
+
+  test("weighted cache ratio keeps a well-cached region put (ratioThreshold)") {
+    // a region already cached >= 0.8 on its current server must not be
+    // proposed by the cache generator even when another server is
+    // fractionally better... and one below 0.8 with best == current
+    // ratio must also stay (no self-move): only the genuinely
+    // poorly-cached region moves
+    val a = Map(
+      "s0" -> Seq(RegionLoad("warm", sizeBytes = 1L),
+        RegionLoad("cold", sizeBytes = 1L)),
+      "s1" -> Seq(RegionLoad("pad0", sizeBytes = 1L)),
+      "s2" -> Seq(RegionLoad("pad1", sizeBytes = 1L)))
+    val ratio = Map(
+      ("warm", "s0") -> 0.85, ("warm", "s1") -> 0.9, // warm stays: 0.85 >= 0.8
+      ("cold", "s2") -> 1.0) // cold homes to s2
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, cache = 500),
+      cacheRatio = ratio)
+    // the walk may be under the gate if only a sliver of cache cost
+    // remains; either way warm must never move
+    r.foreach(_.plans.foreach(p => assert(p.region != "warm",
+      s"well-cached region moved: ${p}")))
+    val placedCold = r.map(_.plans.collectFirst {
+      case p if p.region == "cold" => p.dest })
+    assert(r.isEmpty || placedCold.exists(_.contains("s2")) ||
+      r.get.plans.isEmpty,
+      s"cold should home to s2 when the walk runs: ${r.map(_.plans)}")
+  }
 }

@@ -549,6 +549,50 @@ class StreamSpec extends SparkSpec {
     } finally ReplicationAdmin.removeAllPeers()
   }
 
+  test("disabled peer stalls the scoped sink; re-enable resumes losslessly") {
+    // the r16 advisor's medium finding: a DISABLED peer must FAIL the
+    // micro-batch (checkpoint must not advance — the reference pauses
+    // shipping but retains the WAL queue, ReplicationSourceManager),
+    // never silently drop it; only a table genuinely out of scope skips
+    import graft.stream.ReplicationAdmin
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import spark.implicits._
+    ReplicationAdmin.removeAllPeers()
+    try {
+      ReplicationAdmin.addPeer("dis")
+      val out = graft.Queries.scratchDir("dis_scope")
+      def mk(i: Int) = Seq.tabulate(5)(j =>
+          (f"r$i$j", "f1", "q", 1L, "Put", "v"))
+        .toDF("row", "family", "qualifier", "ts", "type", "value")
+      mk(0).coalesce(1).write.mode("append").parquet(s"$out/wal")
+      val src = spark.readStream.schema(mk(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/wal")
+      def start() = ReplicationAdmin.scopedSink("dis", "t", src,
+        s"$out/ck", s"$out/dst").start()
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        assert(spark.read.parquet(s"$out/dst").count() === 5)
+        // disable, write a batch: the query must FAIL, not skip
+        ReplicationAdmin.disablePeer("dis")
+        mk(1).coalesce(1).write.mode("append").parquet(s"$out/wal")
+        intercept[StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      // re-enable and restart from the SAME checkpoint: the failed
+      // batch replays — nothing lost
+      ReplicationAdmin.enablePeer("dis")
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(s"$out/dst")
+        assert(rows.filter(col("row").startsWith("r1")).count() === 5,
+          "the batch written while disabled must land after re-enable")
+      } finally q2.stop()
+    } finally ReplicationAdmin.removeAllPeers()
+  }
+
   test("peer table-cfs append/remove follow ReplicationPeerConfigUtil's merge rules") {
     import graft.stream.ReplicationAdmin
     ReplicationAdmin.removeAllPeers()

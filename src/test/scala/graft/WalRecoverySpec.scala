@@ -60,4 +60,40 @@ class WalRecoverySpec extends SparkSpec {
     assert(kept.count() == expect.count())
     assert(kept.agg(min("wal_seq")).head.getLong(0) > 2L)
   }
+
+  test("stale cross-pid temps reap age-gated; fresh and committed files survive") {
+    // the r16 advisor finding: temps from a CRASHED run with a
+    // different partitioning were never reclaimed (the in-task sweep
+    // is same-pid only). reapStaleTemps: old `.temp-*` go, young ones
+    // (a live speculative attempt) and real `.pwal` files stay.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("walreap").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def mk(path: String, ageMs: Long): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$path")
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); o.write(1); o.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    val stale = mk("rA/recovered.edits/.temp-99-1-rA", 60 * 60 * 1000L)
+    val young = mk("rA/recovered.edits/.temp-3-2-rA", 10 * 1000L)
+    val commit = mk("rA/recovered.edits/0000000000000000001.pwal",
+      60 * 60 * 1000L)
+    val reaped = WalRecovery.reapStaleTemps(conf, root)
+    assert(reaped == Seq(fs.makeQualified(stale).toString),
+      s"exactly the stale temp must go: $reaped")
+    assert(!fs.exists(stale) && fs.exists(young) && fs.exists(commit))
+    // and a writeRegionLogs run performs the sweep itself: the stale
+    // temp a crashed run left disappears after a fresh split lands
+    val stale2 = mk("r00/recovered.edits/.temp-77-5-r00", 60 * 60 * 1000L)
+    val cells = Fixtures.cellsEventsV(spark, sf0001).limit(50)
+      .withColumn("value", coalesce(col("value"), lit("")))
+      .withColumn("wal_region", lit("r00"))
+      .withColumn("wal_table", lit("events"))
+      .withColumn("wal_seq", col("ts").cast("long"))
+      .withColumn("write_time", col("ts"))
+    WalRecovery.splitWal(spark, cells, root)
+    assert(!fs.exists(stale2), "splitWal must open with the sweep")
+  }
 }
