@@ -1542,6 +1542,71 @@ object OpsQueries {
           |         CAST(SUM(file_count) AS BIGINT) AS file_count
           |  FROM __ht_census GROUP BY 2
           |) ORDER BY mode, key""".stripMargin))
+    ),
+    QDef(
+      // WAL event tracker (regionserver/wal/WALEventTrackerListener
+      // .java:40-76 + namequeues/WALEventTrackerTableAccessor.java —
+      // `stream/WalEventTracker`): every roll records ROLLING(old),
+      // ROLLED(old, final length), ACTIVE(new) into the durable
+      // REPLICATION.WALEVENTTRACKER table keyed walName_ts_state.
+      // Four real PB WAL segments land, their roll lifecycle derives
+      // (timestamps fixture-injected so the log replays), the flush
+      // runs TWICE to pin put-overwrite idempotency, and the ROLLED
+      // lengths are require'd against the actual files (byte sizes
+      // are codec-dependent — exposed by the surface, excluded from
+      // the declared row like q104's physical bytes).
+      "q132_wal_event_tracker",
+      (s, dir) => {
+        import graft.stream.WalEventTracker
+        val out = graft.Queries.scratchDir("q132_walevt")
+        val cells = Fixtures.cellsEventsV(s, dir)
+        graft.flow.PWalFiles.export(cells, 4, s"$out/wals")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val segs = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$out/wals/wal-*.pwal"))
+          .map(st => (st.getPath.getName, st.getLen))
+          .sortBy(_._1).toSeq
+        require(segs.size == 4 && segs.forall(_._2 > 0),
+          s"expected 4 rolled segments, got $segs")
+        val rank = Map("ROLLING" -> 0L, "ROLLED" -> 1L, "ACTIVE" -> 2L)
+        val events = WalEventTracker.eventsForSegments(segs, "rs1",
+          (i, st) => i * 10L + rank(st))
+        // ROLLED events must carry the real landed lengths
+        val lens = segs.init.map(_._2)
+        require(events.filter(_.wal_state == "ROLLED")
+          .map(_.wal_length) == lens,
+          "ROLLED lengths must match the files")
+        WalEventTracker.append(s, s"$out/tracker", events)
+        WalEventTracker.append(s, s"$out/tracker", events) // replayed flush
+        val t = WalEventTracker.read(s, s"$out/tracker")
+        require(t.count() == events.size,
+          "a replayed flush must overwrite, never duplicate")
+        t.select(col("row_key"), col("region_server_name"),
+            col("wal_name"), col("timestamp"), col("wal_state"),
+            (col("wal_length") > 0).as("has_bytes"))
+          .orderBy("row_key")
+      },
+      Some(
+        """WITH __we_r AS (SELECT i FROM generate_series(1, 3) t(i)),
+          |__we_ev AS (
+          |  SELECT 'wal-00000.pwal' AS wal_name, CAST(2 AS BIGINT) AS ts,
+          |         'ACTIVE' AS wal_state, FALSE AS has_bytes
+          |  UNION ALL
+          |  SELECT printf('wal-%05d.pwal', i - 1), CAST(i*10 AS BIGINT),
+          |         'ROLLING', FALSE FROM __we_r
+          |  UNION ALL
+          |  SELECT printf('wal-%05d.pwal', i - 1), CAST(i*10+1 AS BIGINT),
+          |         'ROLLED', TRUE FROM __we_r
+          |  UNION ALL
+          |  SELECT printf('wal-%05d.pwal', i), CAST(i*10+2 AS BIGINT),
+          |         'ACTIVE', FALSE FROM __we_r
+          |)
+          |SELECT wal_name || '_' || CAST(ts AS VARCHAR) || '_' || wal_state
+          |         AS row_key,
+          |       'rs1' AS region_server_name, wal_name,
+          |       ts AS "timestamp", wal_state, has_bytes
+          |FROM __we_ev ORDER BY row_key""".stripMargin)
     )
   )
 }

@@ -135,7 +135,9 @@ object Resolve {
   private[graft] def sizedShufflePartitions(cells: DataFrame): Option[Int] = {
     val conf = cells.sparkSession.sessionState.conf
     val size = cells.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = BigInt(conf.filesMaxPartitionBytes)
+    // half the scan target: shuffled ROW data plus its sort buffer is
+    // wider than the columnar/compressed source the estimate measures
+    val target = BigInt(conf.filesMaxPartitionBytes) / 2
     if (size <= 0 || target <= 0 || size >= BigInt(Long.MaxValue) / 4) None
     else {
       val n = ((size + target - 1) / target).toInt

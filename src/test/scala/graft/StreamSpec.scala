@@ -549,6 +549,32 @@ class StreamSpec extends SparkSpec {
     } finally ReplicationAdmin.removeAllPeers()
   }
 
+  test("WAL event tracker: roll lifecycle derivation and put-overwrite append") {
+    import graft.stream.WalEventTracker
+    import graft.stream.WalEventTracker.WalEvent
+    // listener twin: ACTIVE birth, then ROLLING/ROLLED/ACTIVE per roll
+    val ts = (i: Int, st: String) =>
+      i * 10L + Map("ROLLING" -> 0L, "ROLLED" -> 1L, "ACTIVE" -> 2L)(st)
+    assert(WalEventTracker.eventsForSegments(Nil, "rs", ts).isEmpty)
+    assert(WalEventTracker.eventsForSegments(
+      Seq(("w0", 5L)), "rs", ts) ==
+      Seq(WalEvent("rs", "w0", 2L, "ACTIVE", 0L)))
+    val two = WalEventTracker.eventsForSegments(
+      Seq(("w0", 5L), ("w1", 9L)), "rs", ts)
+    assert(two == Seq(
+      WalEvent("rs", "w0", 2L, "ACTIVE", 0L),
+      WalEvent("rs", "w0", 10L, "ROLLING", 0L),
+      WalEvent("rs", "w0", 11L, "ROLLED", 5L),
+      WalEvent("rs", "w1", 12L, "ACTIVE", 0L)))
+    // row key = walName_ts_state (WALEventTrackerTableAccessor.getRowKey)
+    assert(two.head.rowKey == "w0_2_ACTIVE")
+    // accessor twin: replayed flushes overwrite, never duplicate
+    val dir = graft.Queries.scratchDir("walevt_spec")
+    WalEventTracker.append(spark, dir, two)
+    WalEventTracker.append(spark, dir, two)
+    assert(WalEventTracker.read(spark, dir).count() == 4)
+  }
+
   test("disabled peer stalls the scoped sink; re-enable resumes losslessly") {
     // the r16 advisor's medium finding: a DISABLED peer must FAIL the
     // micro-batch (checkpoint must not advance — the reference pauses
