@@ -1276,7 +1276,12 @@ object GAdmin {
     * records — out of scope, documented in SURVEY §2.10. */
   def hbtopServers(census: DataFrame, assignment: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    hbtopRollup(census.join(assignment, Seq("table", "region")),
+    // only the mapping columns join on: any extra (numeric) columns a
+    // caller's assignment frame carries must not be mistaken for
+    // census metrics by the rollup's schema scan
+    hbtopRollup(
+      census.join(assignment.select("table", "region", "server"),
+        Seq("table", "region")),
       col("server"), "server")
   }
 }

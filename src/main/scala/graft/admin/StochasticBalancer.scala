@@ -288,6 +288,9 @@ object StochasticBalancer {
     // documented determinism divergence), capacity-normalized
     // over-target skew, averaged over servers
     val useHetero = heteroRules.nonEmpty
+    require(!useHetero ||
+      (heteroRules.forall(_._2 > 0) && heteroDefault > 0),
+      "heterogeneous region limits must be positive")
     val heteroPat = heteroRules.map { case (re, lim) =>
       (java.util.regex.Pattern.compile(re), lim) }
     val heteroLimit: Array[Double] =
@@ -431,9 +434,15 @@ object StochasticBalancer {
           needed = true),
         f("ReadRequestCostFunction", arrayCost(reads), weights.readSkew,
           needed = true),
+        f("MoveCostFunction",
+          scale(0, math.min(maxMoves, nRegions), moves.toDouble),
+          weights.move, needed = true),
         f("ServerLocalityCostFunction",
           if (useLoc) 1.0 - curLoc / bestLoc else 0.0, weights.locality,
           useLoc),
+        f("RackLocalityCostFunction",
+          if (useRack) 1.0 - curRack / bestRack else 0.0,
+          weights.rackLocality, useRack),
         f("WriteRequestCostFunction", arrayCost(writeRates),
           weights.writeRate, useWrite),
         f("MemStoreSizeCostFunction", arrayCost(memRates),
@@ -583,17 +592,22 @@ object StochasticBalancer {
     // sendRegionPlansToRingBuffer's record: the run's costs + steps +
     // "region/source/destination" plan strings (table prefixed when
     // the fixture carries one, matching the reference's format)
-    log.foreach(_.recordDecision(logTable,
-      initCost / sumMultiplier, currentCost / sumMultiplier,
-      step.toLong,
-      plans.map { p =>
-        val tab = regions.collectFirst {
-          case (r, _) if r.name == p.region && r.table.nonEmpty =>
-            s"table: ${r.table} , "
-        }.getOrElse("")
-        s"${tab}region: ${p.region} , source: ${p.source} , " +
-          s"destination: ${p.dest}"
-      }))
+    log.foreach { l =>
+      // one name→table map, not a regions scan per plan (a large
+      // cluster's run can carry thousands of plans)
+      val tableOf = regions.iterator.collect {
+        case (r, _) if r.table.nonEmpty => r.name -> r.table
+      }.toMap
+      l.recordDecision(logTable,
+        initCost / sumMultiplier, currentCost / sumMultiplier,
+        step.toLong,
+        plans.map { p =>
+          val tab = tableOf.get(p.region)
+            .map(t => s"table: $t , ").getOrElse("")
+          s"${tab}region: ${p.region} , source: ${p.source} , " +
+            s"destination: ${p.dest}"
+        })
+    }
     Some(Result(plans, initCost / sumMultiplier,
       currentCost / sumMultiplier, accepted))
   }

@@ -126,9 +126,19 @@ object Dedup {
     * rows the join itself must shuffle. `maxBucket <= 0` = uncapped
     * (declared-query semantics). */
   private[ext] def capTextBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
+    capBuckets(rows, maxBucket, "band", "sig")
+
+  /** The ONE windowed-count cap every banded self-join shares (text
+    * minhash band/sig, simhash seg/sv, embedding-LSH tbl/bucket,
+    * DedupIndex's index side): rows in buckets larger than `maxBucket`
+    * drop whole; `<= 0` = uncapped. Keyed on the JOIN's own columns so
+    * the count rides the exchange the join needs anyway. */
+  private[ext] def capBuckets(rows: DataFrame, maxBucket: Int,
+      keys: String*): DataFrame =
     if (maxBucket <= 0) rows
     else rows
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("__bn") <= maxBucket).drop("__bn")
 
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
@@ -420,13 +430,10 @@ object Dedup {
     * `maxBucket` drop whole; what a capped run loses is pairs whose
     * EVERY agreeing segment is hot — boilerplate clusters, not pairs.
     * `maxBucket <= 0` = uncapped (declared e03 semantics). One windowed
-    * count on the join's own (seg, sv) key — see [[capTextBuckets]] for
+    * count on the join's own (seg, sv) key — see [[capBuckets]] for
     * why not a census join-back. */
   private[ext] def capSimBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) rows
-    else rows
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("seg", "sv")))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    capBuckets(rows, maxBucket, "seg", "sv")
 
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 6,
       bits: Int = 32, maxBucket: Int = 0): DataFrame = {

@@ -260,16 +260,12 @@ object Similarity {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
       dim: Int = 64, tables: Int = 12, nbits: Int = 6,
       maxBucket: Int = 0): DataFrame = {
-    val bucketed0 = lshBucketed(emb, dim, tables, nbits)
     // one windowed count on the join's own (tbl, bucket) key — not a
     // census join-back, which would re-run the LSH projection a second
-    // time per capped run (see Dedup.capTextBuckets)
+    // time per capped run (the shared Dedup.capBuckets form)
     val bucketed =
-      if (maxBucket <= 0) bucketed0
-      else bucketed0
-        .withColumn("__bn",
-          count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-        .filter(col("__bn") <= maxBucket).drop("__bn")
+      Dedup.capBuckets(lshBucketed(emb, dim, tables, nbits), maxBucket,
+        "tbl", "bucket")
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"),

@@ -33,9 +33,18 @@ object WalRecovery {
     * into per-region recovered-edits PB files. One shuffle keyed by
     * region; each partition streams its regions' edits in seq order. */
   def splitWal(spark: SparkSession, entries: DataFrame,
-      recoveredDir: String): Unit =
+      recoveredDir: String): Unit = {
+    // the stale-temp sweep the in-task reclaim defers to: reap temps
+    // left by CRASHED prior runs (foreign pid/partitioning) before
+    // this recovery writes its own. The sweep lives on the RECOVERY
+    // path only — crash leftovers can only exist after a crash, and a
+    // recursive root listing per hot-path batch (dualWrite runs
+    // writeRegionLogs per micro-batch) would be unbounded metadata
+    // latency hunting for files that are not there.
+    reapStaleTemps(spark.sparkContext.hadoopConfiguration, recoveredDir)
     writeRegionLogs(spark, entries, Seq(recoveredDir),
       region => s"$region/recovered.edits")
+  }
 
   /** The shared per-region PB log writer — WALSplitter's
     * OutputSink-per-region shape, also the DualAsyncFSWAL dual-write
@@ -56,11 +65,6 @@ object WalRecovery {
       entries: DataFrame, roots: Seq[String],
       subdir: String => String): Unit = {
     require(roots.nonEmpty, "need at least one output root")
-    // the stale-temp sweep the in-task reclaim defers to: reap temps
-    // left by CRASHED prior runs (different pid/partitioning) before
-    // this run writes its own
-    roots.foreach(r =>
-      reapStaleTemps(spark.sparkContext.hadoopConfiguration, r))
     val bconf = ShippedConf.broadcast(spark)
     entries
       .repartition(col("wal_region"))
@@ -160,7 +164,7 @@ object WalRecovery {
           // actively writing; deleting its temp mid-write would turn
           // its clean late-commit failure into a confusing missing-file
           // crash — leave it to reap itself or to [[reapStaleTemps]],
-          // the age-gated sweep each writeRegionLogs run opens with)
+          // the age-gated sweep the recovery path opens with)
           fss.lazyZip(dirs).foreach { (fs, d) =>
             Option(fs.globStatus(new Path(d, s".temp-$pid-*-$region")))
               .getOrElse(Array.empty)
@@ -187,15 +191,21 @@ object WalRecovery {
     * CRASHED run whose pid/partitioning no longer matches any live
     * writer (the in-task reclaim in [[writeRegionLogs]] only covers
     * same-pid lower-attempt temps of the current run). Age-gated: only
-    * temps older than `olderThanMs` go — a live speculative attempt's
-    * temp is seconds old, and deleting it mid-write would turn its
-    * clean late-commit failure into a missing-file crash. Readers glob
-    * `*.pwal`, so the leak this closes is disk-only. Runs at the start
-    * of every [[writeRegionLogs]] (the recovery/region-log write
-    * sweep); the listing is metadata-only and recursive. Returns the
-    * deleted paths, sorted. */
+    * temps older than `olderThanMs` (default 30 min) go — a live
+    * speculative attempt's temp is seconds old, and deleting it
+    * mid-write would turn its clean late-commit failure into a
+    * missing-file crash. CAVEAT: on filesystems that stamp mtime at
+    * create and only refresh it on close (HDFS), a straggler streaming
+    * one temp for longer than the threshold looks stale — size the
+    * threshold above the worst credible task runtime, or run the sweep
+    * only when no writer can be live. That is why the sweep runs on
+    * the RECOVERY path ([[splitWal]]) rather than before every
+    * region-log write: recovery follows a crash, when the leftover
+    * temps are by definition ownerless. Readers glob `*.pwal`, so the
+    * leak this closes is disk-only. Returns the deleted paths,
+    * sorted. */
   def reapStaleTemps(conf: org.apache.hadoop.conf.Configuration,
-      root: String, olderThanMs: Long = 15 * 60 * 1000L): Seq[String] = {
+      root: String, olderThanMs: Long = 30 * 60 * 1000L): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil

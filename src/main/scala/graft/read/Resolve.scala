@@ -140,8 +140,12 @@ object Resolve {
     val target = BigInt(conf.filesMaxPartitionBytes) / 2
     if (size <= 0 || target <= 0 || size >= BigInt(Long.MaxValue) / 4) None
     else {
-      val n = ((size + target - 1) / target).toInt
-      if (n > conf.numShufflePartitions) Some(math.min(n, 4096)) else None
+      // clamp in BigInt BEFORE toInt: a huge-but-plausible estimate
+      // (~1e17 bytes clears the guard above) would otherwise overflow
+      // Int and silently disable the hedge on exactly the inputs that
+      // need it
+      val n = ((size + target - 1) / target).min(4096).toInt
+      if (n > conf.numShufflePartitions) Some(n) else None
     }
   }
 

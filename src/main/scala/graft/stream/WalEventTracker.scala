@@ -63,7 +63,11 @@ object WalEventTracker {
 
   /** Accessor twin: land events in the durable tracker table —
     * idempotent per row key (a replayed flush overwrites, never
-    * duplicates: addWalEventTrackerRows' Puts key by rowKey). */
+    * duplicates: addWalEventTrackerRows' Puts key by rowKey). Each
+    * flush stamps a monotone `flush_seq` so [[read]] can resolve
+    * newest-wins when a re-flushed key carries a CHANGED payload (a
+    * re-landed segment with a different final length) — ingestion
+    * metadata only, never part of the queryable row. */
   def append(spark: SparkSession, tableDir: String,
       events: Seq[WalEvent]): Unit = {
     import spark.implicits._
@@ -71,15 +75,21 @@ object WalEventTracker {
     events.toDF()
       .withColumn("row_key",
         concat_ws("_", col("wal_name"), col("timestamp"), col("wal_state")))
+      .withColumn("flush_seq", lit(System.nanoTime()))
       .write.mode(SaveMode.Append).parquet(tableDir)
   }
 
-  /** The queryable table: newest write per row key wins (Put
-    * overwrite semantics — later appends shadow earlier ones via the
-    * file-order max of a per-key monotone marker is unnecessary here
-    * because identical keys carry identical payloads by construction;
-    * a plain key-dedup suffices and keeps the read one exchange). */
-  def read(spark: SparkSession, tableDir: String): DataFrame =
+  /** The queryable table: NEWEST write per row key wins — the
+    * reference's Put overwrite resolved by the flush stamp (a plain
+    * key-dedup would keep an arbitrary file's copy when a replayed
+    * flush changed a payload). One window on the key; the table is
+    * event-log-sized, never data-sized. */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("row_key").orderBy(col("flush_seq").desc)
     spark.read.parquet(tableDir)
-      .dropDuplicates("row_key")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "flush_seq")
+  }
 }
