@@ -36,7 +36,14 @@ import scala.util.Random
   * Candidate generators: LOAD (a region off the most-loaded server to
   * the least-loaded — LoadCandidateGenerator) and RANDOM (uniform
   * region to a uniform other server — RandomCandidateGenerator),
-  * picked uniformly. The RNG is INJECTED (seed parameter): the
+  * picked uniformly. The twin's action space is single MOVES: the
+  * reference's generators may also propose region SWAPS
+  * (SwapRegionsAction) when both picked servers hold regions — a swap
+  * is two moves, every converged invariant is move-reachable, and the
+  * seeded path is pinned by spec either way (documented divergence;
+  * the conditional-repair generators SlopFixingCandidateGenerator /
+  * TableIsolationCandidateGenerator are likewise subsumed by graft's
+  * mover/RSGroups homing jobs, per SURVEY Q128). The RNG is INJECTED (seed parameter): the
   * reference's walk is wall-clock-bounded and ThreadLocalRandom-fed;
   * an engine twin must replay, so time bounds are step bounds and the
   * seed pins the path. Locality/rack costs (ServerLocalityCostFunction
