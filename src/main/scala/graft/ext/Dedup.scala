@@ -133,7 +133,7 @@ object Dedup {
     * DedupIndex's index side): rows in buckets larger than `maxBucket`
     * drop whole; `<= 0` = uncapped. Keyed on the JOIN's own columns so
     * the count rides the exchange the join needs anyway. */
-  private[ext] def capBuckets(rows: DataFrame, maxBucket: Int,
+  private[graft] def capBuckets(rows: DataFrame, maxBucket: Int,
       keys: String*): DataFrame =
     if (maxBucket <= 0) rows
     else rows

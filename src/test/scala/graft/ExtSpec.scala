@@ -27,6 +27,31 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Long]("dups") === 10L)
   }
 
+  test("capBuckets windowed form ≡ the census-join-back on random frames") {
+    // the r16 advisor fix swapped the groupBy census joined back over
+    // a recomputed pipeline for ONE windowed count — pin exact row-set
+    // parity of the two forms on seeded random bucket populations
+    // (hot buckets, singletons, empties) across cap values
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234L)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(7), s"sig${rnd.nextInt(9)}", s"payload$i")
+    }.toDF("band", "sig", "payload")
+    for (cap <- Seq(0, 1, 3, 10, 1000)) {
+      val windowed = Dedup.capBuckets(rows, cap, "band", "sig")
+      val census = rows.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= math.max(cap, 0))
+        .select("band", "sig")
+      val joined =
+        if (cap <= 0) rows else rows.join(census, Seq("band", "sig"))
+      assert(windowed.exceptAll(joined.select(windowed.columns.map(col): _*))
+          .isEmpty &&
+        joined.select(windowed.columns.map(col): _*).exceptAll(windowed)
+          .isEmpty,
+        s"cap $cap diverged between the windowed and census forms")
+    }
+  }
+
   test("hot-bucket cap drops degenerate buckets, keeps true dup pairs") {
     import spark.implicits._
     // 40 docs: ids 0..19 share one payload pairwise (2k, 2k+1 — true
