@@ -114,4 +114,42 @@ class ResolveSpec extends SparkSpec {
     assert(out("u1") == 8.0) // 5 (first attempt of (1,10)) + 3 ((2,10))
     assert(out("u2") == 2.0) // both untracked rows applied
   }
+
+  test("spill hedge: sized exchange fires only past the threshold, plan keeps ONE exchange") {
+    // small frames: estimate under the threshold -> None, plan unchanged
+    val tiny = cells(put("r1", "q", 1L, "v"))
+    assert(Resolve.sizedShufflePartitions(tiny).isEmpty)
+    // shrink the scan target so a modest cached frame trips the hedge,
+    // then pin: parts sized off the estimate AND the physical plan of
+    // the version-gate window still carries EXACTLY one shuffle (the
+    // explicit repartition satisfies the window's distribution — the
+    // hedge must never add a second exchange)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val big = (0 until 3000).map(i =>
+        GCell(f"r$i%05d", "d", "q", 1L, CellType.Put, "v" * 16)).toDF()
+        .cache()
+      big.count() // materialize: InMemoryRelation stats = real bytes
+      val parts = Resolve.sizedShufflePartitions(big)
+      assert(parts.exists(_ > spark.conf
+          .get("spark.sql.shuffle.partitions").toInt),
+        s"hedge must fire past the threshold, got $parts")
+      val plan = Resolve.latest(big).queryExecution.executedPlan.toString
+      // the version-gate window must consume the SIZED repartition
+      // directly: exactly one REPARTITION_BY_NUM exchange carrying the
+      // sized count, and no planner-inserted (ENSURE_REQUIREMENTS)
+      // exchange between the Window and it — the hedge resizes the
+      // operator's one exchange, never adds a second (the mask side's
+      // own tiny aggregate exchanges are untouched and out of scope)
+      assert(plan.contains(s", ${parts.get}), REPARTITION_BY_NUM"),
+        s"sized repartition missing:\n$plan")
+      val widx = plan.indexOf("Window [")
+      val ridx = plan.indexOf("REPARTITION_BY_NUM")
+      assert(widx >= 0 && ridx > widx &&
+        !plan.substring(widx, ridx).contains("ENSURE_REQUIREMENTS"),
+        s"the window re-exchanged instead of reusing the hedge:\n$plan")
+      big.unpersist()
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
