@@ -1246,8 +1246,15 @@ object GAdmin {
           f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         f.name
     }.toSeq
-    census.groupBy(key.as(keyName))
-      .agg(countDistinct(col("table"), col("region")).as("region_count"),
+    // two explicit aggregates — stores→region, then region→mode key —
+    // instead of one countDistinct (whose expand plan costs two more
+    // exchanges per rollup): region_count is the region-level row
+    // count, every metric sums through both levels identically
+    val perRegion = census
+      .groupBy(key.as(keyName), col("table"), col("region"))
+      .agg(lit(1).as("__one"), metrics.map(c => sum(col(c)).as(c)): _*)
+    perRegion.groupBy(col(keyName))
+      .agg(count(lit(1)).as("region_count"),
         metrics.map(c => sum(col(c)).as(c)): _*)
   }
 
