@@ -58,11 +58,19 @@ object StochasticBalancer {
     * writeRequestsCount / memStoreSizeMB / cpRequestsCount
     * (BalancerRegionLoad's deque; graft feeds them from the q120
     * two-census metricsRate view). `table` feeds the per-table skew
-    * costs; empty = table skew not in play. */
+    * costs; empty = table skew not in play. `primary` names the
+    * primary region this one is a READ REPLICA of (empty = this
+    * region IS a primary) — the twin of RegionInfo.getReplicaId > 0,
+    * where the reference groups replicas by ReplicaKey (table + start/
+    * stop key, replicas/ReplicaKey.java:28-43); graft's regions are
+    * name-keyed, so the primary's NAME is the group key. Any region
+    * with a non-empty `primary` turns the replica cost functions,
+    * generators and needs-balance override on (BalancerClusterState
+    * .hasRegionReplicas). */
   final case class RegionLoad(name: String, sizeBytes: Long = 0L,
       reads: Long = 0L, writesWindow: Seq[Long] = Nil,
       memstoreMBWindow: Seq[Double] = Nil, table: String = "",
-      cpWindow: Seq[Long] = Nil)
+      cpWindow: Seq[Long] = Nil, primary: String = "")
 
   /** `locality`/`rackLocality` are the reference's default multipliers
     * (ServerLocalityCostFunction 25, RackLocalityCostFunction 15 —
@@ -76,14 +84,24 @@ object StochasticBalancer {
     * DEFAULT_CACHE_COST); `heterogeneous` is
     * HeterogeneousRegionCountCostFunction 500
     * (HeterogeneousRegionCountCostFunction.java:81 — the reference
-    * warns regionCount should be 0 when it steers). */
+    * warns regionCount should be 0 when it steers). `primaryCount` is
+    * PrimaryRegionCountSkewCostFunction 500 (PrimaryRegionCountSkew
+    * CostFunction.java:32 — "primary regions serve majority of
+    * reads/writes"); `replicaHost`/`replicaRack` are
+    * RegionReplicaHostCostFunction 100000 / RegionReplicaRack
+    * CostFunction 10000 (RegionReplicaHostCostFunction.java:35,
+    * RegionReplicaRackCostFunction.java:34) — deliberately dominant:
+    * co-hosted replicas defeat the point of replication, so their
+    * cost towers over every skew term. All three ride isNeeded =
+    * hasRegionReplicas: replica-less walks never see them. */
   final case class Weights(regionCount: Double = 500.0,
       sizeSkew: Double = 5.0, readSkew: Double = 5.0, move: Double = 7.0,
       locality: Double = 25.0, rackLocality: Double = 15.0,
       writeRate: Double = 5.0, memstoreRate: Double = 5.0,
       tableSkew: Double = 35.0, cpRate: Double = 5.0,
       storeFileTableSkew: Double = 35.0, cache: Double = 20.0,
-      heterogeneous: Double = 500.0)
+      heterogeneous: Double = 500.0, primaryCount: Double = 500.0,
+      replicaHost: Double = 100000.0, replicaRack: Double = 10000.0)
 
   /** CostFromRegionLoadAsRateFunction.getRegionLoadCost — the
     * sliding-window RATE of a per-region counter: the mean of
@@ -204,7 +222,33 @@ object StochasticBalancer {
     * when supplied, a refused run records WHY (the needs-balance
     * reason + active cost functions) and a computed run records the
     * decision (costs, steps, plans — chunked at 15 per entry). None =
-    * no recording, walks unchanged. */
+    * no recording, walks unchanged.
+    *
+    * Region replicas (any RegionLoad with a non-empty `primary`) turn
+    * three things on, mirroring BalancerClusterState.hasRegionReplicas:
+    * (a) the PrimaryRegionCountSkew / RegionReplicaHost /
+    * RegionReplicaRack cost functions (the rack one only with >1 rack
+    * declared, RegionReplicaRackCostFunction.loadCosts); (b) the
+    * replica candidate generators (RegionReplicaCandidateGenerator /
+    * RegionReplicaRackCandidateGenerator — move a co-located SECONDARY
+    * off its group, falling back rack→server→random exactly like the
+    * reference's generate chain); (c) the needs-balance override —
+    * a cluster with ANY same-group co-location balances even under
+    * `minCostNeedBalance` (StochasticLoadBalancer
+    * .areSomeRegionReplicasColocatedOnHost/OnRack:362-399, gated on
+    * servers/racks >= maxReplicas like the reference).
+    *
+    * `distributeReplicas` is the DistributeReplicasConditional
+    * (DistributeReplicasConditional.java:36-93): a hard VETO — no move
+    * may land a region on a server (or, when racks are declared and
+    * numRacks >= maxReplicas, a rack) already hosting another replica
+    * of its group. Like the reference (BalancerConditionals
+    * .isReplicaDistributionEnabled), enabling it swaps the stochastic
+    * replica generators for the conditional's own repair generator
+    * (DistributeReplicasCandidateGenerator.java:45-92: find a
+    * co-located group, move its secondary to a veto-passing server)
+    * and drops the needs-balance override (the repair generator runs
+    * regardless of the gate). */
   def balanceTable(assignment: Map[String, Seq[RegionLoad]],
       weights: Weights = Weights(), maxSteps: Int = 20000,
       minCostNeedBalance: Double = 0.025, seed: Long = 42L,
@@ -216,7 +260,8 @@ object StochasticBalancer {
       heteroRules: Seq[(String, Int)] = Nil,
       heteroDefault: Int = 200,
       log: Option[BalancerLog] = None,
-      logTable: String = "")
+      logTable: String = "",
+      distributeReplicas: Boolean = false)
       : Option[Result] = {
     val servers = assignment.keys.toArray.sorted
     val nServers = servers.length
@@ -329,10 +374,82 @@ object StochasticBalancer {
     regions.zipWithIndex.foreach { case ((_, si), i) =>
       if (isoFlag(i)) isoCounts(si) += 1
     }
-    def violates(ri: Int, dest: Int): Boolean =
+    def isoViolates(ri: Int, dest: Int): Boolean =
       if (isolated.isEmpty) false
       else if (isoFlag(ri)) isoCounts(dest) < counts(dest).toInt
       else isoCounts(dest) > 0
+
+    // region-replica state: regions group by their primary's name (the
+    // ReplicaKey twin — replicas/ReplicaKey.java keys on table+start/
+    // stop, i.e. the primary's identity; graft regions are name-keyed).
+    // Per-group sizes give maxCost = every group fully co-hosted
+    // (RegionReplicaGroupingCostFunction.getMaxCost); per-server and
+    // per-rack co-location counts give the live cost, maintained with
+    // O(1) deltas per move (the reference recomputes the two affected
+    // groups — regionMoved; the (c-1)^2 form makes the delta exact).
+    val hasReplicas = regions.exists(_._1.primary.nonEmpty)
+    val primKey = regions.map { case (r, _) =>
+      if (r.primary.nonEmpty) r.primary else r.name }
+    val groupIds = primKey.distinct.zipWithIndex.toMap
+    val primOf: Array[Int] = primKey.map(groupIds)
+    val groupSize = new Array[Int](groupIds.size)
+    primOf.foreach(g => groupSize(g) += 1)
+    val maxReplicas = if (hasReplicas) groupSize.max else 1
+    def sqColoc(c: Int): Long = if (c > 1) (c - 1L) * (c - 1L) else 0L
+    val repMaxCost: Long = groupSize.map(sqColoc).sum
+    val isPrimary = regions.map(_._1.primary.isEmpty)
+    val primCounts = new Array[Double](nServers)
+    regions.zipWithIndex.foreach { case ((_, si), i) =>
+      if (isPrimary(i)) primCounts(si) += 1
+    }
+    // per-server group->count maps + the running (c-1)^2 totals
+    val colocSrv = Array.fill(nServers)(
+      collection.mutable.Map.empty[Int, Int])
+    regions.zipWithIndex.foreach { case ((_, si), i) =>
+      val m = colocSrv(si); m(primOf(i)) = m.getOrElse(primOf(i), 0) + 1
+    }
+    var curRepHost: Long =
+      colocSrv.iterator.map(_.valuesIterator.map(sqColoc).sum).sum
+    val rackNames = serverRack.values.toSeq.distinct.sorted
+    val rackIdx = rackNames.zipWithIndex.toMap
+    val nRacks = rackNames.length
+    val srvRack: Array[Int] =
+      if (nRacks == 0) Array.empty
+      else servers.map(s => rackIdx(serverRack.getOrElse(s,
+        throw new IllegalArgumentException(
+          s"replica rack accounting needs a rack for every server: $s"))))
+    val useRepRack = hasReplicas && nRacks > 1 && repMaxCost > 0
+    val colocRack =
+      if (!useRepRack && !(distributeReplicas && nRacks > 1))
+        Array.empty[collection.mutable.Map[Int, Int]]
+      else Array.fill(nRacks)(collection.mutable.Map.empty[Int, Int])
+    if (colocRack.nonEmpty) regions.zipWithIndex.foreach { case ((_, si), i) =>
+      val m = colocRack(srvRack(si))
+      m(primOf(i)) = m.getOrElse(primOf(i), 0) + 1
+    }
+    var curRepRack: Long =
+      if (colocRack.isEmpty) 0L
+      else colocRack.iterator.map(_.valuesIterator.map(sqColoc).sum).sum
+    // host cost needs >1 host (RegionReplicaHostCostFunction.loadCosts:
+    // numHosts > 1; graft's servers ARE its hosts — one process per
+    // server name, documented in SURVEY §2.10)
+    val useRepHost = hasReplicas && nServers > 1 && repMaxCost > 0
+    val usePrimCount = hasReplicas
+
+    // DistributeReplicasConditional.checkViolation: the destination
+    // group (server always; rack when racks are declared AND can hold
+    // one replica each — the generator's own numRacks guard,
+    // DistributeReplicasCandidateGenerator.java:52-55) must not already
+    // hold a replica of the moving region's group
+    def repViolates(ri: Int, dest: Int): Boolean =
+      distributeReplicas && (
+        colocSrv(dest).getOrElse(primOf(ri), 0) > 0 ||
+          (colocRack.nonEmpty && nRacks >= maxReplicas &&
+            srvRack(dest) != srvRack(loc(ri)) &&
+            colocRack(srvRack(dest)).getOrElse(primOf(ri), 0) > 0))
+
+    def violates(ri: Int, dest: Int): Boolean =
+      isoViolates(ri, dest) || repViolates(ri, dest)
 
     // locality state: current sum is maintained incrementally on each
     // (applied or undone) move; best is fixed — Σ per-region max
@@ -406,7 +523,10 @@ object StochasticBalancer {
         (if (useTable) weights.tableSkew else 0.0) +
         (if (useStoreSkew) weights.storeFileTableSkew else 0.0) +
         (if (useCache) weights.cache else 0.0) +
-        (if (useHetero) weights.heterogeneous else 0.0)
+        (if (useHetero) weights.heterogeneous else 0.0) +
+        (if (usePrimCount) weights.primaryCount else 0.0) +
+        (if (useRepHost) weights.replicaHost else 0.0) +
+        (if (useRepRack) weights.replicaRack else 0.0)
 
     def cost(): Double =
       weights.regionCount * arrayCost(counts) +
@@ -427,7 +547,13 @@ object StochasticBalancer {
          else 0.0) +
         (if (useCache)
           weights.cache * scale(0, 1, 1.0 - curCache / bestCache) else 0.0) +
-        (if (useHetero) weights.heterogeneous * heteroCost() else 0.0)
+        (if (useHetero) weights.heterogeneous * heteroCost() else 0.0) +
+        (if (usePrimCount) weights.primaryCount * arrayCost(primCounts)
+         else 0.0) +
+        (if (useRepHost) weights.replicaHost *
+          scale(0, repMaxCost.toDouble, curRepHost.toDouble) else 0.0) +
+        (if (useRepRack) weights.replicaRack *
+          scale(0, repMaxCost.toDouble, curRepRack.toDouble) else 0.0)
 
     var currentCost = cost()
     val initCost = currentCost
@@ -468,10 +594,46 @@ object StochasticBalancer {
           useCache),
         f("HeterogeneousRegionCountCostFunction",
           if (useHetero) heteroCost() else 0.0, weights.heterogeneous,
-          useHetero)
+          useHetero),
+        f("PrimaryRegionCountSkewCostFunction", arrayCost(primCounts),
+          weights.primaryCount, usePrimCount),
+        f("RegionReplicaHostCostFunction",
+          if (useRepHost)
+            scale(0, repMaxCost.toDouble, curRepHost.toDouble)
+          else 0.0, weights.replicaHost, useRepHost),
+        f("RegionReplicaRackCostFunction",
+          if (useRepRack)
+            scale(0, repMaxCost.toDouble, curRepRack.toDouble)
+          else 0.0, weights.replicaRack, useRepRack)
       ).flatten
     }
-    if (initCost / sumMultiplier < minCostNeedBalance) {
+    // needsBalance's replica-colocation override (StochasticLoad
+    // Balancer.areSomeRegionReplicasColocatedOnHost/OnRack:362-399):
+    // any same-group co-location on a server (when servers can hold
+    // one replica each) or rack forces a run past the cost gate —
+    // UNLESS the conditional owns distribution (its repair generator
+    // runs regardless; the reference skips the check then too)
+    val colocForcesRun = hasReplicas && !distributeReplicas &&
+      ((nServers >= maxReplicas && useRepHost && curRepHost > 0) ||
+        (useRepRack && nRacks >= maxReplicas && curRepRack > 0))
+    // needsBalance's idle/sloppy triggers (BaseLoadBalancer
+    // .idleRegionServerExist:133-144 / sloppyRegionServerExist:147-169,
+    // slop default 0.2): an empty server while another holds >1, or a
+    // count outside average*(1±slop), runs the balancer past the cost
+    // gate — the reference's counterweight to the huge replica
+    // multipliers diluting the normalized total. The sloppy check is
+    // skipped under table isolation (StochasticLoadBalancer
+    // .needsBalance:444-447 — isolation makes count piles deliberate).
+    val idleForcesRun =
+      counts.exists(_ > 1.0) && counts.exists(_ == 0.0)
+    val sloppyForcesRun = isolated.isEmpty && {
+      val slop = 0.2
+      val avg = nRegions.toDouble / nServers
+      counts.max.toInt > math.ceil(avg * (1 + slop)).toInt ||
+        counts.min.toInt < math.floor(avg * (1 - slop)).toInt
+    }
+    if (initCost / sumMultiplier < minCostNeedBalance &&
+      !colocForcesRun && !idleForcesRun && !sloppyForcesRun) {
       // getBalanceReason's under-threshold branch, recorded like
       // sendRejectionReasonToRingBuffer(reason, costFunctions)
       log.foreach(_.recordRejection(logTable,
@@ -492,11 +654,49 @@ object StochasticBalancer {
       // generator set is EXACTLY the CacheAware pair — the reference's
       // createCandidateGenerators REPLACES the base set (no random
       // generator, so a well-cached region is never even proposed);
-      // without one the LOAD/RANDOM pick — and its rnd stream — is
+      // with replicas it GAINS the replica pair (createCandidate
+      // Generators:238-246), or the conditional's repair generator
+      // when distribution is conditional-owned (:232-237); without
+      // either the LOAD/RANDOM pick — and its rnd stream — is
       // bit-identical to before (isNeeded parity).
       val gen =
         if (useCache) { if (rnd.nextBoolean()) 0 else 2 }
+        else if (hasReplicas && !distributeReplicas)
+          rnd.nextInt(4) match { case 0 => 0; case 1 => 1; case 2 => 3
+            case _ => 4 }
+        else if (hasReplicas && distributeReplicas)
+          rnd.nextInt(3) match { case 0 => 0; case 1 => 1; case _ => 5 }
         else if (rnd.nextBoolean()) 0 else 1
+      // RandomCandidateGenerator — also the fallback the replica
+      // generators chain to when they find no co-location
+      def randomPick(): (Int, Int) = {
+        val r = rnd.nextInt(nRegions)
+        val dest = rnd.nextInt(nServers)
+        if (dest == loc(r)) (-1, -1) else (r, dest)
+      }
+      def otherServer(si: Int): Int = {
+        val d = rnd.nextInt(nServers - 1); if (d >= si) d + 1 else d
+      }
+      // RegionReplicaCandidateGenerator.selectCoHostedRegionPerGroup:
+      // uniformly pick one co-located group in this server/rack, then
+      // move its first SECONDARY (never the primary — the reference's
+      // selectedPrimaryIndex != regionIndex guard)
+      def selectCoHosted(members: IndexedSeq[Int],
+          coloc: collection.mutable.Map[Int, Int]): Int = {
+        val colocated = coloc.iterator.collect {
+          case (g, c) if c > 1 => g }.toArray.sorted
+        if (colocated.isEmpty) -1
+        else {
+          val g = colocated(rnd.nextInt(colocated.length))
+          members.find(i => primOf(i) == g && !isPrimary(i)).getOrElse(-1)
+        }
+      }
+      def replicaServerPick(): (Int, Int) = {
+        val si = rnd.nextInt(nServers)
+        val ri = selectCoHosted(
+          regions.indices.filter(loc(_) == si), colocSrv(si))
+        if (ri == -1) randomPick() else (ri, otherServer(si))
+      }
       val (ri, to) =
         if (gen == 0) {
           // LOAD generator: most-loaded server → least-loaded. Under a
@@ -513,9 +713,55 @@ object StochasticBalancer {
           else (cand(rnd.nextInt(cand.length)), dest)
         } else if (gen == 1) {
           // RANDOM generator: uniform region → uniform other server
-          val r = rnd.nextInt(nRegions)
-          val dest = rnd.nextInt(nServers)
-          if (dest == loc(r)) (-1, -1) else (r, dest)
+          randomPick()
+        } else if (gen == 3) {
+          // RegionReplicaCandidateGenerator.generate: random server →
+          // co-hosted secondary → random other server (the reference's
+          // possible swap partner is graft's moves-only divergence)
+          replicaServerPick()
+        } else if (gen == 4) {
+          // RegionReplicaRackCandidateGenerator.generate: random rack →
+          // co-racked secondary → random server of another rack;
+          // <=1 rack falls back to the server variant (super.generate)
+          if (nRacks <= 1) replicaServerPick()
+          else {
+            val rk = rnd.nextInt(nRacks)
+            val ri = selectCoHosted(
+              regions.indices.filter(i => srvRack(loc(i)) == rk),
+              colocRack(rk))
+            if (ri == -1) randomPick()
+            else {
+              val d = rnd.nextInt(nRacks - 1)
+              val toRack = if (d >= rk) d + 1 else d
+              val srvs = servers.indices.filter(srvRack(_) == toRack)
+              (ri, srvs(rnd.nextInt(srvs.length)))
+            }
+          }
+        } else if (gen == 5) {
+          // DistributeReplicasCandidateGenerator.generateCandidate
+          // (single-move form of the reference's 100k batch — graft's
+          // walk is one action per step): scan servers from a random
+          // offset for a co-located group, move its secondary to the
+          // first veto-passing server in a random-offset dest scan
+          var found = (-1, -1)
+          val start = rnd.nextInt(nServers)
+          var k = 0
+          while (k < nServers && found._1 == -1) {
+            val si = (start + k) % nServers
+            val ri = selectCoHosted(
+              regions.indices.filter(loc(_) == si), colocSrv(si))
+            if (ri != -1) {
+              val dstart = rnd.nextInt(nServers)
+              var j = 0
+              while (j < nServers && found._1 == -1) {
+                val d = (dstart + j) % nServers
+                if (d != si && !violates(ri, d)) found = (ri, d)
+                j += 1
+              }
+            }
+            k += 1
+          }
+          found
         } else {
           // CacheAwareCandidateGenerator: move a poorly-cached region
           // to its best-cached server, under moveRegionToOldServer's
@@ -576,6 +822,33 @@ object StochasticBalancer {
             cacheW(ri) * (cacheOf(rl.name, servers(dst)) -
               cacheOf(rl.name, servers(src)))
           if (isoFlag(ri)) { isoCounts(src) -= 1; isoCounts(dst) += 1 }
+          // maps also feed the veto, so maintain them whenever either
+          // consumer is live (a conditional-on, replica-less walk must
+          // not read stale co-location)
+          if (hasReplicas || distributeReplicas) {
+            if (usePrimCount && isPrimary(ri)) {
+              primCounts(src) -= 1; primCounts(dst) += 1
+            }
+            // the two affected groups' (c-1)^2 deltas — the O(1) form
+            // of RegionReplicaGroupingCostFunction.regionMoved
+            val g = primOf(ri)
+            val ms = colocSrv(src); val md = colocSrv(dst)
+            val cs = ms(g)
+            if (cs == 1) ms.remove(g) else ms(g) = cs - 1
+            val cd = md.getOrElse(g, 0); md(g) = cd + 1
+            if (useRepHost) curRepHost +=
+              sqColoc(cd + 1) - sqColoc(cd) + sqColoc(cs - 1) - sqColoc(cs)
+            if (colocRack.nonEmpty && srvRack(src) != srvRack(dst)) {
+              val mrs = colocRack(srvRack(src))
+              val mrd = colocRack(srvRack(dst))
+              val crs = mrs(g)
+              if (crs == 1) mrs.remove(g) else mrs(g) = crs - 1
+              val crd = mrd.getOrElse(g, 0); mrd(g) = crd + 1
+              if (useRepRack) curRepRack +=
+                sqColoc(crd + 1) - sqColoc(crd) +
+                  sqColoc(crs - 1) - sqColoc(crs)
+            }
+          }
           moves += d; loc(ri) = dst
         }
         apply(from, to, +1)

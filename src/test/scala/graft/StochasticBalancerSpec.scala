@@ -379,6 +379,151 @@ class StochasticBalancerSpec extends AnyFunSuite {
       base.finalCost == off.finalCost)
   }
 
+  private def placement(a: Map[String, Seq[RegionLoad]],
+      plans: Seq[graft.admin.Balancer.RegionPlan])
+      : Map[String, String] = {
+    val placed = collection.mutable.Map(
+      a.toSeq.flatMap { case (sv, rs) => rs.map(_.name -> sv) }: _*)
+    plans.foreach(p => placed(p.region) = p.dest)
+    placed.toMap
+  }
+
+  test("co-hosted replicas separate even past the cost gate (needs-balance override)") {
+    // four groups, each primary+secondary co-hosted on its own server:
+    // counts are (2,2,2,2) — perfectly balanced, so WITHOUT the
+    // replica-colocation override (areSomeRegionReplicasColocatedOnHost)
+    // the walk would be refused at the minCostNeedBalance gate; with it
+    // the RegionReplicaHostCostFunction must drive every group apart
+    val a = (0 until 4).map { si =>
+      s"s$si" -> Seq(RegionLoad(s"g$si-p"),
+        RegionLoad(s"g$si-r1", primary = s"g$si-p"))
+    }.toMap
+    val r = StochasticBalancer.balanceTable(a).get
+    val placed = placement(a, r.plans)
+    (0 until 4).foreach { g =>
+      assert(placed(s"g$g-p") != placed(s"g$g-r1"),
+        s"group g$g still co-hosted: $placed")
+    }
+    assert(r.finalCost < r.initCost)
+  }
+
+  test("rack replica cost separates replicas across racks") {
+    // two racks of two servers; each group's replicas on DIFFERENT
+    // servers of the SAME rack — the host cost is already zero, only
+    // RegionReplicaRackCostFunction sees the co-racking
+    val a = Map(
+      "s0" -> Seq(RegionLoad("ga-p"), RegionLoad("gb-p")),
+      "s1" -> Seq(RegionLoad("ga-r1", primary = "ga-p"),
+        RegionLoad("gb-r1", primary = "gb-p")),
+      "s2" -> Seq(RegionLoad("pad0"), RegionLoad("pad1")),
+      "s3" -> Seq(RegionLoad("pad2"), RegionLoad("pad3")))
+    val racks = Map("s0" -> "ra", "s1" -> "ra", "s2" -> "rb", "s3" -> "rb")
+    val r = StochasticBalancer.balanceTable(a, serverRack = racks).get
+    val placed = placement(a, r.plans)
+    for (g <- Seq("ga", "gb"))
+      assert(racks(placed(s"$g-p")) != racks(placed(s"$g-r1")),
+        s"group $g still co-racked: $placed")
+    // and never re-co-hosted while fixing the rack
+    for (g <- Seq("ga", "gb"))
+      assert(placed(s"$g-p") != placed(s"$g-r1"))
+  }
+
+  test("primary-count skew balances PRIMARIES when totals are already even") {
+    // counts (4,4) balanced; s0 piles four primaries, s1 holds two
+    // secondaries + two replica-less regions — only
+    // PrimaryRegionCountSkewCostFunction sees the pile. g2/g3 have no
+    // secondary on s1, so their primaries can rebalance WITHOUT ever
+    // co-hosting a group (g0/g1 are pinned by the dominant replicaHost
+    // — un-pinning them would need the reference's SwapRegionsAction,
+    // graft's documented moves-only divergence)
+    val a = Map(
+      "s0" -> (0 until 4).map(i => RegionLoad(s"g$i-p")),
+      "s1" -> Seq(RegionLoad("g0-r1", primary = "g0-p"),
+        RegionLoad("g1-r1", primary = "g1-p"),
+        RegionLoad("f0"), RegionLoad("f1")))
+    // the replica multipliers (100000/10000) dilute the normalized
+    // total exactly like the reference's — a pure primary pile (no
+    // co-location, no idle/sloppy counts) sits under the default gate
+    // there too, so tune minCostNeedBalance down like an operator would
+    val r = StochasticBalancer.balanceTable(a,
+      weights = Weights(regionCount = 0, sizeSkew = 0, readSkew = 0,
+        move = 7, primaryCount = 500),
+      minCostNeedBalance = 0.001).get
+    val placed = placement(a, r.plans)
+    val prims = (0 until 4).map(i => s"g$i-p") ++ Seq("f0", "f1")
+    val primsPerSrv = Seq("s0", "s1").map(sv =>
+      prims.count(placed(_) == sv))
+    assert(primsPerSrv.sorted == Seq(3, 3),
+      s"primaries not balanced: $placed")
+    Seq(0, 1).foreach(i =>
+      assert(placed(s"g$i-p") != placed(s"g$i-r1"),
+        s"g$i co-hosted while balancing primaries: $placed"))
+  }
+
+  test("replica-less walks replay bit-identical (isNeeded parity incl. the conditional)") {
+    val a = cluster(40, 25, 10, 3, 2)
+    val base = StochasticBalancer.balanceTable(a).get
+    // the conditional ON over a replica-less cluster must not change
+    // the generator set, the veto, or the rnd stream
+    val cond = StochasticBalancer.balanceTable(a,
+      distributeReplicas = true).get
+    assert(base.plans == cond.plans && base.initCost == cond.initCost &&
+      base.finalCost == cond.finalCost)
+  }
+
+  test("DistributeReplicasConditional: repair generator un-hosts, veto never re-hosts") {
+    // every group piled on s0 (counts 8/0/0/0 — passes the gate on
+    // count skew alone); with the conditional on, the stochastic
+    // replica generators are swapped for the repair generator and the
+    // veto forbids ANY move that would co-host a group
+    val a = Map(
+      "s0" -> (0 until 4).flatMap(i => Seq(RegionLoad(s"g$i-p"),
+        RegionLoad(s"g$i-r1", primary = s"g$i-p"))),
+      "s1" -> Seq.empty[RegionLoad], "s2" -> Seq.empty[RegionLoad],
+      "s3" -> Seq.empty[RegionLoad])
+    val r = StochasticBalancer.balanceTable(a,
+      distributeReplicas = true).get
+    val placed = placement(a, r.plans)
+    (0 until 4).foreach(i =>
+      assert(placed(s"g$i-p") != placed(s"g$i-r1"),
+        s"g$i still co-hosted under the conditional: $placed"))
+    // replay the plans in order: NO intermediate state may co-host
+    // (the veto is per-move, not just end-state)
+    val where = collection.mutable.Map(
+      a.toSeq.flatMap { case (sv, rs) => rs.map(_.name -> sv) }: _*)
+    r.plans.foreach { p =>
+      where(p.region) = p.dest
+      // p.dest gaining p.region must not create a same-group pair —
+      // except groups that started co-hosted and haven't split yet
+      val grp = (n: String) => n.take(2)
+      val dups = where.groupBy { case (n, sv) => (grp(n), sv) }
+        .filter(_._2.size > 1).keys
+      dups.foreach { case (g, sv) =>
+        assert(sv == "s0", s"conditional re-co-hosted $g on $sv mid-walk")
+      }
+    }
+  }
+
+  test("rack-level conditional veto blocks same-rack landings when racks suffice") {
+    // 2 racks x 2 servers, one group of 2: primary on s0 (rack ra).
+    // maxReplicas(2) <= numRacks(2) → the rack veto is live: moving the
+    // secondary from s2 (rack rb) to s1 (rack ra, same rack as the
+    // primary, different server) must be vetoed — the walk may move it
+    // to s3 (rb) or leave it, but never land it in ra
+    val a = Map(
+      "s0" -> (Seq(RegionLoad("g0-p")) ++
+        (0 until 6).map(i => RegionLoad(s"pad$i"))),
+      "s1" -> Seq.empty[RegionLoad],
+      "s2" -> Seq(RegionLoad("g0-r1", primary = "g0-p")),
+      "s3" -> Seq.empty[RegionLoad])
+    val racks = Map("s0" -> "ra", "s1" -> "ra", "s2" -> "rb", "s3" -> "rb")
+    val r = StochasticBalancer.balanceTable(a, serverRack = racks,
+      distributeReplicas = true).get
+    val placed = placement(a, r.plans)
+    assert(racks(placed("g0-r1")) == "rb",
+      s"secondary landed in the primary's rack: $placed")
+  }
+
   test("weighted cache ratio keeps a well-cached region put (ratioThreshold)") {
     // a region already cached >= 0.8 on its current server must not be
     // proposed by the cache generator even when another server is
