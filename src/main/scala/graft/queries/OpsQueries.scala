@@ -1607,6 +1607,56 @@ object OpsQueries {
           |       'rs1' AS region_server_name, wal_name,
           |       ts AS "timestamp", wal_state, has_bytes
           |FROM __we_ev ORDER BY row_key""".stripMargin)
+    ),
+    QDef(
+      // Region-replica distribution (DistributeReplicasConditional
+      // .java:36-93 + DistributeReplicasCandidateGenerator.java:45-92,
+      // RegionReplicaHostCostFunction.java — `StochasticBalancer`
+      // replica support): every %80 bucket region gets a read replica
+      // CO-HOSTED with its primary (the worst case the conditional
+      // exists for); the walk runs with the conditional's per-move
+      // veto + repair generator. The converged invariant the oracle
+      // replays closed-form is DISTRIBUTION itself: every group ends
+      // split across two servers (the veto makes separation monotone —
+      // a separated group can never re-co-host, and the dominant
+      // RegionReplicaHostCostFunction multiplier accepts every repair).
+      // The exact servers are walk-dependent (q114's seeded-path
+      // divergence), so the declared row is the per-group separation
+      // fact, not the placement.
+      "q133_replica_balancer",
+      (s, dir) => {
+        import graft.admin.StochasticBalancer
+        import graft.admin.StochasticBalancer.RegionLoad
+        val buckets = Fixtures.orders(s, dir)
+          .select((col("o_orderkey") % 80).cast("int").as("b"))
+          .distinct().orderBy("b").collect().map(_.getInt(0)) // ≤80 rows
+        // start fully co-hosted: group b's primary AND secondary both
+        // on srv(b%4) — counts are balanced, so the run is carried by
+        // the replica cost, not count skew
+        val assignment = (0 until 4).map { si =>
+          f"srv$si%d" -> buckets.filter(_ % 4 == si).toSeq.flatMap(b =>
+            Seq(RegionLoad(f"r$b%02d-p"),
+              RegionLoad(f"r$b%02d-s", primary = f"r$b%02d-p")))
+        }.toMap
+        val res = StochasticBalancer.balanceTable(assignment,
+          distributeReplicas = true)
+          .getOrElse(throw new IllegalStateException(
+            "a fully co-hosted cluster must pass the needs-balance gate"))
+        val where = collection.mutable.Map(
+          assignment.toSeq.flatMap { case (sv, rs) =>
+            rs.map(r => r.name -> sv) }: _*)
+        res.plans.foreach(p => where(p.region) = p.dest)
+        import s.implicits._
+        buckets.toSeq.map { b =>
+          (f"r$b%02d",
+            where(f"r$b%02d-p") != where(f"r$b%02d-s"))
+        }.toDF("region", "separated").orderBy("region")
+      },
+      Some(
+        """SELECT printf('r%02d', b) AS region, TRUE AS separated
+          |FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
+          |      FROM orders)
+          |ORDER BY region""".stripMargin)
     )
   )
 }
