@@ -1657,6 +1657,60 @@ object OpsQueries {
           |FROM (SELECT DISTINCT CAST(o_orderkey % 80 AS INT) AS b
           |      FROM orders)
           |ORDER BY region""".stripMargin)
+    ),
+    QDef(
+      // SimpleLoadBalancer's cluster-OVERALL mode — the default
+      // hbase.master.loadbalance.bytable=false deployment
+      // (SimpleLoadBalancer.java:115-129 setClusterLoad, :166-182
+      // overallNeedsBalance, :458-606 balanceOverall —
+      // `Balancer.balanceCluster`). The fixture is the reference's own
+      // testImpactOfBalanceClusterOverall shape (mockUniformCluster
+      // [5,5,5,5,5,0] WITH tables): five tables, each one region on
+      // each of srv00-srv04 — every table is perfectly balanced, so
+      // the bytable strategy can NEVER drain srv05; only the shared
+      // cluster load list can. The deterministic walk peels one
+      // ceil-slack region per table onto srv05 until the totals close
+      // the [4,5] band: exactly four moves whose sources rotate
+      // srv04→srv01 (each table's un-peel pass spares the
+      // name-rotating survivor) — replayed closed-form.
+      "q134_overall_balancer",
+      (s, dir) => {
+        import graft.admin.Balancer
+        import graft.admin.Balancer.RegionInfo
+        val a = (0 until 5).map { t =>
+          s"t$t" -> ((0 until 6).map { si =>
+            f"srv$si%02d" -> (if (si < 5)
+              Seq(RegionInfo(f"t$t%d-s$si%02d-r000", si.toLong))
+            else Seq.empty[RegionInfo])
+          }.toMap)
+        }.toMap
+        // per-table passes alone must refuse every table (the shape's
+        // entire point) — loudly pin that before the overall run
+        require((0 until 5).forall(t =>
+          Balancer.balanceTable(a(s"t$t"), slop = 0.0).isEmpty),
+          "fixture drift: a table balanced bytable")
+        val plans = Balancer.balanceCluster(a, slop = 0.0)
+        val totals = collection.mutable.Map(
+          (0 until 6).map(si => f"srv$si%02d" -> 0): _*)
+        a.values.foreach(_.foreach { case (sv, rs) => totals(sv) += rs.size })
+        plans.values.flatten.foreach { p =>
+          totals(p.source) -= 1; totals(p.dest) += 1
+        }
+        require(totals.values.max <= 5 && totals.values.min >= 4,
+          s"overall band violated: $totals")
+        import s.implicits._
+        plans.toSeq.flatMap { case (t, ps) =>
+          ps.map(p => (t, p.region, p.source, p.dest))
+        }.sortBy(_._1).toDF("tbl", "region", "source", "dest")
+          .orderBy("tbl")
+      },
+      Some(
+        """SELECT 't' || CAST(i AS VARCHAR) AS tbl,
+          |       printf('t%d-s%02d-r000', i, 4 - i) AS region,
+          |       printf('srv%02d', 4 - i) AS source,
+          |       'srv05' AS dest
+          |FROM generate_series(0, 3) t(i)
+          |ORDER BY tbl""".stripMargin)
     )
   )
 }

@@ -90,4 +90,123 @@ class BalancerSpec extends AnyFunSuite {
     assert(p1 == p2 && p1.size == 7)
     assert(applyPlans(a, p1).values.forall(_ == 4))
   }
+
+  // ---- balanceCluster: the cluster-OVERALL mode ----
+
+  private def multiCluster(perTable: Map[String, Seq[Int]])
+      : Map[String, Map[String, Seq[RegionInfo]]] =
+    perTable.map { case (t, loads) =>
+      t -> loads.zipWithIndex.map { case (n, si) =>
+        f"srv$si%02d" -> (0 until n).map(i =>
+          RegionInfo(f"$t-s$si%02d-r$i%03d", si * 1000L + i))
+      }.toMap
+    }
+
+  private def overallTotals(a: Map[String, Map[String, Seq[RegionInfo]]],
+      plans: Map[String, Seq[RegionPlan]]): Map[String, Int] = {
+    val servers = a.values.flatMap(_.keys).toSet
+    val counts = collection.mutable.Map(
+      servers.toSeq.map(_ -> 0): _*)
+    a.values.foreach(_.foreach { case (s, rs) => counts(s) += rs.size })
+    plans.values.flatten.foreach { p =>
+      counts(p.source) -= 1; counts(p.dest) += 1
+    }
+    counts.toMap
+  }
+
+  test("five even tables drain the empty server (testImpactOfBalanceClusterOverall twin)") {
+    // the reference's mockUniformCluster [5,5,5,5,5,0] WITH tables:
+    // each of five tables is one region on each of srv00-srv04 —
+    // per-table perfectly balanced (no idle >1, inside any slop band),
+    // so the BYTABLE strategy can never drain srv05; the overall gate
+    // must (totals [5,5,5,5,5,0] vs avg 25/6)
+    val a = multiCluster((0 until 5).map(t =>
+      s"t$t" -> Seq(1, 1, 1, 1, 1, 0)).toMap)
+    assert((0 until 5).forall(t =>
+      Balancer.balanceTable(a(s"t$t"), slop = 0.0).isEmpty))
+    val plans = Balancer.balanceCluster(a, slop = 0.0)
+    // one ⌈avg⌉-peel per table lands on srv05 until the totals close
+    // the [4, 5] band: exactly four moves, from the name-rotating
+    // survivor of each table's un-peel pass
+    assert(plans == Map(
+      "t0" -> Seq(RegionPlan("t0-s04-r000", "srv04", "srv05")),
+      "t1" -> Seq(RegionPlan("t1-s03-r000", "srv03", "srv05")),
+      "t2" -> Seq(RegionPlan("t2-s02-r000", "srv02", "srv05")),
+      "t3" -> Seq(RegionPlan("t3-s01-r000", "srv01", "srv05"))))
+    val totals = overallTotals(a, plans)
+    assert(totals.values.max <= 5 && totals.values.min >= 4)
+  }
+
+  test("strictly: one table's pass lands every server on the overall average") {
+    // testBalanceClusterOverallStrictly: table0 [3,3,4,4,4,4,5,5,5] +
+    // table1 [2,2,2,2,2,2,2,2,1] — totals 54 over 9 servers must end
+    // at exactly 6 each, and table1 (already in-band per-table AND
+    // overall-balanced after table0's pass) contributes no plans
+    val a = multiCluster(Map(
+      "table0" -> Seq(3, 3, 4, 4, 4, 4, 5, 5, 5),
+      "table1" -> Seq(2, 2, 2, 2, 2, 2, 2, 2, 1)))
+    val plans = Balancer.balanceCluster(a, slop = 0.0)
+    assert(!plans.contains("table1"))
+    val totals = overallTotals(a, plans)
+    assert(totals.values.forall(_ == 6),
+      s"totals off the overall average: $totals")
+    // table0 itself stays in its own [4, 5] band
+    val t0 = collection.mutable.Map(
+      a("table0").map { case (s, rs) => s -> rs.size }.toSeq: _*)
+    plans("table0").foreach { p => t0(p.source) -= 1; t0(p.dest) += 1 }
+    assert(t0.values.forall(c => c >= 4 && c <= 5))
+  }
+
+  test("overall-balanced cluster produces no plans at all") {
+    val a = multiCluster(Map(
+      "x" -> Seq(2, 2, 2), "y" -> Seq(1, 1, 1)))
+    assert(Balancer.balanceCluster(a, slop = 0.0).isEmpty)
+  }
+
+  test("a server missing from a table's map holds none of it but receives") {
+    // srv02 appears only under table y: for table x it is an implicit
+    // zero and a legal overall destination
+    val a = Map(
+      "x" -> Map(
+        "srv00" -> (0 until 4).map(i => RegionInfo(f"x-a$i%02d", i.toLong)),
+        "srv01" -> (0 until 4).map(i => RegionInfo(f"x-b$i%02d", i.toLong))),
+      "y" -> Map(
+        "srv00" -> Seq(RegionInfo("y-a", 1L)),
+        "srv01" -> Seq(RegionInfo("y-b", 2L)),
+        "srv02" -> Seq.empty[RegionInfo]))
+    val plans = Balancer.balanceCluster(a, slop = 0.0)
+    val totals = overallTotals(a, plans)
+    // 10 regions over 3 servers: overall band [3, 4]
+    assert(totals.values.max <= 4 && totals.values.min >= 3,
+      s"totals outside the overall band: $totals")
+    assert(plans.values.flatten.exists(_.dest == "srv02"))
+  }
+
+  test("maintenance mode: no balancing, system regions to the one server") {
+    val sysR = RegionInfo("meta", 1L, isMeta = true)
+    val userR = RegionInfo("user-r", 2L)
+    val isSys = (r: RegionInfo) => r.isMeta
+    assert(Balancer.Maintenance.balanceCluster(
+      multiCluster(Map("x" -> Seq(5, 0)))).isEmpty)
+    assert(Balancer.Maintenance.assign(
+      Seq(sysR, userR), Seq("srv00"), isSys) == Map("srv00" -> Seq(sysR)))
+    assert(Balancer.Maintenance.assign(Seq(userR), Seq("srv00"), isSys).isEmpty)
+    assert(Balancer.Maintenance.assignOne(sysR, Seq("srv00"), isSys)
+      .contains("srv00"))
+    assert(Balancer.Maintenance.assignOne(userR, Seq("srv00"), isSys).isEmpty)
+    intercept[IllegalArgumentException](
+      Balancer.Maintenance.assign(Seq(sysR), Seq("a", "b"), isSys))
+  }
+
+  test("balanceCluster is deterministic") {
+    val a = multiCluster(Map(
+      "t0" -> Seq(7, 1, 3, 0), "t1" -> Seq(2, 5, 0, 1)))
+    val p1 = Balancer.balanceCluster(a)
+    val p2 = Balancer.balanceCluster(a)
+    assert(p1 == p2)
+    val totals = overallTotals(a, p1)
+    // 19 regions over 4 servers: overall band [4, 5] at slop 0.2 is
+    // [floor(4.75*0.8), ceil(4.75*1.2)] = [3, 6]
+    assert(totals.values.max <= 6 && totals.values.min >= 3)
+  }
 }
