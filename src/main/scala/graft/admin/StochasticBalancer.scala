@@ -248,7 +248,11 @@ object StochasticBalancer {
     * (DistributeReplicasCandidateGenerator.java:45-92: find a
     * co-located group, move its secondary to a veto-passing server)
     * and drops the needs-balance override (the repair generator runs
-    * regardless of the gate). */
+    * regardless of the gate). The reference pairs that repair
+    * generator with a SlopFixingCandidateGenerator (most-loaded →
+    * least-loaded under the veto, DistributeReplicasConditional
+    * .java:44-46); graft's retained LOAD generator plays that role —
+    * same move shape, same veto, one fewer bespoke generator. */
   def balanceTable(assignment: Map[String, Seq[RegionLoad]],
       weights: Weights = Weights(), maxSteps: Int = 20000,
       minCostNeedBalance: Double = 0.025, seed: Long = 42L,
