@@ -59,7 +59,13 @@ object Balancer {
     val byLoadAsc = assignment.keys.toSeq.sortBy(s => (loads(s), s))
     val byLoadDesc = byLoadAsc.reverse
 
-    // region-name-ordered move queue (rpComparator twin)
+    // region-name-ordered move queue. DIVERGENCE from the reference's
+    // rpComparator ((source, region, dest) — RegionPlan.compareTo
+    // :107-124): the per-table queue drains by region name alone, an
+    // order q112's oracle replays and pins; [[balanceTableOverall]]
+    // keys its queue (source, region) to match the comparator exactly.
+    // Same move SET either way — only which concrete region fills
+    // which slot differs, and each is oracle/spec-pinned in its place.
     val toMove = mutable.SortedMap.empty[String, RegionPlan]
     // how many regions each server has shed so far (= position in its
     // newest-first shed order), and the net count change per server
@@ -179,12 +185,11 @@ object Balancer {
     loadOfAllTables.values.foreach(_.foreach { case (s, rs) =>
       totals(s) += rs.size
     })
-    val avgOverall = totals.values.sum.toDouble / servers.size
-    def overallNeedsBalance: Boolean = {
-      val floor = math.floor(avgOverall * (1 - oSlop)).toInt
-      val ceiling = math.ceil(avgOverall * (1 + oSlop)).toInt
-      !(totals.values.max <= ceiling && totals.values.min >= floor)
-    }
+    // overallNeedsBalance is [[needsBalance]] over the live totals:
+    // the total region count is invariant at table boundaries (every
+    // peel is un-peeled or assigned), so the recomputed average equals
+    // the reference's avgLoadOverall fixed at setClusterLoad time
+    def overallNeedsBalance: Boolean = needsBalance(totals.values, oSlop)
 
     val out = Map.newBuilder[String, Seq[RegionPlan]]
     for ((table, declared) <- loadOfAllTables.toSeq.sortBy(_._1)) {
@@ -276,18 +281,32 @@ object Balancer {
     }
 
     // balanceOverall step 1+2: fold this table's deltas into the
-    // cluster totals, then peel one region from every server at MAX
+    // cluster totals, then peel one region from every server at MAX.
+    // The fold and the should-not-happen guard run to completion
+    // BEFORE any peel (divergence from the reference's interleaved
+    // loop, in the abort branch only): an abort must leave the shared
+    // totals fully folded and peel-free, or every later table in the
+    // same balanceCluster call balances against corrupt counts.
+    for (s <- servers) totals(s) += delta(s)
     for (s <- servers) {
-      totals(s) += delta(s)
       val tableCount = loads(s) + delta(s)
-      if (tableCount == maxL) {
-        if (shed(s) < shedOrder(s).size) {
-          toMove += ((s, shedOrder(s)(shed(s)).name))
-          totals(s) -= 1
-        }
-      } else if (tableCount > maxL || tableCount < minL) {
+      if (tableCount > maxL || tableCount < minL) {
         // the reference's should-not-happen guard: stop this table
+        // (reachable in graft when an overloaded server's regions are
+        // all meta — shedOne skips them and the count stays over MAX)
         return plans.toSeq
+      }
+    }
+    for (s <- servers if loads(s) + delta(s) == maxL) {
+      // the peel honors the meta skip like every other shed (the
+      // reference's balanceOverall does not check isMetaRegion — a
+      // divergence in favor of graft's own documented invariant)
+      var idx = shed(s)
+      val order = shedOrder(s)
+      while (idx < order.size && order(idx).isMeta) idx += 1
+      if (idx < order.size) {
+        toMove += ((s, order(idx).name))
+        totals(s) -= 1
       }
     }
     // cyclic-pair candidates: only the plans that existed BEFORE this

@@ -247,8 +247,10 @@ object StochasticBalancer {
     * replica generators for the conditional's own repair generator
     * (DistributeReplicasCandidateGenerator.java:45-92: find a
     * co-located group, move its secondary to a veto-passing server)
-    * and drops the needs-balance override (the repair generator runs
-    * regardless of the gate). The reference pairs that repair
+    * and swaps the colocation needs-balance override for the
+    * conditional's own (BalancerConditionals.shouldRunBalancer — run
+    * while the repair generator has an actionable server-level
+    * co-location). The reference pairs that repair
     * generator with a SlopFixingCandidateGenerator (most-loaded →
     * least-loaded under the veto, DistributeReplicasConditional
     * .java:44-46); graft's retained LOAD generator plays that role —
@@ -417,15 +419,20 @@ object StochasticBalancer {
     val rackNames = serverRack.values.toSeq.distinct.sorted
     val rackIdx = rackNames.zipWithIndex.toMap
     val nRacks = rackNames.length
+    // rack accounting (index array + per-rack maps) exists exactly
+    // when a replica consumer can read it: the rack cost/generator
+    // (replicas present) or the conditional's rack veto. A replica-less
+    // walk with a partial serverRack (locality callers) is untouched;
+    // full coverage is only require'd when the accounting is live.
+    val needRackAcct = nRacks > 1 && (hasReplicas || distributeReplicas)
     val srvRack: Array[Int] =
-      if (nRacks == 0) Array.empty
+      if (!needRackAcct) Array.empty
       else servers.map(s => rackIdx(serverRack.getOrElse(s,
         throw new IllegalArgumentException(
           s"replica rack accounting needs a rack for every server: $s"))))
     val useRepRack = hasReplicas && nRacks > 1 && repMaxCost > 0
     val colocRack =
-      if (!useRepRack && !(distributeReplicas && nRacks > 1))
-        Array.empty[collection.mutable.Map[Int, Int]]
+      if (!needRackAcct) Array.empty[collection.mutable.Map[Int, Int]]
       else Array.fill(nRacks)(collection.mutable.Map.empty[Int, Int])
     if (colocRack.nonEmpty) regions.zipWithIndex.foreach { case ((_, si), i) =>
       val m = colocRack(srvRack(si))
@@ -614,12 +621,20 @@ object StochasticBalancer {
     // needsBalance's replica-colocation override (StochasticLoad
     // Balancer.areSomeRegionReplicasColocatedOnHost/OnRack:362-399):
     // any same-group co-location on a server (when servers can hold
-    // one replica each) or rack forces a run past the cost gate —
-    // UNLESS the conditional owns distribution (its repair generator
-    // runs regardless; the reference skips the check then too)
-    val colocForcesRun = hasReplicas && !distributeReplicas &&
-      ((nServers >= maxReplicas && useRepHost && curRepHost > 0) ||
-        (useRepRack && nRacks >= maxReplicas && curRepRack > 0))
+    // one replica each) or rack forces a run past the cost gate.
+    // When the conditional owns distribution the reference skips
+    // those two checks (:363,:381) but SUBSTITUTES BalancerConditionals
+    // .shouldRunBalancer (needsBalance:453-456): the balancer still
+    // runs whenever the repair generator has an actionable move — i.e.
+    // server-level co-location exists (the generator's weighing scan
+    // is server-level; rack violations are the veto's job). Without
+    // the substitute, a small violation whose normalized cost sits
+    // under minCostNeedBalance would never be repaired.
+    val colocForcesRun = hasReplicas && (
+      if (distributeReplicas) curRepHost > 0
+      else
+        (nServers >= maxReplicas && useRepHost && curRepHost > 0) ||
+          (useRepRack && nRacks >= maxReplicas && curRepRack > 0))
     // needsBalance's idle/sloppy triggers (BaseLoadBalancer
     // .idleRegionServerExist:133-144 / sloppyRegionServerExist:147-169,
     // slop default 0.2): an empty server while another holds >1, or a

@@ -198,6 +198,60 @@ class BalancerSpec extends AnyFunSuite {
       Balancer.Maintenance.assign(Seq(sysR), Seq("a", "b"), isSys))
   }
 
+  test("a meta-locked table aborts cleanly and later tables still balance") {
+    // table 'a' is over MAX on srv00 but every candidate is meta —
+    // shedOne refuses, the should-not-happen guard aborts the table,
+    // and the abort must leave the shared totals usable: table 'b'
+    // still balances on its own merits, and no meta ever moves
+    val meta = (i: Int) => RegionInfo(s"meta$i", 90L + i, isMeta = true)
+    val a = Map(
+      "a" -> Map(
+        "srv00" -> Seq(meta(0), meta(1), meta(2)),
+        "srv01" -> Seq(RegionInfo("a-n1", 1L)),
+        "srv02" -> Seq.empty[RegionInfo]),
+      "b" -> Map(
+        "srv00" -> Seq.empty[RegionInfo],
+        "srv01" -> Seq.empty[RegionInfo],
+        "srv02" -> Seq(RegionInfo("b-n1", 1L), RegionInfo("b-n2", 2L))))
+    val plans = Balancer.balanceCluster(a, slop = 0.0)
+    assert(!plans.values.flatten.exists(_.region.startsWith("meta")))
+    // b spreads off its pile despite a's abort
+    assert(plans.get("b").exists(_.nonEmpty))
+    plans.values.flatten.foreach(p => assert(p.source != p.dest))
+  }
+
+  test("property: no meta region ever moves; plans stay self-consistent") {
+    val rnd = new scala.util.Random(42)
+    (0 until 60).foreach { trial =>
+      val nServers = 3 + rnd.nextInt(4)
+      val nTables = 2 + rnd.nextInt(3)
+      var id = 0L
+      val a = (0 until nTables).map { t =>
+        s"t$t" -> (0 until nServers).map { si =>
+          val n = rnd.nextInt(7)
+          f"srv$si%02d" -> (0 until n).map { _ =>
+            id += 1
+            RegionInfo(s"t$t-r$id", id, isMeta = rnd.nextInt(7) == 0)
+          }
+        }.toMap
+      }.toMap
+      val plans = Balancer.balanceCluster(a, slop = 0.0)
+      val allRegions = a.map { case (t, m) =>
+        t -> m.values.flatten.map(r => r.name -> r).toMap
+      }
+      plans.foreach { case (t, ps) =>
+        // every plan names a real region of its table, never meta,
+        // never a self-move, and no region moves twice
+        assert(ps.map(_.region).distinct.size == ps.size, s"trial $trial")
+        ps.foreach { p =>
+          val r = allRegions(t).get(p.region)
+          assert(r.isDefined && !r.get.isMeta && p.source != p.dest,
+            s"trial $trial bad plan $p")
+        }
+      }
+    }
+  }
+
   test("balanceCluster is deterministic") {
     val a = multiCluster(Map(
       "t0" -> Seq(7, 1, 3, 0), "t1" -> Seq(2, 5, 0, 1)))

@@ -504,6 +504,58 @@ class StochasticBalancerSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional forces repair of a violation sitting under the cost gate") {
+    // 50 groups over 4 servers, counts in the sloppy band, exactly ONE
+    // co-hosted pair: its normalized cost (100000/50 over a ~101k
+    // multiplier sum) is ~0.02 < minCostNeedBalance, so without the
+    // shouldRunBalancer substitute (BalancerConditionals:82-86 — run
+    // while the repair generator has an actionable move) the walk
+    // would refuse and the violation would persist forever
+    val a = {
+      val perServer = Array.fill(4)(
+        collection.mutable.Buffer.empty[RegionLoad])
+      perServer(0) += RegionLoad("g00-p")
+      perServer(0) += RegionLoad("g00-s", primary = "g00-p")
+      (1 until 50).foreach { i =>
+        perServer(i % 4) += RegionLoad(f"g$i%02d-p")
+        perServer((i + 2) % 4) += RegionLoad(f"g$i%02d-s",
+          primary = f"g$i%02d-p")
+      }
+      perServer.zipWithIndex.map { case (b, si) => s"s$si" -> b.toSeq }.toMap
+    }
+    val r = StochasticBalancer.balanceTable(a, distributeReplicas = true)
+    assert(r.isDefined, "the conditional must force a run past the gate")
+    val placed = placement(a, r.get.plans)
+    assert(placed("g00-p") != placed("g00-s"),
+      s"the under-gate violation was not repaired: ${r.get.plans}")
+  }
+
+  test("orphan secondaries with racks declared do not crash the replica generators") {
+    // every declared primary is absent (decommissioned server): groups
+    // are all singletons, so the rack CO-LOCATION machinery has no
+    // work — but the generator wheel still includes the replica pair
+    // and must fall back instead of indexing empty rack state
+    val a = Map(
+      "s0" -> Seq(RegionLoad("r1-s", primary = "r1-p"),
+        RegionLoad("r2-s", primary = "r2-p"),
+        RegionLoad("r3-s", primary = "r3-p")),
+      "s1" -> Seq.empty[RegionLoad])
+    val racks = Map("s0" -> "ra", "s1" -> "rb")
+    val r = StochasticBalancer.balanceTable(a, serverRack = racks)
+    assert(r.isDefined) // idle server forces the run; no crash is the point
+  }
+
+  test("replica-less walks accept a partial serverRack (locality callers)") {
+    // serverRack is also the rack-locality input, where partial maps
+    // were always legal; replica rack accounting must not eagerly
+    // demand full coverage on walks that never read it
+    val a = cluster(40, 25, 10, 3, 2)
+    val base = StochasticBalancer.balanceTable(a).get
+    val partial = StochasticBalancer.balanceTable(a,
+      serverRack = Map("s0" -> "ra")).get
+    assert(base.plans == partial.plans)
+  }
+
   test("rack-level conditional veto blocks same-rack landings when racks suffice") {
     // 2 racks x 2 servers, one group of 2: primary on s0 (rack ra).
     // maxReplicas(2) <= numRacks(2) → the rack veto is live: moving the
