@@ -504,6 +504,40 @@ class StochasticBalancerSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cost bookkeeping matches a from-scratch recomputation") {
+    // walk 1 maintains every cost term (counts, sizes, replica
+    // co-location, primaries) through O(1) per-move deltas; re-entering
+    // the walk on the CONVERGED placement computes the same terms from
+    // scratch — its initCost must equal walk 1's finalCost, or a delta
+    // (apply or undo) drifted. Replica fixture with racks so the new
+    // (c-1)^2 host/rack deltas and primCounts are all in play.
+    val a = Map(
+      "s0" -> ((0 until 4).flatMap(i => Seq(RegionLoad(s"g$i-p"),
+        RegionLoad(s"g$i-r1", primary = s"g$i-p"))) ++
+        Seq(RegionLoad("f0"), RegionLoad("f1"))),
+      "s1" -> Seq(RegionLoad("f2")),
+      "s2" -> Seq.empty[RegionLoad],
+      "s3" -> Seq.empty[RegionLoad])
+    val racks = Map("s0" -> "ra", "s1" -> "ra", "s2" -> "rb", "s3" -> "rb")
+    // move weight 0 in BOTH walks: the MoveCostFunction term counts
+    // moves made THIS run (zero at any walk's entry by definition), so
+    // it is the one term that legitimately differs between the two
+    val w = Weights(move = 0.0)
+    val r1 = StochasticBalancer.balanceTable(a, weights = w,
+      serverRack = racks).get
+    val after = {
+      val placed = placement(a, r1.plans)
+      val regions = a.values.flatten.map(r => r.name -> r).toMap
+      placed.toSeq.groupBy(_._2).map { case (sv, rs) =>
+        sv -> rs.map { case (name, _) => regions(name) }.sortBy(_.name)
+      } ++ a.keys.filterNot(placed.values.toSet).map(_ -> Seq.empty[RegionLoad])
+    }
+    val r2 = StochasticBalancer.balanceTable(after, weights = w,
+      serverRack = racks, minCostNeedBalance = -1.0, maxSteps = 1).get
+    assert(math.abs(r2.initCost - r1.finalCost) < 1e-9,
+      s"delta drift: scratch ${r2.initCost} vs incremental ${r1.finalCost}")
+  }
+
   test("conditional forces repair of a violation sitting under the cost gate") {
     // 50 groups over 4 servers, counts in the sloppy band, exactly ONE
     // co-hosted pair: its normalized cost (100000/50 over a ~101k
