@@ -34,6 +34,15 @@ object JpegCodec {
     * PngCodec's guard. */
   private val MaxPixels = 1L << 26
 
+  // ImageIO's default stream cache is a TEMP FILE PER CALL
+  // (FileCacheImage{Input,Output}Stream): decoding an in-memory blob
+  // paid a disk create/write/delete round-trip per frame, which at
+  // ~10^5 frames per video query both dominated the cost and made it
+  // erratic (filesystem contention). The sources here are always
+  // in-memory byte arrays — cache in memory. Process-wide, set once
+  // per JVM at class init on driver and executors alike.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decode(jpeg: Array[Byte]): Option[PngCodec.Pixels] = {
     if (jpeg == null || jpeg.length < 4) return None
     // SOI marker FF D8, then another marker byte FF

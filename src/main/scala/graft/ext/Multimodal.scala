@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // In-memory ImageIO streams (see JpegCodec's note): the default
+  // file-backed stream cache costs a temp-file round-trip per encoded
+  // frame — ruinous for the synthetic-media fixtures that encode 8
+  // frames per doc. Set here too so encode-only tasks that never load
+  // JpegCodec still get it.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, blob: Array[Byte],
       width: Int, height: Int, modality: String)
 
