@@ -83,9 +83,14 @@ object AggregationClient {
     *  4. the running sum is a bucket-PARTITIONED window (each frame ≈
     *     distinct-values/buckets) — no corpus-scale frame ever enters
     *     a one-partition window.
-    * The aggregate recomputes for the bounds, the partials and the
-    * final pick (bounded passes, like the reference's two phases);
-    * lineage stays the fault-tolerance story. */
+    * The bounds, the partials and the final pick are three bounded
+    * passes over the SAME distinct-value aggregate; it materializes
+    * once (localCheckpoint) so the corpus scan + exchange run once per
+    * invocation instead of once per pass (r17-opt: the three re-scans
+    * were the query's whole cost; the checkpointed frame is
+    * distinct-value-sized). Executor loss re-runs the invocation
+    * instead of replaying lineage — the standard localCheckpoint
+    * trade, acceptable for a bounded two-phase protocol. */
   def weightedMedian(df: DataFrame, value: Column, weight: Column,
       scanPred: Option[Column] = None, buckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -96,6 +101,7 @@ object AggregationClient {
       .filter(value.isNotNull && weight.isNotNull)
       .groupBy(value.cast("double").as("__v"))
       .agg(functions.sum(weight.cast("long")).as("__w"))
+      .localCheckpoint()
     // frozen literal bounds: bucket = #bounds strictly below v
     val qs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =

@@ -512,10 +512,17 @@ object CodecQueries {
       (s, dir) => {
         val out = graft.Queries.scratchDir("c17_hfile_print")
         val cells = graft.model.Fixtures.cellsEventsV(s, dir)
-        Seq(("b1", col("ts") <= 2), ("b2", col("ts") === 3),
-          ("b3", col("ts") >= 4)).foreach { case (b, pred) =>
-          graft.flow.HFiles.export(cells.filter(pred), 1, s"$out/$b")
-        }
+        // one-job bucket landing (r17-opt, the q96 rewrite's twin): the
+        // buckets are disjoint ts slices, so one exportRegions pass
+        // writes all three files (same paths/contents as the old three
+        // single-file export jobs)
+        graft.flow.HFiles.exportRegions(
+          cells.select(
+            when(col("ts") <= 2, 1).when(col("ts") === 3, 2)
+              .otherwise(3).as("__b"),
+            col("row"), col("family"), col("qualifier"), col("ts"),
+            col("type"), col("value")),
+          "__b", out, b => s"b$b/part-00000.hfile")
         Seq("b1", "b2", "b3").map { b =>
           graft.flow.HFilePrint.describe(s, s"$out/$b")
             .withColumn("bucket", lit(b))

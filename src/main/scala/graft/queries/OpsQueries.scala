@@ -880,20 +880,25 @@ object OpsQueries {
         val hconf = s.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
         val uid = col("row").cast("long")
-        def land(tss: Range): Unit =
-          for (r <- 0 until 3; tsv <- tss) {
-            val tmp = graft.Queries.scratchDir(s"q120_r${r}_$tsv")
-            HFiles.export(puts.filter(uid % 3 === r && col("ts") === tsv)
-                .select("row", "family", "qualifier", "ts", "type", "value"),
-              numRegions = 1, outPath = tmp)
-            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/ta/r$r/d"))
-            require(fs.rename(
-              new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-              new org.apache.hadoop.fs.Path(
-                f"$root/data/ta/r$r/d/part-$tsv%05d.hfile")),
+        // one-job ladder landing per census (r17-opt): the 9+6 serial
+        // per-(region, ts) export jobs collapse into exportRegions'
+        // single shuffle on the composite (region, ts) key — same
+        // files at the same paths, writer cutting a file per key; the
+        // old rename-time empty-slice guard becomes an existence check
+        def land(tss: Range): Unit = {
+          HFiles.exportRegions(
+            puts.filter(col("ts").isin(tss.map(_.toLong): _*))
+              .select(((uid % 3) * 100 + col("ts")).cast("int").as("__rt"),
+                col("row"), col("family"), col("qualifier"), col("ts"),
+                col("type"), col("value")),
+            "__rt", s"$root/data/ta",
+            k => f"r${k / 100}%d/d/part-${k % 100}%05d.hfile")
+          for (r <- 0 until 3; tsv <- tss)
+            require(fs.exists(new org.apache.hadoop.fs.Path(
+              f"$root/data/ta/r$r%d/d/part-$tsv%05d.hfile")),
               s"empty (r=$r, ts=$tsv) slice: the fixture no longer " +
                 "covers the census's file ladder")
-          }
+        }
         land(1 to 3)
         // a census is a SNAPSHOT: pin census 1's sweep to its scrape
         // instant (the lazy plan would otherwise re-walk the store

@@ -351,14 +351,12 @@ object ReplayQueries {
         val out = graft.Queries.scratchDir("q94_minor")
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        ladder.foreach { case (i, _) =>
-          val tmp = graft.Queries.scratchDir(s"q94_f$i")
-          HFiles.export(withF.filter(col("fidx") === i)
-              .select("row", "family", "qualifier", "ts", "type", "value"),
-            numRegions = 1, outPath = tmp)
-          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
-        }
+        // one-job ladder landing (r17-opt, the q96 rewrite's twin):
+        // one shuffle on fidx instead of a full export job per file
+        HFiles.exportRegions(withF.select(col("fidx").cast("int").as("fidx"),
+            col("row"), col("family"), col("qualifier"), col("ts"),
+            col("type"), col("value")),
+          "fidx", out, i => f"part-$i%05d.hfile")
         val names = ladder.map { case (i, _) => f"part-$i%05d.hfile" }
         val logical = names.zip(ladder.map(_._2)).toMap
         val knobs = Compactions.Knobs(minFiles = 3, maxFiles = 4,
@@ -503,14 +501,14 @@ object ReplayQueries {
         val out = graft.Queries.scratchDir("q96_dt")
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        ladder.foreach { case (i, _) =>
-          val tmp = graft.Queries.scratchDir(s"q96_f$i")
-          HFiles.export(withF.filter(col("fidx") === i)
-              .select("row", "family", "qualifier", "ts", "type", "value"),
-            numRegions = 1, outPath = tmp)
-          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
-        }
+        // one-job ladder landing (r17-opt): the 15 per-file export jobs
+        // (each a full re-filter + single-writer pass + rename) collapse
+        // into exportRegions' single shuffle-by-fidx pass — same files,
+        // same per-file cell order (the writer cuts on fidx change)
+        HFiles.exportRegions(withF.select(col("fidx"), col("row"),
+            col("family"), col("qualifier"), col("ts"), col("type"),
+            col("value")),
+          "fidx", out, i => f"part-$i%05d.hfile")
         val names = ladder.map { case (i, _) => f"part-$i%05d.hfile" }
         val logical = names.zip(ladder.map(_._2)).toMap
         val dt = DtKnobs(baseWindowMillis = 6000L, windowsPerTier = 4,
@@ -637,14 +635,11 @@ object ReplayQueries {
         val out = graft.Queries.scratchDir("q97_fifo")
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        (0 until 6).foreach { i =>
-          val tmp = graft.Queries.scratchDir(s"q97_f$i")
-          HFiles.export(withF.filter(col("fidx") === i)
-              .select("row", "family", "qualifier", "ts", "type", "value"),
-            numRegions = 1, outPath = tmp)
-          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-            new org.apache.hadoop.fs.Path(f"$out/part-$i%05d.hfile"))
-        }
+        // one-job ladder landing (r17-opt, the q96 rewrite's twin)
+        HFiles.exportRegions(withF.select(col("fidx"),
+            col("row"), col("family"), col("qualifier"), col("ts"),
+            col("type"), col("value")),
+          "fidx", out, i => f"part-$i%05d.hfile")
         // now = day 8; ttl 4.5 days: expired iff maxTs <= 3.5 days —
         // files 1-3 (maxTs day 1..3 + 5ms versions) drop, 4-6 survive
         val now = 8L * dayMs
@@ -1661,19 +1656,27 @@ object ReplayQueries {
           ("ta", "r0", uid % 2 === 0, 1 to 5),
           ("ta", "r1", uid % 2 === 1, 1 to 2),
           ("tb", "r0", uid % 3 === 0, 3 to 5))
-        layout.foreach { case (t, r, pred, tss) =>
+        // one-job layout landing (r17-opt, the q96 rewrite's twin): the
+        // 12 per-(table, region, ts) export jobs collapse into one
+        // exportRegions pass over the union of the layout slices (a row
+        // can be in BOTH ta and tb — the slices overlap, so union, not
+        // a single assignment column), keyed (slice, ts)
+        layout.foreach { case (t, r, _, _) =>
           fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/$t/$r/d"))
-          tss.foreach { tsv =>
-            val tmp = graft.Queries.scratchDir(s"q104_${t}_${r}_$tsv")
-            HFiles.export(puts.filter(pred && col("ts") === tsv)
-                .select("row", "family", "qualifier", "ts", "type", "value"),
-              numRegions = 1, outPath = tmp)
-            fs.rename(
-              new org.apache.hadoop.fs.Path(s"$tmp/part-00000.hfile"),
-              new org.apache.hadoop.fs.Path(
-                f"$root/data/$t/$r/d/part-$tsv%05d.hfile"))
-          }
         }
+        val names = layout.map { case (t, r, _, _) => (t, r) }
+        HFiles.exportRegions(
+          layout.zipWithIndex.map { case ((_, _, pred, tss), i) =>
+            puts.filter(pred && col("ts").isin(tss.map(_.toLong): _*))
+              .select((lit(i * 100) + col("ts")).cast("int").as("__lt"),
+                col("row"), col("family"), col("qualifier"), col("ts"),
+                col("type"), col("value"))
+          }.reduce(_ unionByName _),
+          "__lt", s"$root/data",
+          k => {
+            val (t, r) = names(k / 100)
+            f"$t%s/$r%s/d/part-${k % 100}%05d.hfile"
+          })
         // an archived twin (compacted-away file) for ta/r0 and one mob
         // file for tb — the footprint columns
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/archive/data/ta/r0/d"))
