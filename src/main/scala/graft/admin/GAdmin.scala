@@ -1098,10 +1098,19 @@ object GAdmin {
     SplitPolicies.storeSplitPoint(spark, dir).map { mid =>
       val row = SplitPolicies.keyPrefixAdjust(mid, prefixLength)
       val (bottom, top) = SplitPolicies.daughters(spark, dir, row)
-      HFiles.export(bottom, numRegions = 1, outPath = bottomDir,
-        blockSize = blockSize)
-      HFiles.export(top, numRegions = 1, outPath = topDir,
-        blockSize = blockSize)
+      // the two daughter landings are independent single-writer jobs
+      // over disjoint halves — SUBMIT concurrently (r17-opt, the c08
+      // concurrent-legs shape) so the halves overlap instead of
+      // serializing two read-throughs of the parent
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val legs = Seq(bottomDir -> bottom, topDir -> top).map {
+        case (out, half) => Future {
+          HFiles.export(half, numRegions = 1, outPath = out,
+            blockSize = blockSize)
+        }
+      }
+      legs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       new String(row, java.nio.charset.StandardCharsets.UTF_8)
     }
   }

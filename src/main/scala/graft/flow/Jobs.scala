@@ -336,23 +336,19 @@ object Jobs {
   def mergeBackupImagesLanded(spark: org.apache.spark.sql.SparkSession,
       incrementals: Seq[DataFrame], table: String, path: String,
       maxVersions: Int = Int.MaxValue, buckets: Int = 8): DataFrame = {
-    // Stage the input chain as flat files first: the reference merge
-    // reads its input images FROM the backup filesystem (durable HFile
-    // sets), so the mask/window legs inside the merge scan cheap flat
-    // storage instead of re-evaluating each image's upstream lineage
-    // once per leg (the q91 multiplier).
-    val staging = s"$path.staging"
-    incrementals.reduce(_ unionByName _)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    // Stage the input chain as a materialized frame first: the
+    // reference merge reads its input images FROM the backup
+    // filesystem (durable HFile sets), so the mask/window legs inside
+    // the merge scan cheap flat storage instead of re-evaluating each
+    // image's upstream lineage once per leg (the q91 multiplier).
+    // r17-opt: localCheckpoint instead of a scratch parquet
+    // write+read+delete round-trip — the legs scan the checkpointed
+    // partitions; the MERGED image below stays the durable artifact
+    // (the staging copy was explicitly scratch, never part of it).
+    val staged = incrementals.reduce(_ unionByName _).localCheckpoint()
     graft.write.BucketedStore.write(
-      mergeBackupImages(Seq(spark.read.parquet(staging)), maxVersions),
+      mergeBackupImages(Seq(staged), maxVersions),
       table, path, buckets)
-    // the staging copy is scratch — the merged image is durable in the
-    // bucketed store; leaving it would leak a full parquet copy of the
-    // chain per merge
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(stagingPath, true)
     graft.write.BucketedStore.read(spark, table)
   }
 

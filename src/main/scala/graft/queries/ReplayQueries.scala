@@ -229,8 +229,14 @@ object ReplayQueries {
         import graft.write.MobStore
         val cells = Fixtures.cellsEventsV(s, dir)
         val (main, mob) = MobStore.split(cells, threshold = 10)
-        val (cMain, cMob) = MobStore.compact(main, mob,
+        val (cMain0, cMob0) = MobStore.compact(main, mob,
           maxVersions = 1, ttlCutoff = Some(2L))
+        // the compacted stores feed BOTH the mismatch sweep and the
+        // final counts (two actions): materialize once (r17-opt) so the
+        // mob-aware major-compaction window pipeline runs once, not
+        // once per action
+        val cMain = cMain0.localCheckpoint()
+        val cMob = cMob0.localCheckpoint()
         val expect = Jobs.majorCompact(cells, maxVersions = 1,
           ttlCutoff = Some(2L))
         val mismatches = MobStore.read(cMain, cMob).alias("b")
@@ -290,7 +296,10 @@ object ReplayQueries {
           policy = "MONTHLY")
         val swept = MobFiles.sweepUnreferencedMobFiles(s, out, "events")
         val after = MobFiles.mobFileAudit(s, out, "events").count()
+        // resolved feeds the mismatch sweep AND the final counts (two
+        // actions): one read of the post-compaction stores (r17-opt)
         val resolved = MobFiles.importResolved(s, out, "events")
+          .localCheckpoint()
         val mismatches = resolved
           .select("row", "family", "qualifier", "ts", "type", "value")
           .alias("b")
@@ -892,9 +901,17 @@ object ReplayQueries {
           .getOrElse(sys.error("no split point"))
         val prefix = SplitPolicies.keyPrefixAdjust(mid, 9)
         val (bottom, top) = SplitPolicies.daughters(s, out, prefix)
-        val bottomCells = bottom.count()
-        val topCells = top.count()
-        val mismatches = bottom.unionByName(top).alias("b")
+        // one read of the per-cell-block store serves both half counts
+        // and the mismatch sweep (r17-opt: was 3 serial read-throughs
+        // — with blockSize=1 each read pays a block header per cell)
+        val halves = bottom.withColumn("__h", lit("b"))
+          .unionByName(top.withColumn("__h", lit("t")))
+          .localCheckpoint()
+        val cnt = halves.groupBy("__h").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bottomCells = cnt.getOrElse("b", 0L)
+        val topCells = cnt.getOrElse("t", 0L)
+        val mismatches = halves.drop("__h").alias("b")
           .join(puts.alias("o"),
             Seq("row", "family", "qualifier", "ts", "type"), "full")
           .filter(not(col("b.value") <=> col("o.value")))
@@ -1138,12 +1155,21 @@ object ReplayQueries {
           .getOrElse(sys.error("degenerate split point"))
         GAdmin.mergeRegionStores(s,
           merges.head.regions.map(i => s"$base/r$i"), s"$base/merged")
-        val bottomCells = HFiles.importCells(s, s"$base/bot").count()
-        val topCells = HFiles.importCells(s, s"$base/top").count()
-        val mergedCells = HFiles.importCells(s, s"$base/merged").count()
-        val after = Seq("bot", "top", "merged")
-          .map(d => HFiles.importCells(s, s"$base/$d"))
+        // one read of the three result stores serves the per-store
+        // counts AND the mismatch sweep (r17-opt: was 3 serial count
+        // jobs + a second union read of the same files — the per-cell
+        // blockSize=1 layout makes each read expensive)
+        val afterTagged = Seq("bot", "top", "merged")
+          .map(d => HFiles.importCells(s, s"$base/$d")
+            .withColumn("__d", lit(d)))
           .reduce(_ unionByName _)
+          .localCheckpoint()
+        val cnt = afterTagged.groupBy("__d").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bottomCells = cnt.getOrElse("bot", 0L)
+        val topCells = cnt.getOrElse("top", 0L)
+        val mergedCells = cnt.getOrElse("merged", 0L)
+        val after = afterTagged.drop("__d")
         val mismatches = after.alias("b")
           .join(puts.alias("o"),
             Seq("row", "family", "qualifier", "ts", "type"), "full")
