@@ -157,11 +157,18 @@ object AggQueries {
       "q105_verify_repl_snapshot",
       (s, dir) => {
         val out = graft.Queries.scratchDir("q105_vrs")
-        graft.flow.SnapshotShip.exportSnapshot(
-          Fixtures.cellsOrders(s, dir), 8, s"$out/src", "snapS", "q105src")
-        graft.flow.SnapshotShip.exportSnapshot(
-          Fixtures.cellsOrdersMut(s, dir), 8, s"$out/peer", "snapP",
-          "q105peer")
+        // the two cluster snapshots are independent export jobs —
+        // SUBMIT concurrently (r17-opt, the c08 concurrent-legs shape)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Seq(
+          Future(graft.flow.SnapshotShip.exportSnapshot(
+            Fixtures.cellsOrders(s, dir), 8, s"$out/src", "snapS",
+            "q105src")),
+          Future(graft.flow.SnapshotShip.exportSnapshot(
+            Fixtures.cellsOrdersMut(s, dir), 8, s"$out/peer", "snapP",
+            "q105peer"))
+        ).foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
         Jobs.verifyReplicationSnapshots(s,
             s"$out/src", "snapS", s"$out/peer", "snapP")
           .withColumnRenamed("rows", "n_rows")

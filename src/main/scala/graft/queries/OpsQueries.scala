@@ -453,10 +453,14 @@ object OpsQueries {
         // the janitor must refuse while references pin the parent
         require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
           "janitor GC'd a still-referenced parent")
-        val refsOut = s"$root/refs_stage"
-        RegionRefs.importStore(s, table, "d1")
+        // the 'refs' stage must materialize BEFORE the compactions
+        // destroy the references it reads through; localCheckpoint
+        // (r17-opt) instead of a scratch parquet write+re-read — the
+        // store files are the declared durable artifact, the parquet
+        // copy never was
+        val refsStage = RegionRefs.importStore(s, table, "d1")
           .unionByName(RegionRefs.importStore(s, table, "d2"))
-          .write.mode("overwrite").parquet(refsOut)
+          .localCheckpoint()
         RegionRefs.compactRefs(s, table, "d1", blockSize = 4096)
         // one daughter compacted is NOT enough — d2 still pins p1
         require(RegionRefs.catalogJanitor(s, table, arch).isEmpty,
@@ -504,7 +508,7 @@ object OpsQueries {
           "nothing may be GC-able after the rollback")
         require(storeLayout() == preCrash,
           "rollback must restore the exact pre-crash store layout")
-        s.read.parquet(refsOut).withColumn("stage", lit("refs"))
+        refsStage.withColumn("stage", lit("refs"))
           .unionByName(
             RegionRefs.importStore(s, table, "d1")
               .unionByName(RegionRefs.importStore(s, table, "d2"))
