@@ -155,8 +155,7 @@ object GAdmin {
       }).toSeq
 
   private def prop(spark: SparkSession, name: String, key: String): Option[String] =
-    spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
-      .collect().find(_.getString(0) == key).map(_.getString(1))
+    tblProps(spark, name).get(key)
 
   def isEnabled(spark: SparkSession, name: String): Boolean =
     prop(spark, name, "graft.enabled").forall(_ == "true")
@@ -195,10 +194,10 @@ object GAdmin {
       .write.mode(SaveMode.Append).insertInto(qualified(name))
   }
 
-  /** All table properties in one catalog round-trip. */
+  /** All table properties in one catalog round-trip (r17-opt: direct
+    * catalog lookup — see [[tableMeta]]). */
   private def tblProps(spark: SparkSession, name: String): Map[String, String] =
-    spark.sql(s"SHOW TBLPROPERTIES ${qualified(name)}")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    tableMeta(spark, name).properties
 
   // ---- Throttle quotas (the other half of the quotas subsystem:
   // QuotaSettingsFactory.throttleTable, ThrottleType.REQUEST_NUMBER,
@@ -911,14 +910,24 @@ object GAdmin {
     * analogue of the reference rewriting store files (truncate
     * recreates regions empty; deleteColumnFamily drops the family's
     * stores) — a heavyweight admin op by construction. */
+  /** The table's catalog entry via the session catalog directly —
+    * r17-opt: `DESCRIBE FORMATTED` / `SHOW TBLPROPERTIES` through
+    * `spark.sql` pay a full parse/analyze/execute/collect round-trip
+    * per call, and the admin lifecycles (q127's 8 rewrites, every
+    * put's quota gate) string dozens of them; the catalog lookup is
+    * the same metadata without the SQL layer. */
+  private def tableMeta(spark: SparkSession, name: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(qualified(name)))
+
   /** (location, bucket count) of a graft table's store, from the
     * catalog entry. */
   private def layoutOf(spark: SparkSession, name: String): (String, Int) = {
-    val desc = spark.sql(s"DESCRIBE FORMATTED ${qualified(name)}").collect()
-    def d(key: String) = desc.find(_.getString(0) == key).map(_.getString(1))
-    (d("Location").getOrElse(sys.error(s"no location recorded for $name")),
-      d("Num Buckets")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(16))
+    val m = tableMeta(spark, name)
+    (m.storage.locationUri.map(_.toString)
+        .getOrElse(sys.error(s"no location recorded for $name")),
+      m.bucketSpec.map(_.numBuckets).getOrElse(16))
   }
 
   /** `newBuckets` maps the CURRENT bucket count to the rewrite's —
@@ -928,10 +937,12 @@ object GAdmin {
       transform: DataFrame => DataFrame,
       newBuckets: Int => Int = identity): Unit = {
     val q = qualified(name)
-    val props = spark.sql(s"SHOW TBLPROPERTIES $q").collect()
-      .map(r => r.getString(0) -> r.getString(1))
-      .filter(_._1.startsWith("graft."))
-    val (loc, buckets) = layoutOf(spark, name)
+    // one catalog lookup serves the properties AND the layout
+    val m = tableMeta(spark, name)
+    val props = m.properties.toSeq.filter(_._1.startsWith("graft."))
+    val loc = m.storage.locationUri.map(_.toString)
+      .getOrElse(sys.error(s"no location recorded for $name"))
+    val buckets = m.bucketSpec.map(_.numBuckets).getOrElse(16)
     val snapshot = transform(spark.table(q)).localCheckpoint()
     BucketedStore.write(snapshot, q, loc, newBuckets(buckets))
     val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")

@@ -476,6 +476,21 @@ object Multimodal {
     bits.toString
   }
 
+  /** Hamming distance between two 64-char '0'/'1' fingerprint strings
+    * as a pure codegen expression: four 16-bit words each parse with
+    * `conv(_, 2, 10)`, XOR, `bit_count` — equal by construction to the
+    * count of differing chars (both strings are exactly 64 binary
+    * chars). r17-opt: replaces the
+    * `size(filter(sequence(1, 64), i -> substring(..) <> substring(..)))`
+    * form, which allocated a 64-element array + 128 single-char
+    * substrings per CANDIDATE PAIR in the near-dup verify stages. */
+  private def hammingBits64(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4).map { w =>
+      bit_count(conv(substring(a, w * 16 + 1, 16), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, w * 16 + 1, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+
   def imageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -553,8 +568,7 @@ object Multimodal {
       .distinct()
     val out = pairs
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
-          .cast("long"))
+        hammingBits64(col("ha"), col("hb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -764,8 +778,7 @@ object Multimodal {
       .distinct()
     val out = pairs
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
-          .cast("long"))
+        hammingBits64(col("ha"), col("hb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1090,8 +1103,7 @@ object Multimodal {
       .distinct()
     val out = pairs
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
-          .cast("long"))
+        hammingBits64(col("ha"), col("hb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

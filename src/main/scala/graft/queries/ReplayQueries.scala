@@ -189,11 +189,16 @@ object ReplayQueries {
         val cells = Fixtures.cellsOrders(s, dir)
         val (main, mob) = MobStore.split(cells, threshold = 10)
         val back = MobStore.read(main, mob)
-        val mismatches = back.alias("b")
+        // the mismatch sweep joins into the SAME one-row plan as the
+        // accounting aggregates (r17-opt: was an eager count() action
+        // plus a second action over the same split/read pipelines —
+        // one plan lets ReuseExchange serve mob's distinct once and
+        // halves the job round-trips)
+        val mismatchDf = back.alias("b")
           .join(cells.alias("o"),
             Seq("row", "family", "qualifier", "ts", "type"), "full")
           .filter(not(col("b.value") <=> col("o.value")))
-          .count()
+          .agg(count(lit(1)).as("mismatches"))
         main.agg(
           count(lit(1)).as("n_cells"),
           count(when(col("value").startsWith(MobStore.RefPrefix), 1))
@@ -201,7 +206,7 @@ object ReplayQueries {
           max(when(!col("value").startsWith(MobStore.RefPrefix),
             octet_length(col("value")).cast("long"))).as("max_inline_len"))
           .crossJoin(mob.agg(count(lit(1)).as("mob_refs")))
-          .withColumn("mismatches", lit(mismatches))
+          .crossJoin(mismatchDf)
       },
       Some(Cte.withCtes(Cte.cellsOrders)(
         """SELECT COUNT(*) AS n_cells,
