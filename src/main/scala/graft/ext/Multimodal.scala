@@ -484,7 +484,7 @@ object Multimodal {
     * `size(filter(sequence(1, 64), i -> substring(..) <> substring(..)))`
     * form, which allocated a 64-element array + 128 single-char
     * substrings per CANDIDATE PAIR in the near-dup verify stages. */
-  private def hammingBits64(a: org.apache.spark.sql.Column,
+  private[graft] def hammingBits64(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 4).map { w =>
       bit_count(conv(substring(a, w * 16 + 1, 16), 2, 10).cast("long")

@@ -1287,4 +1287,32 @@ class ExtSpec extends SparkSpec {
     val expectedNdcg = math.rint((w1 + w3).toDouble / (w1 + w2) * 1e6) / 1e6
     assert(math.abs(r.getAs[Double]("ndcg") - expectedNdcg) < 1e-6)
   }
+  test("hammingBits64 ≡ per-char diff count on random 64-bit fingerprints") {
+    // r17-opt pinned equivalence: the conv/xor/bit_count form that
+    // replaced the filter/sequence lambda in the near-dup verifies must
+    // count EXACTLY the differing chars of two 64-char binary strings —
+    // including the all-zeros/all-ones edges and signed-long-risky
+    // high-bit patterns (bit 0 set).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    def fp(): String = {
+      val sb = new StringBuilder(64)
+      (0 until 64).foreach(_ => sb.append(if (rnd.nextBoolean()) '1' else '0'))
+      sb.toString
+    }
+    val edge = Seq(
+      ("0" * 64, "1" * 64), ("1" * 64, "1" * 64),
+      ("1" + "0" * 63, "0" * 63 + "1"),
+      ("1" * 16 + "0" * 48, "0" * 48 + "1" * 16))
+    val pairs = (edge ++ (0 until 200).map(_ => (fp(), fp())))
+      .toDF("ha", "hb")
+    val got = pairs.select(col("ha"), col("hb"),
+      ext.Multimodal.hammingBits64(col("ha"), col("hb")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val expect = a.zip(b).count { case (x, y) => x != y }
+      assert(r.getInt(2) === expect, s"hamming($a, $b)")
+    }
+  }
 }
