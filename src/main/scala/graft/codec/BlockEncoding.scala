@@ -1,6 +1,5 @@
 package graft.codec
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
@@ -83,7 +82,7 @@ object BlockEncoding {
   // --- primitive codecs (ByteBufferUtils.java:550,644,668,726) ---
 
   /** 7-bit little-endian group varint (putCompressedInt). */
-  private[graft] def putCInt(out: ByteArrayOutputStream, value: Int): Unit = {
+  private[graft] def putCInt(out: java.io.OutputStream, value: Int): Unit = {
     var v = value
     var continue = true
     while (continue) {
@@ -117,7 +116,7 @@ object BlockEncoding {
   }
 
   /** Little-endian minimal-length long (ByteBufferUtils.putLong). */
-  private def putLongLE(out: ByteArrayOutputStream, value: Long, fitInBytes: Int): Unit = {
+  private def putLongLE(out: ByteSink, value: Long, fitInBytes: Int): Unit = {
     var v = value
     var i = 0
     while (i < fitInBytes) { out.write((v & 0xff).toInt); v >>>= 8; i += 1 }
@@ -171,7 +170,7 @@ object BlockEncoding {
     * the row part from `from` (if any remains) then the qualifier from
     * the right offset, mirroring writeRowKeyExcludingCommon +
     * writeQualifier(SkippingBytes). `from` = the common prefix. */
-  private def writeKeyRestSkippingFamily(out: ByteArrayOutputStream, c: HCell, common: Int): Unit = {
+  private def writeKeyRestSkippingFamily(out: ByteSink, c: HCell, common: Int): Unit = {
     val rowWithSize = 2 + c.row.length
     if (common < rowWithSize) {
       if (common < 2) {
@@ -208,7 +207,7 @@ object BlockEncoding {
         s"${nameOf(id)} requires a single column family per file " +
           "(the reference writes one store file per family)")
     }
-    val out = new ByteArrayOutputStream(8192)
+    val out = new ByteSink(8192)
     out.write(id >> 8); out.write(id & 0xff)
     id match {
       case IdPrefix => encodeBuffered(out, cells, withTags, compressTags)(encodePrefixCell)
@@ -225,9 +224,9 @@ object BlockEncoding {
     * its tag section when the file carries tags
     * (afterEncodingKeyValue — the unencoded size counts the 2-byte
     * length prefix + raw tag bytes per cell). */
-  private def encodeBuffered(out: ByteArrayOutputStream, cells: IndexedSeq[HCell],
+  private def encodeBuffered(out: ByteSink, cells: IndexedSeq[HCell],
       withTags: Boolean, compressTags: Boolean)(
-      enc: (ByteArrayOutputStream, HCell, HCell) => Unit): Unit = {
+      enc: (ByteSink, HCell, HCell) => Unit): Unit = {
     var unencoded = 0L
     cells.foreach { c =>
       unencoded += 8 + keyLenOf(c) + c.value.length
@@ -244,7 +243,7 @@ object BlockEncoding {
     }
   }
 
-  private def encodePrefixCell(out: ByteArrayOutputStream, c: HCell, prev: HCell): Unit = {
+  private def encodePrefixCell(out: ByteSink, c: HCell, prev: HCell): Unit = {
     val kLen = keyLenOf(c)
     val common = if (prev == null) 0 else commonPrefixFlat(c, prev, withTsType = true)
     putCInt(out, kLen - common)
@@ -263,7 +262,7 @@ object BlockEncoding {
   private val DiffShiftTsLen = 4
   private val DiffTsSign = 1 << 7
 
-  private def encodeDiffCell(out: ByteArrayOutputStream, c: HCell, prev: HCell): Unit = {
+  private def encodeDiffCell(out: ByteSink, c: HCell, prev: HCell): Unit = {
     val kLen = keyLenOf(c)
     var flag = 0
     var tsToWrite = 0L
@@ -318,7 +317,7 @@ object BlockEncoding {
   private val FastSameType = 1 << 5
   private val FastSameValue = 1 << 6
 
-  private def encodeFastDiffCell(out: ByteArrayOutputStream, c: HCell, prev: HCell): Unit = {
+  private def encodeFastDiffCell(out: ByteSink, c: HCell, prev: HCell): Unit = {
     val kLen = keyLenOf(c)
     if (prev == null) {
       out.write(0) // flag
@@ -351,35 +350,39 @@ object BlockEncoding {
     }
   }
 
-  private def encodeRowIndex(out: ByteArrayOutputStream, cells: IndexedSeq[HCell],
+  private def encodeRowIndex(out: ByteSink, cells: IndexedSeq[HCell],
       withTags: Boolean): Unit = {
-    val cellStream = new ByteArrayOutputStream(8192)
-    val dos = new DataOutputStream(cellStream)
-    val offsets = new ByteArrayOutputStream(256)
-    val offDos = new DataOutputStream(offsets)
+    val cellStream = new ByteSink(8192)
+    val offsets = new ByteSink(256)
     var prevRow: Array[Byte] = null
     cells.foreach { c =>
       if (prevRow == null || !java.util.Arrays.equals(prevRow, c.row)) {
-        offDos.writeInt(cellStream.size())
+        offsets.writeInt(cellStream.size())
         prevRow = c.row
       }
-      val key = HFileV3.cellKeyBytes(c)
-      dos.writeInt(key.length)
-      dos.writeInt(c.value.length)
-      dos.write(key)
-      dos.write(c.value)
+      // key fields stream straight into the sink — byte-identical to
+      // materializing cellKeyBytes(c) first
+      cellStream.writeInt(keyLenOf(c))
+      cellStream.writeInt(c.value.length)
+      cellStream.writeShort(c.row.length)
+      cellStream.write(c.row)
+      cellStream.write(c.family.length)
+      cellStream.write(c.family)
+      cellStream.write(c.qualifier)
+      cellStream.writeLong(c.ts)
+      cellStream.write(c.typ.toInt)
+      cellStream.write(c.value)
       if (withTags) {
         // NoneEncoder raw short framing — never dictionary-compressed
-        dos.writeShort(c.tags.length)
-        dos.write(c.tags)
+        cellStream.writeShort(c.tags.length)
+        cellStream.write(c.tags)
       }
     }
     val dataSize = cellStream.size()
     cellStream.writeTo(out)
-    val tail = new DataOutputStream(out)
-    tail.writeInt(offsets.size() / 4)
+    out.writeInt(offsets.size() / 4)
     offsets.writeTo(out)
-    tail.writeInt(dataSize)
+    out.writeInt(dataSize)
   }
 
   // ------------------------------------------------------------------
@@ -403,7 +406,7 @@ object BlockEncoding {
     * for a hit (TagCompressionContext.compressTags / Dictionary.write;
     * capacity 127 keeps the index's high byte < 0xff, so the status
     * byte disambiguates). */
-  private def writeTagsSection(out: ByteArrayOutputStream, tags: Array[Byte],
+  private def writeTagsSection(out: ByteSink, tags: Array[Byte],
       dict: TagDict): Unit = {
     putCInt(out, tags.length)
     if (tags.length == 0) ()
@@ -517,27 +520,24 @@ object BlockEncoding {
 
   private def splitKey(key: Array[Byte], value: Array[Byte], mvcc: Long,
       tags: Array[Byte] = Array.emptyByteArray): HCell = {
-    val kb = ByteBuffer.wrap(key)
-    val rowLen = kb.getShort & 0xffff
-    val row = new Array[Byte](rowLen)
-    kb.get(row)
-    val famLen = kb.get() & 0xff
-    val fam = new Array[Byte](famLen)
-    kb.get(fam)
-    val qual = new Array[Byte](key.length - 2 - rowLen - 1 - famLen - 8 - 1)
-    kb.get(qual)
-    val ts = kb.getLong
-    val typ = kb.get()
-    HCell(row, fam, qual, ts, typ, value, mvcc, tags)
+    val rowLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
+    val row = java.util.Arrays.copyOfRange(key, 2, 2 + rowLen)
+    val famLen = key(2 + rowLen) & 0xff
+    val fam = java.util.Arrays.copyOfRange(key, 3 + rowLen, 3 + rowLen + famLen)
+    val qual = java.util.Arrays.copyOfRange(key, 3 + rowLen + famLen, key.length - 9)
+    var ts = 0L
+    var i = key.length - 9
+    while (i < key.length - 1) { ts = (ts << 8) | (key(i) & 0xffL); i += 1 }
+    HCell(row, fam, qual, ts, key(key.length - 1), value, mvcc, tags)
   }
 
   private def decodePrefix(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
       dict: TagDict): Iterator[HCell] = {
     bb.getInt // unencoded size (allocation hint only)
     var prevKey: Array[Byte] = Array.emptyByteArray
-    Iterator.continually {
-      if (!bb.hasRemaining) None
-      else {
+    new Iterator[HCell] {
+      def hasNext: Boolean = bb.hasRemaining
+      def next(): HCell = {
         val restLen = readCInt(bb)
         val vLen = readCInt(bb)
         val common = readCInt(bb)
@@ -548,9 +548,9 @@ object BlockEncoding {
         bb.get(value)
         val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key
-        Some(splitKey(key, value, mvcc, tags))
+        splitKey(key, value, mvcc, tags)
       }
-    }.takeWhile(_.isDefined).map(_.get)
+    }
   }
 
   private def decodeDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
@@ -563,9 +563,9 @@ object BlockEncoding {
     var prevTs = 0L
     var prevType: Byte = 0
     var prevRowLen = 0
-    Iterator.continually {
-      if (!bb.hasRemaining) None
-      else {
+    new Iterator[HCell] {
+      def hasNext: Boolean = bb.hasRemaining
+      def next(): HCell = {
         val first = prevKey == null
         if (first) {
           val famLen = bb.get() & 0xff
@@ -619,9 +619,9 @@ object BlockEncoding {
         val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key; prevKeyLen = keyLen; prevValLen = valLen
         prevTs = ts; prevType = typ; prevRowLen = rowLen
-        Some(splitKey(key, value, mvcc, tags))
+        splitKey(key, value, mvcc, tags)
       }
-    }.takeWhile(_.isDefined).map(_.get)
+    }
   }
 
   private def decodeFastDiff(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean,
@@ -633,9 +633,9 @@ object BlockEncoding {
     var valLenState = 0
     var prevRowLen = 0
     var prevFamLen = 0
-    Iterator.continually {
-      if (!bb.hasRemaining) None
-      else {
+    new Iterator[HCell] {
+      def hasNext: Boolean = bb.hasRemaining
+      def next(): HCell = {
         val flag = bb.get() & 0xff
         if ((flag & FastSameKeyLen) == 0) keyLenState = readCInt(bb)
         if ((flag & FastSameValLen) == 0) valLenState = readCInt(bb)
@@ -698,9 +698,9 @@ object BlockEncoding {
         }
         val (tags, mvcc) = afterCell(bb, withMvcc, withTags, dict)
         prevKey = key; prevVal = value
-        Some(splitKey(key, value, mvcc, tags))
+        splitKey(key, value, mvcc, tags)
       }
-    }.takeWhile(_.isDefined).map(_.get)
+    }
   }
 
   private def decodeRowIndex(bb: ByteBuffer, withMvcc: Boolean, withTags: Boolean): Iterator[HCell] = {
@@ -708,9 +708,9 @@ object BlockEncoding {
     // (RowIndexCodecV1.decodeKeyValues reads it the same way)
     val dataSize = bb.getInt(bb.limit() - 4)
     val cellEnd = bb.position() + dataSize
-    Iterator.continually {
-      if (bb.position() >= cellEnd) None
-      else {
+    new Iterator[HCell] {
+      def hasNext: Boolean = bb.position() < cellEnd
+      def next(): HCell = {
         val keyLen = bb.getInt
         val valLen = bb.getInt
         val key = new Array[Byte](keyLen)
@@ -724,9 +724,9 @@ object BlockEncoding {
           if (tagsLen > 0) { tags = new Array[Byte](tagsLen); bb.get(tags) }
         }
         if (withMvcc) mvcc = readHadoopVLong(bb)
-        Some(splitKey(key, value, mvcc, tags))
+        splitKey(key, value, mvcc, tags)
       }
-    }.takeWhile(_.isDefined).map(_.get)
+    }
   }
 }
 

@@ -616,8 +616,7 @@ object HFileV3 {
     var trMax = -1L
     var lastCell: HCell = null
     var firstKeyOfBlock: Array[Byte] = null
-    val buf = new ByteArrayOutputStream(blockSize + 4096)
-    val dos = new DataOutputStream(buf)
+    val buf = new ByteSink(blockSize + 4096)
     // encoded path: cells accumulate per block and encode at close
     // (the reference likewise encodes through the block writer's
     // in-memory stream before the on-disk compress/checksum step)
@@ -733,31 +732,39 @@ object HFileV3 {
       lastCell = c
       if (c.ts < trMin) trMin = c.ts
       if (c.ts > trMax) trMax = c.ts
-      val key = cellKeyBytes(c)
-      if (firstKeyOfBlock == null) firstKeyOfBlock = key
+      val keyLen = 2 + c.row.length + 1 + c.family.length + c.qualifier.length + 9
+      if (firstKeyOfBlock == null) firstKeyOfBlock = cellKeyBytes(c)
       if (encoded) {
         // split on UNENCODED size like the reference's
         // blockSizeWritten check — block boundaries are free
         encCells += c
-        encUnencodedSize += 8 + key.length + c.value.length
+        encUnencodedSize += 8 + keyLen + c.value.length
         if (withTags) {
           encUnencodedSize += 2 + c.tags.length
           if (c.tags.length > maxTagsLen) maxTagsLen = c.tags.length
         }
       } else {
         // NoneEncoder wire format (no mvcc on the write side; tags iff
-        // the file declares them — KeyValue trailing tag section)
-        dos.writeInt(key.length)
-        dos.writeInt(c.value.length)
-        dos.write(key)
-        dos.write(c.value)
+        // the file declares them — KeyValue trailing tag section); the
+        // key fields stream straight into the sink, byte-identical to
+        // writing cellKeyBytes(c)
+        buf.writeInt(keyLen)
+        buf.writeInt(c.value.length)
+        buf.writeShort(c.row.length)
+        buf.write(c.row)
+        buf.write(c.family.length)
+        buf.write(c.family)
+        buf.write(c.qualifier)
+        buf.writeLong(c.ts)
+        buf.write(c.typ.toInt)
+        buf.write(c.value)
         if (withTags) {
-          dos.writeShort(c.tags.length)
-          dos.write(c.tags)
+          buf.writeShort(c.tags.length)
+          buf.write(c.tags)
           if (c.tags.length > maxTagsLen) maxTagsLen = c.tags.length
         }
       }
-      keyLenSum += key.length
+      keyLenSum += keyLen
       valLenSum += c.value.length
       entryCount += 1
       if ((if (encoded) encUnencodedSize else buf.size()) >= blockSize)
@@ -1070,6 +1077,31 @@ object HFileV3 {
   private def preadOf(bytes: Array[Byte]): PRead = (off, len) =>
     java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
 
+  /** Read-ahead wrapper for SEQUENTIAL block walks ([[readCellsFrom]]):
+    * serves each request from a `chunk`-sized window, refilling from
+    * the underlying `pread` only when the request leaves it. A 4 KiB
+    * block walk over a Hadoop FileSystem otherwise pays two positional
+    * reads per block (header probe + body) — each a pread syscall plus
+    * the ChecksumFileSystem's `.crc` sidecar verification. Window size
+    * amortizes that to one underlying read per `chunk`. Random access
+    * still works (any miss just refills), it is merely unbuffered. */
+  def bufferedPRead(pread: PRead, fileLen: Long, chunk: Int = 1 << 20): PRead = {
+    var bufOff = 0L
+    var buf: Array[Byte] = Array.emptyByteArray
+    (off, len) => {
+      if (off < bufOff || off + len > bufOff + buf.length) {
+        val want = math.max(len.toLong, math.min(chunk.toLong, fileLen - off)).toInt
+        buf = pread(off, want)
+        bufOff = off
+      }
+      if (off == bufOff && len == buf.length) buf
+      else {
+        val rel = (off - bufOff).toInt
+        java.util.Arrays.copyOfRange(buf, rel, rel + len)
+      }
+    }
+  }
+
   /** Read one block at `pos`, verifying checksums. `codec` is the
     * trailer's compression ordinal — blocks do not self-describe their
     * codec, exactly like the reference (HFileBlock.FSReaderImpl gets
@@ -1285,15 +1317,19 @@ object HFileV3 {
     * import path: at most one block is resident at a time. */
   def readCellsFrom(pread: PRead, fileLen: Long,
       subject: String = HCrypto.DefaultSubject): Iterator[HCell] = {
-    val trailer = readTrailer(pread(fileLen - TrailerSize, TrailerSize))
+    // the walk is strictly sequential — buffer the positional reads so
+    // small-block files (4 KiB store blocks) cost one underlying read
+    // per megabyte instead of two per block
+    val bp = bufferedPRead(pread, fileLen)
+    val trailer = readTrailer(bp(fileLen - TrailerSize, TrailerSize))
     if (trailer.firstDataBlockOffset < 0) return Iterator.empty
     val key = dataKeyOf(trailer, subject)
-    val ctx = decodeCtxOf(readFileInfo(pread, trailer, subject))
+    val ctx = decodeCtxOf(readFileInfo(bp, trailer, subject))
     val endPos = trailer.loadOnOpenOffset
     val blocks = Iterator.unfold(trailer.firstDataBlockOffset) { p =>
       if (p >= endPos) None
       else {
-        val (blk, next) = readBlockAt(pread, p, trailer.compressionCodec, key)
+        val (blk, next) = readBlockAt(bp, p, trailer.compressionCodec, key)
         Some((blk, next))
       }
     }
@@ -1301,31 +1337,60 @@ object HFileV3 {
       .flatMap(cellsOfDataBlock(_, ctx))
   }
 
-  private def cellsOfNoneBlock(payload: Array[Byte], ctx: DecodeCtx): Iterator[HCell] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
-    Iterator.continually {
-      if (in.available() <= 0) None
-      else {
-        val keyLen = in.readInt()
-        val valLen = in.readInt()
-        val key = new Array[Byte](keyLen)
-        in.readFully(key)
-        val value = new Array[Byte](valLen)
-        in.readFully(value)
+  /** NoneEncoder cell stream, parsed with a plain array cursor — the
+    * per-cell hot loop of every unencoded block read. (The previous
+    * DataInputStream-over-ByteArrayInputStream form paid synchronized
+    * single-byte reads plus an Option per cell.) */
+  private def cellsOfNoneBlock(payload: Array[Byte], ctx: DecodeCtx): Iterator[HCell] =
+    new Iterator[HCell] {
+      private var pos = 0
+      def hasNext: Boolean = pos < payload.length
+      def next(): HCell = {
+        val a = payload
+        val keyLen = ((a(pos) & 0xff) << 24) | ((a(pos + 1) & 0xff) << 16) |
+          ((a(pos + 2) & 0xff) << 8) | (a(pos + 3) & 0xff)
+        val valLen = ((a(pos + 4) & 0xff) << 24) | ((a(pos + 5) & 0xff) << 16) |
+          ((a(pos + 6) & 0xff) << 8) | (a(pos + 7) & 0xff)
+        var p = pos + 8
+        val keyEnd = p + keyLen
+        val rowLen = ((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)
+        val row = java.util.Arrays.copyOfRange(a, p + 2, p + 2 + rowLen)
+        p += 2 + rowLen
+        val famLen = a(p) & 0xff
+        val fam = java.util.Arrays.copyOfRange(a, p + 1, p + 1 + famLen)
+        p += 1 + famLen
+        val qual = java.util.Arrays.copyOfRange(a, p, keyEnd - 9)
+        var ts = 0L
+        var i = keyEnd - 9
+        while (i < keyEnd - 1) { ts = (ts << 8) | (a(i) & 0xffL); i += 1 }
+        val typ = a(keyEnd - 1)
+        val value = java.util.Arrays.copyOfRange(a, keyEnd, keyEnd + valLen)
+        p = keyEnd + valLen
         var tags = Array.emptyByteArray
         if (ctx.withTags) {
-          val tagsLen = in.readShort() & 0xffff
+          val tagsLen = ((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)
+          p += 2
           if (tagsLen > 0) {
-            tags = new Array[Byte](tagsLen)
-            in.readFully(tags)
+            tags = java.util.Arrays.copyOfRange(a, p, p + tagsLen)
+            p += tagsLen
           }
         }
-        val mvcc = if (ctx.withMvcc) readVLong(in) else 0L
-        val (row, fam, qual, ts, typ) = decodeKey(key)
-        Some(HCell(row, fam, qual, ts, typ, value, mvcc, tags))
+        var mvcc = 0L
+        if (ctx.withMvcc) {
+          val first = a(p)
+          p += 1
+          if (first >= -112) mvcc = first.toLong
+          else {
+            val n = HadoopVLong.decodeVIntSize(first) - 1
+            var j = 0
+            while (j < n) { mvcc = (mvcc << 8) | (a(p) & 0xffL); p += 1; j += 1 }
+            if (HadoopVLong.isNegative(first)) mvcc = ~mvcc
+          }
+        }
+        pos = p
+        HCell(row, fam, qual, ts, typ, value, mvcc, tags)
       }
-    }.takeWhile(_.isDefined).map(_.get)
-  }
+    }
 
   /** Opened file for point reads — the reference's open-once Reader:
     * trailer + file-info load eagerly, data index / bloom meta load
