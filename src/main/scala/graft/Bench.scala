@@ -36,11 +36,49 @@ object Bench {
     val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
       .orElse(Some("/root/testdata/sf0.001").filter(d =>
         d != sfDir && new java.io.File(d).isDirectory))
+    // Warmup runs CONCURRENTLY (wall-clock only — it precedes the timed
+    // region): queries are independent (per-query scratch dirs/tables,
+    // CellStore.materialize is putIfAbsent-safe), failures stay silent
+    // exactly as in the serial form, and the timed pass below remains
+    // strictly serial. A straggler-heavy serial warmup otherwise adds
+    // ~60-90 s of wall time and inflates rep-1 totals.
     warmupDir.foreach { d =>
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, d).count() catch { case _: Throwable => () }
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      SparkEntry.queries.toSeq
+        .map { case (_, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try { fn(spark, d).count(); () }
+              catch { case _: Throwable => () }
+          })
+        }
+        .foreach(f => try f.get() catch { case _: Throwable => () })
+      pool.shutdown()
     }
+
+    // Per-query parallelism evidence for the scaling contract: a
+    // listener tracks the max number of CONCURRENTLY RUNNING tasks
+    // while each query executes. The driver runs this bench at
+    // different $SPARK_GRAFT_CPUS values; a query whose wall-clock is
+    // flat across core counts is legible as fixed-cost (par stays low
+    // or the task count is tiny) versus one that actually scales.
+    val runningTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val parMaxBox = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+          val n = runningTasks.incrementAndGet()
+          var cur = parMaxBox.get()
+          while (n > cur && !parMaxBox.compareAndSet(cur, n))
+            cur = parMaxBox.get()
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          runningTasks.decrementAndGet()
+          ()
+        }
+      })
 
     // Load phase: materialize the canonical cell store at the target SF
     // (the engine's tables ARE the cell form; deriving them from the
@@ -82,13 +120,21 @@ object Bench {
     // transient single-rep failure still surfaces in "flaky")
     val repErrors = Array.fill(reps)(
       scala.collection.mutable.LinkedHashMap[String, String]())
+    // max concurrent tasks seen while the query ran, max over reps —
+    // the scaling-legibility sidecar evidence (listener events can lag
+    // a query boundary by a few ms; this is parallelism evidence, not
+    // a timing input)
+    val parMax = scala.collection.mutable.LinkedHashMap[String, Int]()
     val repResults = (0 until reps).map { r =>
       bench.map { case (name, fn) =>
+        parMaxBox.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable => repErrors(r)(name) = e.getClass.getSimpleName
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        parMax(name) = math.max(parMax.getOrElse(name, 0), parMaxBox.get())
+        name -> dt
       }
     }
     // ms precision keeps the one-line record compact (159+ queries ×
@@ -129,12 +175,22 @@ object Bench {
       val sidecar = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "dev/bench_raw_last.json"))
       Option(sidecar.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val parJson = parMax
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"sf":"$sfDir","n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"rep_totals":$repTotals,"query_min":${jmap(minQ)},"reps":$repsJson}"""
+        s"""{"sf":"$sfDir","cpus":$cpus,"n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"rep_totals":$repTotals,"query_min":${jmap(minQ)},"par_max":$parJson,"reps":$repsJson}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val topN = minQ.sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(topN)},"queries_note":"top15_by_min_of_${names.size}; full map in dev/bench_raw_last.json","rep_totals":$repTotals,"sf":"$sfDir"}""")
+    // parallelism evidence inline for the TOP-15 the driver reads, plus
+    // a census over all queries (how many ever exceeded 1 / half the
+    // cores) so flat 8-vs-32 totals are attributable to fixed-cost
+    // paths without the sidecar
+    val parTop = topN.map { case (n, _) => "\"" + n + "\":" + parMax.getOrElse(n, 0) }
+      .mkString("{", ",", "}")
+    val halfCores = math.max(2, cpus.toInt / 2)
+    val parGeHalf = names.count(n => parMax.getOrElse(n, 0) >= halfCores)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","agg":"per_query_min","n_reps":$reps,"n_queries":${names.size},"load_sec":${f3(loadS)},"n_errors":${hardFail.size},"errors":$es,"flaky":$fl,"queries":${jmap(topN)},"queries_note":"top15_by_min_of_${names.size}; full map in dev/bench_raw_last.json","par_top":$parTop,"par_note":"max_concurrent_tasks_at_cpus=$cpus; ge_half_cores=$parGeHalf/${names.size}","rep_totals":$repTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
