@@ -1121,7 +1121,12 @@ object GAdmin {
             blockSize = blockSize)
         }
       }
-      legs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      // await BOTH legs before returning or throwing (advisor r17): an
+      // early throw from leg 1 must not leave leg 2 running unsupervised
+      // — a retry of the split would race the orphan over topDir
+      val outcomes = legs.map(l =>
+        scala.util.Try(Await.result(l, scala.concurrent.duration.Duration.Inf)))
+      outcomes.foreach(_.get)
       new String(row, java.nio.charset.StandardCharsets.UTF_8)
     }
   }

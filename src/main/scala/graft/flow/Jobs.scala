@@ -346,9 +346,17 @@ object Jobs {
     // partitions; the MERGED image below stays the durable artifact
     // (the staging copy was explicitly scratch, never part of it).
     val staged = incrementals.reduce(_ unionByName _).localCheckpoint()
-    graft.write.BucketedStore.write(
-      mergeBackupImages(Seq(staged), maxVersions),
-      table, path, buckets)
+    try {
+      graft.write.BucketedStore.write(
+        mergeBackupImages(Seq(staged), maxVersions),
+        table, path, buckets)
+    } finally {
+      // the staging copy is consumed entirely by the bucketed write —
+      // release its MEMORY_AND_DISK blocks instead of waiting for the
+      // ContextCleaner (advisor r17: repeated merges in a long session
+      // otherwise accumulate checkpointed blocks)
+      staged.unpersist()
+    }
     graft.write.BucketedStore.read(spark, table)
   }
 

@@ -516,12 +516,17 @@ object CodecQueries {
         // buckets are disjoint ts slices, so one exportRegions pass
         // writes all three files (same paths/contents as the old three
         // single-file export jobs)
+        // bucket predicates mirror the old explicit filters exactly
+        // (advisor r17): ts >= 4 names its bucket instead of riding an
+        // otherwise(3), so a null or out-of-range ts from fixture drift
+        // fails the writer loudly rather than silently landing in b3
         graft.flow.HFiles.exportRegions(
           cells.select(
             when(col("ts") <= 2, 1).when(col("ts") === 3, 2)
-              .otherwise(3).as("__b"),
+              .when(col("ts") >= 4, 3).as("__b"),
             col("row"), col("family"), col("qualifier"), col("ts"),
-            col("type"), col("value")),
+            col("type"), col("value"))
+            .filter(col("__b").isNotNull),
           "__b", out, b => s"b$b/part-00000.hfile")
         Seq("b1", "b2", "b3").map { b =>
           graft.flow.HFilePrint.describe(s, s"$out/$b")
