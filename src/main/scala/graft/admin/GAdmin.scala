@@ -140,8 +140,8 @@ object GAdmin {
     // second create would silently truncate the first's files)
     BucketedStore.write(empty, qualified(name),
       s"$path/${qualified(name)}", buckets)
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
-      s"('graft.families' = '${families.mkString(",")}', 'graft.enabled' = 'true')")
+    setProps(spark, name, Seq(
+      "graft.families" -> families.mkString(","), "graft.enabled" -> "true"))
   }
 
   /** All table names, namespaced ones in their `ns:table` form. */
@@ -161,10 +161,10 @@ object GAdmin {
     prop(spark, name, "graft.enabled").forall(_ == "true")
 
   def disableTable(spark: SparkSession, name: String): Unit =
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES ('graft.enabled' = 'false')")
+    setProps(spark, name, Seq("graft.enabled" -> "false"))
 
   def enableTable(spark: SparkSession, name: String): Unit =
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES ('graft.enabled' = 'true')")
+    setProps(spark, name, Seq("graft.enabled" -> "true"))
 
   /** Read a table; rejects disabled tables like the reference's
     * `TableNotEnabledException` path. */
@@ -216,14 +216,14 @@ object GAdmin {
     require(limit > 0 && perMs > 0, "throttle limit/period must be positive")
     require(refill == "AVERAGE" || refill == "FIXED",
       s"unknown refill strategy '$refill' (AVERAGE/FIXED)")
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
-      s"('graft.throttle.limit' = '$limit', 'graft.throttle.unit.ms' = '$perMs', " +
-      s"'graft.throttle.refill' = '$refill')")
+    setProps(spark, name, Seq("graft.throttle.limit" -> limit.toString,
+      "graft.throttle.unit.ms" -> perMs.toString,
+      "graft.throttle.refill" -> refill))
   }
 
   def removeThrottleQuota(spark: SparkSession, name: String): Unit =
-    spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
-      "('graft.throttle.limit', 'graft.throttle.unit.ms', 'graft.throttle.refill')")
+    unsetProps(spark, name, Seq("graft.throttle.limit",
+      "graft.throttle.unit.ms", "graft.throttle.refill"))
 
   // ---- User / namespace quota scopes (QuotaSettingsFactory
   // .throttleUser with its table/namespace-qualified variants,
@@ -543,13 +543,12 @@ object GAdmin {
     require(limitBytes > 0, "quota limit must be positive")
     require(QuotaPolicies(policy),
       s"unknown violation policy '$policy' (${QuotaPolicies.mkString("/")})")
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
-      s"('graft.quota.bytes' = '$limitBytes', 'graft.quota.policy' = '$policy')")
+    setProps(spark, name, Seq("graft.quota.bytes" -> limitBytes.toString,
+      "graft.quota.policy" -> policy))
   }
 
   def removeSpaceQuota(spark: SparkSession, name: String): Unit =
-    spark.sql(s"ALTER TABLE ${qualified(name)} UNSET TBLPROPERTIES IF EXISTS " +
-      "('graft.quota.bytes', 'graft.quota.policy')")
+    unsetProps(spark, name, Seq("graft.quota.bytes", "graft.quota.policy"))
 
   /** Both quota properties in ONE catalog read (SHOW TBLPROPERTIES is
     * a driver round-trip; the quota paths would otherwise pay 2-3). */
@@ -921,6 +920,27 @@ object GAdmin {
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(qualified(name)))
 
+  /** Direct-catalog SET TBLPROPERTIES — [[tableMeta]]'s write-side
+    * twin (r18-opt): one catalog read + one alterTable, skipping the
+    * SQL parse/analyze round-trip the admin hot paths (enable/disable,
+    * quotas, post-rewrite props restore) otherwise pay per call. Same
+    * merge semantics as AlterTableSetPropertiesCommand. */
+  private def setProps(spark: SparkSession, name: String,
+      kv: Seq[(String, String)]): Unit = {
+    val m = tableMeta(spark, name)
+    spark.sessionState.catalog.alterTable(
+      m.copy(properties = m.properties ++ kv))
+  }
+
+  /** Direct-catalog UNSET TBLPROPERTIES IF EXISTS (absent keys are
+    * ignored, like the IF EXISTS form). */
+  private def unsetProps(spark: SparkSession, name: String,
+      keys: Seq[String]): Unit = {
+    val m = tableMeta(spark, name)
+    spark.sessionState.catalog.alterTable(
+      m.copy(properties = m.properties -- keys))
+  }
+
   /** (location, bucket count) of a graft table's store, from the
     * catalog entry. */
   private def layoutOf(spark: SparkSession, name: String): (String, Int) = {
@@ -945,8 +965,7 @@ object GAdmin {
     val buckets = m.bucketSpec.map(_.numBuckets).getOrElse(16)
     val snapshot = transform(spark.table(q)).localCheckpoint()
     BucketedStore.write(snapshot, q, loc, newBuckets(buckets))
-    val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-    if (kv.nonEmpty) spark.sql(s"ALTER TABLE $q SET TBLPROPERTIES ($kv)")
+    if (props.nonEmpty) setProps(spark, name, props)
   }
 
   /** Admin.tableExists — catalog membership. */
@@ -988,8 +1007,7 @@ object GAdmin {
     require(family.matches("[A-Za-z0-9_]+"),
       s"illegal family name '$family': only [A-Za-z0-9_] allowed")
     val fams = (listFamilies(spark, name) :+ family).distinct
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
-      s"('graft.families' = '${fams.mkString(",")}')")
+    setProps(spark, name, Seq("graft.families" -> fams.mkString(",")))
   }
 
   /** A non-empty `failsafeDir` makes the family-drop rewrite
@@ -1002,8 +1020,7 @@ object GAdmin {
     if (failsafeDir.isEmpty) rewriteTable(spark, name, drop)
     else journaledRewrite(spark, name, failsafeDir,
       s"deleteFamily $family", drop)
-    spark.sql(s"ALTER TABLE ${qualified(name)} SET TBLPROPERTIES " +
-      s"('graft.families' = '${fams.mkString(",")}')")
+    setProps(spark, name, Seq("graft.families" -> fams.mkString(",")))
   }
 
   /** Region count of a table — its bucket count (a graft "region" is
